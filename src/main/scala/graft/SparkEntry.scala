@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every key in `queries` has a matching entry in `oracleSql` unless the
+  * operator is not SQL-expressible (then the driver records a rows-only
+  * check). Column names/aliases match between the two by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q2TopRevenue(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => f(Tables(spark, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q(Relational.q1PricingSummary),
+    "q2_top_revenue"     -> q(Relational.q2TopRevenue),
+    "q3_rollup_acctbal"  -> q(Relational.q3RollupAcctbal),
+    "q4_semi_join"       -> q(Relational.q4SemiJoin),
+    "q5_anti_join"       -> q(Relational.q5AntiJoin),
+    "q6_window_topn"     -> q(Relational.q6WindowTopN),
+    "q7_distinct_agg"    -> q(Relational.q7DistinctAgg),
+    "q8_running_window"  -> q(Relational.q8RunningWindow),
+    "q9_sessionize"      -> q(Relational.q9Sessionize),
+    "q10_json_extract"   -> q(Relational.q10JsonExtract)
+  )
+
+  /** DuckDB-equivalent SQL per query key (same aliases, same float
+    * policy). Keys absent here get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracle
 }

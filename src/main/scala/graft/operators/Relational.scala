@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: the substrate queries every pipeline runs on.
+  *
+  * Float-safety policy (oracle hash parity with DuckDB): money aggregates
+  * are summed in DECIMAL(18,2) (exact, order-independent) and only the
+  * final value is cast to DOUBLE — the same exact decimal converts to the
+  * same IEEE double in any engine. Raw (non-aggregated) doubles pass
+  * through untouched. Everything else is int/string/date.
+  */
+object Relational {
+
+  private val Dec = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(Dec)
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** q1: scan → pushdown filter → groupBy agg. TPC-H Q1 shape. */
+  def q1PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: broadcast dim join + shuffle fact join + agg + deterministic
+    * top-k. TPC-H Q3 shape; customer is broadcast (small side).
+    */
+  def q2TopRevenue(t: Tables): DataFrame = {
+    val cust = t.customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") < ts("1998-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem
+      .filter(col("l_shipdate") > ts("1998-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Spark 4.1's DetectAmbiguousSelfJoin false-positives on any
+    * rollup/cube whose grouping columns arrived through a join (no self
+    * join involved). Analysis runs eagerly at Dataset construction, so
+    * disabling the heuristic only while building the plan is safe and
+    * scoped.
+    */
+  private def withoutSelfJoinCheck[A](t: Tables)(f: => A): A = {
+    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val old = t.spark.conf.get(key, "true")
+    t.spark.conf.set(key, "false")
+    try f finally t.spark.conf.set(key, old)
+  }
+
+  /** q3: ROLLUP over a broadcast dimension chain. */
+  def q3RollupAcctbal(t: Tables): DataFrame = withoutSelfJoinCheck(t) {
+    t.customer.select("c_nationkey", "c_acctbal")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .rollup("r_name", "n_name")
+      .agg(
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** q4: left-semi join (EXISTS) with an extra non-equi predicate. */
+  def q4SemiJoin(t: Tables): DataFrame = {
+    val ord = t.orders
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1997-01-01"))
+    val li = t.lineitem.select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q5: left-anti join (NOT EXISTS) — customers with no recent orders. */
+  def q5AntiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders
+          .filter(col("o_orderdate") >= ts("2000-01-01"))
+          .select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** q6: window top-N per group with a full deterministic tie-break. */
+  def q6WindowTopN(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q7: count-distinct per group across a two-hop broadcast join. */
+  def q7DistinctAgg(t: Tables): DataFrame =
+    t.lineitem.select("l_suppkey")
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+
+  /** q8: running (prefix) sum + lag over an ordered partition. Exact
+    * decimal prefix sums — deterministic given the unique total order.
+    */
+  def q8RunningWindow(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("prev_order", lag("o_orderkey", 1).over(w))
+      .drop("o_totalprice")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** q9: gap-and-islands sessionization (batch twin of st2): a new
+    * session starts after a >30-minute silence per user.
+    */
+  def q9Sessionize(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select("user_id", "ts", "event_id")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q10: semi-structured JSON column extraction + agg. */
+  def q10JsonExtract(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q3_rollup_acctbal" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q6_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q7_distinct_agg" ->
+      """SELECT n_name,
+        | COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q8_running_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        | LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey) AS prev_order
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q9_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q10_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: 6 flag/status groups, counts add up") {
+    val rows = run("q1_pricing_summary").collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 0 && total <= 6005)
+    // sums are positive and sum_disc_price <= sum_base_price
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q2 top revenue: at most 10 rows, sorted by revenue desc") {
+    val rows = run("q2_top_revenue").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q3 rollup: has grand total row equal to customer count") {
+    val rows = run("q3_rollup_acctbal").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(grand.head.getAs[Long]("n_cust") == nCust)
+    // region subtotals sum to grand total
+    val regionRows = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(regionRows.map(_.getAs[Long]("n_cust")).sum == nCust)
+  }
+
+  test("q4 semi join: priorities are the 5 known values") {
+    val rows = run("q4_semi_join").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.forall(_.getAs[Long]("n_orders") > 0))
+  }
+
+  test("q5 anti join: counts customers with no recent orders") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q5_anti_join").collect()
+    val antiTotal = rows.map(_.getAs[Long]("n_customers")).sum
+    val t = Tables(spark, sf)
+    val withRecent = t.orders
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    val allCust = t.customer.count()
+    assert(antiTotal == allCust - withRecent)
+  }
+
+  test("q6 window topn: rn in 1..3, strictly ranked per customer") {
+    val rows = run("q6_window_topn").collect()
+    assert(rows.forall(r => r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 3))
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ranked.map(_.getAs[Int]("rn")).sameElements(1 to ranked.length))
+      val prices = ranked.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)) ||
+        prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q7 distinct agg: supplier counts bounded by supplier table") {
+    val rows = run("q7_distinct_agg").collect()
+    val nSupp = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum <= nSupp * rows.length)
+    assert(rows.forall(r => r.getAs[Long]("n_suppliers") <= nSupp))
+  }
+
+  test("q8 running window: running_spend is non-decreasing per customer") {
+    val rows = run("q8_running_window").collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val spends = rs.map(_.getAs[Double]("running_spend"))
+      assert(spends.zip(spends.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("q9 sessionize: session event counts sum to total events") {
+    val rows = run("q9_sessionize").collect()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+    assert(rows.forall(_.getAs[Long]("session_id") >= 1))
+  }
+
+  test("q10 json extract: five event types, sums non-negative") {
+    val rows = run("q10_json_extract").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("sum_k") >= 0))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM, forked by sbt). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  def spark: SparkSession = SparkSpec.spark
+  def sf: String = SparkSpec.sf
+  def run(name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+}
