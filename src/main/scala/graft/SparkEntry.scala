@@ -29,12 +29,22 @@ object SparkEntry {
     "q7_distinct_agg"    -> q(Relational.q7DistinctAgg),
     "q8_running_window"  -> q(Relational.q8RunningWindow),
     "q9_sessionize"      -> q(Relational.q9Sessionize),
-    "q10_json_extract"   -> q(Relational.q10JsonExtract)
+    "q10_json_extract"   -> q(Relational.q10JsonExtract),
+    "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
+    "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
+    "r3_strip_fence"     -> q(Ingest.r3StripFence),
+    "r4_chunk_sliding"   -> q(Ingest.r4ChunkSliding(_)),
+    "r5_tokenize_tf"     -> q(Search.r5TokenizeTf),
+    "r6_doc_freq"        -> q(Search.r6DocFreq),
+    "r7_tfidf_search"    -> q(Search.r7TfidfSearch),
+    "r8_bm25_search"     -> q(Search.r8Bm25Search),
+    "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
+    "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
     * policy). Keys absent here get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Ingest.oracle ++ Search.oracle ++ EvalMetrics.oracle
 }

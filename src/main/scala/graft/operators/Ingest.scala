@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest surface of the reference RAG pipeline, Spark-first.
+  *
+  * The reference walks a repo zip, classifies files, parses
+  * frontmatter, strips code fences, and chunks by sliding window
+  * (reference: zc_agent/prepare_data.py:72-120 `_should_skip_file` /
+  * `_get_extension` / `_normalize_filepath` / `_process_file_content`,
+  * prepare_data.py:147-161 `strip_code_fence`,
+  * zc_agent/load_data.py:12-40 `sliding_window`/`chunk_documents`).
+  *
+  * There is no repo zip in the test data, so filenames / frontmatter /
+  * fences are synthesized deterministically from `documents` columns —
+  * the oracle SQL constructs the SAME inputs, so the parse logic is
+  * what is actually verified. Every parse step is a codegen'd built-in
+  * expression: at 100 TB this is a narrow projection over one scan,
+  * no shuffle at all (chunking fans out rows but stays map-side).
+  */
+object Ingest {
+
+  private val docExts  = Seq("md", "mdx")
+  private val codeExts = Seq("py", "sql", "java", "ipynb")
+
+  /** Deterministic synthetic filepath per document (directory entries,
+    * hidden files, unsupported extensions all represented).
+    */
+  private def synthFilepath: Column = {
+    val exts = array(Seq("md", "mdx", "py", "sql", "java", "ipynb",
+      "txt", "png").map(lit): _*)
+    val ext0 = element_at(exts, (col("doc_id") % 8 + 1).cast("int"))
+    when(col("doc_id") % 17 === 0,
+      concat(lit("repo-main/"), col("source"), lit("/")))
+      .otherwise(concat(lit("repo-main/"), col("source"), lit("/"),
+        when(col("doc_id") % 13 === 0, lit(".")).otherwise(lit("")),
+        lit("file_"), col("doc_id"), lit("."), ext0))
+  }
+
+  /** r1: skip/classify/normalize, one row per repo entry.
+    * action ∈ skip_dir | skip_hidden | skip_ext | doc | code;
+    * norm_path strips the zip's top-level directory (null if skipped).
+    */
+  def r1ClassifyFiles(t: Tables): DataFrame = {
+    val fname = element_at(split(lower(col("filepath")), "/"), -1)
+    val ext   = regexp_extract(fname, "\\.([^.]*)$", 1)
+    val action = when(col("filepath").endsWith("/"), lit("skip_dir"))
+      .when(fname.startsWith("."), lit("skip_hidden"))
+      .when(!ext.isin(docExts ++ codeExts: _*), lit("skip_ext"))
+      .when(ext.isin(docExts: _*), lit("doc"))
+      .otherwise(lit("code"))
+    t.documents
+      .select(col("doc_id"), synthFilepath.as("filepath"))
+      .select(col("doc_id"), col("filepath"), ext.as("ext"), action.as("action"))
+      .withColumn("norm_path",
+        when(col("action").isin("doc", "code"),
+          regexp_replace(col("filepath"), "^[^/]*/", "")))
+      .orderBy("doc_id")
+  }
+
+  /** r2: frontmatter split — metadata (title/tags) vs body. */
+  def r2Frontmatter(t: Tables): DataFrame = {
+    val fm = when(col("doc_id") % 3 === 0,
+      concat(lit("---\ntitle: doc "), col("doc_id"),
+        lit("\ntags: t"), col("doc_id") % 5, lit("\n---\n"), col("text")))
+      .otherwise(col("text"))
+    val meta = regexp_extract(col("fm"), "(?s)^---\n(.*?)\n---\n", 1)
+    val body = regexp_replace(col("fm"), "(?s)^---\n.*?\n---\n", "")
+    t.documents
+      .select(col("doc_id"), fm.as("fm"))
+      .select(col("doc_id"),
+        col("fm").startsWith("---\n").cast("int").as("has_fm"),
+        regexp_extract(meta, "title: ([^\n]*)", 1).as("title"),
+        regexp_extract(meta, "tags: ([^\n]*)", 1).as("tags"),
+        length(body).as("body_len"),
+        md5(body).as("body_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** r3: markdown code-fence stripping (strip → drop opening fence
+    * line → drop closing fence line if it is exactly ```).
+    */
+  def r3StripFence(t: Tables): DataFrame = {
+    val fenced = when(col("doc_id") % 4 === 0,
+        concat(lit("```python\n"), col("text"), lit("\n```")))
+      .when(col("doc_id") % 4 === 1, concat(lit("```\n"), col("text")))
+      .otherwise(col("text"))
+    val s = Text.stripWs(col("fenced"))
+    val stripped = when(!s.startsWith("```"), s)
+      .otherwise(regexp_replace(
+        regexp_replace(s, "^```[^\n]*(?:\n|\\z)", ""),
+        "(?:^|\n)[ \t]*```[ \t]*\\z", ""))
+    t.documents
+      .select(col("doc_id"), (col("doc_id") % 4).as("fence_case"),
+        fenced.as("fenced"))
+      .select(col("doc_id"), col("fence_case"),
+        length(stripped).as("out_len"), md5(stripped).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** r4: character sliding-window chunking, size=200 step=100, start
+    * offsets kept, loop-break semantics of the reference preserved
+    * (stop after the first chunk that overruns the end: offset kept
+    * iff it is 0 or the previous window still fit).
+    */
+  def r4ChunkSliding(t: Tables, size: Int = 200, step: Int = 100): DataFrame = {
+    val n = length(col("text"))
+    val offsets = filter(
+      sequence(lit(0), n - 1, lit(step)),
+      i => i === 0 || i - step + size <= n)
+    t.documents
+      .select(col("doc_id"), col("text"), explode(offsets).as("start"))
+      .select(col("doc_id"), col("start"),
+        col("text").substr(col("start") + 1, lit(size)).as("chunk"))
+      .select(col("doc_id"), col("start"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "start")
+  }
+
+  /** DuckDB oracle SQL — constructs identical synthetic inputs, then
+    * mirrors each parse expression (RE2 ≡ Java for every pattern used;
+    * `\z` end-of-text anchors, `(?s)` inline flags).
+    */
+  val oracle: Map[String, String] = Map(
+    "r1_classify_files" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'repo-main/' || source || '/'
+        |         ELSE 'repo-main/' || source || '/' ||
+        |              CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END ||
+        |              'file_' || doc_id || '.' ||
+        |              (['md','mdx','py','sql','java','ipynb','txt','png'])[CAST(doc_id % 8 AS INT) + 1]
+        |    END AS filepath
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, filepath,
+        |    str_split(lower(filepath), '/')[-1] AS fname,
+        |    regexp_extract(str_split(lower(filepath), '/')[-1], '\.([^.]*)$', 1) AS ext
+        |  FROM f),
+        |a AS (
+        |  SELECT doc_id, filepath, ext,
+        |    CASE WHEN filepath LIKE '%/' THEN 'skip_dir'
+        |         WHEN fname LIKE '.%' THEN 'skip_hidden'
+        |         WHEN ext NOT IN ('md','mdx','py','sql','java','ipynb') THEN 'skip_ext'
+        |         WHEN ext IN ('md','mdx') THEN 'doc'
+        |         ELSE 'code' END AS action
+        |  FROM c)
+        |SELECT doc_id, filepath, ext, action,
+        |  CASE WHEN action IN ('doc','code')
+        |       THEN regexp_replace(filepath, '^[^/]*/', '') END AS norm_path
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "r2_frontmatter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '---' || chr(10) || 'title: doc ' || doc_id || chr(10) ||
+        |              'tags: t' || (doc_id % 5) || chr(10) || '---' || chr(10) || text
+        |         ELSE text END AS fm
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, fm,
+        |    regexp_extract(fm, '(?s)^---\n(.*?)\n---\n', 1) AS meta,
+        |    regexp_replace(fm, '(?s)^---\n.*?\n---\n', '') AS body
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN fm LIKE ('---' || chr(10) || '%') THEN 1 ELSE 0 END AS has_fm,
+        |  regexp_extract(meta, 'title: ([^\n]*)', 1) AS title,
+        |  regexp_extract(meta, 'tags: ([^\n]*)', 1) AS tags,
+        |  length(body) AS body_len,
+        |  md5(body) AS body_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "r3_strip_fence" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 4 AS fence_case,
+        |    CASE WHEN doc_id % 4 = 0 THEN '```python' || chr(10) || text || chr(10) || '```'
+        |         WHEN doc_id % 4 = 1 THEN '```' || chr(10) || text
+        |         ELSE text END AS fenced
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, fence_case,
+        |    regexp_replace(regexp_replace(fenced, '^\s+', ''), '\s+\z', '') AS st
+        |  FROM f),
+        |o AS (
+        |  SELECT doc_id, fence_case,
+        |    CASE WHEN st NOT LIKE '```%' THEN st
+        |         ELSE regexp_replace(
+        |                regexp_replace(st, '^```[^\n]*(?:\n|\z)', ''),
+        |                '(?:^|\n)[ \t]*```[ \t]*\z', '') END AS o
+        |  FROM s)
+        |SELECT doc_id, fence_case, length(o) AS out_len, md5(o) AS out_md5
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "r4_chunk_sliding" ->
+      """WITH o AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text), 100)) AS start
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, start, substring(text, CAST(start AS INT) + 1, 200) AS chunk
+        |  FROM o WHERE start = 0 OR start - 100 + 200 <= length(text))
+        |SELECT doc_id, start, length(chunk) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, start""".stripMargin
+  )
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-search index + scoring, Spark-first.
+  *
+  * The reference indexes chunk `content`/`filename` into a TF-IDF
+  * index and serves top-5 keyword-filtered, field-boosted queries
+  * (reference: zc_agent/load_data.py:43-60 `index_data` via
+  * minsearch.Index, zc_agent/search_tools.py:7-17
+  * `SearchTool.search` num_results=5).
+  *
+  * Scale design (100 TB posture): the index is two derived tables —
+  * per-(doc,term) TF (one shuffle, map-side combined) and per-term
+  * DF/IDF (second, much smaller shuffle). Scoring joins TF against
+  * the query's term list: the query side is ≤ a handful of literal
+  * terms, so Catalyst broadcasts it; the corpus is never broadcast
+  * and never cross-joined. Corpus-wide scalars (N, avgdl) ride along
+  * as broadcast 1-row aggregates, not driver collects. At cluster
+  * scale the TF/IDF tables would be written once (bucketed by term)
+  * and reused per query; here they are recomputed per call because
+  * each call is a fresh plan.
+  */
+object Search {
+
+  /** Per-(doc,term) term frequencies over `documents.text`. */
+  def termFreq(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency + smoothed IDF (ln((N+1)/(df+1))+1,
+    * the standard smooth-IDF; N = all documents). `idf` column is
+    * UNROUNDED — consumers round only final scores.
+    */
+  private def idfTable(t: Tables): DataFrame = {
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    termFreq(t)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("n_docs") + 1) / (col("df") + 1)) + 1)
+  }
+
+  /** Default query terms for the search operators (vocabulary words
+    * present in the synthetic corpus; `src3` exercises the source
+    * field boost in r9).
+    */
+  val queryTerms: Seq[String]      = Seq("spark", "filter", "join", "window", "group")
+  val boostQueryTerms: Seq[String] = Seq("spark", "window", "src3")
+
+  /** r5: tokenize + per-doc term frequencies (the index's TF half). */
+  def r5TokenizeTf(t: Tables): DataFrame =
+    termFreq(t).orderBy("doc_id", "term")
+
+  /** r6: corpus document-frequency / IDF table (the index's DF half). */
+  def r6DocFreq(t: Tables): DataFrame =
+    idfTable(t)
+      .select(col("term"), col("df"), round(col("idf"), 4).as("idf"))
+      .orderBy("term")
+
+  /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style). */
+  private def weights(t: Tables): DataFrame =
+    termFreq(t)
+      .join(idfTable(t).select("term", "idf"), "term")
+      .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
+
+  /** r7: cosine-normalized TF-IDF top-5 for a fixed query. */
+  def r7TfidfSearch(t: Tables): DataFrame = {
+    val w = weights(t)
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val num = w.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("num"))
+    num.join(norms, "doc_id")
+      .select(col("doc_id"), round(col("num") / col("nrm"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+  }
+
+  /** r8: BM25 (k1=1.2, b=0.75) top-5 for the same query. N and avgdl
+    * are over docs that produced ≥1 token.
+    */
+  def r8Bm25Search(t: Tables): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tf = termFreq(t)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bm",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+    tf.filter(col("term").isin(queryTerms: _*))
+      .join(idf.select("term", "idf_bm", "avgdl"), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf_bm") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+  }
+
+  /** r9: keyword-filtered (lang='en'), field-boosted search: text
+    * match (unnormalized TF-IDF) + 3.0 × source-field match. IDF is
+    * fit on the full corpus; the filter applies at query time, as in
+    * the reference's filter_dict/boost_dict.
+    */
+  def r9FilterBoostSearch(t: Tables): DataFrame = {
+    val num = weights(t).filter(col("term").isin(boostQueryTerms: _*))
+      .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("tnum"))
+    t.documents.filter(col("lang") === "en").select("doc_id", "source")
+      .join(num, Seq("doc_id"), "left")
+      .withColumn("score", round(
+        coalesce(col("tnum"), lit(0.0)) +
+          lit(3.0) * when(col("source").isin(boostQueryTerms: _*), 1.0).otherwise(0.0),
+        4))
+      .filter(col("score") > 0)
+      .select("doc_id", "source", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+  }
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u
+      |  WHERE t <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "r5_tokenize_tf" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,
+    "r6_doc_freq" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT term, df, round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 4) AS idf
+         |FROM d, n ORDER BY term""".stripMargin,
+    "r7_tfidf_search" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM d, n),
+         |w AS (SELECT tf.doc_id, tf.term, (1.0 + ln(tf.tf)) * idf.idf AS w, idf.idf
+         |      FROM tf JOIN idf USING (term)),
+         |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |q AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+         |num AS (SELECT w.doc_id, sum(w.w * w.idf) AS num
+         |        FROM w JOIN q USING (term) GROUP BY w.doc_id)
+         |SELECT num.doc_id, round(num.num / norms.nrm, 4) AS score
+         |FROM num JOIN norms USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    "r8_bm25_search" ->
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
+         |        FROM d, stats),
+         |q AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+         |c AS (SELECT tf.doc_id,
+         |        idf.idf_bm * tf.tf * 2.2 /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+         |      FROM tf JOIN q USING (term) JOIN idf USING (term)
+         |           JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round(sum(contrib), 4) AS score FROM c
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    "r9_filter_boost_search" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM d, n),
+         |w AS (SELECT tf.doc_id, tf.term, (1.0 + ln(tf.tf)) * idf.idf AS w, idf.idf
+         |      FROM tf JOIN idf USING (term)),
+         |q AS (SELECT unnest(['spark','window','src3']) AS term),
+         |num AS (SELECT w.doc_id, sum(w.w * w.idf) AS tnum
+         |        FROM w JOIN q USING (term) GROUP BY w.doc_id)
+         |SELECT doc_id, source,
+         |  round(coalesce(tnum, 0.0) +
+         |        3.0 * CASE WHEN source IN ('spark','window','src3') THEN 1.0 ELSE 0.0 END,
+         |        4) AS score
+         |FROM documents LEFT JOIN num USING (doc_id)
+         |WHERE lang = 'en'
+         |  AND round(coalesce(tnum, 0.0) +
+         |        3.0 * CASE WHEN source IN ('spark','window','src3') THEN 1.0 ELSE 0.0 END,
+         |        4) > 0
+         |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RagSpec extends SparkSpec {
+
+  test("r1 classify: every doc classified, actions partition the set") {
+    val rows = run("r1_classify_files").collect()
+    assert(rows.length == 500)
+    val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
+    assert(byAction.keySet.subsetOf(
+      Set("skip_dir", "skip_hidden", "skip_ext", "doc", "code")))
+    assert(byAction.getOrElse("doc", 0) > 0 && byAction.getOrElse("code", 0) > 0)
+    assert(byAction.getOrElse("skip_dir", 0) > 0 && byAction.getOrElse("skip_hidden", 0) > 0)
+    // norm_path set iff kept, and never contains the zip top-level dir
+    rows.foreach { r =>
+      val kept = Set("doc", "code")(r.getAs[String]("action"))
+      assert(r.isNullAt(r.fieldIndex("norm_path")) != kept)
+      if (kept) assert(!r.getAs[String]("norm_path").startsWith("repo-main/"))
+    }
+  }
+
+  test("r2 frontmatter: fm docs get title/tags, others pass through") {
+    val rows = run("r2_frontmatter").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 3 == 0) {
+        assert(r.getAs[Int]("has_fm") == 1)
+        assert(r.getAs[String]("title") == s"doc $id")
+        assert(r.getAs[String]("tags") == s"t${id % 5}")
+      } else {
+        assert(r.getAs[Int]("has_fm") == 0)
+        assert(r.getAs[String]("title") == "")
+      }
+    }
+  }
+
+  test("r3 strip fence: stripped length equals original text length") {
+    // For fence cases the synthetic fence adds exactly the stripped-off
+    // lines; docs never start/end with whitespace, so out == text.
+    val rows = run("r3_strip_fence").collect()
+    val lens = Tables(spark, sf).documents
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("out_len") == lens(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("r4 chunking: reference loop semantics (offsets, break rule)") {
+    val rows = run("r4_chunk_sliding").collect()
+    val lens = Tables(spark, sf).documents
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    // python-twin of the reference sliding_window offset generation
+    def expectOffsets(n: Int, size: Int = 200, step: Int = 100): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      var i = 0
+      var break = false
+      while (i < n && !break) { b += i; if (i + size > n) break = true; i += step }
+      b.result()
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val got = rs.map(_.getAs[Int]("start")).sorted.toSeq
+      assert(got == expectOffsets(lens(id)), s"doc $id")
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 500)
+  }
+
+  test("r5/r6: tf and df consistent; idf decreasing in df") {
+    val tf = run("r5_tokenize_tf").collect()
+    val df = run("r6_doc_freq").collect()
+    val dfFromTf = tf.groupBy(_.getAs[String]("term")).view.mapValues(_.length).toMap
+    df.foreach { r =>
+      assert(r.getAs[Long]("df") == dfFromTf(r.getAs[String]("term")))
+      assert(r.getAs[Double]("idf") >= 1.0) // smooth idf lower bound
+    }
+  }
+
+  test("r7/r8: top-5, scores positive and descending") {
+    for (name <- Seq("r7_tfidf_search", "r8_bm25_search")) {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      assert(rows.length == 5, name)
+      val scores = rows.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0), name)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, name)
+    }
+  }
+
+  test("r9: only en docs, boosted source ranks first") {
+    val rows = run("r9_filter_boost_search").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val enDocs = Tables(spark, sf).documents.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => enDocs(r.getAs[Long]("doc_id"))))
+    // a src3 doc (boost +3.0) should outrank pure-text matches
+    assert(rows.head.getAs[String]("source") == "src3")
+  }
+
+  test("r10: five checks, rates in [0,1], n == event count") {
+    val rows = run("r10_eval_pass_rates").collect()
+    assert(rows.length == 5)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nEvents)
+      val rate = r.getAs[Double]("pass_rate")
+      assert(rate >= 0 && rate <= 1)
+      assert(math.abs(rate - r.getAs[Long]("n_pass").toDouble / nEvents) < 1e-3)
+    }
+  }
+}
