@@ -39,12 +39,22 @@ object SparkEntry {
     "r7_tfidf_search"    -> q(Search.r7TfidfSearch),
     "r8_bm25_search"     -> q(Search.r8Bm25Search),
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
-    "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates)
+    "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
+    "d1_dedup_exact"      -> q(Dedup.d1DedupExact),
+    "d2_ngram_jaccard"    -> q(Dedup.d2NgramJaccard(_)),
+    "d3_minhash_lsh"      -> q(Dedup.d3MinhashLsh(_)),
+    "d4_simhash"          -> q(Dedup.d4Simhash(_)),
+    "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
+    "t1_langid"           -> q(TextAnalysis.t1Langid),
+    "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
+    "t3_token_count"      -> q(TextAnalysis.t3TokenCount),
+    "t4_fingerprint"      -> q(TextAnalysis.t4Fingerprint)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
     * policy). Keys absent here get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Ingest.oracle ++ Search.oracle ++ EvalMetrics.oracle
+    Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
+      EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle
 }

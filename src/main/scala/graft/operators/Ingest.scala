@@ -101,12 +101,11 @@ object Ingest {
       .orderBy("doc_id")
   }
 
-  /** r4: character sliding-window chunking, size=200 step=100, start
-    * offsets kept, loop-break semantics of the reference preserved
-    * (stop after the first chunk that overruns the end: offset kept
-    * iff it is 0 or the previous window still fit).
+  /** Sliding-window chunk table (doc_id, start, chunk) with the
+    * reference's loop-break semantics (offset kept iff it is 0 or the
+    * previous window still fit). Map-side fan-out only, no shuffle.
     */
-  def r4ChunkSliding(t: Tables, size: Int = 200, step: Int = 100): DataFrame = {
+  def chunks(t: Tables, size: Int = 200, step: Int = 100): DataFrame = {
     val n = length(col("text"))
     val offsets = filter(
       sequence(lit(0), n - 1, lit(step)),
@@ -115,10 +114,14 @@ object Ingest {
       .select(col("doc_id"), col("text"), explode(offsets).as("start"))
       .select(col("doc_id"), col("start"),
         col("text").substr(col("start") + 1, lit(size)).as("chunk"))
+  }
+
+  /** r4: character sliding-window chunking, size=200 step=100. */
+  def r4ChunkSliding(t: Tables, size: Int = 200, step: Int = 100): DataFrame =
+    chunks(t, size, step)
       .select(col("doc_id"), col("start"),
         length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "start")
-  }
 
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
     * mirrors each parse expression (RE2 ≡ Java for every pattern used;

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+
+  test("d1 exact: dup chunk groups exist, keep_doc is min member") {
+    val rows = run("d1_dedup_exact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+  }
+
+  test("d2 jaccard: pairs canonical a<b, jaccard in [0.5, 1]") {
+    val rows = run("d2_ngram_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("d3 minhash-LSH: verified pairs are a subset of d2's ≥0.5 pairs, and recall is near-total") {
+    val d2 = run("d2_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val d3 = run("d3_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(d3.subsetOf(d2))                 // verification step guarantees ⊆
+    assert(d3.size >= (d2.size * 0.9).toInt) // banding at j≥0.5 should catch ~all
+  }
+
+  test("d4 simhash: pairs found, hamming ≤ 3, near-dup docs are close") {
+    val rows = run("d4_simhash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("d5 embedding neardup: cos ≥ threshold, canonical pairs") {
+    val rows = run("d5_embedding_neardup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.45)
+    }
+  }
+
+  test("t1 langid: predictions are valid langs, score is max profile hit count") {
+    val rows = run("t1_langid").collect()
+    assert(rows.length == 500)
+    val langs = Set("de", "en", "es", "fr", "zh")
+    rows.foreach { r =>
+      assert(langs(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Int]("score") >= 0)
+    }
+  }
+
+  test("t2 quality: ratios in [0,1], q_score bounded") {
+    val rows = run("t2_quality_score").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("distinct_ratio") > 0 &&
+        r.getAs[Double]("distinct_ratio") <= 1)
+      assert(r.getAs[Double]("stop_ratio") >= 0 &&
+        r.getAs[Double]("stop_ratio") <= 1)
+      val q = r.getAs[Double]("q_score")
+      assert(q > 0 && q <= 1.0001)
+    }
+  }
+
+  test("t3 token counts: ws tokens ≤ bpe tokens (splitting only refines)") {
+    val rows = run("t3_token_count").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_ws") >= 1)
+      assert(r.getAs[Int]("n_bpe") >= r.getAs[Int]("n_ws"))
+    }
+  }
+
+  test("t4 fingerprint: stable 32-hex string; near-dup docs share it") {
+    val rows = run("t4_fingerprint").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val fp = r.getAs[String]("fingerprint")
+      assert(fp == null || fp.matches("[0-9a-f]{32}"))
+    }
+    // min-5-gram fingerprint collides for the planted near-identical docs
+    val fps = rows.filter(!_.isNullAt(1)).map(_.getAs[String]("fingerprint"))
+    assert(fps.length - fps.distinct.length > 0)
+  }
+}
