@@ -48,7 +48,13 @@ object SparkEntry {
     "t1_langid"           -> q(TextAnalysis.t1Langid),
     "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
     "t3_token_count"      -> q(TextAnalysis.t3TokenCount),
-    "t4_fingerprint"      -> q(TextAnalysis.t4Fingerprint)
+    "t4_fingerprint"      -> q(TextAnalysis.t4Fingerprint),
+    "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
+    "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
+    "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
+    "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
+    "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
+    "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
@@ -56,5 +62,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
-      EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle
+      EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
+      Ann.oracle ++ Multimodal.oracle ++ graft.streaming.Streams.oracle
 }

@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns as pure Catalyst
+  * expressions (zip_with/aggregate folds — sequential IEEE sums, so
+  * DuckDB's list_dot_product over the same doubles agrees). Embedding
+  * columns are float32 in storage; cast to array<double> FIRST so both
+  * engines do exact float→double widening then double math.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

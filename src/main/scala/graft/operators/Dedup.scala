@@ -177,7 +177,7 @@ object Dedup {
     * of md5(h:':':i) scaled to [-1,1]). Dims exploded → per-(vec,h)
     * dot-sign → per-band 2-bit bucket strings.
     */
-  private def hyperplaneBuckets(t: Tables, nPlanes: Int = 8): DataFrame = {
+  private[operators] def hyperplaneBuckets(t: Tables, nPlanes: Int = 8): DataFrame = {
     val dims = spread(t.embeddings)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
@@ -214,13 +214,8 @@ object Dedup {
         .withColumnRenamed("v", "va"), "vec_a")
       .join(vecs.withColumnRenamed("vec_id", "vec_b")
         .withColumnRenamed("v", "vb"), "vec_b")
-      .withColumn("cos", round(
-        aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
-          lit(0.0), (acc, v) => acc + v) /
-          (sqrt(aggregate(transform(col("va"), p => p * p), lit(0.0),
-            (acc, v) => acc + v)) *
-           sqrt(aggregate(transform(col("vb"), p => p * p), lit(0.0),
-             (acc, v) => acc + v))), 4))
+      .withColumn("cos",
+        round(graft.functions.Vectors.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")

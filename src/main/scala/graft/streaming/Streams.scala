@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Event with µs timestamp, the streaming-side row shape. */
+case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+/** Open-session state per user. */
+case class SessState(start_us: Long, last_us: Long, n: Int)
+/** A closed session (emitted only once proven closed by a later event). */
+case class Sess(user_id: Long, session_start_us: Long, n_events: Int)
+
+/** Structured Streaming operators, run-to-completion over the events
+  * parquet as a file-source stream (the same code binds to Kafka/etc.
+  * by swapping `readStream.parquet` for another source).
+  *
+  * Both return the sink table as a batch DataFrame after
+  * `processAllAvailable()`, fitting the driver's (spark, dir) → DF
+  * contract. Memory sink is test plumbing; a cluster deployment
+  * writes a Delta/parquet sink with checkpointing.
+  */
+object Streams {
+
+  private val ctr = new AtomicInteger(0)
+
+  /** Streaming read of events.parquet with the same nanos→µs
+    * truncation as `Tables.events`.
+    */
+  private def eventStream(t: Tables): DataFrame = {
+    val spark = t.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"${t.dir}/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stagedDir(path))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The file stream source requires a DIRECTORY; the test tables are
+    * single read-only files. Stage a per-source temp directory holding
+    * a symlink to the file (a production deployment streams a real
+    * landing directory and none of this exists).
+    */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDir(file: String): String =
+    staged.computeIfAbsent(file, { f =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(java.nio.file.Paths.get(f).getFileName),
+        java.nio.file.Paths.get(f))
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** st1: tumbling 1-hour window aggregate (count + decimal-exact
+    * value sum) per event_type, complete mode — the streaming twin of
+    * a batch `date_trunc` rollup, so it is DuckDB-oracle-checkable.
+    */
+  def st1StreamWindowed(t: Tables): DataFrame = {
+    val name = s"st1_sink_${ctr.incrementAndGet()}"
+    val q = eventStream(t)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    t.spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** st2: stateful session assembly via flatMapGroupsWithState
+    * (*rows-only*; the batch twin q9 carries the oracle). A session
+    * closes — and is emitted — only when a later event proves a
+    * >30-minute gap; each user's final session stays open in state,
+    * as a real endless stream would leave it.
+    */
+  def st2StreamSessionize(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val name = s"st2_sink_${ctr.incrementAndGet()}"
+    val events = eventStream(t)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Ev]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          // micro-batch delivery order is not time order; sort within batch
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[Sess]
+          var st = state.getOption
+          evs.foreach { e =>
+            st match {
+              case Some(s) if e.ts_us - s.last_us > 1800000000L =>
+                out += Sess(user, s.start_us, s.n)
+                st = Some(SessState(e.ts_us, e.ts_us, 1))
+              case Some(s) =>
+                st = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+              case None =>
+                st = Some(SessState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "st1_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnnStreamSpec extends SparkSpec {
+
+  test("s1 brute force: 10 neighbors, descending cosine, probe excluded") {
+    val rows = run("s1_ann_bruteforce").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("s2 LSH ANN: results come from buckets, recall@10 ≥ 0.6 vs s1") {
+    val exact = run("s1_ann_bruteforce").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = run("s2_ann_lsh").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(approx.nonEmpty && approx.size <= 10)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@10 = $recall")
+  }
+
+  test("m1 binary meta: byte length == char length (ascii), sha256 shape") {
+    val rows = run("m1_binary_meta").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[String]("sha256").matches("[0-9a-f]{64}"))
+      assert(r.getAs[String]("magic_hex").matches("[0-9a-f]{8}"))
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+
+  test("m2 feature stub: deterministic fake decode matches local recompute") {
+    val rows = run("m2_feature_stub").collect()
+    assert(rows.length == 500)
+    val texts = Tables(spark, sf).documents.select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(20).foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val hist = new Array[Int](8)
+      var sum = 0L
+      bytes.foreach { b => val u = b & 0xff; hist(u % 8) += 1; sum += u }
+      assert(r.getAs[Int]("n_bytes") == bytes.length)
+      assert(r.getAs[Int]("top_bin") == hist.indexOf(hist.max))
+      assert(math.abs(r.getAs[Double]("mean_byte") -
+        BigDecimal(sum.toDouble / bytes.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("st1 streaming window agg equals batch date_trunc rollup") {
+    val stream = run("st1_stream_windowed").collect()
+    val batch = Tables(spark, sf).events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stream.nonEmpty)
+    stream.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(batch(k) == r.getAs[Long]("n"), s"window $k")
+    }
+    assert(stream.length == batch.size)
+  }
+
+  test("st2 streaming sessions = q9 sessions minus each user's open last session") {
+    val q9 = run("q9_sessionize").collect()
+    val st2 = run("st2_stream_sessionize").collect()
+    val users = q9.map(_.getAs[Long]("user_id")).distinct.length
+    assert(st2.length == q9.length - users)
+    // per-user: emitted session count = q9 count - 1, and event counts match prefix
+    val q9ByUser = q9.groupBy(_.getAs[Long]("user_id"))
+    st2.groupBy(_.getAs[Long]("user_id")).foreach { case (u, ss) =>
+      val batchSessions = q9ByUser(u).sortBy(_.getAs[Long]("session_id"))
+      assert(ss.length == batchSessions.length - 1)
+      val streamCounts = ss.map(_.getAs[Int]("n_events")).sorted
+      val batchPrefix = batchSessions.dropRight(1).map(_.getAs[Long]("n_events").toInt).sorted
+      assert(streamCounts.sameElements(batchPrefix), s"user $u")
+    }
+  }
+}
