@@ -1,0 +1,190 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-signature loops.
+  *
+  * The array-HOF formulations (`transform`/`aggregate` lambdas) are
+  * CORRECT but interpreted per element — measured ~10s for the d3
+  * signature build at sf0.1. These expressions do the same math in
+  * compiled JVM loops (one `eval` call per row), which is the
+  * preference order SURVEY §4 prescribes: built-ins first, then a
+  * custom Expression when the built-in shape can't be fast.
+  * `CodegenFallback` only exempts this one projection from
+  * whole-stage codegen; `eval` itself is ordinary compiled code.
+  *
+  * Outputs are bit-identical to the HOF/oracle definitions (same
+  * shingle set in first-occurrence order, same md5-derived h1/h2,
+  * same affine permutation family) — the DuckDB oracle SQL is
+  * unchanged.
+  */
+
+/** Distinct word-k-gram shingles of a token array, first-occurrence
+  * order (= array_distinct(transform(...)) semantics).
+  */
+case class ShingleArray(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: per shingle ONE md5; h1/h2
+  * = digest bytes 0-3 / 4-7 as unsigned 32-bit ints (≡ first/second 8
+  * hex chars via conv(hex,16,10)); perm p value = (h1 + p·h2) mod
+  * 4294967291; signature = per-perm minimum.
+  */
+case class MinHashSig(child: Expression, nPerms: Int, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(nPerms)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var p = 0
+      while (p < nPerms) {
+        val v = (h1 + p * h2) % prime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** tf-weighted 64-bit SimHash (Charikar) over a token array, as a
+  * '0'/'1' string: per distinct token, bit b of md5(token) (hex-nibble
+  * bit order, ≡ the hexVal/floor-power HOF form) contributes ±tf to
+  * bit-sum b; sign (≥ 0 → '1') is the signature bit.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Int]()
+    var i = 0
+    while (i < n) {
+      val tk = arr.getUTF8String(i)
+      counts.put(tk, counts.getOrDefault(tk, 0) + 1)
+      i += 1
+    }
+    val sums = new Array[Long](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    counts.forEach { (tk, tf) =>
+      md.reset()
+      val d = md.digest(tk.getBytes)
+      var b = 0
+      while (b < 64) {
+        val bit = (d(b >> 3) >> (7 - (b & 7))) & 1
+        sums(b) += (2L * bit - 1) * tf
+        b += 1
+      }
+    }
+    val chars = new Array[Char](64)
+    var b = 0
+    while (b < 64) {
+      chars(b) = if (sums(b) >= 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(chars))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two array<double> columns in one compiled
+  * loop. Accumulation order is sequential (index 0..n-1), identical
+  * to the zip_with/aggregate fold and to the oracle's
+  * list_dot_product, so results are bit-equal.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance between two equal-length bit strings. */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var d = 0; var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+}

@@ -17,5 +17,22 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF-fold cosine — reference twin of [[cosine]] for tests. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Compiled cosine (graft.expressions.CosineSim) — bit-equal to
+    * [[cosineHof]], one tight loop per row; use on hot paths.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
+
+  /** Compiled Hamming distance between equal-length bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HammingDist(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
 }

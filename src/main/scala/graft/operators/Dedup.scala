@@ -51,8 +51,9 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) inverted-index rows. */
   private def shingleRows(t: Tables): DataFrame =
-    spread(t.documents).select(col("doc_id"),
-      explode(Text.shingles(3)(col("text"))).as("sh"))
+    spread(t.documents)
+      .withColumn("tk", Text.tokenize(col("text")))
+      .select(col("doc_id"), explode(Text.shinglesFast(3)(col("tk"))).as("sh"))
 
   /** d2: word-3-gram Jaccard ≥ 0.5 pairs via shingle inverted-index
     * join (candidate generation is the only shuffle; complexity is
@@ -76,18 +77,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Per-doc arrays: distinct 3-shingles + 16 md5-permutation
-    * minhashes (min of md5(p ++ ':' ++ shingle) — md5 IS the random
-    * permutation, lexicographic string min IS the minimum). Pure
-    * projection, no shuffle.
+  /** Per-doc arrays: distinct 3-shingles + 16 minhashes from ONE md5
+    * per shingle: h1/h2 = first/second 8 hex chars as ints, perm p
+    * value = (h1 + p·h2) mod 4294967291 (largest prime < 2³²) — the
+    * standard affine-permutation family. 16× fewer md5 calls than
+    * hashing per-perm; all values < 2³² so p·h2 + h1 < 2³⁶ never
+    * overflows int64 in either engine. Pure projection, no shuffle.
     */
   private def minhashDocs(t: Tables): DataFrame =
     spread(t.documents)
-      .select(col("doc_id"), Text.shingles(3)(col("text")).as("sh"))
+      .withColumn("tk", Text.tokenize(col("text")))
+      .select(col("doc_id"), Text.shinglesFast(3)(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("mhs", transform(sequence(lit(0), lit(15)),
-        p => array_min(transform(col("sh"),
-          s => md5(concat(p, lit(":"), s))))))
+      .withColumn("mhs", Text.minhashSig(col("sh")))
 
   /** d3: MinHash(16 perms) + LSH banding (4 bands × 4 rows) candidate
     * join, then exact-Jaccard verification of candidates at ≥ 0.5.
@@ -101,7 +103,7 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
         col("mhs"))
       .select(col("doc_id"), col("band"),
-        concat_ws("", slice(col("mhs"), col("band") * 4 + 1, lit(4))).as("sig"))
+        concat_ws("-", slice(col("mhs"), col("band") * 4 + 1, lit(4))).as("sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -133,19 +135,8 @@ object Dedup {
   private def simhashDocs(t: Tables): DataFrame =
     spread(t.documents)
       .select(col("doc_id"), Text.tokenize(col("text")).as("all_toks"))
-      .withColumn("toks", array_distinct(col("all_toks")))
-      .filter(size(col("toks")) > 0)
-      .withColumn("md5s", transform(col("toks"), tk => md5(tk)))
-      .withColumn("tfs", transform(col("toks"),
-        tk => size(filter(col("all_toks"), x => x === tk)).cast("long")))
-      .withColumn("sim", array_join(
-        transform(sequence(lit(0), lit(63)), b =>
-          when(aggregate(sequence(lit(0), size(col("toks")) - 1), lit(0L),
-            (acc, ix) => acc +
-              (Text.md5Bit(element_at(col("md5s"), ix + 1), b) * 2 - 1) *
-                element_at(col("tfs"), ix + 1)) >= 0,
-            lit("1")).otherwise(lit("0"))), ""))
-      .select("doc_id", "sim")
+      .filter(size(col("all_toks")) > 0)
+      .select(col("doc_id"), Text.simhashSig(col("all_toks")).as("sim"))
 
   /** d4: SimHash near-dup pairs, Hamming ≤ 3, with the 4×16-bit block
     * pigeonhole prefilter (Hamming ≤ 3 ⇒ at least one block equal) as
@@ -153,47 +144,63 @@ object Dedup {
     */
   def d4Simhash(t: Tables, maxHamming: Int = 3): DataFrame = {
     val docs = simhashDocs(t).cache()
-    val blocks = docs.select(col("doc_id"), col("sim"),
-        explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("bval", col("sim").substr(col("blk") * 16 + 1, lit(16)))
+    val blocks = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("blk"),
+        col("sim"))
+      .select(col("doc_id"), col("blk"),
+        col("sim").substr(col("blk") * 16 + 1, lit(16)).as("bval"))
+    // distinct over bare id pairs (not the 64-char sims), then rejoin
+    // the small cached signature table — broadcastable at this size
     val cand = blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.sim").as("sim_a"),
-        col("y.doc_id").as("doc_b"), col("y.sim").as("sim_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .withColumn("hamming", aggregate(sequence(lit(1), lit(64)), lit(0),
-        (acc, i) => acc + when(
-          col("sim_a").substr(i, lit(1)) =!= col("sim_b").substr(i, lit(1)),
-          1).otherwise(0)))
+      .join(docs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        graft.functions.Vectors.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Per-vector LSH signature over 4 bands × 2 md5-seeded random
-    * hyperplanes (hyperplane component h,i = first-2-hex-digit value
-    * of md5(h:':':i) scaled to [-1,1]). Dims exploded → per-(vec,h)
-    * dot-sign → per-band 2-bit bucket strings.
+  /** The md5-seeded hyperplanes are CONSTANT — hp(h,i) = unsigned
+    * value of md5("h:i")'s first byte (≡ first two hex digit values
+    * d1·16+d2) scaled to [-1,1]. Computed once on the driver and
+    * shipped as a literal matrix: no per-row md5, no dim explode, no
+    * shuffle. The oracle recomputes the same constants in SQL.
+    */
+  private lazy val hpMatrix: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (h, i) =>
+      md.reset()
+      val d = md.digest(s"$h:$i".getBytes("UTF-8"))
+      (d(0) & 0xff) / 255.0 * 2 - 1
+    }
+  }
+
+  /** Per-vector LSH signature over 4 bands × 2 random hyperplanes:
+    * per-plane dot-sign bits via a literal hyperplane matrix, then
+    * 2-bit band bucket strings. Pure projection + band explode.
     */
   private[operators] def hyperplaneBuckets(t: Tables, nPlanes: Int = 8): DataFrame = {
-    val dims = spread(t.embeddings)
+    val hpLit = array((0 until nPlanes).map(h =>
+      array(hpMatrix(h).map(lit): _*)): _*)
+    spread(t.embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("hp", hpLit)
+      .withColumn("bits", transform(sequence(lit(0), lit(nPlanes - 1)),
+        h => when(graft.functions.Vectors.dot(
+          col("v"), element_at(col("hp"), h + 1)) >= 0, lit("1"))
+          .otherwise(lit("0"))))
       .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-    val planes = dims
-      .select(col("vec_id"), col("i"), col("x"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("h"))
-      .withColumn("m", md5(concat(col("h"), lit(":"), col("i"))))
-      .withColumn("hp",
-        (Text.hexVal(col("m").substr(1, 1)) * 16 +
-          Text.hexVal(col("m").substr(2, 1))) / 255.0 * 2 - 1)
-    planes.groupBy("vec_id", "h")
-      .agg(sum(col("x") * col("hp")).as("dot"))
-      .withColumn("bit", when(col("dot") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy(col("vec_id"), expr("h div 2").as("band"))
-      .agg(concat_ws("", sort_array(collect_list(struct(col("h"), col("bit"))))
-        .getField("bit")).as("sig"))
+        explode(sequence(lit(0), lit(nPlanes / 2 - 1))).as("band"),
+        col("bits"))
+      .select(col("vec_id"), col("band"),
+        concat(element_at(col("bits"), col("band") * 2 + 1),
+          element_at(col("bits"), col("band") * 2 + 2)).as("sig"))
   }
 
   /** d5: embedding near-dup pairs — hyperplane-LSH banded candidates,
@@ -263,13 +270,26 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte,
+         |hh AS (
+         |  SELECT doc_id, sh, md5(sh) AS m FROM shx),
+         |h12 AS (
+         |  SELECT doc_id,
+         |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT), 1)) >= 97
+         |               THEN ascii(substring(m, CAST(j AS INT), 1)) - 87
+         |               ELSE ascii(substring(m, CAST(j AS INT), 1)) - 48 END) AS BIGINT)
+         |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h1,
+         |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT) + 8, 1)) >= 97
+         |               THEN ascii(substring(m, CAST(j AS INT) + 8, 1)) - 87
+         |               ELSE ascii(substring(m, CAST(j AS INT) + 8, 1)) - 48 END) AS BIGINT)
+         |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h2
+         |  FROM hh),
          |mh AS (
-         |  SELECT doc_id, p, min(md5(p || ':' || sh)) AS v
-         |  FROM shx, (SELECT unnest(range(0, 16)) AS p) perms
+         |  SELECT doc_id, p, min((h1 + p * h2) % 4294967291) AS v
+         |  FROM h12, (SELECT unnest(range(0, 16)) AS p) perms
          |  GROUP BY doc_id, p),
          |bands AS (
          |  SELECT doc_id, CAST(p // 4 AS INT) AS band,
-         |    string_agg(v, '' ORDER BY p) AS sig
+         |    string_agg(CAST(v AS VARCHAR), '-' ORDER BY p) AS sig
          |  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

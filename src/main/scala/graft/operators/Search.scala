@@ -26,20 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Per-(doc,term) term frequencies over `documents.text`. */
+  /** Per-(doc,term) term frequencies over `documents.text`. The scan
+    * is spread across cores first — tokenize+explode is the CPU-heavy
+    * step and the test table is a single-partition file.
+    */
   def termFreq(t: Tables): DataFrame =
     t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
   /** Per-term document frequency + smoothed IDF (ln((N+1)/(df+1))+1,
     * the standard smooth-IDF; N = all documents). `idf` column is
-    * UNROUNDED — consumers round only final scores.
+    * UNROUNDED — consumers round only final scores. Takes the TF
+    * table so callers can pass a cached one (at cluster scale TF/IDF
+    * are materialized index tables built once; a per-query `.cache()`
+    * is the local analog).
     */
-  private def idfTable(t: Tables): DataFrame = {
+  private def idfTable(t: Tables, tf: DataFrame): DataFrame = {
     val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
-    termFreq(t)
+    tf
       .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", log((col("n_docs") + 1) / (col("df") + 1)) + 1)
@@ -58,19 +65,21 @@ object Search {
 
   /** r6: corpus document-frequency / IDF table (the index's DF half). */
   def r6DocFreq(t: Tables): DataFrame =
-    idfTable(t)
+    idfTable(t, termFreq(t))
       .select(col("term"), col("df"), round(col("idf"), 4).as("idf"))
       .orderBy("term")
 
-  /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style). */
-  private def weights(t: Tables): DataFrame =
-    termFreq(t)
-      .join(idfTable(t).select("term", "idf"), "term")
+  /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style) over a
+    * (cached) TF table.
+    */
+  private def weights(t: Tables, tf: DataFrame): DataFrame =
+    tf
+      .join(idfTable(t, tf).select("term", "idf"), "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
 
   /** r7: cosine-normalized TF-IDF top-5 for a fixed query. */
   def r7TfidfSearch(t: Tables): DataFrame = {
-    val w = weights(t)
+    val w = weights(t, termFreq(t).cache()).cache()
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val num = w.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("num"))
@@ -85,7 +94,7 @@ object Search {
     */
   def r8Bm25Search(t: Tables): DataFrame = {
     val k1 = 1.2; val b = 0.75
-    val tf = termFreq(t)
+    val tf = termFreq(t).cache()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -109,7 +118,8 @@ object Search {
     * the reference's filter_dict/boost_dict.
     */
   def r9FilterBoostSearch(t: Tables): DataFrame = {
-    val num = weights(t).filter(col("term").isin(boostQueryTerms: _*))
+    val num = weights(t, termFreq(t).cache())
+      .filter(col("term").isin(boostQueryTerms: _*))
       .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("tnum"))
     t.documents.filter(col("lang") === "en").select("doc_id", "source")
       .join(num, Seq("doc_id"), "left")

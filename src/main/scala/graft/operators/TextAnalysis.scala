@@ -97,7 +97,8 @@ object TextAnalysis {
     */
   def t4Fingerprint(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), Text.shingles(5)(col("text")).as("sh"))
+      .withColumn("tk", Text.tokenize(col("text")))
+      .select(col("doc_id"), Text.shinglesFast(5)(col("tk")).as("sh"))
       .withColumn("fingerprint",
         when(size(col("sh")) > 0,
           array_min(transform(col("sh"), s => md5(s)))))

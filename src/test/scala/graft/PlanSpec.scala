@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these operators
+  * survive a 100 TB scale-up must be visible in `explain`, not just
+  * intended. Guards against regressions that stay correct but lose
+  * pushdown/broadcast/join shape.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = run(name)
+    df.collect() // AQE: codegen/join shape only visible in the FINAL plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+  }
+
+  test("q1: scan is column-pruned to the 5 needed columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q2: customer dimension joins via BroadcastHashJoin") {
+    val p = plan("q2_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q4/q5: semi/anti joins are real semi/anti joins") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+    assert(plan("q5_anti_join").contains("LeftAnti"))
+  }
+
+  test("similarity family: no cartesian joins; pair joins are hash/merge") {
+    for (name <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+        "d5_embedding_neardup", "r7_tfidf_search", "r8_bm25_search")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+    }
+    // candidate-pair generation must be an equi-join, never nested-loop
+    // (scalar 1-row broadcasts, e.g. N/avgdl ride-alongs, are fine and
+    // appear as BroadcastNestedLoopJoin with a 1-row build side)
+    for (name <- Seq("d2_ngram_jaccard", "d4_simhash", "d5_embedding_neardup")) {
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join")
+    }
+  }
+
+  test("s1: probe is broadcast (the corpus is never the broadcast side)") {
+    val p = plan("s1_ann_bruteforce")
+    // the only broadcast exchange carries the 1-row probe
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen covers the relational aggregates") {
+    // compact plan strings mark WholeStageCodegen stages with "*(n)"
+    assert(plan("q1_pricing_summary").contains("*(1)"))
+    assert(plan("q8_running_window").contains("*(1)"))
+  }
+
+  test("q1 aggregate is map-side partial (partial_sum before shuffle)") {
+    assert(plan("q1_pricing_summary").contains("partial_sum"))
+  }
+}
