@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Diagnostic: time + formatted-explain one or more queries.
   * Usage: runMain graft.Explain <sfDir> <queryName>[,<queryName>...]
@@ -9,14 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     names.foreach { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
