@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Search
+
+/** Bucketed-index co-location: term-keyed joins between the bucketed
+  * TF and IDF tables must not reshuffle on term.
+  */
+class BucketSpec extends SparkSpec {
+
+  test("bucketed tf ⋈ idf on term is shuffle-free and bucket-pruned") {
+    Search.buildBucketedIndex(Tables(spark, sf), db = "graft_idx_test")
+
+    // natural plan: scans are bucket-aware and prune to the query's buckets
+    val scored = Search.bucketedScore(spark, Search.queryTerms,
+      db = "graft_idx_test")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(term"), plan)
+    assert(scored.count() > 0)
+
+    // force the large-table shape (no broadcast): the sort-merge join
+    // must still run without re-partitioning either bucketed side
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val smj = Search.bucketedScore(spark, Search.queryTerms,
+        db = "graft_idx_test")
+      smj.collect()
+      val p = smj.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(term"), p)
+    } finally spark.conf.set(key, old)
+  }
+}
