@@ -30,6 +30,9 @@ object SparkEntry {
     "q8_running_window"  -> q(Relational.q8RunningWindow),
     "q9_sessionize"      -> q(Relational.q9Sessionize),
     "q10_json_extract"   -> q(Relational.q10JsonExtract),
+    "q11_scalar_subquery" -> q(Relational.q11ScalarSubquery),
+    "q12_set_ops"        -> q(Relational.q12SetOps),
+    "q13_pivot"          -> q(Relational.q13Pivot),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

@@ -179,6 +179,50 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** q11: correlated scalar-aggregate filter (TPC-H Q17 shape):
+    * lineitems with quantity below 20% of their part's average. The
+    * threshold is rearranged to the decimal-exact integer inequality
+    * 5·qty·cnt < sum(qty) so both engines make identical keep/drop
+    * decisions (no double-avg epsilon at the boundary).
+    */
+  def q11ScalarSubquery(t: Tables): DataFrame = {
+    val grp = t.lineitem.groupBy("l_partkey")
+      .agg(sum(dec(col("l_quantity"))).as("sumq"), count(lit(1)).as("cnt"))
+    t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(grp, "l_partkey")
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sumq"))
+      .agg(
+        (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q12: set operations — customers ordering in both 1995 and 1996
+    * (INTERSECT) vs only 1995 (EXCEPT).
+    */
+  def q12SetOps(t: Tables): DataFrame = {
+    def custs(year: Int) = t.orders
+      .filter(col("o_orderdate") >= ts(s"$year-01-01") &&
+              col("o_orderdate") < ts(s"${year + 1}-01-01"))
+      .select("o_custkey").distinct()
+    val both = custs(1995).intersect(custs(1996))
+      .agg(count(lit(1)).as("n_both"))
+    val only95 = custs(1995).except(custs(1996))
+      .agg(count(lit(1)).as("n_only_1995"))
+    both.crossJoin(only95)
+  }
+
+  /** q13: pivot — events per hour-of-day × event_type (fixed pivot
+    * column list keeps the schema static and oracle-matchable).
+    */
+  def q13Pivot(t: Tables): DataFrame =
+    t.events
+      .select(hour(col("ts")).as("hr"), col("event_type"))
+      .groupBy("hr")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("hr")
+
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -272,6 +316,37 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q11_scalar_subquery" ->
+      """WITH g AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN g USING (l_partkey)
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sumq""".stripMargin,
+    "q12_set_ops" ->
+      """WITH c95 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |c96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96) x) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96) y) AS n_only_1995""".stripMargin,
+    "q13_pivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY hour(ts) ORDER BY hr""".stripMargin,
     "q10_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

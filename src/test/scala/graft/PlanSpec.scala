@@ -65,4 +65,20 @@ class PlanSpec extends SparkSpec {
   test("q1 aggregate is map-side partial (partial_sum before shuffle)") {
     assert(plan("q1_pricing_summary").contains("partial_sum"))
   }
+
+  test("partition pruning: a type-partitioned layout reads one partition") {
+    import org.apache.spark.sql.functions._
+    val dir = "target/tmp/events_by_type"
+    Tables(spark, sf).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    // the type predicate must NOT appear as a data filter — it is
+    // resolved entirely at the directory level
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"), p)
+  }
 }

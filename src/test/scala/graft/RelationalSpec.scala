@@ -89,6 +89,35 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("sum_k") >= 0))
   }
 
+  test("q11 scalar subquery: one row, positive yearly average") {
+    val rows = run("q11_scalar_subquery").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("avg_yearly") > 0)
+    assert(rows.head.getAs[Long]("n_items") > 0)
+  }
+
+  test("q12 set ops: intersect + except partition the 1995 customers") {
+    import org.apache.spark.sql.functions._
+    val r = run("q12_set_ops").collect().head
+    val t = Tables(spark, sf)
+    def custs(y: Int) = t.orders
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val n95 = custs(1995).count()
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_only_1995") == n95)
+  }
+
+  test("q13 pivot: 24 hours, row sums equal event count") {
+    val rows = run("q13_pivot").collect()
+    assert(rows.length == 24)
+    val total = rows.map(r =>
+      r.getAs[Long]("click") + r.getAs[Long]("error") +
+        r.getAs[Long]("purchase") + r.getAs[Long]("signup") +
+        r.getAs[Long]("view")).sum
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
