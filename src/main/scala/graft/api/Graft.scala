@@ -1,0 +1,135 @@
+package graft.api
+
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-first public API: every capability family callable on
+  * arbitrary DataFrames (bring your own schema, name the columns).
+  * The `SparkEntry` operators are these same computations bound to
+  * the benchmark tables; this facade is what an application imports.
+  *
+  * All outputs follow the library's engine-portability rules (string
+  * hashes, canonical a<b pairs, thresholds on rounded scores) and the
+  * scale rules in README (inverted-index joins, broadcast-safe
+  * scalars, no driver collects).
+  */
+object Graft {
+
+  // ---- ingest ----
+
+  /** Character sliding-window chunking with start offsets; reference
+    * loop-break semantics (stop after the first overrunning window).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 2000, step: Int = 1000): DataFrame = {
+    val n = length(col(textCol))
+    val offsets = filter(
+      sequence(lit(0), n - 1, lit(step)),
+      i => i === 0 || i - step + size <= n)
+    df.select(col(idCol), col(textCol), explode(offsets).as("start"))
+      .select(col(idCol), col("start"),
+        col(textCol).substr(col("start") + 1, lit(size)).as("chunk"))
+  }
+
+  // ---- search ----
+
+  /** (id, term, tf) index half. */
+  def termFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokenize(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (term, df, idf) index half; smooth idf over nDocs. */
+  def idf(tf: DataFrame, nDocs: Long): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(nDocs) + 1) / (col("df") + 1)) + 1)
+
+  /** Cosine-normalized TF-IDF top-k for a term query. */
+  def searchTfIdf(tf: DataFrame, idfTab: DataFrame, terms: Seq[String],
+      k: Int = 5): DataFrame = {
+    val w = tf.join(idfTab.select("term", "idf"), "term")
+      .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("num"))
+      .join(norms, "doc_id")
+      .select(col("doc_id"), round(col("num") / col("nrm"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---- dedup ----
+
+  /** Exact duplicate groups by arbitrary key expression (keep-min-id
+    * policy reported per group).
+    */
+  def dedupExactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") >= 2)
+
+  /** Word-k-gram Jaccard pairs ≥ threshold via shingle inverted index. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("tk", Text.tokenize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(Text.shinglesFast(k)(col("tk"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
+    * from banded random-hyperplane LSH over `nPlanes` planes.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val ids = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    graft.operators.Dedup.embeddingPairsFrom(ids, threshold)
+  }
+
+  // ---- ann ----
+
+  /** Exact top-k cosine neighbors of a literal probe vector. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Double], k: Int = 10): DataFrame = {
+    val pv = array(probe.map(lit): _*)
+    df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("v"), pv), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---- events ----
+
+  /** Gap-based sessionization: new session after > gap silence. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMicros: Long = 1800000000L): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    df.withColumn("prev_ts", lag(tsCol, 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "brk")
+  }
+}

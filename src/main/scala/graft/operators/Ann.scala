@@ -36,7 +36,7 @@ object Ann {
     * probe's 4 band buckets; exact cosine only on candidates.
     */
   def s2AnnLsh(t: Tables, probeId: Long = 0L): DataFrame = {
-    val buckets = Dedup.hyperplaneBuckets(t)
+    val buckets = Dedup.hyperplaneBuckets(t.embeddings.select("vec_id", "embedding"))
     val probeBuckets = buckets.filter(col("vec_id") === probeId)
       .select(col("band").as("pband"), col("sig").as("psig"))
     val cands = buckets

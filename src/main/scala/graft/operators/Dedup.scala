@@ -184,11 +184,12 @@ object Dedup {
   /** Per-vector LSH signature over 4 bands × 2 random hyperplanes:
     * per-plane dot-sign bits via a literal hyperplane matrix, then
     * 2-bit band bucket strings. Pure projection + band explode.
+    * Input: (vec_id, embedding) with any float/double array type.
     */
-  private[operators] def hyperplaneBuckets(t: Tables, nPlanes: Int = 8): DataFrame = {
+  private[operators] def hyperplaneBuckets(vecs: DataFrame, nPlanes: Int = 8): DataFrame = {
     val hpLit = array((0 until nPlanes).map(h =>
       array(hpMatrix(h).map(lit): _*)): _*)
-    spread(t.embeddings)
+    spread(vecs)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("hp", hpLit)
       .withColumn("bits", transform(sequence(lit(0), lit(nPlanes - 1)),
@@ -207,14 +208,21 @@ object Dedup {
     * exact-cosine verification at ≥ 0.45 (threshold parameterized;
     * 0.95 in production — synthetic vectors top out at 0.51).
     */
-  def d5EmbeddingNeardup(t: Tables, threshold: Double = 0.45): DataFrame = {
-    val buckets = hyperplaneBuckets(t).cache()
+  def d5EmbeddingNeardup(t: Tables, threshold: Double = 0.45): DataFrame =
+    embeddingPairsFrom(t.embeddings.select("vec_id", "embedding"), threshold)
+
+  /** DataFrame-form of d5 (used by the graft.api facade): near-dup
+    * pairs over any (vec_id, embedding) frame.
+    */
+  private[graft] def embeddingPairsFrom(vecsIn: DataFrame,
+      threshold: Double): DataFrame = {
+    val buckets = hyperplaneBuckets(vecsIn).cache()
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val vecs = t.embeddings
+    val vecs = vecsIn
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     cand
       .join(vecs.withColumnRenamed("vec_id", "vec_a")

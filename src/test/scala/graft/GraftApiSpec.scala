@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The public DataFrame-first facade works on ad-hoc frames (no
+  * dependency on the benchmark tables or their schemas).
+  */
+class GraftApiSpec extends SparkSpec {
+
+  private lazy val session = spark
+  import session.implicits._
+
+  test("chunk on an ad-hoc frame") {
+    val df = Seq((1L, "a" * 250), (2L, "b" * 90)).toDF("id", "body")
+    val rows = Graft.chunk(df, "id", "body", size = 100, step = 50).collect()
+    val byId = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // 250: offsets 0,50,100,150,200 (window at 150 ends exactly at 250,
+    // so the loop continues once more); 90 < size: single chunk at 0
+    assert(byId(1L) == 5 && byId(2L) == 1)
+  }
+
+  test("tf/idf/search pipeline on an ad-hoc corpus") {
+    val docs = Seq(
+      (1L, "spark makes joins fast"),
+      (2L, "ducks make ponds wet"),
+      (3L, "spark spark spark everywhere")).toDF("id", "body")
+    val tf = Graft.termFreq(docs, "id", "body")
+    val idfTab = Graft.idf(tf, nDocs = 3)
+    val hits = Graft.searchTfIdf(tf, idfTab, Seq("spark"), k = 2).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    // doc 3 (tf=3) outranks doc 1 (tf=1)
+    assert(hits.head.getAs[Long]("doc_id") == 3L)
+  }
+
+  test("dedupExactGroups with a custom key") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
+    val groups = Graft.dedupExactGroups(df, "id", md5(col("v"))).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_copies") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base + " tonight"),
+      (3L, "completely different words about databases and storage"))
+      .toDF("id", "body")
+    val pairs = Graft.jaccardPairs(docs, "id", "body", k = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("embeddingNearDupPairs + annTopK on ad-hoc vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0))).toDF("id", "vec")
+    val pairs = Graft.embeddingNearDupPairs(vecs, "id", "vec", 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+    val nn = Graft.annTopK(vecs, "id", "vec", Seq(1.0, 0.0, 0.0), k = 2).collect()
+    assert(nn.head.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("sessionize on an ad-hoc event frame") {
+    val evs = Seq(
+      (7L, "2024-01-01 10:00:00", 1L),
+      (7L, "2024-01-01 10:10:00", 2L),
+      (7L, "2024-01-01 11:30:00", 3L)) // 80-min gap → new session
+      .toDF("user", "ts_s", "eid")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val s = Graft.sessionize(evs, "user", "ts", "eid").collect()
+    assert(s.map(_.getAs[Long]("session_id")).sorted.toSeq == Seq(1L, 1L, 2L))
+  }
+}
