@@ -61,6 +61,10 @@ object Graft {
       .limit(k)
   }
 
+  /** BM25 (k1=1.2, b=0.75) top-k over a (doc_id, term, tf) frame. */
+  def searchBm25(tf: DataFrame, terms: Seq[String], k: Int = 5): DataFrame =
+    graft.operators.Search.searchBm25From(tf, terms, k)
+
   // ---- dedup ----
 
   /** Exact duplicate groups by arbitrary key expression (keep-min-id
@@ -92,6 +96,22 @@ object Graft {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** MinHash+LSH near-dup pairs at Jaccard ≥ threshold (16 perms,
+    * 4×4 banding, exact verification of candidates).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.Dedup.minhashPairsFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+
+  /** tf-weighted SimHash near-dup pairs at Hamming ≤ maxHamming
+    * (4×16-bit block pigeonhole candidates).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashPairsFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
     * from banded random-hyperplane LSH over `nPlanes` planes.

@@ -49,33 +49,14 @@ object Dedup {
       .filter(col("n_copies") >= 2)
       .orderBy("chunk_md5")
 
-  /** Distinct (doc_id, shingle) inverted-index rows. */
-  private def shingleRows(t: Tables): DataFrame =
-    spread(t.documents)
-      .withColumn("tk", Text.tokenize(col("text")))
-      .select(col("doc_id"), explode(Text.shinglesFast(3)(col("tk"))).as("sh"))
-
   /** d2: word-3-gram Jaccard ≥ 0.5 pairs via shingle inverted-index
     * join (candidate generation is the only shuffle; complexity is
-    * bounded by shingle co-occurrence, not n²).
+    * bounded by shingle co-occurrence, not n²). Delegates to the
+    * DataFrame-first core in graft.api.Graft.
     */
-  def d2NgramJaccard(t: Tables, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(t)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+  def d2NgramJaccard(t: Tables, threshold: Double = 0.5): DataFrame =
+    graft.api.Graft.jaccardPairs(t.documents, "doc_id", "text", 3, threshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Per-doc arrays: distinct 3-shingles + 16 minhashes from ONE md5
     * per shingle: h1/h2 = first/second 8 hex chars as ints, perm p
@@ -84,8 +65,8 @@ object Dedup {
     * hashing per-perm; all values < 2³² so p·h2 + h1 < 2³⁶ never
     * overflows int64 in either engine. Pure projection, no shuffle.
     */
-  private def minhashDocs(t: Tables): DataFrame =
-    spread(t.documents)
+  private def minhashDocs(docsIn: DataFrame): DataFrame =
+    spread(docsIn)
       .withColumn("tk", Text.tokenize(col("text")))
       .select(col("doc_id"), Text.shinglesFast(3)(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -94,11 +75,16 @@ object Dedup {
   /** d3: MinHash(16 perms) + LSH banding (4 bands × 4 rows) candidate
     * join, then exact-Jaccard verification of candidates at ≥ 0.5.
     */
-  def d3MinhashLsh(t: Tables, threshold: Double = 0.5): DataFrame = {
+  def d3MinhashLsh(t: Tables, threshold: Double = 0.5): DataFrame =
+    minhashPairsFrom(t.documents.select("doc_id", "text"), threshold)
+
+  /** DataFrame form of d3 for the graft.api facade. */
+  private[graft] def minhashPairsFrom(docsIn: DataFrame,
+      threshold: Double): DataFrame = {
     // signatures are consumed 4× (both self-join sides + both verify
     // joins) — cache is the local analog of materializing the
     // signature table, which is what a cluster pipeline would do
-    val docs = minhashDocs(t).cache()
+    val docs = minhashDocs(docsIn).cache()
     val bands = docs
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
         col("mhs"))
@@ -132,8 +118,8 @@ object Dedup {
     * n². md5 computed once per token; the 64 bit-sums are nested
     * array-expression folds — one projection, no shuffle.
     */
-  private def simhashDocs(t: Tables): DataFrame =
-    spread(t.documents)
+  private def simhashDocs(docsIn: DataFrame): DataFrame =
+    spread(docsIn)
       .select(col("doc_id"), Text.tokenize(col("text")).as("all_toks"))
       .filter(size(col("all_toks")) > 0)
       .select(col("doc_id"), Text.simhashSig(col("all_toks")).as("sim"))
@@ -142,8 +128,13 @@ object Dedup {
     * pigeonhole prefilter (Hamming ≤ 3 ⇒ at least one block equal) as
     * the candidate equi-join.
     */
-  def d4Simhash(t: Tables, maxHamming: Int = 3): DataFrame = {
-    val docs = simhashDocs(t).cache()
+  def d4Simhash(t: Tables, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(t.documents.select("doc_id", "text"), maxHamming)
+
+  /** DataFrame form of d4 for the graft.api facade. */
+  private[graft] def simhashPairsFrom(docsIn: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val docs = simhashDocs(docsIn).cache()
     val blocks = docs.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("blk"),
         col("sim"))

@@ -92,16 +92,20 @@ object Search {
   /** r8: BM25 (k1=1.2, b=0.75) top-5 for the same query. N and avgdl
     * are over docs that produced ≥1 token.
     */
-  def r8Bm25Search(t: Tables): DataFrame = {
+  def r8Bm25Search(t: Tables): DataFrame =
+    searchBm25From(termFreq(t).cache(), queryTerms, 5)
+
+  /** BM25 core over any (doc_id, term, tf) frame — facade entry. */
+  private[graft] def searchBm25From(tf: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
     val k1 = 1.2; val b = 0.75
-    val tf = termFreq(t).cache()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_bm",
         log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
-    tf.filter(col("term").isin(queryTerms: _*))
+    tf.filter(col("term").isin(terms: _*))
       .join(idf.select("term", "idf_bm", "avgdl"), "term")
       .join(dl, "doc_id")
       .withColumn("contrib",
@@ -109,7 +113,7 @@ object Search {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(5)
+      .limit(k)
   }
 
   /** r9: keyword-filtered (lang='en'), field-boosted search: text

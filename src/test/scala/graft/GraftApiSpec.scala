@@ -52,6 +52,21 @@ class GraftApiSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("minhashLshPairs / simhashPairs / searchBm25 on ad-hoc frames") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base + " tonight"),
+      (3L, "completely different words about databases and storage"))
+      .toDF("id", "body")
+    val mh = Graft.minhashLshPairs(docs, "id", "body").collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val sh = Graft.simhashPairs(docs, "id", "body", maxHamming = 10).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val tf = Graft.termFreq(docs, "id", "body")
+    val bm = Graft.searchBm25(tf, Seq("databases"), 3).collect()
+    assert(bm.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+  }
+
   test("embeddingNearDupPairs + annTopK on ad-hoc vectors") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0)),
