@@ -28,29 +28,55 @@ object Streams {
   private val ctr = new AtomicInteger(0)
 
   /** Streaming read of events.parquet with the same nanos→µs
-    * truncation as `Tables.events`.
+    * truncation as `Tables.events`, delivered as TWO time-ordered
+    * micro-batches (`maxFilesPerTrigger=1` over a time-split staging
+    * of the source file) so stateful operators genuinely carry state
+    * across batches. A production deployment streams a real landing
+    * directory and none of the staging exists.
     */
   private def eventStream(t: Tables): DataFrame = {
     val spark = t.spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"${t.dir}/events.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(stagedDir(path))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** The file stream source requires a DIRECTORY; the test tables are
-    * single read-only files. Stage a per-source temp directory holding
-    * a symlink to the file (a production deployment streams a real
-    * landing directory and none of this exists).
+  /** The file stream source requires a DIRECTORY of files; the test
+    * table is a single read-only file. Stage: split by event-time
+    * median into two parquet files written in arrival order (file
+    * source picks them up oldest-modified first).
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedDir(file: String): String =
+  private def stagedDir(t: Tables, file: String): String =
     staged.computeIfAbsent(file, { f =>
+      val spark = t.spark
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve(java.nio.file.Paths.get(f).getFileName),
-        java.nio.file.Paths.get(f))
+      val all = spark.read.parquet(f)
+      val Array(mid) = all.stat.approxQuantile("ts", Array(0.5), 0.0)
+      val halves = Seq(col("ts") <= mid, col("ts") > mid)
+      halves.zipWithIndex.foreach { case (cond, i) =>
+        // write outside the stream dir (subdirs there would be taken
+        // for partition columns), move the data file in, and pin
+        // modification times so the source replays batch 0 first
+        val out = java.nio.file.Files.createTempDirectory("graft_stage_out_")
+        all.filter(cond).coalesce(1).write.mode("overwrite")
+          .parquet(out.toString)
+        val part = java.nio.file.Files.list(out).iterator()
+        var moved = false
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet") && !moved) {
+            val dest = java.nio.file.Paths.get(s"$dir/${i}_events.parquet")
+            java.nio.file.Files.move(p, dest)
+            dest.toFile.setLastModified(System.currentTimeMillis() - 60000L * (2 - i))
+            moved = true
+          }
+        }
+      }
       dir.toFile.deleteOnExit()
       dir.toString
     })
