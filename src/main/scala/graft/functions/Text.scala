@@ -77,16 +77,10 @@ object Text {
         org.apache.spark.sql.GraftExpressionBridge.expression(toks)))
 
   /** Hex digit char → 0..15, via ascii codes ('0'-'9' → 48..57,
-    * 'a'-'f' → 97..102). Identical CASE arithmetic in DuckDB.
+    * 'a'-'f' → 97..102). Identical CASE arithmetic in DuckDB; kept as
+    * the Column-form documentation of the nibble math the d4/d5 oracle
+    * SQL replicates (hot paths use the compiled expressions).
     */
   def hexVal(d: Column): Column =
     when(ascii(d) >= 97, ascii(d) - 87).otherwise(ascii(d) - 48)
-
-  /** Bit b (0 = most significant) of the 64-bit value whose hex form
-    * is the first 16 chars of md5 string `m`. floor/power arithmetic
-    * (not shiftright) so the DuckDB twin is textually identical.
-    */
-  def md5Bit(m: Column, b: Column): Column =
-    floor(hexVal(m.substr((floor(b / 4) + 1).cast("int"), lit(1))) /
-      pow(lit(2.0), lit(3) - b % 4)).cast("long") % 2
 }
