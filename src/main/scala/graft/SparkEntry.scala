@@ -33,6 +33,7 @@ object SparkEntry {
     "q11_scalar_subquery" -> q(Relational.q11ScalarSubquery),
     "q12_set_ops"        -> q(Relational.q12SetOps),
     "q13_pivot"          -> q(Relational.q13Pivot),
+    "q14_quantiles"      -> q(Relational.q14Quantiles),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

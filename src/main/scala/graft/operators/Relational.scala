@@ -223,6 +223,22 @@ object Relational {
       .na.fill(0L)
       .orderBy("hr")
 
+  /** q14: exact quantiles (linear-interpolated median / p90) per
+    * group. Spark `percentile` and DuckDB `quantile_cont` share the
+    * definition (sort, index (n-1)·q, interpolate) so exact doubles
+    * match; round(4) guards the interpolation arithmetic's last bit.
+    * At scale, exact percentile is a full sort per group — the 100 TB
+    * path swaps in approx_percentile (t-digest) at the same call site.
+    */
+  def q14Quantiles(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -347,6 +363,13 @@ object Relational {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
         |FROM events GROUP BY hour(ts) ORDER BY hr""".stripMargin,
+    "q14_quantiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q10_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

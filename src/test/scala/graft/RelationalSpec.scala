@@ -118,6 +118,14 @@ class RelationalSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/events.parquet").count())
   }
 
+  test("q14 quantiles: med <= p90 per priority, n sums to order count") {
+    val rows = run("q14_quantiles").collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Double]("med") <= r.getAs[Double]("p90")))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
