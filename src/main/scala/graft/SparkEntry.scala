@@ -53,6 +53,7 @@ object SparkEntry {
     "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
     "t3_token_count"      -> q(TextAnalysis.t3TokenCount),
     "t4_fingerprint"      -> q(TextAnalysis.t4Fingerprint),
+    "t5_pii_scrub"        -> q(TextAnalysis.t5PiiScrub),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

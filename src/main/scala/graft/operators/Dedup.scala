@@ -179,7 +179,7 @@ object Dedup {
     */
   private[operators] def hyperplaneBuckets(vecs: DataFrame, nPlanes: Int = 8): DataFrame = {
     val hpLit = array((0 until nPlanes).map(h =>
-      array(hpMatrix(h).map(lit): _*)): _*)
+      array(hpMatrix(h).toIndexedSeq.map(lit): _*)): _*)
     spread(vecs)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("hp", hpLit)

@@ -105,6 +105,31 @@ object TextAnalysis {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
+  /** t5: PII/URL scrubbing — the standard training-data hygiene pass.
+    * Synthesizes emails/URLs into the text deterministically (oracle
+    * constructs the same), then redacts with shared-regex replaces and
+    * reports per-doc hit counts. Pure projection.
+    */
+  def t5PiiScrub(t: Tables): DataFrame = {
+    val dirty = when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+      .otherwise(concat(col("text"), lit(" see https://docs.example.com/p/"),
+        col("doc_id"), lit("?ref=x for details")))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    t.documents
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(urlRe), lit(0)))
+          .as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("dirty"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -156,6 +181,20 @@ object TextAnalysis {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |  length(text) AS n_chars_t
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_pii_scrub" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com now'
+        |      ELSE text || ' see https://docs.example.com/p/' || doc_id || '?ref=x for details'
+        |    END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(dirty, 'https?://[^ ]+')) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(dirty, 'https?://[^ ]+', '<URL>', 'g'),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS clean_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -77,6 +77,20 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("t5 pii scrub: every doc has exactly one synthetic email xor url") {
+    val rows = run("t5_pii_scrub").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 2 == 0) {
+        assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_urls") == 0)
+      } else {
+        assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_urls") == 1)
+      }
+      assert(r.getAs[String]("clean_md5").matches("[0-9a-f]{32}"))
+    }
+  }
+
   test("t4 fingerprint: stable 32-hex string; near-dup docs share it") {
     val rows = run("t4_fingerprint").collect()
     assert(rows.length == 500)
