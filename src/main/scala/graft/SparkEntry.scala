@@ -34,6 +34,7 @@ object SparkEntry {
     "q12_set_ops"        -> q(Relational.q12SetOps),
     "q13_pivot"          -> q(Relational.q13Pivot),
     "q14_quantiles"      -> q(Relational.q14Quantiles),
+    "q15_cube"           -> q(Relational.q15Cube),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),
@@ -56,6 +57,7 @@ object SparkEntry {
     "t5_pii_scrub"        -> q(TextAnalysis.t5PiiScrub),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
+    "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),

@@ -55,6 +55,49 @@ object Ann {
       .limit(10)
   }
 
+  /** s3: IVF-flat ANN (*rows-only oracle*; recall spec'd in tests).
+    * Coarse codebook = the first `nLists` vectors (deterministic; a
+    * production build k-means-trains it offline — the SERVING shape is
+    * identical): centroids broadcast, every vector assigned to its
+    * nearest list (one map-side pass), probe scans only the `nProbe`
+    * nearest lists. At 100 TB the assignment is a write-once partition
+    * column and a probe touches nProbe/nLists of the data.
+    */
+  def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val cents = t.embeddings.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // nearest-centroid assignment: small K → broadcast join + argmax
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        Vectors.cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select("vec_id", "v", "cid")
+    val probeLists = assigned.filter(col("vec_id") === probeId)
+      .select(col("v").as("pv"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), Vectors.cosine(col("pv"), col("cv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid").as("probe_cid"))
+    val probe = vecs.filter(col("vec_id") === probeId)
+      .select(col("v").as("pv"))
+    assigned
+      .join(broadcast(probeLists), col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("v"), col("pv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val oracle: Map[String, String] = Map(
     "s1_ann_bruteforce" ->
       """WITH p AS (

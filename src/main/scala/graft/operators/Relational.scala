@@ -223,6 +223,21 @@ object Relational {
       .na.fill(0L)
       .orderBy("hr")
 
+  /** q15: CUBE — all grouping-set combinations of (segment, priority)
+    * with decimal-exact totals; the full grouping-sets surface beyond
+    * q3's ROLLUP.
+    */
+  def q15Cube(t: Tables): DataFrame = withoutSelfJoinCheck(t) {
+    t.orders.select("o_custkey", "o_orderpriority", "o_totalprice")
+      .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .cube("c_mktsegment", "o_orderpriority")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("c_mktsegment"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
   /** q14: exact quantiles (linear-interpolated median / p90) per
     * group. Spark `percentile` and DuckDB `quantile_cont` share the
     * definition (sort, index (n-1)·q, interpolate) so exact doubles
@@ -363,6 +378,13 @@ object Relational {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
         |FROM events GROUP BY hour(ts) ORDER BY hr""".stripMargin,
+    "q15_cube" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q14_quantiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,

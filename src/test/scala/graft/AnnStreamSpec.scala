@@ -22,6 +22,17 @@ class AnnStreamSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("s3 IVF ANN: ≤10 results, nonempty, reasonable recall vs s1") {
+    val exact = run("s1_ann_bruteforce").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = run("s3_ann_ivf").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.nonEmpty && ivf.size <= 10)
+    // nprobe=2 of 16 lists scans ~12% of the corpus; on near-orthogonal
+    // synthetic vectors expect partial recall, bounded below loosely
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall@10 = $recall")
+  }
+
   test("m1 binary meta: byte length == char length (ascii), sha256 shape") {
     val rows = run("m1_binary_meta").collect()
     assert(rows.length == 500)

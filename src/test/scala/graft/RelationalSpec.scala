@@ -126,6 +126,19 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
   }
 
+  test("q15 cube: grand total present; 4 grouping-set strata") {
+    val rows = run("q15_cube").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(grand.head.getAs[Long]("n") == nOrders)
+    // segment-only subtotals also sum to the grand total
+    val segOnly = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(segOnly.map(_.getAs[Long]("n")).sum == nOrders)
+    val priOnly = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(priOnly.map(_.getAs[Long]("n")).sum == nOrders)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
