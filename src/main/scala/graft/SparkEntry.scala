@@ -61,7 +61,8 @@ object SparkEntry {
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
-    "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize)
+    "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
+    "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

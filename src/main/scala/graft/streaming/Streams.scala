@@ -145,6 +145,28 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** st3: watermarked APPEND-mode windowed aggregation (*rows-only*;
+    * the emitted subset is spec'd against the batch rollup). A window
+    * is emitted exactly once, when the 30-minute watermark passes its
+    * end — which here happens for batch-0-era windows during batch 1's
+    * commit; the stream-tail windows stay open, as they would on an
+    * endless stream. This is the finalize-once shape a production
+    * sink (parquet/Delta) requires, vs st1's replace-everything
+    * complete mode.
+    */
+  def st3StreamLateAppend(t: Tables): DataFrame = {
+    val name = s"st3_sink_${ctr.incrementAndGet()}"
+    val q = eventStream(t)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    t.spark.table(name).orderBy("window_start", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
     "st1_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

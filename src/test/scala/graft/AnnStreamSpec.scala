@@ -76,6 +76,22 @@ class AnnStreamSpec extends SparkSpec {
     assert(stream.length == batch.size)
   }
 
+  test("st3 append mode: emitted windows are final and match batch; tail withheld") {
+    val emitted = run("st3_stream_late_append").collect()
+    assert(emitted.nonEmpty)
+    val batch = Tables(spark, sf).events
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    emitted.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(batch(k) == r.getAs[Long]("n"), s"window $k not final at emit")
+    }
+    // stream-tail windows (watermark never passed them) stay unemitted
+    assert(emitted.length < batch.size)
+  }
+
   test("st2 streaming sessions = q9 sessions minus each user's open last session") {
     val q9 = run("q9_sessionize").collect()
     val st2 = run("st2_stream_sessionize").collect()
