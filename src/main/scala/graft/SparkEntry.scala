@@ -45,6 +45,7 @@ object SparkEntry {
     "r8_bm25_search"     -> q(Search.r8Bm25Search),
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
+    "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
     "d1_dedup_exact"      -> q(Dedup.d1DedupExact),
     "d2_ngram_jaccard"    -> q(Dedup.d2NgramJaccard(_)),
     "d3_minhash_lsh"      -> q(Dedup.d3MinhashLsh(_)),

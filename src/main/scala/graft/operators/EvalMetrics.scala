@@ -45,7 +45,32 @@ object EvalMetrics {
       .orderBy("check_name")
   }
 
+  /** r11: deterministic eval-set sampling — top-2 docs per source by
+    * md5(doc_id) (a stable pseudo-random order both engines share),
+    * the Spark form of the reference's doc sampling before question
+    * generation (reference: zc_agent/eval/generate_questions.py:60-70
+    * random.sample over docs). Window top-k per group; at scale this
+    * is the standard stratified-sample shape.
+    */
+  def r11EvalSample(t: Tables, perSource: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t.documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perSource)
+      .orderBy("source", "rk")
+  }
+
   val oracle: Map[String, String] = Map(
+    "r11_eval_sample" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) x
+        |WHERE rk <= 2 ORDER BY source, rk""".stripMargin,
     "r10_eval_pass_rates" ->
       """WITH e AS (
         |  SELECT event_type, value,

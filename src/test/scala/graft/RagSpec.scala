@@ -97,6 +97,15 @@ class RagSpec extends SparkSpec {
     assert(rows.head.getAs[String]("source") == "src3")
   }
 
+  test("r11: exactly 2 sampled docs per source, stable across runs") {
+    val a = run("r11_eval_sample").collect()
+    val bySource = a.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 20)
+    bySource.values.foreach(rs => assert(rs.length == 2))
+    val b = run("r11_eval_sample").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("r10: five checks, rates in [0,1], n == event count") {
     val rows = run("r10_eval_pass_rates").collect()
     assert(rows.length == 5)
