@@ -6,19 +6,38 @@ object Bench {
     val spark = GraftSession.build()
     // warmup: initialize parquet reader / codegen / shuffle machinery
     // and the one-time streaming staging, so the first timed query and
-    // st1/st2 measure the operators rather than session/test-env setup
+    // st1/st2 measure the operators rather than session/test-env setup.
+    // Warmup failures are NOT swallowed silently — the same query will
+    // fail loudly in the timed loop below.
     for (w <- Seq("q1_pricing_summary", "st1_stream_windowed"))
       try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $w failed: $e")
+      }
+    spark.catalog.clearCache()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // loud: full trace to stderr, query listed in the JSON's
+          // "failed" array, and a nonzero exit at the end — a broken
+          // query must never silently bench as "fast"
+          System.err.println(s"[bench] FAILED $name")
+          e.printStackTrace()
+          failed ::= name
+      }
+      // per-query caches (signature/index tables) must not leak into
+      // the next query's storage memory
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

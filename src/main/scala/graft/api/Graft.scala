@@ -23,14 +23,21 @@ object Graft {
     * loop-break semantics (stop after the first overrunning window).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-      size: Int = 2000, step: Int = 1000): DataFrame = {
+      size: Int = 2000, step: Int = 1000,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val n = length(col(textCol))
     val offsets = filter(
       sequence(lit(0), n - 1, lit(step)),
       i => i === 0 || i - step + size <= n)
-    df.select(col(idCol), col(textCol), explode(offsets).as("start"))
-      .select(col(idCol), col("start"),
-        col(textCol).substr(col("start") + 1, lit(size)).as("chunk"))
+    val carried = carryCols.map(col)
+    // empty text → zero chunks (reference `range(0, 0, step)` is empty);
+    // the filter also guards sequence(0, -1) which throws on n = 0
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol) +: col(textCol) +: carried: _*)
+      .withColumn("start", explode(offsets))
+      .select(Seq(col(idCol), col("start"),
+        col(textCol).substr(col("start") + 1, lit(size)).as("chunk")) ++
+        carried: _*)
   }
 
   // ---- search ----

@@ -101,26 +101,28 @@ object Ingest {
       .orderBy("doc_id")
   }
 
-  /** Sliding-window chunk table (doc_id, start, chunk) with the
-    * reference's loop-break semantics (offset kept iff it is 0 or the
-    * previous window still fit). Map-side fan-out only, no shuffle.
+  /** Sliding-window chunk table (doc_id, start, chunk, carry...) with
+    * the reference's loop-break semantics (offset kept iff it is 0 or
+    * the previous window still fit) and caller-selected metadata
+    * columns carried onto every chunk, as the reference's
+    * `chunk_documents` copies each doc's metadata onto its chunks
+    * (reference: zc_agent/load_data.py:29-40). Map-side fan-out only,
+    * no shuffle.
     */
-  def chunks(t: Tables, size: Int = 200, step: Int = 100): DataFrame = {
-    val n = length(col("text"))
-    val offsets = filter(
-      sequence(lit(0), n - 1, lit(step)),
-      i => i === 0 || i - step + size <= n)
-    t.documents
-      .select(col("doc_id"), col("text"), explode(offsets).as("start"))
-      .select(col("doc_id"), col("start"),
-        col("text").substr(col("start") + 1, lit(size)).as("chunk"))
-  }
+  def chunks(t: Tables, size: Int = 200, step: Int = 100,
+      carryCols: Seq[String] = Nil): DataFrame =
+    graft.api.Graft.chunk(
+      t.documents.select("doc_id", "text" +: carryCols: _*),
+      "doc_id", "text", size, step, carryCols)
 
-  /** r4: character sliding-window chunking, size=200 step=100. */
+  /** r4: character sliding-window chunking, size=200 step=100, with
+    * the doc's metadata (source, lang) carried onto each chunk.
+    */
   def r4ChunkSliding(t: Tables, size: Int = 200, step: Int = 100): DataFrame =
-    chunks(t, size, step)
+    chunks(t, size, step, Seq("source", "lang"))
       .select(col("doc_id"), col("start"),
-        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"),
+        col("source"), col("lang"))
       .orderBy("doc_id", "start")
 
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
@@ -197,13 +199,15 @@ object Ingest {
         |FROM o ORDER BY doc_id""".stripMargin,
     "r4_chunk_sliding" ->
       """WITH o AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, text, source, lang,
         |    unnest(range(0, length(text), 100)) AS start
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |c AS (
-        |  SELECT doc_id, start, substring(text, CAST(start AS INT) + 1, 200) AS chunk
+        |  SELECT doc_id, start, substring(text, CAST(start AS INT) + 1, 200) AS chunk,
+        |    source, lang
         |  FROM o WHERE start = 0 OR start - 100 + 200 <= length(text))
-        |SELECT doc_id, start, length(chunk) AS chunk_len, md5(chunk) AS chunk_md5
+        |SELECT doc_id, start, length(chunk) AS chunk_len, md5(chunk) AS chunk_md5,
+        |  source, lang
         |FROM c ORDER BY doc_id, start""".stripMargin
   )
 }

@@ -61,12 +61,17 @@ object Relational {
     * disabling the heuristic only while building the plan is safe and
     * scoped.
     */
-  private def withoutSelfJoinCheck[A](t: Tables)(f: => A): A = {
-    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
-    val old = t.spark.conf.get(key, "true")
-    t.spark.conf.set(key, "false")
-    try f finally t.spark.conf.set(key, old)
-  }
+  private def withoutSelfJoinCheck[A](t: Tables)(f: => A): A =
+    // the conf toggle is session-global, so plan CONSTRUCTION is
+    // serialized on the session (execution is unaffected): concurrent
+    // builders on one SparkSession would otherwise race the
+    // set/restore and could fail an unrelated thread's analysis
+    t.spark.synchronized {
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val old = t.spark.conf.get(key, "true")
+      t.spark.conf.set(key, "false")
+      try f finally t.spark.conf.set(key, old)
+    }
 
   /** q3: ROLLUP over a broadcast dimension chain. */
   def q3RollupAcctbal(t: Tables): DataFrame = withoutSelfJoinCheck(t) {
@@ -184,12 +189,17 @@ object Relational {
     * threshold is rearranged to the decimal-exact integer inequality
     * 5·qty·cnt < sum(qty) so both engines make identical keep/drop
     * decisions (no double-avg epsilon at the boundary).
+    *
+    * The per-partkey aggregate (bounded by |part|, orders of magnitude
+    * smaller than lineitem) is the forced broadcast side: left to its
+    * size estimates Spark picked the raw fact scan as the build side,
+    * which is a guaranteed OOM once lineitem outgrows one executor.
     */
   def q11ScalarSubquery(t: Tables): DataFrame = {
     val grp = t.lineitem.groupBy("l_partkey")
       .agg(sum(dec(col("l_quantity"))).as("sumq"), count(lit(1)).as("cnt"))
     t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(grp, "l_partkey")
+      .join(broadcast(grp), "l_partkey")
       .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sumq"))
       .agg(
         (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
@@ -341,8 +351,8 @@ object Relational {
         |  FROM g),
         |s AS (
         |  SELECT user_id,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM b)
         |SELECT user_id, session_id, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
@@ -394,7 +404,7 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
     "q10_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events
         |GROUP BY event_type

@@ -50,6 +50,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q11: broadcast build side is the aggregate, never the fact scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("q11_scalar_subquery")
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val broadcasts = all.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "q11 lost its broadcast join")
+    broadcasts.foreach { b =>
+      assert(flatten(b).exists(_.isInstanceOf[BaseAggregateExec]),
+        "a BroadcastExchange build side is a raw scan (fact-table " +
+          "broadcast = OOM at scale); expected the per-partkey aggregate")
+    }
+  }
+
   test("s1: probe is broadcast (the corpus is never the broadcast side)") {
     val p = plan("s1_ann_bruteforce")
     // the only broadcast exchange carries the 1-row probe
