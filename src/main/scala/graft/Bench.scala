@@ -18,19 +18,24 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // loud: full trace to stderr, query listed in the JSON's
-          // "failed" array, and a nonzero exit at the end — a broken
-          // query must never silently bench as "fast"
-          System.err.println(s"[bench] FAILED $name")
-          e.printStackTrace()
-          failed ::= name
-      }
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            // loud: full trace to stderr, query listed in the JSON's
+            // "failed" array, and a nonzero exit at the end — a broken
+            // query must never silently bench as "fast"
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(s"[bench] FAILED $name")
+            e.printStackTrace()
+            failed ::= name
+            dt
+        }
       // per-query caches (signature/index tables) must not leak into
-      // the next query's storage memory
+      // the next query's storage memory; unpersist/trace time is NOT
+      // charged to the query's reported seconds
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,6 +25,14 @@ object Graft {
   def chunk(df: DataFrame, idCol: String, textCol: String,
       size: Int = 2000, step: Int = 1000,
       carryCols: Seq[String] = Nil): DataFrame = {
+    // output schema owns "start"/"chunk"; a carry column by one of
+    // those names (or duplicating id/text) would be silently
+    // overwritten / ambiguous — fail fast instead
+    val reserved = Set("start", "chunk", idCol, textCol)
+    require(!carryCols.exists(reserved),
+      s"carryCols ${carryCols.filter(reserved).mkString(", ")} collide " +
+        s"with the chunk output schema (start, chunk, $idCol, $textCol); " +
+        "alias them before chunking")
     val n = length(col(textCol))
     val offsets = filter(
       sequence(lit(0), n - 1, lit(step)),
@@ -71,6 +79,36 @@ object Graft {
   /** BM25 (k1=1.2, b=0.75) top-k over a (doc_id, term, tf) frame. */
   def searchBm25(tf: DataFrame, terms: Seq[String], k: Int = 5): DataFrame =
     graft.operators.Search.searchBm25From(tf, terms, k)
+
+  /** Driver-side twin of `Text.tokenize` for query strings: lowercase
+    * (locale-independent), split on non-alphanumeric runs, drop
+    * empties — byte-identical to the column form on any input.
+    */
+  def tokenizeQuery(query: String): Seq[String] =
+    query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** (term, df, idf) from a corpus + its TF table with the doc count
+    * riding along as a broadcast 1-row aggregate (no driver action).
+    */
+  def idfOf(docs: DataFrame, tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("idf", log((col("n_docs") + 1) / (col("df") + 1)) + 1)
+      .select("term", "df", "idf")
+
+  /** The reference's user-facing search entry: a raw query STRING in,
+    * top-k (doc_id, score) out (reference: zc_agent/search_tools.py:7-16
+    * `SearchTool.search(query)` → index.search(query, num_results=5)).
+    * Tokenizes with [[tokenizeQuery]] (same semantics as
+    * `Text.tokenize`) and scores cosine-normalized TF-IDF; equal to
+    * `searchTfIdf` on the pre-tokenized term list by construction.
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int = 5): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    searchTfIdf(tf, idfOf(docs, tf), tokenizeQuery(query), k)
+  }
 
   // ---- dedup ----
 

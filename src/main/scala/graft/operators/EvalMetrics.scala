@@ -20,9 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
-  /** r10: per-check n / n_pass / pass_rate over the event log. */
+  /** r10: per-check n / n_pass / pass_rate over the event log — all
+    * SEVEN reference checks (calculate_metrics.py:19-26 CheckName):
+    * instructions_follow/instructions_avoid are deterministic
+    * predicate stand-ins like the other five (the LLM judge producing
+    * the booleans is outside the engine; the 7-check aggregation
+    * surface is what is re-expressed).
+    */
   def r10EvalPassRates(t: Tables): DataFrame = {
     val checks = explode(array(
+      struct(lit("instructions_follow").as("check_name"),
+        (col("value") >= 20).as("pass")),
+      struct(lit("instructions_avoid").as("check_name"),
+        (col("event_type") =!= "error").as("pass")),
       struct(lit("answer_relevant").as("check_name"),
         (col("value") >= 50).as("pass")),
       struct(lit("answer_clear").as("check_name"),
@@ -77,8 +87,12 @@ object EvalMetrics {
         |    CAST(json_extract_string(props, '$.k') AS INT) AS k
         |  FROM events),
         |c AS (
-        |  SELECT 'answer_relevant' AS check_name,
-        |         CASE WHEN value >= 50 THEN 1 ELSE 0 END AS p FROM e
+        |  SELECT 'instructions_follow' AS check_name,
+        |         CASE WHEN value >= 20 THEN 1 ELSE 0 END AS p FROM e
+        |  UNION ALL SELECT 'instructions_avoid',
+        |         CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END FROM e
+        |  UNION ALL SELECT 'answer_relevant',
+        |         CASE WHEN value >= 50 THEN 1 ELSE 0 END FROM e
         |  UNION ALL SELECT 'answer_clear',
         |         CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END FROM e
         |  UNION ALL SELECT 'answer_citations',

@@ -190,16 +190,21 @@ object Relational {
     * 5·qty·cnt < sum(qty) so both engines make identical keep/drop
     * decisions (no double-avg epsilon at the boundary).
     *
-    * The per-partkey aggregate (bounded by |part|, orders of magnitude
-    * smaller than lineitem) is the forced broadcast side: left to its
-    * size estimates Spark picked the raw fact scan as the build side,
-    * which is a guaranteed OOM once lineitem outgrows one executor.
+    * The per-partkey aggregate (bounded by |part|) joins via a
+    * SHUFFLE-HASH hint: left to its size estimates Spark picked the
+    * raw fact scan as the broadcast build side (guaranteed OOM once
+    * lineitem outgrows one executor), and broadcasting the aggregate
+    * instead — the round-2 fix — still dies at the 8 GB broadcast /
+    * driver-memory ceiling once |part| itself is large. Shuffle-hash
+    * partitions both sides by l_partkey and builds the hash table on
+    * the aggregate per-partition: no broadcast of anything
+    * data-sized, scales with executors.
     */
   def q11ScalarSubquery(t: Tables): DataFrame = {
     val grp = t.lineitem.groupBy("l_partkey")
       .agg(sum(dec(col("l_quantity"))).as("sumq"), count(lit(1)).as("cnt"))
     t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(grp), "l_partkey")
+      .join(grp.hint("shuffle_hash"), "l_partkey")
       .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sumq"))
       .agg(
         (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),

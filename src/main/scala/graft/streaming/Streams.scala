@@ -174,6 +174,49 @@ object Streams {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    // st2 emits exactly the sessions a later event CLOSED: the q9
+    // batch sessionization minus each user's final (still-open)
+    // session. Derivable because the two micro-batches partition the
+    // events by time, so closed-session contents equal the batch ones.
+    "st2_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM b),
+        |agg AS (
+        |  SELECT user_id, session_id,
+        |    make_timestamp(min(epoch_us(ts))) AS session_start,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, session_start, n_events FROM agg
+        |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // st3's append-mode output is every hourly window whose END the
+    // final 30-minute watermark passed (the trailing no-data
+    // micro-batch flushes up to max event time - 30 min); batch-split
+    // by time means no late drops, so emitted counts are the full
+    // batch counts.
+    "st3_stream_late_append" ->
+      """WITH m AS (
+        |  SELECT max(make_timestamp(epoch_us(ts))) AS mx FROM events),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY date_trunc('hour', ts), event_type)
+        |SELECT window_start, event_type, n FROM w, m
+        |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
         |ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -33,6 +33,28 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.head.getAs[Long]("doc_id") == 3L)
   }
 
+  test("search takes a raw query string and equals the term-list form") {
+    val docs = Seq(
+      (1L, "spark makes joins fast"),
+      (2L, "ducks make ponds wet"),
+      (3L, "spark spark spark everywhere")).toDF("id", "body")
+    // tokenizer twin: punctuation/case/empty handling matches Text.tokenize
+    assert(Graft.tokenizeQuery("Spark, JOINS!!  fast") ==
+      Seq("spark", "joins", "fast"))
+    val fromString = Graft.search(docs, "id", "body", "Spark JOINS fast?", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val tf = Graft.termFreq(docs, "id", "body")
+    val fromTerms = Graft.searchTfIdf(tf, Graft.idf(tf, nDocs = 3),
+        Seq("spark", "joins", "fast"), k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(fromString.sameElements(fromTerms))
+    // carryCol collision guard fails fast
+    intercept[IllegalArgumentException] {
+      Graft.chunk(docs.withColumn("start", lit(1)), "id", "body",
+        carryCols = Seq("start"))
+    }
+  }
+
   test("dedupExactGroups with a custom key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
     val groups = Graft.dedupExactGroups(df, "id", md5(col("v"))).collect()

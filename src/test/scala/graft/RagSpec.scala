@@ -106,9 +106,12 @@ class RagSpec extends SparkSpec {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
-  test("r10: five checks, rates in [0,1], n == event count") {
+  test("r10: all seven reference checks, rates in [0,1], n == event count") {
     val rows = run("r10_eval_pass_rates").collect()
-    assert(rows.length == 5)
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[String]("check_name")).toSet ==
+      Set("instructions_follow", "instructions_avoid", "answer_relevant",
+        "answer_clear", "answer_citations", "completeness", "tool_call_search"))
     val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
     rows.foreach { r =>
       assert(r.getAs[Long]("n") == nEvents)
