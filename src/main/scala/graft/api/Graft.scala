@@ -120,22 +120,83 @@ object Graft {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") >= 2)
 
-  /** Word-k-gram Jaccard pairs ≥ threshold via shingle inverted index. */
+  /** Word-k-gram Jaccard pairs ≥ threshold via shingle inverted index
+    * with a DOCUMENT-FREQUENCY CAP on candidate generation.
+    *
+    * Only shingles appearing in ≤ maxDf documents generate candidate
+    * pairs, bounding the inverted-index self-join output by
+    * maxDf · Σdf — LINEAR in corpus size — where the uncapped join's
+    * Σdf² grows superlinearly (hot boilerplate shingles appear in
+    * O(n) docs, so one hot shingle alone emits O(n²) pairs).
+    * Candidates are then verified with the EXACT Jaccard over full
+    * shingle arrays, so false positives are impossible; a pair is
+    * missed only if EVERY shared shingle is hotter than maxDf —
+    * near-dups at j ≥ 0.5 share many shingles, so in practice some
+    * are rare (measured on the synthetic corpus: the worst ≥0.5
+    * pair's rarest shared shingle has df 10 at sf0.1, 3 at sf0.01 —
+    * the default cap 16 loses ZERO pairs at either scale, which is
+    * why the uncapped SQL form stays a valid oracle). Corpora whose
+    * near-dups share only boilerplate should route to minhashLshPairs,
+    * whose banding is df-insensitive.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("tk", Text.tokenize(col(textCol)))
-      .select(col(idCol).as("doc_id"),
-        explode(Text.shinglesFast(k)(col("tk"))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    sh.as("a").join(sh.as("b"),
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = 16): DataFrame = {
+    graft.Caches.fresh()
+    // ONE tokenize+shingle pass, each shingle tagged with its df via
+    // a window over the sh-shuffle, cached AFTER that exchange: the
+    // InMemoryRelation keeps the sh-hash partitioning (and sort), so
+    // the candidate self-join below needs NO further exchange — the
+    // whole operator does exactly three shuffles (by sh, by doc_id,
+    // by pair)
+    val sh = graft.Caches.materialized(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("tk", Text.tokenize(col(textCol)))
+        .select(col(idCol).as("doc_id"),
+          explode(Text.shinglesFast(k)(col("tk"))).as("sh"))
+        .withColumn("sdf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh"))))
+    // candidate-generating shingles: 2 ≤ df ≤ maxDf (df = 1 can't
+    // produce a pair; df > maxDf is boilerplate whose pair emissions
+    // grow as df²)
+    val rare = sh.filter(col("sdf").between(2, maxDf)).select("doc_id", "sh")
+    // per-doc totals + how many of the doc's shingles can't generate
+    // candidates (needed for the exact intersection upper bound) —
+    // one aggregate pass
+    val stats = sh.groupBy("doc_id").agg(
+      count(lit(1)).as("nsh"),
+      sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"))
+    // candidates + their capped-intersection counts in one self-join;
+    // output bounded by maxDf · Σdf, linear in corpus size
+    val rcnt = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("rinter"))
+    // broadcast per-doc stats onto the pair stream and kill ~all junk
+    // candidates with an EXACT bound: inter ≤ rinter + min(hidden_a,
+    // hidden_b), and jaccard is increasing in inter
+    def side(as: String, nshAs: String, nhidAs: String) =
+      broadcast(stats.select(col("doc_id").as(as),
+        col("nsh").as(nshAs), col("nhid").as(nhidAs)))
+    val bounded = graft.Caches.materialized(rcnt
+      .join(side("doc_a", "na", "hida"), "doc_a")
+      .join(side("doc_b", "nb", "hidb"), "doc_b")
+      .withColumn("maxinter", col("rinter") + least(col("hida"), col("hidb")))
+      .filter(col("maxinter") / (col("na") + col("nb") - col("maxinter"))
+        >= threshold))
+    // EXACT intersection (all shingles, hot included) only among the
+    // few docs any bound-surviving pair touches: shrink the shingle
+    // table to those docs (one broadcast semi-join over the cache)
+    // and redo the plain join-count on that tiny subset
+    val docsInPlay = bounded
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shSub = sh.join(broadcast(docsInPlay), "doc_id")
+    val inter = shSub.as("a").join(shSub.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nb"), "doc_b")
+    bounded
+      .join(inter, Seq("doc_a", "doc_b"))
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -168,6 +168,123 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Flat row-major hyperplane matrix constant with a compact toString
+  * (a quarter-million doubles must not be printed into plan strings /
+  * explain output). Array-backed; equality is by (seed-derived)
+  * length + identity, which is correct here because the matrix is a
+  * process-wide constant per (nPlanes, dim).
+  */
+class PlaneMatrix(val values: Array[Double], val dim: Int) extends Serializable {
+  override def toString: String = s"PlaneMatrix(${values.length / dim}x$dim)"
+  override def hashCode(): Int = values.length * 31 + dim
+  override def equals(o: Any): Boolean = o match {
+    case p: PlaneMatrix => (p.values eq values) && p.dim == dim
+    case _ => false
+  }
+}
+
+/** Signed-random-projection signature (Charikar hyperplane LSH): bit h
+  * = sign of <v, plane_h> over a constant plane matrix, emitted as a
+  * '0'/'1' string of length nPlanes. One compiled loop per row — the
+  * HOF formulation (transform over planes × aggregate over dims) is
+  * interpreted per element and measured orders of magnitude slower at
+  * thousands of planes. Dot accumulation is sequential over dims,
+  * matching the oracle's list_dot_product.
+  */
+case class HyperplaneBits(child: Expression, planes: PlaneMatrix, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hyperplane_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = math.min(v.numElements(), planes.dim)
+    val out = new Array[Char](nPlanes)
+    val w = planes.values
+    var h = 0
+    while (h < nPlanes) {
+      var dot = 0.0
+      val base = h * planes.dim
+      var i = 0
+      while (i < d) { dot += v.getDouble(i) * w(base + i); i += 1 }
+      out(h) = if (dot >= 0) '1' else '0'
+      h += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
+    copy(child = newChild)
+}
+
+/** Banded LSH bucket keys as ONE long per band: key = (band << bandBits)
+  * | bits-of-band (bit j of a band = sign of the (band·bandBits+j)-th
+  * plane dot, big-endian — the same partition of planes as the string
+  * form, so the candidate sets are identical while the join keys are
+  * 8-byte longs instead of bandBits-char strings; at millions of
+  * probe rows the shuffle is ~5× lighter).
+  */
+case class HyperplaneBandKeys(child: Expression, planes: PlaneMatrix,
+    nBands: Int, bandBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = math.min(v.numElements(), planes.dim)
+    val w = planes.values
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0L
+      var j = 0
+      while (j < bandBits) {
+        val base = (b * bandBits + j) * planes.dim
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += v.getDouble(i) * w(base + i); i += 1 }
+        key = (key << 1) | (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      keys(b) = (b.toLong << bandBits) | key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
+/** Multi-probe key set for a packed band key: the key itself plus
+  * every Hamming-distance-1 variant of its low `bits` bits (Lv et
+  * al., "Multi-Probe LSH", VLDB 2007) — probing neighbor buckets
+  * recovers most of the recall extra hash tables would buy, at 1/L
+  * of the signature cost. XOR never touches the band prefix, so
+  * probes stay in-band.
+  */
+case class BitFlipProbes(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bit_flip_probes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val key = input.asInstanceOf[Long]
+    val out = new Array[Long](bits + 1)
+    out(0) = key
+    var j = 0
+    while (j < bits) { out(j + 1) = key ^ (1L << j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BitFlipProbes =
+    copy(child = newChild)
+}
+
 /** Hamming distance between two equal-length bit strings. */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

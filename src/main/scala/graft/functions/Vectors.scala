@@ -35,4 +35,32 @@ object Vectors {
       graft.expressions.HammingDist(
         org.apache.spark.sql.GraftExpressionBridge.expression(a),
         org.apache.spark.sql.GraftExpressionBridge.expression(b)))
+
+  /** Compiled signed-random-projection bit signature ('0'/'1' string
+    * of length nPlanes) against a constant plane matrix.
+    */
+  def hyperplaneBits(v: Column, planes: graft.expressions.PlaneMatrix,
+      nPlanes: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HyperplaneBits(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        planes, nPlanes))
+
+  /** Compiled banded bucket keys: one packed (band, bits) long per
+    * band against a constant plane matrix.
+    */
+  def hyperplaneBandKeys(v: Column, planes: graft.expressions.PlaneMatrix,
+      nBands: Int, bandBits: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HyperplaneBandKeys(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        planes, nBands, bandBits))
+
+  /** Compiled multi-probe key set: a packed band key plus its
+    * Hamming-1 neighbors in the low `bits` bits.
+    */
+  def bitFlipProbes(key: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.BitFlipProbes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(key), bits))
 }

@@ -12,14 +12,27 @@ class AnnStreamSpec extends SparkSpec {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
 
-  test("s2 LSH ANN: results come from buckets, recall@10 ≥ 0.6 vs s1") {
+  test("s2 sketch ANN: recall@10 ≥ 0.7 vs s1, prefilter actually prunes") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val approx = run("s2_ann_lsh").collect()
       .map(_.getAs[Long]("vec_id")).toSet
     assert(approx.nonEmpty && approx.size <= 10)
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall@10 = $recall")
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    // the Hamming cut keeps a small fraction of the corpus as
+    // exact-cosine candidates (measured ~10% at tau=225)
+    val t = Tables(spark, sf)
+    val sigs = graft.operators.Dedup.hyperplaneSig(
+      t.embeddings.select("vec_id", "embedding"), 512)
+    val probe = sigs.filter(col("vec_id") === 0L)
+      .select(col("sig").as("psig"))
+    val kept = sigs.crossJoin(broadcast(probe))
+      .filter(graft.functions.Vectors.hamming(col("sig"), col("psig")) <= 225)
+      .count()
+    val n = t.embeddings.count()
+    info(s"s2 sketch scan keeps $kept of $n")
+    assert(kept.toDouble / n <= 0.3, s"sketch cut keeps $kept of $n")
   }
 
   test("s3 IVF ANN: ≤10 results, nonempty, reasonable recall vs s1") {

@@ -47,6 +47,31 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("d5 LSH index: measured candidate fraction ≤ 0.15, recall ≥ 0.8") {
+    import graft.operators.Dedup
+    val vecs = Tables(spark, sf).embeddings.select("vec_id", "embedding")
+    val n = vecs.count()
+    val nCand = Dedup.embeddingCandidates(vecs).count()
+    val frac = nCand.toDouble / (n * (n - 1) / 2)
+    // exhaustive ground truth (test-only cross join at sf0.001 scale)
+    val vv = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val truth = vv.as("a").crossJoin(vv.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(round(graft.functions.Vectors.cosine(col("a.v"), col("b.v")), 4)
+        >= 0.45)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = run("d5_embedding_neardup").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recall = found.size.toDouble / truth.size
+    info(f"d5 LSH: n=$n cand=$nCand frac=$frac%.4f recall=$recall%.3f " +
+      f"(${found.size}/${truth.size})")
+    assert(found.subsetOf(truth)) // verify step guarantees no false positives
+    assert(frac <= 0.15, f"candidate fraction $frac%.4f")
+    assert(recall >= 0.8, f"recall $recall%.3f")
+  }
+
   test("t1 langid: predictions are valid langs, score is max profile hit count") {
     val rows = run("t1_langid").collect()
     assert(rows.length == 500)
