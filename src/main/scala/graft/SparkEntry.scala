@@ -39,6 +39,7 @@ object SparkEntry {
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),
     "r4_chunk_sliding"   -> q(Ingest.r4ChunkSliding(_)),
+    "r12_notebook_cells" -> q(Ingest.r12NotebookCells),
     "r5_tokenize_tf"     -> q(Search.r5TokenizeTf),
     "r6_doc_freq"        -> q(Search.r6DocFreq),
     "r7_tfidf_search"    -> q(Search.r7TfidfSearch),

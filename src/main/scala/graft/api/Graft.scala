@@ -48,6 +48,24 @@ object Graft {
         carried: _*)
   }
 
+  /** Frontmatter split, reference-faithful: `(id, has_fm,
+    * meta map<string,string> of ALL frontmatter keys, body)` — the
+    * Spark form of `frontmatter.loads(content); post.to_dict()`
+    * (reference: zc_agent/prepare_data.py:108-115). Documents without
+    * a frontmatter block get an empty map and their text as body.
+    */
+  def frontmatter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val meta = regexp_extract(col(textCol), "(?s)^---\n(.*?)\n---\n", 1)
+    val body = regexp_replace(col(textCol), "(?s)^---\n.*?\n---\n", "")
+    val entries = filter(split(meta, "\n"), l => l.rlike("^[^:]+: "))
+    df.select(col(idCol),
+      col(textCol).startsWith("---\n").cast("int").as("has_fm"),
+      map_from_entries(transform(entries, l =>
+        struct(regexp_extract(l, "^([^:]+): ", 1).as("key"),
+          regexp_extract(l, "^[^:]+: (.*)", 1).as("value")))).as("meta"),
+      body.as("body"))
+  }
+
   // ---- search ----
 
   /** (id, term, tf) index half. */

@@ -285,6 +285,46 @@ case class BitFlipProbes(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Centroid ids of a constant codebook ordered by descending cosine
+  * similarity to the input vector (ties broken by ascending id) — one
+  * compiled loop per row. `element_at(ranks, 1)` is the IVF list
+  * assignment; `slice(ranks, 1, nProbe)` is the probe's list set. The
+  * codebook rides along as a PlaneMatrix constant, so assignment is a
+  * pure projection: NO join, NO shuffle, NO exchange keyed by vec_id.
+  */
+case class CentroidRanks(child: Expression, cents: PlaneMatrix)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_ranks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = cents.dim
+    val k = cents.values.length / dim
+    val d = math.min(v.numElements(), dim)
+    val w = cents.values
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getDouble(i); val y = w(c * dim + i)
+        dot += x * y; nv += x * x; nc += y * y
+        i += 1
+      }
+      sims(c) = dot / (math.sqrt(nv) * math.sqrt(nc))
+      c += 1
+    }
+    val order = Array.range(0, k).sortBy(c => (-sims(c), c))
+    new GenericArrayData(order)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidRanks =
+    copy(child = newChild)
+}
+
 /** Hamming distance between two equal-length bit strings. */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -56,6 +56,14 @@ object Vectors {
         org.apache.spark.sql.GraftExpressionBridge.expression(v),
         planes, nBands, bandBits))
 
+  /** Compiled centroid ranking against a constant codebook: centroid
+    * ids by descending cosine (ties by id).
+    */
+  def centroidRanks(v: Column, cents: graft.expressions.PlaneMatrix): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.CentroidRanks(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v), cents))
+
   /** Compiled multi-probe key set: a packed band key plus its
     * Hamming-1 neighbors in the low `bits` bits.
     */

@@ -60,37 +60,61 @@ object Ann {
       .limit(10)
   }
 
+  /** Train an IVF coarse codebook with Lloyd's k-means (cosine
+    * assignment, mean update): deterministic seeded init (the first
+    * nLists vectors by id), per-iteration assignment is the compiled
+    * CentroidRanks PROJECTION (no join), and the centroid update
+    * aggregates in DECIMAL so the result is bit-stable under any
+    * partitioning. The collected model is nLists × dim doubles — a
+    * model constant like the LSH plane matrix, not a data collect.
+    * At 100 TB training runs once offline and the codebook is stored;
+    * serving reuses it exactly as below.
+    */
+  private[graft] def trainCodebook(vecs: DataFrame, nLists: Int,
+      dim: Int = 64, iters: Int = 3): graft.expressions.PlaneMatrix = {
+    val init = vecs.filter(col("vec_id") < nLists)
+      .orderBy("vec_id").select("v").collect()
+    var cents: Array[Double] = init.flatMap(
+      _.getSeq[Double](0).padTo(dim, 0.0).toArray)
+    for (_ <- 1 to iters) {
+      val cb = new graft.expressions.PlaneMatrix(cents, dim)
+      val sums = vecs
+        .select(element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.clone()
+      sums.foreach { r =>
+        val cid = r.getAs[Int]("cid"); val pos = r.getAs[Int]("pos")
+        next(cid * dim + pos) =
+          (r.getAs[java.math.BigDecimal]("s").doubleValue / r.getAs[Long]("n"))
+      }
+      cents = next
+    }
+    new graft.expressions.PlaneMatrix(cents, dim)
+  }
+
   /** s3: IVF-flat ANN (*rows-only oracle*; recall spec'd in tests).
-    * Coarse codebook = the first `nLists` vectors (deterministic; a
-    * production build k-means-trains it offline — the SERVING shape is
-    * identical): centroids broadcast, every vector assigned to its
-    * nearest list (one map-side pass), probe scans only the `nProbe`
-    * nearest lists. At 100 TB the assignment is a write-once partition
-    * column and a probe touches nProbe/nLists of the data.
+    * k-means-trained coarse codebook (see [[trainCodebook]]); list
+    * assignment is a compiled pure PROJECTION against the codebook
+    * constant — no join, no window, no Exchange keyed by vec_id
+    * (PlanSpec-locked); the probe scans only its `nProbe` nearest
+    * lists. At 100 TB the assignment is a write-once partition
+    * column and a probe touches ~nProbe/nLists of the data.
     */
   def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    val cents = t.embeddings.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cid"),
-        col("embedding").cast("array<double>").as("cv"))
     val vecs = t.embeddings
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // nearest-centroid assignment: small K → broadcast join + argmax
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        Vectors.cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select("vec_id", "v", "cid")
-    val probeLists = assigned.filter(col("vec_id") === probeId)
-      .select(col("v").as("pv"))
-      .crossJoin(broadcast(cents))
-      .select(col("cid"), Vectors.cosine(col("pv"), col("cv")).as("csim"))
-      .orderBy(col("csim").desc, col("cid"))
-      .limit(nProbe)
-      .select(col("cid").as("probe_cid"))
+    val cb = trainCodebook(vecs, nLists)
+    val assigned = vecs.select(col("vec_id"), col("v"),
+      element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"))
+    val probeLists = vecs.filter(col("vec_id") === probeId)
+      .select(explode(slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe))
+        .as("probe_cid"))
     val probe = vecs.filter(col("vec_id") === probeId)
       .select(col("v").as("pv"))
     assigned

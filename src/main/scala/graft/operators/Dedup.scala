@@ -81,10 +81,13 @@ object Dedup {
   /** DataFrame form of d3 for the graft.api facade. */
   private[graft] def minhashPairsFrom(docsIn: DataFrame,
       threshold: Double): DataFrame = {
+    graft.Caches.fresh()
     // signatures are consumed 4× (both self-join sides + both verify
-    // joins) — cache is the local analog of materializing the
-    // signature table, which is what a cluster pipeline would do
-    val docs = minhashDocs(docsIn).cache()
+    // joins) — the materialized cache is the local analog of the
+    // signature table a cluster pipeline would persist, and eager
+    // materialization keeps concurrent consumers from racing to
+    // recompute it
+    val docs = graft.Caches.materialized(minhashDocs(docsIn))
     val bands = docs
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
         col("mhs"))
@@ -134,7 +137,8 @@ object Dedup {
   /** DataFrame form of d4 for the graft.api facade. */
   private[graft] def simhashPairsFrom(docsIn: DataFrame,
       maxHamming: Int): DataFrame = {
-    val docs = simhashDocs(docsIn).cache()
+    graft.Caches.fresh()
+    val docs = graft.Caches.materialized(simhashDocs(docsIn))
     val blocks = docs.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("blk"),
         col("sim"))
@@ -241,7 +245,8 @@ object Dedup {
     * the index actually produces.
     */
   private[graft] def embeddingCandidates(vecsIn: DataFrame): DataFrame = {
-    val buckets = hyperplaneBuckets(vecsIn).cache()
+    graft.Caches.fresh()
+    val buckets = graft.Caches.materialized(hyperplaneBuckets(vecsIn))
     val probes = buckets.select(col("vec_id"),
       explode(graft.functions.Vectors.bitFlipProbes(col("bk"), lshBandBits))
         .as("pbk"))

@@ -61,20 +61,32 @@ object Ingest {
       .orderBy("doc_id")
   }
 
-  /** r2: frontmatter split — metadata (title/tags) vs body. */
+  /** r2: frontmatter split — the FULL metadata dict vs body, as the
+    * reference returns `post.to_dict()` with every frontmatter key
+    * (reference: zc_agent/prepare_data.py:108-115). The API form
+    * (graft.api.Graft.frontmatter) returns a real map<string,string>;
+    * this oracle-checked form serializes the same map canonically
+    * (sorted `k=v` joined with "; ") because engine-portable hashing
+    * of MAP columns is not defined across Spark parquet and DuckDB.
+    */
   def r2Frontmatter(t: Tables): DataFrame = {
     val fm = when(col("doc_id") % 3 === 0,
       concat(lit("---\ntitle: doc "), col("doc_id"),
-        lit("\ntags: t"), col("doc_id") % 5, lit("\n---\n"), col("text")))
+        lit("\ntags: t"), col("doc_id") % 5,
+        lit("\nauthor: a"), col("doc_id") % 7, lit("\n---\n"), col("text")))
       .otherwise(col("text"))
     val meta = regexp_extract(col("fm"), "(?s)^---\n(.*?)\n---\n", 1)
     val body = regexp_replace(col("fm"), "(?s)^---\n.*?\n---\n", "")
+    val entries = filter(split(meta, "\n"), l => l.rlike("^[^:]+: "))
+    val kv = transform(entries, l =>
+      concat(regexp_extract(l, "^([^:]+): ", 1), lit("="),
+        regexp_extract(l, "^[^:]+: (.*)", 1)))
     t.documents
       .select(col("doc_id"), fm.as("fm"))
       .select(col("doc_id"),
         col("fm").startsWith("---\n").cast("int").as("has_fm"),
-        regexp_extract(meta, "title: ([^\n]*)", 1).as("title"),
-        regexp_extract(meta, "tags: ([^\n]*)", 1).as("tags"),
+        concat_ws("; ", array_sort(kv)).as("meta_kv"),
+        size(entries).as("n_keys"),
         length(body).as("body_len"),
         md5(body).as("body_md5"))
       .orderBy("doc_id")
@@ -125,6 +137,48 @@ object Ingest {
         col("source"), col("lang"))
       .orderBy("doc_id", "start")
 
+  /** r12: Jupyter-notebook cell extraction → markdown, the third leg
+    * of the reference's ingest surface (reference:
+    * zc_agent/prepare_data.py:131-147 `NotebookMarkdownFormatter` —
+    * nbformat parse + MarkdownExporter with outputs cleared — and
+    * :163-177 `filter_notebook_data`). Notebook JSON is synthesized
+    * deterministically per document (as r1-r3 synthesize their
+    * inputs); the PARSE is the operator under test: `from_json` over
+    * the nbformat cell schema, then a pure array projection — keep
+    * markdown+code cells, fence code as ```python blocks, join with
+    * blank lines (the MarkdownExporter output shape). No explode, no
+    * shuffle: at 100 TB this is a single narrow scan.
+    */
+  def r12NotebookCells(t: Tables): DataFrame = {
+    val nb = concat(
+      lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":\"# doc "),
+      col("doc_id"),
+      lit("\\nlen="), col("n_chars"),
+      lit("\"},{\"cell_type\":\"code\",\"source\":\"print('"), md5(col("text")),
+      lit("')\"},{\"cell_type\":\"raw\",\"source\":\"no-export\"},"),
+      lit("{\"cell_type\":\"code\",\"source\":\"x = "), col("doc_id") % 7,
+      lit("\"}]}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cells ARRAY<STRUCT<cell_type: STRING, source: STRING>>")
+    val cells = from_json(col("nb"), schema).getField("cells")
+    t.documents
+      .select(col("doc_id"), nb.as("nb"))
+      .withColumn("cells", cells)
+      .withColumn("kept", filter(col("cells"),
+        c => c.getField("cell_type").isin("markdown", "code")))
+      .withColumn("md_body", concat_ws("\n\n", transform(col("kept"), c =>
+        when(c.getField("cell_type") === "code",
+          concat(lit("```python\n"), c.getField("source"), lit("\n```")))
+          .otherwise(c.getField("source")))))
+      .select(col("doc_id"),
+        size(col("cells")).as("n_cells"),
+        size(filter(col("kept"),
+          c => c.getField("cell_type") === "code")).as("n_code"),
+        length(col("md_body")).as("md_len"),
+        md5(col("md_body")).as("md_md5"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
     * mirrors each parse expression (RE2 ≡ Java for every pattern used;
     * `\z` end-of-text anchors, `(?s)` inline flags).
@@ -162,21 +216,29 @@ object Ingest {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0
         |         THEN '---' || chr(10) || 'title: doc ' || doc_id || chr(10) ||
-        |              'tags: t' || (doc_id % 5) || chr(10) || '---' || chr(10) || text
+        |              'tags: t' || (doc_id % 5) || chr(10) ||
+        |              'author: a' || (doc_id % 7) || chr(10) || '---' || chr(10) || text
         |         ELSE text END AS fm
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, fm,
         |    regexp_extract(fm, '(?s)^---\n(.*?)\n---\n', 1) AS meta,
         |    regexp_replace(fm, '(?s)^---\n.*?\n---\n', '') AS body
-        |  FROM f)
+        |  FROM f),
+        |e AS (
+        |  SELECT doc_id, fm, body,
+        |    list_filter(regexp_split_to_array(meta, '\n'),
+        |                l -> regexp_matches(l, '^[^:]+: ')) AS entries
+        |  FROM p)
         |SELECT doc_id,
         |  CASE WHEN fm LIKE ('---' || chr(10) || '%') THEN 1 ELSE 0 END AS has_fm,
-        |  regexp_extract(meta, 'title: ([^\n]*)', 1) AS title,
-        |  regexp_extract(meta, 'tags: ([^\n]*)', 1) AS tags,
+        |  coalesce(array_to_string(list_sort(
+        |    [regexp_extract(l, '^([^:]+): ', 1) || '=' ||
+        |     regexp_extract(l, '^[^:]+: (.*)', 1) FOR l IN entries]), '; '), '') AS meta_kv,
+        |  len(entries) AS n_keys,
         |  length(body) AS body_len,
         |  md5(body) AS body_md5
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM e ORDER BY doc_id""".stripMargin,
     "r3_strip_fence" ->
       """WITH f AS (
         |  SELECT doc_id, doc_id % 4 AS fence_case,
@@ -197,6 +259,35 @@ object Ingest {
         |  FROM s)
         |SELECT doc_id, fence_case, length(o) AS out_len, md5(o) AS out_md5
         |FROM o ORDER BY doc_id""".stripMargin,
+    "r12_notebook_cells" ->
+      """WITH nb AS (
+        |  SELECT doc_id,
+        |    '{"cells":[{"cell_type":"markdown","source":"# doc ' || doc_id ||
+        |    '\nlen=' || n_chars || '"},{"cell_type":"code","source":"print(''' ||
+        |    md5(text) || ''')"},{"cell_type":"raw","source":"no-export"},' ||
+        |    '{"cell_type":"code","source":"x = ' || (doc_id % 7) || '"}]}' AS j
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    [json_extract_string(j, '$.cells[' || CAST(i AS INT) || '].cell_type')
+        |     FOR i IN range(0, CAST(json_array_length(j, '$.cells') AS BIGINT))] AS types,
+        |    [json_extract_string(j, '$.cells[' || CAST(i AS INT) || '].source')
+        |     FOR i IN range(0, CAST(json_array_length(j, '$.cells') AS BIGINT))] AS srcs
+        |  FROM nb),
+        |m AS (
+        |  SELECT doc_id, len(types) AS n_cells,
+        |    len(list_filter(types, t -> t = 'code')) AS n_code,
+        |    array_to_string(
+        |      [CASE WHEN types[CAST(i AS INT)] = 'code'
+        |            THEN '```python' || chr(10) || srcs[CAST(i AS INT)] || chr(10) || '```'
+        |            ELSE srcs[CAST(i AS INT)] END
+        |       FOR i IN range(1, len(types) + 1)
+        |       IF types[CAST(i AS INT)] IN ('markdown', 'code')],
+        |      chr(10) || chr(10)) AS md_body
+        |  FROM c)
+        |SELECT doc_id, n_cells, n_code, length(md_body) AS md_len,
+        |  md5(md_body) AS md_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
     "r4_chunk_sliding" ->
       """WITH o AS (
         |  SELECT doc_id, text, source, lang,

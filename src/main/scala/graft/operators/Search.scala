@@ -79,7 +79,9 @@ object Search {
 
   /** r7: cosine-normalized TF-IDF top-5 for a fixed query. */
   def r7TfidfSearch(t: Tables): DataFrame = {
-    val w = weights(t, termFreq(t).cache()).cache()
+    graft.Caches.fresh()
+    val w = graft.Caches.materialized(
+      weights(t, graft.Caches.cached(termFreq(t))))
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val num = w.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("num"))
@@ -92,8 +94,10 @@ object Search {
   /** r8: BM25 (k1=1.2, b=0.75) top-5 for the same query. N and avgdl
     * are over docs that produced ≥1 token.
     */
-  def r8Bm25Search(t: Tables): DataFrame =
-    searchBm25From(termFreq(t).cache(), queryTerms, 5)
+  def r8Bm25Search(t: Tables): DataFrame = {
+    graft.Caches.fresh()
+    searchBm25From(graft.Caches.materialized(termFreq(t)), queryTerms, 5)
+  }
 
   /** BM25 core over any (doc_id, term, tf) frame — facade entry. */
   private[graft] def searchBm25From(tf: DataFrame, terms: Seq[String],
@@ -122,7 +126,8 @@ object Search {
     * the reference's filter_dict/boost_dict.
     */
   def r9FilterBoostSearch(t: Tables): DataFrame = {
-    val num = weights(t, termFreq(t).cache())
+    graft.Caches.fresh()
+    val num = weights(t, graft.Caches.materialized(termFreq(t)))
       .filter(col("term").isin(boostQueryTerms: _*))
       .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("tnum"))
     t.documents.filter(col("lang") === "en").select("doc_id", "source")

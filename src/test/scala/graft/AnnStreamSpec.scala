@@ -35,15 +35,15 @@ class AnnStreamSpec extends SparkSpec {
     assert(kept.toDouble / n <= 0.3, s"sketch cut keeps $kept of $n")
   }
 
-  test("s3 IVF ANN: ≤10 results, nonempty, reasonable recall vs s1") {
+  test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val ivf = run("s3_ann_ivf").collect().map(_.getAs[Long]("vec_id")).toSet
     assert(ivf.nonEmpty && ivf.size <= 10)
-    // nprobe=2 of 16 lists scans ~12% of the corpus; on near-orthogonal
-    // synthetic vectors expect partial recall, bounded below loosely
+    // nprobe=2 of 16 trained lists; measured 0.8 (sf0.001) / 1.0
+    // (sf0.1) — deterministic per corpus (decimal-exact k-means)
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.1, s"recall@10 = $recall")
+    assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
   test("m1 binary meta: byte length == char length (ascii), sha256 shape") {

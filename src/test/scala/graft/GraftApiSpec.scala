@@ -101,6 +101,26 @@ class GraftApiSpec extends SparkSpec {
     assert(nn.head.getAs[Long]("vec_id") == 1L)
   }
 
+  test("operator caches are scoped: no net storage growth across calls") {
+    val docs = Seq.tabulate(40)(i => (i.toLong,
+      s"alpha beta gamma delta epsilon zeta eta theta word$i tail$i"))
+      .toDF("id", "body")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    graft.Caches.release()
+    val c0 = persisted
+    Graft.jaccardPairs(docs, "id", "body").count()
+    val c1 = persisted
+    assert(c1 > c0, "expected the operator to register caches")
+    // the NEXT operator call releases the previous call's caches —
+    // storage memory is bounded by one operator's working set
+    Graft.jaccardPairs(docs, "id", "body").count()
+    assert(persisted == c1, s"cache count grew: $persisted > $c1")
+    Graft.minhashLshPairs(docs, "id", "body").count()
+    assert(persisted <= c1)
+    graft.Caches.release()
+    assert(persisted == c0)
+  }
+
   test("sessionize on an ad-hoc event frame") {
     val evs = Seq(
       (7L, "2024-01-01 10:00:00", 1L),

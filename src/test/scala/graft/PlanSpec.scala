@@ -82,6 +82,12 @@ class PlanSpec extends SparkSpec {
       "q11 lost its shuffle_hash join shape")
   }
 
+  test("s3: list assignment is a projection — no Exchange keyed by vec_id") {
+    val p = plan("s3_ann_ivf")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
   test("s1: probe is broadcast (the corpus is never the broadcast side)") {
     val p = plan("s1_ann_bruteforce")
     // the only broadcast exchange carries the 1-row probe

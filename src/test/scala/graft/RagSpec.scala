@@ -20,19 +20,36 @@ class RagSpec extends SparkSpec {
     }
   }
 
-  test("r2 frontmatter: fm docs get title/tags, others pass through") {
+  test("r2 frontmatter: full metadata dict extracted, others pass through") {
     val rows = run("r2_frontmatter").collect()
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       if (id % 3 == 0) {
         assert(r.getAs[Int]("has_fm") == 1)
-        assert(r.getAs[String]("title") == s"doc $id")
-        assert(r.getAs[String]("tags") == s"t${id % 5}")
+        assert(r.getAs[Int]("n_keys") == 3)
+        assert(r.getAs[String]("meta_kv") ==
+          s"author=a${id % 7}; tags=t${id % 5}; title=doc $id")
       } else {
         assert(r.getAs[Int]("has_fm") == 0)
-        assert(r.getAs[String]("title") == "")
+        assert(r.getAs[Int]("n_keys") == 0)
+        assert(r.getAs[String]("meta_kv") == "")
       }
     }
+  }
+
+  test("api frontmatter returns the full metadata as a real map") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "---\ntitle: hello\ntags: x\ncustom_key: v1\n---\nbody text"),
+      (2L, "no frontmatter here")).toDF("id", "body")
+    val rows = graft.api.Graft.frontmatter(docs, "id", "body")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val m1 = rows(1L).getAs[Map[String, String]]("meta")
+    assert(m1 == Map("title" -> "hello", "tags" -> "x", "custom_key" -> "v1"))
+    assert(rows(1L).getAs[String]("body") == "body text")
+    assert(rows(2L).getAs[Map[String, String]]("meta").isEmpty)
+    assert(rows(2L).getAs[String]("body") == "no frontmatter here")
   }
 
   test("r3 strip fence: stripped length equals original text length") {
@@ -65,6 +82,19 @@ class RagSpec extends SparkSpec {
       assert(got == expectOffsets(lens(id)), s"doc $id")
     }
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 500)
+  }
+
+  test("r12 notebook cells: markdown+code kept, raw dropped, code fenced") {
+    val rows = run("r12_notebook_cells").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_cells") == 4)   // raw cell counted in total
+      assert(r.getAs[Int]("n_code") == 2)    // but excluded from markdown
+      assert(r.getAs[String]("md_md5").matches("[0-9a-f]{32}"))
+      // "# doc <id>\nlen=<n>" + 2 fenced code blocks; md5 body is 32
+      // hex chars inside print('…') — length is structural
+      assert(r.getAs[Int]("md_len") > 60)
+    }
   }
 
   test("r5/r6: tf and df consistent; idf decreasing in df") {
