@@ -45,6 +45,7 @@ object SparkEntry {
     "r7_tfidf_search"    -> q(Search.r7TfidfSearch),
     "r8_bm25_search"     -> q(Search.r8Bm25Search),
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
+    "r13_search_query_string" -> q(Search.r13SearchQueryString),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
     "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
     "d1_dedup_exact"      -> q(Dedup.d1DedupExact),
@@ -64,7 +65,8 @@ object SparkEntry {
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
-    "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend)
+    "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),
+    "st4_stream_dedup"    -> q(graft.streaming.Streams.st4StreamDedup(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

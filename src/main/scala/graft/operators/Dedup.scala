@@ -279,7 +279,7 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  private val shingleCte =
+  private[graft] val shingleCte =
     """toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -292,6 +292,34 @@ object Dedup {
       |    ELSE [] END) AS sh
       |  FROM toks),
       |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl)""".stripMargin
+
+  /** Shared minhash CTE chain (shingles → per-shingle md5 h1/h2 →
+    * 16 affine-perm minima → 4×4 band signatures) — used by the d3
+    * oracle and the st4 streaming-dedup oracle.
+    */
+  private[graft] val minhashCte: String =
+    s"""$shingleCte,
+       |hh AS (
+       |  SELECT doc_id, sh, md5(sh) AS m FROM shx),
+       |h12 AS (
+       |  SELECT doc_id,
+       |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT), 1)) >= 97
+       |               THEN ascii(substring(m, CAST(j AS INT), 1)) - 87
+       |               ELSE ascii(substring(m, CAST(j AS INT), 1)) - 48 END) AS BIGINT)
+       |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h1,
+       |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT) + 8, 1)) >= 97
+       |               THEN ascii(substring(m, CAST(j AS INT) + 8, 1)) - 87
+       |               ELSE ascii(substring(m, CAST(j AS INT) + 8, 1)) - 48 END) AS BIGINT)
+       |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h2
+       |  FROM hh),
+       |mh AS (
+       |  SELECT doc_id, p, min((h1 + p * h2) % 4294967291) AS v
+       |  FROM h12, (SELECT unnest(range(0, 16)) AS p) perms
+       |  GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, CAST(p // 4 AS INT) AS band,
+       |    string_agg(CAST(v AS VARCHAR), '-' ORDER BY p) AS sig
+       |  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -320,28 +348,7 @@ object Dedup {
          |WHERE round(inter / (sa.nsh + sb.nsh - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |hh AS (
-         |  SELECT doc_id, sh, md5(sh) AS m FROM shx),
-         |h12 AS (
-         |  SELECT doc_id,
-         |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT), 1)) >= 97
-         |               THEN ascii(substring(m, CAST(j AS INT), 1)) - 87
-         |               ELSE ascii(substring(m, CAST(j AS INT), 1)) - 48 END) AS BIGINT)
-         |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h1,
-         |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT) + 8, 1)) >= 97
-         |               THEN ascii(substring(m, CAST(j AS INT) + 8, 1)) - 87
-         |               ELSE ascii(substring(m, CAST(j AS INT) + 8, 1)) - 48 END) AS BIGINT)
-         |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h2
-         |  FROM hh),
-         |mh AS (
-         |  SELECT doc_id, p, min((h1 + p * h2) % 4294967291) AS v
-         |  FROM h12, (SELECT unnest(range(0, 16)) AS p) perms
-         |  GROUP BY doc_id, p),
-         |bands AS (
-         |  SELECT doc_id, CAST(p // 4 AS INT) AS band,
-         |    string_agg(CAST(v AS VARCHAR), '-' ORDER BY p) AS sig
-         |  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT)),
+      s"""WITH $minhashCte,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y

@@ -142,6 +142,19 @@ object Search {
       .limit(5)
   }
 
+  /** r13: the reference's ACTUAL user-facing entry — a raw query
+    * STRING (mixed case + punctuation), tokenized inside the engine
+    * (reference: zc_agent/search_tools.py:7-16 `SearchTool.search`
+    * takes `query: str`). Same TF-IDF scoring as r7, so the r7 oracle
+    * applies verbatim — which is exactly the point: the string path
+    * must produce the identical ranking.
+    */
+  def r13SearchQueryString(t: Tables): DataFrame = {
+    graft.Caches.fresh()
+    graft.api.Graft.search(t.documents, "doc_id", "text",
+      "Spark FILTER join; window... GROUP?", k = 5)
+  }
+
   /** Materialize the search index as bucketed tables (the cluster
     * deployment path): TF and IDF both bucketed+sorted by `term`, so
     * every term-keyed join between them — and any future query scoring
@@ -235,6 +248,22 @@ object Search {
          |           JOIN dl USING (doc_id), stats)
          |SELECT doc_id, round(sum(contrib), 4) AS score FROM c
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    // identical scoring to r7 by construction — the string entry must
+    // reproduce the term-list ranking bit-for-bit
+    "r13_search_query_string" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM d, n),
+         |w AS (SELECT tf.doc_id, tf.term, (1.0 + ln(tf.tf)) * idf.idf AS w, idf.idf
+         |      FROM tf JOIN idf USING (term)),
+         |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |q AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+         |num AS (SELECT w.doc_id, sum(w.w * w.idf) AS num
+         |        FROM w JOIN q USING (term) GROUP BY w.doc_id)
+         |SELECT num.doc_id, round(num.num / norms.nrm, 4) AS score
+         |FROM num JOIN norms USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
     "r9_filter_boost_search" ->
       s"""WITH $tokCte,
          |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -13,6 +13,10 @@ case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 case class SessState(start_us: Long, last_us: Long, n: Int)
 /** A closed session (emitted only once proven closed by a later event). */
 case class Sess(user_id: Long, session_start_us: Long, n_events: Int)
+/** A doc's minhash signature landing in one LSH band bucket. */
+case class BandDoc(band_key: String, doc_id: Long, mhs: Seq[Long])
+/** An emitted near-duplicate (doc_a arrived before doc_b). */
+case class DupPair(doc_a: Long, doc_b: Long, est_j: Double)
 
 /** Structured Streaming operators, run-to-completion over the events
   * parquet as a file-source stream (the same code binds to Kafka/etc.
@@ -46,18 +50,20 @@ object Streams {
   }
 
   /** The file stream source requires a DIRECTORY of files; the test
-    * table is a single read-only file. Stage: split by event-time
-    * median into two parquet files written in arrival order (file
-    * source picks them up oldest-modified first).
+    * table is a single read-only file. Stage: split at the median of
+    * `splitCol` (event time for events, doc id for documents) into
+    * two parquet files written in arrival order (file source picks
+    * them up oldest-modified first).
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedDir(t: Tables, file: String): String =
+  private def stagedDir(t: Tables, file: String,
+      splitCol: String = "ts"): String =
     staged.computeIfAbsent(file, { f =>
       val spark = t.spark
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
       val all = spark.read.parquet(f)
-      val Array(mid) = all.stat.approxQuantile("ts", Array(0.5), 0.0)
-      val halves = Seq(col("ts") <= mid, col("ts") > mid)
+      val Array(mid) = all.stat.approxQuantile(splitCol, Array(0.5), 0.0)
+      val halves = Seq(col(splitCol) <= mid, col(splitCol) > mid)
       halves.zipWithIndex.foreach { case (cond, i) =>
         // write outside the stream dir (subdirs there would be taken
         // for partition columns), move the data file in, and pin
@@ -167,6 +173,78 @@ object Streams {
     t.spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** st4: INCREMENTAL near-duplicate detection — dedup against an
+    * ever-growing corpus without recomparing history. Documents
+    * stream in (two id-ordered micro-batches); each doc's 16-perm
+    * minhash signature (same compiled expression as batch d3) is
+    * exploded into its 4 LSH band buckets, and a
+    * flatMapGroupsWithState registry KEYED BY BAND BUCKET holds every
+    * signature that ever landed in that bucket. A newly arriving doc
+    * is compared only against its own buckets' registry (the LSH
+    * candidate set), emitting (earlier_doc, later_doc,
+    * estimated-jaccard = matching-perm fraction) once the estimate
+    * clears the threshold. State grows with bucket occupancy — the
+    * corpus is never rescanned, exactly the production shape for
+    * dedup-at-ingest at 100 TB (state store = RocksDB there).
+    *
+    * Oracle-checkable: the emitted pair set is order-independent
+    * (every pair has exactly one earlier member), so the DuckDB twin
+    * is the batch band join + signature-estimate filter.
+    */
+  def st4StreamDedup(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val name = s"st4_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+    val bands = docs
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .select(col("doc_id"),
+        graft.functions.Text.shinglesFast(3)(col("tk")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("mhs", graft.functions.Text.minhashSig(col("sh")))
+      .select(col("doc_id"), col("mhs"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(
+        concat_ws("-", col("band"),
+          concat_ws(":", slice(col("mhs"), col("band") * 4 + 1, lit(4))))
+          .as("band_key"),
+        col("doc_id"), col("mhs"))
+      .as[BandDoc]
+    val pairs = bands
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[BandDoc], state: GroupState[Seq[BandDoc]]) =>
+          // batch delivery order is not id order; sort so the earlier
+          // doc of a same-batch pair is always the registry side
+          val arriving = it.toSeq.sortBy(_.doc_id)
+          var registry = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupPair]
+          arriving.foreach { d =>
+            registry.foreach { old =>
+              if (old.doc_id != d.doc_id) {
+                val matching = old.mhs.zip(d.mhs).count(p => p._1 == p._2)
+                val est = matching / 16.0
+                if (est >= threshold) out += DupPair(old.doc_id, d.doc_id, est)
+              }
+            }
+            registry = registry :+ d
+          }
+          state.update(registry)
+          out.result().iterator
+      }
+    val q = pairs.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // a pair colliding in several bands is emitted by each band's
+    // group — collapse (identical rows) downstream of the sink
+    spark.table(name).distinct().orderBy("doc_a", "doc_b")
+  }
+
   val oracle: Map[String, String] = Map(
     "st1_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -175,6 +253,23 @@ object Streams {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    // st4's emitted pair set is order-independent (each pair has one
+    // earlier member), so the batch twin is the band join + exact
+    // signature-estimate filter over the SAME minhash constructions
+    "st4_stream_dedup" ->
+      (s"""WITH ${graft.operators.Dedup.minhashCte},
+         |mha AS (SELECT doc_id, list(v ORDER BY p) AS mhs FROM mh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |e AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(range(1, 17),
+         |        i -> a.mhs[CAST(i AS INT)] = b.mhs[CAST(i AS INT)])) / 16.0 AS est_j
+         |  FROM cand JOIN mha a ON a.doc_id = doc_a JOIN mha b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, est_j FROM e WHERE est_j >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // st2 emits exactly the sessions a later event CLOSED: the q9
     // batch sessionization minus each user's final (still-open)
     // session. Derivable because the two micro-batches partition the

@@ -105,6 +105,38 @@ class AnnStreamSpec extends SparkSpec {
     assert(emitted.length < batch.size)
   }
 
+  test("st4 incremental dedup equals the batch band-join twin, pairs ordered by arrival") {
+    import graft.functions.Text
+    val st4 = run("st4_stream_dedup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_j")))
+    assert(st4.nonEmpty)
+    // batch twin: band-collision candidates + exact signature estimate
+    val sigs = Tables(spark, sf).documents
+      .withColumn("tk", Text.tokenize(col("text")))
+      .select(col("doc_id"), Text.shinglesFast(3)(col("tk")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("mhs", Text.minhashSig(col("sh")))
+      .select("doc_id", "mhs").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val bands = sigs.toSeq.flatMap { case (id, mhs) =>
+      (0 until 4).map(b => (b, mhs.slice(b * 4, b * 4 + 4)) -> id)
+    }
+    val expected = bands.groupBy(_._1).values.flatMap { bucket =>
+      val ids = bucket.map(_._2).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet.toSeq.flatMap { p: (Long, Long) =>
+      val (a, b) = p
+      val est = sigs(a).zip(sigs(b)).count(x => x._1 == x._2) / 16.0
+      if (est >= 0.5) Some((a, b, est)) else None
+    }.sortBy(p => (p._1, p._2))
+    assert(st4.toSeq == expected,
+      s"stream=${st4.length} batch=${expected.length}")
+    // every emitted pair is (earlier, later): doc_a < doc_b given
+    // id-ordered arrival
+    st4.foreach { case (a, b, _) => assert(a < b) }
+  }
+
   test("st2 streaming sessions = q9 sessions minus each user's open last session") {
     val q9 = run("q9_sessionize").collect()
     val st2 = run("st2_stream_sessionize").collect()

@@ -117,6 +117,14 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r13: raw-string query reproduces r7's term-list ranking exactly") {
+    val viaString = run("r13_search_query_string").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val viaTerms = run("r7_tfidf_search").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(viaString.sameElements(viaTerms))
+  }
+
   test("r9: only en docs, boosted source ranks first") {
     val rows = run("r9_filter_boost_search").collect()
     assert(rows.nonEmpty && rows.length <= 5)
