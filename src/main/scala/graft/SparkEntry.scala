@@ -35,6 +35,7 @@ object SparkEntry {
     "q13_pivot"          -> q(Relational.q13Pivot),
     "q14_quantiles"      -> q(Relational.q14Quantiles),
     "q15_cube"           -> q(Relational.q15Cube),
+    "q16_sketches"       -> q(Relational.q16Sketches),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

@@ -293,6 +293,41 @@ object Dedup {
       |  FROM toks),
       |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl)""".stripMargin
 
+  /** Materialize the minhash band-signature table BUCKETED by its
+    * join key (band, sig) — the cluster deployment path for
+    * continuous dedup: the signature table is built once per corpus
+    * snapshot (or appended by st4's streaming registry), and every
+    * candidate self-join — or a join from a new-docs delta against
+    * the full corpus — is co-located and shuffle-free. BucketSpec
+    * proves the no-Exchange property on the live plan.
+    */
+  def buildBucketedSignatures(t: Tables, db: String = "graft_sig",
+      buckets: Int = 8): Unit = {
+    graft.Warehouse.reset(t.spark, db, Seq("bands"))
+    minhashDocs(t.documents.select("doc_id", "text"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
+        col("mhs"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("-", slice(col("mhs"), col("band") * 4 + 1, lit(4))).as("sig"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(s"$db.bands")
+  }
+
+  /** Candidate pairs from the bucketed signature table — the
+    * (band, sig) self-join runs bucket-to-bucket with no Exchange on
+    * either side.
+    */
+  def bucketedBandPairs(spark: org.apache.spark.sql.SparkSession,
+      db: String = "graft_sig"): DataFrame = {
+    val b = spark.table(s"$db.bands")
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Shared minhash CTE chain (shingles → per-shingle md5 h1/h2 →
     * 16 affine-perm minima → 4×4 band signatures) — used by the d3
     * oracle and the st4 streaming-dedup oracle.

@@ -269,6 +269,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** q16: sketch aggregates (*rows-only oracle* — sketch algorithms
+    * differ by engine, so correctness is spec'd as error bounds vs
+    * the exact q14/q7-style forms). These are the 100 TB swap-ins:
+    * approx_count_distinct is a mergeable HyperLogLog++ (map-side
+    * partial, constant memory per group) where COUNT(DISTINCT x)
+    * needs a full shuffle of distinct values; approx_percentile is a
+    * mergeable t-digest/QuantileSummaries sketch where exact
+    * percentile sorts every group.
+    */
+  def q16Sketches(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
+          .as("approx_med"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4)
+          .as("approx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -166,21 +166,7 @@ object Search {
   def buildBucketedIndex(t: Tables, db: String = "graft_idx",
       buckets: Int = 8): Unit = {
     val spark = t.spark
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // idempotent rebuild: drop catalog entries AND orphaned locations
-    // (an in-memory catalog forgets tables across JVMs; the warehouse
-    // directory does not)
-    for (tbl <- Seq("tf", "idf")) {
-      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val dir = java.nio.file.Paths.get(loc, s"$db.db", tbl)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    graft.Warehouse.reset(spark, db, Seq("tf", "idf"))
     termFreq(t).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"$db.tf")

@@ -34,4 +34,21 @@ class BucketSpec extends SparkSpec {
       assert(!p.contains("Exchange hashpartitioning(term"), p)
     } finally spark.conf.set(key, old)
   }
+
+  test("bucketed minhash band self-join is shuffle-free (dedup index path)") {
+    import graft.operators.Dedup
+    Dedup.buildBucketedSignatures(Tables(spark, sf), db = "graft_sig_test")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the large-table (no-broadcast) shape
+      val pairs = Dedup.bucketedBandPairs(spark, db = "graft_sig_test")
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(band"), p)
+      assert(pairs.count() > 0) // planted near-dups collide
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -139,6 +139,26 @@ class RelationalSpec extends SparkSpec {
     assert(priOnly.map(_.getAs[Long]("n")).sum == nOrders)
   }
 
+  test("q16 sketches: approx aggregates within error bounds of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = run("q16_sketches").collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val exact = Tables(spark, sf).orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("cd"),
+        expr("percentile(o_totalprice, 0.5)").as("med"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      val cdErr = math.abs(a.getAs[Long]("approx_custs") -
+        e.getAs[Long]("cd")).toDouble / e.getAs[Long]("cd")
+      assert(cdErr <= 0.05, s"$k HLL err $cdErr")     // HLL++ rsd default 5%
+      val medErr = math.abs(a.getAs[Double]("approx_med") -
+        e.getAs[Double]("med")) / e.getAs[Double]("med")
+      assert(medErr <= 0.02, s"$k percentile err $medErr")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
