@@ -238,13 +238,18 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
-    * from banded random-hyperplane LSH over `nPlanes` planes.
+    * from banded random-hyperplane LSH (256 bands × 16 bits) with
+    * exact-cosine verification. `probeRadius = 1` multi-probes
+    * Hamming-1 neighbor buckets — needed at moderate thresholds
+    * (~0.5); production near-dup (threshold ≥ 0.9) should pass
+    * `probeRadius = 0`: recall stays ~1.0 and the candidate fraction
+    * drops under 1% (measured in DedupTextSpec).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, probeRadius: Int = 1): DataFrame = {
     val ids = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    graft.operators.Dedup.embeddingPairsFrom(ids, threshold)
+    graft.operators.Dedup.embeddingPairsFrom(ids, threshold, probeRadius)
   }
 
   // ---- ann ----

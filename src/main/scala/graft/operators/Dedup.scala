@@ -240,17 +240,26 @@ object Dedup {
   def d5EmbeddingNeardup(t: Tables, threshold: Double = 0.45): DataFrame =
     embeddingPairsFrom(t.embeddings.select("vec_id", "embedding"), threshold)
 
-  /** Candidate pairs from the band index + Hamming-1 multi-probe —
-    * exposed separately so specs can MEASURE the candidate fraction
-    * the index actually produces.
+  /** Candidate pairs from the band index — exposed separately so
+    * specs can MEASURE the candidate fraction the index actually
+    * produces. `probeRadius = 1` (the synthetic-corpus default)
+    * multi-probes each band's Hamming-1 neighbor buckets — needed
+    * when near-dups sit at cos ~0.5 (p₁ ≈ 0.65). In the production
+    * near-dup regime (threshold ≥ 0.9, p₁ ≥ 0.9) exact collisions
+    * already recall ~1.0, and `probeRadius = 0` drops the candidate
+    * fraction to L/2^k ≈ 0.4% — measured in DedupTextSpec's
+    * production-regime test.
     */
-  private[graft] def embeddingCandidates(vecsIn: DataFrame): DataFrame = {
+  private[graft] def embeddingCandidates(vecsIn: DataFrame,
+      probeRadius: Int = 1): DataFrame = {
     graft.Caches.fresh()
     val buckets = graft.Caches.materialized(hyperplaneBuckets(vecsIn))
-    val probes = buckets.select(col("vec_id"),
-      explode(graft.functions.Vectors.bitFlipProbes(col("bk"), lshBandBits))
-        .as("pbk"))
-    probes.as("x").join(buckets.as("y"),
+    val probeSide =
+      if (probeRadius == 0) buckets.select(col("vec_id"), col("bk").as("pbk"))
+      else buckets.select(col("vec_id"),
+        explode(graft.functions.Vectors.bitFlipProbes(col("bk"), lshBandBits))
+          .as("pbk"))
+    probeSide.as("x").join(buckets.as("y"),
         col("x.pbk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
@@ -263,8 +272,8 @@ object Dedup {
     * bare ids before payload rejoin.
     */
   private[graft] def embeddingPairsFrom(vecsIn: DataFrame,
-      threshold: Double): DataFrame = {
-    val cand = embeddingCandidates(vecsIn)
+      threshold: Double, probeRadius: Int = 1): DataFrame = {
+    val cand = embeddingCandidates(vecsIn, probeRadius)
     val vecs = vecsIn
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     cand

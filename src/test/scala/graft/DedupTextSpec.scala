@@ -72,6 +72,31 @@ class DedupTextSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
+  test("d5 production regime (cos ≥ 0.95): fraction < 1% at recall ≥ 0.95, no multi-probe") {
+    import graft.operators.Dedup
+    val session = spark
+    import session.implicits._
+    // deterministic planted corpus: 200 random 64-dim vectors, the
+    // first 40 each get a near-identical twin (cos ≈ 0.995)
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian()))
+    val twins = base.take(40).map(_.map(x => x + 0.1 * rnd.nextGaussian()))
+    val vecs = (base ++ twins).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val n = 240L
+    val nCand = Dedup.embeddingCandidates(vecs, probeRadius = 0).count()
+    val frac = nCand.toDouble / (n * (n - 1) / 2)
+    val found = Dedup.embeddingPairsFrom(vecs, 0.9, probeRadius = 0)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    // ground truth: twin i sits at id 200+i
+    val truth = (0 until 40).map(i => (i.toLong, (200 + i).toLong)).toSet
+    val recall = found.count(truth).toDouble / truth.size
+    info(f"production regime: frac=$frac%.4f recall=$recall%.2f")
+    assert(frac < 0.01, f"candidate fraction $frac%.4f")
+    assert(recall >= 0.95, f"recall $recall%.2f")
+  }
+
   test("t1 langid: predictions are valid langs, score is max profile hit count") {
     val rows = run("t1_langid").collect()
     assert(rows.length == 500)
