@@ -64,6 +64,7 @@ object SparkEntry {
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
+    "m3_frame_sample"     -> q(Multimodal.m3FrameSample(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

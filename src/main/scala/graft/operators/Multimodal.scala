@@ -59,12 +59,82 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m3: frame sampling + thumbnail resize over a fake "video"
+    * column: the binary payload is segmented into fixed-size FRAMES,
+    * every `stride`-th frame is sampled (keyframe extraction), and
+    * each sampled frame is "resized" to a 4-value thumbnail by
+    * block-averaging its bytes (the downsample shape). One input row
+    * fans out map-side to one row per sampled frame; partition
+    * batching amortizes the (real-world) codec, exactly like m2. The
+    * byte math is oracle-CHECKED (the synthetic payload is ASCII, so
+    * DuckDB reproduces it from the text), unlike m2's declared-stub
+    * histogram.
+    */
+  def m3FrameSample(t: Tables, frameBytes: Int = 32, stride: Int = 2,
+      batchSize: Int = 32): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch => // codec state amortizes per batch
+          batch.flatMap { case (id, bytes) =>
+            val nFrames = bytes.length / frameBytes
+            (0 until nFrames by stride).map { f =>
+              val off = f * frameBytes
+              val block = frameBytes / 4
+              val thumb = Array.tabulate(4) { b =>
+                var s = 0
+                var k = 0
+                while (k < block) { s += bytes(off + b * block + k) & 0xff; k += 1 }
+                s / block
+              }
+              md.reset()
+              val h = md.digest(java.util.Arrays.copyOfRange(bytes, off,
+                off + frameBytes)).map("%02x".format(_)).mkString
+              (id, f, nFrames, thumb(0), thumb(1), thumb(2), thumb(3), h)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "t0", "t1", "t2", "t3",
+        "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  lower(sha256(text)) AS sha256,
         |  substring(lower(hex(CAST(text AS BLOB))), 1, 8) AS magic_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // payload is ASCII text, so frames/thumbnails are reproducible
+    // from substring+ascii byte math
+    "m3_frame_sample" ->
+      """WITH f AS (
+        |  -- // not /: DuckDB '/' is float division and CAST rounds,
+        |  -- which would invent a trailing partial frame
+        |  SELECT doc_id, text, CAST(length(text) // 32 AS INT) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n_frames, CAST(i AS INT) AS frame_idx,
+        |    substring(text, CAST(i AS INT) * 32 + 1, 32) AS frame
+        |  FROM (SELECT doc_id, n_frames, text,
+        |          unnest(range(0, n_frames, 2)) AS i
+        |        FROM f) u)
+        |SELECT doc_id, frame_idx, n_frames,
+        |  CAST(list_sum([ascii(substring(frame, CAST(k AS INT), 1))
+        |                 FOR k IN range(1, 9)]) // 8 AS INT) AS t0,
+        |  CAST(list_sum([ascii(substring(frame, CAST(k AS INT), 1))
+        |                 FOR k IN range(9, 17)]) // 8 AS INT) AS t1,
+        |  CAST(list_sum([ascii(substring(frame, CAST(k AS INT), 1))
+        |                 FOR k IN range(17, 25)]) // 8 AS INT) AS t2,
+        |  CAST(list_sum([ascii(substring(frame, CAST(k AS INT), 1))
+        |                 FOR k IN range(25, 33)]) // 8 AS INT) AS t3,
+        |  md5(frame) AS frame_md5
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -74,6 +74,22 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
+  test("m3 frame sample: stride-2 frames, thumbnails match local recompute") {
+    val rows = run("m3_frame_sample").collect()
+    assert(rows.nonEmpty)
+    val texts = Tables(spark, sf).documents.select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(30).foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val f = r.getAs[Int]("frame_idx")
+      assert(f % 2 == 0)
+      assert(r.getAs[Int]("n_frames") == bytes.length / 32)
+      val t0 = (0 until 8).map(k => bytes(f * 32 + k) & 0xff).sum / 8
+      assert(r.getAs[Int]("t0") == t0)
+      assert(r.getAs[String]("frame_md5").matches("[0-9a-f]{32}"))
+    }
+  }
+
   test("st1 streaming window agg equals batch date_trunc rollup") {
     val stream = run("st1_stream_windowed").collect()
     val batch = Tables(spark, sf).events
