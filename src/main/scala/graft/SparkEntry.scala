@@ -68,7 +68,8 @@ object SparkEntry {
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),
-    "st4_stream_dedup"    -> q(graft.streaming.Streams.st4StreamDedup(_))
+    "st4_stream_dedup"    -> q(graft.streaming.Streams.st4StreamDedup(_)),
+    "st5_stream_embed_dedup" -> q(graft.streaming.Streams.st5StreamEmbedDedup(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

@@ -168,8 +168,8 @@ object Dedup {
     * signature expression: no per-row md5, no dim explode, no
     * shuffle. The oracle recomputes the same constants in SQL.
     */
-  private[operators] val hpDim = 64
-  private[operators] lazy val hpMatrix: graft.expressions.PlaneMatrix = {
+  private[graft] val hpDim = 64
+  private[graft] lazy val hpMatrix: graft.expressions.PlaneMatrix = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val flat = new Array[Double](4096 * hpDim)
     var h = 0
@@ -201,9 +201,9 @@ object Dedup {
     * recall ≈ 0.99 at fraction 5e-4 — the regime, not the code,
     * is what makes <1% possible.
     */
-  private[operators] val lshBandBits  = 16
-  private[operators] val lshBands     = 256
-  private[operators] val lshPlanes: Int = lshBandBits * lshBands
+  private[graft] val lshBandBits  = 16
+  private[graft] val lshBands     = 256
+  private[graft] val lshPlanes: Int = lshBandBits * lshBands
 
   /** Per-vector signed-random-projection signature ('0'/'1' string of
     * length nPlanes) — one compiled projection, no shuffle. Input:

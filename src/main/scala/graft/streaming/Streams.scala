@@ -17,6 +17,12 @@ case class Sess(user_id: Long, session_start_us: Long, n_events: Int)
 case class BandDoc(band_key: String, doc_id: Long, mhs: Seq[Long])
 /** An emitted near-duplicate (doc_a arrived before doc_b). */
 case class DupPair(doc_a: Long, doc_b: Long, est_j: Double)
+/** A vector's visit to one hyperplane band bucket: registration
+  * (exact key) or probe-only (Hamming-1 neighbor key). */
+case class VecBand(bk: Long, vec_id: Long, sketch: String, probe: Boolean)
+/** An emitted embedding near-dup candidate (vec_a arrived first):
+  * sketch Hamming distance ≤ the angle-derived cut. */
+case class DupVec(vec_a: Long, vec_b: Long, ham: Int)
 
 /** Structured Streaming operators, run-to-completion over the events
   * parquet as a file-source stream (the same code binds to Kafka/etc.
@@ -245,6 +251,88 @@ object Streams {
     spark.table(name).distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** Sketch bits and the integer Hamming cut for st5: 512-bit
+    * signed-random-projection sketch; Hamming ≤ τ = ⌊512·acos(θ)/π⌋
+    * accepts pairs whose estimated angle is within the threshold
+    * (Charikar estimator). Integer compare — no float trig crosses
+    * the engine boundary.
+    */
+  private val st5SketchBits = 512
+  private[graft] def st5HamCut(threshold: Double): Int =
+    math.floor(st5SketchBits * math.acos(threshold) / math.Pi).toInt
+
+  /** st5: INCREMENTAL embedding near-dup detection — the d5 index as
+    * a stream registry. Vectors stream in (two id-ordered
+    * micro-batches); each computes its 256 packed band keys and its
+    * 512-bit sketch (the same compiled expressions as batch d5/s2),
+    * then visits its band buckets: the EXACT key registers the
+    * vector's sketch in a flatMapGroupsWithState registry keyed by
+    * bucket, and the Hamming-1 neighbor keys probe without
+    * registering (multi-probe, arrival side only). An arriving vector
+    * is compared — by sketch Hamming, ~100× cheaper than cosine —
+    * only against its buckets' registries, emitting
+    * (earlier, later, hamming ≤ τ) candidates. The corpus is never
+    * rescanned; state per bucket holds 64-byte sketches, not raw
+    * vectors.
+    */
+  def st5StreamEmbedDedup(t: Tables, threshold: Double = 0.45): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val name = s"st5_sink_${ctr.incrementAndGet()}"
+    val cut = st5HamCut(threshold)
+    val path = s"${t.dir}/embeddings.parquet"
+    val schema = spark.read.parquet(path).schema
+    val vecs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val visits = vecs
+      .select(col("vec_id"),
+        graft.functions.Vectors.hyperplaneBits(
+          col("v"), graft.operators.Dedup.hpMatrix, st5SketchBits).as("sketch"),
+        explode(graft.functions.Vectors.hyperplaneBandKeys(
+          col("v"), graft.operators.Dedup.hpMatrix,
+          graft.operators.Dedup.lshBands, graft.operators.Dedup.lshBandBits))
+          .as("bk"))
+      .select(posexplode(graft.functions.Vectors.bitFlipProbes(
+          col("bk"), graft.operators.Dedup.lshBandBits)).as(Seq("j", "pbk")),
+        col("vec_id"), col("sketch"))
+      .select(col("pbk").as("bk"), col("vec_id"), col("sketch"),
+        (col("j") > 0).as("probe"))
+      .as[VecBand]
+    val pairs = visits
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[VecBand], state: GroupState[Seq[(Long, String)]]) =>
+          // id order so the earlier vector of a same-batch pair is
+          // registered before the later one probes
+          val arriving = it.toSeq.sortBy(v => (v.vec_id, v.probe))
+          var registry = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupVec]
+          arriving.foreach { v =>
+            registry.foreach { case (oldId, oldSketch) =>
+              if (oldId != v.vec_id) {
+                var h = 0; var i = 0
+                while (i < oldSketch.length) {
+                  if (oldSketch.charAt(i) != v.sketch.charAt(i)) h += 1
+                  i += 1
+                }
+                if (h <= cut) out += DupVec(oldId, v.vec_id, h)
+              }
+            }
+            if (!v.probe) registry = registry :+ (v.vec_id -> v.sketch)
+          }
+          state.update(registry)
+          out.result().iterator
+      }
+    val q = pairs.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // the same pair may surface via several buckets/probes — collapse
+    spark.table(name).distinct().orderBy("vec_a", "vec_b")
+  }
+
   val oracle: Map[String, String] = Map(
     "st1_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -270,6 +358,49 @@ object Streams {
          |  FROM cand JOIN mha a ON a.doc_id = doc_a JOIN mha b ON b.doc_id = doc_b)
          |SELECT doc_a, doc_b, est_j FROM e WHERE est_j >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // st5's candidate set is the symmetric radius-1 band collision
+    // (one-sided multi-probe ≡ Hamming ≤ 1 between band keys), so the
+    // batch twin is d5's candidate construction + the integer sketch-
+    // Hamming cut — no float crosses the engine boundary
+    "st5_stream_embed_dedup" ->
+      (s"""WITH pl AS (
+        |  SELECT h, i,
+        |    ((CASE WHEN ascii(substring(md5(h || ':' || i), 1, 1)) >= 97
+        |       THEN ascii(substring(md5(h || ':' || i), 1, 1)) - 87
+        |       ELSE ascii(substring(md5(h || ':' || i), 1, 1)) - 48 END) * 16 +
+        |     (CASE WHEN ascii(substring(md5(h || ':' || i), 2, 1)) >= 97
+        |       THEN ascii(substring(md5(h || ':' || i), 2, 1)) - 87
+        |       ELSE ascii(substring(md5(h || ':' || i), 2, 1)) - 48 END)) / 255.0 * 2 - 1 AS w
+        |  FROM (SELECT unnest(range(0, 4096)) AS h), (SELECT unnest(range(0, 64)) AS i)),
+        |pls AS (SELECT h, list(w ORDER BY i) AS pw FROM pl GROUP BY h),
+        |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, h,
+        |    CASE WHEN list_dot_product(v, pw) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM vv, pls),
+        |sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY h) AS s FROM bits GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b AS band, substring(s, CAST(b AS INT) * 16 + 1, 16) AS bsig
+        |  FROM sig, (SELECT unnest(range(0, 256)) AS b) bb),
+        |probes AS (
+        |  SELECT vec_id, band, CASE WHEN j = 0 THEN bsig
+        |    ELSE substring(bsig, 1, CAST(j AS INT) - 1) ||
+        |         (CASE WHEN substring(bsig, CAST(j AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+        |         substring(bsig, CAST(j AS INT) + 1, 16 - CAST(j AS INT)) END AS psig
+        |  FROM bands, (SELECT unnest(range(0, 17)) AS j) jj),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM probes x JOIN bands y
+        |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id),
+        |hm AS (
+        |  SELECT vec_a, vec_b,
+        |    len(list_filter(range(1, 513),
+        |        i -> substring(a.s, CAST(i AS INT), 1) <> substring(b.s, CAST(i AS INT), 1))) AS ham
+        |  FROM cand JOIN sig a ON a.vec_id = vec_a JOIN sig b ON b.vec_id = vec_b)
+        |SELECT vec_a, vec_b, CAST(ham AS INT) AS ham FROM hm
+        |WHERE ham <= ${st5HamCut(0.45)}
+        |ORDER BY vec_a, vec_b""".stripMargin),
     // st2 emits exactly the sessions a later event CLOSED: the q9
     // batch sessionization minus each user's final (still-open)
     // session. Derivable because the two micro-batches partition the

@@ -153,6 +153,28 @@ class AnnStreamSpec extends SparkSpec {
     st4.foreach { case (a, b, _) => assert(a < b) }
   }
 
+  test("st5 incremental embedding dedup equals the batch multi-probe candidates + sketch cut") {
+    import graft.operators.Dedup
+    val st5 = run("st5_stream_embed_dedup").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Int]("ham")))
+    assert(st5.nonEmpty)
+    val cut = graft.streaming.Streams.st5HamCut(0.45)
+    // batch twin: radius-1 candidates, then 512-bit sketch Hamming
+    val vecs = Tables(spark, sf).embeddings.select("vec_id", "embedding")
+    val sketches = Dedup.hyperplaneSig(vecs, 512)
+      .select("vec_id", "sig").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("sig")).toMap
+    val expected = Dedup.embeddingCandidates(vecs, probeRadius = 1)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .flatMap { case (a, b) =>
+        val h = sketches(a).zip(sketches(b)).count(p => p._1 != p._2)
+        if (h <= cut) Some((a, b, h)) else None
+      }.sortBy(p => (p._1, p._2))
+    assert(st5.toSeq == expected.toSeq,
+      s"stream=${st5.length} batch=${expected.length}")
+  }
+
   test("st2 streaming sessions = q9 sessions minus each user's open last session") {
     val q9 = run("q9_sessionize").collect()
     val st2 = run("st2_stream_sessionize").collect()
