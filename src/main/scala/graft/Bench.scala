@@ -12,7 +12,7 @@ object Bench {
     // st1/st4 warmups also perform the one-time stream STAGING of the
     // events/documents files (test-env plumbing, not operator cost)
     for (w <- Seq("q1_pricing_summary", "st1_stream_windowed",
-        "st4_stream_dedup"))
+        "st4_stream_dedup", "st5_stream_embed_dedup"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed: $e")

@@ -36,6 +36,7 @@ object SparkEntry {
     "q14_quantiles"      -> q(Relational.q14Quantiles),
     "q15_cube"           -> q(Relational.q15Cube),
     "q16_sketches"       -> q(Relational.q16Sketches),
+    "q17_asof_join"      -> q(Relational.q17AsofJoin),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

@@ -290,6 +290,39 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** q17: AS-OF join — for every event, the latest order of the same
+    * customer at or before the event time, then a per-type rollup of
+    * the recency gap. Spark has no asof operator; the SCALABLE
+    * re-expression is the union-and-window pattern: tag both streams,
+    * union, and take the running max of order-time per user over
+    * (time, order-first-on-ties) order — ONE shuffle keyed by user,
+    * no per-row range probe, no nested-loop join, works at any
+    * fact×fact size. (DuckDB's native ASOF JOIN is the oracle.)
+    */
+  def q17AsofJoin(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id").as("uid"), col("ts").as("t"),
+      col("event_type"), lit(0).as("is_order"))
+    val ord = t.orders.select(col("o_custkey").as("uid"),
+      col("o_orderdate").as("t"), lit(null).cast("string").as("event_type"),
+      lit(1).as("is_order"))
+    // orders sort BEFORE events at equal t (is_order desc) — the
+    // at-or-before (inclusive) asof semantic
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t"), col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionAll(ord)
+      .withColumn("last_order_t",
+        max(when(col("is_order") === 1, col("t"))).over(w))
+      .filter(col("is_order") === 0)
+      .withColumn("gap_days",
+        expr("(unix_micros(t) - unix_micros(last_order_t)) div 86400000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("last_order_t")).as("n_matched"),
+        sum(col("gap_days")).as("sum_gap_days"))
+      .orderBy("event_type")
+  }
+
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -428,6 +461,16 @@ object Relational {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q17_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_type, e.ts, o.o_orderdate
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(o_orderdate) AS n_matched,
+        |  CAST(sum((epoch_us(ts) - epoch_us(o_orderdate)) // 86400000000)
+        |       AS BIGINT) AS sum_gap_days
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

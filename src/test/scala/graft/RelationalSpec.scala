@@ -139,6 +139,27 @@ class RelationalSpec extends SparkSpec {
     assert(priOnly.map(_.getAs[Long]("n")).sum == nOrders)
   }
 
+  test("q17 asof join: every event matches its user's latest prior order") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q17_asof_join").collect()
+    assert(rows.nonEmpty)
+    // domain property: all orders precede all events and every event
+    // user is a customer, so the asof LEFT join fully matches
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("sum_gap_days") > 0)
+    }
+    // point check: one user's latest order genuinely precedes their
+    // first event (epoch micros sidestep the ts vs ntz value classes)
+    val ev = Tables(spark, sf).events.filter(col("user_id") === 7L)
+      .agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val latest = Tables(spark, sf).orders
+      .filter(col("o_custkey") === 7L)
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))))
+      .collect()(0).getLong(0)
+    assert(latest < ev)
+  }
+
   test("q16 sketches: approx aggregates within error bounds of exact") {
     import org.apache.spark.sql.functions._
     val approx = run("q16_sketches").collect()
