@@ -37,6 +37,7 @@ object SparkEntry {
     "q15_cube"           -> q(Relational.q15Cube),
     "q16_sketches"       -> q(Relational.q16Sketches),
     "q17_asof_join"      -> q(Relational.q17AsofJoin),
+    "q18_range_join"     -> q(Relational.q18RangeJoin),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

@@ -323,6 +323,42 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q18: RANGE (interval-overlap) join with NO equi key — events
+    * falling inside synthetic 2-hour maintenance windows (one per
+    * order, placed by o_orderkey across the event month). The naive
+    * plan is a nested-loop over the range predicate — O(|events|·
+    * |windows|); the scale-safe re-expression BUCKETIZES time: each
+    * window explodes into the hour buckets it covers (≤ 3 rows), each
+    * event keys by its own hour, the join becomes an EQUI-join on
+    * bucket with the exact range filter applied after. An event
+    * matches a window in exactly one bucket (its own), so no
+    * dedup step is needed. The window base derives from the data
+    * (`date_trunc(day, min(ts))` as a 1-row broadcast), never a
+    * timezone-sensitive literal.
+    */
+  def q18RangeJoin(t: Tables): DataFrame = {
+    val hourUs = 3600000000L
+    val base = t.events.agg(
+      unix_micros(date_trunc("day", min(col("ts")))).as("base_us"))
+    val win = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .crossJoin(broadcast(base))
+      .withColumn("ws_us",
+        col("base_us") + (col("o_orderkey") % 696) * hourUs)
+      .withColumn("we_us", col("ws_us") + 2 * hourUs)
+    val winBuckets = win.withColumn("bucket",
+      explode(sequence(expr(s"ws_us div $hourUs"),
+        expr(s"(we_us - 1) div $hourUs"))))
+    val ev = t.events
+      .select(unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div $hourUs"))
+    ev.join(winBuckets, "bucket")
+      .filter(col("ts_us") >= col("ws_us") && col("ts_us") < col("we_us"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_windows_hit"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -471,6 +507,21 @@ object Relational {
         |  CAST(sum((epoch_us(ts) - epoch_us(o_orderdate)) // 86400000000)
         |       AS BIGINT) AS sum_gap_days
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // plain inequality join — DuckDB's IEJoin handles the range
+    // predicate natively, which is exactly the independent-engine
+    // check the bucketized Spark form needs
+    "q18_range_join" ->
+      """WITH base AS (
+        |  SELECT date_trunc('day', min(ts)) AS b FROM events),
+        |win AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    b + (o_orderkey % 696) * INTERVAL 1 HOUR AS ws,
+        |    b + ((o_orderkey % 696) + 2) * INTERVAL 1 HOUR AS we
+        |  FROM orders, base)
+        |SELECT o_orderpriority, count(*) AS n_pairs,
+        |  count(DISTINCT o_orderkey) AS n_windows_hit
+        |FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

