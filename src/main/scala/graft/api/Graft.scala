@@ -266,6 +266,27 @@ object Graft {
       .limit(k)
   }
 
+  // ---- streaming dedup (dedup-at-ingest) ----
+
+  /** Incremental minhash-LSH dedup over a STREAMING (id, text) frame:
+    * band-bucket state registry, arriving docs compared only against
+    * their buckets, (earlier, later, est-jaccard) emitted append-mode.
+    * Caller owns the sink.
+    */
+  def incrementalMinhashDedup(stream: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5) =
+    graft.streaming.Streams.incrementalMinhashDedup(
+      stream, idCol, textCol, threshold)
+
+  /** Incremental embedding near-dup over a STREAMING (id, vector)
+    * frame: hyperplane band registry with arrival-side multi-probe,
+    * 512-bit sketch Hamming compare. Caller owns the sink.
+    */
+  def incrementalEmbeddingDedup(stream: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.45) =
+    graft.streaming.Streams.incrementalEmbeddingDedup(
+      stream, idCol, vecCol, threshold)
+
   // ---- events ----
 
   /** Gap-based sessionization: new session after > gap silence. */

@@ -199,16 +199,32 @@ object Streams {
     */
   def st4StreamDedup(t: Tables, threshold: Double = 0.5): DataFrame = {
     val spark = t.spark
-    import spark.implicits._
     val name = s"st4_sink_${ctr.incrementAndGet()}"
     val path = s"${t.dir}/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "doc_id"))
-    val bands = docs
-      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
-      .select(col("doc_id"),
+    val q = incrementalMinhashDedup(docs, "doc_id", "text", threshold).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // a pair colliding in several bands is emitted by each band's
+    // group — collapse (identical rows) downstream of the sink
+    spark.table(name).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** Library core of st4: attach to ANY streaming (id, text) frame;
+    * returns the append-mode Dataset of emitted near-dup pairs for
+    * the caller to sink (parquet/Delta + checkpoint in production).
+    */
+  def incrementalMinhashDedup(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): org.apache.spark.sql.Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("tk", graft.functions.Text.tokenize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
         graft.functions.Text.shinglesFast(3)(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("mhs", graft.functions.Text.minhashSig(col("sh")))
@@ -220,7 +236,6 @@ object Streams {
           .as("band_key"),
         col("doc_id"), col("mhs"))
       .as[BandDoc]
-    val pairs = bands
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[BandDoc], state: GroupState[Seq[BandDoc]]) =>
@@ -242,13 +257,6 @@ object Streams {
           state.update(registry)
           out.result().iterator
       }
-    val q = pairs.toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
-    // a pair colliding in several bands is emitted by each band's
-    // group — collapse (identical rows) downstream of the sink
-    spark.table(name).distinct().orderBy("doc_a", "doc_b")
   }
 
   /** Sketch bits and the integer Hamming cut for st5: 512-bit
@@ -277,16 +285,33 @@ object Streams {
     */
   def st5StreamEmbedDedup(t: Tables, threshold: Double = 0.45): DataFrame = {
     val spark = t.spark
-    import spark.implicits._
     val name = s"st5_sink_${ctr.incrementAndGet()}"
-    val cut = st5HamCut(threshold)
     val path = s"${t.dir}/embeddings.parquet"
     val schema = spark.read.parquet(path).schema
     val vecs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "vec_id"))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val visits = vecs
+    val q = incrementalEmbeddingDedup(vecs, "vec_id", "embedding", threshold)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // the same pair may surface via several buckets/probes — collapse
+    spark.table(name).distinct().orderBy("vec_a", "vec_b")
+  }
+
+  /** Library core of st5: attach to ANY streaming (id, vector) frame;
+    * returns the append-mode Dataset of sketch-Hamming near-dup
+    * candidates for the caller to sink.
+    */
+  def incrementalEmbeddingDedup(vecsIn: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): org.apache.spark.sql.Dataset[DupVec] = {
+    val spark = vecsIn.sparkSession
+    import spark.implicits._
+    val cut = st5HamCut(threshold)
+    val vecs = vecsIn.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    vecs
       .select(col("vec_id"),
         graft.functions.Vectors.hyperplaneBits(
           col("v"), graft.operators.Dedup.hpMatrix, st5SketchBits).as("sketch"),
@@ -300,7 +325,6 @@ object Streams {
       .select(col("pbk").as("bk"), col("vec_id"), col("sketch"),
         (col("j") > 0).as("probe"))
       .as[VecBand]
-    val pairs = visits
       .groupByKey(_.bk)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[VecBand], state: GroupState[Seq[(Long, String)]]) =>
@@ -325,12 +349,6 @@ object Streams {
           state.update(registry)
           out.result().iterator
       }
-    val q = pairs.toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
-    // the same pair may surface via several buckets/probes — collapse
-    spark.table(name).distinct().orderBy("vec_a", "vec_b")
   }
 
   val oracle: Map[String, String] = Map(
