@@ -218,6 +218,67 @@ case class HyperplaneBits(child: Expression, planes: PlaneMatrix, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Sketch AND banded bucket keys in ONE pass: struct(sketch BINARY
+  * of the first sketchBits sign bits, keys ARRAY<LONG> of packed
+  * band keys over all nBands·bandBits planes). One expression for
+  * both serves two purposes: the plane dots are computed once (the
+  * sketch's planes are a prefix of the band planes), and — critically
+  * — a SINGLE multiply-referenced alias survives below a Generate,
+  * where separate sketch/keys expressions got hoisted by the
+  * optimizer into the post-explode projection and re-evaluated per
+  * exploded row (measured 256× recompute in st5).
+  */
+case class HyperplaneSketchKeys(child: Expression, planes: PlaneMatrix,
+    sketchBits: Int, nBands: Int, bandBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sketch",
+      org.apache.spark.sql.types.BinaryType, nullable = false),
+    org.apache.spark.sql.types.StructField("keys",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "hyperplane_sketch_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = math.min(v.numElements(), planes.dim)
+    val w = planes.values
+    val nPlanes = nBands * bandBits
+    val bits = new Array[Boolean](nPlanes)
+    var h = 0
+    while (h < nPlanes) {
+      var dot = 0.0
+      val base = h * planes.dim
+      var i = 0
+      while (i < d) { dot += v.getDouble(i) * w(base + i); i += 1 }
+      bits(h) = dot >= 0
+      h += 1
+    }
+    val bytes = new Array[Byte]((sketchBits + 7) / 8)
+    h = 0
+    while (h < sketchBits) {
+      if (bits(h)) bytes(h >> 3) = (bytes(h >> 3) | (1 << (7 - (h & 7)))).toByte
+      h += 1
+    }
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0L
+      var j = 0
+      while (j < bandBits) {
+        key = (key << 1) | (if (bits(b * bandBits + j)) 1L else 0L)
+        j += 1
+      }
+      keys(b) = (b.toLong << bandBits) | key
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bytes, new GenericArrayData(keys))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketchKeys =
+    copy(child = newChild)
+}
+
 /** Banded LSH bucket keys as ONE long per band: key = (band << bandBits)
   * | bits-of-band (bit j of a band = sign of the (band·bandBits+j)-th
   * plane dot, big-endian — the same partition of planes as the string

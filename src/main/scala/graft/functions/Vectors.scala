@@ -56,7 +56,18 @@ object Vectors {
         org.apache.spark.sql.GraftExpressionBridge.expression(v),
         planes, nBands, bandBits))
 
-  /** Compiled centroid ranking against a constant codebook: centroid
+    /** Compiled one-pass sketch+band-keys struct (see
+    * HyperplaneSketchKeys for why one expression matters under a
+    * Generate).
+    */
+  def hyperplaneSketchKeys(v: Column, planes: graft.expressions.PlaneMatrix,
+      sketchBits: Int, nBands: Int, bandBits: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HyperplaneSketchKeys(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        planes, sketchBits, nBands, bandBits))
+
+    /** Compiled centroid ranking against a constant codebook: centroid
     * ids by descending cosine (ties by id).
     */
   def centroidRanks(v: Column, cents: graft.expressions.PlaneMatrix): Column =
