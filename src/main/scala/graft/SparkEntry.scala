@@ -56,6 +56,7 @@ object SparkEntry {
     "d3_minhash_lsh"      -> q(Dedup.d3MinhashLsh(_)),
     "d4_simhash"          -> q(Dedup.d4Simhash(_)),
     "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
+    "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),
     "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
     "t3_token_count"      -> q(TextAnalysis.t3TokenCount),

@@ -302,6 +302,54 @@ object Dedup {
       |  FROM toks),
       |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl)""".stripMargin
 
+  /** d6: near-dup GROUPS and the keep/drop list — the step an actual
+    * dedup pipeline ends with. Connected components over d3's
+    * verified pair evidence via iterative min-label propagation
+    * (every node takes the min label among itself and its neighbors;
+    * repeat to fixpoint — O(component diameter) iterations, each one
+    * shuffle-bounded join, the standard big-graph CC shape; the
+    * per-iteration convergence count is a scalar driver check like
+    * k-means'). Output: one row per doc in a dup group, its
+    * component-min keep_doc and the group size.
+    */
+  def d6DedupGroups(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairsFrom(t.documents.select("doc_id", "text"),
+      threshold).select("doc_a", "doc_b")
+    val edges = graft.Caches.materialized(
+      pairs.union(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"))))
+    var labels = graft.Caches.materialized(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = graft.Caches.materialized(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label")))
+      // labels are monotonically non-increasing, so an unchanged sum
+      // IS the fixpoint — one scalar agg over the fresh cache instead
+      // of a change-detection join per iteration
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")
+    labels
+      .select(col("doc_id"), col("label").as("keep_doc"))
+      .withColumn("group_size", count(lit(1)).over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Materialize the minhash band-signature table BUCKETED by its
     * join key (band, sig) — the cluster deployment path for
     * continuous dedup: the signature table is built once per corpus
@@ -405,6 +453,32 @@ object Dedup {
          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
          |FROM v WHERE round(inter / (na + nb - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d3's pair derivation + recursive-CTE connected components
+    "d6_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shl WHERE len(sh) > 0),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter, sa.nsh AS na, sb.nsh AS nb
+         |  FROM cand JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE round(inter / (na + nb - inter), 4) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS keep_doc FROM reach GROUP BY a)
+         |SELECT doc_id, keep_doc,
+         |  count(*) OVER (PARTITION BY keep_doc) AS group_size
+         |FROM labels ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -38,6 +38,26 @@ class DedupTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("d6 groups: components cover d3 pairs, keep_doc is component min") {
+    val pairs = run("d3_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val groups = run("d6_dedup_groups").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keep_doc"), r.getAs[Long]("group_size"))).toMap
+    assert(groups.nonEmpty)
+    // every paired doc is grouped, pair members share a component
+    pairs.foreach { case (a, b) =>
+      assert(groups.contains(a) && groups.contains(b))
+      assert(groups(a)._1 == groups(b)._1, s"pair ($a,$b) split")
+    }
+    // keep_doc is a member of its own component and the minimum
+    groups.foreach { case (id, (keep, size)) =>
+      assert(keep <= id)
+      assert(groups(keep)._1 == keep)
+      assert(size >= 2)
+    }
+  }
+
   test("d5 embedding neardup: cos ≥ threshold, canonical pairs") {
     val rows = run("d5_embedding_neardup").collect()
     assert(rows.nonEmpty)
