@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Scale design: the probe vector is a broadcast 1-row aggregate (the
   * only `first()`-free way to get "the row with vec_id = p" into every
   * task without a driver collect). Brute force (s1) is one scan with a
-  * codegen-friendly fold per row + a top-k sort — the exact baseline.
-  * The LSH variant (s2) prunes the scan to the probe's hyperplane
-  * buckets BEFORE computing any cosine: at cluster scale the bucket
-  * join is a partition-pruned lookup (bucket tables would be written
-  * bucketed-by-sig), and only the candidate subset pays the O(d) math.
+  * compiled cosine per row + a top-k sort — the exact baseline. The
+  * LSH variant (s2) prunes with a 512-bit sketch-Hamming cut BEFORE
+  * computing any cosine (XOR+popcount ≈ 100× cheaper per row); the
+  * IVF variant (s3) k-means-trains a coarse codebook and scans only
+  * the probe's nProbe nearest lists. At cluster scale the sketch is
+  * an ingest-time column, the lists a write-once partition key.
   */
 object Ann {
 
