@@ -312,17 +312,23 @@ object Dedup {
     * k-means'). Output: one row per doc in a dup group, its
     * component-min keep_doc and the group size.
     */
-  def d6DedupGroups(t: Tables, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashPairsFrom(t.documents.select("doc_id", "text"),
-      threshold).select("doc_a", "doc_b")
+  def d6DedupGroups(t: Tables, threshold: Double = 0.5): DataFrame =
+    dedupGroupsFrom(t.documents.select("doc_id", "text"), threshold)
+
+  /** DataFrame form of d6 for the graft.api facade and specs. */
+  private[graft] def dedupGroupsFrom(docsIn: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b")
     val edges = graft.Caches.materialized(
       pairs.union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b"))))
     var labels = graft.Caches.materialized(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")))
+    // coalesce: a dup-free corpus has no edges, and sum over an empty
+    // frame is null
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -121,6 +121,15 @@ class GraftApiSpec extends SparkSpec {
     assert(persisted == c0)
   }
 
+  test("d6 grouping terminates on a dup-free corpus (no pairs, no NPE)") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    // the CC loop over zero edges must converge immediately and
+    // return an empty grouping, not throw on the empty-sum scalar
+    assert(graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count() == 0)
+  }
+
   test("sessionize on an ad-hoc event frame") {
     val evs = Seq(
       (7L, "2024-01-01 10:00:00", 1L),
