@@ -237,6 +237,15 @@ object Graft {
     graft.operators.Dedup.simhashPairsFrom(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
 
+  /** Near-dup GROUPS + keep/drop list: connected components over the
+    * minhash-LSH pair evidence (keep-min policy). One row per doc in
+    * a dup group: (doc_id, keep_doc, group_size).
+    */
+  def dedupGroups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.Dedup.dedupGroupsFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
     * from banded random-hyperplane LSH (256 bands × 16 bits) with
     * exact-cosine verification. `probeRadius = 1` multi-probes
