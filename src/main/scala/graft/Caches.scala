@@ -19,6 +19,17 @@ import org.apache.spark.sql.DataFrame
   * [[release]] themselves. Net effect: storage memory is bounded by
   * ONE operator's working set, with no reliance on a harness-level
   * clearCache.
+  *
+  * CONCURRENCY CONTRACT: the registry is process-global, so the
+  * scope boundary is "one operator call at a time per JVM". Two
+  * graft operators running concurrently on the same SparkSession
+  * would have the later `fresh()` unpersist the earlier call's
+  * still-in-use caches — never wrong (Spark recomputes the plan),
+  * but a silent performance cliff. Applications that need
+  * concurrent operator calls should serialize them, or call the
+  * DataFrame-building internals and own caching themselves. The
+  * methods themselves are thread-safe (synchronized registry); it is
+  * the fresh()-scoping that assumes one live operator at a time.
   */
 object Caches {
   private val live = scala.collection.mutable.Buffer[DataFrame]()
@@ -41,6 +52,18 @@ object Caches {
     val c = cached(df)
     c.count()
     c
+  }
+
+  /** Unpersist ONE registered cache before the operator finishes —
+    * for iterative operators (d6's label propagation) whose
+    * superseded per-iteration frames would otherwise accumulate for
+    * the whole loop, growing storage with iteration count instead of
+    * staying bounded by one iteration's working set.
+    */
+  def drop(df: DataFrame): Unit = synchronized {
+    df.unpersist(false)
+    val i = live.indexWhere(_ eq df)
+    if (i >= 0) live.remove(i)
   }
 
   /** Release every cache registered so far (non-blocking). */

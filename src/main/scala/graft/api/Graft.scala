@@ -158,7 +158,48 @@ object Graft {
     * whose banding is df-insensitive.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxDf: Int = 16): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = 16): DataFrame =
+    jaccardPairsImpl(df, idCol, textCol, k, threshold, maxDf)
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.api.Graft")
+
+  /** One tokenize+shingle pass, each shingle tagged with its corpus
+    * document frequency via a window over the sh-shuffle — the shared
+    * front half of [[jaccardPairs]] and [[jaccardBlindDocs]].
+    */
+  private def taggedShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("tk", Text.tokenize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(Text.shinglesFast(k)(col("tk"))).as("sh"))
+      .withColumn("sdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+
+  /** Diagnostic for the df-capped [[jaccardPairs]]: docs whose EVERY
+    * shingle has df > maxDf (boilerplate-only docs) are invisible to
+    * capped candidate generation — a true near-dup pair between two
+    * such docs is missed. Returns (doc_id, nsh) of the blind docs so
+    * callers can route them through [[minhashLshPairs]] (whose
+    * banding is df-insensitive) or raise maxDf. [[jaccardPairs]]
+    * itself logs a warning with this count when it is nonzero.
+    */
+  def jaccardBlindDocs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDf: Int = 16): DataFrame =
+    taggedShingles(df, idCol, textCol, k)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("nsh"),
+        sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"),
+        sum(when(col("sdf") > maxDf, 1).otherwise(0)).as("nhot"))
+      // all-singleton docs (every shingle df = 1) share nothing with
+      // anyone — they are invisible to the UNCAPPED join too, so only
+      // docs hidden BY THE CAP (≥1 hot shingle, 0 candidate shingles)
+      // are reported
+      .filter(col("nhid") === col("nsh") && col("nhot") > 0)
+      .select("doc_id", "nsh")
+
+  private def jaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Int): DataFrame = {
     graft.Caches.fresh()
     // ONE tokenize+shingle pass, each shingle tagged with its df via
     // a window over the sh-shuffle, cached AFTER that exchange: the
@@ -167,12 +208,7 @@ object Graft {
     // whole operator does exactly three shuffles (by sh, by doc_id,
     // by pair)
     val sh = graft.Caches.materialized(
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .withColumn("tk", Text.tokenize(col(textCol)))
-        .select(col(idCol).as("doc_id"),
-          explode(Text.shinglesFast(k)(col("tk"))).as("sh"))
-        .withColumn("sdf", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh"))))
+      taggedShingles(df, idCol, textCol, k))
     // candidate-generating shingles: 2 ≤ df ≤ maxDf (df = 1 can't
     // produce a pair; df > maxDf is boilerplate whose pair emissions
     // grow as df²)
@@ -182,7 +218,20 @@ object Graft {
     // one aggregate pass
     val stats = sh.groupBy("doc_id").agg(
       count(lit(1)).as("nsh"),
-      sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"))
+      sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"),
+      sum(when(col("sdf") > maxDf, 1).otherwise(0)).as("nhot"))
+    // zero-recall detectability (one cheap agg over the cached sh):
+    // a doc ALL of whose shared shingles are hotter than maxDf
+    // generates no candidates, so a near-dup pair of two such docs is
+    // silently missed by the cap — surface the count instead of
+    // staying quiet (all-singleton docs pair with nobody even
+    // uncapped, so they don't count)
+    val nBlind = stats
+      .filter(col("nhid") === col("nsh") && col("nhot") > 0).count()
+    if (nBlind > 0) logger.warn(
+      s"jaccardPairs(maxDf=$maxDf): $nBlind doc(s) have only shingles " +
+        "with df > maxDf and CANNOT appear in any candidate pair; " +
+        "route them through minhashLshPairs (see Graft.jaccardBlindDocs)")
     // candidates + their capped-intersection counts in one self-join;
     // output bounded by maxDf · Σdf, linear in corpus size
     val rcnt = rare.as("a").join(rare.as("b"),

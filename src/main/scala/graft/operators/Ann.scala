@@ -45,21 +45,38 @@ object Ann {
     * precomputed once at ingest (a pure projection) and the scan is
     * further pruned by Dedup's band buckets written as a bucketed
     * table.
+    *
+    * `tau < 0` (the default) derives the cut from `sketchBits` via
+    * [[defaultTau]], so overriding the sketch width alone keeps a
+    * correctly-scaled Hamming cut instead of silently reusing a
+    * 512-bit constant.
     */
   def s2AnnLsh(t: Tables, probeId: Long = 0L, sketchBits: Int = 512,
-      tau: Int = 225): DataFrame = {
+      tau: Int = -1): DataFrame = {
+    val cut = if (tau >= 0) tau else defaultTau(sketchBits)
     val sigs = Dedup.hyperplaneSig(
       t.embeddings.select("vec_id", "embedding"), sketchBits)
     val probe = sigs.filter(col("vec_id") === probeId)
       .select(col("sig").as("psig"), col("v").as("pv"))
     sigs.filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
-      .filter(Vectors.hamming(col("sig"), col("psig")) <= tau)
+      .filter(Vectors.hamming(col("sig"), col("psig")) <= cut)
       .select(col("vec_id"),
         round(Vectors.cosine(col("v"), col("pv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Default s2 Hamming cut for a `bits`-wide sketch: unrelated pairs
+    * sit at Hamming ≈ bits/2 with binomial spread σ = √bits/2; the
+    * cut bits/2 − round(2.75σ) admits near neighbors (whose expected
+    * Hamming is bits·θ/π, well below bits/2 for any θ < π/2) while
+    * excluding ~all of the random bulk. For bits = 512 this is the
+    * measured-recall-1.0 cut 225; any other width scales the same way
+    * instead of inheriting a 512-calibrated constant.
+    */
+  private[graft] def defaultTau(bits: Int): Int =
+    bits / 2 - math.round(2.75 * math.sqrt(bits.toDouble) / 2).toInt
 
   /** Train an IVF coarse codebook with Lloyd's k-means (cosine
     * assignment, mean update): deterministic seeded init (the first
@@ -73,8 +90,10 @@ object Ann {
     */
   private[graft] def trainCodebook(vecs: DataFrame, nLists: Int,
       dim: Int = 64, iters: Int = 3): graft.expressions.PlaneMatrix = {
-    val init = vecs.filter(col("vec_id") < nLists)
-      .orderBy("vec_id").select("v").collect()
+    // seed = the FIRST nLists vectors in id order (TakeOrdered — no
+    // assumption that ids start at 0 or are dense; a filter(id <
+    // nLists) would silently shrink the codebook on sparse ids)
+    val init = vecs.orderBy("vec_id").limit(nLists).select("v").collect()
     var cents: Array[Double] = init.flatMap(
       _.getSeq[Double](0).padTo(dim, 0.0).toArray)
     for (_ <- 1 to iters) {
@@ -105,12 +124,24 @@ object Ann {
     * lists. At 100 TB the assignment is a write-once partition
     * column and a probe touches ~nProbe/nLists of the data.
     */
+  /** Train-once-per-corpus codebook registry: the docstring's own
+    * serving model is an OFFLINE-trained codebook reused by every
+    * probe, so repeated s3 calls against the same corpus must not
+    * re-run Lloyd's (3 full scans + a driver collect each). Keyed by
+    * (corpus dir, nLists); bounded by the handful of (corpus, shape)
+    * combinations a process serves.
+    */
+  private val codebooks =
+    scala.collection.mutable.Map[(String, Int), graft.expressions.PlaneMatrix]()
+
   def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
       nProbe: Int = 2): DataFrame = {
     val vecs = t.embeddings
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cb = trainCodebook(vecs, nLists)
+    val cb = codebooks.synchronized {
+      codebooks.getOrElseUpdate((t.dir, nLists), trainCodebook(vecs, nLists))
+    }
     val assigned = vecs.select(col("vec_id"), col("v"),
       element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"))
     val probeLists = vecs.filter(col("vec_id") === probeId)

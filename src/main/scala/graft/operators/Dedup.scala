@@ -317,12 +317,20 @@ object Dedup {
 
   /** DataFrame form of d6 for the graft.api facade and specs. */
   private[graft] def dedupGroupsFrom(docsIn: DataFrame,
-      threshold: Double): DataFrame = {
-    val pairs = minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b")
+      threshold: Double): DataFrame =
+    ccGroups(minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b"))
+
+  /** Connected components over an undirected pair frame (doc_a,
+    * doc_b) — the CC engine behind d6, exposed at the pairs level so
+    * any near-dup family's evidence (d2/d3/d4/d5) can be grouped and
+    * so the iteration logic is testable on adversarial graph shapes
+    * (long chains) without going through minhash.
+    */
+  private[graft] def ccGroups(pairs: DataFrame): DataFrame = {
     val edges = graft.Caches.materialized(
       pairs.union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b"))))
-    var labels = graft.Caches.materialized(
+    var labels = graft.Caches.cached(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")))
     // coalesce: a dup-free corpus has no edges, and sum over an empty
@@ -336,17 +344,33 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = graft.Caches.materialized(
-        labels.join(nbrMin, Seq("doc_id"), "left")
+      val hop = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+      // pointer-jump shortcut (L(v) := min(L(v), L_prev(L(v)))): every
+      // label value is itself a node id, so chasing one link halves
+      // the remaining distance to the component root — convergence in
+      // O(log diameter) joins instead of O(diameter), the difference
+      // between 4 and 40 shuffle rounds on a long dup chain
+      val next = graft.Caches.cached(
+        hop.join(
+          labels.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
+            least(col("label"), coalesce(col("ll"), col("label")))
               .as("label")))
       // labels are monotonically non-increasing, so an unchanged sum
-      // IS the fixpoint — one scalar agg over the fresh cache instead
-      // of a change-detection join per iteration
+      // IS the fixpoint — and this one scalar agg is ALSO the action
+      // that materializes the iteration's cache (single consumer, no
+      // broadcast race → no separate count() needed)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // superseded labels are dropped NOW, not at the next operator's
+      // fresh(): storage stays bounded by one iteration's working set
+      // instead of growing with component diameter
+      graft.Caches.drop(labels)
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")

@@ -35,6 +35,15 @@ class AnnStreamSpec extends SparkSpec {
     assert(kept.toDouble / n <= 0.3, s"sketch cut keeps $kept of $n")
   }
 
+  test("s2 tau derivation: default cut scales with sketch width, 512 keeps the calibrated 225") {
+    import graft.operators.Ann.defaultTau
+    assert(defaultTau(512) == 225)
+    // scaling law: cut stays bits/2 − Θ(√bits), so halving the width
+    // more than halves the cut (the σ margin shrinks only as √bits)
+    assert(defaultTau(256) == 106)
+    assert(defaultTau(128) > 0 && defaultTau(128) < defaultTau(256))
+  }
+
   test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet

@@ -117,6 +117,34 @@ class DedupTextSpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.2f")
   }
 
+  test("cc: pointer-jump label propagation resolves a 12-long chain + a separate pair") {
+    import SparkSpec.spark.implicits._
+    // chain 1-2-3-...-12 (diameter 11 — plain propagation would need
+    // 11 rounds; pointer jumping needs ~log2) plus component {20, 21}
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) :+ (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.ccGroups(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep_doc"),
+        r.getAs[Long]("group_size"))).toSet
+    val want = (1L to 12L).map(i => (i, 1L, 12L)).toSet ++
+      Set((20L, 20L, 2L), (21L, 20L, 2L))
+    assert(got == want)
+  }
+
+  test("d2 blind-doc diagnostic: boilerplate-only docs are reported, distinct docs are not") {
+    import SparkSpec.spark.implicits._
+    // 30 docs of identical boilerplate (every shingle df=30 > maxDf=8)
+    // plus 2 docs of unique text (all shingles df ≤ 8)
+    val docs = ((1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog again")) ++
+      Seq((101L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (102L, "unique words entirely different from any other text here")))
+      .toDF("doc_id", "text")
+    val blind = graft.api.Graft.jaccardBlindDocs(docs, "doc_id", "text",
+        k = 3, maxDf = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(blind == (1L to 30L).toSet)
+  }
+
   test("t1 langid: predictions are valid langs, score is max profile hit count") {
     val rows = run("t1_langid").collect()
     assert(rows.length == 500)
