@@ -160,6 +160,38 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    // mirrors hyperplaneSig(512 planes, same md5-seeded constants as
+    // d5's oracle) + the Hamming-cut prefilter + exact-cosine top-10;
+    // the cut literal is generated from defaultTau so the two engines
+    // can never drift apart
+    "s2_ann_lsh" ->
+      s"""WITH pl AS (
+         |  SELECT h, i,
+         |    ((CASE WHEN ascii(substring(md5(h || ':' || i), 1, 1)) >= 97
+         |       THEN ascii(substring(md5(h || ':' || i), 1, 1)) - 87
+         |       ELSE ascii(substring(md5(h || ':' || i), 1, 1)) - 48 END) * 16 +
+         |     (CASE WHEN ascii(substring(md5(h || ':' || i), 2, 1)) >= 97
+         |       THEN ascii(substring(md5(h || ':' || i), 2, 1)) - 87
+         |       ELSE ascii(substring(md5(h || ':' || i), 2, 1)) - 48 END)) / 255.0 * 2 - 1 AS w
+         |  FROM (SELECT unnest(range(0, 512)) AS h), (SELECT unnest(range(0, 64)) AS i)),
+         |pls AS (SELECT h, list(w ORDER BY i) AS pw FROM pl GROUP BY h),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, h,
+         |    CASE WHEN list_dot_product(v, pw) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM vv, pls),
+         |ham AS (
+         |  SELECT b.vec_id, sum(CASE WHEN b.bit <> p.bit THEN 1 ELSE 0 END) AS ham
+         |  FROM bits b JOIN bits p ON p.h = b.h
+         |  WHERE p.vec_id = 0 AND b.vec_id <> 0
+         |  GROUP BY b.vec_id),
+         |cand AS (SELECT vec_id FROM ham WHERE ham <= ${defaultTau(512)}),
+         |p AS (SELECT v AS pv FROM vv WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  round(list_dot_product(v.v, pv) /
+         |        (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(pv, pv))), 4) AS cos
+         |FROM cand c JOIN vv v ON v.vec_id = c.vec_id, p
+         |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin,
     "s1_ann_bruteforce" ->
       """WITH p AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
