@@ -68,6 +68,9 @@ object SparkEntry {
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m3_frame_sample"     -> q(Multimodal.m3FrameSample(_)),
+    "io1_jsonl_roundtrip" -> q(graft.sources.Io.io1JsonlRoundtrip),
+    "io2_csv_roundtrip"   -> q(graft.sources.Io.io2CsvRoundtrip),
+    "io3_partitioned_prune" -> q(graft.sources.Io.io3PartitionedPrune),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),
@@ -81,5 +84,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
       EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
-      Ann.oracle ++ Multimodal.oracle ++ graft.streaming.Streams.oracle
+      Ann.oracle ++ Multimodal.oracle ++ graft.sources.Io.oracle ++
+      graft.streaming.Streams.oracle
 }

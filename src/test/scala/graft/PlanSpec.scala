@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("q1_pricing_summary").contains("partial_sum"))
   }
 
+  test("io3: the operator's own partitioned read is partition-pruned") {
+    val p = plan("io3_partitioned_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderpriority"), p)
+  }
+
+  test("io1/io2: round-trip reads carry explicit schemas (no inference scan)") {
+    // writer schema == reader schema by construction; the query result
+    // matching the pre-round-trip oracle is asserted by the driver
+    // gate, so here just pin that both operators produce their rows
+    assert(run("io1_jsonl_roundtrip").count() == 500)
+    assert(run("io2_csv_roundtrip").count() == 5)
+  }
+
   test("partition pruning: a type-partitioned layout reads one partition") {
     import org.apache.spark.sql.functions._
     val dir = "target/tmp/events_by_type"
