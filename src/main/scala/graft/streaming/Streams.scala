@@ -182,6 +182,45 @@ object Streams {
     t.spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** st6: stream-stream INTERVAL join — click-to-purchase attribution
+    * within 30 minutes per user, both sides unbounded streams. The
+    * canonical two-stream stateful join: each side is watermarked
+    * (2 h), the join condition carries the event-time range, so Spark
+    * buffers each side's rows ONLY until the other side's watermark
+    * passes the range end — bounded state on endless streams, the
+    * property a naive "join two tables" port has no analog for. Inner
+    * join in append mode: a match is emitted exactly once, when both
+    * rows have arrived (cross-micro-batch matches come from the
+    * buffered state).
+    *
+    * Oracle-checkable: inner-join emission does not depend on
+    * watermark timing (the watermark only bounds state), so the
+    * run-to-completion result equals the batch interval self-join.
+    */
+  def st6StreamStreamJoin(t: Tables): DataFrame = {
+    val name = s"st6_sink_${ctr.incrementAndGet()}"
+    val clicks = eventStream(t)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = eventStream(t)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    t.spark.table(name).orderBy("click_id", "purchase_id")
+  }
+
   /** st4: INCREMENTAL near-duplicate detection — dedup against an
     * ever-growing corpus without recomparing history. Documents
     * stream in (two id-ordered micro-batches); each doc's 16-perm
@@ -387,6 +426,16 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // inner stream-stream join emission is watermark-independent, so
+    // the batch interval self-join IS the ground truth
+    "st6_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "st1_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

@@ -184,6 +184,28 @@ class AnnStreamSpec extends SparkSpec {
       s"stream=${st5.length} batch=${expected.length}")
   }
 
+  test("st6 stream-stream interval join equals the batch self-join twin") {
+    val got = run("st6_stream_stream_join").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("gap_us"))).toSet
+    val ev = Tables(spark, sf).events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.forall { case (_, _, _, gap) => gap >= 0 && gap <= 1800000000L })
+  }
+
   test("st2 streaming sessions = q9 sessions minus each user's open last session") {
     val q9 = run("q9_sessionize").collect()
     val st2 = run("st2_stream_sessionize").collect()
