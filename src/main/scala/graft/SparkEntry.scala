@@ -38,6 +38,7 @@ object SparkEntry {
     "q16_sketches"       -> q(Relational.q16Sketches),
     "q17_asof_join"      -> q(Relational.q17AsofJoin),
     "q18_range_join"     -> q(Relational.q18RangeJoin),
+    "q19_kmv_sketch"     -> q(Relational.q19KmvSketch),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

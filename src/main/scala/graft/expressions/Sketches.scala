@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * aggregate.
+  *
+  * Why this exists next to `approx_count_distinct`: HLL++ register
+  * merging is engine-specific, so q16's sketch can only be rows-only
+  * checked. KMV over an EXPLICIT hash column is engine-portable — the
+  * k smallest md5-derived values of a group are a deterministic set,
+  * so the estimate is bit-reproducible in any engine (the DuckDB
+  * oracle replays it with a window) while keeping the properties that
+  * matter at 100 TB: bounded state (k longs per group), map-side
+  * partial aggregation, and associative/commutative MERGES — the
+  * per-partition sketches combine by keeping the k smallest of the
+  * union, so a 1000-executor rollup is one shuffle of k-long buffers,
+  * never of raw values.
+  *
+  * Estimator (Bar-Yossef et al.): inputs are uniform hashes in
+  * [0, 2³²); with U(k) the k-th smallest, E[U(k)] ≈ k·M/(n+1) for M =
+  * 2³², so n̂ = (k−1)·M / U(k) (the −1 debiases). Groups with fewer
+  * than k distinct hashes are counted EXACTLY (the sketch holds them
+  * all) — the estimator only engages past its own capacity.
+  *
+  * Input column must already be the 32-bit hash as a long (the query
+  * derives it: first 8 hex chars of md5 — same construction the
+  * minhash family uses, replayable in SQL).
+  */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "kmv_distinct"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) { if (buf.add(h)) { buf.pollLast(); () } }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.isEmpty) null
+    else if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 4294967296.0 / buf.last.toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
+    copy(child = newChild)
+}

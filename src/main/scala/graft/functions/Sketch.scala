@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+
+/** Sketch aggregates with engine-portable determinism (see
+  * graft.expressions.Sketches).
+  */
+object Sketch {
+
+  /** KMV distinct-count estimate over a 32-bit-hash long column:
+    * mergeable bounded-state aggregate (k longs per group, map-side
+    * partial). Exact below k distinct hashes; (k−1)·2³²/U(k) above.
+    */
+  def kmvDistinct(hash: Column, k: Int): Column =
+    GraftExpressionBridge.column(
+      graft.expressions.KmvDistinctAgg(
+        GraftExpressionBridge.expression(hash), k).toAggregateExpression())
+}

@@ -290,6 +290,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** q19: DETERMINISTIC mergeable distinct sketch — KMV over an
+    * explicit md5-derived hash column (graft.expressions
+    * .KmvDistinctAgg), estimating distinct parts per return flag next
+    * to the exact count. Unlike q16's HLL++ (whose registers are
+    * engine-private → rows-only check), the k smallest hash values of
+    * a group are a deterministic SET, so this sketch is hash-gated
+    * against a DuckDB window replay while keeping the 100 TB sketch
+    * properties: k-long bounded state per group, map-side partial
+    * aggregation, associative merges (ObjectHashAggregate —
+    * PlanSpec-locked).
+    */
+  def q19KmvSketch(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("l_returnflag")
+      .agg(
+        floor(graft.functions.Sketch.kmvDistinct(col("h"), 64) * 10000 + 0.5)
+          .divide(10000.0).as("est_parts"),
+        countDistinct(col("h")).as("exact_hashes"))
+      .orderBy("l_returnflag")
+
   /** q17: AS-OF join — for every event, the latest order of the same
     * customer at or before the event time, then a per-type rollup of
     * the recency gap. Spark has no asof operator; the SCALABLE
@@ -497,6 +520,28 @@ object Relational {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // replays the KMV sketch exactly: same md5-hash domain, k-th
+    // smallest via a window, same debiased estimator and portable
+    // floor-rounding — a deterministic sketch is hash-gateable
+    "q19_kmv_sketch" ->
+      """WITH hh AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    list_sum([CAST((CASE WHEN ascii(substring(md5(CAST(l_partkey AS VARCHAR)), CAST(j AS INT), 1)) >= 97
+        |               THEN ascii(substring(md5(CAST(l_partkey AS VARCHAR)), CAST(j AS INT), 1)) - 87
+        |               ELSE ascii(substring(md5(CAST(l_partkey AS VARCHAR)), CAST(j AS INT), 1)) - 48 END) AS BIGINT)
+        |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)]) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, h,
+        |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS nd
+        |  FROM hh)
+        |SELECT flag AS l_returnflag,
+        |  floor((CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE 63 * 4294967296.0 / max(CASE WHEN rn = 64 THEN h END) END)
+        |        * 10000 + 0.5) / 10000.0 AS est_parts,
+        |  max(nd) AS exact_hashes
+        |FROM r GROUP BY flag ORDER BY l_returnflag""".stripMargin,
     "q17_asof_join" ->
       """WITH j AS (
         |  SELECT e.event_type, e.ts, o.o_orderdate

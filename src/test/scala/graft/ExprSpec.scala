@@ -44,4 +44,32 @@ class ExprSpec extends SparkSpec {
     assert(hof.keySet == fast.keySet)
     hof.foreach { case (id, sig) => assert(fast(id) == sig, s"doc $id") }
   }
+
+  test("KMV sketch: exact below capacity, estimator within 3σ above, merge-stable") {
+    import SparkSpec.spark.implicits._
+    import graft.functions.Sketch
+    val h = conv(substring(md5(col("v").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // 40 distinct values < k=64 → the sketch holds them all: exact
+    val small = (1 to 40).flatMap(v => Seq(("g", v), ("g", v))).toDF("g", "v")
+      .select(col("g"), h.as("h"))
+      .groupBy("g").agg(Sketch.kmvDistinct(col("h"), 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(small == 40.0)
+    // 5000 distinct values >> k: estimator engages; σ/n ≈ 1/√(k−2)
+    // (~12.6%), so 3σ ≈ 38% — a deterministic bound, not a flaky one
+    val big = (1 to 5000).map(v => ("g", v)).toDF("g", "v")
+      .select(col("g"), h.as("h"))
+      .groupBy("g").agg(Sketch.kmvDistinct(col("h"), 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(big / 5000.0 - 1.0) < 0.38, s"est $big for n=5000")
+    // merge associativity: the same data split across many partitions
+    // must give the IDENTICAL sketch (k smallest of the union)
+    val rep = (1 to 5000).map(v => ("g", v)).toDF("g", "v")
+      .repartition(13)
+      .select(col("g"), h.as("h"))
+      .groupBy("g").agg(Sketch.kmvDistinct(col("h"), 64).as("est"))
+      .collect()(0).getDouble(1)
+    assert(rep == big)
+  }
 }

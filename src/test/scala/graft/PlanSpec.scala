@@ -104,6 +104,11 @@ class PlanSpec extends SparkSpec {
     assert(plan("q1_pricing_summary").contains("partial_sum"))
   }
 
+  test("q19: KMV sketch aggregates map-side partial (mergeable, k-long buffers shuffle)") {
+    val p = plan("q19_kmv_sketch")
+    assert(p.contains("partial_kmv_distinct"), p.take(600))
+  }
+
   test("io3: the operator's own partitioned read is partition-pruned") {
     val p = plan("io3_partitioned_prune")
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
