@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_asof_join"      -> q(Relational.q17AsofJoin),
     "q18_range_join"     -> q(Relational.q18RangeJoin),
     "q19_kmv_sketch"     -> q(Relational.q19KmvSketch),
+    "q20_salted_join"    -> q(Relational.q20SaltedJoin(_)),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

@@ -345,6 +345,31 @@ object Graft {
     graft.streaming.Streams.incrementalEmbeddingDedup(
       stream, idCol, vecCol, threshold)
 
+  /** SALTED equi-join for skewed keys: the left (large, skewed) side
+    * gets a deterministic salt in [0, nSalts) from `saltSrc` (any
+    * per-row deterministic expression — an id column, a hash of the
+    * payload); the right side is replicated nSalts× with every salt
+    * value; the join runs on (key, salt). A key whose rows all landed
+    * in one reducer now spread across nSalts reducers — the standard
+    * straggler fix when a hot key exceeds what AQE's skew-split can
+    * rebalance (AQE splits partitions, not single oversized keys on
+    * the BUILD side). Cost: right side shuffles nSalts× its size —
+    * use for genuinely hot keys, with modest nSalts.
+    *
+    * Semantics-invariant by construction: every (l, r) match pairs
+    * exactly once, at salt = l's salt. The q20 oracle checks the
+    * salted plan against the PLAIN SQL join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      saltSrc: Column, nSalts: Int): DataFrame = {
+    val l = left.withColumn("_salt", pmod(saltSrc, lit(nSalts)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+      .drop("_salt")
+  }
+
   // ---- events ----
 
   /** Gap-based sessionization: new session after > gap silence. */

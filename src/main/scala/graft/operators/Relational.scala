@@ -313,6 +313,31 @@ object Relational {
         countDistinct(col("h")).as("exact_hashes"))
       .orderBy("l_returnflag")
 
+  /** q20: salted skew join (graft.api.Graft.saltedJoin) — events
+    * joined to customers on user key with an 8-way salt, then a
+    * segment rollup. The salt spreads any hot user across 8 reducers
+    * (the hand fix for single-key skew beyond AQE's partition
+    * splitting); the oracle is the PLAIN unsalted SQL join, proving
+    * the rewrite changes the shuffle layout and nothing else.
+    * PlanSpec asserts the join really is keyed on (key, salt) and
+    * stays non-broadcast, since a broadcast join would defeat the
+    * demonstration.
+    */
+  def q20SaltedJoin(t: Tables, nSalts: Int = 8): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"), col("value"))
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      // the dimension is broadcast-sized here; hint it to the shuffle
+      // path so the plan demonstrates the big×big shape salting is for
+      .hint("shuffle_hash")
+    graft.api.Graft.saltedJoin(ev, cust, "user_id", "c_custkey",
+        col("event_id"), nSalts)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q17: AS-OF join — for every event, the latest order of the same
     * customer at or before the event time, then a per-type rollup of
     * the recency gap. Spark has no asof operator; the SCALABLE
@@ -520,6 +545,12 @@ object Relational {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the UNSALTED join: salting must be invisible in the result
+    "q20_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // replays the KMV sketch exactly: same md5-hash domain, k-th
     // smallest via a window, same debiased estimator and portable
     // floor-rounding — a deterministic sketch is hash-gateable

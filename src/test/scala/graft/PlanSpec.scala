@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_distinct"), p.take(600))
   }
 
+  test("q20: salted join is keyed on (key, salt) and stays non-broadcast") {
+    val p = plan("q20_salted_join")
+    assert(p.contains("_salt"),
+      "salt column missing from the executed plan")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("_salt"), joinLine)
+    assert(!joinLine.contains("Broadcast"), joinLine)
+  }
+
   test("io3: the operator's own partitioned read is partition-pruned") {
     val p = plan("io3_partitioned_prune")
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
