@@ -159,7 +159,70 @@ object Ann {
       .limit(10)
   }
 
+  /** One Lloyd's-iteration CTE triple for the s3 oracle: assignment
+    * under the previous codebook (argmax cosine, ties to the lower
+    * cid — CentroidRanks' exact order), then the decimal-exact mean
+    * update, keeping the previous centroid for empty clusters
+    * (trainCodebook's `cents.clone()` semantics).
+    */
+  private def kmeansIterSql(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vv.vec_id, vv.v, cc.cid,
+       |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+       |        list_dot_product(vv.v, cc.cv) /
+       |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |        cc.cid) AS rn
+       |    FROM vv, (SELECT cid, v AS cv FROM c${i - 1}) cc) t
+       |  WHERE rn = 1),
+       |u$i AS (
+       |  SELECT cid, i,
+       |    CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS x
+       |  FROM a$i, (SELECT unnest(range(1, 65)) AS i) ii
+       |  GROUP BY cid, i),
+       |c$i AS (
+       |  SELECT p.cid, CASE WHEN u.uv IS NULL THEN p.v ELSE u.uv END AS v
+       |  FROM c${i - 1} p LEFT JOIN
+       |    (SELECT cid, list(x ORDER BY i) AS uv FROM u$i GROUP BY cid) u
+       |    USING (cid))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // full replay of s3: seeded codebook (first 16 vectors by id),
+    // three decimal-exact Lloyd's iterations, assignment + nProbe=2
+    // probe lists under the final codebook, exact-cosine top-10
+    "s3_ann_ivf" -> {
+      val iters = (1 to 3).map(kmeansIterSql).mkString(",\n")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 16) s),
+         |$iters,
+         |af AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vv.vec_id, vv.v, cc.cid,
+         |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+         |        list_dot_product(vv.v, cc.cv) /
+         |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |        cc.cid) AS rn
+         |    FROM vv, (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn = 1),
+         |pr AS (
+         |  SELECT cid FROM (
+         |    SELECT cc.cid, row_number() OVER (ORDER BY
+         |      list_dot_product(p.v, cc.cv) /
+         |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |      cc.cid) AS rn
+         |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+         |         (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn <= 2),
+         |p AS (SELECT v AS pv FROM vv WHERE vec_id = 0)
+         |SELECT a.vec_id,
+         |  round(list_dot_product(a.v, pv) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(pv, pv))), 4) AS cos
+         |FROM af a JOIN pr ON a.cid = pr.cid, p
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+    },
     // mirrors hyperplaneSig(512 planes, same md5-seeded constants as
     // d5's oracle) + the Hamming-cut prefilter + exact-cosine top-10;
     // the cut literal is generated from defaultTau so the two engines
