@@ -199,27 +199,50 @@ object Streams {
     */
   def st6StreamStreamJoin(t: Tables): DataFrame = {
     val name = s"st6_sink_${ctr.incrementAndGet()}"
-    val clicks = eventStream(t)
+    // ONE source, two filtered views (streaming self-join): the file
+    // scan runs once per micro-batch instead of once per side
+    val ev = eventStream(t)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
-    val purchases = eventStream(t)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // a two-sided stateful join materializes FOUR state stores per
+    // shuffle partition per micro-batch; the store-instance overhead,
+    // not data volume, dominates at local scale — run the join at 8
+    // partitions (the conf is captured at query START; production
+    // sizes this to throughput, not to the session's batch default)
+    val q = withShufflePartitions(t.spark, 8) {
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
     q.processAllAvailable(); q.stop()
     t.spark.table(name).orderBy("click_id", "purchase_id")
   }
+
+  /** Run `f` (which must START any streaming query inside it — the
+    * partition count is captured at start) under a temporary
+    * `spark.sql.shuffle.partitions`, restoring the session value
+    * after. Synchronized: the conf is session-global.
+    */
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T =
+    synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** st4: INCREMENTAL near-duplicate detection — dedup against an
     * ever-growing corpus without recomparing history. Documents
