@@ -28,13 +28,16 @@ object Multimodal {
         substring(lower(hex(col("bin"))), 1, 8).as("magic_hex"))
       .orderBy("doc_id")
 
-  /** m2: partition-batched decode / feature-extract (*rows-only*).
-    * The decode step is STUBBED with a deterministic fake (byte
-    * histogram + mean) — the real version would call an image/audio
-    * codec here, which this container does not ship. Everything
-    * around the stub is real: typed Dataset, `mapPartitions` with
-    * explicit batch grouping (the Scala analog of `mapInPandas`
-    * batch shape), fixed output schema.
+  /** m2: partition-batched decode / feature-extract. The decode step
+    * is STUBBED with a deterministic fake (byte histogram + mean) —
+    * the real version would call an image/audio codec here, which
+    * this container does not ship. Everything around the stub is
+    * real: typed Dataset, `mapPartitions` with explicit batch
+    * grouping (the Scala analog of `mapInPandas` batch shape), fixed
+    * output schema. The fake decoder is pure byte math over an ASCII
+    * payload, so even the stub is HASH-GATED: the oracle replays the
+    * histogram/mean from the text — a codec swap-in would revert this
+    * row to rows-only, the plumbing checks stay.
     */
   def m2FeatureStub(t: Tables, batchSize: Int = 32): DataFrame = {
     val spark = t.spark
@@ -55,7 +58,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "n_bytes", "top_bin", "mean_byte", "feat_dim")
-      .withColumn("mean_byte", round(col("mean_byte"), 4))
+      // portable rounding: mean = sum/len has a small power-of-two-ish
+      // denominator, exactly the regime where round() half-up on the
+      // shortest-string repr and the oracle's binary rounding diverge
+      .withColumn("mean_byte",
+        floor(col("mean_byte") * 10000 + 0.5) / 10000.0)
       .orderBy("doc_id")
   }
 
@@ -105,6 +112,25 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // replays the stub decoder's byte math from the ASCII payload:
+    // mod-8 histogram, first-max bin, portable-rounded mean byte
+    "m2_feature_stub" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    [ascii(substring(text, CAST(i AS INT), 1))
+        |     FOR i IN range(1, length(text) + 1)] AS bytes
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    [len(list_filter(bytes, x -> x % 8 = bin))
+        |     FOR bin IN range(0, 8)] AS hist,
+        |    list_sum(bytes) AS s
+        |  FROM b)
+        |SELECT doc_id, n AS n_bytes,
+        |  list_position(hist, list_aggregate(hist, 'max')) - 1 AS top_bin,
+        |  floor(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS mean_byte,
+        |  8 AS feat_dim
+        |FROM h ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

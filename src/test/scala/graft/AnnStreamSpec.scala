@@ -77,9 +77,8 @@ class AnnStreamSpec extends SparkSpec {
       bytes.foreach { b => val u = b & 0xff; hist(u % 8) += 1; sum += u }
       assert(r.getAs[Int]("n_bytes") == bytes.length)
       assert(r.getAs[Int]("top_bin") == hist.indexOf(hist.max))
-      assert(math.abs(r.getAs[Double]("mean_byte") -
-        BigDecimal(sum.toDouble / bytes.length)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getAs[Double]("mean_byte") ==
+        math.floor(sum.toDouble / bytes.length * 10000 + 0.5) / 10000.0)
     }
   }
 
