@@ -40,6 +40,7 @@ object SparkEntry {
     "q18_range_join"     -> q(Relational.q18RangeJoin),
     "q19_kmv_sketch"     -> q(Relational.q19KmvSketch),
     "q20_salted_join"    -> q(Relational.q20SaltedJoin(_)),
+    "q21_bottomk_quantiles" -> q(Relational.q21BottomkQuantiles(_)),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

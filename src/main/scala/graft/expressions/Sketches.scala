@@ -31,6 +31,114 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * derives it: first 8 hex chars of md5 — same construction the
   * minhash family uses, replayable in SQL).
   */
+/** Bottom-k-sample quantile sketch: the rows whose hash keys are the
+  * k smallest in the group form a DETERMINISTIC uniform sample (the
+  * hash is uniform and row-independent), and the quantile estimate is
+  * the exact interpolated quantile of that sample. Same 100 TB
+  * properties as [[KmvDistinctAgg]] — k-entry bounded state,
+  * map-side partial, associative merge (k smallest of the union) —
+  * and, unlike t-digest, the sample set is deterministic, so a SQL
+  * engine replays it with a window (`row_number() OVER (ORDER BY
+  * hash) <= k` + `quantile_cont`). Hash keys are full md5 hex strings
+  * (128-bit): collision-free in practice, so the sample never
+  * silently drops a row the oracle keeps.
+  *
+  * Interpolation matches `quantile_cont` exactly: h = (n−1)·p,
+  * v = v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] − v[⌊h⌋]) over the value-sorted
+  * sample.
+  */
+case class BottomKQuantilesAgg(
+    left: Expression,   // hash key (string)
+    right: Expression,  // value (double)
+    k: Int,
+    probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[String, Double]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "bottomk_quantiles"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.TreeMap[String, Double] =
+    new java.util.TreeMap[String, Double]()
+
+  private def insert(buf: java.util.TreeMap[String, Double],
+      h: String, v: Double): Unit =
+    if (buf.size < k) { buf.put(h, v); () }
+    else if (h < buf.lastKey) {
+      buf.put(h, v)
+      if (buf.size > k) { buf.remove(buf.lastKey); () }
+    }
+
+  override def update(buf: java.util.TreeMap[String, Double],
+      input: InternalRow): java.util.TreeMap[String, Double] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      insert(buf, h.toString, v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[String, Double],
+      other: java.util.TreeMap[String, Double]): java.util.TreeMap[String, Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); insert(buf, e.getKey, e.getValue) }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[String, Double]): Any = {
+    if (buf.isEmpty) return null
+    val vals = new Array[Double](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { vals(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val n = vals.length
+    val out = probs.map { p =>
+      val h = (n - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= n) vals(n - 1)
+      else vals(lo) + (h - lo) * (vals(lo + 1) - vals(lo))
+    }.toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[String, Double]): Array[Byte] = {
+    val entries = buf.entrySet()
+    val bb = java.nio.ByteBuffer.allocate(entries.size * 40)
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val hb = e.getKey.getBytes("UTF-8")
+      require(hb.length == 32, s"hash key must be 32-char md5 hex, got ${e.getKey}")
+      bb.put(hb); bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Double] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val hb = new Array[Byte](32)
+    while (bb.remaining() >= 40) {
+      bb.get(hb)
+      buf.put(new String(hb, "UTF-8"), bb.getDouble)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKQuantilesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKQuantilesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKQuantilesAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 case class KmvDistinctAgg(
     child: Expression,
     k: Int,

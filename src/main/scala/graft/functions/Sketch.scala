@@ -16,4 +16,17 @@ object Sketch {
     GraftExpressionBridge.column(
       graft.expressions.KmvDistinctAgg(
         GraftExpressionBridge.expression(hash), k).toAggregateExpression())
+
+  /** Quantile estimates (one per prob) from the deterministic
+    * bottom-k-by-hash uniform sample: bounded state, mergeable,
+    * SQL-replayable (window + quantile_cont). `hash` must be a
+    * 32-char md5 hex column.
+    */
+  def bottomKQuantiles(hash: Column, value: Column, k: Int,
+      probs: Seq[Double]): Column =
+    GraftExpressionBridge.column(
+      graft.expressions.BottomKQuantilesAgg(
+        GraftExpressionBridge.expression(hash),
+        GraftExpressionBridge.expression(value), k, probs)
+        .toAggregateExpression())
 }

@@ -313,6 +313,33 @@ object Relational {
         countDistinct(col("h")).as("exact_hashes"))
       .orderBy("l_returnflag")
 
+  /** q21: DETERMINISTIC quantile sketch — exact interpolated
+    * median/p90 of the bottom-128-by-md5 uniform sample per order
+    * priority (graft.expressions.BottomKQuantilesAgg). The
+    * deterministic counterpart to q16's t-digest, hash-gated: the
+    * oracle replays the identical sample with a hash-ordered window
+    * and quantile_cont. Bounded state (128 entries/group), map-side
+    * partial, associative merges — and the estimate converges as
+    * 1/√k to q14's exact quantiles (spec-checked).
+    */
+  def q21BottomkQuantiles(t: Tables, k: Int = 128): DataFrame =
+    t.orders
+      .select(col("o_orderpriority"),
+        md5(col("o_orderkey").cast("string")).as("h"),
+        col("o_totalprice"))
+      .groupBy("o_orderpriority")
+      .agg(
+        graft.functions.Sketch.bottomKQuantiles(
+          col("h"), col("o_totalprice"), k, Seq(0.5, 0.9)).as("qs"),
+        least(count(lit(1)), lit(k.toLong)).as("n_sample"))
+      .select(col("o_orderpriority"),
+        (floor(element_at(col("qs"), 1) * 10000 + 0.5) / 10000.0)
+          .as("med_est"),
+        (floor(element_at(col("qs"), 2) * 10000 + 0.5) / 10000.0)
+          .as("p90_est"),
+        col("n_sample"))
+      .orderBy("o_orderpriority")
+
   /** q20: salted skew join (graft.api.Graft.saltedJoin) — events
     * joined to customers on user key with an 8-way salt, then a
     * segment rollup. The salt spreads any hot user across 8 reducers
@@ -545,6 +572,24 @@ object Relational {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // replays the deterministic sample (hash-ordered window, k
+    // smallest md5 keys) and interpolates with quantile_cont — the
+    // identical doubles in the identical formula
+    "q21_bottomk_quantiles" ->
+      """WITH hh AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |  FROM hh)
+        |SELECT o_orderpriority,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0 AS med_est,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000.0 AS p90_est,
+        |  count(*) AS n_sample
+        |FROM r WHERE rn <= 128
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the UNSALTED join: salting must be invisible in the result
     "q20_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -72,4 +72,33 @@ class ExprSpec extends SparkSpec {
       .collect()(0).getDouble(1)
     assert(rep == big)
   }
+
+  test("bottom-k quantile sketch: merge-stable, tracks the exact quantiles") {
+    import graft.functions.Sketch
+    val orders = Tables(spark, sf).orders
+      .select(col("o_orderpriority"),
+        md5(col("o_orderkey").cast("string")).as("h"),
+        col("o_totalprice"))
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderpriority")
+      .agg(Sketch.bottomKQuantiles(col("h"), col("o_totalprice"), 128,
+        Seq(0.5, 0.9)).as("qs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val a = sketch(orders)
+    val b = sketch(orders.repartition(13))   // identical sample ⇒ identical est
+    assert(a == b)
+    // accuracy: a 128-of-~300 uniform sample's median/p90 sit within
+    // 15% of the exact interpolated quantiles (deterministic data)
+    val exact = Tables(spark, sf).orders
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
+        expr("percentile(o_totalprice, 0.9)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    a.foreach { case (pri, est) =>
+      val (m, p) = exact(pri)
+      assert(math.abs(est(0) / m - 1) < 0.15, s"$pri median ${est(0)} vs $m")
+      assert(math.abs(est(1) / p - 1) < 0.15, s"$pri p90 ${est(1)} vs $p")
+    }
+  }
 }
