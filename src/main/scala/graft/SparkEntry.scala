@@ -68,6 +68,7 @@ object SparkEntry {
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
+    "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m3_frame_sample"     -> q(Multimodal.m3FrameSample(_)),

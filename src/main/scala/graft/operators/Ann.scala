@@ -159,6 +159,39 @@ object Ann {
       .limit(10)
   }
 
+  /** s4: k-NN JOIN — top-k cosine neighbors for EVERY vector at once,
+    * the batch form 100 TB pipelines actually run (near-dup scoring,
+    * retrieval-index build), vs s1–s3's single-probe serving shape.
+    * Candidates come from the SAME banded multi-probe hyperplane LSH
+    * as d5 (one equi-join, no n² scan); each vector then ranks only
+    * its candidates by exact cosine. Ranking runs on the ROUNDED
+    * cosine with a doc-id tie-break so any engine ranks identically —
+    * which is what makes a per-vector top-k hash-gateable at all.
+    * One shuffle by source vector for the rank window; at cluster
+    * scale that window is the standard per-key top-k shape (map-side
+    * partial top-k via the bottom-k pattern if k·|V| ever dominates).
+    */
+  def s4KnnJoin(t: Tables, k: Int = 3): DataFrame = {
+    val vecsIn = t.embeddings.select("vec_id", "embedding")
+    val cand = Dedup.embeddingCandidates(vecsIn, probeRadius = 1)
+    val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val vecs = vecsIn
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    sym
+      .join(vecs.withColumnRenamed("vec_id", "src")
+        .withColumnRenamed("v", "sv"), "src")
+      .join(vecs.withColumnRenamed("vec_id", "dst")
+        .withColumnRenamed("v", "dv"), "dst")
+      .withColumn("cos", round(Vectors.cosine(col("sv"), col("dv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
   /** One Lloyd's-iteration CTE triple for the s3 oracle: assignment
     * under the previous codebook (argmax cosine, ties to the lower
     * cid — CentroidRanks' exact order), then the decimal-exact mean
@@ -187,6 +220,24 @@ object Ann {
        |    USING (cid))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // d5's candidate construction, symmetrized, then the per-vector
+    // rank window over ROUNDED cosines (identical tie-break)
+    "s4_knn_join" ->
+      s"""WITH ${Dedup.hyperplaneCandCte},
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM cand
+         |  UNION ALL SELECT vec_b, vec_a FROM cand),
+         |c AS (
+         |  SELECT src, dst,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+         |  FROM sym JOIN vv a ON a.vec_id = src JOIN vv b ON b.vec_id = dst),
+         |r AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM c)
+         |SELECT src, rank, dst, cos FROM r WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
     // full replay of s3: seeded codebook (first 16 vectors by id),
     // three decimal-exact Lloyd's iterations, assignment + nProbe=2
     // probe lists under the final codebook, exact-cosine top-10

@@ -443,6 +443,42 @@ object Dedup {
        |    string_agg(CAST(v AS VARCHAR), '-' ORDER BY p) AS sig
        |  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT))""".stripMargin
 
+  /** The d5 candidate construction (plane constants → signatures →
+    * banded buckets → Hamming-1 multi-probe collisions) as a shared
+    * CTE chain: used by the d5 oracle and the s4 k-NN-join oracle.
+    */
+  private[graft] val hyperplaneCandCte: String =
+      """pl AS (
+        |  SELECT h, i,
+        |    ((CASE WHEN ascii(substring(md5(h || ':' || i), 1, 1)) >= 97
+        |       THEN ascii(substring(md5(h || ':' || i), 1, 1)) - 87
+        |       ELSE ascii(substring(md5(h || ':' || i), 1, 1)) - 48 END) * 16 +
+        |     (CASE WHEN ascii(substring(md5(h || ':' || i), 2, 1)) >= 97
+        |       THEN ascii(substring(md5(h || ':' || i), 2, 1)) - 87
+        |       ELSE ascii(substring(md5(h || ':' || i), 2, 1)) - 48 END)) / 255.0 * 2 - 1 AS w
+        |  FROM (SELECT unnest(range(0, 4096)) AS h), (SELECT unnest(range(0, 64)) AS i)),
+        |pls AS (SELECT h, list(w ORDER BY i) AS pw FROM pl GROUP BY h),
+        |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, h,
+        |    CASE WHEN list_dot_product(v, pw) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM vv, pls),
+        |sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY h) AS s FROM bits GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b AS band, substring(s, CAST(b AS INT) * 16 + 1, 16) AS bsig
+        |  FROM sig, (SELECT unnest(range(0, 256)) AS b) bb),
+        |probes AS (
+        |  SELECT vec_id, band, CASE WHEN j = 0 THEN bsig
+        |    ELSE substring(bsig, 1, CAST(j AS INT) - 1) ||
+        |         (CASE WHEN substring(bsig, CAST(j AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+        |         substring(bsig, CAST(j AS INT) + 1, 16 - CAST(j AS INT)) END AS psig
+        |  FROM bands, (SELECT unnest(range(0, 17)) AS j) jj),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM probes x JOIN bands y
+        |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """WITH o AS (
@@ -551,36 +587,7 @@ object Dedup {
     // mirrors hyperplaneSig + hyperplaneBuckets + Hamming-1 multi-probe
     // (4096 planes = 256 bands × 16 bits, md5-seeded plane constants)
     "d5_embedding_neardup" ->
-      """WITH pl AS (
-        |  SELECT h, i,
-        |    ((CASE WHEN ascii(substring(md5(h || ':' || i), 1, 1)) >= 97
-        |       THEN ascii(substring(md5(h || ':' || i), 1, 1)) - 87
-        |       ELSE ascii(substring(md5(h || ':' || i), 1, 1)) - 48 END) * 16 +
-        |     (CASE WHEN ascii(substring(md5(h || ':' || i), 2, 1)) >= 97
-        |       THEN ascii(substring(md5(h || ':' || i), 2, 1)) - 87
-        |       ELSE ascii(substring(md5(h || ':' || i), 2, 1)) - 48 END)) / 255.0 * 2 - 1 AS w
-        |  FROM (SELECT unnest(range(0, 4096)) AS h), (SELECT unnest(range(0, 64)) AS i)),
-        |pls AS (SELECT h, list(w ORDER BY i) AS pw FROM pl GROUP BY h),
-        |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, h,
-        |    CASE WHEN list_dot_product(v, pw) >= 0 THEN '1' ELSE '0' END AS bit
-        |  FROM vv, pls),
-        |sig AS (
-        |  SELECT vec_id, string_agg(bit, '' ORDER BY h) AS s FROM bits GROUP BY vec_id),
-        |bands AS (
-        |  SELECT vec_id, b AS band, substring(s, CAST(b AS INT) * 16 + 1, 16) AS bsig
-        |  FROM sig, (SELECT unnest(range(0, 256)) AS b) bb),
-        |probes AS (
-        |  SELECT vec_id, band, CASE WHEN j = 0 THEN bsig
-        |    ELSE substring(bsig, 1, CAST(j AS INT) - 1) ||
-        |         (CASE WHEN substring(bsig, CAST(j AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
-        |         substring(bsig, CAST(j AS INT) + 1, 16 - CAST(j AS INT)) END AS psig
-        |  FROM bands, (SELECT unnest(range(0, 17)) AS j) jj),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM probes x JOIN bands y
-        |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id),
+      s"""WITH $hyperplaneCandCte,
         |c AS (
         |  SELECT vec_a, vec_b,
         |    round(list_dot_product(a.v, b.v) /
@@ -589,4 +596,5 @@ object Dedup {
         |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin
   )
+
 }

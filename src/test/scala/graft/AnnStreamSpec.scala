@@ -55,6 +55,46 @@ class AnnStreamSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("s4 knn join: ranked rows per src; recall ≥ 0.55 overall, ≥ 0.9 in the cos≥0.45 regime") {
+    val rows = run("s4_knn_join").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos")))
+    val bySrc = rows.groupBy(_._1)
+    bySrc.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))   // contiguous ranks
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 >= p(1)._4))                   // cos descending
+    }
+    // exact ground truth (test-only cross join at sf0.001 scale)
+    val vv = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = vv.as("a").crossJoin(vv.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", round(graft.functions.Vectors.cosine(
+        col("a.v"), col("b.v")), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a.vec_id")
+          .orderBy(col("cos").desc, col("b.vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactAll = exact.map(e => (e._1, e._2)).toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    // the corpus is isotropic: most exact top-3 neighbors sit in the
+    // low-cosine bulk (~3σ ≈ 0.37) where NO hash index has recall
+    // guarantees — so the overall bound is modest, and the real
+    // promise (the d5-measured regime, cos ≥ 0.45) is held high
+    val recall = got.count(exactAll).toDouble / exactAll.size
+    val hi = exact.filter(_._3 >= 0.45).map(e => (e._1, e._2)).toSet
+    val hiRecall =
+      if (hi.isEmpty) 1.0 else got.count(hi).toDouble / hi.size
+    info(f"s4 knn-join recall: overall $recall%.3f, cos≥0.45 $hiRecall%.3f (${hi.size} pairs)")
+    assert(recall >= 0.55, f"overall recall $recall%.3f")
+    assert(hiRecall >= 0.9, f"hi-sim recall $hiRecall%.3f")
+  }
+
   test("m1 binary meta: byte length == char length (ascii), sha256 shape") {
     val rows = run("m1_binary_meta").collect()
     assert(rows.length == 500)
