@@ -173,7 +173,12 @@ object Ann {
     */
   def s4KnnJoin(t: Tables, k: Int = 3): DataFrame = {
     val vecsIn = t.embeddings.select("vec_id", "embedding")
-    val cand = Dedup.embeddingCandidates(vecsIn, probeRadius = 1)
+    // cached: the union below consumes the candidate join TWICE (one
+    // direction each), and an uncached frame would re-run it per
+    // reference (embeddingCandidates opens this operator's cache
+    // scope, so this cache is released by the next operator)
+    val cand = graft.Caches.materialized(
+      Dedup.embeddingCandidates(vecsIn, probeRadius = 1))
     val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionAll(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val vecs = vecsIn
