@@ -312,6 +312,20 @@ object Graft {
 
   // ---- ann ----
 
+  /** k-NN JOIN: top-k cosine neighbors for EVERY row — the batch ANN
+    * shape (near-dup scoring, retrieval-index build). Candidates come
+    * from the banded multi-probe hyperplane LSH (no n² scan); each
+    * row ranks only its candidates, on ROUNDED cosines with an id
+    * tie-break (engine-portable ranking). Output: (src, rank, dst,
+    * cos). Recall depends on the similarity regime — near-total for
+    * neighbors at cos ≥ 0.45, best-effort in the isotropic bulk.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3): DataFrame =
+    graft.operators.Ann.knnJoinFrom(
+      df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("embedding")), k)
+
   /** Exact top-k cosine neighbors of a literal probe vector. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       probe: Seq[Double], k: Int = 10): DataFrame = {

@@ -171,8 +171,13 @@ object Ann {
     * scale that window is the standard per-key top-k shape (map-side
     * partial top-k via the bottom-k pattern if k·|V| ever dominates).
     */
-  def s4KnnJoin(t: Tables, k: Int = 3): DataFrame = {
-    val vecsIn = t.embeddings.select("vec_id", "embedding")
+  def s4KnnJoin(t: Tables, k: Int = 3): DataFrame =
+    knnJoinFrom(t.embeddings.select("vec_id", "embedding"), k)
+
+  /** DataFrame form of s4 for the graft.api facade: any
+    * (vec_id, embedding) frame in, (src, rank, dst, cos) out.
+    */
+  private[graft] def knnJoinFrom(vecsIn: DataFrame, k: Int): DataFrame = {
     // cached: the union below consumes the candidate join TWICE (one
     // direction each), and an uncached frame would re-run it per
     // reference (embeddingCandidates opens this operator's cache

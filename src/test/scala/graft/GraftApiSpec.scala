@@ -101,6 +101,36 @@ class GraftApiSpec extends SparkSpec {
     assert(nn.head.getAs[Long]("vec_id") == 1L)
   }
 
+  test("saltedJoin equals the plain join on an ad-hoc skewed frame") {
+    // 200 facts all on ONE hot key + a few cold ones
+    val facts = ((1 to 200).map(i => (i.toLong, 7L)) ++
+      Seq((201L, 1L), (202L, 2L))).toDF("row_id", "k")
+    val dims = Seq((7L, "hot"), (1L, "c1"), (2L, "c2"), (9L, "unused"))
+      .toDF("dk", "label")
+    val salted = Graft.saltedJoin(facts, dims, "k", "dk",
+        col("row_id"), nSalts = 4)
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = facts.join(dims, col("k") === col("dk"))
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain && salted.size == 202)
+  }
+
+  test("knnJoin ranks a planted twin first on ad-hoc vectors") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(60)(Array.fill(64)(rnd.nextGaussian()))
+    // vec 100 is a near-copy of vec 0 — it must be vec 0's rank-1
+    val twin = base(0).map(x => x + 0.05 * rnd.nextGaussian())
+    val vecs = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (100L, twin)).toSeq.toDF("id", "emb")
+    val rows = Graft.knnJoin(vecs, "id", "emb", k = 2).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst")))
+    assert(rows.contains((0L, 1, 100L)), rows.filter(_._1 == 0L).toSeq)
+    assert(rows.contains((100L, 1, 0L)))
+  }
+
   test("operator caches are scoped: no net storage growth across calls") {
     val docs = Seq.tabulate(40)(i => (i.toLong,
       s"alpha beta gamma delta epsilon zeta eta theta word$i tail$i"))
