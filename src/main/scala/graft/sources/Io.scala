@@ -102,10 +102,10 @@ object Io {
       .orderBy("o_orderstatus")
   }
 
-  /** The partitioned-orders read half, exposed so PlanSpec can assert
-    * pruning on exactly the production read path.
+  /** The partitioned-orders read half (explicit schema incl. the
+    * partition column — no inference scan).
     */
-  private[graft] def partitionedOrders(t: Tables, dir: String): DataFrame = {
+  private def partitionedOrders(t: Tables, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),
@@ -115,9 +115,6 @@ object Io {
     t.spark.read.schema(schema.add("o_orderpriority", StringType))
       .parquet(dir)
   }
-
-  private[graft] def io3ScanDir(t: Tables): String =
-    staged.get(s"${t.dir}:part_parquet")
 
   val oracle: Map[String, String] = Map(
     "io1_jsonl_roundtrip" ->
