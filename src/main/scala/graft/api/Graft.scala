@@ -80,11 +80,18 @@ object Graft {
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs) + 1) / (col("df") + 1)) + 1)
 
-  /** Cosine-normalized TF-IDF top-k for a term query. */
-  def searchTfIdf(tf: DataFrame, idfTab: DataFrame, terms: Seq[String],
-      k: Int = 5): DataFrame = {
-    val w = tf.join(idfTab.select("term", "idf"), "term")
+  /** Doc-term ltc weights w = (1 + ln tf) · idf over a TF table. */
+  private def tfIdfWeights(tf: DataFrame, idfTab: DataFrame): DataFrame =
+    tf.join(idfTab.select("term", "idf"), "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
+
+  /** Scoring half of TF-IDF search over a prepared weights frame
+    * (doc_id, term, w, idf). The weights frame is consumed TWICE
+    * (norms + query numerators) — callers running this over a
+    * non-trivial pipeline should cache it (see [[search]]).
+    */
+  private def scoreTfIdf(w: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.filter(col("term").isin(terms: _*))
       .groupBy("doc_id").agg(sum(col("w") * col("idf")).as("num"))
@@ -93,6 +100,15 @@ object Graft {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Cosine-normalized TF-IDF top-k for a term query. Lazy — composes
+    * the caller's frames as-is; the weights subtree is referenced
+    * twice, so pass cached tf/idf frames (or use [[search]], which
+    * owns its caching) when they are expensive.
+    */
+  def searchTfIdf(tf: DataFrame, idfTab: DataFrame, terms: Seq[String],
+      k: Int = 5): DataFrame =
+    scoreTfIdf(tfIdfWeights(tf, idfTab), terms, k)
 
   /** BM25 (k1=1.2, b=0.75) top-k over a (doc_id, term, tf) frame. */
   def searchBm25(tf: DataFrame, terms: Seq[String], k: Int = 5): DataFrame =
@@ -121,11 +137,18 @@ object Graft {
     * Tokenizes with [[tokenizeQuery]] (same semantics as
     * `Text.tokenize`) and scores cosine-normalized TF-IDF; equal to
     * `searchTfIdf` on the pre-tokenized term list by construction.
+    *
+    * Owns its caching (operator-scoped, see graft.Caches): the TF and
+    * weights tables are each consumed by several joins, and an
+    * uncached plan re-runs the tokenize+explode scan per consumer —
+    * measured ~4× the cached cost.
     */
   def search(docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int = 5): DataFrame = {
-    val tf = termFreq(docs, idCol, textCol)
-    searchTfIdf(tf, idfOf(docs, tf), tokenizeQuery(query), k)
+    graft.Caches.fresh()
+    val tf = graft.Caches.cached(termFreq(docs, idCol, textCol))
+    val w = graft.Caches.materialized(tfIdfWeights(tf, idfOf(docs, tf)))
+    scoreTfIdf(w, tokenizeQuery(query), k)
   }
 
   // ---- dedup ----
@@ -156,6 +179,14 @@ object Graft {
     * why the uncapped SQL form stays a valid oracle). Corpora whose
     * near-dups share only boilerplate should route to minhashLshPairs,
     * whose banding is df-insensitive.
+    *
+    * NOT a lazy plan-builder: the call eagerly materializes its
+    * internal shingle/candidate caches (several joins of the same
+    * plan consume them — an unmaterialized cache would be recomputed
+    * by each) and, in the same materializing pass, checks for docs
+    * the cap makes invisible (logs a warning; see
+    * [[jaccardBlindDocs]]). Callers pay those jobs at call time, not
+    * at first action on the result.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxDf: Int = 16): DataFrame =
@@ -207,8 +238,7 @@ object Graft {
     // the candidate self-join below needs NO further exchange — the
     // whole operator does exactly three shuffles (by sh, by doc_id,
     // by pair)
-    val sh = graft.Caches.materialized(
-      taggedShingles(df, idCol, textCol, k))
+    val sh = graft.Caches.cached(taggedShingles(df, idCol, textCol, k))
     // candidate-generating shingles: 2 ≤ df ≤ maxDf (df = 1 can't
     // produce a pair; df > maxDf is boilerplate whose pair emissions
     // grow as df²)
@@ -220,12 +250,14 @@ object Graft {
       count(lit(1)).as("nsh"),
       sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"),
       sum(when(col("sdf") > maxDf, 1).otherwise(0)).as("nhot"))
-    // zero-recall detectability (one cheap agg over the cached sh):
-    // a doc ALL of whose shared shingles are hotter than maxDf
-    // generates no candidates, so a near-dup pair of two such docs is
-    // silently missed by the cap — surface the count instead of
-    // staying quiet (all-singleton docs pair with nobody even
-    // uncapped, so they don't count)
+    // zero-recall detectability: a doc ALL of whose shared shingles
+    // are hotter than maxDf generates no candidates, so a near-dup
+    // pair of two such docs is silently missed by the cap — surface
+    // the count instead of staying quiet (all-singleton docs pair
+    // with nobody even uncapped, so they don't count). This scalar
+    // agg runs BEFORE any parallel consumer, so it doubles as the
+    // action that materializes the sh cache — the diagnostic costs
+    // no extra job (same pattern as d6's convergence sum)
     val nBlind = stats
       .filter(col("nhid") === col("nsh") && col("nhot") > 0).count()
     if (nBlind > 0) logger.warn(
@@ -377,11 +409,16 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       saltSrc: Column, nSalts: Int): DataFrame = {
-    val l = left.withColumn("_salt", pmod(saltSrc, lit(nSalts)).cast("int"))
-    val r = right.withColumn("_salt",
+    // the working column must not collide with either caller schema —
+    // a fixed name would silently overwrite (and then drop) a real
+    // caller column of the same name
+    val salt = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+    val l = left.withColumn(salt, pmod(saltSrc, lit(nSalts)).cast("int"))
+    val r = right.withColumn(salt,
       explode(sequence(lit(0), lit(nSalts - 1))))
-    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
-      .drop("_salt")
+    l.join(r, l(leftKey) === r(rightKey) && l(salt) === r(salt))
+      .drop(salt)
   }
 
   // ---- events ----

@@ -65,20 +65,44 @@ case class BottomKQuantilesAgg(
   override def createAggregationBuffer(): java.util.TreeMap[String, Double] =
     new java.util.TreeMap[String, Double]()
 
+  /** The hash column must be unique per row (md5 of a row-unique
+    * value): a duplicate key would silently overwrite a sample entry,
+    * shrinking the sample and diverging from the oracle's replay.
+    * Duplicates with the SAME value are tolerated (idempotent —
+    * retried tasks re-feed rows); a duplicate with a DIFFERENT value
+    * is a caller bug and fails loud wherever the two copies first
+    * meet (update or merge).
+    */
   private def insert(buf: java.util.TreeMap[String, Double],
-      h: String, v: Double): Unit =
-    if (buf.size < k) { buf.put(h, v); () }
+      h: String, v: Double): Unit = {
+    // containsKey, NOT a get-against-null check: the map's value type
+    // is scala.Double, so `get` compiles to unbox-then-rebox and a
+    // missing key surfaces as boxed 0.0, never null
+    if (buf.containsKey(h)) {
+      val prev = buf.get(h)
+      if (prev != v) throw new IllegalStateException(
+        s"bottomk_quantiles: duplicate hash key $h with differing values " +
+          s"($prev vs $v) — the hash column must be unique per row")
+    } else if (buf.size < k) { buf.put(h, v); () }
     else if (h < buf.lastKey) {
       buf.put(h, v)
       if (buf.size > k) { buf.remove(buf.lastKey); () }
     }
+  }
 
   override def update(buf: java.util.TreeMap[String, Double],
       input: InternalRow): java.util.TreeMap[String, Double] = {
     val h = left.eval(input)
     val v = right.eval(input)
-    if (h != null && v != null)
-      insert(buf, h.toString, v.asInstanceOf[Double])
+    if (h != null && v != null) {
+      val hs = h.toString
+      // validate the key shape HERE, where the offending row is being
+      // consumed — not at serialize time, where the failure surfaces
+      // only at shuffle and far from the cause
+      require(hs.length == 32,
+        s"bottomk_quantiles: hash key must be 32-char md5 hex, got '$hs'")
+      insert(buf, hs, v.asInstanceOf[Double])
+    }
     buf
   }
 
@@ -112,9 +136,9 @@ case class BottomKQuantilesAgg(
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
-      val hb = e.getKey.getBytes("UTF-8")
-      require(hb.length == 32, s"hash key must be 32-char md5 hex, got ${e.getKey}")
-      bb.put(hb); bb.putDouble(e.getValue)
+      // key shape was validated at update(); 32 bytes per key here is
+      // an invariant, not a user-input check
+      bb.put(e.getKey.getBytes("UTF-8")); bb.putDouble(e.getValue)
     }
     bb.array()
   }

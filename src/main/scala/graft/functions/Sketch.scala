@@ -20,7 +20,10 @@ object Sketch {
   /** Quantile estimates (one per prob) from the deterministic
     * bottom-k-by-hash uniform sample: bounded state, mergeable,
     * SQL-replayable (window + quantile_cont). `hash` must be a
-    * 32-char md5 hex column.
+    * 32-char md5 hex column and UNIQUE PER ROW (md5 of a row-unique
+    * value): duplicate keys would collapse sample entries, so the
+    * aggregate fails loud on a duplicate key carrying a different
+    * value (same-value duplicates are tolerated as idempotent).
     */
   def bottomKQuantiles(hash: Column, value: Column, k: Int,
       probs: Seq[Double]): Column =

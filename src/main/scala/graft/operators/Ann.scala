@@ -128,19 +128,25 @@ object Ann {
     * serving model is an OFFLINE-trained codebook reused by every
     * probe, so repeated s3 calls against the same corpus must not
     * re-run Lloyd's (3 full scans + a driver collect each). Keyed by
-    * (corpus dir, nLists); bounded by the handful of (corpus, shape)
-    * combinations a process serves.
+    * the FULL training input — (corpus dir, nLists, dim, iters) — so
+    * a call with a different shape never reuses a mismatched model;
+    * bounded by the handful of (corpus, shape) combinations a process
+    * serves. ASSUMES the data under `dir` is immutable for the JVM's
+    * lifetime (the lake-snapshot contract every trained-model cache
+    * makes); a pipeline that rewrites a corpus path in-process must
+    * restart or clear this registry.
     */
-  private val codebooks =
-    scala.collection.mutable.Map[(String, Int), graft.expressions.PlaneMatrix]()
+  private val codebooks = scala.collection.mutable
+    .Map[(String, Int, Int, Int), graft.expressions.PlaneMatrix]()
 
   def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, dim: Int = 64, iters: Int = 3): DataFrame = {
     val vecs = t.embeddings
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cb = codebooks.synchronized {
-      codebooks.getOrElseUpdate((t.dir, nLists), trainCodebook(vecs, nLists))
+      codebooks.getOrElseUpdate((t.dir, nLists, dim, iters),
+        trainCodebook(vecs, nLists, dim, iters))
     }
     val assigned = vecs.select(col("vec_id"), col("v"),
       element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"))

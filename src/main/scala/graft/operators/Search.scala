@@ -149,11 +149,10 @@ object Search {
     * applies verbatim — which is exactly the point: the string path
     * must produce the identical ranking.
     */
-  def r13SearchQueryString(t: Tables): DataFrame = {
-    graft.Caches.fresh()
+  def r13SearchQueryString(t: Tables): DataFrame =
+    // Graft.search owns its cache scope (fresh() + cached tf/weights)
     graft.api.Graft.search(t.documents, "doc_id", "text",
       "Spark FILTER join; window... GROUP?", k = 5)
-  }
 
   /** Materialize the search index as bucketed tables (the cluster
     * deployment path): TF and IDF both bucketed+sorted by `term`, so

@@ -26,18 +26,43 @@ object Io {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // staged trees are JVM-scoped scratch: delete them on exit so disk
+  // does not accumulate across processes (the memo map keeps them
+  // alive for THIS JVM's lifetime)
+  private val cleanup: Thread = {
+    val th = new Thread(() => staged.values.forEach { d =>
+      try deleteTree(java.nio.file.Paths.get(d)) catch { case _: Exception => }
+    }, "graft-io-stage-cleanup")
+    Runtime.getRuntime.addShutdownHook(th)
+    th
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteTree)
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
   /** Write `df` once per (corpus dir, tag) via `write`, return the
     * staging path (memoized — repeated operator calls reuse the
     * landed data, like repeated queries over one lake table).
+    * WRITE-ONCE-PER-JVM: like every lake-snapshot cache here (see
+    * Ann.codebooks), this assumes the source under `t.dir` is
+    * immutable while the process lives — an in-JVM rewrite of the
+    * corpus path would be served a stale staged copy. The staged
+    * trees are removed by a shutdown hook.
     */
   private def stage(t: Tables, tag: String, df: => DataFrame)(
-      write: (DataFrame, String) => Unit): String =
+      write: (DataFrame, String) => Unit): String = {
+    val _ = cleanup // force hook registration before first staging
     staged.computeIfAbsent(s"${t.dir}:$tag", { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_io_${tag}_").toString
       write(df, dir)
       dir
     })
+  }
 
   /** io1: JSON-lines round trip of the documents table. The sink is
     * `write.json` (one JSON object per line — the interchange format
