@@ -60,11 +60,15 @@ object SparkEntry {
     "d4_simhash"          -> q(Dedup.d4Simhash(_)),
     "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
+    "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),
     "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
     "t3_token_count"      -> q(TextAnalysis.t3TokenCount),
     "t4_fingerprint"      -> q(TextAnalysis.t4Fingerprint),
     "t5_pii_scrub"        -> q(TextAnalysis.t5PiiScrub),
+    "t6_sequence_pack"    -> q(TextAnalysis.t6SequencePack(_)),
+    "t7_mixture_sample"   -> q(TextAnalysis.t7MixtureSample),
+    "t8_repetition"       -> q(TextAnalysis.t8Repetition),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
@@ -75,6 +79,8 @@ object SparkEntry {
     "io1_jsonl_roundtrip" -> q(graft.sources.Io.io1JsonlRoundtrip),
     "io2_csv_roundtrip"   -> q(graft.sources.Io.io2CsvRoundtrip),
     "io3_partitioned_prune" -> q(graft.sources.Io.io3PartitionedPrune),
+    "io4_upsert_merge"    -> q(graft.sources.Io.io4UpsertMerge),
+    "io5_compaction"      -> q(graft.sources.Io.io5Compaction(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

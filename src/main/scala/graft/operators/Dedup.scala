@@ -380,6 +380,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d7: BENCHMARK DECONTAMINATION — the dedup family's third shape
+    * (exact d1, near-dup d2–d6, and this: train-vs-eval overlap).
+    * Before training, every corpus is screened for documents that
+    * contain an evaluation benchmark's n-grams; contaminated docs are
+    * dropped or flagged. Here the "benchmark" is the deterministic
+    * doc_id % 97 slice of the corpus (both engines construct it
+    * identically); contamination = sharing ≥1 distinct word-5-gram.
+    * Output: (train_id, bench_id, n_shared) per contaminated pair.
+    *
+    * Scale design: this is the one similarity op where one side is
+    * TINY by construction (eval suites are KBs against 100 TB), so
+    * the candidate join is a BROADCAST of the benchmark's shingle
+    * set against a single corpus scan — no corpus shuffle at all
+    * until the (train, bench) pair aggregate, whose cardinality is
+    * the contamination count (≈0 on clean corpora). The 5-gram cut
+    * matches standard decontamination practice (8-13-gram in prod;
+    * 5 here because synthetic docs are ~50 tokens).
+    */
+  def d7Decontaminate(t: Tables, k: Int = 5): DataFrame = {
+    graft.Caches.fresh()
+    // one tokenize+shingle pass serves both sides (locally the bench
+    // slice comes from the same table; in production it is a separate
+    // tiny input and the corpus side is a single uncached scan)
+    val sh = graft.Caches.materialized(
+      spread(t.documents.select("doc_id", "text"))
+        .withColumn("tk", Text.tokenize(col("text")))
+        .select(col("doc_id"),
+          explode(Text.shinglesFast(k)(col("tk"))).as("sh")))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id").as("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "bench_id")
+  }
+
   /** Materialize the minhash band-signature table BUCKETED by its
     * join key (band, sig) — the cluster deployment path for
     * continuous dedup: the signature table is built once per corpus
@@ -480,6 +517,26 @@ object Dedup {
         |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // 5-gram twin of shingleCte + the tiny-side join; count(*) over
+    // distinct-shingle collisions = |intersection of 5-gram sets|
+    "d7_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(tk) >= 5 THEN
+        |      [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, greatest(len(tk) - 3, 1))]
+        |    ELSE [] END) AS sh
+        |  FROM toks),
+        |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+        |bench AS (SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id AS train_id, b.bench_id, count(*) AS n_shared
+        |FROM shx t JOIN bench b ON t.sh = b.sh
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin,
     "d1_dedup_exact" ->
       """WITH o AS (
         |  SELECT doc_id, text, unnest(range(0, length(text), 100)) AS start

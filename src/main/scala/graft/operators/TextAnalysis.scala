@@ -130,6 +130,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t6: SEQUENCE PACKING — the concat-and-chunk step a pretraining
+    * pipeline runs last: documents are concatenated in id order within
+    * each source shard and split into fixed token-budget packs; a doc
+    * may straddle a pack boundary. Reports, per doc, its token span
+    * and the first/last pack it lands in.
+    *
+    * Scale shape: ONE window shuffle partitioned by source (= shard).
+    * Real pipelines pack per shard exactly so the running sum never
+    * needs a global order — the per-source cumulative sum is the
+    * whole computation, embarrassingly parallel across shards. A
+    * global (unsharded) pack order would serialize 100 TB through one
+    * partition and is deliberately not offered.
+    */
+  def t6SequencePack(t: Tables, budget: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " +"), x => length(x) > 0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        floor((col("cum") - col("n_tok")) / budget).cast("long").as("pack_first"),
+        floor((col("cum") - 1) / budget).cast("long").as("pack_last"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** t7: MIXTURE SAMPLING — deterministic per-source Bernoulli
+    * sampling, the mechanism behind corpus mixture weights ("keep 20%
+    * of crawl, 80% of reference"). The keep decision is a pure hash
+    * of the doc id (u = first-8-md5-hex / 2³² < rate), so the sample
+    * is reproducible run-to-run, engine-to-engine, and under any
+    * partitioning — unlike `df.sample`, whose seed is partition-
+    * dependent. Rates ride in as a broadcast weights dimension (here
+    * derived from the source name; production passes its mixture
+    * config table). Pure projection + broadcast join: no shuffle.
+    */
+  def t7MixtureSample(t: Tables): DataFrame = {
+    val weights = t.documents.select("source").distinct()
+      .withColumn("rate",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1) * lit(0.2))
+    val u = (conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)).as("u")
+    t.documents.select(col("doc_id"), col("source"))
+      .join(broadcast(weights), "source")
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
+      .select("doc_id", "source", "rate", "u")
+      .orderBy("doc_id")
+  }
+
+  /** t8: REPETITION QUALITY STATS (Gopher-style): fraction of the
+    * doc's word-2-grams occupied by its most frequent 2-gram, and the
+    * duplicate-2-gram fraction — the standard repetition filters for
+    * generated/boilerplate text. Per-row array folds over one scan
+    * (the doc is its own universe — no corpus state), so the operator
+    * is a pure projection like t1–t5: no shuffle at any scale.
+    */
+  def t8Repetition(t: Tables): DataFrame =
+    t.documents
+      .withColumn("tk", Text.tokenize(col("text")))
+      .filter(size(col("tk")) >= 2)
+      // all 2-grams WITH multiplicity (materialized once — the counts
+      // lambda references it per distinct gram), then distinct grams
+      .withColumn("g2all",
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+      .withColumn("g2", array_distinct(col("g2all")))
+      .withColumn("n2", size(col("g2all")).cast("long"))
+      .withColumn("n2_distinct", size(col("g2")).cast("long"))
+      .withColumn("top2",
+        array_max(transform(col("g2"),
+          s => size(filter(col("g2all"), x => x === s)))))
+      .select(col("doc_id"), col("n2"), col("n2_distinct"),
+        roundP(col("top2") / col("n2")).as("top2_frac"),
+        roundP((col("n2") - col("n2_distinct")) / col("n2")).as("dup2_frac"))
+      .orderBy("doc_id")
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -138,6 +219,60 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t6_sequence_pack" ->
+      """WITH c AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c WHERE n_tok > 0)
+        |SELECT source, doc_id, n_tok, cum - n_tok AS tok_start,
+        |  (cum - n_tok) // 128 AS pack_first,
+        |  (cum - 1) // 128 AS pack_last
+        |FROM w ORDER BY source, doc_id""".stripMargin,
+    // hex→int horner matches the proven minhash-oracle construction;
+    // 0.2 must be CAST to DOUBLE (a bare 0.2 literal is DECIMAL in
+    // DuckDB and int*decimal diverges from Spark's double arithmetic)
+    "t7_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CAST(substring(source, 4, 10) AS INT) % 4 + 1)
+        |      * CAST(0.2 AS DOUBLE) AS rate,
+        |    md5('mix:' || doc_id) AS m
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, rate,
+        |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT), 1)) >= 97
+        |               THEN ascii(substring(m, CAST(j AS INT), 1)) - 87
+        |               ELSE ascii(substring(m, CAST(j AS INT), 1)) - 48 END) AS BIGINT)
+        |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)])
+        |      / 4294967296.0 AS u
+        |  FROM w)
+        |SELECT doc_id, source, rate, u FROM h WHERE u < rate
+        |ORDER BY doc_id""".stripMargin,
+    "t8_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))] AS g2all
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (
+        |  SELECT doc_id, len(g2all) AS n2,
+        |    len(list_distinct(g2all)) AS n2_distinct,
+        |    list_max([len(list_filter(g2all, x -> x = s))
+        |              FOR s IN list_distinct(g2all)]) AS top2
+        |  FROM g)
+        |SELECT doc_id, n2, n2_distinct,
+        |  floor((top2 / n2) * 10000 + 0.5) / 10000.0 AS top2_frac,
+        |  floor(((n2 - n2_distinct) / n2) * 10000 + 0.5) / 10000.0 AS dup2_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t1_langid" ->
       s"""WITH $tokCte,
          |s AS (

@@ -141,6 +141,105 @@ object Io {
       .parquet(dir)
   }
 
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** io4: UPSERT (MERGE INTO) on a parquet lake table, copy-on-write.
+    * The lakehouse write pattern every incremental pipeline needs:
+    * land a base snapshot, apply a changeset (updates to existing
+    * keys + inserts of new keys), rewrite, and serve the merged
+    * state. Spark-first merge = key-partitioned row_number over
+    * base ∪ changes with changes winning — ONE shuffle by key, the
+    * same dedup-window shape a Delta/Iceberg MERGE compiles to on
+    * the matched partition set. The changeset is synthesized
+    * deterministically from orders (updates: key % 10 = 0 gets
+    * status 'U' and +1000 price; inserts: key % 25 = 0 cloned to
+    * key + 10⁷ with status 'N') so the oracle reconstructs the
+    * merged table relationally — the final aggregate hash-matches
+    * iff the merge semantics AND the write→read round trip are
+    * right. At 100 TB the rewrite touches only the partitions
+    * holding matched keys (io3's partitioned layout); AQE sizes the
+    * output files.
+    */
+  def io4UpsertMerge(t: Tables): DataFrame = {
+    val baseDir = stage(t, "merge_base", t.orders)(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    val base = t.spark.read.schema(ordersSchema).parquet(baseDir)
+    val upd = t.orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val ins = t.orders.filter(col("o_orderkey") % 25 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("_v").desc)
+    val merged = base.withColumn("_v", lit(0))
+      .unionByName(upd.unionByName(ins).withColumn("_v", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_v", "_rn")
+    val outDir = stage(t, "merge_out", merged)(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    t.spark.read.schema(ordersSchema).parquet(outDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** io5: SMALL-FILE COMPACTION — the maintenance pass every
+    * streaming/incremental sink needs (a million 2 MB files read 50×
+    * slower than the same bytes in 128 MB files: per-file open cost,
+    * footer reads, scheduler overhead). Lands the corpus as 64
+    * shards, then compacts to ⌈bytes/target⌉ files sized by a
+    * metadata listing (the same stats read AQE does). The read-back
+    * is fingerprinted per row — the gate proves compaction moved
+    * every byte faithfully; CompactionSpec asserts the file count
+    * actually shrank.
+    */
+  def io5Compaction(t: Tables, targetBytes: Long = 8L << 20): DataFrame = {
+    val docSchema = t.documents.schema
+    val smallDir = stage(t, "small_files", t.documents.repartition(64))(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    val compactedDir = stage(t, "compacted",
+      t.spark.read.schema(docSchema).parquet(smallDir)
+        .coalesce(compactionFileCount(smallDir, targetBytes)))(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    t.spark.read.schema(docSchema).parquet(compactedDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Staged dir for (corpus, tag) if already landed — spec access. */
+  private[graft] def stagedDir(t: Tables, tag: String): Option[String] =
+    Option(staged.get(s"${t.dir}:$tag"))
+
+  /** Data files in a staged dir (skips _SUCCESS/CRC side files). */
+  private[graft] def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+    } finally s.close()
+  }
+
+  /** Driver-side metadata sizing for the compaction target — a
+    * planner stats read (file listing), not a data collect.
+    */
+  private[graft] def compactionFileCount(dir: String,
+      targetBytes: Long): Int = {
+    val total = parquetFiles(dir).map(java.nio.file.Files.size(_)).sum
+    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+  }
+
   val oracle: Map[String, String] = Map(
     "io1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -154,6 +253,33 @@ object Io {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // relational reconstruction of the merge: unmatched base rows ∪
+    // updates ∪ inserts (columns listed explicitly — UNION is
+    // positional)
+    "io4_upsert_merge" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // same shape as io1: the per-row fingerprint of the compacted
+    // read-back must equal the original table
+    "io5_compaction" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -200,4 +200,88 @@ class DedupTextSpec extends SparkSpec {
     val fps = rows.filter(!_.isNullAt(1)).map(_.getAs[String]("fingerprint"))
     assert(fps.length - fps.distinct.length > 0)
   }
+
+  test("t6 pack: per-source spans are contiguous and budget-consistent") {
+    val rows = run("t6_sequence_pack").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, docs) =>
+      // orderBy(source, doc_id) already sorted them; re-assert order
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStart = 0L
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("tok_start")
+        val n = r.getAs[Long]("n_tok")
+        val pf = r.getAs[Long]("pack_first")
+        val pl = r.getAs[Long]("pack_last")
+        assert(start == expectedStart, s"$src gap at doc ${r.get(1)}")
+        assert(pf == start / 128 && pl == (start + n - 1) / 128)
+        assert(pf <= pl && pl - pf <= n / 128 + 1)
+        expectedStart = start + n
+      }
+    }
+  }
+
+  test("t7 mixture sample: kept iff u < rate, per-source rates honored") {
+    val rows = run("t7_mixture_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("u") < r.getAs[Double]("rate"))
+      val idx = r.getAs[String]("source").drop(3).toInt
+      assert(math.abs(r.getAs[Double]("rate") - (idx % 4 + 1) * 0.2) < 1e-12)
+    }
+    // kept fraction tracks the rate loosely (25 docs/source at sf0.001;
+    // binomial 3σ ≈ 0.3 — this guards inverted/constant rates, not
+    // estimator precision)
+    val kept = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    kept.foreach { case (src, n) =>
+      val rate = (src.drop(3).toInt % 4 + 1) * 0.2
+      assert(math.abs(n / 25.0 - rate) < 0.35, s"$src kept $n of 25 at $rate")
+    }
+    // determinism: a second run keeps the identical doc set
+    val again = run("t7_mixture_sample").collect().map(_.getAs[Long]("doc_id"))
+    assert(again.toSeq == rows.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("t8 repetition: fractions in (0,1], distinct ≤ total, dup+distinct consistent") {
+    val rows = run("t8_repetition").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n2 = r.getAs[Long]("n2"); val nd = r.getAs[Long]("n2_distinct")
+      val top = r.getAs[Double]("top2_frac")
+      val dup = r.getAs[Double]("dup2_frac")
+      assert(nd >= 1 && nd <= n2)
+      assert(top > 0 && top <= 1.0)
+      assert(math.abs(dup - math.floor((n2 - nd).toDouble / n2 * 10000 + 0.5) / 10000) < 1e-12)
+      // the hottest 2-gram accounts for at least its equal share
+      assert(top >= math.floor(1.0 / nd * 10000 + 0.5) / 10000 - 1e-9)
+    }
+    // synthetic corpus has ~31-word vocabulary → repeated 2-grams show
+    // up in most docs (measured: 342/500 nonzero, max ≈ 0.14 at sf0.001)
+    assert(rows.count(_.getAs[Double]("dup2_frac") > 0) > 200)
+    assert(rows.exists(_.getAs[Double]("dup2_frac") > 0.05))
+  }
+
+  test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
+    val rows = run("d7_decontaminate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bench_id") % 97 == 0)
+      assert(r.getAs[Long]("train_id") % 97 != 0)
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+    // every reported overlap is a true distinct-5-gram intersection:
+    // recompute one pair exactly
+    val r0 = rows.head
+    val docs = Tables(spark, sf).documents
+      .filter(col("doc_id").isin(r0.getAs[Long]("train_id"),
+        r0.getAs[Long]("bench_id")))
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .select(col("doc_id"), graft.functions.Text.shinglesFast(5)(col("tk")).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap
+    val inter = docs(r0.getAs[Long]("train_id"))
+      .intersect(docs(r0.getAs[Long]("bench_id"))).size
+    assert(inter == r0.getAs[Long]("n_shared"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sink-maintenance operators: upsert merge semantics and compaction
+  * file-count behavior (the content gates live in the DuckDB oracle).
+  */
+class IoSpec extends SparkSpec {
+
+  test("io4 upsert: updates win, inserts land, untouched keys unchanged") {
+    val t = Tables(spark, sf)
+    val agg = run("io4_upsert_merge").collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("max_key"))).toMap
+    val orders = t.orders.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[String](1))
+    val nUpd = orders.count(_._1 % 10 == 0)
+    val nIns = orders.count(_._1 % 25 == 0)
+    // every updated key reports status 'U', every insert 'N'
+    assert(agg("U")._1 == nUpd)
+    assert(agg("N")._1 == nIns)
+    // inserts carry the +10M key shift
+    assert(agg("N")._2 >= 10000000L)
+    // untouched rows keep their original statuses and total count holds
+    val untouched = orders.filter(_._1 % 10 != 0)
+    untouched.groupBy(_._2).foreach { case (status, rows) =>
+      assert(agg(status)._1 == rows.length, s"status $status")
+    }
+    assert(agg.values.map(_._1).sum == untouched.length + nUpd + nIns)
+  }
+
+  test("io5 compaction: file count shrinks to the metadata-sized target") {
+    val t = Tables(spark, sf)
+    assert(run("io5_compaction").count() == 500)
+    val small = graft.sources.Io.stagedDir(t, "small_files").get
+    val compacted = graft.sources.Io.stagedDir(t, "compacted").get
+    val nSmall = graft.sources.Io.parquetFiles(small).size
+    val nCompact = graft.sources.Io.parquetFiles(compacted).size
+    assert(nSmall == 64, s"staged $nSmall shards")
+    assert(nCompact < nSmall)
+    val bytes = graft.sources.Io.parquetFiles(small)
+      .map(java.nio.file.Files.size(_)).sum
+    assert(nCompact ==
+      graft.sources.Io.compactionFileCount(small, 8L << 20))
+    assert(bytes > 0)
+  }
+}
