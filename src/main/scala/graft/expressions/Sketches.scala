@@ -163,6 +163,98 @@ case class BottomKQuantilesAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Count-Min frequency sketch as a native Catalyst aggregate — the
+  * third deterministic sketch next to [[KmvDistinctAgg]] (distinct)
+  * and [[BottomKQuantilesAgg]] (quantiles): point-frequency estimates
+  * over a stream of items in d·w longs per group.
+  *
+  * Determinism: the d hash rows are the same md5-derived affine
+  * family the minhash expressions use (row j buckets item (h1, h2)
+  * at (h1 + (j+1)·h2) mod P mod w, P = largest prime < 2³²), and
+  * MERGE is element-wise addition — fully commutative/associative —
+  * so the sketch is bit-identical under any partitioning and a SQL
+  * engine replays it exactly (group token counts by (j, bucket), min
+  * over rows). That replayability is what HLL/t-digest/Spark's CMS
+  * (whose serialized layouts are engine-private) cannot give.
+  *
+  * 100 TB posture: constant state per group (d·w longs), map-side
+  * partial aggregation, one shuffle of flat buffers; estimates are
+  * one-sided (est ≥ true count, overshoot bounded by Σcounts·e/w at
+  * confidence 1−e^−d).
+  *
+  * Inputs: h1, h2 = first/second 8 md5 hex chars of the item as
+  * longs (the query derives them — same construction as MinHashSig).
+  */
+case class CountMinAgg(
+    left: Expression,   // h1 (long)
+    right: Expression,  // h2 (long)
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  private val P = 4294967291L
+
+  override def prettyName: String = "count_min"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h1 = left.eval(input)
+    val h2 = right.eval(input)
+    if (h1 != null && h2 != null) {
+      val a = h1.asInstanceOf[Long]
+      val b = h2.asInstanceOf[Long]
+      var j = 0
+      while (j < d) {
+        // a, b < 2³² and (j+1) ≤ d, so (j+1)·b + a < 2⁶³: no overflow,
+        // operands nonnegative so % is a true mod in any engine
+        buf(j * w + (((a + (j + 1) * b) % P) % w).toInt) += 1
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (bb.remaining() >= 8) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMinAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 case class KmvDistinctAgg(
     child: Expression,
     k: Int,

@@ -32,4 +32,17 @@ object Sketch {
         GraftExpressionBridge.expression(hash),
         GraftExpressionBridge.expression(value), k, probs)
         .toAggregateExpression())
+
+  /** Count-Min frequency sketch (d rows × w buckets of longs) over an
+    * item stream keyed by its md5-derived (h1, h2) longs: mergeable
+    * (element-wise add), bounded state, SQL-replayable. Returns the
+    * flat d·w sketch array; read estimates with
+    * min over j of sketch[j·w + (h1 + (j+1)·h2) mod P mod w].
+    */
+  def countMin(h1: Column, h2: Column, d: Int, w: Int): Column =
+    GraftExpressionBridge.column(
+      graft.expressions.CountMinAgg(
+        GraftExpressionBridge.expression(h1),
+        GraftExpressionBridge.expression(h2), d, w)
+        .toAggregateExpression())
 }

@@ -435,7 +435,101 @@ object Relational {
   }
 
   /** Oracle SQL (DuckDB) — same shapes, same aliases, same float policy. */
+  /** q22: DETERMINISTIC frequency sketch — Count-Min over the corpus
+    * token stream, one sketch per lang (graft.expressions.CountMinAgg,
+    * d=4 × w=1024 longs). Completes the mergeable-sketch family:
+    * distinct (q19 KMV), quantiles (q21 bottom-k), frequencies (this).
+    * Estimates for the five standard query terms are read out of the
+    * sketch array and reported next to the exact counts — est ≥ exact
+    * always (one-sided error), equality unless the term collides in
+    * all d rows. HASH-GATED: element-wise-add merges make the sketch
+    * bit-identical under any partitioning, so the DuckDB oracle
+    * replays cells as (j, bucket) count sums and takes the same min.
+    *
+    * 100 TB shape: tokens never leave their scan except as d·w-long
+    * partial buffers (map-side combine; one shuffle of 32 KB rows per
+    * group); the estimate read-out is a projection over the tiny
+    * sketch table.
+    */
+  def q22CmsFreq(t: Tables, d: Int = 4, w: Int = 1024): DataFrame = {
+    graft.Caches.fresh()
+    val P = 4294967291L
+    def h1of(m: Column) = conv(substring(m, 1, 8), 16, 10).cast("long")
+    def h2of(m: Column) = conv(substring(m, 9, 8), 16, 10).cast("long")
+    val toks = graft.Caches.cached(
+      t.documents
+        .repartition(t.spark.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+        .withColumn("m", md5(col("term")))
+        .select(col("lang"), col("term"),
+          h1of(col("m")).as("h1"), h2of(col("m")).as("h2")))
+    val sketches = toks.groupBy("lang")
+      .agg(graft.functions.Sketch.countMin(col("h1"), col("h2"), d, w)
+        .as("cms"))
+    val exact = toks.filter(col("term").isin(Search.queryTerms: _*))
+      .groupBy("lang", "term").agg(count(lit(1)).as("exact_n"))
+    val qm = md5(col("term"))
+    val est = least((0 until d).map { j =>
+      element_at(col("cms"),
+        (lit(j * w) + ((col("h1") + col("h2") * (j + 1)) % P) % w + 1)
+          .cast("int"))
+    }: _*)
+    sketches
+      .select(col("lang"), col("cms"),
+        explode(array(Search.queryTerms.map(lit): _*)).as("term"))
+      .withColumn("h1", h1of(qm)).withColumn("h2", h2of(qm))
+      .withColumn("est", est)
+      .join(exact, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"), col("est"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+      .orderBy("lang", "term")
+  }
+
+  /** md5-hex → int64 horner (same construction as the minhash oracle);
+    * `m` must be a 32-hex column, `off` 0 for h1, 8 for h2.
+    */
+  private def hexHorner(off: Int): String =
+    s"""list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT) + $off, 1)) >= 97
+       |  THEN ascii(substring(m, CAST(j AS INT) + $off, 1)) - 87
+       |  ELSE ascii(substring(m, CAST(j AS INT) + $off, 1)) - 48 END) AS BIGINT)
+       |  * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)])""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // full CMS replay: token (h1,h2) → d×w cell sums → per-query-term
+    // min over rows — identical arithmetic to CountMinAgg.update
+    "q22_cms_freq" ->
+      s"""WITH tok AS (
+         |  SELECT lang, t AS term FROM (
+         |    SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+         |    FROM documents) u
+         |  WHERE t <> ''),
+         |tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT lang, term, cnt, ${hexHorner(0)} AS h1, ${hexHorner(8)} AS h2
+         |  FROM (SELECT lang, term, cnt, md5(term) AS m FROM tc)),
+         |cells AS (
+         |  SELECT lang, jr, (h1 + (jr + 1) * h2) % 4294967291 % 1024 AS b,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM hh, (SELECT unnest(range(0, 4)) AS jr) jj
+         |  GROUP BY 1, 2, 3),
+         |qhh AS (
+         |  SELECT term, ${hexHorner(0)} AS h1, ${hexHorner(8)} AS h2
+         |  FROM (SELECT term, md5(term) AS m FROM (
+         |    SELECT unnest(['spark','filter','join','window','group']) AS term) q0)),
+         |qb AS (
+         |  SELECT l.lang, q.term, jr,
+         |    (q.h1 + (jr + 1) * q.h2) % 4294967291 % 1024 AS b
+         |  FROM qhh q, (SELECT DISTINCT lang FROM documents) l,
+         |       (SELECT unnest(range(0, 4)) AS jr) jj),
+         |est AS (
+         |  SELECT qb.lang, qb.term, min(coalesce(c.c, 0)) AS est
+         |  FROM qb LEFT JOIN cells c
+         |    ON c.lang = qb.lang AND c.jr = qb.jr AND c.b = qb.b
+         |  GROUP BY 1, 2)
+         |SELECT e.lang, e.term, e.est, coalesce(x.cnt, 0) AS exact_n
+         |FROM est e LEFT JOIN tc x ON x.lang = e.lang AND x.term = e.term
+         |ORDER BY e.lang, e.term""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

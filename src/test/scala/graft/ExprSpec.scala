@@ -101,4 +101,28 @@ class ExprSpec extends SparkSpec {
       assert(math.abs(est(1) / p - 1) < 0.15, s"$pri p90 ${est(1)} vs $p")
     }
   }
+
+  test("count-min sketch: mass conserved, merge-stable, estimates one-sided") {
+    import SparkSpec.spark.implicits._
+    import graft.functions.Sketch
+    val df = (1 to 1000).map(v => ("g", s"item${v % 37}")).toDF("g", "item")
+      .select(col("g"),
+        conv(substring(md5(col("item")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("item")), 9, 8), 16, 10).cast("long").as("h2"))
+    def sketch(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(Sketch.countMin(col("h1"), col("h2"), 4, 1024).as("cms"))
+      .collect()(0).getSeq[Long](1)
+    val s1 = sketch(df)
+    // element-wise-add merges ⇒ identical sketch under any partitioning
+    assert(sketch(df.repartition(13)) == s1)
+    // every instance increments exactly one cell per row: Σ = d·n
+    assert(s1.sum == 4L * 1000)
+    // the q22 read-out: est ≥ exact for every query term, and tight at
+    // this vocabulary size for at least the majority
+    val rows = run("q22_cms_freq").collect()
+      .map(r => (r.getAs[Long]("est"), r.getAs[Long]("exact_n")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact) => assert(est >= exact) }
+    assert(rows.count { case (e, x) => e == x } * 2 >= rows.length)
+  }
 }
