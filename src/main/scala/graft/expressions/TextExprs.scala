@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,9 +142,18 @@ case class SimHashSig(child: Expression)
   * loop. Accumulation order is sequential (index 0..n-1), identical
   * to the zip_with/aggregate fold and to the oracle's
   * list_dot_product, so results are bit-equal.
+  *
+  * Implements TRUE `doGenCode` (not CodegenFallback): this expression
+  * sits in the candidate-VERIFY filters/projections of d5/s4/s1–s3 —
+  * the largest row sets the ANN family touches — and a fallback there
+  * would force the whole enclosing stage out of whole-stage codegen
+  * (row-at-a-time InternalRow plumbing around an otherwise codegen'd
+  * join). The generated loop is the same arithmetic in the same
+  * order, so results are unchanged; ExprSpec pins bit-equality
+  * against the HOF form on the codegen path.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -162,6 +171,24 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -328,7 +355,7 @@ case class HyperplaneBandKeys(child: Expression, planes: PlaneMatrix,
   * probes stay in-band.
   */
 case class BitFlipProbes(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bit_flip_probes"
@@ -341,6 +368,20 @@ case class BitFlipProbes(child: Expression, bits: Int)
     while (j < bits) { out(j + 1) = key ^ (1L << j); j += 1 }
     new GenericArrayData(out)
   }
+
+  // true codegen: this feeds the multi-probe EXPLODE — the widest
+  // projection in the d5/s4 candidate path (one row per (vector,
+  // band) before fan-out) — so it must not break the stage's codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, key => {
+      val arr = ctx.freshName("arr"); val j = ctx.freshName("j")
+      s"""
+         |long[] $arr = new long[${bits + 1}];
+         |$arr[0] = $key;
+         |for (int $j = 0; $j < $bits; $j++) { $arr[$j + 1] = $key ^ (1L << $j); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): BitFlipProbes =
     copy(child = newChild)
@@ -386,9 +427,12 @@ case class CentroidRanks(child: Expression, cents: PlaneMatrix)
     copy(child = newChild)
 }
 
-/** Hamming distance between two equal-length bit strings. */
+/** Hamming distance between two equal-length bit strings. True
+  * codegen for the same reason as [[CosineSim]]: it is the d4/s2
+  * candidate-verify filter, running once per candidate pair.
+  */
 case class HammingDist(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming_dist"
@@ -401,6 +445,21 @@ case class HammingDist(left: Expression, right: Expression)
     while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
     d
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xb = ctx.freshName("xb"); val yb = ctx.freshName("yb")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $xb = $a.getBytes();
+         |byte[] $yb = $b.getBytes();
+         |int $n = java.lang.Math.min($xb.length, $yb.length);
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) { if ($xb[$i] != $yb[$i]) $d++; }
+         |${ev.value} = $d;
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HammingDist =
