@@ -398,19 +398,27 @@ object Dedup {
     * matches standard decontamination practice (8-13-gram in prod;
     * 5 here because synthetic docs are ~50 tokens).
     */
-  def d7Decontaminate(t: Tables, k: Int = 5): DataFrame = {
+  def d7Decontaminate(t: Tables, k: Int = 5): DataFrame =
+    decontaminateFrom(t.documents.select("doc_id", "text"), k)
+
+  /** DataFrame form of d7 for the graft.api facade and the scale
+    * probe: any (doc_id, text) frame in; the doc_id % benchMod slice
+    * is the benchmark.
+    */
+  private[graft] def decontaminateFrom(docsIn: DataFrame, k: Int = 5,
+      benchMod: Long = 97): DataFrame = {
     graft.Caches.fresh()
     // one tokenize+shingle pass serves both sides (locally the bench
     // slice comes from the same table; in production it is a separate
     // tiny input and the corpus side is a single uncached scan)
     val sh = graft.Caches.materialized(
-      spread(t.documents.select("doc_id", "text"))
+      spread(docsIn)
         .withColumn("tk", Text.tokenize(col("text")))
         .select(col("doc_id"),
           explode(Text.shinglesFast(k)(col("tk"))).as("sh")))
-    val bench = sh.filter(col("doc_id") % 97 === 0)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("sh"))
-    sh.filter(col("doc_id") % 97 =!= 0)
+    sh.filter(col("doc_id") % benchMod =!= 0)
       .join(broadcast(bench), "sh")
       .groupBy(col("doc_id").as("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

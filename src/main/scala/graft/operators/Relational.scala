@@ -451,14 +451,19 @@ object Relational {
     * group); the estimate read-out is a projection over the tiny
     * sketch table.
     */
-  def q22CmsFreq(t: Tables, d: Int = 4, w: Int = 1024): DataFrame = {
+  def q22CmsFreq(t: Tables, d: Int = 4, w: Int = 1024): DataFrame =
+    cmsFreqFrom(t.documents, d, w)
+
+  /** DataFrame form of q22 (scale probe): any (lang, text) frame. */
+  private[graft] def cmsFreqFrom(docsIn: DataFrame, d: Int,
+      w: Int): DataFrame = {
     graft.Caches.fresh()
     val P = 4294967291L
     def h1of(m: Column) = conv(substring(m, 1, 8), 16, 10).cast("long")
     def h2of(m: Column) = conv(substring(m, 9, 8), 16, 10).cast("long")
     val toks = graft.Caches.cached(
-      t.documents
-        .repartition(t.spark.sparkContext.defaultParallelism)
+      docsIn
+        .repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
         .select(col("lang"),
           explode(graft.functions.Text.tokenize(col("text"))).as("term"))
         .withColumn("m", md5(col("term")))

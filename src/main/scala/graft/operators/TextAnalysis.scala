@@ -143,11 +143,18 @@ object TextAnalysis {
     * global (unsharded) pack order would serialize 100 TB through one
     * partition and is deliberately not offered.
     */
-  def t6SequencePack(t: Tables, budget: Int = 128): DataFrame = {
+  def t6SequencePack(t: Tables, budget: Int = 128): DataFrame =
+    sequencePackFrom(t.documents, budget)
+
+  /** DataFrame form of t6 (facade + scale probe): any
+    * (doc_id, source, text) frame in.
+    */
+  private[graft] def sequencePackFrom(docsIn: DataFrame,
+      budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t.documents
+    docsIn
       .select(col("doc_id"), col("source"),
         size(filter(split(col("text"), " +"), x => length(x) > 0))
           .cast("long").as("n_tok"))

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build()
-    val docs = spark.read
+    val full = spark.read
       .parquet("/root/testdata/sf0.1/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "source", "lang", "text")
+    val docs = full.select("doc_id", "text")
 
     def replicated(copies: Int) =
       (0 until copies).map { c =>
@@ -24,16 +25,42 @@ object Probe {
           regexp_replace(col("text"), "([a-z0-9]+)", s"$$1x$c").as("text"))
       }.reduce(_ unionAll _)
 
+    // full-schema variant: sources suffixed per copy (10× as many
+    // shards of the same size — the way a real corpus grows), langs
+    // kept (group count constant, per-group data 10× — the way a
+    // sketch group grows)
+    def replicatedFull(copies: Int) =
+      (0 until copies).map { c =>
+        full.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          concat(col("source"), lit(s"_$c")).as("source"),
+          col("lang"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$$1x$c").as("text"))
+      }.reduce(_ unionAll _)
+
+    def timed(tag: String, small: => Long, big: => Long): Unit = {
+      val t0 = System.nanoTime
+      val nS = small
+      val sS = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime
+      val nB = big
+      val sB = (System.nanoTime - t1) / 1e9
+      println(f"PROBE $tag: 5k docs $sS%.1f s ($nS rows, cold JVM); " +
+        f"50k docs $sB%.1f s ($nB rows, warm)")
+    }
+
     args.headOption.getOrElse("d6") match {
-      case "d6" =>
-        val t0 = System.nanoTime
-        val n5k = graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count()
-        val s5k = (System.nanoTime - t0) / 1e9
-        val t1 = System.nanoTime
-        val n50k = graft.operators.Dedup.dedupGroupsFrom(replicated(10), 0.5).count()
-        val s50k = (System.nanoTime - t1) / 1e9
-        println(f"PROBE d6: 5k docs $s5k%.1f s ($n5k rows, cold JVM); " +
-          f"50k docs $s50k%.1f s ($n50k rows, warm)")
+      case "d6" => timed("d6",
+        graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count(),
+        graft.operators.Dedup.dedupGroupsFrom(replicated(10), 0.5).count())
+      case "d7" => timed("d7",
+        graft.operators.Dedup.decontaminateFrom(docs).count(),
+        graft.operators.Dedup.decontaminateFrom(replicated(10)).count())
+      case "t6" => timed("t6",
+        graft.operators.TextAnalysis.sequencePackFrom(full, 128).count(),
+        graft.operators.TextAnalysis.sequencePackFrom(replicatedFull(10), 128).count())
+      case "q22" => timed("q22",
+        graft.operators.Relational.cmsFreqFrom(full, 4, 1024).count(),
+        graft.operators.Relational.cmsFreqFrom(replicatedFull(10), 4, 1024).count())
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
