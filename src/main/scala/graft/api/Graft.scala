@@ -327,6 +327,18 @@ object Graft {
     graft.operators.Dedup.dedupGroupsFrom(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
 
+  /** BENCHMARK DECONTAMINATION: (train_id, bench_id, n_shared) for
+    * every train doc sharing ≥1 distinct word-k-gram with the
+    * benchmark slice (ids ≡ 0 mod benchMod — pass the eval suite as
+    * part of the frame with known ids, or pre-union it). The bench
+    * side is broadcast (eval suites are tiny against a corpus); the
+    * corpus pays one scan.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchMod: Long = 97, k: Int = 5): DataFrame =
+    graft.operators.Dedup.decontaminateFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, benchMod)
+
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
     * from banded random-hyperplane LSH (256 bands × 16 bits) with
     * exact-cosine verification. `probeRadius = 1` multi-probes
@@ -419,6 +431,43 @@ object Graft {
       explode(sequence(lit(0), lit(nSalts - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l(salt) === r(salt))
       .drop(salt)
+  }
+
+  // ---- corpus assembly ----
+
+  /** SEQUENCE PACKING (concat-and-chunk): per source shard, documents
+    * are concatenated in id order and split at `budget`-token
+    * boundaries; returns each doc's token span and pack range
+    * (source, doc_id, n_tok, tok_start, pack_first, pack_last).
+    * One window shuffle keyed by shard — a global (unsharded) pack
+    * order would serialize the corpus through one partition and is
+    * deliberately not offered.
+    */
+  def sequencePack(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budget: Int = 2048): DataFrame =
+    graft.operators.TextAnalysis.sequencePackFrom(
+      df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("text")), budget)
+
+  /** CORPUS MIXTURE SAMPLING: deterministic hash-Bernoulli keep with
+    * per-source rates from a (source, rate) weights frame (broadcast
+    * — a mixture config is a handful of rows). Keep decision
+    * u = md5("mix:" ++ id) / 2³² < rate is reproducible across runs,
+    * engines, and partitionings, unlike `df.sample`'s
+    * partition-seeded RNG. Returns the kept rows of `df` plus the
+    * (rate, u) evidence columns.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: DataFrame, weightKeyCol: String = "source"): DataFrame = {
+    require(weights.columns.contains("rate") &&
+      weights.columns.contains(weightKeyCol),
+      s"weights frame must carry ($weightKeyCol, rate)")
+    val u = conv(substring(md5(concat(lit("mix:"), col(idCol))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+    df.join(broadcast(weights), df(sourceCol) === weights(weightKeyCol))
+      .drop(weights(weightKeyCol))
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
   }
 
   // ---- events ----

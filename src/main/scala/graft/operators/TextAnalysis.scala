@@ -181,12 +181,8 @@ object TextAnalysis {
     val weights = t.documents.select("source").distinct()
       .withColumn("rate",
         (substring(col("source"), 4, 10).cast("int") % 4 + 1) * lit(0.2))
-    val u = (conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 8),
-      16, 10).cast("long") / lit(4294967296.0)).as("u")
-    t.documents.select(col("doc_id"), col("source"))
-      .join(broadcast(weights), "source")
-      .withColumn("u", u)
-      .filter(col("u") < col("rate"))
+    graft.api.Graft.mixtureSample(
+        t.documents.select("doc_id", "source"), "doc_id", "source", weights)
       .select("doc_id", "source", "rate", "u")
       .orderBy("doc_id")
   }

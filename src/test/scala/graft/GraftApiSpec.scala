@@ -170,4 +170,54 @@ class GraftApiSpec extends SparkSpec {
     val s = Graft.sessionize(evs, "user", "ts", "eid").collect()
     assert(s.map(_.getAs[Long]("session_id")).sorted.toSeq == Seq(1L, 1L, 2L))
   }
+
+  test("sequencePack on an ad-hoc corpus: contiguous spans, straddling doc") {
+    val docs = Seq(
+      (1L, "shardA", "one two three"),            // 3 toks → pack 0
+      (2L, "shardA", "a b c d"),                  // start 3, ends 6 → straddles
+      (3L, "shardA", "x y"),                      // start 7
+      (9L, "shardB", "solo doc here"))
+      .toDF("id", "src", "body")
+    val rows = Graft.sequencePack(docs, "id", "src", "body", budget = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("pack_first"),
+          r.getAs[Long]("pack_last"))).toMap
+    assert(rows(1L) == (0L, 0L, 0L))
+    assert(rows(2L) == (3L, 0L, 1L)) // tokens 3..6 straddle the 5-boundary
+    assert(rows(3L) == (7L, 1L, 1L))
+    assert(rows(9L) == (0L, 0L, 0L)) // shards pack independently
+  }
+
+  test("mixtureSample: rate 0 drops all, rate 1 keeps all, deterministic between") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "keepall" else "half")).toDF("id", "src")
+    val weights = Seq(("keepall", 1.0), ("half", 0.5)).toDF("source", "rate")
+    val kept = Graft.mixtureSample(docs, "id", "src", weights).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("src")).view.mapValues(_.length)
+    assert(bySrc("keepall") == 100)           // rate 1.0 keeps every row
+    assert(math.abs(bySrc("half") - 50) < 25) // hash-Bernoulli ≈ half
+    // deterministic: identical keep set on re-run
+    val again = Graft.mixtureSample(docs, "id", "src", weights).collect()
+    assert(again.map(_.getAs[Long]("id")).sorted.toSeq ==
+      kept.map(_.getAs[Long]("id")).sorted.toSeq)
+    val none = Graft.mixtureSample(docs, "id", "src",
+      Seq(("keepall", 0.0), ("half", 0.0)).toDF("source", "rate")).count()
+    assert(none == 0)
+  }
+
+  test("decontaminate flags a doc quoting the benchmark slice") {
+    val bench = (0L, "the secret eval question about spark windows exactly")
+    val docs = Seq(
+      bench,                                                   // id 0 → bench (0 % 5)
+      (1L, "the secret eval question about spark windows exactly copied"),
+      (2L, "totally unrelated words nothing shared here at all"),
+      (5L, "another bench doc with its own content entirely")) // 5 % 5 → bench
+      .toDF("doc_id", "text")
+    val hits = Graft.decontaminate(docs, "doc_id", "text", benchMod = 5)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[Long]("train_id") == 1L)
+    assert(hits.head.getAs[Long]("bench_id") == 0L)
+    assert(hits.head.getAs[Long]("n_shared") >= 4) // shared 5-grams
+  }
 }
