@@ -87,7 +87,8 @@ object SparkEntry {
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),
     "st4_stream_dedup"    -> q(graft.streaming.Streams.st4StreamDedup(_)),
     "st5_stream_embed_dedup" -> q(graft.streaming.Streams.st5StreamEmbedDedup(_)),
-    "st6_stream_stream_join" -> q(graft.streaming.Streams.st6StreamStreamJoin)
+    "st6_stream_stream_join" -> q(graft.streaming.Streams.st6StreamStreamJoin),
+    "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

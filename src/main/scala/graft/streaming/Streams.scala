@@ -26,6 +26,11 @@ case class VecBand(bk: Long, vec_id: Long, sketch: Array[Byte])
 /** An emitted embedding near-dup candidate (vec_a arrived first):
   * sketch Hamming distance ≤ the angle-derived cut. */
 case class DupVec(vec_a: Long, vec_b: Long, ham: Int)
+/** A doc arriving for incremental packing (st7). */
+case class PackDoc(source: String, doc_id: Long, n_tok: Long)
+/** A doc's assigned pack span (st7 emission). */
+case class PackedDoc(source: String, doc_id: Long, n_tok: Long,
+    tok_start: Long, pack_first: Long, pack_last: Long)
 
 /** Structured Streaming operators, run-to-completion over the events
   * parquet as a file-source stream (the same code binds to Kafka/etc.
@@ -448,7 +453,79 @@ object Streams {
       }
   }
 
+  /** st7: INCREMENTAL SEQUENCE PACKING — t6's concat-and-chunk as a
+    * dedup-at-ingest-style stream: documents arrive (two id-ordered
+    * micro-batches), each source shard's running token total lives in
+    * a per-source GroupState (ONE long — the smallest useful stream
+    * state), and every doc is emitted exactly once with its pack
+    * span. This is how a continuous pretraining-data pipeline assigns
+    * pack offsets at landing time instead of re-packing the corpus
+    * per snapshot; state is bounded by the shard count, not the data.
+    *
+    * Oracle-checkable: the micro-batches partition docs by id (median
+    * split), and packing consumes each shard in id order, so
+    * run-to-completion equals batch t6 — its oracle SQL applies
+    * verbatim.
+    */
+  def st7StreamPack(t: Tables, budget: Int = 128): DataFrame = {
+    val spark = t.spark
+    val name = s"st7_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+    val q = incrementalSequencePack(docs, "doc_id", "source", "text", budget)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select("source", "doc_id", "n_tok", "tok_start",
+        "pack_first", "pack_last")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Library core of st7: attach to ANY streaming (id, source, text)
+    * frame; emits each doc's pack span once, carrying one cumulative
+    * token count per source shard in state. Docs are packed in id
+    * order WITHIN each micro-batch; across batches the assignment is
+    * arrival-ordered, which is the semantics a landing-time packer
+    * has (batch t6 re-packs a snapshot in full id order instead).
+    */
+  def incrementalSequencePack(docs: DataFrame, idCol: String,
+      sourceCol: String, textCol: String,
+      budget: Int): org.apache.spark.sql.Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " +"), x => length(x) > 0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[PackDoc], state: GroupState[Long]) =>
+          // batch delivery order is not id order; sort within batch
+          val arriving = it.toSeq.sortBy(_.doc_id)
+          var cum = state.getOption.getOrElse(0L)
+          val out = arriving.map { d =>
+            val start = cum
+            cum += d.n_tok
+            PackedDoc(source, d.doc_id, d.n_tok, start,
+              start / budget, (cum - 1) / budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   val oracle: Map[String, String] = Map(
+    // the two micro-batches split docs by id, so incremental packing
+    // equals the batch form — t6's oracle verbatim
+    "st7_stream_pack" ->
+      graft.operators.TextAnalysis.oracle("t6_sequence_pack"),
     // inner stream-stream join emission is watermark-independent, so
     // the batch interval self-join IS the ground truth
     "st6_stream_stream_join" ->

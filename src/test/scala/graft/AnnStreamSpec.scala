@@ -260,4 +260,14 @@ class AnnStreamSpec extends SparkSpec {
       assert(streamCounts.sameElements(batchPrefix), s"user $u")
     }
   }
+
+  test("st7 incremental packing equals batch t6 (id-split batches)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last"))
+    val batch = run("t6_sequence_pack").collect().map(key).toMap
+    val stream = run("st7_stream_pack").collect().map(key).toMap
+    assert(stream.nonEmpty && stream == batch)
+  }
 }
