@@ -42,6 +42,7 @@ object SparkEntry {
     "q20_salted_join"    -> q(Relational.q20SaltedJoin(_)),
     "q21_bottomk_quantiles" -> q(Relational.q21BottomkQuantiles(_)),
     "q22_cms_freq"       -> q(Relational.q22CmsFreq(_)),
+    "q23_table_profile"  -> q(Relational.q23TableProfile),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

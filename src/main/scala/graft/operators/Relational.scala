@@ -491,6 +491,42 @@ object Relational {
       .orderBy("lang", "term")
   }
 
+  /** q23: TABLE PROFILING — the prelude pass every pipeline runs
+    * before touching a new corpus: per column, row count, null count,
+    * exact distinct count, and min/max (rendered as strings so one
+    * tall schema covers every column type; doubles go through
+    * DECIMAL(18,2) so both engines print identically). ONE aggregate
+    * job over one scan (Spark expands the multi-column distinct
+    * internally, map-side partial); the tall reshape is a projection
+    * of the single result row. At 100 TB the exact countDistinct
+    * swaps for approx_count_distinct (q16) or the KMV sketch (q19) —
+    * the operator shape is unchanged.
+    */
+  def q23TableProfile(t: Tables): DataFrame = {
+    val df = t.orders
+    val specs: Seq[(String, Column)] = Seq(
+      "o_orderkey"      -> col("o_orderkey").cast("string"),
+      "o_custkey"       -> col("o_custkey").cast("string"),
+      "o_orderstatus"   -> col("o_orderstatus"),
+      "o_totalprice"    -> col("o_totalprice").cast(Dec).cast("string"),
+      "o_orderdate"     -> col("o_orderdate").cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs = specs.flatMap { case (c, _) => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd")) } ++
+      specs.map { case (c, s) => min(s).as(s"${c}__mn") } ++
+      specs.map { case (c, s) => max(s).as(s"${c}__mx") }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(specs.map { case (c, _) => struct(
+        lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s")) }: _*))
+        .as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+
   /** md5-hex → int64 horner (same construction as the minhash oracle);
     * `m` must be a 32-hex column, `off` 0 for h1, 8 for h2.
     */
@@ -501,6 +537,22 @@ object Relational {
        |  * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q23_table_profile" -> {
+      val cols = Seq(
+        ("o_orderkey", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "CAST(%s AS VARCHAR)"),
+        ("o_orderstatus", "%s"),
+        ("o_totalprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "CAST(%s AS VARCHAR)"),
+        ("o_orderpriority", "%s"))
+      val stats = cols.map { case (c, f) =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(${f.format(c)}) AS min_s, max(${f.format(c)}) AS max_s
+           |FROM orders""".stripMargin }
+      stats.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     // full CMS replay: token (h1,h2) → d×w cell sums → per-query-term
     // min over rows — identical arithmetic to CountMinAgg.update
     "q22_cms_freq" ->

@@ -212,4 +212,23 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q23 profile: one row per column, counts consistent with the table") {
+    val t = Tables(spark, sf)
+    val nOrders = t.orders.count()
+    val rows = run("q23_table_profile").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nOrders)
+      assert(r.getAs[Long]("n_null") == 0)   // synthetic orders: no nulls
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd >= 1 && nd <= nOrders)
+      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s"))
+    }
+    val byCol = rows.map(r => r.getAs[String]("column") ->
+      r.getAs[Long]("n_distinct")).toMap
+    assert(byCol("o_orderkey") == nOrders)      // key column: all distinct
+    assert(byCol("o_orderstatus") <= 3)
+    assert(byCol("o_orderpriority") == 5)
+  }
 }
