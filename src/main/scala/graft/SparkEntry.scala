@@ -56,6 +56,7 @@ object SparkEntry {
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
     "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
+    "r14_conversation_stats" -> q(EvalMetrics.r14ConversationStats),
     "d1_dedup_exact"      -> q(Dedup.d1DedupExact),
     "d2_ngram_jaccard"    -> q(Dedup.d2NgramJaccard(_)),
     "d3_minhash_lsh"      -> q(Dedup.d3MinhashLsh(_)),

@@ -73,7 +73,83 @@ object EvalMetrics {
       .orderBy("source", "rk")
   }
 
+  /** r14: CONVERSATION-LOG ANALYTICS — the reference's observability
+    * output (zc_agent/logs.py ConversationJsonLogger: one JSON per
+    * conversation with agent_name/model/messages[], each message
+    * kind=request|response with parts[] tagged part_kind —
+    * user-prompt/tool-call/tool-return/text; analyzed in
+    * evals/analysis.ipynb). Each user's event history stands in for
+    * one conversation: the operator ASSEMBLES the log JSON exactly in
+    * that shape (deterministic message order via array_sort on
+    * (ts, event_id)), then PARSES it back through `from_json` with
+    * the explicit nested schema — the round trip through the log
+    * format is the tested surface — and reports per-conversation
+    * message/part-kind counts. The oracle computes the same counts
+    * directly from events: any loss in the serialize→parse path
+    * breaks the hash.
+    *
+    * Scale shape: one groupBy(user) shuffle builds the logs; the
+    * parse + part counting is a pure projection (nested array folds),
+    * no further shuffle.
+    */
+  def r14ConversationStats(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pk = when(col("event_type") === "click", "user-prompt")
+      .when(col("event_type") === "view", "text")
+      .when(col("event_type") === "purchase", "tool-call")
+      .when(col("event_type") === "signup", "tool-return")
+      .otherwise("retry-prompt")
+    val assembled = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), pk.as("part_kind"))
+      .withColumn("kind",
+        when(col("part_kind").isin("user-prompt", "tool-return"), "request")
+          .otherwise("response"))
+      .groupBy("user_id")
+      .agg(to_json(struct(
+        lit("gh_agent").as("agent_name"),
+        lit("m1").as("model"),
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("kind"), col("part_kind")))),
+          m => struct(m.getField("kind").as("kind"),
+            array(struct(m.getField("part_kind").as("part_kind")))
+              .as("parts"))).as("messages"))).as("log_json"))
+    val logT = StructType(Seq(
+      StructField("agent_name", StringType),
+      StructField("model", StringType),
+      StructField("messages", ArrayType(StructType(Seq(
+        StructField("kind", StringType),
+        StructField("parts", ArrayType(StructType(Seq(
+          StructField("part_kind", StringType)))))))))))
+    def cnt(parts: org.apache.spark.sql.Column, kind: String) =
+      size(filter(parts, p => p === kind)).cast("long")
+    assembled
+      .select(col("user_id"), from_json(col("log_json"), logT).as("log"))
+      .withColumn("pks", transform(flatten(col("log.messages.parts")),
+        p => p.getField("part_kind")))
+      .select(col("user_id"),
+        size(col("log.messages")).cast("long").as("n_messages"),
+        cnt(col("pks"), "user-prompt").as("n_user_prompts"),
+        cnt(col("pks"), "text").as("n_texts"),
+        cnt(col("pks"), "tool-call").as("n_tool_calls"),
+        cnt(col("pks"), "tool-return").as("n_tool_returns"),
+        cnt(col("pks"), "retry-prompt").as("n_retries"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // ground truth straight off events: the engine's numbers traveled
+    // through assemble→to_json→from_json→nested-array folds, so a
+    // hash match proves the log round trip is lossless
+    "r14_conversation_stats" ->
+      """SELECT user_id, count(*) AS n_messages,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_prompts,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_texts,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_returns,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_retries
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "r11_eval_sample" ->
       """SELECT source, doc_id, n_chars, rk FROM (
         |  SELECT source, doc_id, n_chars,

@@ -158,4 +158,23 @@ class RagSpec extends SparkSpec {
       assert(math.abs(rate - r.getAs[Long]("n_pass").toDouble / nEvents) < 1e-3)
     }
   }
+
+  test("r14 conversation stats: parse survives the log round trip, kinds partition") {
+    val t = Tables(spark, sf)
+    val perUser = t.events.groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Long](1)).toMap
+    val rows = run("r14_conversation_stats").collect()
+    assert(rows.length == perUser.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val n = r.getAs[Long]("n_messages")
+      // every event became exactly one parsed message (a from_json
+      // failure would null the array and size() would be -1/0)
+      assert(n == perUser(u), s"user $u")
+      val partSum = r.getAs[Long]("n_user_prompts") + r.getAs[Long]("n_texts") +
+        r.getAs[Long]("n_tool_calls") + r.getAs[Long]("n_tool_returns") +
+        r.getAs[Long]("n_retries")
+      assert(partSum == n, s"user $u part kinds don't partition")
+    }
+  }
 }
