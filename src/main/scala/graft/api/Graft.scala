@@ -462,6 +462,15 @@ object Graft {
     require(weights.columns.contains("rate") &&
       weights.columns.contains(weightKeyCol),
       s"weights frame must carry ($weightKeyCol, rate)")
+    // the output owns the (rate, u) evidence columns — a caller frame
+    // already carrying either would be silently overwritten (u) or
+    // make the keep filter ambiguous (rate); fail fast instead (the
+    // same bug class saltedJoin avoids with a generated name — here
+    // the columns are part of the OUTPUT contract, so they can't be
+    // renamed away)
+    require(!df.columns.contains("u") && !df.columns.contains("rate"),
+      "input frame must not carry 'u' or 'rate' columns — alias them " +
+        "before sampling (the output owns the (rate, u) evidence)")
     val u = conv(substring(md5(concat(lit("mix:"), col(idCol))), 1, 8),
       16, 10).cast("long") / lit(4294967296.0)
     df.join(broadcast(weights), df(sourceCol) === weights(weightKeyCol))

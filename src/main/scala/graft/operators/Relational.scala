@@ -461,7 +461,11 @@ object Relational {
     val P = 4294967291L
     def h1of(m: Column) = conv(substring(m, 1, 8), 16, 10).cast("long")
     def h2of(m: Column) = conv(substring(m, 9, 8), 16, 10).cast("long")
-    val toks = graft.Caches.cached(
+    // materialized, not lazily cached: the exact-counts side reaches
+    // this table through a BroadcastExchange, whose job launches on a
+    // parallel thread — a lazy cache would be recomputed by it (the
+    // cache-race pathology Caches.materialized documents)
+    val toks = graft.Caches.materialized(
       docsIn
         .repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
         .select(col("lang"),
@@ -577,7 +581,7 @@ object Relational {
          |qb AS (
          |  SELECT l.lang, q.term, jr,
          |    (q.h1 + (jr + 1) * q.h2) % 4294967291 % 1024 AS b
-         |  FROM qhh q, (SELECT DISTINCT lang FROM documents) l,
+         |  FROM qhh q, (SELECT DISTINCT lang FROM tok) l,
          |       (SELECT unnest(range(0, 4)) AS jr) jj),
          |est AS (
          |  SELECT qb.lang, qb.term, min(coalesce(c.c, 0)) AS est

@@ -28,7 +28,9 @@ object Io {
 
   // staged trees are JVM-scoped scratch: delete them on exit so disk
   // does not accumulate across processes (the memo map keeps them
-  // alive for THIS JVM's lifetime)
+  // alive for THIS JVM's lifetime). Registered at object init — any
+  // stage() call initializes the object first, so the hook always
+  // exists before a tree does.
   private val cleanup: Thread = {
     val th = new Thread(() => staged.values.forEach { d =>
       try deleteTree(java.nio.file.Paths.get(d)) catch { case _: Exception => }
@@ -38,8 +40,10 @@ object Io {
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(deleteTree)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(deleteTree) finally s.close()
+    }
     java.nio.file.Files.deleteIfExists(p)
     ()
   }
@@ -54,15 +58,13 @@ object Io {
     * trees are removed by a shutdown hook.
     */
   private def stage(t: Tables, tag: String, df: => DataFrame)(
-      write: (DataFrame, String) => Unit): String = {
-    val _ = cleanup // force hook registration before first staging
+      write: (DataFrame, String) => Unit): String =
     staged.computeIfAbsent(s"${t.dir}:$tag", { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_io_${tag}_").toString
       write(df, dir)
       dir
     })
-  }
 
   /** io1: JSON-lines round trip of the documents table. The sink is
     * `write.json` (one JSON object per line — the interchange format
@@ -173,8 +175,13 @@ object Io {
     val upd = t.orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    // insert keys are NEGATIVE (-(k+1)): orders keys are nonnegative
+    // at every scale factor, so synthesized inserts can never collide
+    // with a real key — an additive shift would collide once
+    // max(o_orderkey) crossed it, making the merge window's tie-break
+    // nondeterministic and divergent from the oracle's UNION
     val ins = t.orders.filter(col("o_orderkey") % 25 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
       .withColumn("o_orderstatus", lit("N"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_orderkey").orderBy(col("_v").desc)
@@ -263,7 +270,7 @@ object Io {
         |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 10 = 0),
         |ins AS (
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
         |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 25 = 0),
         |merged AS (

@@ -19,8 +19,8 @@ class IoSpec extends SparkSpec {
     // every updated key reports status 'U', every insert 'N'
     assert(agg("U")._1 == nUpd)
     assert(agg("N")._1 == nIns)
-    // inserts carry the +10M key shift
-    assert(agg("N")._2 >= 10000000L)
+    // inserts carry the collision-proof NEGATIVE keys (-(k+1))
+    assert(agg("N")._2 < 0)
     // untouched rows keep their original statuses and total count holds
     val untouched = orders.filter(_._1 % 10 != 0)
     untouched.groupBy(_._2).foreach { case (status, rows) =>
