@@ -54,6 +54,7 @@ object SparkEntry {
     "r8_bm25_search"     -> q(Search.r8Bm25Search),
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
+    "r15_vocab_build"    -> q(Search.r15VocabBuild(_)),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
     "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
     "r14_conversation_stats" -> q(EvalMetrics.r14ConversationStats),
@@ -64,6 +65,8 @@ object SparkEntry {
     "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
+    "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),
+    "d9_semdedup"         -> q(Dedup.d9Semdedup(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),
     "t2_quality_score"    -> q(TextAnalysis.t2QualityScore),
     "t3_token_count"      -> q(TextAnalysis.t3TokenCount),
@@ -72,6 +75,7 @@ object SparkEntry {
     "t6_sequence_pack"    -> q(TextAnalysis.t6SequencePack(_)),
     "t7_mixture_sample"   -> q(TextAnalysis.t7MixtureSample),
     "t8_repetition"       -> q(TextAnalysis.t8Repetition),
+    "t9_gopher_filters"   -> q(TextAnalysis.t9GopherFilters),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
@@ -84,6 +88,7 @@ object SparkEntry {
     "io3_partitioned_prune" -> q(graft.sources.Io.io3PartitionedPrune),
     "io4_upsert_merge"    -> q(graft.sources.Io.io4UpsertMerge),
     "io5_compaction"      -> q(graft.sources.Io.io5Compaction(_)),
+    "io6_schema_evolution" -> q(graft.sources.Io.io6SchemaEvolution),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

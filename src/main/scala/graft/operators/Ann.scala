@@ -139,8 +139,14 @@ object Ann {
   private val codebooks = scala.collection.mutable
     .Map[(String, Int, Int, Int), graft.expressions.PlaneMatrix]()
 
-  def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
-      nProbe: Int = 2, dim: Int = 64, iters: Int = 3): DataFrame = {
+  /** The corpus under its trained codebook: (vec_id, v, cid) with cid
+    * the nearest list, plus the codebook itself (for probe ranking).
+    * The list-assignment frame every IVF consumer starts from —
+    * s3's serving scan and d9's cluster-scoped semantic dedup.
+    */
+  private[graft] def assignedVecs(t: Tables, nLists: Int = 16,
+      dim: Int = 64, iters: Int = 3)
+      : (DataFrame, graft.expressions.PlaneMatrix) = {
     val vecs = t.embeddings
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -148,8 +154,14 @@ object Ann {
       codebooks.getOrElseUpdate((t.dir, nLists, dim, iters),
         trainCodebook(vecs, nLists, dim, iters))
     }
-    val assigned = vecs.select(col("vec_id"), col("v"),
-      element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"))
+    (vecs.select(col("vec_id"), col("v"),
+      element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid")), cb)
+  }
+
+  def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 2, dim: Int = 64, iters: Int = 3): DataFrame = {
+    val (assigned, cb) = assignedVecs(t, nLists, dim, iters)
+    val vecs = assigned.select(col("vec_id"), col("v"))
     val probeLists = vecs.filter(col("vec_id") === probeId)
       .select(explode(slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe))
         .as("probe_cid"))
@@ -235,6 +247,29 @@ object Ann {
        |    (SELECT cid, list(x ORDER BY i) AS uv FROM u$i GROUP BY cid) u
        |    USING (cid))""".stripMargin
 
+  /** Shared SQL replay of the trained-codebook assignment: seeded
+    * codebook (first 16 vectors by id), three decimal-exact Lloyd's
+    * iterations, and the final assignment `af(vec_id, v, cid)` —
+    * the prefix of the s3 oracle, reused by d9's semantic dedup.
+    */
+  private[graft] lazy val kmeansReplayCte: String = {
+    val iters = (1 to 3).map(kmeansIterSql).mkString(",\n")
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 16) s),
+       |$iters,
+       |af AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vv.vec_id, vv.v, cc.cid,
+       |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+       |        list_dot_product(vv.v, cc.cv) /
+       |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |        cc.cid) AS rn
+       |    FROM vv, (SELECT cid, v AS cv FROM c3) cc) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // d5's candidate construction, symmetrized, then the per-vector
     // rank window over ROUNDED cosines (identical tie-break)
@@ -258,21 +293,7 @@ object Ann {
     // three decimal-exact Lloyd's iterations, assignment + nProbe=2
     // probe lists under the final codebook, exact-cosine top-10
     "s3_ann_ivf" -> {
-      val iters = (1 to 3).map(kmeansIterSql).mkString(",\n")
-      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-         |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 16) s),
-         |$iters,
-         |af AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT vv.vec_id, vv.v, cc.cid,
-         |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-         |        list_dot_product(vv.v, cc.cv) /
-         |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
-         |        cc.cid) AS rn
-         |    FROM vv, (SELECT cid, v AS cv FROM c3) cc) t
-         |  WHERE rn = 1),
+      s"""WITH $kmeansReplayCte,
          |pr AS (
          |  SELECT cid FROM (
          |    SELECT cc.cid, row_number() OVER (ORDER BY

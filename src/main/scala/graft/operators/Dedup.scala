@@ -425,6 +425,88 @@ object Dedup {
       .orderBy("train_id", "bench_id")
   }
 
+  /** d8: LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): every
+    * distinct line in the CORPUS is kept exactly once — at its first
+    * occurrence in (doc_id, line_no) order — and every later
+    * occurrence is dropped; documents are then reassembled from their
+    * surviving lines. "Lines" are synthesized as consecutive
+    * `lineTokens`-token runs (the synthetic corpus has no newlines;
+    * both engines construct them identically, so the global
+    * first-occurrence logic is what the gate tests). Output per doc:
+    * line counts, kept fraction, md5 of the reassembled text.
+    *
+    * Scale design: ONE shuffle keyed by line content for the
+    * first-occurrence window — global state is the line→first-owner
+    * map, expressed as a window, never a driver-side set — then one
+    * shuffle back by doc for reassembly. Line keys are
+    * content-hash-uniform, so the window shuffle has no planned skew
+    * (a pathological hot line — empty/boilerplate — is AQE's skew
+    * split; at 100 TB the window runs on md5(line), 16 bytes/row,
+    * not the text).
+    */
+  def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id", "line_no")
+    spread(t.documents.select("doc_id", "text"))
+      .withColumn("tk", Text.tokenize(col("text")))
+      .filter(size(col("tk")) > 0)
+      .withColumn("lines", transform(
+        sequence(lit(0),
+          floor((size(col("tk")) - 1) / lineTokens).cast("int")),
+        i => concat_ws(" ", slice(col("tk"), i * lineTokens + 1,
+          lit(lineTokens)))))
+      .select(col("doc_id"),
+        posexplode(col("lines")).as(Seq("line_no", "line")))
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("kept")).as("n_kept"),
+        md5(array_join(transform(
+          filter(
+            sort_array(collect_list(
+              struct(col("line_no"), col("kept"), col("line")))),
+            s => s.getField("kept") === 1),
+          s => s.getField("line")), "\n")).as("kept_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (floor(col("n_kept") / col("n_lines") * 10000 + 0.5) / 10000.0)
+          .as("kept_frac"),
+        col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** d9: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the IVF codebook (k-means, trained once per
+    * corpus — the SAME model s3 serves ANN from), then compare
+    * vectors ONLY within their cluster and report pairs with cosine ≥
+    * threshold; the keep-min policy (drop the greater id of each
+    * pair) falls out of the canonical a<b orientation. Unlike d5's
+    * LSH (which targets near-duplicates), clustering-scoped dedup is
+    * the published recipe for pruning SEMANTIC redundancy at lower
+    * thresholds, where LSH bands lose their selectivity.
+    *
+    * Scale design: work is Σ|cluster|² — the SemDeDup design point:
+    * nLists grows with corpus size (√n-ish) to bound cluster size, so
+    * per-cluster c² stays constant while the join stays ONE equi-join
+    * keyed by cid. The 16-key skew at test scale is AQE's skew-split
+    * job; at production nLists (tens of thousands) the key space is
+    * wide. Assignment itself is a compiled projection (no shuffle
+    * before the join).
+    */
+  def d9Semdedup(t: Tables, nLists: Int = 16,
+      threshold: Double = 0.45): DataFrame = {
+    val (assigned, _) = Ann.assignedVecs(t, nLists)
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    a.join(b, "cid").filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(graft.functions.Vectors.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("cid", "vec_a", "vec_b", "cos")
+      .orderBy("cid", "vec_a", "vec_b")
+  }
+
   /** Materialize the minhash band-signature table BUCKETED by its
     * join key (band, sig) — the cluster deployment path for
     * continuous dedup: the signature table is built once per corpus
@@ -525,6 +607,48 @@ object Dedup {
         |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // k-means replay (Ann's shared CTE) + within-cluster pair join;
+    // cosine threshold applied to the ROUNDED score in both engines
+    "d9_semdedup" ->
+      s"""WITH ${Ann.kmeansReplayCte},
+         |pr AS (
+         |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+         |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cid, vec_a, vec_b, cos FROM pr WHERE cos >= 0.45
+         |ORDER BY cid, vec_a, vec_b""".stripMargin,
+    // 8-token line synthesis + global first-occurrence window +
+    // per-doc reassembly; BIGINT casts keep sums off HUGEINT
+    "d8_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    [array_to_string(tk[(i-1)*8+1:(i-1)*8+8], ' ')
+        |     FOR i IN range(1, CAST((len(tk)-1)//8 AS INT) + 2)] AS lines
+        |  FROM toks WHERE len(tk) > 0),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest([{ln: CAST(i AS INT) - 1, line: lines[CAST(i AS INT)]}
+        |            FOR i IN range(1, len(lines) + 1)], recursive := true)
+        |  FROM l),
+        |k AS (
+        |  SELECT doc_id, ln AS line_no, line,
+        |    CASE WHEN row_number() OVER (PARTITION BY line
+        |        ORDER BY doc_id, ln) = 1 THEN 1 ELSE 0 END AS kept
+        |  FROM e)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  floor((sum(kept) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0
+        |    AS kept_frac,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+        |        FILTER (WHERE kept = 1), '')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 5-gram twin of shingleCte + the tiny-side join; count(*) over
     // distinct-shingle collisions = |intersection of 5-gram sets|
     "d7_decontaminate" ->

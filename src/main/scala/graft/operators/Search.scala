@@ -69,6 +69,36 @@ object Search {
       .select(col("term"), col("df"), round(col("idf"), 4).as("idf"))
       .orderBy("term")
 
+  /** r15: TOKENIZER-VOCABULARY INDUCTION — the frequency-cutoff
+    * vocabulary build behind every tokenizer training run: per-term
+    * corpus occurrences (with multiplicity) + document frequency,
+    * ranked (count desc, term asc), top-K emitted with cumulative
+    * corpus coverage — the curve that decides the vocab-size cutoff.
+    *
+    * Scale: one groupBy(term) with map-side partial aggregation over
+    * the corpus; the rank/coverage window then runs on the AGGREGATED
+    * vocabulary (|V| ≪ corpus — the only unpartitioned window here is
+    * over vocab-sized data, never corpus rows; at 100 TB the vocab
+    * table is MBs).
+    */
+  def r15VocabBuild(t: Tables, topK: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = termFreq(t)
+      .groupBy("term")
+      .agg(sum("tf").as("n_occ"), count(lit(1)).as("df"))
+    val total = counts.agg(sum("n_occ").as("total"))
+    val w = Window.orderBy(col("n_occ").desc, col("term"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("n_occ")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("term"), col("n_occ"), col("df"),
+        (floor(col("cum") / col("total") * 10000 + 0.5) / 10000.0)
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
   /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style) over a
     * (cached) TF table.
     */
@@ -195,6 +225,21 @@ object Search {
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // vocab counts + rank/coverage window; BIGINT casts keep the
+    // HUGEINT sums off the compare path
+    "r15_vocab_build" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n_occ,
+         |        count(*) AS df FROM tf GROUP BY term),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM c),
+         |r AS (SELECT term, n_occ, df,
+         |        row_number() OVER (ORDER BY n_occ DESC, term) AS rank,
+         |        CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, term
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM c)
+         |SELECT rank, term, n_occ, df,
+         |  floor((cum * 1.0 / total) * 10000 + 0.5) / 10000.0 AS coverage
+         |FROM r, tot WHERE rank <= 16 ORDER BY rank""".stripMargin,
     "r5_tokenize_tf" ->
       s"""WITH $tokCte
          |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,

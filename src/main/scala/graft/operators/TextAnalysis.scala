@@ -214,6 +214,40 @@ object TextAnalysis {
         roundP((col("n2") - col("n2_distinct")) / col("n2")).as("dup2_frac"))
       .orderBy("doc_id")
 
+  /** t9: GOPHER-STYLE QUALITY FILTERS — the rule-based keep/drop gate
+    * (Rae et al. 2021 §A1.1) every pretraining corpus runs before
+    * anything expensive: word-count bounds [50, 10000], mean word
+    * length in [3, 10], and a minimum of 2 distinct required stopwords
+    * (the "symbol ratio" and "bullet line" rules need punctuation this
+    * synthetic corpus lacks, so the three representative rules carry
+    * the machinery). Emits each flag separately plus the conjunction —
+    * production tunes thresholds per source, so per-rule attribution
+    * is the useful output, not just the verdict. Pure per-row
+    * projection over one scan: no shuffle at any scale, runs fused
+    * with ingest.
+    */
+  def t9GopherFilters(t: Tables): DataFrame = {
+    val en = profiles.toMap.apply("en")
+    t.documents
+      .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+      .withColumn("n_words", size(col("tk")))
+      .filter(col("n_words") > 0)
+      .withColumn("mean_wlen", roundP(
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x))
+          / col("n_words")))
+      .withColumn("flag_wc",
+        (col("n_words") >= 50 && col("n_words") <= 10000).cast("int"))
+      .withColumn("flag_mwl",
+        (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).cast("int"))
+      .withColumn("flag_stop",
+        (size(array_intersect(col("tk"),
+          array(en.map(lit): _*))) >= 2).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("flag_wc"), col("flag_mwl"), col("flag_stop"),
+        (col("flag_wc") * col("flag_mwl") * col("flag_stop")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -222,6 +256,28 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t9_gopher_filters" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(tk) AS n_words,
+        |    floor((list_sum([length(x) FOR x IN tk]) * 1.0 / len(tk))
+        |      * 10000 + 0.5) / 10000.0 AS mean_wlen,
+        |    len(list_intersect(list_distinct(tk),
+        |        ['the','a','of','and','is'])) AS n_stop
+        |  FROM toks WHERE len(tk) > 0),
+        |f AS (
+        |  SELECT doc_id, n_words, mean_wlen,
+        |    CASE WHEN n_words BETWEEN 50 AND 10000 THEN 1 ELSE 0 END AS flag_wc,
+        |    CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS flag_mwl,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS flag_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen, flag_wc, flag_mwl, flag_stop,
+        |  flag_wc * flag_mwl * flag_stop AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t6_sequence_pack" ->
       """WITH c AS (
         |  SELECT source, doc_id,

@@ -225,6 +225,39 @@ object Io {
       .orderBy("doc_id")
   }
 
+  /** io6: SCHEMA EVOLUTION — a long-lived lake table accretes columns
+    * over time: early batches were written before a column existed,
+    * later batches carry it. The read side must serve ONE logical
+    * schema (new column null-filled on old files) without rewriting
+    * history. Stages orders as two generations (even keys without
+    * `o_orderpriority`, odd keys with it), reads with
+    * `mergeSchema=true` (a FOOTER merge — per-file metadata, no data
+    * scan), and aggregates by the evolved column with old rows
+    * surfacing as 'LEGACY'. `n_evolved` counts non-null priorities per
+    * group, so the gate fails if null-filling is wrong in either
+    * direction. At 100 TB schema merge cost is per-FILE, not per-row —
+    * production pins the merged schema in a catalog and reads with it
+    * explicitly, which is exactly the null-filling this verifies.
+    */
+  def io6SchemaEvolution(t: Tables): DataFrame = {
+    val dir = stage(t, "evolve", t.orders) { (df, d) =>
+      df.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$d/gen1")
+      df.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$d/gen2")
+    }
+    t.spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"),
+        count(col("o_orderpriority")).as("n_evolved"))
+      .orderBy("priority")
+  }
+
   /** Staged dir for (corpus, tag) if already landed — spec access. */
   private[graft] def stagedDir(t: Tables, tag: String): Option[String] =
     Option(staged.get(s"${t.dir}:$tag"))
@@ -283,6 +316,18 @@ object Io {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // relational twin of the two-generation read: even keys never had
+    // the priority column (→ LEGACY, n_evolved 0), odd keys carry it
+    "io6_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS pri
+        |  FROM orders)
+        |SELECT coalesce(pri, 'LEGACY') AS priority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(pri) AS n_evolved
+        |FROM m GROUP BY 1 ORDER BY priority""".stripMargin,
     // same shape as io1: the per-row fingerprint of the compacted
     // read-back must equal the original table
     "io5_compaction" ->

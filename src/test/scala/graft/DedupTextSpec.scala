@@ -262,6 +262,78 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("dup2_frac") > 0.05))
   }
 
+  test("d8 line dedup: every distinct line kept exactly once, per-doc stats consistent") {
+    val rows = run("d8_line_dedup").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_lines"); val k = r.getAs[Long]("n_kept")
+      assert(n >= 1 && k >= 0 && k <= n)
+      assert(math.abs(r.getAs[Double]("kept_frac") -
+        math.floor(k.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+      assert(r.getAs[String]("kept_md5").matches("[0-9a-f]{32}"))
+    }
+    // global invariant: Σ n_kept = number of DISTINCT lines in the
+    // corpus (each kept exactly once, at its first occurrence)
+    val t = Tables(spark, sf)
+    val lines = t.documents
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .filter(size(col("tk")) > 0)
+      .select(explode(transform(
+        sequence(lit(0), floor((size(col("tk")) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8))))).as("line"))
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == lines.distinct().count())
+    // duplicates exist in the synthetic corpus, so the gate is live
+    assert(rows.map(_.getAs[Long]("n_kept")).sum <
+      rows.map(_.getAs[Long]("n_lines")).sum)
+  }
+
+  test("d9 semdedup: pairs within-cluster, canonical, exact rounded cosine") {
+    val rows = run("d9_semdedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.45)
+    }
+    val t = Tables(spark, sf)
+    // cluster scope: each pair's cid is both members' assignment
+    val (assigned, _) = graft.operators.Ann.assignedVecs(t)
+    val cidMap = assigned.select("vec_id", "cid").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Int](1)).toMap
+    rows.foreach { r =>
+      assert(cidMap(r.getAs[Long]("vec_a")) == r.getAs[Int]("cid"))
+      assert(cidMap(r.getAs[Long]("vec_b")) == r.getAs[Int]("cid"))
+    }
+    // spot-check the first pair's cosine against the raw vectors
+    val r0 = rows.head
+    val vs = t.embeddings
+      .filter(col("vec_id").isin(r0.getAs[Long]("vec_a"),
+        r0.getAs[Long]("vec_b")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1)).toMap
+    val a = vs(r0.getAs[Long]("vec_a")); val b = vs(r0.getAs[Long]("vec_b"))
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(BigDecimal(cos).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble -
+      r0.getAs[Double]("cos")) < 1e-9)
+  }
+
+  test("t9 gopher filters: flags recompute from stats, corpus actually splits") {
+    val rows = run("t9_gopher_filters").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_words"); val mw = r.getAs[Double]("mean_wlen")
+      assert(r.getAs[Int]("flag_wc") == (if (n >= 50 && n <= 10000) 1 else 0))
+      assert(r.getAs[Int]("flag_mwl") == (if (mw >= 3.0 && mw <= 10.0) 1 else 0))
+      assert(r.getAs[Int]("keep") == r.getAs[Int]("flag_wc") *
+        r.getAs[Int]("flag_mwl") * r.getAs[Int]("flag_stop"))
+      assert(mw > 0 && n > 0)
+    }
+    // the gate must separate the corpus, not rubber-stamp it
+    assert(rows.exists(_.getAs[Int]("keep") == 1))
+    assert(rows.exists(_.getAs[Int]("keep") == 0))
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)

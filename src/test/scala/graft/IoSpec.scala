@@ -29,6 +29,22 @@ class IoSpec extends SparkSpec {
     assert(agg.values.map(_._1).sum == untouched.length + nUpd + nIns)
   }
 
+  test("io6 schema evolution: legacy rows null-filled, evolved counts exact") {
+    val t = Tables(spark, sf)
+    val rows = run("io6_schema_evolution").collect()
+    val byPri = rows.map(r => r.getAs[String]("priority") -> r).toMap
+    val orders = t.orders.select("o_orderkey").collect().map(_.getAs[Long](0))
+    // every even key was written WITHOUT the column → LEGACY, 0 evolved
+    assert(byPri("LEGACY").getAs[Long]("n") == orders.count(_ % 2 == 0))
+    assert(byPri("LEGACY").getAs[Long]("n_evolved") == 0)
+    // every non-legacy group carries the column on every row
+    byPri.removed("LEGACY").values.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("n_evolved"))
+    }
+    // nothing lost or duplicated across the two generations
+    assert(rows.map(_.getAs[Long]("n")).sum == orders.length)
+  }
+
   test("io5 compaction: file count shrinks to the metadata-sized target") {
     val t = Tables(spark, sf)
     assert(run("io5_compaction").count() == 500)

@@ -159,6 +159,23 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r15 vocab build: rank order, coverage monotone, cutoff real") {
+    val rows = run("r15_vocab_build").collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 16))
+    val occ = rows.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a < b })
+    assert(cov.last <= 1.0 && cov.head > 0)
+    // the synthetic vocabulary is wider than 16 → the cutoff bites
+    assert(cov.last < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= 500)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("df"))
+    }
+  }
+
   test("r14 conversation stats: parse survives the log round trip, kinds partition") {
     val t = Tables(spark, sf)
     val perUser = t.events.groupBy("user_id").count().collect()
