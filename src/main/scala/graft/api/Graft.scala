@@ -327,6 +327,18 @@ object Graft {
     graft.operators.Dedup.dedupGroupsFrom(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
 
+  /** LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): keep each
+    * distinct line once at its corpus-global first occurrence in
+    * (id, line_no) order, reassemble docs from survivors; returns
+    * per-doc (doc_id, n_lines, n_kept, kept_frac, kept_md5). Lines
+    * are `lineTokens`-token runs of the tokenized text. One window
+    * shuffle keyed by line content + one aggregation by doc.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8): DataFrame =
+    graft.operators.Dedup.lineDedupFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), lineTokens)
+
   /** BENCHMARK DECONTAMINATION: (train_id, bench_id, n_shared) for
     * every train doc sharing ≥1 distinct word-k-gram with the
     * benchmark slice (ids ≡ 0 mod benchMod — pass the eval suite as

@@ -444,10 +444,17 @@ object Dedup {
     * split; at 100 TB the window runs on md5(line), 16 bytes/row,
     * not the text).
     */
-  def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame = {
+  def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame =
+    lineDedupFrom(t.documents.select("doc_id", "text"), lineTokens)
+
+  /** DataFrame form of d8 for the graft.api facade and the scale
+    * probe: any (doc_id, text) frame in.
+    */
+  private[graft] def lineDedupFrom(docsIn: DataFrame,
+      lineTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("line").orderBy("doc_id", "line_no")
-    spread(t.documents.select("doc_id", "text"))
+    spread(docsIn)
       .withColumn("tk", Text.tokenize(col("text")))
       .filter(size(col("tk")) > 0)
       .withColumn("lines", transform(

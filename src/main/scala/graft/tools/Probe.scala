@@ -61,6 +61,9 @@ object Probe {
       case "q22" => timed("q22",
         graft.operators.Relational.cmsFreqFrom(full, 4, 1024).count(),
         graft.operators.Relational.cmsFreqFrom(replicatedFull(10), 4, 1024).count())
+      case "d8" => timed("d8",
+        graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
+        graft.operators.Dedup.lineDedupFrom(replicated(10), 8).count())
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

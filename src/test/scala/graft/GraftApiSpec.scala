@@ -205,6 +205,20 @@ class GraftApiSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("lineDedup drops the later copy of a repeated line, keeps order") {
+    // line width 2 tokens: doc 1 = [a b][c d], doc 2 = [a b][e f],
+    // doc 3 = [c d] — "a b" and "c d" recur and must be kept only at
+    // their first (doc, line_no) occurrence
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "c d")).toDF("id", "body")
+    val rows = Graft.lineDedup(docs, "id", "body", lineTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))).toMap
+    assert(rows(1L) == (2L, 2L)) // first owner of both lines
+    assert(rows(2L) == (2L, 1L)) // "a b" already owned by doc 1
+    assert(rows(3L) == (1L, 0L)) // "c d" already owned by doc 1
+  }
+
   test("decontaminate flags a doc quoting the benchmark slice") {
     val bench = (0L, "the secret eval question about spark windows exactly")
     val docs = Seq(
