@@ -48,6 +48,7 @@ object SparkEntry {
     "r3_strip_fence"     -> q(Ingest.r3StripFence),
     "r4_chunk_sliding"   -> q(Ingest.r4ChunkSliding(_)),
     "r12_notebook_cells" -> q(Ingest.r12NotebookCells),
+    "r16_llm_rewrite"    -> q(Ingest.r16LlmRewrite(_)),
     "r5_tokenize_tf"     -> q(Search.r5TokenizeTf),
     "r6_doc_freq"        -> q(Search.r6DocFreq),
     "r7_tfidf_search"    -> q(Search.r7TfidfSearch),
@@ -95,7 +96,8 @@ object SparkEntry {
     "st4_stream_dedup"    -> q(graft.streaming.Streams.st4StreamDedup(_)),
     "st5_stream_embed_dedup" -> q(graft.streaming.Streams.st5StreamEmbedDedup(_)),
     "st6_stream_stream_join" -> q(graft.streaming.Streams.st6StreamStreamJoin),
-    "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_))
+    "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_)),
+    "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

@@ -179,11 +179,71 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** r16: BATCHED LLM REWRITE — the reference's LLM processing pass
+    * (reference: zc_agent/prepare_data.py:193-224 process_notebooks /
+    * process_code_files: `llm(instructions, content)` per record,
+    * then `strip_code_fence`) re-expressed as batched model inference
+    * over mapPartitions — the shape every LLM-labeling / synthetic-
+    * data-generation pass at 100 TB uses: one request per
+    * `batchSize`-record group (client + prompt amortize per batch),
+    * responses mapped back in order, postprocessing fused in the same
+    * task. The model client is a STUB (deterministic fake completion:
+    * heading + first-12-token summary, fenced — no model API exists
+    * in this environment); the partition batching, the fence-strip
+    * postprocessing chain (the fake WRAPS in a fence, the pipeline
+    * strips it — a broken strip breaks the hash) and the output
+    * contract are real and oracle-gated. No shuffle: pure partition-
+    * parallel map, like every inference pass.
+    */
+  def r16LlmRewrite(t: Tables, batchSize: Int = 32): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
+          // --- STUB: one fake "model request" per batch; a real
+          // client sends the batch and zips responses back in order
+          batch.map { case (id, lang, text) =>
+            val tk = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+            val body = s"# $lang\n${tk.take(12).mkString(" ")}\n(rewritten)"
+            val fenced = s"```markdown\n$body\n```"
+            // strip_code_fence postprocessing (prepare_data.py:147-160)
+            val stripped = fenced
+              .replaceFirst("^```[^\n]*\n", "")
+              .replaceFirst("\n[ \t]*```[ \t]*\\z", "")
+            md.reset()
+            val hex = md.digest(stripped.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, "stub-1", stripped.length, hex)
+          }
+        }
+      }.toDF("doc_id", "model", "out_len", "out_md5")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
     * mirrors each parse expression (RE2 ≡ Java for every pattern used;
     * `\z` end-of-text anchors, `(?s)` inline flags).
     */
   val oracle: Map[String, String] = Map(
+    // replays the stub completion (fence wrap + strip compose to the
+    // body, so a broken strip diverges); tk[1:12] = take(12)
+    "r16_llm_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    '# ' || lang || chr(10) || array_to_string(tk[1:12], ' ')
+        |      || chr(10) || '(rewritten)' AS body
+        |  FROM toks)
+        |SELECT doc_id, 'stub-1' AS model, length(body) AS out_len,
+        |  md5(body) AS out_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "r1_classify_files" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -26,6 +26,10 @@ case class VecBand(bk: Long, vec_id: Long, sketch: Array[Byte])
 /** An emitted embedding near-dup candidate (vec_a arrived first):
   * sketch Hamming distance ≤ the angle-derived cut. */
 case class DupVec(vec_a: Long, vec_b: Long, ham: Int)
+/** A line occurrence arriving for incremental line dedup (st8). */
+case class LineArr(doc_id: Long, line_no: Int, line: String)
+/** A line occurrence with its first-owner verdict (st8 emission). */
+case class LineKept(doc_id: Long, line_no: Int, line: String, kept: Int)
 /** A doc arriving for incremental packing (st7). */
 case class PackDoc(source: String, doc_id: Long, n_tok: Long)
 /** A doc's assigned pack span (st7 emission). */
@@ -521,7 +525,94 @@ object Streams {
       }
   }
 
+  /** st8: INCREMENTAL LINE-LEVEL DEDUP — the C4 rule (batch d8) as a
+    * dedup-at-ingest stream. Documents stream in (two id-ordered
+    * micro-batches); each explodes into its `lineTokens`-token lines,
+    * and a flatMapGroupsWithState registry KEYED BY LINE CONTENT
+    * holds one boolean: has this line ever been seen. The first
+    * arrival of a line owns it (kept=1), every later occurrence —
+    * same batch or any future one — is dropped (kept=0); the corpus
+    * is never rescanned. State is ONE boolean per distinct line
+    * (production keys the store by md5(line): 16-byte keys in
+    * RocksDB, the at-ingest twin of d8's window). Per-doc rollup
+    * (counts, kept fraction, reassembled-text md5) runs downstream
+    * of the sink, exactly the batch-d8 output shape.
+    *
+    * Oracle-checkable: micro-batches partition docs by id (median
+    * split) and within-batch arrivals are sorted (doc_id, line_no),
+    * so first-arrival = global (doc_id, line_no) minimum and
+    * run-to-completion equals batch d8 — its oracle SQL applies
+    * verbatim.
+    */
+  def st8StreamLineDedup(t: Tables, lineTokens: Int = 8): DataFrame = {
+    val spark = t.spark
+    val name = s"st8_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+    val q = incrementalLineDedup(docs, "doc_id", "text", lineTokens).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), sum(col("kept")).as("n_kept"),
+        md5(array_join(transform(
+          filter(
+            sort_array(collect_list(
+              struct(col("line_no"), col("kept"), col("line")))),
+            s => s.getField("kept") === 1),
+          s => s.getField("line")), "\n")).as("kept_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (floor(col("n_kept") / col("n_lines") * 10000 + 0.5) / 10000.0)
+          .as("kept_frac"),
+        col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Library core of st8: attach to ANY streaming (id, text) frame;
+    * emits every line occurrence once with its first-owner verdict.
+    */
+  def incrementalLineDedup(docs: DataFrame, idCol: String,
+      textCol: String, lineTokens: Int)
+      : org.apache.spark.sql.Dataset[LineKept] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("tk", graft.functions.Text.tokenize(col(textCol)))
+      .filter(size(col("tk")) > 0)
+      .withColumn("lines", transform(
+        sequence(lit(0),
+          floor((size(col("tk")) - 1) / lineTokens).cast("int")),
+        i => concat_ws(" ", slice(col("tk"), i * lineTokens + 1,
+          lit(lineTokens)))))
+      .select(col(idCol).as("doc_id"),
+        posexplode(col("lines")).as(Seq("line_no", "line")))
+      .as[LineArr]
+      .groupByKey(_.line)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[LineArr], state: GroupState[Boolean]) =>
+          // batch delivery order is not id order; sort so the global
+          // first occurrence wins within its batch
+          val arriving = it.toSeq.sortBy(a => (a.doc_id, a.line_no))
+          var seen = state.getOption.getOrElse(false)
+          val out = arriving.map { a =>
+            val kept = if (!seen) { seen = true; 1 } else 0
+            LineKept(a.doc_id, a.line_no, a.line, kept)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   val oracle: Map[String, String] = Map(
+    // the two micro-batches split docs by id and in-batch arrivals
+    // sort (doc_id, line_no), so incremental first-ownership equals
+    // the batch window — d8's oracle verbatim
+    "st8_stream_line_dedup" ->
+      graft.operators.Dedup.oracle("d8_line_dedup"),
     // the two micro-batches split docs by id, so incremental packing
     // equals the batch form — t6's oracle verbatim
     "st7_stream_pack" ->

@@ -261,6 +261,16 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
+  test("st8 incremental line dedup equals batch d8 (first arrival owns)") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("kept_frac"), r.getAs[String]("kept_md5"))
+    val batch = run("d8_line_dedup").collect().map(key).toMap
+    val stream = run("st8_stream_line_dedup").collect().map(key).toMap
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("st7 incremental packing equals batch t6 (id-split batches)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->

@@ -159,6 +159,28 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r16 llm rewrite: batch-size independent, fence strip composes to body") {
+    val t = Tables(spark, sf)
+    val rows = run("r16_llm_rewrite").collect()
+    assert(rows.length == 500)
+    // output must not depend on how arrivals were batched
+    val small = graft.operators.Ingest.r16LlmRewrite(t, batchSize = 7)
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == small.map(_.toSeq).toSeq)
+    // chain identity on one doc: fenced fake completion, stripped,
+    // equals the raw body → md5 matches
+    val d0 = t.documents.filter(col("doc_id") === 0)
+      .select("lang", "text").collect().head
+    val tk = d0.getString(1).toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty)
+    val body = s"# ${d0.getString(0)}\n${tk.take(12).mkString(" ")}\n(rewritten)"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[String]("out_md5") == hex)
+    assert(r0.getAs[Int]("out_len") == body.length)
+  }
+
   test("r15 vocab build: rank order, coverage monotone, cutoff real") {
     val rows = run("r15_vocab_build").collect()
     assert(rows.length == 16)
