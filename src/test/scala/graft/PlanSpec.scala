@@ -119,6 +119,32 @@ class PlanSpec extends SparkSpec {
     assert(!joinLine.contains("Broadcast"), joinLine)
   }
 
+  test("d8: exactly the designed shuffles — spread, line window, doc agg") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("d8_line_dedup")
+    df.collect()
+    val ex = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    // spread round-robin + hashpartitioning(line) window +
+    // hashpartitioning(doc_id) agg + the final orderBy range — a new
+    // exchange here means the operator grew an unplanned shuffle
+    assert(ex.size <= 4, ex.map(_.toString.linesIterator.next()).mkString("\n"))
+    val keys = ex.map(_.toString.linesIterator.next())
+    assert(keys.exists(_.contains("hashpartitioning(line")),
+      "line-window shuffle missing — first-occurrence no longer global")
+  }
+
   test("io3: the operator's own partitioned read is partition-pruned") {
     val p = plan("io3_partitioned_prune")
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
