@@ -77,6 +77,7 @@ object SparkEntry {
     "t7_mixture_sample"   -> q(TextAnalysis.t7MixtureSample),
     "t8_repetition"       -> q(TextAnalysis.t8Repetition),
     "t9_gopher_filters"   -> q(TextAnalysis.t9GopherFilters),
+    "t10_bigram_counts"   -> q(TextAnalysis.t10BigramCounts(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
@@ -97,7 +98,8 @@ object SparkEntry {
     "st5_stream_embed_dedup" -> q(graft.streaming.Streams.st5StreamEmbedDedup(_)),
     "st6_stream_stream_join" -> q(graft.streaming.Streams.st6StreamStreamJoin),
     "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_)),
-    "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_))
+    "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_)),
+    "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

@@ -248,6 +248,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t10: N-GRAM LM COUNT TABLE — the count statistics behind n-gram
+    * language models, the machinery of perplexity-based quality
+    * filtering and contamination scoring over pretraining corpora:
+    * per-bigram corpus count, its left-unigram (context) count, and
+    * the ML conditional p(w2|w1) = c(w1,w2)/c(w1); top-24 by count.
+    *
+    * Scale: ONE groupBy over the exploded bigram stream with map-side
+    * partials (the only corpus-sized shuffle); the context-count table
+    * derives from the bigram table itself (no second corpus pass) and
+    * joins back broadcast (vocab²-bounded). The rank window runs on
+    * the aggregated table, never corpus rows — same posture as r15.
+    */
+  def t10BigramCounts(t: Tables, topK: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = t.documents
+      .select(Text.tokenize(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bi"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val u = c.groupBy("w1").agg(sum("c_bi").as("c_w1"))
+    val w = Window.orderBy(col("c_bi").desc, col("w1"), col("w2"))
+    c.join(broadcast(u), "w1")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("w1"), col("w2"), col("c_bi"), col("c_w1"),
+        (floor(col("c_bi") / col("c_w1") * 10000 + 0.5) / 10000.0)
+          .as("p_ml"))
+      .orderBy(col("c_bi").desc, col("w1"), col("w2"))
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -256,6 +289,33 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // bigram + context counts with the BIGINT casts; ML conditional
+    // under the portable floor rounding; same tie-break total order
+    "t10_bigram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT [array_to_string(tk[i:i+1], ' ')
+        |          FOR i IN range(1, len(tk))] AS g2all
+        |  FROM toks WHERE len(tk) >= 2),
+        |e AS (SELECT unnest(g2all) AS bg FROM g),
+        |c AS (SELECT bg, count(*) AS c_bi FROM e GROUP BY bg),
+        |sp AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1,
+        |         string_split(bg, ' ')[2] AS w2, c_bi
+        |  FROM c),
+        |u AS (SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_w1
+        |      FROM sp GROUP BY w1),
+        |r AS (
+        |  SELECT w1, w2, c_bi, c_w1,
+        |    row_number() OVER (ORDER BY c_bi DESC, w1, w2) AS rnk
+        |  FROM sp JOIN u USING (w1))
+        |SELECT w1, w2, c_bi, c_w1,
+        |  floor((c_bi * 1.0 / c_w1) * 10000 + 0.5) / 10000.0 AS p_ml
+        |FROM r WHERE rnk <= 24 ORDER BY c_bi DESC, w1, w2""".stripMargin,
     "t9_gopher_filters" ->
       """WITH toks AS (
         |  SELECT doc_id,

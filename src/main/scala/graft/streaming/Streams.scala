@@ -607,7 +607,58 @@ object Streams {
       }
   }
 
+  /** st9: STREAM-STATIC DECONTAMINATION — batch d7's screen as an
+    * at-ingest stream, and the one canonical streaming join shape the
+    * family was missing: a STATELESS stream-static join. The
+    * benchmark's shingle set is a STATIC batch frame (eval suites are
+    * tiny and fixed for a training run) BROADCAST against the
+    * arriving document stream; each arriving doc's distinct 5-grams
+    * probe it inline — no state store at all, because the static side
+    * never grows and emissions depend only on the arriving row. This
+    * is how production screens a landing stream against a pinned eval
+    * suite: the join is map-side per micro-batch, the only stateful
+    * work is the downstream (train, bench) rollup (here done once at
+    * run end, batch-side of the sink).
+    *
+    * Oracle-checkable: emissions are arrival-order-independent (one
+    * row per shared distinct shingle), so run-to-completion equals
+    * batch d7 — its oracle SQL applies verbatim.
+    */
+  def st9StreamDecontaminate(t: Tables, k: Int = 5,
+      benchMod: Long = 97): DataFrame = {
+    val spark = t.spark
+    val name = s"st9_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val bench = spark.read.parquet(path)
+      .filter(col("doc_id") % benchMod === 0)
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .select(col("doc_id").as("bench_id"),
+        explode(graft.functions.Text.shinglesFast(k)(col("tk"))).as("sh"))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+    val hits = docs
+      .filter(col("doc_id") % benchMod =!= 0)
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .select(col("doc_id").as("train_id"),
+        explode(graft.functions.Text.shinglesFast(k)(col("tk"))).as("sh"))
+      .join(broadcast(bench), "sh")
+      .select("train_id", "bench_id")
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "bench_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // stateless stream-static join emissions are arrival-order-
+    // independent — batch d7's oracle verbatim
+    "st9_stream_decontaminate" ->
+      graft.operators.Dedup.oracle("d7_decontaminate"),
     // the two micro-batches split docs by id and in-batch arrivals
     // sort (doc_id, line_no), so incremental first-ownership equals
     // the batch window — d8's oracle verbatim

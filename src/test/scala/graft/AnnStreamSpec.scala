@@ -271,6 +271,15 @@ class AnnStreamSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("st9 stream-static decontamination equals batch d7 (stateless join)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")) ->
+        r.getAs[Long]("n_shared")
+    val batch = run("d7_decontaminate").collect().map(key).toMap
+    val stream = run("st9_stream_decontaminate").collect().map(key).toMap
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("st7 incremental packing equals batch t6 (id-split batches)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->

@@ -334,6 +334,27 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
 
+  test("t10 bigram counts: conditionals well-formed, context count covers bigram") {
+    val rows = run("t10_bigram_counts").collect()
+    assert(rows.length == 24)
+    val counts = rows.map(_.getAs[Long]("c_bi"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val cbi = r.getAs[Long]("c_bi"); val cw1 = r.getAs[Long]("c_w1")
+      assert(cbi >= 1 && cw1 >= cbi)
+      val p = r.getAs[Double]("p_ml")
+      assert(p > 0 && p <= 1.0)
+      assert(math.abs(p -
+        math.floor(cbi.toDouble / cw1 * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // Σ p(w2|w1) over the FULL table is 1 per context; on the top-24
+    // cut just require no single conditional claims the whole context
+    // unless the bigram count equals it exactly (consistency guard)
+    rows.filter(_.getAs[Double]("p_ml") == 1.0).foreach { r =>
+      assert(r.getAs[Long]("c_bi") == r.getAs[Long]("c_w1"))
+    }
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)
