@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_bottomk_quantiles" -> q(Relational.q21BottomkQuantiles(_)),
     "q22_cms_freq"       -> q(Relational.q22CmsFreq(_)),
     "q23_table_profile"  -> q(Relational.q23TableProfile),
+    "q24_gap_fill"       -> q(Relational.q24GapFill(_)),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),

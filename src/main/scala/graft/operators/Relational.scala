@@ -531,6 +531,47 @@ object Relational {
       .orderBy("column")
   }
 
+  /** q24: TIME-SERIES GAP-FILL / RESAMPLE — regularize an event
+    * stream onto a fixed grid, the prelude to any temporal feature
+    * pipeline: per user, an hourly grid spans their first→last active
+    * hour, gap hours land with n_events=0, and the last observed
+    * event_type FORWARD-FILLS across gaps (`last(ignoreNulls)` — the
+    * as-of read expressed as a window). The in-hour "last event" is
+    * chosen by (ts, event_id) desc so both engines pick identically.
+    *
+    * Scale: the hourly rollup and the rank window share ONE exchange
+    * (window and groupBy key on (user_id, hr)); grid generation is a
+    * per-user `sequence` explode off the tiny span aggregate; the
+    * fill window shuffles by user only. Grid size is span-bounded
+    * (users × hours), never event-bounded — the operator's output is
+    * the resampled series a feature store materializes.
+    */
+  def q24GapFill(t: Tables, maxUser: Long = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events.filter(col("user_id") < maxUser)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+    val w1 = Window.partitionBy("user_id", "hr")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev.withColumn("rn", row_number().over(w1))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("event_type"))).as("last_type"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hr"))
+    val w2 = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.cast("int").as("is_gap"),
+        last(col("last_type"), ignoreNulls = true).over(w2)
+          .as("ffill_type"))
+      .orderBy("user_id", "hr")
+  }
+
   /** md5-hex → int64 horner (same construction as the minhash oracle);
     * `m` must be a 32-hex column, `off` 0 for h1, 8 for h2.
     */
@@ -541,6 +582,39 @@ object Relational {
        |  * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // grid via generate_series, in-hour last event by (ts, event_id)
+    // desc rank, forward fill via last_value IGNORE NULLS
+    "q24_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    date_trunc('hour', ts) AS hr
+        |  FROM events WHERE user_id < 8),
+        |r AS (
+        |  SELECT user_id, hr, event_type,
+        |    row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev),
+        |hourly AS (
+        |  SELECT user_id, hr, count(*) AS n,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+        |  FROM r GROUP BY user_id, hr),
+        |span AS (
+        |  SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.hr, coalesce(h.n, 0) AS n_events,
+        |    CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap, h.last_type
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events, is_gap,
+        |  last_value(last_type IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ffill_type
+        |FROM j ORDER BY user_id, hr""".stripMargin,
     "q23_table_profile" -> {
       val cols = Seq(
         ("o_orderkey", "CAST(%s AS VARCHAR)"),

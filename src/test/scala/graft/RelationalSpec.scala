@@ -231,4 +231,29 @@ class RelationalSpec extends SparkSpec {
     assert(byCol("o_orderstatus") <= 3)
     assert(byCol("o_orderpriority") == 5)
   }
+
+  test("q24 gap-fill: grid contiguous per user, gaps zeroed, fill carries") {
+    val rows = run("q24_gap_fill").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val hrs = rs.map(_.getAs[java.sql.Timestamp]("hr").getTime).sorted
+      // hourly grid with no holes: consecutive stamps differ by 3600s
+      hrs.zip(hrs.tail).foreach { case (a, b) =>
+        assert(b - a == 3600000L, s"user $u grid hole")
+      }
+      // endpoints are observed (span is min..max of ACTIVE hours)
+      val byHr = rs.sortBy(_.getAs[java.sql.Timestamp]("hr").getTime)
+      assert(byHr.head.getAs[Int]("is_gap") == 0)
+      assert(byHr.last.getAs[Int]("is_gap") == 0)
+      var lastSeen: String = null
+      byHr.foreach { r =>
+        val gap = r.getAs[Int]("is_gap")
+        assert((r.getAs[Long]("n_events") == 0L) == (gap == 1))
+        if (gap == 0) lastSeen = r.getAs[String]("ffill_type")
+        else assert(r.getAs[String]("ffill_type") == lastSeen,
+          s"user $u fill broke")
+        assert(r.getAs[String]("ffill_type") != null)
+      }
+    }
+  }
 }
