@@ -447,14 +447,14 @@ object Dedup {
   def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame =
     lineDedupFrom(t.documents.select("doc_id", "text"), lineTokens)
 
-  /** DataFrame form of d8 for the graft.api facade and the scale
-    * probe: any (doc_id, text) frame in.
+  /** Explode a (doc_id, text) frame into its `lineTokens`-token lines:
+    * (doc_id, line_no, line). Shared by batch d8 and streaming st8 —
+    * the two are gated against the SAME oracle, so the line synthesis
+    * must be one expression, not two copies.
     */
-  private[graft] def lineDedupFrom(docsIn: DataFrame,
-      lineTokens: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("line").orderBy("doc_id", "line_no")
-    spread(docsIn)
+  private[graft] def lineExplode(docs: DataFrame,
+      lineTokens: Int): DataFrame =
+    docs
       .withColumn("tk", Text.tokenize(col("text")))
       .filter(size(col("tk")) > 0)
       .withColumn("lines", transform(
@@ -464,7 +464,13 @@ object Dedup {
           lit(lineTokens)))))
       .select(col("doc_id"),
         posexplode(col("lines")).as(Seq("line_no", "line")))
-      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+
+  /** Per-doc rollup of (doc_id, line_no, line, kept) rows into the d8
+    * output shape (counts, kept fraction, reassembled-text md5) —
+    * shared by batch d8 and st8's post-sink aggregation.
+    */
+  private[graft] def lineRollup(kept: DataFrame): DataFrame =
+    kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(col("kept")).as("n_kept"),
@@ -479,6 +485,16 @@ object Dedup {
           .as("kept_frac"),
         col("kept_md5"))
       .orderBy("doc_id")
+
+  /** DataFrame form of d8 for the graft.api facade and the scale
+    * probe: any (doc_id, text) frame in.
+    */
+  private[graft] def lineDedupFrom(docsIn: DataFrame,
+      lineTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id", "line_no")
+    lineRollup(lineExplode(spread(docsIn), lineTokens)
+      .withColumn("kept", (row_number().over(w) === 1).cast("int")))
   }
 
   /** d9: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the

@@ -206,7 +206,8 @@ object Ingest {
           // --- STUB: one fake "model request" per batch; a real
           // client sends the batch and zips responses back in order
           batch.map { case (id, lang, text) =>
-            val tk = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+            val tk = text.toLowerCase(java.util.Locale.ROOT)
+              .split("[^a-z0-9]+").filter(_.nonEmpty)
             val body = s"# $lang\n${tk.take(12).mkString(" ")}\n(rewritten)"
             val fenced = s"```markdown\n$body\n```"
             // strip_code_fence postprocessing (prepare_data.py:147-160)

@@ -552,10 +552,14 @@ object Relational {
       .withColumn("hr", date_trunc("hour", col("ts")))
     val w1 = Window.partitionBy("user_id", "hr")
       .orderBy(col("ts").desc, col("event_id").desc)
-    val hourly = ev.withColumn("rn", row_number().over(w1))
-      .groupBy("user_id", "hr")
-      .agg(count(lit(1)).as("n"),
-        max(when(col("rn") === 1, col("event_type"))).as("last_type"))
+    // consumed twice (span aggregate + grid join): materialize, or the
+    // events scan + window + rollup subtree runs once per consumer
+    graft.Caches.fresh()
+    val hourly = graft.Caches.materialized(
+      ev.withColumn("rn", row_number().over(w1))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rn") === 1, col("event_type"))).as("last_type")))
     val grid = hourly.groupBy("user_id")
       .agg(min("hr").as("h0"), max("hr").as("h1"))
       .select(col("user_id"),

@@ -556,20 +556,8 @@ object Streams {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    spark.table(name)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"), sum(col("kept")).as("n_kept"),
-        md5(array_join(transform(
-          filter(
-            sort_array(collect_list(
-              struct(col("line_no"), col("kept"), col("line")))),
-            s => s.getField("kept") === 1),
-          s => s.getField("line")), "\n")).as("kept_md5"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"),
-        (floor(col("n_kept") / col("n_lines") * 10000 + 0.5) / 10000.0)
-          .as("kept_frac"),
-        col("kept_md5"))
-      .orderBy("doc_id")
+    // batch-d8's rollup verbatim — shared code, shared oracle
+    graft.operators.Dedup.lineRollup(spark.table(name))
   }
 
   /** Library core of st8: attach to ANY streaming (id, text) frame;
@@ -580,16 +568,10 @@ object Streams {
       : org.apache.spark.sql.Dataset[LineKept] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .withColumn("tk", graft.functions.Text.tokenize(col(textCol)))
-      .filter(size(col("tk")) > 0)
-      .withColumn("lines", transform(
-        sequence(lit(0),
-          floor((size(col("tk")) - 1) / lineTokens).cast("int")),
-        i => concat_ws(" ", slice(col("tk"), i * lineTokens + 1,
-          lit(lineTokens)))))
-      .select(col(idCol).as("doc_id"),
-        posexplode(col("lines")).as(Seq("line_no", "line")))
+    // batch-d8's line synthesis verbatim — shared code, shared oracle
+    graft.operators.Dedup.lineExplode(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        lineTokens)
       .as[LineArr]
       .groupByKey(_.line)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -630,11 +612,15 @@ object Streams {
     val name = s"st9_sink_${ctr.incrementAndGet()}"
     val path = s"${t.dir}/documents.parquet"
     val schema = spark.read.parquet(path).schema
-    val bench = spark.read.parquet(path)
+    // the static side of a stream-static join re-evaluates EVERY
+    // micro-batch — cache it once or the full corpus scan + shingling
+    // reruns per trigger (same rule as batch d7's materialized pass)
+    graft.Caches.fresh()
+    val bench = graft.Caches.materialized(spark.read.parquet(path)
       .filter(col("doc_id") % benchMod === 0)
       .withColumn("tk", graft.functions.Text.tokenize(col("text")))
       .select(col("doc_id").as("bench_id"),
-        explode(graft.functions.Text.shinglesFast(k)(col("tk"))).as("sh"))
+        explode(graft.functions.Text.shinglesFast(k)(col("tk"))).as("sh")))
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "doc_id"))

@@ -171,8 +171,8 @@ class RagSpec extends SparkSpec {
     // equals the raw body → md5 matches
     val d0 = t.documents.filter(col("doc_id") === 0)
       .select("lang", "text").collect().head
-    val tk = d0.getString(1).toLowerCase.split("[^a-z0-9]+")
-      .filter(_.nonEmpty)
+    val tk = d0.getString(1).toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     val body = s"# ${d0.getString(0)}\n${tk.take(12).mkString(" ")}\n(rewritten)"
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
