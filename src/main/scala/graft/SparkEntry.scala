@@ -100,7 +100,8 @@ object SparkEntry {
     "st6_stream_stream_join" -> q(graft.streaming.Streams.st6StreamStreamJoin),
     "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_)),
     "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_)),
-    "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_))
+    "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_)),
+    "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

@@ -327,6 +327,27 @@ object Graft {
     graft.operators.Dedup.dedupGroupsFrom(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
 
+  /** SEMANTIC DEDUP (SemDeDup): k-means-cluster the embedding space
+    * (codebook trained FRESH on this frame — callers with a stored
+    * model should pre-assign and use the operators directly), then
+    * report within-cluster pairs with cosine ≥ threshold as
+    * (cid, vec_a, vec_b, cos). Eager: training runs Lloyd's
+    * iterations (full scans + a model-sized collect) at call time.
+    * Work is Σ|cluster|²; size nLists so clusters stay bounded.
+    */
+  def semdedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, threshold: Double = 0.45,
+      iters: Int = 3): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = vecs.select(size(col("v"))).first().getInt(0)
+    val cb = graft.operators.Ann.trainCodebook(vecs, nLists, dim, iters)
+    val assigned = vecs.select(col("vec_id"), col("v"),
+      element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+        .as("cid"))
+    graft.operators.Dedup.semdedupPairsFrom(assigned, threshold)
+  }
+
   /** LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): keep each
     * distinct line once at its corpus-global first occurrence in
     * (id, line_no) order, reassemble docs from survivors; returns

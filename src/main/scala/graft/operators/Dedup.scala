@@ -516,8 +516,15 @@ object Dedup {
     * before the join).
     */
   def d9Semdedup(t: Tables, nLists: Int = 16,
-      threshold: Double = 0.45): DataFrame = {
-    val (assigned, _) = Ann.assignedVecs(t, nLists)
+      threshold: Double = 0.45): DataFrame =
+    semdedupPairsFrom(Ann.assignedVecs(t, nLists)._1, threshold)
+
+  /** The within-cluster pair join over an assigned (vec_id, v, cid)
+    * frame — shared by d9 (corpus-registry codebook) and the facade
+    * (frame-trained codebook).
+    */
+  private[graft] def semdedupPairsFrom(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),

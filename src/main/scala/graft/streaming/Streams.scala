@@ -191,6 +191,49 @@ object Streams {
     t.spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** st10: CHECKPOINTED PARQUET FILE SINK — st3's watermarked append
+    * aggregation landed through Structured Streaming's production
+    * sink: `format("parquet")` + `checkpointLocation`. The sink
+    * commits each micro-batch atomically to the `_spark_metadata`
+    * log, which the read side consults instead of the directory
+    * listing — a torn/abandoned task's files are invisible, giving
+    * exactly-once OUTPUT (the memory sinks st1–st9 use are test
+    * plumbing; this is the path a cluster deployment actually
+    * writes). Landed once per (JVM, corpus) and reread on later
+    * calls, like a real lake table fed by a continuous job.
+    *
+    * Oracle-checkable: identical transformation and append semantics
+    * to st3, so st3's oracle applies; the hash gate now ALSO covers
+    * the file sink's write→read round trip.
+    */
+  def st10StreamFileSink(t: Tables): DataFrame = {
+    val outDir = fileSinks.computeIfAbsent(t.dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st10_out_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st10_ckpt_").toString
+      val q = eventStream(t)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      out
+    })
+    t.spark.read.parquet(outDir).orderBy("window_start", "event_type")
+  }
+
+  private val fileSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** st10's landed output dir, if this JVM ran it — spec access. */
+  private[graft] def fileSinkDir(t: Tables): Option[String] =
+    Option(fileSinks.get(t.dir))
+
   /** st6: stream-stream INTERVAL join — click-to-purchase attribution
     * within 30 minutes per user, both sides unbounded streams. The
     * canonical two-stream stateful join: each side is watermarked
@@ -764,15 +807,23 @@ object Streams {
     // micro-batch flushes up to max event time - 30 min); batch-split
     // by time means no late drops, so emitted counts are the full
     // batch counts.
-    "st3_stream_late_append" ->
-      """WITH m AS (
-        |  SELECT max(make_timestamp(epoch_us(ts))) AS mx FROM events),
-        |w AS (
-        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |    count(*) AS n
-        |  FROM events GROUP BY date_trunc('hour', ts), event_type)
-        |SELECT window_start, event_type, n FROM w, m
-        |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
-        |ORDER BY window_start, event_type""".stripMargin
+    "st3_stream_late_append" -> lateAppendSql,
+    // st10 lands st3's exact transformation through the checkpointed
+    // parquet file sink — same append semantics, same oracle
+    "st10_stream_file_sink" -> lateAppendSql
   )
+
+  /** Shared oracle for st3 (memory sink) and st10 (file sink): hourly
+    * windows whose end clears the final watermark cut.
+    */
+  private lazy val lateAppendSql: String =
+    """WITH m AS (
+      |  SELECT max(make_timestamp(epoch_us(ts))) AS mx FROM events),
+      |w AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY date_trunc('hour', ts), event_type)
+      |SELECT window_start, event_type, n FROM w, m
+      |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+      |ORDER BY window_start, event_type""".stripMargin
 }

@@ -271,6 +271,20 @@ class AnnStreamSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("st10 file sink equals st3, commits through the _spark_metadata log") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")
+    val mem = run("st3_stream_late_append").collect().map(key).toMap
+    val file = run("st10_stream_file_sink").collect().map(key).toMap
+    assert(file.nonEmpty && file == mem)
+    // exactly-once: the sink wrote its commit log, so readers list
+    // committed files from it, not from the directory
+    val dir = graft.streaming.Streams.fileSinkDir(Tables(spark, sf)).get
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_spark_metadata")))
+  }
+
   test("st9 stream-static decontamination equals batch d7 (stateless join)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")) ->

@@ -205,6 +205,23 @@ class GraftApiSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("semdedupPairs reports a planted twin within its cluster") {
+    // seeds are the FIRST nLists ids, so put the two dissimilar
+    // vectors first (they become the centroids) and the planted twins
+    // after — the twins then co-cluster and must pair up
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.01, 0.0, 0.999, 0.0))).toDF("id", "vec")
+    val pairs = Graft.semdedupPairs(vs, "id", "vec",
+        nLists = 2, threshold = 0.9).collect()
+    assert(pairs.exists(r => r.getAs[Long]("vec_a") == 3L &&
+      r.getAs[Long]("vec_b") == 4L && r.getAs[Double]("cos") > 0.99))
+    // no cross-cluster / low-similarity pair leaks in
+    pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.9))
+  }
+
   test("lineDedup drops the later copy of a repeated line, keeps order") {
     // line width 2 tokens: doc 1 = [a b][c d], doc 2 = [a b][e f],
     // doc 3 = [c d] — "a b" and "c d" recur and must be kept only at
