@@ -169,27 +169,7 @@ object Io {
     * output files.
     */
   def io4UpsertMerge(t: Tables): DataFrame = {
-    val baseDir = stage(t, "merge_base", t.orders)(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    val base = t.spark.read.schema(ordersSchema).parquet(baseDir)
-    val upd = t.orders.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_orderstatus", lit("U"))
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-    // insert keys are NEGATIVE (-(k+1)): orders keys are nonnegative
-    // at every scale factor, so synthesized inserts can never collide
-    // with a real key — an additive shift would collide once
-    // max(o_orderkey) crossed it, making the merge window's tie-break
-    // nondeterministic and divergent from the oracle's UNION
-    val ins = t.orders.filter(col("o_orderkey") % 25 === 0)
-      .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
-      .withColumn("o_orderstatus", lit("N"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_orderkey").orderBy(col("_v").desc)
-    val merged = base.withColumn("_v", lit(0))
-      .unionByName(upd.unionByName(ins).withColumn("_v", lit(1)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_v", "_rn")
-    val outDir = stage(t, "merge_out", merged)(
+    val outDir = stage(t, "merge_out", mergedOrders(t))(
       (df, d) => df.write.mode("overwrite").parquet(d))
     t.spark.read.schema(ordersSchema).parquet(outDir)
       .groupBy("o_orderstatus")
@@ -223,6 +203,67 @@ object Io {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
+  }
+
+  /** io7: TIME TRAVEL / SNAPSHOT DIFF — a lake table keeps its old
+    * snapshots addressable after new writes: v0 is the base orders
+    * table, v1 is the io4-merged state (updates + inserts applied),
+    * each landed as its own immutable snapshot directory (the
+    * copy-on-write layout Delta/Iceberg version manifests point at).
+    * The query reads BOTH versions "as of" their snapshot and emits
+    * the per-status diff (n/total at v0, at v1, and the deltas) —
+    * the audit query every versioned pipeline runs after a merge.
+    * The hash gate covers both snapshot reads AND the diff logic
+    * (the oracle reconstructs v1 relationally, as io4's does).
+    * At 100 TB: snapshots share unchanged files via the manifest —
+    * here each is fully materialized because the local stand-in has
+    * no manifest layer; the read path being versioned is the point.
+    */
+  def io7TimeTravel(t: Tables): DataFrame = {
+    val v0Dir = stage(t, "merge_base", t.orders)(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    val v1Dir = stage(t, "merge_out", mergedOrders(t))(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    def snap(dir: String, tag: String) =
+      t.spark.read.schema(ordersSchema).parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as(s"total_$tag"))
+    snap(v0Dir, "v0").join(snap(v1Dir, "v1"), Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_v0"), lit(0L)).as("n_v0"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        (coalesce(col("n_v1"), lit(0L)) - coalesce(col("n_v0"), lit(0L)))
+          .as("n_delta"),
+        coalesce(col("total_v1"), lit(0.0)).as("total_v1"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** io4's merged state (base ∪ changes, changes win) as a frame —
+    * shared by the io4 write path and io7's v1 snapshot.
+    */
+  private def mergedOrders(t: Tables): DataFrame = {
+    val baseDir = stage(t, "merge_base", t.orders)(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    val base = t.spark.read.schema(ordersSchema).parquet(baseDir)
+    val upd = t.orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    // insert keys are NEGATIVE (-(k+1)): orders keys are nonnegative
+    // at every scale factor, so synthesized inserts can never collide
+    // with a real key — an additive shift would collide once
+    // max(o_orderkey) crossed it, making the merge window's tie-break
+    // nondeterministic and divergent from the oracle's UNION
+    val ins = t.orders.filter(col("o_orderkey") % 25 === 0)
+      .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
+      .withColumn("o_orderstatus", lit("N"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("_v").desc)
+    base.withColumn("_v", lit(0))
+      .unionByName(upd.unionByName(ins).withColumn("_v", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_v", "_rn")
   }
 
   /** io6: SCHEMA EVOLUTION — a long-lived lake table accretes columns
@@ -316,6 +357,35 @@ object Io {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v0 = orders, v1 = io4's relational merge; full-join diff with
+    // zero-filled absent sides (status 'N' exists only at v1)
+    "io7_time_travel" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, 'N' AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |s0 AS (
+        |  SELECT o_orderstatus, count(*) AS n_v0
+        |  FROM orders GROUP BY o_orderstatus),
+        |s1 AS (
+        |  SELECT o_orderstatus, count(*) AS n_v1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
+        |  FROM v1 GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  coalesce(n_v0, 0) AS n_v0, coalesce(n_v1, 0) AS n_v1,
+        |  coalesce(n_v1, 0) - coalesce(n_v0, 0) AS n_delta,
+        |  coalesce(total_v1, 0.0) AS total_v1
+        |FROM s0 FULL JOIN s1 USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     // relational twin of the two-generation read: even keys never had
     // the priority column (→ LEGACY, n_evolved 0), odd keys carry it
     "io6_schema_evolution" ->

@@ -45,6 +45,26 @@ class IoSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == orders.length)
   }
 
+  test("io7 time travel: v0 snapshot intact after merge, deltas match changeset") {
+    val t = Tables(spark, sf)
+    val rows = run("io7_time_travel").collect()
+    val by = rows.map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    val orders = t.orders.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[String](1)))
+    // the OLD snapshot still serves its pre-merge counts
+    orders.groupBy(_._2).foreach { case (s, rs) =>
+      assert(by(s).getAs[Long]("n_v0") == rs.length, s"status $s")
+    }
+    // statuses born in v1 have no v0 presence and changeset-sized deltas
+    assert(by("U").getAs[Long]("n_v0") == 0)
+    assert(by("U").getAs[Long]("n_delta") == orders.count(_._1 % 10 == 0))
+    assert(by("N").getAs[Long]("n_v0") == 0)
+    assert(by("N").getAs[Long]("n_delta") == orders.count(_._1 % 25 == 0))
+    // v1 row total = v0 + inserts (updates replace, inserts add)
+    assert(rows.map(_.getAs[Long]("n_v1")).sum ==
+      orders.length + orders.count(_._1 % 25 == 0))
+  }
+
   test("io5 compaction: file count shrinks to the metadata-sized target") {
     val t = Tables(spark, sf)
     assert(run("io5_compaction").count() == 500)
