@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * confound of naive replication is removed and the measured curve
   * is the operator's own scaling.
   *
-  * Usage: `sbt "runMain graft.tools.Probe d6"` (arg = which probe).
+  * Usage: `sbt "runMain graft.tools.Probe d6 [copies]"` (which probe,
+  * replication factor — default 10; pass 100 for the 100× question).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build()
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val full = spark.read
       .parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "source", "lang", "text")
@@ -45,25 +47,25 @@ object Probe {
       val nB = big
       val sB = (System.nanoTime - t1) / 1e9
       println(f"PROBE $tag: 5k docs $sS%.1f s ($nS rows, cold JVM); " +
-        f"50k docs $sB%.1f s ($nB rows, warm)")
+        f"${copies * 5}%dk docs $sB%.1f s ($nB rows, warm)")
     }
 
     args.headOption.getOrElse("d6") match {
       case "d6" => timed("d6",
         graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count(),
-        graft.operators.Dedup.dedupGroupsFrom(replicated(10), 0.5).count())
+        graft.operators.Dedup.dedupGroupsFrom(replicated(copies), 0.5).count())
       case "d7" => timed("d7",
         graft.operators.Dedup.decontaminateFrom(docs).count(),
-        graft.operators.Dedup.decontaminateFrom(replicated(10)).count())
+        graft.operators.Dedup.decontaminateFrom(replicated(copies)).count())
       case "t6" => timed("t6",
         graft.operators.TextAnalysis.sequencePackFrom(full, 128).count(),
-        graft.operators.TextAnalysis.sequencePackFrom(replicatedFull(10), 128).count())
+        graft.operators.TextAnalysis.sequencePackFrom(replicatedFull(copies), 128).count())
       case "q22" => timed("q22",
         graft.operators.Relational.cmsFreqFrom(full, 4, 1024).count(),
-        graft.operators.Relational.cmsFreqFrom(replicatedFull(10), 4, 1024).count())
+        graft.operators.Relational.cmsFreqFrom(replicatedFull(copies), 4, 1024).count())
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
-        graft.operators.Dedup.lineDedupFrom(replicated(10), 8).count())
+        graft.operators.Dedup.lineDedupFrom(replicated(copies), 8).count())
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
