@@ -66,6 +66,10 @@ object Probe {
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
         graft.operators.Dedup.lineDedupFrom(replicated(copies), 8).count())
+      case "d2" => timed("d2",
+        graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
+        graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")
+          .count())
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
