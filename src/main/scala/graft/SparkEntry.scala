@@ -79,6 +79,7 @@ object SparkEntry {
     "t8_repetition"       -> q(TextAnalysis.t8Repetition),
     "t9_gopher_filters"   -> q(TextAnalysis.t9GopherFilters),
     "t10_bigram_counts"   -> q(TextAnalysis.t10BigramCounts(_)),
+    "t11_tokenizer_encode" -> q(TextAnalysis.t11TokenizerEncode(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),

@@ -281,6 +281,41 @@ object TextAnalysis {
       .orderBy(col("c_bi").desc, col("w1"), col("w2"))
   }
 
+  /** t11: TOKENIZER ENCODE — apply the induced vocabulary (r15's
+    * ranking rule: top-`vocabSize` terms by (count desc, term), id =
+    * rank, everything else UNK=0) to re-encode every document as its
+    * token-id sequence: the text→ids step that feeds sequence packing
+    * (t6) in a real pretraining pipeline. Output per doc: token/UNK
+    * counts + md5 of the comma-joined id sequence (the ids column
+    * itself at production; hashed here to keep the dump small).
+    *
+    * Scale: vocab build is one map-side-partial groupBy(term); the
+    * ENCODE is a BROADCAST join (vocab ≪ corpus — MBs at 100 TB), so
+    * the corpus pays no shuffle until the per-doc rollup. The rank
+    * window runs on the aggregated vocab only.
+    */
+  def t11TokenizerEncode(t: Tables, vocabSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Caches.fresh()
+    val toks = graft.Caches.cached(t.documents
+      .select(col("doc_id"),
+        posexplode(Text.tokenize(col("text"))).as(Seq("pos", "term"))))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("term"))))
+      .filter(col("id") <= vocabSize)
+      .select("term", "id")
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum((col("tid") === 0).cast("long")).as("n_unk"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid").cast("string")), ",")).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -289,6 +324,32 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // vocab ranking replayed (r15's rule), encode via left join,
+    // ordered id concat under md5; BIGINT casts on the sums
+    "t11_tokenizer_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest([{pos: CAST(i AS INT) - 1, term: tk[CAST(i AS INT)]}
+        |            FOR i IN range(1, len(tk) + 1)], recursive := true)
+        |  FROM toks),
+        |c AS (SELECT term, count(*) AS n_occ FROM e GROUP BY term),
+        |v AS (
+        |  SELECT term, id FROM (
+        |    SELECT term,
+        |      row_number() OVER (ORDER BY n_occ DESC, term) AS id
+        |    FROM c) WHERE id <= 16),
+        |j AS (
+        |  SELECT e.doc_id, e.pos, coalesce(v.id, 0) AS tid
+        |  FROM e LEFT JOIN v ON v.term = e.term)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bigram + context counts with the BIGINT casts; ML conditional
     // under the portable floor rounding; same tie-break total order
     "t10_bigram_counts" ->

@@ -355,6 +355,37 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("t11 tokenizer encode: id sequence replays from vocab, UNK counted") {
+    val rows = run("t11_tokenizer_encode").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unk") <= r.getAs[Long]("n_tok"))
+      assert(r.getAs[String]("ids_md5").matches("[0-9a-f]{32}"))
+    }
+    // vocab is 16 of a ~31-word vocabulary → UNKs exist but are not all
+    val unk = rows.map(_.getAs[Long]("n_unk")).sum
+    val tot = rows.map(_.getAs[Long]("n_tok")).sum
+    assert(unk > 0 && unk < tot)
+    // replay one doc end-to-end: rebuild the vocab ranking and the id
+    // string in Scala, compare the md5
+    val t = Tables(spark, sf)
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[String](1)).toMap
+    def tok(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val counts = docs.values.flatMap(tok).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    val vocab = counts.sortBy { case (term, n) => (-n, term) }
+      .take(16).zipWithIndex.map { case ((term, _), i) => term -> (i + 1) }
+      .toMap
+    val d0 = docs.keys.min
+    val ids = tok(docs(d0)).map(vocab.getOrElse(_, 0)).mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(ids.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.find(_.getAs[Long]("doc_id") == d0).get
+      .getAs[String]("ids_md5") == hex)
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)
