@@ -80,6 +80,7 @@ object SparkEntry {
     "t9_gopher_filters"   -> q(TextAnalysis.t9GopherFilters),
     "t10_bigram_counts"   -> q(TextAnalysis.t10BigramCounts(_)),
     "t11_tokenizer_encode" -> q(TextAnalysis.t11TokenizerEncode(_)),
+    "t12_span_corruption"  -> q(TextAnalysis.t12SpanCorruption(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),

@@ -316,6 +316,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t12: SPAN CORRUPTION (T5/UL2 denoising prep): mask ~25% of each
+    * document in contiguous 3-token spans, each masked span replaced
+    * by ONE sentinel token — the corruption pass that turns a clean
+    * corpus into denoising training pairs. Span selection is a pure
+    * HASH of (doc_id, block) — deterministic across runs, engines,
+    * and partitionings (the same rule as t7's sampling: never
+    * partition-seeded RNG), and block-aligned so spans never overlap
+    * without any sequential dependence. Output per doc: token/masked/
+    * span counts + md5 of the corrupted sequence.
+    *
+    * Scale: pure per-row projection (array fold over one scan), no
+    * shuffle at any size — corruption runs fused with the reader.
+    */
+  def t12SpanCorruption(t: Tables, span: Int = 3): DataFrame = {
+    val tk = Text.tokenize(col("text"))
+    t.documents
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .filter(col("n_tok") > 0)
+      // block b masked iff first md5 hex digit of (doc, b) < '4' (25%)
+      .withColumn("blocks", transform(
+        sequence(lit(0), floor((col("n_tok") - 1) / span).cast("int")),
+        b => struct(
+          substring(md5(concat(lit("span:"), col("doc_id"), lit(":"), b)),
+            1, 1).isin("0", "1", "2", "3").as("m"),
+          slice(col("tk"), b * span + 1, lit(span)).as("blk"))))
+      .withColumn("corrupted", flatten(transform(col("blocks"),
+        s => when(s.getField("m"), array(lit("<extra>")))
+          .otherwise(s.getField("blk")))))
+      .withColumn("n_spans",
+        size(filter(col("blocks"), s => s.getField("m"))))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        (col("n_tok") - size(col("corrupted")) + col("n_spans"))
+          .cast("long").as("n_masked"),
+        col("n_spans").cast("long").as("n_spans"),
+        md5(array_join(col("corrupted"), " ")).as("corrupt_md5"))
+      .orderBy("doc_id")
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -324,6 +363,34 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // block-hash mask replay: 25% of 3-token blocks → one sentinel;
+    // counts derived the same way (n_masked = n_tok - |corr| + spans)
+    "t12_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(tk) AS n_tok,
+        |    [CASE WHEN substring(md5('span:' || doc_id || ':' || b), 1, 1)
+        |            IN ('0','1','2','3')
+        |          THEN ['<extra>']
+        |          ELSE tk[CAST(b AS INT)*3+1 : CAST(b AS INT)*3+3] END
+        |     FOR b IN range(0, CAST((len(tk)-1)//3 AS BIGINT) + 1)] AS cb,
+        |    [1 FOR b IN range(0, CAST((len(tk)-1)//3 AS BIGINT) + 1)
+        |       IF substring(md5('span:' || doc_id || ':' || b), 1, 1)
+        |          IN ('0','1','2','3')] AS ms
+        |  FROM toks WHERE len(tk) > 0),
+        |f AS (
+        |  SELECT doc_id, n_tok, flatten(cb) AS corrupted,
+        |    len(ms) AS n_spans
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_tok - len(corrupted) + n_spans AS BIGINT) AS n_masked,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  md5(array_to_string(corrupted, ' ')) AS corrupt_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     // vocab ranking replayed (r15's rule), encode via left join,
     // ordered id concat under md5; BIGINT casts on the sums
     "t11_tokenizer_encode" ->

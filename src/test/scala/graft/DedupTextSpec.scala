@@ -386,6 +386,28 @@ class DedupTextSpec extends SparkSpec {
       .getAs[String]("ids_md5") == hex)
   }
 
+  test("t12 span corruption: ~25% block mask, counts consistent, deterministic") {
+    val rows = run("t12_span_corruption").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok"); val m = r.getAs[Long]("n_masked")
+      val s = r.getAs[Long]("n_spans")
+      assert(m <= n && s <= m)
+      // each span masks ≤ `span`=3 tokens and ≥ 1
+      assert(m <= s * 3)
+      assert(s == 0 || m >= s)
+    }
+    // the hash rule selects ~25% of blocks corpus-wide (binomial, wide
+    // tolerance — this guards inverted/constant selection)
+    val frac = rows.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_tok")).sum
+    assert(frac > 0.15 && frac < 0.35, s"masked frac $frac")
+    // determinism: identical second run
+    val again = run("t12_span_corruption").collect()
+      .map(_.getAs[String]("corrupt_md5"))
+    assert(again.toSeq == rows.map(_.getAs[String]("corrupt_md5")).toSeq)
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)
