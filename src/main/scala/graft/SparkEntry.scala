@@ -81,6 +81,7 @@ object SparkEntry {
     "t10_bigram_counts"   -> q(TextAnalysis.t10BigramCounts(_)),
     "t11_tokenizer_encode" -> q(TextAnalysis.t11TokenizerEncode(_)),
     "t12_span_corruption"  -> q(TextAnalysis.t12SpanCorruption(_)),
+    "t13_perplexity"       -> q(TextAnalysis.t13Perplexity),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),

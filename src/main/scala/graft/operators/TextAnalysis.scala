@@ -355,6 +355,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13: PERPLEXITY QUALITY SCORE — score every document under the
+    * corpus's OWN bigram LM (t10's statistics, add-one smoothed at
+    * scoring time): per-doc mean negative log-likelihood and
+    * perplexity, plus the keep flag of the standard perplexity filter
+    * (keep iff ppl ≤ corpus p75). This is the second half of
+    * perplexity-based quality filtering — t10 builds the counts, t13
+    * applies them back to the corpus.
+    *
+    * Scale: the LM table is vocab²-bounded (MBs even at 100 TB) and
+    * BROADCASTS against the corpus bigram stream, so the corpus pays
+    * no shuffle until the per-doc rollup (map-side-partial
+    * groupBy(doc_id)); the p75 cut runs on the DOC-level aggregate
+    * (rows = docs, not tokens) and broadcasts back as one row.
+    * Portability: roundP lands after averaging ≤1-ulp libm ln errors
+    * (≈1e-11 absolute), far inside the 1e-4 grid; the p75 compare
+    * uses percentile ≡ quantile_cont (the q14-proven identity).
+    */
+  def t13Perplexity(t: Tables): DataFrame = {
+    graft.Caches.fresh()
+    val docsBg = graft.Caches.cached(
+      t.documents
+        .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))).as("bg")))
+    val stats = docsBg.groupBy("bg").agg(count(lit(1)).as("c_bi"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val ctx = stats.groupBy("w1").agg(sum("c_bi").as("c_w1"))
+    val lm = stats.join(broadcast(ctx), "w1").select("bg", "c_bi", "c_w1")
+    // corpus vocabulary size (the smoothing denominator), one row
+    val vocabN = t.documents
+      .select(explode(Text.tokenize(col("text"))).as("term"))
+      .agg(countDistinct("term").as("v"))
+    val scored = docsBg
+      .join(broadcast(lm), "bg")
+      .crossJoin(broadcast(vocabN))
+      .withColumn("nll",
+        -log((col("c_bi") + 1).cast("double") / (col("c_w1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), avg("nll").as("raw"))
+      .withColumn("avg_nll", roundP(col("raw")))
+      .withColumn("ppl", roundP(exp(col("raw"))))
+    val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
+        (col("ppl") <= col("p75")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -363,6 +413,43 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // bigram-LM replay: add-one smoothed nll per bigram instance,
+    // per-doc average, roundP, p75 cut via quantile_cont ≡ percentile
+    "t13_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(tk[i:i+1], ' ')
+        |            FOR i IN range(1, len(tk))]) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (SELECT bg, count(*) AS c_bi FROM bg GROUP BY bg),
+        |cw AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |         CAST(sum(c_bi) AS BIGINT) AS c_w1
+        |       FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u) AS v
+        |      FROM (SELECT unnest(tk) AS u FROM toks)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    -ln(CAST(c.c_bi + 1 AS DOUBLE) / CAST(w.c_w1 + v.v AS DOUBLE))
+        |      AS nll
+        |  FROM bg b JOIN c ON b.bg = c.bg
+        |  JOIN cw w ON string_split(b.bg, ' ')[1] = w.w1
+        |  CROSS JOIN v),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+        |        avg(nll) AS raw
+        |      FROM sc GROUP BY doc_id),
+        |p AS (SELECT doc_id, n_bg,
+        |        floor(raw * 10000 + 0.5) / 10000.0 AS avg_nll,
+        |        floor(exp(raw) * 10000 + 0.5) / 10000.0 AS ppl
+        |      FROM d),
+        |cut AS (SELECT quantile_cont(ppl, 0.75) AS p75 FROM p)
+        |SELECT doc_id, n_bg, avg_nll, ppl,
+        |  CAST(ppl <= p75 AS INT) AS keep
+        |FROM p CROSS JOIN cut ORDER BY doc_id""".stripMargin,
     // block-hash mask replay: 25% of 3-token blocks → one sentinel;
     // counts derived the same way (n_masked = n_tok - |corr| + spans)
     "t12_span_corruption" ->

@@ -408,6 +408,20 @@ class DedupTextSpec extends SparkSpec {
     assert(again.toSeq == rows.map(_.getAs[String]("corrupt_md5")).toSeq)
   }
 
+  test("t13 perplexity: positive nll, ppl = exp(nll), ~p75 keep fraction") {
+    val rows = run("t13_perplexity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll"); val ppl = r.getAs[Double]("ppl")
+      assert(nll > 0 && ppl > 1.0)
+      // ppl is exp(raw) rounded — consistent with avg_nll to grid error
+      assert(math.abs(ppl - math.exp(nll)) < ppl * 1e-3 + 1e-3)
+    }
+    // p75 cut: kept fraction in [0.6, 0.95] (ties can push above 0.75)
+    val kept = rows.count(_.getAs[Int]("keep") == 1).toDouble / rows.length
+    assert(kept >= 0.6 && kept <= 0.95, s"kept fraction $kept")
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)
