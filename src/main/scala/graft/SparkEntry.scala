@@ -57,6 +57,7 @@ object SparkEntry {
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
     "r15_vocab_build"    -> q(Search.r15VocabBuild(_)),
+    "r17_bpe_train"      -> q(Search.r17BpeTrain(_)),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
     "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
     "r14_conversation_stats" -> q(EvalMetrics.r14ConversationStats),

@@ -99,6 +99,102 @@ object Search {
       .orderBy("rank")
   }
 
+  /** r17: BPE MERGE TRAINING — induce `nMerges` byte-pair-encoding
+    * merges from the corpus's word-frequency dictionary: per step,
+    * count adjacent symbol pairs weighted by word frequency, merge
+    * the most frequent pair everywhere (greedy leftmost non-overlap,
+    * ties broken (count desc, lhs, rhs)), repeat. Output = the merge
+    * table (step, lhs, rhs, pair count at merge time, merged symbol)
+    * — the artifact a tokenizer trainer actually ships; later steps
+    * can merge tokens created by earlier steps (spec-checked).
+    *
+    * Scale: classic BPE trains on the AGGREGATED word dict (|V| ≪
+    * corpus — MBs at 100 TB): the corpus is scanned ONCE for the
+    * word-frequency groupBy; every iteration after that is a
+    * projection + vocab-sized aggregate, and the per-step driver
+    * state is a single argmax row (same O(1)-per-iteration contract
+    * as s3's trained codebook). Symbol sequences ride as space-
+    * wrapped strings (" c  a  t ") so a merge is ONE literal
+    * `replace` — leftmost non-overlapping in both engines, which IS
+    * the BPE pass rule (oracle applies the identical replace).
+    */
+  def r17BpeTrain(t: Tables, nMerges: Int = 8): DataFrame = {
+    graft.Caches.fresh()
+    val words = graft.Caches.materialized(
+      t.documents
+        .select(explode(Text.tokenize(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
+    var seqs = words.withColumn("s",
+      regexp_replace(col("word"), "(.)", " $1 "))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = seqs
+        .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(element_at(col("tk"), i + 1).as("a"),
+              element_at(col("tk"), i + 2).as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .first()
+      val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+      merges += ((step, a, b, top.getAs[Long]("cnt")))
+      seqs = seqs.withColumn("s",
+        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "pair_n")
+      .select(col("step"), col("lhs"), col("rhs"), col("pair_n"),
+        concat(col("lhs"), col("rhs")).as("merged"))
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of r17: the same N merge iterations as chained
+    * CTEs — pair counts off w{i-1}, argmax with the identical
+    * tie-break, the identical space-wrapped `replace`. Generated by a
+    * loop for the same reason s3's k-means oracle replays Lloyd's
+    * iterations: the oracle must re-derive training, not trust it.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents),
+        |words AS (
+        |  SELECT u AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(tk) AS u FROM toks) GROUP BY 1),
+        |w0 AS (
+        |  SELECT word, freq, regexp_replace(word, '(.)', ' \1 ', 'g') AS s
+        |  FROM words)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, cnt FROM (
+         |    SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |    FROM (SELECT freq,
+         |            unnest([{'a': tk[i], 'b': tk[i+1]}
+         |                    FOR i IN range(1, len(tk))]) AS pr
+         |          FROM (SELECT freq, string_split(trim(s), '  ') AS tk
+         |                FROM w${i - 1}))
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT word, freq,
+         |    replace(s, ' ' || a || '  ' || b || ' ',
+         |               ' ' || a || b || ' ') AS s
+         |  FROM w${i - 1} CROSS JOIN p$i)""".stripMargin
+    }
+    val union = (1 to n).map { i =>
+      s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_n," +
+        s" a || b AS merged FROM p$i"
+    }.mkString("\nUNION ALL\n")
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY step"
+  }
+
   /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style) over a
     * (cached) TF table.
     */
@@ -225,6 +321,8 @@ object Search {
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // full 8-iteration BPE replay (generated CTE chain)
+    "r17_bpe_train" -> bpeOracleSql(8),
     // vocab counts + rank/coverage window; BIGINT casts keep the
     // HUGEINT sums off the compare path
     "r15_vocab_build" ->

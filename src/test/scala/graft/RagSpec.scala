@@ -198,6 +198,25 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r17 bpe train: 8 merges, counts non-increasing, compound merge occurs") {
+    val rows = run("r17_bpe_train").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Int]("step")).toSeq == (1 to 8))
+    rows.foreach { r =>
+      val l = r.getAs[String]("lhs"); val rr = r.getAs[String]("rhs")
+      assert(l.nonEmpty && rr.nonEmpty && (l + rr).matches("[a-z0-9]+"))
+      assert(r.getAs[String]("merged") == l + rr)
+      assert(r.getAs[Long]("pair_n") > 0)
+    }
+    // merging only removes/shrinks pairs ⇒ max pair count is monotone
+    val n = rows.map(_.getAs[Long]("pair_n"))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b })
+    // a later step merges a token an earlier step created (real BPE
+    // dynamics, not just char-bigram ranking)
+    assert(rows.exists(r => (r.getAs[String]("lhs") +
+      r.getAs[String]("rhs")).length > 2))
+  }
+
   test("r14 conversation stats: parse survives the log round trip, kinds partition") {
     val t = Tables(spark, sf)
     val perUser = t.events.groupBy("user_id").count().collect()
