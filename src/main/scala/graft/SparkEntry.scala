@@ -86,6 +86,7 @@ object SparkEntry {
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
+    "s5_pq_encode"        -> q(Ann.s5PqEncode(_)),
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),

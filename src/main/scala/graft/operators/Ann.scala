@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -220,6 +220,152 @@ object Ann {
       .orderBy("src", "rank")
   }
 
+  /** s5: PRODUCT-QUANTIZATION ENCODE — compress every embedding to
+    * `m` sub-codebook ids (PQ codes) + its reconstruction error: the
+    * memory layer under billion-scale ANN (IVF-PQ), where a 64-dim
+    * float vector becomes m bytes and distance math runs on
+    * code-indexed lookup tables. Per subspace, a k-means codebook is
+    * trained with L2 assignment (decimal-exact mean updates, id-order
+    * seeding — the s3 trainer contract applied per slice); encode is
+    * then a pure argmin PROJECTION against the m·k·(dim/m)-double
+    * model constant. qerr = Σ per-subspace min L2² (rounded 4).
+    *
+    * Scale: training touches the corpus `iters` times per subspace
+    * on slices (all map-side partial aggregates; driver state =
+    * the model, not data); encode is shuffle-free and fuses with the
+    * scan. At 100 TB the model trains on a sample offline — the
+    * operator's encode path is what runs corpus-wide.
+    */
+  def s5PqEncode(t: Tables, m: Int = 4, k: Int = 4, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val books = pqBooks.synchronized {
+      pqBooks.getOrElseUpdate((t.dir, m, k, iters),
+        Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
+    }
+    val withD = (0 until m).foldLeft(vecs) { case (df, mi) =>
+      df.withColumn(s"d$mi",
+        pqDists(slice(col("v"), mi * sub + 1, sub), books(mi)))
+    }
+    withD.select(
+      (col("vec_id") +:
+        (0 until m).map(mi =>
+          (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1)
+            .cast("int").as(s"code$mi"))) :+
+        round((0 until m).map(mi => array_min(col(s"d$mi")))
+          .reduce(_ + _), 4).as("qerr"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** Train-once PQ codebook registry (same immutable-corpus contract
+    * as [[codebooks]]): m sub-codebooks of k×(dim/m) doubles.
+    */
+  private val pqBooks = scala.collection.mutable
+    .Map[(String, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** L2² distances of a subvector to each codeword, as one array
+    * column: d_j = sv·sv − 2·sv·c_j + c_j·c_j with the c_j·c_j term a
+    * driver constant (ascending-index fold — the same sequential sum
+    * DuckDB's list_dot_product computes over the derived codewords,
+    * so the doubles match bitwise).
+    */
+  private def pqDists(sv: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map { cw =>
+      val cc = cw.foldLeft(0.0)((a, x) => a + x * x)
+      Vectors.dot(sv, sv) - lit(2.0) * Vectors.dot(sv, typedLit(cw.toSeq)) +
+        lit(cc)
+    }: _*)
+
+  /** Per-subspace Lloyd's with L2 assignment (argmin distance, ties
+    * to the lower cid — array_position's first-match rule), decimal-
+    * exact per-dimension means, empty clusters keeping their previous
+    * codeword (clone semantics) — [[trainCodebook]] specialized to a
+    * slice with Euclidean geometry (PQ's metric).
+    */
+  private def trainPqSub(vecs: DataFrame, off: Int, sub: Int, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).slice(off, off + sub).toArray)
+    for (_ <- 1 to iters) {
+      val sums = vecs
+        .select(slice(col("v"), off + 1, sub).as("sv"))
+        .withColumn("darr", pqDists(col("sv"), cents))
+        .select((array_position(col("darr"), array_min(col("darr"))) - 1)
+          .cast("int").as("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) =
+          r.getAs[java.math.BigDecimal]("s").doubleValue / r.getAs[Long]("n")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** DuckDB replay of one subspace of the s5 oracle: seed, `iters`
+    * Lloyd's rounds, final argmin encode — the kmeansReplayCte
+    * pattern with L2 in place of cosine, generated per subspace.
+    */
+  private def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int): String = {
+    val off = mi * sub
+    def dist(svT: String, cvT: String) =
+      s"list_dot_product($svT, $svT) - 2*list_dot_product($svT, $cvT)" +
+        s" + list_dot_product($cvT, $cvT)"
+    val seed =
+      s"""s$mi AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS sv FROM vv),
+         |c${mi}_0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |         sv AS cv
+         |  FROM (SELECT vec_id, sv FROM s$mi ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { j =>
+      s"""a${mi}_$j AS (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT s.vec_id, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        ${dist("s.sv", "c.cv")} ASC, c.cid) AS rn
+         |    FROM s$mi s, c${mi}_${j - 1} c) t WHERE rn = 1),
+         |u${mi}_$j AS (
+         |  SELECT cid, i,
+         |    CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(38,15))) AS DOUBLE)
+         |      / count(*) AS x
+         |  FROM a${mi}_$j, (SELECT unnest(range(1, ${sub + 1})) AS i) ii
+         |  GROUP BY cid, i),
+         |c${mi}_$j AS (
+         |  SELECT p.cid, CASE WHEN u.uv IS NULL THEN p.cv ELSE u.uv END AS cv
+         |  FROM c${mi}_${j - 1} p LEFT JOIN
+         |    (SELECT cid, list(x ORDER BY i) AS uv FROM u${mi}_$j GROUP BY cid) u
+         |    USING (cid))""".stripMargin
+    }
+    val enc =
+      s"""e$mi AS (
+         |  SELECT vec_id, cid AS code$mi, d AS err$mi FROM (
+         |    SELECT s.vec_id, c.cid, ${dist("s.sv", "c.cv")} AS d,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        ${dist("s.sv", "c.cv")} ASC, c.cid) AS rn
+         |    FROM s$mi s, c${mi}_$iters c) t WHERE rn = 1)""".stripMargin
+    (seed +: rounds :+ enc).mkString(",\n")
+  }
+
+  private def pqOracleSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    val subs = (0 until m).map(pqSubspaceCte(_, sub, k, iters)).mkString(",\n")
+    val joins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val errSum = (0 until m).map(mi => s"err$mi").mkString(" + ")
+    s"""WITH vv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$subs
+       |SELECT vec_id, $codes, round($errSum, 4) AS qerr
+       |FROM e0 $joins ORDER BY vec_id""".stripMargin
+  }
+
   /** One Lloyd's-iteration CTE triple for the s3 oracle: assignment
     * under the previous codebook (argmax cosine, ties to the lower
     * cid — CentroidRanks' exact order), then the decimal-exact mean
@@ -271,6 +417,9 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    // per-subspace L2 k-means replay (seed + 2 Lloyd's rounds + argmin
+    // encode, generated per subspace) joined on vec_id
+    "s5_pq_encode" -> pqOracleSql(4, 4, 2, 64),
     // d5's candidate construction, symmetrized, then the per-vector
     // rank window over ROUNDED cosines (identical tie-break)
     "s4_knn_join" ->

@@ -55,6 +55,29 @@ class AnnStreamSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("s5 pq encode: codes in range, qerr ≥ 0, Lloyd's reduces mean error") {
+    val t = Tables(spark, sf)
+    val n = t.embeddings.count()
+    val rows = run("s5_pq_encode").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      (0 until 4).foreach { mi =>
+        val c = r.getAs[Int](s"code$mi"); assert(c >= 0 && c < 4)
+      }
+      assert(r.getAs[Double]("qerr") >= 0.0)
+    }
+    // every code value is actually used somewhere (codebook not dead)
+    val used = rows.flatMap(r => (0 until 4).map(mi => (mi, r.getAs[Int](s"code$mi"))))
+      .toSet
+    assert(used.size > 4, s"only ${used.size} (subspace, code) pairs used")
+    // k-means monotonicity: trained (iters=2) mean qerr ≤ seed-only
+    val trained = rows.map(_.getAs[Double]("qerr")).sum / rows.length
+    val seedOnly = graft.operators.Ann.s5PqEncode(t, iters = 0).collect()
+      .map(_.getAs[Double]("qerr")).sum / rows.length
+    info(f"s5 mean qerr: trained $trained%.3f vs seed-only $seedOnly%.3f")
+    assert(trained <= seedOnly + 1e-9, s"$trained > $seedOnly")
+  }
+
   test("s4 knn join: ranked rows per src; recall ≥ 0.55 overall, ≥ 0.9 in the cos≥0.45 regime") {
     val rows = run("s4_knn_join").collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
