@@ -245,18 +245,74 @@ object Ann {
       pqBooks.getOrElseUpdate((t.dir, m, k, iters),
         Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
     }
-    val withD = (0 until m).foldLeft(vecs) { case (df, mi) =>
-      df.withColumn(s"d$mi",
-        pqDists(slice(col("v"), mi * sub + 1, sub), books(mi)))
-    }
-    withD.select(
+    pqCoded(vecs, books, sub).select(
       (col("vec_id") +:
-        (0 until m).map(mi =>
-          (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1)
-            .cast("int").as(s"code$mi"))) :+
+        (0 until m).map(mi => col(s"code$mi"))) :+
         round((0 until m).map(mi => array_min(col(s"d$mi")))
           .reduce(_ + _), 4).as("qerr"): _*)
       .orderBy("vec_id")
+  }
+
+  /** Corpus under the PQ model: vec_id + per-subspace distance arrays
+    * (`d\$mi`) and argmin codes (`code\$mi`) — the encode projection
+    * s5 emits and s6 looks distances up against.
+    */
+  private def pqCoded(vecs: DataFrame, books: Array[Array[Array[Double]]],
+      sub: Int): DataFrame = {
+    val withD = books.indices.foldLeft(vecs) { case (df, mi) =>
+      df.withColumn(s"d$mi",
+        pqDists(slice(col("v"), mi * sub + 1, sub), books(mi)))
+    }
+    books.indices.foldLeft(withD) { case (df, mi) =>
+      df.withColumn(s"code$mi",
+        (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1)
+          .cast("int"))
+    }
+  }
+
+  /** s6: IVF-PQ SEARCH (asymmetric distance computation) — the
+    * serving half of s5: the probe builds m tiny distance tables
+    * (probe subvector vs every codeword, m·k doubles on the driver —
+    * a model-sized constant, not data), and every corpus vector's
+    * distance ESTIMATE is then a pure table LOOKUP on its PQ codes:
+    * est = Σ_m dt[m][code_m]. No vector math per corpus row at all —
+    * that is the entire point of PQ at billion scale. Top-10 by
+    * estimated distance (ties to lower vec_id).
+    *
+    * Scale: encode is the same shuffle-free projection as s5 (at
+    * 100 TB the codes are a stored column — written once, scanned as
+    * 4 bytes/vector instead of 256); the probe's lookup tables ride
+    * as literals, so search = scan + project + TakeOrdered.
+    */
+  def s6PqSearch(t: Tables, probeId: Long = 0L, m: Int = 4, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val books = pqBooks.synchronized {
+      pqBooks.getOrElseUpdate((t.dir, m, k, iters),
+        Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
+    }
+    val pv = vecs.filter(col("vec_id") === probeId)
+      .select("v").first().getSeq[Double](0).toArray
+    // per-subspace ADC tables: dt(mi)(j) = ||probe_sv − c_j||² with the
+    // identical dot-product fold shape the oracle's SQL computes
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val dt: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      val psv = pv.slice(mi * sub, mi * sub + sub)
+      books(mi).map(cw => sdot(psv, psv) - 2 * sdot(psv, cw) + sdot(cw, cw))
+    }
+    pqCoded(vecs, books, sub)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        round((0 until m).map(mi =>
+            element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
+          .reduce(_ + _), 4).as("d_est"))
+      .orderBy(col("d_est"), col("vec_id"))
+      .limit(10)
   }
 
   /** Train-once PQ codebook registry (same immutable-corpus contract
@@ -313,11 +369,13 @@ object Ann {
     * Lloyd's rounds, final argmin encode — the kmeansReplayCte
     * pattern with L2 in place of cosine, generated per subspace.
     */
+  private def pqDistSql(svT: String, cvT: String): String =
+    s"list_dot_product($svT, $svT) - 2*list_dot_product($svT, $cvT)" +
+      s" + list_dot_product($cvT, $cvT)"
+
   private def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int): String = {
     val off = mi * sub
-    def dist(svT: String, cvT: String) =
-      s"list_dot_product($svT, $svT) - 2*list_dot_product($svT, $cvT)" +
-        s" + list_dot_product($cvT, $cvT)"
+    def dist(svT: String, cvT: String) = pqDistSql(svT, cvT)
     val seed =
       s"""s$mi AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS sv FROM vv),
          |c${mi}_0 AS (
@@ -353,17 +411,45 @@ object Ann {
     (seed +: rounds :+ enc).mkString(",\n")
   }
 
-  private def pqOracleSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+  /** Shared replay prefix: vv + all m subspace trainings/encodes. */
+  private def pqReplayCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
     val sub = dim / m
     val subs = (0 until m).map(pqSubspaceCte(_, sub, k, iters)).mkString(",\n")
+    s"""vv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$subs""".stripMargin
+  }
+
+  private def pqOracleSql(m: Int, k: Int, iters: Int, dim: Int): String = {
     val joins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
     val codes = (0 until m).map(mi => s"code$mi").mkString(", ")
     val errSum = (0 until m).map(mi => s"err$mi").mkString(" + ")
-    s"""WITH vv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$subs
+    s"""WITH ${pqReplayCtes(m, k, iters, dim)}
        |SELECT vec_id, $codes, round($errSum, 4) AS qerr
        |FROM e0 $joins ORDER BY vec_id""".stripMargin
+  }
+
+  /** s6 oracle: the s5 replay + the probe's per-subspace ADC tables
+    * + the lookup-sum estimate, rounded then top-10.
+    */
+  private def pqSearchOracleSql(m: Int, k: Int, iters: Int,
+      dim: Int): String = {
+    val dts = (0 until m).map { mi =>
+      s"""dt$mi AS (
+         |  SELECT c.cid, ${pqDistSql("p.sv", "c.cv")} AS dd
+         |  FROM (SELECT sv FROM s$mi WHERE vec_id = 0) p, c${mi}_$iters c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val eJoins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m)
+      .map(mi => s"JOIN dt$mi t$mi ON t$mi.cid = e$mi.code$mi").mkString(" ")
+    val estSum = (0 until m).map(mi => s"t$mi.dd").mkString(" + ")
+    s"""WITH ${pqReplayCtes(m, k, iters, dim)},
+       |$dts
+       |SELECT e0.vec_id, round($estSum, 4) AS d_est
+       |FROM e0 $eJoins $tJoins
+       |WHERE e0.vec_id <> 0
+       |ORDER BY d_est, e0.vec_id LIMIT 10""".stripMargin
   }
 
   /** One Lloyd's-iteration CTE triple for the s3 oracle: assignment
@@ -420,6 +506,8 @@ object Ann {
     // per-subspace L2 k-means replay (seed + 2 Lloyd's rounds + argmin
     // encode, generated per subspace) joined on vec_id
     "s5_pq_encode" -> pqOracleSql(4, 4, 2, 64),
+    // replay + ADC lookup tables + estimate sum, rounded top-10
+    "s6_pq_search" -> pqSearchOracleSql(4, 4, 2, 64),
     // d5's candidate construction, symmetrized, then the per-vector
     // rank window over ROUNDED cosines (identical tie-break)
     "s4_knn_join" ->

@@ -78,6 +78,29 @@ class AnnStreamSpec extends SparkSpec {
     assert(trained <= seedOnly + 1e-9, s"$trained > $seedOnly")
   }
 
+  test("s6 pq search: 10 ascending estimates; beats random by true distance") {
+    val rows = run("s6_pq_search").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+    val est = rows.map(_.getAs[Double]("d_est"))
+    assert(est.forall(_ >= 0.0))
+    assert(est.zip(est.tail).forall { case (a, b) => a <= b })
+    // ADC sanity: selected ids are truly closer to the probe than the
+    // corpus average (the estimate carries real signal, k=4 coarse)
+    val t = Tables(spark, sf)
+    val vs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+      .toMap
+    val pv = vs(0L)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sel = rows.map(r => l2(vs(r.getAs[Long]("vec_id")), pv))
+    val all = vs.collect { case (id, v) if id != 0L => l2(v, pv) }
+    info(f"s6 mean true L2²: selected ${sel.sum / sel.size}%.3f vs corpus ${all.sum / all.size}%.3f")
+    assert(sel.sum / sel.size < all.sum / all.size)
+  }
+
   test("s4 knn join: ranked rows per src; recall ≥ 0.55 overall, ≥ 0.9 in the cos≥0.45 regime") {
     val rows = run("s4_knn_join").collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
