@@ -98,6 +98,7 @@ object SparkEntry {
     "io4_upsert_merge"    -> q(graft.sources.Io.io4UpsertMerge),
     "io5_compaction"      -> q(graft.sources.Io.io5Compaction(_)),
     "io6_schema_evolution" -> q(graft.sources.Io.io6SchemaEvolution),
+    "io8_change_feed"     -> q(graft.sources.Io.io8ChangeFeed),
     "io7_time_travel"     -> q(graft.sources.Io.io7TimeTravel),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),

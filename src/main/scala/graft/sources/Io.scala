@@ -240,6 +240,48 @@ object Io {
       .orderBy("o_orderstatus")
   }
 
+  /** io8: CHANGE FEED (CDC) — the row-level diff between two lake
+    * snapshots, the feed downstream consumers subscribe to instead of
+    * re-reading the table (Delta CDF / Iceberg changelog shape).
+    * v0 = base orders; v2 = io4's merged state with an ERASURE pass
+    * applied (real keys ≡ 0 mod 50 dropped — the right-to-be-
+    * forgotten delete every training-data lake must support). The
+    * feed emits one row per changed key: inserts (synthetic negative
+    * keys), updates (status/price changed by the merge), deletes
+    * (erased keys), with absent sides filled ('NONE'/0.0 — no nulls
+    * on the gate path). Hash gate covers both snapshot round trips
+    * AND the diff classification.
+    *
+    * Scale: ONE full-outer sort-merge join keyed by the primary key —
+    * at 100 TB a manifest-backed lake diffs only changed FILES and
+    * the relational fallback partition-prunes on the key-partitioned
+    * layout; the output is change-sized, not table-sized.
+    */
+  def io8ChangeFeed(t: Tables): DataFrame = {
+    val v0Dir = stage(t, "merge_base", t.orders)(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    val v2Dir = stage(t, "erase_out", mergedOrders(t)
+      .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))(
+      (df, d) => df.write.mode("overwrite").parquet(d))
+    def snap(dir: String, tag: String) =
+      t.spark.read.schema(ordersSchema).parquet(dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as(s"status_$tag"),
+          col("o_totalprice").as(s"price_$tag"))
+    snap(v0Dir, "old").join(snap(v2Dir, "new"), Seq("o_orderkey"), "full")
+      .filter(col("status_old").isNull || col("status_new").isNull ||
+        col("status_old") =!= col("status_new") ||
+        col("price_old") =!= col("price_new"))
+      .select(col("o_orderkey"),
+        when(col("status_old").isNull, lit("insert"))
+          .when(col("status_new").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change"),
+        coalesce(col("status_old"), lit("NONE")).as("status_old"),
+        coalesce(col("status_new"), lit("NONE")).as("status_new"),
+        coalesce(col("price_old"), lit(0.0)).as("price_old"),
+        coalesce(col("price_new"), lit(0.0)).as("price_new"))
+      .orderBy("o_orderkey")
+  }
+
   /** io4's merged state (base ∪ changes, changes win) as a frame —
     * shared by the io4 write path and io7's v1 snapshot.
     */
@@ -357,6 +399,38 @@ object Io {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v2 = io4's relational merge minus erased keys; row-level full-
+    // join diff classified insert/update/delete, sides NONE/0-filled
+    "io8_change_feed" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, 'N' AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey >= 0 AND o_orderkey % 50 = 0))
+        |SELECT coalesce(o.o_orderkey, v.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN v.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change,
+        |  coalesce(o.o_orderstatus, 'NONE') AS status_old,
+        |  coalesce(v.o_orderstatus, 'NONE') AS status_new,
+        |  coalesce(o.o_totalprice, CAST(0.0 AS DOUBLE)) AS price_old,
+        |  coalesce(v.o_totalprice, CAST(0.0 AS DOUBLE)) AS price_new
+        |FROM orders o FULL JOIN v2 v ON o.o_orderkey = v.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR v.o_orderkey IS NULL
+        |   OR o.o_orderstatus <> v.o_orderstatus
+        |   OR o.o_totalprice <> v.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
     // v0 = orders, v1 = io4's relational merge; full-join diff with
     // zero-filled absent sides (status 'N' exists only at v1)
     "io7_time_travel" ->

@@ -65,6 +65,32 @@ class IoSpec extends SparkSpec {
       orders.length + orders.count(_._1 % 25 == 0))
   }
 
+  test("io8 change feed: exact insert/update/delete partition of the changed keys") {
+    val t = Tables(spark, sf)
+    val rows = run("io8_change_feed").collect()
+    val keys = t.orders.select("o_orderkey").collect().map(_.getAs[Long](0))
+    val byChange = rows.groupBy(_.getAs[String]("change"))
+    // inserts = synthesized negative keys (%25 clones), never erased
+    assert(byChange("insert").length == keys.count(_ % 25 == 0))
+    assert(byChange("insert").forall { r =>
+      r.getAs[Long]("o_orderkey") < 0 &&
+        r.getAs[String]("status_old") == "NONE" &&
+        r.getAs[String]("status_new") == "N"
+    })
+    // deletes = the erasure pass (real keys ≡ 0 mod 50)
+    assert(byChange("delete").length == keys.count(_ % 50 == 0))
+    assert(byChange("delete").forall(_.getAs[String]("status_new") == "NONE"))
+    // updates = merged keys (%10) that survived erasure (not %50)
+    assert(byChange("update").length ==
+      keys.count(k => k % 10 == 0 && k % 50 != 0))
+    byChange("update").foreach { r =>
+      assert(r.getAs[String]("status_new") == "U")
+      assert(math.abs(r.getAs[Double]("price_new") -
+        r.getAs[Double]("price_old") - 1000.0) < 1e-9)
+    }
+    assert(rows.length == byChange.values.map(_.length).sum)
+  }
+
   test("io5 compaction: file count shrinks to the metadata-sized target") {
     val t = Tables(spark, sf)
     assert(run("io5_compaction").count() == 500)
