@@ -87,6 +87,7 @@ object SparkEntry {
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
     "s5_pq_encode"        -> q(Ann.s5PqEncode(_)),
+    "st11_stream_pq_encode" -> q(graft.streaming.Streams.st11StreamPqEncode(_)),
     "s6_pq_search"        -> q(Ann.s6PqSearch(_)),
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

@@ -238,20 +238,38 @@ object Ann {
     */
   def s5PqEncode(t: Tables, m: Int = 4, k: Int = 4, iters: Int = 2,
       dim: Int = 64): DataFrame = {
+    val books = pqModel(t, m, k, iters, dim)
+    pqEncodeFrame(t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      books, dim / m)
+      .orderBy("vec_id")
+  }
+
+  /** The trained PQ model for a corpus (memoized per training input —
+    * [[pqBooks]]'s immutable-corpus contract). The offline-training
+    * entry the streaming encode pins its model from.
+    */
+  private[graft] def pqModel(t: Tables, m: Int = 4, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): Array[Array[Array[Double]]] = {
     val sub = dim / m
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val books = pqBooks.synchronized {
+    pqBooks.synchronized {
       pqBooks.getOrElseUpdate((t.dir, m, k, iters),
         Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
     }
+  }
+
+  /** The s5 output projection (vec_id, code0..m-1, qerr) over any
+    * (vec_id, v) frame — batch and streaming share it verbatim.
+    */
+  private[graft] def pqEncodeFrame(vecs: DataFrame,
+      books: Array[Array[Array[Double]]], sub: Int): DataFrame =
     pqCoded(vecs, books, sub).select(
       (col("vec_id") +:
-        (0 until m).map(mi => col(s"code$mi"))) :+
-        round((0 until m).map(mi => array_min(col(s"d$mi")))
+        books.indices.map(mi => col(s"code$mi"))) :+
+        round(books.indices.map(mi => array_min(col(s"d$mi")))
           .reduce(_ + _), 4).as("qerr"): _*)
-      .orderBy("vec_id")
-  }
 
   /** Corpus under the PQ model: vec_id + per-subspace distance arrays
     * (`d\$mi`) and argmin codes (`code\$mi`) — the encode projection
@@ -289,10 +307,7 @@ object Ann {
     val sub = dim / m
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val books = pqBooks.synchronized {
-      pqBooks.getOrElseUpdate((t.dir, m, k, iters),
-        Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
-    }
+    val books = pqModel(t, m, k, iters, dim)
     val pv = vecs.filter(col("vec_id") === probeId)
       .select("v").first().getSeq[Double](0).toArray
     // per-subspace ADC tables: dt(mi)(j) = ||probe_sv − c_j||² with the

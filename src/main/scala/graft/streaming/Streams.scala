@@ -683,7 +683,41 @@ object Streams {
       .orderBy("train_id", "bench_id")
   }
 
+  /** st11: STREAMING PQ ENCODE — arriving embeddings compressed to
+    * their PQ codes at ingest time under a PINNED offline-trained
+    * model (the production serving contract: the codebook never
+    * changes mid-stream; retraining is a new model version). The
+    * encode is a pure STATELESS projection per micro-batch (s5's
+    * projection verbatim) — no state store, no join, nothing grows:
+    * the cheapest possible streaming operator shape, which is exactly
+    * why PQ-at-ingest is how billion-scale vector stores land data.
+    * Emissions are arrival-order-independent ⇒ batch s5's oracle
+    * gates the stream output verbatim.
+    */
+  def st11StreamPqEncode(t: Tables, m: Int = 4, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = t.spark
+    val name = s"st11_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/embeddings.parquet"
+    val schema = spark.read.parquet(path).schema
+    // train (or reuse) the model BEFORE the stream starts
+    val books = graft.operators.Ann.pqModel(t, m, k, iters, dim)
+    val vecs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = graft.operators.Ann.pqEncodeFrame(vecs, books, dim / m)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy("vec_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // stateless per-batch projection under a pinned model —
+    // batch s5's oracle verbatim
+    "st11_stream_pq_encode" ->
+      graft.operators.Ann.oracle("s5_pq_encode"),
     // stateless stream-static join emissions are arrival-order-
     // independent — batch d7's oracle verbatim
     "st9_stream_decontaminate" ->

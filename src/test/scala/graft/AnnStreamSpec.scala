@@ -78,6 +78,13 @@ class AnnStreamSpec extends SparkSpec {
     assert(trained <= seedOnly + 1e-9, s"$trained > $seedOnly")
   }
 
+  test("st11 stream pq encode: equals batch s5 under the pinned model") {
+    val batch = run("s5_pq_encode").collect().map(_.toSeq)
+    val stream = run("st11_stream_pq_encode").collect().map(_.toSeq)
+    assert(stream.length == batch.length && stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("s6 pq search: 10 ascending estimates; beats random by true distance") {
     val rows = run("s6_pq_search").collect()
     assert(rows.length == 10)
