@@ -512,6 +512,35 @@ object Graft {
       .filter(col("u") < col("rate"))
   }
 
+  /** BPE MERGE TRAINING: induce `nMerges` byte-pair merges from the
+    * corpus's word-frequency dictionary (freq-weighted pair argmax,
+    * greedy leftmost merge, ties (count desc, lhs, rhs)). Returns the
+    * merge table (step, lhs, rhs, pair_n, merged). Training runs on
+    * the aggregated word dict — the corpus is scanned once.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 8): DataFrame =
+    graft.operators.Search.bpeMerges(df, textCol, nMerges)
+
+  /** PERPLEXITY QUALITY SCORE: per-doc mean nll + perplexity under
+    * the corpus's own add-one-smoothed bigram LM, with the p75
+    * perplexity-filter keep flag. The LM table broadcasts; the
+    * quantile cut runs on the doc-level aggregate.
+    */
+  def perplexityScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol)
+
+  /** PRODUCT-QUANTIZATION ENCODE: per-subspace L2 k-means codebooks
+    * (id-order seed, decimal-exact means) + argmin code projection;
+    * returns (vec_id, code0..m-1, qerr). Trains per call — hold a
+    * corpus-keyed model yourself if you re-encode repeatedly.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, m: Int = 4,
+      k: Int = 4, iters: Int = 2, dim: Int = 64): DataFrame =
+    graft.operators.Ann.pqTrainEncode(
+      df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")), m, k, iters, dim)
+
   // ---- events ----
 
   /** Gap-based sessionization: new session after > gap silence. */

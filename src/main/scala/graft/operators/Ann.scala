@@ -260,6 +260,19 @@ object Ann {
     }
   }
 
+  /** Train-and-encode over an arbitrary (vec_id, v) frame — the
+    * `Graft.pqEncode` facade entry. No model memoization here: an
+    * arbitrary frame has no stable identity to key a registry by, so
+    * each call trains (callers wanting a reused model hold their own
+    * books via [[pqModel]] on a Tables corpus).
+    */
+  private[graft] def pqTrainEncode(vecs: DataFrame, m: Int, k: Int,
+      iters: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val books = Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters))
+    pqEncodeFrame(vecs, books, sub)
+  }
+
   /** The s5 output projection (vec_id, code0..m-1, qerr) over any
     * (vec_id, v) frame — batch and streaming share it verbatim.
     */

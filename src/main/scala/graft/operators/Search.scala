@@ -118,11 +118,18 @@ object Search {
     * `replace` — leftmost non-overlapping in both engines, which IS
     * the BPE pass rule (oracle applies the identical replace).
     */
-  def r17BpeTrain(t: Tables, nMerges: Int = 8): DataFrame = {
+  def r17BpeTrain(t: Tables, nMerges: Int = 8): DataFrame =
+    bpeMerges(t.documents, "text", nMerges)
+
+  /** DataFrame-form core of r17 over any (textCol) frame — the
+    * `Graft.bpeTrain` facade entry.
+    */
+  private[graft] def bpeMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
     graft.Caches.fresh()
     val words = graft.Caches.materialized(
-      t.documents
-        .select(explode(Text.tokenize(col("text"))).as("word"))
+      docs
+        .select(explode(Text.tokenize(col(textCol))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq")))
     var seqs = words.withColumn("s",
       regexp_replace(col("word"), "(.)", " $1 "))
@@ -144,7 +151,7 @@ object Search {
       seqs = seqs.withColumn("s",
         replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
     }
-    val spark = t.documents.sparkSession
+    val spark = docs.sparkSession
     import spark.implicits._
     merges.result().toDF("step", "lhs", "rhs", "pair_n")
       .select(col("step"), col("lhs"), col("rhs"), col("pair_n"),

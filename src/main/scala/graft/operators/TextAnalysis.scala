@@ -372,11 +372,18 @@ object TextAnalysis {
     * (≈1e-11 absolute), far inside the 1e-4 grid; the p75 compare
     * uses percentile ≡ quantile_cont (the q14-proven identity).
     */
-  def t13Perplexity(t: Tables): DataFrame = {
+  def t13Perplexity(t: Tables): DataFrame =
+    perplexityFrom(t.documents, "doc_id", "text")
+
+  /** DataFrame-form core of t13 over any (idCol, textCol) frame —
+    * the `Graft.perplexityScore` facade entry.
+    */
+  private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     graft.Caches.fresh()
     val docsBg = graft.Caches.cached(
-      t.documents
-        .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+      docsIn
+        .select(col(idCol).as("doc_id"), Text.tokenize(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(col("tk")) - 2),
@@ -386,8 +393,8 @@ object TextAnalysis {
     val ctx = stats.groupBy("w1").agg(sum("c_bi").as("c_w1"))
     val lm = stats.join(broadcast(ctx), "w1").select("bg", "c_bi", "c_w1")
     // corpus vocabulary size (the smoothing denominator), one row
-    val vocabN = t.documents
-      .select(explode(Text.tokenize(col("text"))).as("term"))
+    val vocabN = docsIn
+      .select(explode(Text.tokenize(col(textCol))).as("term"))
       .agg(countDistinct("term").as("v"))
     val scored = docsBg
       .join(broadcast(lm), "bg")

@@ -160,6 +160,38 @@ class GraftApiSpec extends SparkSpec {
     assert(graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count() == 0)
   }
 
+  test("bpeTrain on an ad-hoc corpus: the repeated pair merges first") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab xyz")).toDF("id", "body")
+    val rows = Graft.bpeTrain(docs, "body", nMerges = 3).collect()
+    assert(rows.length == 3)
+    // (a,b) is the most frequent adjacent pair (2 per "abab" × 3 occ)
+    assert(rows.head.getAs[String]("lhs") == "a" &&
+      rows.head.getAs[String]("rhs") == "b")
+    // second merge compounds: (ab, ab) → abab
+    assert(rows(1).getAs[String]("merged") == "abab")
+  }
+
+  test("perplexityScore: the repetitive doc is more predictable than the odd one") {
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat the cat sat the cat sat"),
+      (3L, "zebra quartz jumps vortex nymph")).toDF("id", "body")
+    val rows = Graft.perplexityScore(docs, "id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(rows(1L) < rows(3L))
+    assert(rows(1L) == rows(2L))
+  }
+
+  test("pqEncode on an ad-hoc frame: identical vectors share codes and qerr") {
+    val v = Seq.tabulate(64)(i => i / 64.0)
+    val w = Seq.tabulate(64)(i => 1.0 - i / 64.0)
+    val df = Seq((1L, v), (2L, v), (3L, w), (4L, w)).toDF("id", "vec")
+    val rows = Graft.pqEncode(df, "id", "vec", k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) == rows(2L) && rows(3L) == rows(4L))
+    assert(rows(1L) != rows(3L))
+  }
+
   test("sessionize on an ad-hoc event frame") {
     val evs = Seq(
       (7L, "2024-01-01 10:00:00", 1L),
