@@ -66,6 +66,11 @@ object Probe {
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
         graft.operators.Dedup.lineDedupFrom(replicated(copies), 8).count())
+      case "t13" => timed("t13",
+        graft.operators.TextAnalysis.perplexityFrom(docs, "doc_id", "text")
+          .count(),
+        graft.operators.TextAnalysis
+          .perplexityFrom(replicated(copies), "doc_id", "text").count())
       case "d2" => timed("d2",
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")
