@@ -66,6 +66,7 @@ object SparkEntry {
     "d3_minhash_lsh"      -> q(Dedup.d3MinhashLsh(_)),
     "d4_simhash"          -> q(Dedup.d4Simhash(_)),
     "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
+    "d10_group_split"     -> q(Dedup.d10GroupSplit(_)),
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
     "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),

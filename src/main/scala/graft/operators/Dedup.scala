@@ -320,6 +320,35 @@ object Dedup {
       threshold: Double): DataFrame =
     ccGroups(minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b"))
 
+  /** d10: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — assign every document a
+    * split by hashing its DEDUP GROUP (d6's connected component), not
+    * its own id: near-duplicates land in the SAME split by
+    * construction, so the val/test sets can't be contaminated by
+    * paraphrases of training docs (the failure mode a naive
+    * per-doc-hash split has — shown in the spec). Singletons (no
+    * near-dup) group as themselves. Split = deterministic
+    * md5-uniform on the group representative: train < 0.8 ≤ val
+    * < 0.9 ≤ test (u = k/2³² can never equal the cut points).
+    *
+    * Scale: d6's pair generation + CC (both linear, measured) and the
+    * groups frame is COMPONENT-sized (≪ corpus) so the back-join
+    * broadcasts; the split itself is a pure hash projection.
+    */
+  def d10GroupSplit(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val docs = t.documents.select("doc_id", "text")
+    val groups = dedupGroupsFrom(docs, threshold)
+      .select(col("doc_id"), col("keep_doc"))
+    val u = conv(substring(md5(concat(lit("split:"), col("grp"))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+    docs.select("doc_id")
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keep_doc"), col("doc_id")))
+      .select(col("doc_id"), col("grp"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair frame (doc_a,
     * doc_b) — the CC engine behind d6, exposed at the pairs level so
     * any near-dup family's evidence (d2/d3/d4/d5) can be grouped and
@@ -739,6 +768,47 @@ object Dedup {
          |FROM v WHERE round(inter / (na + nb - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d3's pair derivation + recursive-CTE connected components
+    // d6's labels + singleton fallback + the t7-style md5-uniform
+    // replayed on the group representative
+    "d10_group_split" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shl WHERE len(sh) > 0),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter, sa.nsh AS na, sb.nsh AS nb
+         |  FROM cand JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE round(inter / (na + nb - inter), 4) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS keep_doc FROM reach GROUP BY a),
+         |g AS (
+         |  SELECT d.doc_id, coalesce(l.keep_doc, d.doc_id) AS grp,
+         |    md5('split:' || coalesce(l.keep_doc, d.doc_id)) AS m
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |h AS (
+         |  SELECT doc_id, grp,
+         |    list_sum([CAST((CASE WHEN ascii(substring(m, CAST(j AS INT), 1)) >= 97
+         |               THEN ascii(substring(m, CAST(j AS INT), 1)) - 87
+         |               ELSE ascii(substring(m, CAST(j AS INT), 1)) - 48 END) AS BIGINT)
+         |              * CAST(power(16, 8 - j) AS BIGINT) FOR j IN range(1, 9)])
+         |      / 4294967296.0 AS u
+         |  FROM g)
+         |SELECT doc_id, grp,
+         |  CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+         |       WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCte,
          |cand AS (

@@ -408,6 +408,36 @@ class DedupTextSpec extends SparkSpec {
     assert(again.toSeq == rows.map(_.getAs[String]("corrupt_md5")).toSeq)
   }
 
+  test("d10 group split: ~80/10/10, near-dup groups never straddle splits") {
+    val rows = run("d10_group_split").collect()
+    assert(rows.length == 500)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > 300 && bySplit("train") < 480)
+    // GROUP INTEGRITY: every dedup group lands in exactly one split
+    rows.groupBy(_.getAs[Long]("grp")).foreach { case (g, members) =>
+      assert(members.map(_.getAs[String]("split")).distinct.length == 1,
+        s"group $g straddles splits")
+    }
+    // the reason to exist: a NAIVE per-doc hash split scatters at
+    // least one near-dup group across splits (leakage)
+    def naive(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 8)
+      val u = java.lang.Long.parseLong(hex, 16) / 4294967296.0
+      if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+    }
+    val multi = rows.groupBy(_.getAs[Long]("grp")).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "spec corpus has no near-dup groups")
+    val leaky = multi.count { case (_, members) =>
+      members.map(r => naive(r.getAs[Long]("doc_id"))).distinct.length > 1
+    }
+    info(s"d10: ${multi.size} multi-doc groups; naive split leaks $leaky")
+    assert(leaky > 0, "naive split happened to keep all groups intact")
+  }
+
   test("t13 perplexity: positive nll, ppl = exp(nll), ~p75 keep fraction") {
     val rows = run("t13_perplexity").collect()
     assert(rows.nonEmpty)
