@@ -512,6 +512,16 @@ object Graft {
       .filter(col("u") < col("rate"))
   }
 
+  /** LEAKAGE-SAFE SPLIT: train/val/test assignment hashed on the
+    * near-dup GROUP representative (minhash-LSH + connected
+    * components at `threshold`), so near-duplicates never straddle
+    * splits. Returns (doc_id, grp, split) with an 80/10/10 cut.
+    */
+  def groupSplit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.Dedup.groupSplitFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+
   /** BPE MERGE TRAINING: induce `nMerges` byte-pair merges from the
     * corpus's word-frequency dictionary (freq-weighted pair argmax,
     * greedy leftmost merge, ties (count desc, lhs, rhs)). Returns the

@@ -334,8 +334,12 @@ object Dedup {
     * groups frame is COMPONENT-sized (≪ corpus) so the back-join
     * broadcasts; the split itself is a pure hash projection.
     */
-  def d10GroupSplit(t: Tables, threshold: Double = 0.5): DataFrame = {
-    val docs = t.documents.select("doc_id", "text")
+  def d10GroupSplit(t: Tables, threshold: Double = 0.5): DataFrame =
+    groupSplitFrom(t.documents.select("doc_id", "text"), threshold)
+
+  /** DataFrame form of d10 for the graft.api facade and specs. */
+  private[graft] def groupSplitFrom(docs: DataFrame,
+      threshold: Double): DataFrame = {
     val groups = dedupGroupsFrom(docs, threshold)
       .select(col("doc_id"), col("keep_doc"))
     val u = conv(substring(md5(concat(lit("split:"), col("grp"))), 1, 8),

@@ -160,6 +160,20 @@ class GraftApiSpec extends SparkSpec {
     assert(graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count() == 0)
   }
 
+  test("groupSplit keeps a planted near-dup pair in one split") {
+    val twin = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, twin), (2L, twin + " iota"),
+      (3L, "completely different words entirely elsewhere now"))
+      .toDF("id", "body")
+    val rows = Graft.groupSplit(docs, "id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("grp"), r.getAs[String]("split"))).toMap
+    assert(rows.size == 3)
+    assert(rows(1L) == rows(2L))          // same group, same split
+    assert(rows(3L)._1 == 3L)             // singleton groups as itself
+  }
+
   test("bpeTrain on an ad-hoc corpus: the repeated pair merges first") {
     val docs = Seq((1L, "abab abab cd"), (2L, "abab xyz")).toDF("id", "body")
     val rows = Graft.bpeTrain(docs, "body", nMerges = 3).collect()
