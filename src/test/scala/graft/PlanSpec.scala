@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
+  test("s6: PQ serving is shuffle-free — no Exchange, TakeOrdered top-k") {
+    val p = plan("s6_pq_search")
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("s5: PQ encode path has no join and no corpus-keyed Exchange") {
+    val p = plan("s5_pq_encode")
+    assert(!p.contains("Join"), p.take(600))
+    // the only Exchange is the cosmetic output orderBy(vec_id) (AQE's
+    // toString repeats the plan as "Initial Plan" — count final only)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, finalPlan.take(600))
+  }
+
   test("s1: probe is broadcast (the corpus is never the broadcast side)") {
     val p = plan("s1_ann_bruteforce")
     // the only broadcast exchange carries the 1-row probe
