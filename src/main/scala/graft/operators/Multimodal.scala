@@ -111,7 +111,56 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** m4: PAIRED SAMPLE ASSEMBLY (CLIP-style) — the join that builds
+    * multimodal training records: a CAPTIONS side (doc text,
+    * truncated to caption length) and a MEDIA side (the binary
+    * payload + its sha) matched on doc_id, fingerprinted as a pair,
+    * and laid out into fixed-size PER-SHARD batches (batch id +
+    * in-batch position) — the record layout a contrastive trainer
+    * consumes. Per-shard batching for the same reason as t6: a
+    * GLOBAL batch order would serialize the corpus through one
+    * partition; shard-local order is what real pipelines ship.
+    *
+    * Scale: the caption⋈media join is id-keyed (co-partitioned /
+    * bucketed storage in production — here one shuffle); the batch
+    * window shuffles by source shard only; everything else is a
+    * projection.
+    */
+  def m4PairedSample(t: Tables, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = t.documents.select(col("doc_id"), col("source"),
+      md5(substring(col("text"), 1, 64)).as("cap_md5"))
+    val media = t.documents.select(col("doc_id"),
+      lower(sha2(col("text"), 256)).as("bin_sha"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    caps.join(media, "doc_id")
+      .withColumn("pair_fp", md5(concat(col("cap_md5"), col("bin_sha"))))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("source"),
+        col("pair_fp"),
+        concat(col("source"), lit(":"),
+          floor((col("rn") - 1) / batchSize).cast("long")).as("batch_id"),
+        ((col("rn") - 1) % batchSize).cast("int").as("pos"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // caption/media sides re-derived + the per-shard batch window
+    "m4_paired_sample" ->
+      """WITH caps AS (
+        |  SELECT doc_id, source, md5(substring(text, 1, 64)) AS cap_md5
+        |  FROM documents),
+        |media AS (
+        |  SELECT doc_id, lower(sha256(text)) AS bin_sha FROM documents),
+        |j AS (
+        |  SELECT c.doc_id, c.source,
+        |    md5(c.cap_md5 || m.bin_sha) AS pair_fp,
+        |    row_number() OVER (PARTITION BY c.source ORDER BY c.doc_id) AS rn
+        |  FROM caps c JOIN media m ON m.doc_id = c.doc_id)
+        |SELECT doc_id, source, pair_fp,
+        |  source || ':' || CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        |  CAST((rn - 1) % 32 AS INT) AS pos
+        |FROM j ORDER BY doc_id""".stripMargin,
     // replays the stub decoder's byte math from the ASCII payload:
     // mod-8 histogram, first-max bin, portable-rounded mean byte
     "m2_feature_stub" ->

@@ -148,6 +148,22 @@ class AnnStreamSpec extends SparkSpec {
     assert(hiRecall >= 0.9, f"hi-sim recall $hiRecall%.3f")
   }
 
+  test("m4 paired sample: every doc paired once, batches contiguous per shard") {
+    val rows = run("m4_paired_sample").collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 500)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // in-shard positions cycle 0..31 in doc_id order
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      inOrder.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("pos") == i % 32)
+        assert(r.getAs[String]("batch_id") == s"$src:${i / 32}")
+      }
+    }
+    // pair fingerprints are unique (no cross-pairing)
+    assert(rows.map(_.getAs[String]("pair_fp")).distinct.length == 500)
+  }
+
   test("m1 binary meta: byte length == char length (ascii), sha256 shape") {
     val rows = run("m1_binary_meta").collect()
     assert(rows.length == 500)
