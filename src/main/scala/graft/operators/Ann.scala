@@ -251,11 +251,12 @@ object Ann {
     */
   private[graft] def pqModel(t: Tables, m: Int = 4, k: Int = 4,
       iters: Int = 2, dim: Int = 64): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     pqBooks.synchronized {
-      pqBooks.getOrElseUpdate((t.dir, m, k, iters),
+      pqBooks.getOrElseUpdate((t.dir, m, k, iters, dim),
         Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
     }
   }
@@ -268,6 +269,7 @@ object Ann {
     */
   private[graft] def pqTrainEncode(vecs: DataFrame, m: Int, k: Int,
       iters: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val books = Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters))
     pqEncodeFrame(vecs, books, sub)
@@ -321,8 +323,13 @@ object Ann {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val books = pqModel(t, m, k, iters, dim)
-    val pv = vecs.filter(col("vec_id") === probeId)
-      .select("v").first().getSeq[Double](0).toArray
+    // missing probe → empty result, not a crash (s1/s3's contract;
+    // their lazy filtered-probe frames degrade the same way)
+    val pvRow = vecs.filter(col("vec_id") === probeId)
+      .select("v").collect().headOption
+    if (pvRow.isEmpty)
+      return vecs.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
+    val pv = pvRow.get.getSeq[Double](0).toArray
     // per-subspace ADC tables: dt(mi)(j) = ||probe_sv − c_j||² with the
     // identical dot-product fold shape the oracle's SQL computes
     def sdot(a: Array[Double], b: Array[Double]): Double = {
@@ -347,7 +354,7 @@ object Ann {
     * as [[codebooks]]): m sub-codebooks of k×(dim/m) doubles.
     */
   private val pqBooks = scala.collection.mutable
-    .Map[(String, Int, Int, Int), Array[Array[Array[Double]]]]()
+    .Map[(String, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
 
   /** L2² distances of a subvector to each codeword, as one array
     * column: d_j = sv·sv − 2·sv·c_j + c_j·c_j with the c_j·c_j term a

@@ -134,7 +134,12 @@ object Search {
     var seqs = words.withColumn("s",
       regexp_replace(col("word"), "(.)", " $1 "))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to nMerges) {
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // headOption, not first(): a tiny corpus can run out of
+      // adjacent pairs before nMerges — degrade to fewer rows (the
+      // oracle's LIMIT 1 CTEs degrade identically)
       val top = seqs
         .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -145,11 +150,16 @@ object Search {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .first()
-      val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
-      merges += ((step, a, b, top.getAs[Long]("cnt")))
-      seqs = seqs.withColumn("s",
-        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+        .limit(1).collect().headOption
+      top match {
+        case None => exhausted = true
+        case Some(r) =>
+          val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+          merges += ((step, a, b, r.getAs[Long]("cnt")))
+          seqs = seqs.withColumn("s",
+            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+          step += 1
+      }
     }
     val spark = docs.sparkSession
     import spark.implicits._

@@ -381,7 +381,10 @@ object TextAnalysis {
   private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.Caches.fresh()
-    val docsBg = graft.Caches.cached(
+    // materialized, not cached: the bigram stream feeds the broadcast
+    // LM build AND the scoring scan concurrently — the lazy-cache
+    // broadcast race Caches.materialized exists for
+    val docsBg = graft.Caches.materialized(
       docsIn
         .select(col(idCol).as("doc_id"), Text.tokenize(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 2)

@@ -108,6 +108,11 @@ class AnnStreamSpec extends SparkSpec {
     assert(sel.sum / sel.size < all.sum / all.size)
   }
 
+  test("s6 pq search: missing probe returns empty, not a crash") {
+    val t = Tables(spark, sf)
+    assert(graft.operators.Ann.s6PqSearch(t, probeId = -424242L).count() == 0)
+  }
+
   test("s4 knn join: ranked rows per src; recall ≥ 0.55 overall, ≥ 0.9 in the cos≥0.45 regime") {
     val rows = run("s4_knn_join").collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),

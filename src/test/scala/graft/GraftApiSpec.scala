@@ -185,6 +185,13 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(1).getAs[String]("merged") == "abab")
   }
 
+  test("bpeTrain degrades to fewer merges when pairs run out") {
+    val docs = Seq((1L, "ab")).toDF("id", "body")
+    val rows = Graft.bpeTrain(docs, "body", nMerges = 3).collect()
+    // one merge (a,b) exhausts the corpus; no crash, 1 row
+    assert(rows.length == 1 && rows.head.getAs[String]("merged") == "ab")
+  }
+
   test("perplexityScore: the repetitive doc is more predictable than the odd one") {
     val docs = Seq(
       (1L, "the cat sat the cat sat the cat sat"),
