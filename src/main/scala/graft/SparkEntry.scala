@@ -67,6 +67,7 @@ object SparkEntry {
     "d4_simhash"          -> q(Dedup.d4Simhash(_)),
     "d5_embedding_neardup" -> q(Dedup.d5EmbeddingNeardup(_)),
     "d10_group_split"     -> q(Dedup.d10GroupSplit(_)),
+    "d11_overlap_scrub"   -> q(Dedup.d11OverlapScrub(_)),
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
     "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),

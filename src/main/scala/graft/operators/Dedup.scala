@@ -458,6 +458,53 @@ object Dedup {
       .orderBy("train_id", "bench_id")
   }
 
+  /** d11: DECONTAMINATION SCRUB — d7 DETECTS train docs overlapping
+    * the benchmark slice; d11 REMOVES the overlap: every train-doc
+    * token covered by any word-k-gram that also appears in the bench
+    * slice is masked out, and the doc is reassembled from the
+    * survivors (counts + cleaned-text md5). This is the "remove the
+    * contaminated spans, keep the doc" policy real pipelines apply
+    * when whole-doc dropping would cost too much data.
+    *
+    * Scale: the bench shingle SET is tiny by construction ⇒
+    * BROADCAST against one positioned-shingle scan of the train side;
+    * covered positions are contamination-sized ⇒ broadcast back-join
+    * onto the token stream; the only corpus-sized shuffle is the
+    * per-doc reassembly groupBy.
+    */
+  def d11OverlapScrub(t: Tables, k: Int = 5,
+      benchMod: Long = 97): DataFrame = {
+    graft.Caches.fresh()
+    val toks = graft.Caches.materialized(
+      t.documents.select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0))
+    val bench = toks.filter(col("doc_id") % benchMod === 0)
+      .filter(size(col("tk")) >= k)
+      .select(explode(Text.shinglesFast(k)(col("tk"))).as("sh")).distinct()
+    val trainToks = toks.filter(col("doc_id") % benchMod =!= 0)
+    // positioned k-gram starts that hit the bench set → covered positions
+    val covered = trainToks.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))
+        .as(Seq("i", "sh")))
+      .join(broadcast(bench), "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("m", lit(1))
+    trainToks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .join(broadcast(covered), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_masked"),
+        md5(array_join(transform(sort_array(collect_list(
+          when(col("m").isNull, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** d8: LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): every
     * distinct line in the CORPUS is kept exactly once — at its first
     * occurrence in (doc_id, line_no) order — and every later
@@ -714,6 +761,42 @@ object Dedup {
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 5-gram twin of shingleCte + the tiny-side join; count(*) over
     // distinct-shingle collisions = |intersection of 5-gram sets|
+    // positioned-shingle hits → covered positions → reassembly from
+    // survivors (string_agg ignores the masked CASE nulls; coalesce
+    // keeps the fully-masked doc's empty string matching array_join)
+    "d11_overlap_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(
+        |    [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)])
+        |    AS sh
+        |  FROM tt WHERE doc_id % 97 = 0 AND len(tk) >= 5),
+        |sh_pos AS (
+        |  SELECT doc_id, i, array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS sh
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        |        FROM tt WHERE doc_id % 97 <> 0 AND len(tk) >= 5)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.i + d.d AS j
+        |  FROM sh_pos s JOIN bench b ON s.sh = b.sh,
+        |       (SELECT unnest(range(0, 5)) AS d) d),
+        |tok_pos AS (
+        |  SELECT doc_id, j, tk[CAST(j AS INT)] AS tok
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j
+        |        FROM tt WHERE doc_id % 97 <> 0)),
+        |f AS (
+        |  SELECT t.doc_id, count(*) AS n_tok, count(c.j) AS n_masked,
+        |    coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+        |                        ' ' ORDER BY t.j), '') AS clean
+        |  FROM tok_pos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_masked AS BIGINT) AS n_masked, md5(clean) AS clean_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "d7_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

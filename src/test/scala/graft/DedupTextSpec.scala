@@ -452,6 +452,23 @@ class DedupTextSpec extends SparkSpec {
     assert(kept >= 0.6 && kept <= 0.95, s"kept fraction $kept")
   }
 
+  test("d11 overlap scrub: masks exactly the docs d7 flags, ≥k tokens each") {
+    val rows = run("d11_overlap_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0)          // train side only
+      assert(r.getAs[Long]("n_masked") <= r.getAs[Long]("n_tok"))
+    }
+    val scrubbed = rows.filter(_.getAs[Long]("n_masked") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    // a doc is scrubbed iff d7 detects it, and each hit covers ≥ k=5
+    val flagged = run("d7_decontaminate").collect()
+      .map(_.getAs[Long]("train_id")).toSet
+    assert(scrubbed == flagged, s"scrubbed ${scrubbed.size} vs d7 ${flagged.size}")
+    rows.filter(_.getAs[Long]("n_masked") > 0)
+      .foreach(r => assert(r.getAs[Long]("n_masked") >= 5))
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)
