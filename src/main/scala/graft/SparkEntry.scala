@@ -90,6 +90,7 @@ object SparkEntry {
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
     "s5_pq_encode"        -> q(Ann.s5PqEncode(_)),
     "st11_stream_pq_encode" -> q(graft.streaming.Streams.st11StreamPqEncode(_)),
+    "st12_stream_overlap_scrub" -> q(graft.streaming.Streams.st12StreamOverlapScrub(_)),
     "s6_pq_search"        -> q(Ann.s6PqSearch(_)),
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

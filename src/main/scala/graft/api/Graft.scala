@@ -512,6 +512,16 @@ object Graft {
       .filter(col("u") < col("rate"))
   }
 
+  /** DECONTAMINATION SCRUB: remove (not just detect) benchmark
+    * overlap — train tokens covered by a word-k-gram shared with the
+    * `doc_id % benchMod` slice are masked and docs reassembled from
+    * survivors. Returns (doc_id, n_tok, n_masked, clean_md5).
+    */
+  def overlapScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, benchMod: Long = 97): DataFrame =
+    graft.operators.Dedup.overlapScrubFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, benchMod)
+
   /** LEAKAGE-SAFE SPLIT: train/val/test assignment hashed on the
     * near-dup GROUP representative (minhash-LSH + connected
     * components at `threshold`), so near-duplicates never straddle

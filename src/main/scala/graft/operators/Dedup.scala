@@ -473,10 +473,15 @@ object Dedup {
     * per-doc reassembly groupBy.
     */
   def d11OverlapScrub(t: Tables, k: Int = 5,
+      benchMod: Long = 97): DataFrame =
+    overlapScrubFrom(t.documents.select("doc_id", "text"), k, benchMod)
+
+  /** DataFrame form of d11 for the graft.api facade and specs. */
+  private[graft] def overlapScrubFrom(docsIn: DataFrame, k: Int = 5,
       benchMod: Long = 97): DataFrame = {
     graft.Caches.fresh()
     val toks = graft.Caches.materialized(
-      t.documents.select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+      docsIn.select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
         .filter(size(col("tk")) > 0))
     val bench = toks.filter(col("doc_id") % benchMod === 0)
       .filter(size(col("tk")) >= k)

@@ -713,7 +713,67 @@ object Streams {
     spark.table(name).orderBy("vec_id")
   }
 
+  /** st12: STREAMING DECONTAMINATION SCRUB — arriving docs have their
+    * benchmark-overlapping spans removed AT INGEST: the bench shingle
+    * set (tiny by construction) is PINNED before the stream starts —
+    * the same pinned-artifact contract as st11's PQ model — and the
+    * whole scrub (positioned k-gram membership, covered-position
+    * union, survivor reassembly) runs as ONE pure array projection
+    * per row: no state store, no join, no shuffle. The fused-with-
+    * ingest form of batch d11; at production the set rides as a
+    * broadcast variable instead of a literal. Emissions are
+    * arrival-order-independent ⇒ d11's oracle verbatim.
+    */
+  def st12StreamOverlapScrub(t: Tables, k: Int = 5,
+      benchMod: Long = 97): DataFrame = {
+    val spark = t.spark
+    val name = s"st12_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    // pin the bench shingle set (contamination screens are versioned
+    // artifacts — never rebuilt mid-stream)
+    val benchSet = spark.read.parquet(path)
+      .filter(col("doc_id") % benchMod === 0)
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .filter(size(col("tk")) >= k)
+      .select(explode(graft.functions.Text.shinglesFast(k)(col("tk")))
+        .as("sh"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val benchLit = typedLit(benchSet)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+    val scrubbed = docs
+      .filter(col("doc_id") % benchMod =!= 0)
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .filter(size(col("tk")) > 0)
+      // guard: sequence(0, n-k) DESCENDS when n < k — short docs have
+      // no k-grams and an empty cover set
+      .withColumn("cov", when(size(col("tk")) >= k,
+        array_distinct(flatten(transform(
+          filter(sequence(lit(0), size(col("tk")) - k),
+            i => array_contains(benchLit,
+              concat_ws(" ", slice(col("tk"), i + 1, lit(k))))),
+          i => sequence(i, i + (k - 1))))))
+        .otherwise(typedLit(Seq.empty[Int])))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(col("cov")).cast("long").as("n_masked"),
+        md5(array_join(filter(transform(sequence(lit(0), size(col("tk")) - 1),
+          p => when(!array_contains(col("cov"), p),
+            element_at(col("tk"), p + 1))), x => x.isNotNull), " "))
+          .as("clean_md5"))
+    val q = scrubbed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the scrub is a pure per-row projection under a pinned bench
+    // set — batch d11's oracle verbatim
+    "st12_stream_overlap_scrub" ->
+      graft.operators.Dedup.oracle("d11_overlap_scrub"),
     // stateless per-batch projection under a pinned model —
     // batch s5's oracle verbatim
     "st11_stream_pq_encode" ->

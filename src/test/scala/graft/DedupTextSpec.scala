@@ -469,6 +469,13 @@ class DedupTextSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("n_masked") >= 5))
   }
 
+  test("st12 stream scrub: equals batch d11 under the pinned bench set") {
+    val batch = run("d11_overlap_scrub").collect().map(_.toSeq)
+    val stream = run("st12_stream_overlap_scrub").collect().map(_.toSeq)
+    assert(stream.length == batch.length && stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {
     val rows = run("d7_decontaminate").collect()
     assert(rows.nonEmpty)

@@ -160,6 +160,20 @@ class GraftApiSpec extends SparkSpec {
     assert(graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count() == 0)
   }
 
+  test("overlapScrub masks a planted benchmark quote, keeps the rest") {
+    val bench = "alpha beta gamma delta epsilon"          // id 0 ≡ 0 % 97
+    val docs = Seq(
+      (0L, bench),
+      (1L, s"intro words then $bench and a tail here"),
+      (2L, "nothing shared with the benchmark at all")).toDF("id", "body")
+    val rows = Graft.overlapScrub(docs, "id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"))).toMap
+    assert(!rows.contains(0L))            // bench side excluded
+    assert(rows(1L)._2 == 5)              // exactly the quoted 5-gram
+    assert(rows(2L)._2 == 0)
+  }
+
   test("groupSplit keeps a planted near-dup pair in one split") {
     val twin = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
