@@ -739,7 +739,6 @@ object Streams {
       .select(explode(graft.functions.Text.shinglesFast(k)(col("tk")))
         .as("sh"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val benchLit = typedLit(benchSet)
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "doc_id"))
@@ -748,12 +747,14 @@ object Streams {
       .withColumn("tk", graft.functions.Text.tokenize(col("text")))
       .filter(size(col("tk")) > 0)
       // guard: sequence(0, n-k) DESCENDS when n < k — short docs have
-      // no k-grams and an empty cover set
+      // no k-grams and an empty cover set. Membership via
+      // isInCollection → InSet (hash lookup), NOT array_contains
+      // (linear scan per k-gram: measured 19.8 s vs ~3 s at sf0.1)
       .withColumn("cov", when(size(col("tk")) >= k,
         array_distinct(flatten(transform(
           filter(sequence(lit(0), size(col("tk")) - k),
-            i => array_contains(benchLit,
-              concat_ws(" ", slice(col("tk"), i + 1, lit(k))))),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))
+              .isInCollection(benchSet)),
           i => sequence(i, i + (k - 1))))))
         .otherwise(typedLit(Seq.empty[Int])))
       .select(col("doc_id"),
