@@ -66,6 +66,9 @@ object Probe {
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
         graft.operators.Dedup.lineDedupFrom(replicated(copies), 8).count())
+      case "d11" => timed("d11",
+        graft.operators.Dedup.overlapScrubFrom(docs).count(),
+        graft.operators.Dedup.overlapScrubFrom(replicated(copies)).count())
       case "t13" => timed("t13",
         graft.operators.TextAnalysis.perplexityFrom(docs, "doc_id", "text")
           .count(),
