@@ -543,12 +543,15 @@ object Graft {
 
   /** PERPLEXITY QUALITY SCORE: per-doc mean nll + perplexity under
     * the corpus's own add-one-smoothed bigram LM, with the p75
-    * perplexity-filter keep flag. The LM table broadcasts; the
-    * quantile cut runs on the doc-level aggregate.
+    * perplexity-filter keep flag. The LM join is unhinted (AQE
+    * broadcasts it only while it fits); `minCount` > 1 prunes the LM
+    * to bigrams seen ≥ minCount times (KenLM-style tail cut — the
+    * scale knob for open-web vocabularies; context counts stay
+    * exact). The quantile cut runs on the doc-level aggregate.
     */
   def perplexityScore(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol)
+      textCol: String, minCount: Long = 1L): DataFrame =
+    graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol, minCount)
 
   /** PRODUCT-QUANTIZATION ENCODE: per-subspace L2 k-means codebooks
     * (id-order seed, decimal-exact means) + argmin code projection;

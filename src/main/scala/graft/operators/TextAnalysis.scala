@@ -363,11 +363,20 @@ object TextAnalysis {
     * perplexity-based quality filtering — t10 builds the counts, t13
     * applies them back to the corpus.
     *
-    * Scale: the LM table is vocab²-bounded (MBs even at 100 TB) and
-    * BROADCASTS against the corpus bigram stream, so the corpus pays
-    * no shuffle until the per-doc rollup (map-side-partial
-    * groupBy(doc_id)); the p75 cut runs on the DOC-level aggregate
-    * (rows = docs, not tokens) and broadcasts back as one row.
+    * Scale: the LM/context tables are OBSERVED-bigram/-unigram scale —
+    * small for a domain corpus but corpus-vocabulary-scale for open web
+    * text, so neither join side carries a forced broadcast hint: AQE
+    * broadcasts them while they fit `autoBroadcastJoinThreshold` and
+    * degrades to a shuffle join (never a driver OOM) when they don't.
+    * `minCount` is the KenLM-style model prune for that regime: keep
+    * only bigrams seen ≥ minCount times (context counts and the
+    * smoothing denominator stay exact, computed pre-prune), and score
+    * each doc over its in-LM bigrams — a Zipf tail cut that shrinks
+    * the LM orders of magnitude at web scale. Default 1 = no prune =
+    * the oracle-gated exact semantics. The corpus pays no shuffle
+    * until the per-doc rollup (map-side-partial groupBy(doc_id)); the
+    * p75 cut runs on the DOC-level aggregate (rows = docs, not
+    * tokens) and broadcasts back as one row.
     * Portability: roundP lands after averaging ≤1-ulp libm ln errors
     * (≈1e-11 absolute), far inside the 1e-4 grid; the p75 compare
     * uses percentile ≡ quantile_cont (the q14-proven identity).
@@ -376,38 +385,57 @@ object TextAnalysis {
     perplexityFrom(t.documents, "doc_id", "text")
 
   /** DataFrame-form core of t13 over any (idCol, textCol) frame —
-    * the `Graft.perplexityScore` facade entry.
+    * the `Graft.perplexityScore` facade entry. `minCount` > 1 prunes
+    * the bigram LM to counts ≥ minCount before scoring (docs whose
+    * every bigram is pruned have no in-LM evidence and drop out).
     */
   private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, minCount: Long = 1L): DataFrame = {
     graft.Caches.fresh()
-    // materialized, not cached: the bigram stream feeds the broadcast
-    // LM build AND the scoring scan concurrently — the lazy-cache
-    // broadcast race Caches.materialized exists for
+    // materialized, not cached: the bigram stream feeds the LM build
+    // AND the scoring scan concurrently — the lazy-cache broadcast
+    // race Caches.materialized exists for. Cached PRE-PARTITIONED by
+    // bg: the cached layout satisfies both the stats groupBy's
+    // distribution and the scoring join's, so the token-scale stream
+    // shuffles ONCE here instead of once per consumer (the win that
+    // matters in the shuffle-join regime, where lm is too big for
+    // AQE to broadcast).
     val docsBg = graft.Caches.materialized(
       docsIn
         .select(col(idCol).as("doc_id"), Text.tokenize(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(col("tk")) - 2),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))).as("bg")))
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))).as("bg"))
+        .repartition(col("bg")))
     val stats = docsBg.groupBy("bg").agg(count(lit(1)).as("c_bi"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
     val ctx = stats.groupBy("w1").agg(sum("c_bi").as("c_w1"))
-    val lm = stats.join(broadcast(ctx), "w1").select("bg", "c_bi", "c_w1")
+    // prune AFTER ctx: context counts (and the smoothing denominator
+    // below) are statistics of the full corpus, not the pruned model
+    val kept = if (minCount > 1L) stats.filter(col("c_bi") >= minCount)
+               else stats
+    // no broadcast hints: both sides grow with corpus vocabulary, so a
+    // forced broadcast is a driver OOM at web scale — AQE converts to
+    // broadcast-hash at runtime whenever the built side is actually
+    // small, and falls back to a shuffle join when it is not
+    val lm = kept.join(ctx, "w1").select("bg", "c_bi", "c_w1")
     // corpus vocabulary size (the smoothing denominator), one row
     val vocabN = docsIn
       .select(explode(Text.tokenize(col(textCol))).as("term"))
       .agg(countDistinct("term").as("v"))
-    val scored = docsBg
-      .join(broadcast(lm), "bg")
+    // doc-scale (one row per doc) but the product of the pipeline's
+    // expensive join — materialized so the p75 cut and the final
+    // select don't each re-run the token-scale join+rollup
+    val scored = graft.Caches.materialized(docsBg
+      .join(lm, "bg")
       .crossJoin(broadcast(vocabN))
       .withColumn("nll",
         -log((col("c_bi") + 1).cast("double") / (col("c_w1") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bg"), avg("nll").as("raw"))
       .withColumn("avg_nll", roundP(col("raw")))
-      .withColumn("ppl", roundP(exp(col("raw"))))
+      .withColumn("ppl", roundP(exp(col("raw")))))
     val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
     scored.crossJoin(broadcast(cut))
       .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),

@@ -217,6 +217,23 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(1L) == rows(2L))
   }
 
+  test("perplexityScore minCount prune: singleton-bigram docs drop, survivors keep exact scores") {
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat the cat sat the cat sat"),
+      (3L, "zebra quartz jumps vortex nymph")).toDF("id", "body")
+    val full = Graft.perplexityScore(docs, "id", "body").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    val pruned = Graft.perplexityScore(docs, "id", "body", minCount = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    // doc 3's bigrams are all singletons → pruned out of the LM → no
+    // in-LM evidence → dropped; docs 1/2's bigrams all survive, and
+    // context counts / vocab stay pre-prune, so scores are bit-equal
+    assert(pruned.keySet == Set(1L, 2L))
+    assert(pruned(1L) == full(1L) && pruned(2L) == full(2L))
+  }
+
   test("pqEncode on an ad-hoc frame: identical vectors share codes and qerr") {
     val v = Seq.tabulate(64)(i => i / 64.0)
     val w = Seq.tabulate(64)(i => 1.0 - i / 64.0)
