@@ -338,14 +338,35 @@ object Graft {
   def semdedupPairs(df: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, threshold: Double = 0.45,
       iters: Int = 3): DataFrame = {
-    val vecs = df.select(col(idCol).as("vec_id"),
+    val vecsAll = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val dim = vecs.select(size(col("v"))).first().getInt(0)
-    val cb = graft.operators.Ann.trainCodebook(vecs, nLists, dim, iters)
-    val assigned = vecs.select(col("vec_id"), col("v"),
-      element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
-        .as("cid"))
-    graft.operators.Dedup.semdedupPairsFrom(assigned, threshold)
+    // edge contract (matches the other hardened facades): an empty
+    // frame yields an empty (cid, vec_a, vec_b, cos) result instead
+    // of a NoSuchElementException from the dim probe
+    vecsAll.select(size(col("v"))).limit(1).collect().headOption match {
+      case None =>
+        val idT = vecsAll.schema("vec_id").dataType
+        df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cid",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("vec_a", idT),
+            org.apache.spark.sql.types.StructField("vec_b", idT),
+            org.apache.spark.sql.types.StructField("cos",
+              org.apache.spark.sql.types.DoubleType))))
+      case Some(row) =>
+        val dim = row.getInt(0)
+        // ragged rows can't be scored against a dim-sized codebook —
+        // drop them (graceful degradation, like the PQ edge handling)
+        val vecs = vecsAll.filter(size(col("v")) === dim)
+        val cb = graft.operators.Ann.trainCodebook(vecs, nLists, dim, iters)
+        val assigned = vecs.select(col("vec_id"), col("v"),
+          element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+            .as("cid"))
+        graft.operators.Dedup.semdedupPairsFrom(assigned, threshold)
+    }
   }
 
   /** LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): keep each

@@ -313,12 +313,31 @@ object Dedup {
     * component-min keep_doc and the group size.
     */
   def d6DedupGroups(t: Tables, threshold: Double = 0.5): DataFrame =
-    dedupGroupsFrom(t.documents.select("doc_id", "text"), threshold)
+    ccLabelsStaged(t, threshold)
 
   /** DataFrame form of d6 for the graft.api facade and specs. */
   private[graft] def dedupGroupsFrom(docsIn: DataFrame,
       threshold: Double): DataFrame =
     ccGroups(minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b"))
+
+  /** Corpus-keyed CC-label registry: the dedup pipeline's most
+    * expensive artifact (minhash → bands → verify → iterative CC, a
+    * driver-synced job per iteration) is computed ONCE per (corpus,
+    * threshold) and landed as parquet, like s3/s5's trained models
+    * (Ann.codebooks) — every consumer (d6's groups query, d10's
+    * leakage-safe split) then reads a component-sized scan instead of
+    * re-running the pipeline. Same lake-snapshot contract as every
+    * staged cache: the corpus under `t.dir` is immutable for the
+    * JVM's lifetime.
+    */
+  private[graft] def ccLabelsStaged(t: Tables,
+      threshold: Double): DataFrame = {
+    val dir = graft.Staging.dir(s"${t.dir}:cc:$threshold", "cc") { d =>
+      dedupGroupsFrom(t.documents.select("doc_id", "text"), threshold)
+        .write.mode("overwrite").parquet(d)
+    }
+    t.spark.read.parquet(dir).orderBy("doc_id")
+  }
 
   /** d10: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — assign every document a
     * split by hashing its DEDUP GROUP (d6's connected component), not
@@ -330,22 +349,30 @@ object Dedup {
     * md5-uniform on the group representative: train < 0.8 ≤ val
     * < 0.9 ≤ test (u = k/2³² can never equal the cut points).
     *
-    * Scale: d6's pair generation + CC (both linear, measured) and the
-    * groups frame is COMPONENT-sized (≪ corpus) so the back-join
-    * broadcasts; the split itself is a pure hash projection.
+    * Scale: the CC labels come from the corpus-keyed registry
+    * ([[ccLabelsStaged]]) so repeated splits/queries share ONE CC
+    * run; the back-join onto the corpus carries NO forced hint —
+    * dup-group membership is 30-50% of docs on web corpora
+    * (corpus-scale, not component-scale), so AQE broadcasts it only
+    * when it actually fits and sort-merge-joins otherwise. The split
+    * itself is a pure hash projection.
     */
   def d10GroupSplit(t: Tables, threshold: Double = 0.5): DataFrame =
-    groupSplitFrom(t.documents.select("doc_id", "text"), threshold)
+    groupSplitFrom(t.documents.select("doc_id", "text"), threshold,
+      Some(ccLabelsStaged(t, threshold)))
 
-  /** DataFrame form of d10 for the graft.api facade and specs. */
-  private[graft] def groupSplitFrom(docs: DataFrame,
-      threshold: Double): DataFrame = {
-    val groups = dedupGroupsFrom(docs, threshold)
+  /** DataFrame form of d10 for the graft.api facade and specs;
+    * `groupsIn` lets Tables-path callers supply the registry's
+    * pre-computed CC labels.
+    */
+  private[graft] def groupSplitFrom(docs: DataFrame, threshold: Double,
+      groupsIn: Option[DataFrame] = None): DataFrame = {
+    val groups = groupsIn.getOrElse(dedupGroupsFrom(docs, threshold))
       .select(col("doc_id"), col("keep_doc"))
     val u = conv(substring(md5(concat(lit("split:"), col("grp"))), 1, 8),
       16, 10).cast("long") / lit(4294967296.0)
     docs.select("doc_id")
-      .join(broadcast(groups), Seq("doc_id"), "left")
+      .join(groups, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("keep_doc"), col("doc_id")))
       .select(col("doc_id"), col("grp"),
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
@@ -468,9 +495,12 @@ object Dedup {
     *
     * Scale: the bench shingle SET is tiny by construction ⇒
     * BROADCAST against one positioned-shingle scan of the train side;
-    * covered positions are contamination-sized ⇒ broadcast back-join
-    * onto the token stream; the only corpus-sized shuffle is the
-    * per-doc reassembly groupBy.
+    * covered positions are contamination-sized on CLEAN corpora but
+    * corpus-scale on a heavily contaminated one, so that back-join
+    * onto the token stream carries NO forced hint — AQE broadcasts
+    * it while it fits and shuffle-joins when contamination is heavy;
+    * the only always-corpus-sized shuffle is the per-doc reassembly
+    * groupBy.
     */
   def d11OverlapScrub(t: Tables, k: Int = 5,
       benchMod: Long = 97): DataFrame =
@@ -500,7 +530,7 @@ object Dedup {
       .withColumn("m", lit(1))
     trainToks
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .join(broadcast(covered), Seq("doc_id", "pos"), "left")
+      .join(covered, Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_masked"),

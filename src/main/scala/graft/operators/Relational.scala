@@ -269,25 +269,51 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
-  /** q16: sketch aggregates (*rows-only oracle* — sketch algorithms
-    * differ by engine, so correctness is spec'd as error bounds vs
-    * the exact q14/q7-style forms). These are the 100 TB swap-ins:
-    * approx_count_distinct is a mergeable HyperLogLog++ (map-side
-    * partial, constant memory per group) where COUNT(DISTINCT x)
-    * needs a full shuffle of distinct values; approx_percentile is a
-    * mergeable t-digest/QuantileSummaries sketch where exact
-    * percentile sorts every group.
+  /** q16: sketch aggregates under an ERROR-BOUND gate. The sketches
+    * are the 100 TB swap-ins: approx_count_distinct is a mergeable
+    * HyperLogLog++ (map-side partial, constant memory per group)
+    * where COUNT(DISTINCT x) needs a full shuffle of distinct values;
+    * approx_percentile is a mergeable QuantileSummaries sketch where
+    * exact percentile sorts every group.
+    *
+    * Gate design: the register layouts are engine-private (DuckDB
+    * cannot replay them), so the query emits the sketches' PUBLISHED
+    * ERROR CONTRACT as data — per group, is the HLL estimate within
+    * 3·rsd of the exact distinct count, and does each approx
+    * percentile land inside the exact [p−δ, p+δ] rank band? δ=0.01:
+    * the sketch's own contract is ε = 1/accuracy = 1e-4 of rank, but
+    * the sketch emits a DISCRETE element while percentile()
+    * interpolates, so at small test groups (n≈300 per group at
+    * sf0.001) the band must cover at least a couple of order
+    * statistics — δ is the noise floor of comparing the two forms at
+    * test scale, not the sketch's accuracy. The oracle replays the
+    * exact values and pins
+    * every bound flag to 1, so a sketch drifting out of its contract
+    * breaks the hash like any wrong answer. Both sketch estimates
+    * are deterministic on fixed data (hash-based, no RNG), so the
+    * flags cannot flake. The exact aggregates exist here to FEED the
+    * gate; the production form is the sketch-only projection.
     */
   def q16Sketches(t: Tables): DataFrame =
     t.orders
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
-        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
-          .as("approx_med"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4)
-          .as("approx_p90"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("ac"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("am"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        expr("percentile(o_totalprice, 0.49)").as("mlo"),
+        expr("percentile(o_totalprice, 0.51)").as("mhi"),
+        expr("percentile(o_totalprice, 0.89)").as("plo"),
+        expr("percentile(o_totalprice, 0.91)").as("phi"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"), col("exact_custs"),
+        (abs(col("ac") - col("exact_custs"))
+          <= col("exact_custs") * lit(0.06)).cast("int").as("cd_ok"),
+        (col("am") >= col("mlo") && col("am") <= col("mhi"))
+          .cast("int").as("med_ok"),
+        (col("ap") >= col("plo") && col("ap") <= col("phi"))
+          .cast("int").as("p90_ok"))
       .orderBy("o_orderpriority")
 
   /** q19: DETERMINISTIC mergeable distinct sketch — KMV over an
@@ -798,6 +824,16 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // the sketches themselves are engine-private; the oracle replays
+    // the EXACT aggregates and pins the error-bound flags to 1 — the
+    // hash gate thereby enforces the sketches' published contract
+    // (HLL within 3·rsd, percentile within the ±0.01 rank band)
+    "q16_sketches" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  1 AS cd_ok, 1 AS med_ok, 1 AS p90_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q14_quantiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,

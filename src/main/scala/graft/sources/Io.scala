@@ -23,48 +23,18 @@ import org.apache.spark.sql.types._
   */
 object Io {
 
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  // staged trees are JVM-scoped scratch: delete them on exit so disk
-  // does not accumulate across processes (the memo map keeps them
-  // alive for THIS JVM's lifetime). Registered at object init — any
-  // stage() call initializes the object first, so the hook always
-  // exists before a tree does.
-  private val cleanup: Thread = {
-    val th = new Thread(() => staged.values.forEach { d =>
-      try deleteTree(java.nio.file.Paths.get(d)) catch { case _: Exception => }
-    }, "graft-io-stage-cleanup")
-    Runtime.getRuntime.addShutdownHook(th)
-    th
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(deleteTree) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
-
   /** Write `df` once per (corpus dir, tag) via `write`, return the
     * staging path (memoized — repeated operator calls reuse the
     * landed data, like repeated queries over one lake table).
     * WRITE-ONCE-PER-JVM: like every lake-snapshot cache here (see
     * Ann.codebooks), this assumes the source under `t.dir` is
     * immutable while the process lives — an in-JVM rewrite of the
-    * corpus path would be served a stale staged copy. The staged
-    * trees are removed by a shutdown hook.
+    * corpus path would be served a stale staged copy. Delegates to
+    * [[graft.Staging]], whose shutdown hook removes the trees.
     */
   private def stage(t: Tables, tag: String, df: => DataFrame)(
       write: (DataFrame, String) => Unit): String =
-    staged.computeIfAbsent(s"${t.dir}:$tag", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_io_${tag}_").toString
-      write(df, dir)
-      dir
-    })
+    graft.Staging.dir(s"${t.dir}:$tag", s"io_$tag")(d => write(df, d))
 
   /** io1: JSON-lines round trip of the documents table. The sink is
     * `write.json` (one JSON object per line — the interchange format
@@ -343,7 +313,7 @@ object Io {
 
   /** Staged dir for (corpus, tag) if already landed — spec access. */
   private[graft] def stagedDir(t: Tables, tag: String): Option[String] =
-    Option(staged.get(s"${t.dir}:$tag"))
+    graft.Staging.lookup(s"${t.dir}:$tag")
 
   /** Data files in a staged dir (skips _SUCCESS/CRC side files). */
   private[graft] def parquetFiles(dir: String): Seq[java.nio.file.Path] = {

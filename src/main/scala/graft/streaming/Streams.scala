@@ -207,11 +207,10 @@ object Streams {
     * the file sink's write→read round trip.
     */
   def st10StreamFileSink(t: Tables): DataFrame = {
-    val outDir = fileSinks.computeIfAbsent(t.dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_st10_out_").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_st10_ckpt_").toString
+    // sink + checkpoint live under ONE Staging tree: memoized per
+    // (JVM, corpus) like every staged lake path, and removed by
+    // Staging's shutdown hook instead of leaking across runs
+    val staged = graft.Staging.dir(s"${t.dir}:st10", "st10") { d =>
       val q = eventStream(t)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -219,20 +218,17 @@ object Streams {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"))
         .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
+        .option("path", s"$d/out").option("checkpointLocation", s"$d/ckpt")
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
-      out
-    })
-    t.spark.read.parquet(outDir).orderBy("window_start", "event_type")
+    }
+    t.spark.read.parquet(s"$staged/out")
+      .orderBy("window_start", "event_type")
   }
-
-  private val fileSinks =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** st10's landed output dir, if this JVM ran it — spec access. */
   private[graft] def fileSinkDir(t: Tables): Option[String] =
-    Option(fileSinks.get(t.dir))
+    graft.Staging.lookup(s"${t.dir}:st10").map(d => s"$d/out")
 
   /** st6: stream-stream INTERVAL join — click-to-purchase attribution
     * within 30 minutes per user, both sides unbounded streams. The

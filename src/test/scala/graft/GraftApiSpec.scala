@@ -306,6 +306,27 @@ class GraftApiSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.9))
   }
 
+  test("semdedupPairs edge inputs: empty frame yields empty typed result, ragged rows drop") {
+    val empty = Graft.semdedupPairs(
+      Seq.empty[(Long, Seq[Double])].toDF("id", "vec"), "id", "vec")
+    assert(empty.columns.toSeq == Seq("cid", "vec_a", "vec_b", "cos"))
+    assert(empty.count() == 0)
+    // a ragged row can't be scored against the dim-4 codebook: it is
+    // dropped, and the planted twin pair is still found
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.01, 0.0, 0.999, 0.0)),
+      (5L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val pairs = Graft.semdedupPairs(vs, "id", "vec",
+        nLists = 2, threshold = 0.9).collect()
+    assert(pairs.exists(r => r.getAs[Long]("vec_a") == 3L &&
+      r.getAs[Long]("vec_b") == 4L))
+    assert(!pairs.exists(r => r.getAs[Long]("vec_a") == 5L ||
+      r.getAs[Long]("vec_b") == 5L))
+  }
+
   test("lineDedup drops the later copy of a repeated line, keeps order") {
     // line width 2 tokens: doc 1 = [a b][c d], doc 2 = [a b][e f],
     // doc 3 = [c d] — "a b" and "c d" recur and must be kept only at
