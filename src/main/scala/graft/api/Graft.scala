@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** Release every cache the most recent graft operator registered.
+    *
+    * Operators scope their own caches: each public entry calls
+    * `Caches.fresh()`, releasing the PREVIOUS call's working set — so
+    * storage memory is bounded by one operator across any sequence of
+    * calls. What fresh() cannot see is the END of the sequence: the
+    * last operator's cached tables stay live until the application's
+    * next graft call. Call this when done with graft work to hand
+    * that storage back (results already materialized are unaffected;
+    * un-materialized results silently recompute without the cache).
+    */
+  def releaseCaches(): Unit = graft.Caches.release()
+
   // ---- ingest ----
 
   /** Character sliding-window chunking with start offsets; reference

@@ -14,8 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * compiled JVM loops (one `eval` call per row), which is the
   * preference order SURVEY §4 prescribes: built-ins first, then a
   * custom Expression when the built-in shape can't be fast.
-  * `CodegenFallback` only exempts this one projection from
-  * whole-stage codegen; `eval` itself is ordinary compiled code.
+  *
+  * Codegen: a `CodegenFallback` expression anywhere in a projection
+  * pushes the WHOLE stage out of whole-stage codegen
+  * (CollapseCodegenStages.supportCodegen rejects the plan), so the
+  * signature expressions implement `doGenCode`. The heavy loops are
+  * already compiled Scala — the generated code simply invokes them
+  * through a plan reference object (`ctx.addReferenceObj`), which
+  * keeps the surrounding stage fused without duplicating the loop
+  * bodies as Java strings.
   *
   * Outputs are bit-identical to the HOF/oracle definitions (same
   * shingle set in first-occurrence order, same md5-derived h1/h2,
@@ -27,10 +34,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * order (= array_distinct(transform(...)) semantics).
   */
 case class ShingleArray(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_array"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleArray", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -59,10 +72,16 @@ case class ShingleArray(child: Expression, k: Int)
   * 4294967291; signature = per-perm minimum.
   */
 case class MinHashSig(child: Expression, nPerms: Int, prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -98,10 +117,16 @@ case class MinHashSig(child: Expression, nPerms: Int, prime: Long)
   * bit-sum b; sign (≥ 0 → '1') is the signature bit.
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash_sig"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashSig", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

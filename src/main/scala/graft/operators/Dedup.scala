@@ -687,6 +687,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Materialize the HYPERPLANE band-key table BUCKETED by its join
+    * key — the continuous-ANN deployment path, mirroring
+    * [[buildBucketedSignatures]] for d5/s4's embedding index: the
+    * corpus lands once per snapshot as (vec_id, bk) bucketed+sorted
+    * by the packed band key, so every candidate self-join — or a
+    * new-docs delta probing the full corpus — is bucket-co-located
+    * and Exchange-free on the stored side (BucketSpec-locked).
+    * Exact collisions are the production near-dup regime
+    * (cos ≥ 0.9 ⇒ p₁ ≥ 0.9, recall ~1.0 measured in DedupTextSpec);
+    * Hamming-1 multi-probe TRANSFORMS the probe key, so a probing
+    * delta re-shuffles only itself — the corpus-sized side never
+    * moves.
+    */
+  def buildBucketedBandKeys(t: Tables, db: String = "graft_emb",
+      buckets: Int = 8): Unit = {
+    graft.Warehouse.reset(t.spark, db, Seq("bands"))
+    hyperplaneBuckets(t.embeddings.select("vec_id", "embedding"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"$db.bands")
+  }
+
+  /** Candidate pairs from the bucketed band-key table — the bk
+    * self-join runs bucket-to-bucket with no Exchange on either side.
+    */
+  def bucketedEmbeddingCandidates(spark: org.apache.spark.sql.SparkSession,
+      db: String = "graft_emb"): DataFrame = {
+    val b = spark.table(s"$db.bands")
+    b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** Shared minhash CTE chain (shingles → per-shingle md5 h1/h2 →
     * 16 affine-perm minima → 4×4 band signatures) — used by the d3
     * oracle and the st4 streaming-dedup oracle.

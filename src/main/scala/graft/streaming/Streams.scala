@@ -327,6 +327,33 @@ object Streams {
     spark.table(name).distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** st4's emissions through the PRODUCTION sink — parquet +
+    * checkpoint, exactly-once via `_spark_metadata` (st10's pattern
+    * applied to a STATEFUL dedup registry, so the checkpointed path
+    * is exercised for flatMapGroupsWithState output too, not just
+    * windowed aggregation). Landed once per (JVM, corpus, threshold)
+    * under [[graft.Staging]] and reread on later calls; the spec
+    * asserts the read-back equals st4's memory-sink result.
+    */
+  def st4FileSink(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val staged = graft.Staging.dir(s"${t.dir}:st4sink:$threshold",
+        "st4sink") { d =>
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir(t, path, "doc_id"))
+      val q = incrementalMinhashDedup(docs, "doc_id", "text", threshold)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$d/out").option("checkpointLocation", s"$d/ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    spark.read.parquet(s"$staged/out").distinct().orderBy("doc_a", "doc_b")
+  }
+
   /** Library core of st4: attach to ANY streaming (id, text) frame;
     * returns the append-mode Dataset of emitted near-dup pairs for
     * the caller to sink (parquet/Delta + checkpoint in production).

@@ -359,6 +359,23 @@ class AnnStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "_spark_metadata")))
   }
 
+  test("st4 file sink: checkpointed dedup-registry emissions equal the memory-sink result") {
+    val t = Tables(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_j"))
+    val mem = run("st4_stream_dedup").collect().map(key).toSet
+    val file = graft.streaming.Streams.st4FileSink(t).collect()
+      .map(key).toSet
+    assert(file.nonEmpty && file == mem)
+    // exactly-once: the stateful query's output committed through the
+    // sink's _spark_metadata log, same contract st10 proves for the
+    // windowed aggregation
+    val dir = graft.Staging.lookup(s"${t.dir}:st4sink:0.5").get
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "out", "_spark_metadata")))
+  }
+
   test("st9 stream-static decontamination equals batch d7 (stateless join)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")) ->

@@ -35,6 +35,32 @@ class BucketSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("bucketed hyperplane band self-join is shuffle-free (embedding index path)") {
+    import graft.operators.Dedup
+    Dedup.buildBucketedBandKeys(Tables(spark, sf), db = "graft_emb_test")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the large-table (no-broadcast) shape
+      val cand = Dedup.bucketedEmbeddingCandidates(spark,
+        db = "graft_emb_test")
+      cand.collect()
+      val p = cand.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(bk"), p)
+      // 256 bands over 16-bit buckets: band collisions (true + chance)
+      // exist at any corpus size, so the candidate set is non-empty
+      assert(cand.count() > 0)
+      // same candidate semantics as the in-memory index at radius 0
+      val mem = Dedup.embeddingCandidates(
+        Tables(spark, sf).embeddings.select("vec_id", "embedding"),
+        probeRadius = 0)
+      assert(cand.collect().map(_.toSeq).toSet ==
+        mem.collect().map(_.toSeq).toSet)
+    } finally spark.conf.set(key, old)
+  }
+
   test("bucketed minhash band self-join is shuffle-free (dedup index path)") {
     import graft.operators.Dedup
     Dedup.buildBucketedSignatures(Tables(spark, sf), db = "graft_sig_test")

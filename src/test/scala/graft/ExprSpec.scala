@@ -45,6 +45,22 @@ class ExprSpec extends SparkSpec {
     hof.foreach { case (id, sig) => assert(fast(id) == sig, s"doc $id") }
   }
 
+  test("signature expressions run inside WholeStageCodegen (no fallback boundary)") {
+    // one projection holding all three signature expressions: if any
+    // of them were CodegenFallback, CollapseCodegenStages would push
+    // the WHOLE project out of codegen (no '*(n)' stage around it)
+    val df = toksDf.select(
+      Text.shinglesFast(3)(col("tk")).as("sh"),
+      Text.simhashSig(col("tk")).as("sim"))
+      .withColumn("mhs", Text.minhashSig(col("sh")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator
+      .find(_.contains("Project")).getOrElse("")
+    assert(projLine.trim.startsWith("*("),
+      s"project not whole-stage-codegen'd:\n$plan")
+  }
+
   test("KMV sketch: exact below capacity, estimator within 3σ above, merge-stable") {
     import SparkSpec.spark.implicits._
     import graft.functions.Sketch

@@ -327,6 +327,23 @@ class GraftApiSpec extends SparkSpec {
       r.getAs[Long]("vec_b") == 5L))
   }
 
+  test("cache scoping: storage bounded by one operator across calls; releaseCaches empties it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("id", "body")
+    Graft.jaccardPairs(docs, "id", "body").count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    assert(after1 > 0) // the operator did cache its working set
+    Graft.simhashPairs(docs, "id", "body").count()
+    // fresh() at the second entry released the first call's caches:
+    // no net growth across consecutive facade calls
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 <= after1, s"storage grew: $after1 -> $after2")
+    Graft.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("lineDedup drops the later copy of a repeated line, keeps order") {
     // line width 2 tokens: doc 1 = [a b][c d], doc 2 = [a b][e f],
     // doc 3 = [c d] — "a b" and "c d" recur and must be kept only at
