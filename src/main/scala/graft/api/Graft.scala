@@ -259,18 +259,21 @@ object Graft {
     // per-doc totals + how many of the doc's shingles can't generate
     // candidates (needed for the exact intersection upper bound) —
     // one aggregate pass
-    val stats = sh.groupBy("doc_id").agg(
+    // per-doc stats are CACHED + counted up front: the count both
+    // materializes the sh cache through one pass (no broadcast race
+    // for the parallel consumers below) and yields the exact row
+    // count the size-guarded join hint needs
+    val stats = graft.Caches.cached(sh.groupBy("doc_id").agg(
       count(lit(1)).as("nsh"),
       sum(when(col("sdf").between(2, maxDf), 0).otherwise(1)).as("nhid"),
-      sum(when(col("sdf") > maxDf, 1).otherwise(0)).as("nhot"))
+      sum(when(col("sdf") > maxDf, 1).otherwise(0)).as("nhot")))
+    val statsRows = stats.count()
     // zero-recall detectability: a doc ALL of whose shared shingles
     // are hotter than maxDf generates no candidates, so a near-dup
     // pair of two such docs is silently missed by the cap — surface
     // the count instead of staying quiet (all-singleton docs pair
-    // with nobody even uncapped, so they don't count). This scalar
-    // agg runs BEFORE any parallel consumer, so it doubles as the
-    // action that materializes the sh cache — the diagnostic costs
-    // no extra job (same pattern as d6's convergence sum)
+    // with nobody even uncapped, so they don't count). Runs on the
+    // cache, so the diagnostic costs no extra corpus pass
     val nBlind = stats
       .filter(col("nhid") === col("nsh") && col("nhot") > 0).count()
     if (nBlind > 0) logger.warn(
@@ -283,12 +286,21 @@ object Graft {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("rinter"))
-    // broadcast per-doc stats onto the pair stream and kill ~all junk
+    // join per-doc stats onto the pair stream and kill ~all junk
     // candidates with an EXACT bound: inter ≤ rinter + min(hidden_a,
-    // hidden_b), and jaccard is increasing in inter
-    def side(as: String, nshAs: String, nhidAs: String) =
-      broadcast(stats.select(col("doc_id").as(as),
-        col("nsh").as(nshAs), col("nhid").as(nhidAs)))
+    // hidden_b), and jaccard is increasing in inter. SIZE-GUARDED
+    // hint: stats is one row PER DOC — corpus-scale, not
+    // summary-scale — so an unconditional broadcast is a driver OOM
+    // at web scale. The exact row count is already in hand (the
+    // materializing count above), so the hint is applied only under
+    // a measured bound (~50 MB of HashedRelation); past it the pair
+    // stream sort-merges — the graceful-degradation shape.
+    val statsBcastMaxRows = 2000000L
+    def side(as: String, nshAs: String, nhidAs: String) = {
+      val s = stats.select(col("doc_id").as(as),
+        col("nsh").as(nshAs), col("nhid").as(nhidAs))
+      if (statsRows <= statsBcastMaxRows) broadcast(s) else s
+    }
     val bounded = graft.Caches.materialized(rcnt
       .join(side("doc_a", "na", "hida"), "doc_a")
       .join(side("doc_b", "nb", "hidb"), "doc_b")
@@ -297,12 +309,15 @@ object Graft {
         >= threshold))
     // EXACT intersection (all shingles, hot included) only among the
     // few docs any bound-surviving pair touches: shrink the shingle
-    // table to those docs (one broadcast semi-join over the cache)
-    // and redo the plain join-count on that tiny subset
+    // table to those docs and redo the plain join-count on that
+    // subset. UNHINTED: docsInPlay is near-dup-OUTPUT-scale — small
+    // on clean corpora but corpus-scale at C4-class dup rates, so the
+    // semi-join reduction must degrade to a shuffle join, not pin a
+    // broadcast
     val docsInPlay = bounded
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val shSub = sh.join(broadcast(docsInPlay), "doc_id")
+    val shSub = sh.join(docsInPlay, "doc_id")
     val inter = shSub.as("a").join(shSub.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -256,12 +256,16 @@ object TextAnalysis {
     *
     * Scale: ONE groupBy over the exploded bigram stream with map-side
     * partials (the only corpus-sized shuffle); the context-count table
-    * derives from the bigram table itself (no second corpus pass) and
-    * joins back broadcast (vocab²-bounded). The rank window runs on
-    * the aggregated table, never corpus rows — same posture as r15.
+    * derives from the bigram table itself (no second corpus pass).
+    * The top-K cut is orderBy+limit = TakeOrderedAndProject —
+    * per-partition heads merged on the driver, the distributed top-k
+    * (a global row_number window would sort EVERY bigram type in one
+    * partition; the ordering key (c_bi desc, w1, w2) is total, so the
+    * selected set is identical). The context join runs AFTER the cut,
+    * so its probe side is topK rows — AQE broadcasts the tiny side on
+    * its own, and no vocab-scale frame carries a forced hint.
     */
   def t10BigramCounts(t: Tables, topK: Int = 24): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = t.documents
       .select(Text.tokenize(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -271,10 +275,8 @@ object TextAnalysis {
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
     val u = c.groupBy("w1").agg(sum("c_bi").as("c_w1"))
-    val w = Window.orderBy(col("c_bi").desc, col("w1"), col("w2"))
-    c.join(broadcast(u), "w1")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
+    c.orderBy(col("c_bi").desc, col("w1"), col("w2")).limit(topK)
+      .join(u, "w1")
       .select(col("w1"), col("w2"), col("c_bi"), col("c_w1"),
         (floor(col("c_bi") / col("c_w1") * 10000 + 0.5) / 10000.0)
           .as("p_ml"))
