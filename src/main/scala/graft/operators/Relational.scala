@@ -33,8 +33,12 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** q2: broadcast dim join + shuffle fact join + agg + deterministic
-    * top-k. TPC-H Q3 shape; customer is broadcast (small side).
+  /** q2: dim join + shuffle fact join + agg + deterministic top-k.
+    * TPC-H Q3 shape. The customer side carries NO forced hint:
+    * customer GROWS with scale factor (billions of rows at 100 TB,
+    * unlike the constant 25/5-row nation/region dims) — AQE
+    * broadcasts the filtered dim while it measures small and
+    * sort-merges past that.
     */
   def q2TopRevenue(t: Tables): DataFrame = {
     val cust = t.customer
@@ -46,7 +50,7 @@ object Relational {
     val li = t.lineitem
       .filter(col("l_shipdate") > ts("1998-03-15"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
@@ -123,10 +127,13 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** q7: count-distinct per group across a two-hop broadcast join. */
+  /** q7: count-distinct per group across a two-hop dim join. The
+    * nation hint stays (25 rows by construction); supplier grows with
+    * scale factor, so its join is AQE's call.
+    */
   def q7DistinctAgg(t: Tables): DataFrame =
     t.lineitem.select("l_suppkey")
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -244,7 +251,8 @@ object Relational {
     */
   def q15Cube(t: Tables): DataFrame = withoutSelfJoinCheck(t) {
     t.orders.select("o_custkey", "o_orderpriority", "o_totalprice")
-      .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+      // unhinted: customer grows with SF (see q2) — AQE decides
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .cube("c_mktsegment", "o_orderpriority")
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
