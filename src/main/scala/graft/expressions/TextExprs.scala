@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -244,10 +244,16 @@ class PlaneMatrix(val values: Array[Double], val dim: Int) extends Serializable 
   * matching the oracle's list_dot_product.
   */
 case class HyperplaneBits(child: Expression, planes: PlaneMatrix, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "hyperplane_bits"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBits", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -282,7 +288,13 @@ case class HyperplaneBits(child: Expression, planes: PlaneMatrix, nPlanes: Int)
   */
 case class HyperplaneSketchKeys(child: Expression, planes: PlaneMatrix,
     sketchBits: Int, nBands: Int, bandBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSketchKeys", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("sketch",
@@ -340,10 +352,16 @@ case class HyperplaneSketchKeys(child: Expression, planes: PlaneMatrix,
   */
 case class HyperplaneBandKeys(child: Expression, planes: PlaneMatrix,
     nBands: Int, bandBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_band_keys"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBandKeys", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -420,10 +438,16 @@ case class BitFlipProbes(child: Expression, bits: Int)
   * pure projection: NO join, NO shuffle, NO exchange keyed by vec_id.
   */
 case class CentroidRanks(child: Expression, cents: PlaneMatrix)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "centroid_ranks"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidRanks", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
