@@ -225,12 +225,19 @@ object Dedup {
     * lighter shuffle at millions of probe rows).
     */
   private[graft] def hyperplaneBuckets(vecs: DataFrame,
-      nBands: Int = lshBands, bandBits: Int = lshBandBits): DataFrame =
+      nBands: Int = lshBands, bandBits: Int = lshBandBits): DataFrame = {
+    require(nBands * bandBits <= 4096,
+      s"band shape $nBands x $bandBits exceeds the 4096-plane matrix")
+    require(bandBits + ceilLog2(nBands) <= 63,
+      s"band shape $nBands x $bandBits overflows the packed long key")
     spread(vecs)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         explode(graft.functions.Vectors.hyperplaneBandKeys(
           col("v"), hpMatrix, nBands, bandBits)).as("bk"))
+  }
+
+  private def ceilLog2(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n - 1)
 
   /** d5: embedding near-dup pairs — banded hyperplane-LSH candidates
     * with Hamming-1 multi-probe, exact-cosine verification at ≥ 0.45
@@ -251,13 +258,15 @@ object Dedup {
     * production-regime test.
     */
   private[graft] def embeddingCandidates(vecsIn: DataFrame,
-      probeRadius: Int = 1): DataFrame = {
+      probeRadius: Int = 1, nBands: Int = lshBands,
+      bandBits: Int = lshBandBits): DataFrame = {
     graft.Caches.fresh()
-    val buckets = graft.Caches.materialized(hyperplaneBuckets(vecsIn))
+    val buckets =
+      graft.Caches.materialized(hyperplaneBuckets(vecsIn, nBands, bandBits))
     val probeSide =
       if (probeRadius == 0) buckets.select(col("vec_id"), col("bk").as("pbk"))
       else buckets.select(col("vec_id"),
-        explode(graft.functions.Vectors.bitFlipProbes(col("bk"), lshBandBits))
+        explode(graft.functions.Vectors.bitFlipProbes(col("bk"), bandBits))
           .as("pbk"))
     probeSide.as("x").join(buckets.as("y"),
         col("x.pbk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
@@ -272,8 +281,9 @@ object Dedup {
     * bare ids before payload rejoin.
     */
   private[graft] def embeddingPairsFrom(vecsIn: DataFrame,
-      threshold: Double, probeRadius: Int = 1): DataFrame = {
-    val cand = embeddingCandidates(vecsIn, probeRadius)
+      threshold: Double, probeRadius: Int = 1, nBands: Int = lshBands,
+      bandBits: Int = lshBandBits): DataFrame = {
+    val cand = embeddingCandidates(vecsIn, probeRadius, nBands, bandBits)
     val vecs = vecsIn
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     cand

@@ -39,6 +39,30 @@ object Probe {
           regexp_replace(col("text"), "([a-z0-9]+)", s"$$1x$c").as("text"))
       }.reduce(_ unionAll _)
 
+    // vector replication for the embedding family: copy c multiplies
+    // every dimension by a deterministic ±1 pattern (md5-derived).
+    // Sign flips preserve norms and WITHIN-copy cosines exactly, so
+    // true near-dup pairs replicate ×copies; CROSS-copy cosines
+    // decorrelate (mean 0, std ~1/√dim ≈ 0.125 at dim 64 — threshold
+    // 0.45 is ~3.6σ), so spurious cross-copy pairs stay rare. The
+    // probe reports rows so any leakage is visible, not hidden.
+    def signs(c: Int): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"probe-signs:$c".getBytes("UTF-8"))
+      Array.tabulate(64)(i =>
+        if (((d(i >> 3) >> (7 - (i & 7))) & 1) == 1) 1.0 else -1.0)
+    }
+    lazy val vecsBase = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    def replicatedVecs(copies: Int) =
+      (0 until copies).map { c =>
+        vecsBase.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), lit(signs(c)),
+            (x, y) => x * y).as("embedding"))
+      }.reduce(_ unionAll _)
+
     def timed(tag: String, small: => Long, big: => Long): Unit = {
       val t0 = System.nanoTime
       val nS = small
@@ -74,6 +98,21 @@ object Probe {
           .count(),
         graft.operators.TextAnalysis
           .perplexityFrom(replicated(copies), "doc_id", "text").count())
+      // d5 = the gated default (Hamming-1 multi-probe, radius 1):
+      // right for the synthetic low-cos regime, but its chance
+      // collisions grow QUADRATICALLY in corpus size at fixed 16-bit
+      // buckets — probe it at 10×, not 100×. d5r0 = the production
+      // serving shape (exact collisions only): the 100× question.
+      case "d5" => timed("d5",
+        graft.operators.Dedup.embeddingPairsFrom(vecsBase, 0.45).count(),
+        graft.operators.Dedup
+          .embeddingPairsFrom(replicatedVecs(copies), 0.45).count())
+      case "d5r0" => timed("d5r0",
+        graft.operators.Dedup
+          .embeddingPairsFrom(vecsBase, 0.45, probeRadius = 0).count(),
+        graft.operators.Dedup
+          .embeddingPairsFrom(replicatedVecs(copies), 0.45,
+            probeRadius = 0).count())
       case "d2" => timed("d2",
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")

@@ -376,6 +376,27 @@ class AnnStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "out", "_spark_metadata")))
   }
 
+  test("st4 under the RocksDB state store provider equals the memory-provider result") {
+    // the production state backend the streaming docs point at: same
+    // registry logic, state held in RocksDB instead of the in-memory
+    // HDFSBackedStateStore — emissions must be identical
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_j"))
+    val mem = run("st4_stream_dedup").collect().map(key).toSet
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val rocks = run("st4_stream_dedup").collect().map(key).toSet
+      assert(rocks.nonEmpty && rocks == mem)
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("st9 stream-static decontamination equals batch d7 (stateless join)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")) ->
