@@ -33,7 +33,8 @@ object SparkEntry {
     "q11_scalar_subquery" -> q(Relational.q11ScalarSubquery),
     "q12_set_ops"        -> q(Relational.q12SetOps),
     "q13_pivot"          -> q(Relational.q13Pivot),
-    "q14_quantiles"      -> q(Relational.q14Quantiles),
+    "q14_quantiles"      -> q(Relational.q14Quantiles(_)),
+    "q14_quantiles_approx" -> q(Relational.q14Quantiles(_, approx = true)),
     "q15_cube"           -> q(Relational.q15Cube),
     "q16_sketches"       -> q(Relational.q16Sketches),
     "q17_asof_join"      -> q(Relational.q17AsofJoin),
@@ -42,7 +43,8 @@ object SparkEntry {
     "q20_salted_join"    -> q(Relational.q20SaltedJoin(_)),
     "q21_bottomk_quantiles" -> q(Relational.q21BottomkQuantiles(_)),
     "q22_cms_freq"       -> q(Relational.q22CmsFreq(_)),
-    "q23_table_profile"  -> q(Relational.q23TableProfile),
+    "q23_table_profile"  -> q(Relational.q23TableProfile(_)),
+    "q23_profile_approx" -> q(Relational.q23TableProfile(_, approx = true)),
     "q24_gap_fill"       -> q(Relational.q24GapFill(_)),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
@@ -58,6 +60,7 @@ object SparkEntry {
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
     "r15_vocab_build"    -> q(Search.r15VocabBuild(_)),
     "r17_bpe_train"      -> q(Search.r17BpeTrain(_)),
+    "t14_bpe_encode"     -> q(Search.t14BpeEncode(_)),
     "r10_eval_pass_rates" -> q(EvalMetrics.r10EvalPassRates),
     "r11_eval_sample"     -> q(EvalMetrics.r11EvalSample(_)),
     "r14_conversation_stats" -> q(EvalMetrics.r14ConversationStats),

@@ -29,14 +29,35 @@ object Staging {
 
   /** The staged path for `key`, materializing it via `write` on first
     * use. `tag` only names the temp dir (debuggability).
+    *
+    * `write` runs a Spark job, so it must NOT run inside the map's
+    * bin lock (a colliding key would block for the whole job and a
+    * recursive dir() call would throw): stage into a private dir
+    * first, then publish with putIfAbsent. Two racing stagings of the
+    * same key both run `write`; the loser's tree is deleted — a
+    * duplicated job beats a held lock. A `write` that throws has its
+    * tree deleted before the rethrow, so failures leak no scratch.
     */
-  def dir(key: String, tag: String)(write: String => Unit): String =
-    staged.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_${tag}_").toString
-      write(d)
-      d
-    })
+  def dir(key: String, tag: String)(write: String => Unit): String = {
+    val existing = staged.get(key)
+    if (existing != null) return existing
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toString
+    try write(d)
+    catch {
+      case e: Throwable =>
+        try deleteTree(java.nio.file.Paths.get(d))
+        catch { case _: Exception => }
+        throw e
+    }
+    val prior = staged.putIfAbsent(key, d)
+    if (prior == null) d
+    else {
+      try deleteTree(java.nio.file.Paths.get(d))
+      catch { case _: Exception => }
+      prior
+    }
+  }
 
   /** The staged path for `key`, if this JVM landed it — spec access. */
   def lookup(key: String): Option[String] = Option(staged.get(key))

@@ -294,12 +294,15 @@ object Graft {
     // at web scale. The exact row count is already in hand (the
     // materializing count above), so the hint is applied only under
     // a measured bound (~50 MB of HashedRelation); past it the pair
-    // stream sort-merges — the graceful-degradation shape.
-    val statsBcastMaxRows = 2000000L
+    // stream sort-merges — the graceful-degradation shape. The bound
+    // is the shared Guards byte budget (64 MB at a HIGH bytes/row
+    // estimate — UnsafeRow + HashedRelation overhead — because the
+    // relation lands on every executor plus the driver; the earlier
+    // 2M-row "~50 MB" estimate measured 100-200+ MB in practice).
     def side(as: String, nshAs: String, nhidAs: String) = {
       val s = stats.select(col("doc_id").as(as),
         col("nsh").as(nshAs), col("nhid").as(nhidAs))
-      if (statsRows <= statsBcastMaxRows) broadcast(s) else s
+      if (graft.Guards.fitsBudget(statsRows)) broadcast(s) else s
     }
     val bounded = graft.Caches.materialized(rcnt
       .join(side("doc_a", "na", "hida"), "doc_a")
@@ -405,9 +408,10 @@ object Graft {
     * shuffle keyed by line content + one aggregation by doc.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      lineTokens: Int = 8): DataFrame =
+      lineTokens: Int = 8, sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.lineDedupFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), lineTokens)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      lineTokens, sorted)
 
   /** BENCHMARK DECONTAMINATION: (train_id, bench_id, n_shared) for
     * every train doc sharing ≥1 distinct word-k-gram with the
@@ -567,9 +571,11 @@ object Graft {
     * survivors. Returns (doc_id, n_tok, n_masked, clean_md5).
     */
   def overlapScrub(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, benchMod: Long = 97): DataFrame =
+      k: Int = 5, benchMod: Long = 97,
+      sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.overlapScrubFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, benchMod)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      k, benchMod, sorted)
 
   /** LEAKAGE-SAFE SPLIT: train/val/test assignment hashed on the
     * near-dup GROUP representative (minhash-LSH + connected
@@ -577,9 +583,10 @@ object Graft {
     * splits. Returns (doc_id, grp, split) with an 80/10/10 cut.
     */
   def groupSplit(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.groupSplitFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, sorted = sorted)
 
   /** BPE MERGE TRAINING: induce `nMerges` byte-pair merges from the
     * corpus's word-frequency dictionary (freq-weighted pair argmax,
@@ -599,8 +606,10 @@ object Graft {
     * exact). The quantile cut runs on the doc-level aggregate.
     */
   def perplexityScore(df: DataFrame, idCol: String,
-      textCol: String, minCount: Long = 1L): DataFrame =
-    graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol, minCount)
+      textCol: String, minCount: Long = 1L,
+      sorted: Boolean = false): DataFrame =
+    graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol,
+      minCount, sorted)
 
   /** PRODUCT-QUANTIZATION ENCODE: per-subspace L2 k-means codebooks
     * (id-order seed, decimal-exact means) + argmin code projection;

@@ -195,13 +195,18 @@ object Ann {
   /** DataFrame form of s4 for the graft.api facade: any
     * (vec_id, embedding) frame in, (src, rank, dst, cos) out.
     */
-  private[graft] def knnJoinFrom(vecsIn: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnJoinFrom(vecsIn: DataFrame, k: Int,
+      probeRadius: Int = 1, nBands: Int = Dedup.lshBands,
+      bandBits: Int = Dedup.lshBandBits): DataFrame = {
     // cached: the union below consumes the candidate join TWICE (one
     // direction each), and an uncached frame would re-run it per
     // reference (embeddingCandidates opens this operator's cache
-    // scope, so this cache is released by the next operator)
+    // scope, so this cache is released by the next operator).
+    // nBands/bandBits are the deployment's log-n knobs: bandBits
+    // grows with log₂(corpus) to hold per-bucket occupancy constant
+    // (the 4096-plane matrix supports up to 32-bit bands).
     val cand = graft.Caches.materialized(
-      Dedup.embeddingCandidates(vecsIn, probeRadius = 1))
+      Dedup.embeddingCandidates(vecsIn, probeRadius, nBands, bandBits))
     val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionAll(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val vecs = vecsIn

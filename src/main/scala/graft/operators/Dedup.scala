@@ -78,9 +78,12 @@ object Dedup {
   def d3MinhashLsh(t: Tables, threshold: Double = 0.5): DataFrame =
     minhashPairsFrom(t.documents.select("doc_id", "text"), threshold)
 
-  /** DataFrame form of d3 for the graft.api facade. */
+  /** DataFrame form of d3 for the graft.api facade. `sorted = false`
+    * skips the terminal presentation sort for internal consumers (CC)
+    * that re-shuffle the pair frame anyway.
+    */
   private[graft] def minhashPairsFrom(docsIn: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sorted: Boolean = true): DataFrame = {
     graft.Caches.fresh()
     // signatures are consumed 4× (both self-join sides + both verify
     // joins) — the materialized cache is the local analog of the
@@ -99,7 +102,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val withSh = docs.select(col("doc_id"), col("sh"))
-    cand
+    val out = cand
       .join(withSh.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sh", "sha"), "doc_a")
       .join(withSh.withColumnRenamed("doc_id", "doc_b")
@@ -109,7 +112,7 @@ object Dedup {
         col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    if (sorted) out.orderBy("doc_a", "doc_b") else out
   }
 
   /** Per-doc 64-bit tf-weighted SimHash (Charikar) as a '0'/'1'
@@ -327,8 +330,9 @@ object Dedup {
 
   /** DataFrame form of d6 for the graft.api facade and specs. */
   private[graft] def dedupGroupsFrom(docsIn: DataFrame,
-      threshold: Double): DataFrame =
-    ccGroups(minhashPairsFrom(docsIn, threshold).select("doc_a", "doc_b"))
+      threshold: Double, sorted: Boolean = true): DataFrame =
+    ccGroups(minhashPairsFrom(docsIn, threshold, sorted = false)
+      .select("doc_a", "doc_b"), sorted)
 
   /** Corpus-keyed CC-label registry: the dedup pipeline's most
     * expensive artifact (minhash → bands → verify → iterative CC, a
@@ -376,18 +380,20 @@ object Dedup {
     * pre-computed CC labels.
     */
   private[graft] def groupSplitFrom(docs: DataFrame, threshold: Double,
-      groupsIn: Option[DataFrame] = None): DataFrame = {
-    val groups = groupsIn.getOrElse(dedupGroupsFrom(docs, threshold))
+      groupsIn: Option[DataFrame] = None,
+      sorted: Boolean = true): DataFrame = {
+    val groups = groupsIn
+      .getOrElse(dedupGroupsFrom(docs, threshold, sorted = false))
       .select(col("doc_id"), col("keep_doc"))
     val u = conv(substring(md5(concat(lit("split:"), col("grp"))), 1, 8),
       16, 10).cast("long") / lit(4294967296.0)
-    docs.select("doc_id")
+    val out = docs.select("doc_id")
       .join(groups, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("keep_doc"), col("doc_id")))
       .select(col("doc_id"), col("grp"),
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
           .as("split"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** Connected components over an undirected pair frame (doc_a,
@@ -396,7 +402,8 @@ object Dedup {
     * so the iteration logic is testable on adversarial graph shapes
     * (long chains) without going through minhash.
     */
-  private[graft] def ccGroups(pairs: DataFrame): DataFrame = {
+  private[graft] def ccGroups(pairs: DataFrame,
+      sorted: Boolean = true): DataFrame = {
     val edges = graft.Caches.materialized(
       pairs.union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b"))))
@@ -444,10 +451,10 @@ object Dedup {
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")
-    labels
+    val out = labels
       .select(col("doc_id"), col("label").as("keep_doc"))
       .withColumn("group_size", count(lit(1)).over(w).cast("long"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** d7: BENCHMARK DECONTAMINATION — the dedup family's third shape
@@ -486,10 +493,16 @@ object Dedup {
         .withColumn("tk", Text.tokenize(col("text")))
         .select(col("doc_id"),
           explode(Text.shinglesFast(k)(col("tk"))).as("sh")))
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
-      .select(col("doc_id").as("bench_id"), col("sh"))
+    // size-guarded hint: the bench side is tiny by the eval-suite
+    // contract, but the hint is applied only under a MEASURED count
+    // (the frame is a filter on the materialized cache, so the count
+    // is a cache read) — past the budget the join shuffles and AQE
+    // owns the strategy
+    val bench = graft.Caches.materialized(
+      sh.filter(col("doc_id") % benchMod === 0)
+        .select(col("doc_id").as("bench_id"), col("sh")))
     sh.filter(col("doc_id") % benchMod =!= 0)
-      .join(broadcast(bench), "sh")
+      .join(graft.Guards.sizedBroadcast(bench), "sh")
       .groupBy(col("doc_id").as("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("train_id", "bench_id")
@@ -518,22 +531,38 @@ object Dedup {
 
   /** DataFrame form of d11 for the graft.api facade and specs. */
   private[graft] def overlapScrubFrom(docsIn: DataFrame, k: Int = 5,
-      benchMod: Long = 97): DataFrame = {
+      benchMod: Long = 97, sorted: Boolean = true): DataFrame = {
     graft.Caches.fresh()
     val toks = graft.Caches.materialized(
       docsIn.select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
         .filter(size(col("tk")) > 0))
-    val bench = toks.filter(col("doc_id") % benchMod === 0)
-      .filter(size(col("tk")) >= k)
-      .select(explode(Text.shinglesFast(k)(col("tk"))).as("sh")).distinct()
-    val trainToks = toks.filter(col("doc_id") % benchMod =!= 0)
-    // positioned k-gram starts that hit the bench set → covered positions
+    // materialized so the broadcast guard's count is a cache read
+    val bench = graft.Caches.materialized(
+      toks.filter(col("doc_id") % benchMod === 0)
+        .filter(size(col("tk")) >= k)
+        .select(explode(Text.shinglesFast(k)(col("tk"))).as("sh")).distinct())
+    val out = scrubTokens(toks.filter(col("doc_id") % benchMod =!= 0),
+      bench, k)
+    if (sorted) out.orderBy("doc_id") else out
+  }
+
+  /** Scrub core shared by batch d11 and streaming st12's per-micro-
+    * batch form: positioned k-gram starts of `trainToks` (doc_id, tk)
+    * that hit the `bench` shingle frame become covered positions; docs
+    * are reassembled from the survivors. The bench join is
+    * SIZE-GUARDED (broadcast only under a measured count — pass a
+    * materialized frame); the covered-positions back-join onto the
+    * token stream carries NO hint — contamination-sized on clean
+    * corpora, corpus-scale on dirty ones, so AQE must own it.
+    */
+  private[graft] def scrubTokens(trainToks: DataFrame, bench: DataFrame,
+      k: Int): DataFrame = {
     val covered = trainToks.filter(size(col("tk")) >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("tk")) - k),
           i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))
         .as(Seq("i", "sh")))
-      .join(broadcast(bench), "sh")
+      .join(graft.Guards.sizedBroadcast(bench), "sh")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
@@ -547,7 +576,6 @@ object Dedup {
         md5(array_join(transform(sort_array(collect_list(
           when(col("m").isNull, struct(col("pos"), col("tok"))))),
           s => s.getField("tok")), " ")).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   /** d8: LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): every
@@ -594,8 +622,9 @@ object Dedup {
     * output shape (counts, kept fraction, reassembled-text md5) —
     * shared by batch d8 and st8's post-sink aggregation.
     */
-  private[graft] def lineRollup(kept: DataFrame): DataFrame =
-    kept
+  private[graft] def lineRollup(kept: DataFrame,
+      sorted: Boolean = true): DataFrame = {
+    val out = kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(col("kept")).as("n_kept"),
@@ -609,17 +638,21 @@ object Dedup {
         (floor(col("n_kept") / col("n_lines") * 10000 + 0.5) / 10000.0)
           .as("kept_frac"),
         col("kept_md5"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
+  }
 
   /** DataFrame form of d8 for the graft.api facade and the scale
-    * probe: any (doc_id, text) frame in.
+    * probe: any (doc_id, text) frame in. `sorted = false` skips the
+    * terminal global sort — the oracle gate's need, not a consumer's
+    * (a library caller re-shuffles downstream anyway and should not
+    * pay a full range-partition sort for presentation order).
     */
   private[graft] def lineDedupFrom(docsIn: DataFrame,
-      lineTokens: Int): DataFrame = {
+      lineTokens: Int, sorted: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("line").orderBy("doc_id", "line_no")
     lineRollup(lineExplode(spread(docsIn), lineTokens)
-      .withColumn("kept", (row_number().over(w) === 1).cast("int")))
+      .withColumn("kept", (row_number().over(w) === 1).cast("int")), sorted)
   }
 
   /** d9: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the

@@ -265,17 +265,43 @@ object Relational {
     * group. Spark `percentile` and DuckDB `quantile_cont` share the
     * definition (sort, index (n-1)·q, interpolate) so exact doubles
     * match; round(4) guards the interpolation arithmetic's last bit.
-    * At scale, exact percentile is a full sort per group — the 100 TB
-    * path swaps in approx_percentile (t-digest) at the same call site.
+    * At scale, exact percentile is a full sort per group — `approx =
+    * true` swaps in approx_percentile (mergeable QuantileSummaries,
+    * constant memory per group) AT THIS CALL SITE and emits q16-style
+    * error-bound flags next to the exact answer, so the swap is
+    * oracle-gated (q14_quantiles_approx pins the flags to 1): a
+    * sketch drifting out of its rank band breaks the hash like any
+    * wrong answer. The exact aggregates feed the gate; the production
+    * form at 100 TB is the sketch-only projection.
     */
-  def q14Quantiles(t: Tables): DataFrame =
-    t.orders
-      .groupBy("o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-        count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
+  def q14Quantiles(t: Tables, approx: Boolean = false): DataFrame =
+    if (!approx)
+      t.orders
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    else
+      t.orders
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("am"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap"),
+          expr("percentile(o_totalprice, 0.49)").as("mlo"),
+          expr("percentile(o_totalprice, 0.51)").as("mhi"),
+          expr("percentile(o_totalprice, 0.89)").as("plo"),
+          expr("percentile(o_totalprice, 0.91)").as("phi"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("med"), col("p90"), col("n"),
+          (col("am") >= col("mlo") && col("am") <= col("mhi"))
+            .cast("int").as("med_ok"),
+          (col("ap") >= col("plo") && col("ap") <= col("phi"))
+            .cast("int").as("p90_ok"))
+        .orderBy("o_orderpriority")
 
   /** q16: sketch aggregates under an ERROR-BOUND gate. The sketches
     * are the 100 TB swap-ins: approx_count_distinct is a mergeable
@@ -537,10 +563,14 @@ object Relational {
     * job over one scan (Spark expands the multi-column distinct
     * internally, map-side partial); the tall reshape is a projection
     * of the single result row. At 100 TB the exact countDistinct
-    * swaps for approx_count_distinct (q16) or the KMV sketch (q19) —
-    * the operator shape is unchanged.
+    * swaps for approx_count_distinct: `approx = true` does that swap
+    * AT THIS CALL SITE (HLL++, rsd 2%, mergeable map-side partial)
+    * and emits a q16-style per-column `nd_ok` flag — |HLL − exact| ≤
+    * 3·rsd·exact — that the q23_profile_approx oracle pins to 1, so
+    * the swap stays inside its published error contract under the
+    * same hash gate as an exact answer.
     */
-  def q23TableProfile(t: Tables): DataFrame = {
+  def q23TableProfile(t: Tables, approx: Boolean = false): DataFrame = {
     val df = t.orders
     val specs: Seq[(String, Column)] = Seq(
       "o_orderkey"      -> col("o_orderkey").cast("string"),
@@ -551,16 +581,25 @@ object Relational {
       "o_orderpriority" -> col("o_orderpriority"))
     val aggs = specs.flatMap { case (c, _) => Seq(
       count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd")) } ++
+      countDistinct(col(c)).as(s"${c}__nd")) ++
+      (if (approx)
+        Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__ad"))
+      else Nil) } ++
       specs.map { case (c, s) => min(s).as(s"${c}__mn") } ++
       specs.map { case (c, s) => max(s).as(s"${c}__mx") }
-    df.agg(count(lit(1)).as("__n"), aggs: _*)
-      .select(explode(array(specs.map { case (c, _) => struct(
+    def profile(c: String) = {
+      val base = Seq(
         lit(c).as("column"), col("__n").as("n"),
         (col("__n") - col(s"${c}__nn")).as("n_null"),
         col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s")) }: _*))
-        .as("p"))
+        col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s"))
+      if (approx) base :+ (abs(col(s"${c}__ad") - col(s"${c}__nd"))
+        <= col(s"${c}__nd") * lit(0.06)).cast("int").as("nd_ok")
+      else base
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(specs.map { case (c, _) =>
+        struct(profile(c): _*) }: _*)).as("p"))
       .select("p.*")
       .orderBy("column")
   }
@@ -666,6 +705,25 @@ object Relational {
            |  count(*) - count($c) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
            |  min(${f.format(c)}) AS min_s, max(${f.format(c)}) AS max_s
+           |FROM orders""".stripMargin }
+      stats.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    // the HLL swap-in at q23's call site: exact profile replayed,
+    // per-column 3·rsd contract flag pinned to 1
+    "q23_profile_approx" -> {
+      val cols = Seq(
+        ("o_orderkey", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "CAST(%s AS VARCHAR)"),
+        ("o_orderstatus", "%s"),
+        ("o_totalprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "CAST(%s AS VARCHAR)"),
+        ("o_orderpriority", "%s"))
+      val stats = cols.map { case (c, f) =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(${f.format(c)}) AS min_s, max(${f.format(c)}) AS max_s,
+           |  1 AS nd_ok
            |FROM orders""".stripMargin }
       stats.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
@@ -847,6 +905,15 @@ object Relational {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the sketch swap-in at q14's call site: exact answers replayed,
+    // rank-band flags pinned to 1 (q16's gate design)
+    "q14_quantiles_approx" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n, 1 AS med_ok, 1 AS p90_ok
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // replays the deterministic sample (hash-ordered window, k

@@ -126,6 +126,21 @@ object Search {
     */
   private[graft] def bpeMerges(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMergeSeq(docs, textCol, nMerges)
+      .toDF("step", "lhs", "rhs", "pair_n")
+      .select(col("step"), col("lhs"), col("rhs"), col("pair_n"),
+        concat(col("lhs"), col("rhs")).as("merged"))
+      .orderBy("step")
+  }
+
+  /** The trained merge table as a driver-side list — the BOUNDED
+    * artifact (≤ nMerges rows, same O(1)-per-step contract as s3's
+    * centroids) that t14's encode folds into its projection.
+    */
+  private[graft] def bpeMergeSeq(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
     graft.Caches.fresh()
     val words = graft.Caches.materialized(
       docs
@@ -161,12 +176,45 @@ object Search {
           step += 1
       }
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "pair_n")
-      .select(col("step"), col("lhs"), col("rhs"), col("pair_n"),
-        concat(col("lhs"), col("rhs")).as("merged"))
-      .orderBy("step")
+    merges.result()
+  }
+
+  /** t14: BPE ENCODE — the inference half of r17: apply the TRAINED
+    * merge table to every document, each merge a leftmost
+    * non-overlapping pass in training order (the BPE apply rule, the
+    * same space-wrapped `replace` the trainer uses). Words are
+    * char-split and space-wrapped exactly as in training; word
+    * boundaries ride as a '|' bar that no merge pattern can span (the
+    * token alphabet is [a-z0-9] and every merge pattern ' x  y ' needs
+    * double spaces, while the bar region has single spaces).
+    *
+    * Scale: the merge table is the bounded trained artifact (≤ nMerges
+    * rows on the driver); the encode itself is a PURE chained-replace
+    * projection — no join, no shuffle, corpus-scan cost only, fully
+    * codegen'd. This is the operator that makes r17's artifact
+    * consumable: r15/t11 cover word-level vocab encode; t14 covers
+    * subword encode under trained merges.
+    *
+    * Oracle: replays TRAINING (r17's CTE chain verbatim) and then the
+    * doc chain d0..dN applying each learned merge with the identical
+    * replace — the oracle re-derives both halves, trusting neither.
+    */
+  def t14BpeEncode(t: Tables, nMerges: Int = 8): DataFrame = {
+    val merges = bpeMergeSeq(t.documents, "text", nMerges)
+    val init = array_join(transform(col("tk"),
+      w => regexp_replace(w, "(.)", " $1 ")), "|")
+    val merged = merges.foldLeft(init) { case (c, (_, a, b, _)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    t.documents
+      .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        filter(split(trim(merged), " +"), x => x =!= "|").as("subs"))
+      .select(col("doc_id"),
+        size(col("subs")).cast("long").as("n_sub"),
+        md5(array_join(col("subs"), " ")).as("sub_md5"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB replay of r17: the same N merge iterations as chained
@@ -175,11 +223,24 @@ object Search {
     * loop for the same reason s3's k-means oracle replays Lloyd's
     * iterations: the oracle must re-derive training, not trust it.
     */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int): String =
+    bpeOracleCtes(n) + "\n" + {
+      val union = (1 to n).map { i =>
+        s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_n," +
+          s" a || b AS merged FROM p$i"
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$union\n) ORDER BY step"
+    }
+
+  /** The shared training replay (toks → words → w0, then p1/w1 ..
+    * pN/wN) as a WITH chain, reused by both r17's and t14's oracles.
+    */
+  private def bpeOracleCtes(n: Int): String = {
     val head =
       """WITH toks AS (
-        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                     x -> x <> '') AS tk
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
         |  FROM documents),
         |words AS (
         |  SELECT u AS word, CAST(count(*) AS BIGINT) AS freq
@@ -204,12 +265,39 @@ object Search {
          |               ' ' || a || b || ' ') AS s
          |  FROM w${i - 1} CROSS JOIN p$i)""".stripMargin
     }
-    val union = (1 to n).map { i =>
-      s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_n," +
-        s" a || b AS merged FROM p$i"
-    }.mkString("\nUNION ALL\n")
-    (head +: iters).mkString(",\n") +
-      s"\nSELECT * FROM (\n$union\n) ORDER BY step"
+    (head +: iters).mkString(",\n")
+  }
+
+  /** DuckDB replay of t14: the full training chain (bpeOracleCtes),
+    * then the doc chain d0..dN — each doc char-split/space-wrapped
+    * with '|' word bars, each learned merge applied with the identical
+    * space-wrapped replace. LEFT JOIN ON TRUE (not CROSS JOIN) so an
+    * early-exhausted trainer (empty p_i) degrades to a no-op step,
+    * matching the Spark side folding only the merges found.
+    */
+  private[graft] def bpeEncodeOracleSql(n: Int): String = {
+    val d0 =
+      """d0 AS (
+        |  SELECT doc_id,
+        |    array_to_string([regexp_replace(w, '(.)', ' \1 ', 'g')
+        |                     FOR w IN tk], '|') AS s
+        |  FROM toks WHERE len(tk) > 0)""".stripMargin
+    val dchain = (1 to n).map { i =>
+      s"""d$i AS (
+         |  SELECT doc_id, CASE WHEN a IS NULL THEN s
+         |    ELSE replace(s, ' ' || a || '  ' || b || ' ',
+         |                    ' ' || a || b || ' ') END AS s
+         |  FROM d${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin
+    }
+    (bpeOracleCtes(n) +: d0 +: dchain).mkString(",\n") +
+      s"""
+         |SELECT doc_id, CAST(len(subs) AS BIGINT) AS n_sub,
+         |  md5(array_to_string(subs, ' ')) AS sub_md5
+         |FROM (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(s), ' +'),
+         |                    x -> x <> '|') AS subs
+         |      FROM d$n)
+         |ORDER BY doc_id""".stripMargin
   }
 
   /** Doc-term weights w = (1 + ln(tf)) * idf (ltc-style) over a
@@ -340,6 +428,7 @@ object Search {
   val oracle: Map[String, String] = Map(
     // full 8-iteration BPE replay (generated CTE chain)
     "r17_bpe_train" -> bpeOracleSql(8),
+    "t14_bpe_encode" -> bpeEncodeOracleSql(8),
     // vocab counts + rank/coverage window; BIGINT casts keep the
     // HUGEINT sums off the compare path
     "r15_vocab_build" ->

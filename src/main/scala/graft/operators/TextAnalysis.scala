@@ -392,7 +392,8 @@ object TextAnalysis {
     * every bigram is pruned have no in-LM evidence and drop out).
     */
   private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
-      textCol: String, minCount: Long = 1L): DataFrame = {
+      textCol: String, minCount: Long = 1L,
+      sorted: Boolean = true): DataFrame = {
     graft.Caches.fresh()
     // materialized, not cached: the bigram stream feeds the LM build
     // AND the scoring scan concurrently — the lazy-cache broadcast
@@ -439,10 +440,10 @@ object TextAnalysis {
       .withColumn("avg_nll", roundP(col("raw")))
       .withColumn("ppl", roundP(exp(col("raw")))))
     val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
-    scored.crossJoin(broadcast(cut))
+    val out = scored.crossJoin(broadcast(cut))
       .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
         (col("ppl") <= col("p75")).cast("int").as("keep"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   private val tokCte =

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -695,7 +695,10 @@ object Streams {
       .withColumn("tk", graft.functions.Text.tokenize(col("text")))
       .select(col("doc_id").as("train_id"),
         explode(graft.functions.Text.shinglesFast(k)(col("tk"))).as("sh"))
-      .join(broadcast(bench), "sh")
+      // size-guarded hint (measured count off the materialized cache):
+      // the eval-suite-is-small contract holds in production, but the
+      // hint must not outlive it — past the budget the join shuffles
+      .join(graft.Guards.sizedBroadcast(bench), "sh")
       .select("train_id", "bench_id")
     val q = hits.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -737,60 +740,56 @@ object Streams {
   }
 
   /** st12: STREAMING DECONTAMINATION SCRUB — arriving docs have their
-    * benchmark-overlapping spans removed AT INGEST: the bench shingle
-    * set (tiny by construction) is PINNED before the stream starts —
-    * the same pinned-artifact contract as st11's PQ model — and the
-    * whole scrub (positioned k-gram membership, covered-position
-    * union, survivor reassembly) runs as ONE pure array projection
-    * per row: no state store, no join, no shuffle. The fused-with-
-    * ingest form of batch d11; at production the set rides as a
-    * broadcast variable instead of a literal. Emissions are
-    * arrival-order-independent ⇒ d11's oracle verbatim.
+    * benchmark-overlapping spans removed AT INGEST. The bench shingle
+    * FRAME (tiny by the eval-suite contract) is PINNED before the
+    * stream starts — the same pinned-artifact contract as st11's PQ
+    * model — as a materialized static DataFrame, and each micro-batch
+    * runs batch d11's scrub core against it via `foreachBatch`: the
+    * bench join is size-guarded broadcast (measured count, shuffle
+    * past the budget), the per-doc reassembly groupBy is batch-local
+    * (every doc's tokens arrive in one row), and the micro-batches
+    * get FULL batch planning including AQE. No state store, no
+    * streaming aggregation, no driver-collected set, no plan literal
+    * — nothing here scales with the corpus except the per-batch scan.
+    * Emissions are arrival-order-independent ⇒ d11's oracle verbatim.
     */
   def st12StreamOverlapScrub(t: Tables, k: Int = 5,
       benchMod: Long = 97): DataFrame = {
     val spark = t.spark
-    val name = s"st12_sink_${ctr.incrementAndGet()}"
     val path = s"${t.dir}/documents.parquet"
     val schema = spark.read.parquet(path).schema
-    // pin the bench shingle set (contamination screens are versioned
-    // artifacts — never rebuilt mid-stream)
-    val benchSet = spark.read.parquet(path)
+    graft.Caches.fresh()
+    // pin the bench shingle frame (contamination screens are versioned
+    // artifacts — never rebuilt mid-stream); materialized so the
+    // static side isn't re-derived per micro-batch and the broadcast
+    // guard's count is a cache read
+    val bench = graft.Caches.materialized(spark.read.parquet(path)
       .filter(col("doc_id") % benchMod === 0)
       .withColumn("tk", graft.functions.Text.tokenize(col("text")))
       .filter(size(col("tk")) >= k)
       .select(explode(graft.functions.Text.shinglesFast(k)(col("tk")))
         .as("sh"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct())
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "doc_id"))
-    val scrubbed = docs
+    val trainToks = docs
       .filter(col("doc_id") % benchMod =!= 0)
       .withColumn("tk", graft.functions.Text.tokenize(col("text")))
       .filter(size(col("tk")) > 0)
-      // guard: sequence(0, n-k) DESCENDS when n < k — short docs have
-      // no k-grams and an empty cover set. Membership via
-      // isInCollection → InSet (hash lookup), NOT array_contains
-      // (linear scan per k-gram: measured 19.8 s vs ~3 s at sf0.1)
-      .withColumn("cov", when(size(col("tk")) >= k,
-        array_distinct(flatten(transform(
-          filter(sequence(lit(0), size(col("tk")) - k),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))
-              .isInCollection(benchSet)),
-          i => sequence(i, i + (k - 1))))))
-        .otherwise(typedLit(Seq.empty[Int])))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tok"),
-        size(col("cov")).cast("long").as("n_masked"),
-        md5(array_join(filter(transform(sequence(lit(0), size(col("tk")) - 1),
-          p => when(!array_contains(col("cov"), p),
-            element_at(col("tk"), p + 1))), x => x.isNotNull), " "))
-          .as("clean_md5"))
-    val q = scrubbed.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .select("doc_id", "tk")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st12_out_")
+    outDir.toFile.deleteOnExit()
+    val q = trainToks.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Dedup.scrubTokens(batch.toDF(), bench, k)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .start()
     q.processAllAvailable(); q.stop()
-    spark.table(name).orderBy("doc_id")
+    spark.read.parquet(outDir.toString).orderBy("doc_id")
   }
 
   val oracle: Map[String, String] = Map(

@@ -117,6 +117,46 @@ object Probe {
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")
           .count())
+      // s4 k-NN join off the shared banded index (fixed 16-bit bands —
+      // the chance-collision-quadratic regime; compare s4x)
+      case "s4" => timed("s4",
+        graft.operators.Ann.knnJoinFrom(vecsBase, 3).count(),
+        graft.operators.Ann.knnJoinFrom(replicatedVecs(copies), 3).count())
+      // the log-n DEPLOYMENT scaling for the embedding family: band
+      // bits grow with log₂(copies) so per-bucket occupancy (and so
+      // chance-collision count per vector) stays CONSTANT; the 4096
+      // planes are re-cut into fewer, wider bands (no regeneration)
+      case "s4x" =>
+        val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
+        val bands = math.min(256, 4096 / bits)
+        timed(s"s4x(${bands}x$bits)",
+          graft.operators.Ann.knnJoinFrom(vecsBase, 3).count(),
+          graft.operators.Ann.knnJoinFrom(replicatedVecs(copies), 3,
+            probeRadius = 1, nBands = bands, bandBits = bits).count())
+      case "d5x" =>
+        val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
+        val bands = math.min(256, 4096 / bits)
+        timed(s"d5x(${bands}x$bits)",
+          graft.operators.Dedup.embeddingPairsFrom(vecsBase, 0.45).count(),
+          graft.operators.Dedup.embeddingPairsFrom(replicatedVecs(copies),
+            0.45, probeRadius = 1, nBands = bands, bandBits = bits).count())
+      // empirical check of the sign-flip replication's separation
+      // claim: cross-copy cosines must stay below the 0.45 threshold
+      // or the d5/s4 probes would leak spurious cross-copy pairs
+      case "xcos" =>
+        val c0 = vecsBase
+          .select(col("vec_id").as("ida"), col("embedding").as("va"))
+        val c1 = vecsBase.select(col("vec_id").as("idb"),
+          zip_with(col("embedding"), lit(signs(1)), (x, y) => x * y)
+            .as("vb"))
+        val r = c0.crossJoin(c1)
+          .select(graft.functions.Vectors.cosine(col("va"), col("vb"))
+            .as("c"))
+          .agg(max(abs(col("c"))).as("mx"),
+            sum(when(abs(col("c")) >= 0.45, 1L).otherwise(0L)).as("nv"),
+            count(lit(1)).as("n")).collect()(0)
+        println(f"PROBE xcos: max |cross-copy cos| ${r.getDouble(0)}%.4f; " +
+          s"≥0.45: ${r.getLong(1)} of ${r.getLong(2)} pairs")
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

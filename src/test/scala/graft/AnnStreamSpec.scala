@@ -275,6 +275,30 @@ class AnnStreamSpec extends SparkSpec {
     st4.foreach { case (a, b, _) => assert(a < b) }
   }
 
+  test("st4/st5 registries under the RocksDB state store: identical emissions") {
+    // the documented production path for large dedup registries (state
+    // off-heap, SST-backed) — exercised, not just named: both stateful
+    // registries must emit bit-identical pair sets under either
+    // provider, since provider choice is storage, not semantics
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def emissions() = (
+      run("st4_stream_dedup").collect().map(_.toSeq).toSeq,
+      run("st5_stream_embed_dedup").collect().map(_.toSeq).toSeq)
+    val (h4, h5) = emissions() // default (HDFSBackedStateStoreProvider)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val (r4, r5) = emissions()
+      assert(r4.nonEmpty && r5.nonEmpty)
+      assert(r4 == h4, s"st4 rocksdb=${r4.length} hdfs=${h4.length}")
+      assert(r5 == h5, s"st5 rocksdb=${r5.length} hdfs=${h5.length}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("st5 incremental embedding dedup equals the batch multi-probe candidates + sketch cut") {
     import graft.operators.Dedup
     val st5 = run("st5_stream_embed_dedup").collect()

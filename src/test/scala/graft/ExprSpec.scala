@@ -53,7 +53,15 @@ class ExprSpec extends SparkSpec {
       Text.shinglesFast(3)(col("tk")).as("sh"),
       Text.simhashSig(col("tk")).as("sim"))
       .withColumn("mhs", Text.minhashSig(col("sh")))
-    df.collect()
+    // fallback=false: a '*(n)' in the plan STRING only proves
+    // CollapseCodegenStages accepted the expressions — if the
+    // generated Java failed Janino compilation Spark would silently
+    // interpret at runtime and the string would still show '*(n)'.
+    // With fallback disabled a codegen compile failure throws here.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.collect()
+    finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
     val plan = df.queryExecution.executedPlan.toString
     val projLine = plan.linesIterator
       .find(_.contains("Project")).getOrElse("")

@@ -190,4 +190,29 @@ class PlanSpec extends SparkSpec {
     // resolved entirely at the directory level
     assert(!p.contains("PushedFilters: [IsNotNull(event_type"), p)
   }
+
+  test("unsorted facades: no terminal global sort (range Exchange); gate path keeps it") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    // the facade default (sorted=false) must not pay a full
+    // range-partition sort for presentation order the consumer
+    // re-shuffles anyway; a mid-plan SMJ Sort is partition-local and
+    // rides hashpartitioning, so rangepartitioning is the witness
+    val facades = Seq(
+      graft.api.Graft.lineDedup(docs, "doc_id", "text"),
+      graft.api.Graft.overlapScrub(docs, "doc_id", "text"),
+      graft.api.Graft.groupSplit(docs, "doc_id", "text"),
+      graft.api.Graft.perplexityScore(docs, "doc_id", "text"))
+    facades.foreach { df =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning("), p.take(400))
+    }
+    // the SparkEntry path keeps the deterministic presentation order
+    // the driver's hash gate requires
+    val gate = run("d8_line_dedup")
+    gate.collect()
+    assert(gate.queryExecution.executedPlan.toString
+      .contains("rangepartitioning("))
+  }
 }

@@ -198,6 +198,30 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("t14 bpe encode: 0 merges = char count, trained merges shrink, rows = docs") {
+    val t = Tables(spark, sf)
+    val chars = t.documents
+      .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        aggregate(transform(col("tk"), w => length(w)),
+          lit(0), (a, x) => a + x).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // zero merges: subword sequence IS the char sequence of each word
+    val enc0 = graft.operators.Search.t14BpeEncode(t, 0).collect()
+    assert(enc0.length == chars.size)
+    enc0.foreach(r =>
+      assert(r.getAs[Long]("n_sub") == chars(r.getAs[Long]("doc_id"))))
+    // trained merges only ever fuse adjacent symbols: per-doc counts
+    // never grow, and at least one merge fires somewhere in the corpus
+    val enc8 = run("t14_bpe_encode").collect()
+    assert(enc8.length == chars.size)
+    enc8.foreach(r =>
+      assert(r.getAs[Long]("n_sub") <= chars(r.getAs[Long]("doc_id"))))
+    assert(enc8.map(_.getAs[Long]("n_sub")).sum <
+      enc0.map(_.getAs[Long]("n_sub")).sum)
+  }
+
   test("r17 bpe train: 8 merges, counts non-increasing, compound merge occurs") {
     val rows = run("r17_bpe_train").collect()
     assert(rows.length == 8)
