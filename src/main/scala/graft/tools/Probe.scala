@@ -63,6 +63,50 @@ object Probe {
             (x, y) => x * y).as("embedding"))
       }.reduce(_ unionAll _)
 
+    // LEAK-FREE embedding replication (the xcos probe measured plain
+    // sign flips leaking: max cross-copy cos 0.656, 875/4M pairs over
+    // the 0.45 threshold — the ~3.6σ Gaussian argument does not hold
+    // the tail at probe scale). Copy c sign-flips the base dims
+    // (decorrelating buckets; within-copy geometry EXACT) and appends
+    // a one-hot copy-tag dim of weight |x|: the 64-dim plane matrix
+    // never sees the tag (HyperplaneBits dots min(len, dim) entries)
+    // but the exact-cosine verify does, so within-copy cosines remap
+    // affinely cos' = (cos+1)/2 — threshold 0.45 → 0.725 — while
+    // cross-copy cosines are ≤ 0.5 < 0.725 BY CONSTRUCTION: zero
+    // spurious pairs possible, the ≥-threshold pair set replicates
+    // per copy exactly (mod the round-4 boundary and per-copy LSH
+    // recall draws, which the probe reports as rows).
+    val taggedThreshold = (0.45 + 1.0) / 2.0
+    def replicatedTagged(base: org.apache.spark.sql.DataFrame,
+        copies: Int) = {
+      val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x))
+      (0 until copies).map { c =>
+        base.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          concat(
+            zip_with(col("embedding"), lit(signs(c)), (x, y) => x * y),
+            array_repeat(lit(0.0), c), array(nrm),
+            array_repeat(lit(0.0), copies - 1 - c)).as("embedding"))
+      }.reduce(_ unionAll _)
+    }
+    def replicatedTaggedVecs(copies: Int) =
+      replicatedTagged(vecsBase, copies)
+
+    // production-regime corpus: plant a cos≈0.97 twin for every 10th
+    // vector (deterministic ±1 perturbation, ε = 0.25·|x| spread over
+    // 64 dims) — the near-dup profile (threshold ≥ 0.9, radius 0) the
+    // operator documents as its deployment regime; the synthetic
+    // corpus itself tops out at cos ~0.51 and cannot exercise it
+    lazy val plantedBase = {
+      val u = signs(777)
+      val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x))
+      vecsBase.unionAll(vecsBase.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(500000L)).as("vec_id"),
+          zip_with(col("embedding"), lit(u),
+            (x, s) => x + s * nrm * lit(0.03125)).as("embedding")))
+    }
+
     def timed(tag: String, small: => Long, big: => Long): Unit = {
       val t0 = System.nanoTime
       val nS = small
@@ -105,14 +149,14 @@ object Probe {
       // serving shape (exact collisions only): the 100× question.
       case "d5" => timed("d5",
         graft.operators.Dedup.embeddingPairsFrom(vecsBase, 0.45).count(),
-        graft.operators.Dedup
-          .embeddingPairsFrom(replicatedVecs(copies), 0.45).count())
+        graft.operators.Dedup.embeddingPairsFrom(
+          replicatedTaggedVecs(copies), taggedThreshold).count())
       case "d5r0" => timed("d5r0",
         graft.operators.Dedup
           .embeddingPairsFrom(vecsBase, 0.45, probeRadius = 0).count(),
         graft.operators.Dedup
-          .embeddingPairsFrom(replicatedVecs(copies), 0.45,
-            probeRadius = 0).count())
+          .embeddingPairsFrom(replicatedTaggedVecs(copies),
+            taggedThreshold, probeRadius = 0).count())
       case "d2" => timed("d2",
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")
@@ -121,7 +165,8 @@ object Probe {
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",
         graft.operators.Ann.knnJoinFrom(vecsBase, 3).count(),
-        graft.operators.Ann.knnJoinFrom(replicatedVecs(copies), 3).count())
+        graft.operators.Ann.knnJoinFrom(replicatedTaggedVecs(copies), 3)
+          .count())
       // the log-n DEPLOYMENT scaling for the embedding family: band
       // bits grow with log₂(copies) so per-bucket occupancy (and so
       // chance-collision count per vector) stays CONSTANT; the 4096
@@ -131,15 +176,33 @@ object Probe {
         val bands = math.min(256, 4096 / bits)
         timed(s"s4x(${bands}x$bits)",
           graft.operators.Ann.knnJoinFrom(vecsBase, 3).count(),
-          graft.operators.Ann.knnJoinFrom(replicatedVecs(copies), 3,
+          graft.operators.Ann.knnJoinFrom(replicatedTaggedVecs(copies), 3,
             probeRadius = 1, nBands = bands, bandBits = bits).count())
       case "d5x" =>
         val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
         val bands = math.min(256, 4096 / bits)
         timed(s"d5x(${bands}x$bits)",
           graft.operators.Dedup.embeddingPairsFrom(vecsBase, 0.45).count(),
-          graft.operators.Dedup.embeddingPairsFrom(replicatedVecs(copies),
-            0.45, probeRadius = 1, nBands = bands, bandBits = bits).count())
+          graft.operators.Dedup.embeddingPairsFrom(
+            replicatedTaggedVecs(copies), taggedThreshold,
+            probeRadius = 1, nBands = bands, bandBits = bits).count())
+      // the PRODUCTION-REGIME 100× question: planted cos≈0.97 twins,
+      // threshold 0.9, exact collisions only (radius 0), band bits
+      // grown with log₂(copies) — per-bucket occupancy constant, true
+      // pairs at p₁ ≈ 0.92 keep E[colliding bands] ≫ 1 at 23 bits, so
+      // recall holds ~1.0 and output replicates ×copies. This is the
+      // regime the d5/s4 scale claim rests on; d5x documents why the
+      // MODERATE-threshold regime (0.45, p₁ ≈ 0.65) instead needs
+      // more tables (the LSH n^ρ law), not wider bands.
+      case "d5p" =>
+        val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
+        val bands = math.min(256, 4096 / bits)
+        timed(s"d5p(${bands}x$bits,t=0.9,r0)",
+          graft.operators.Dedup
+            .embeddingPairsFrom(plantedBase, 0.9, probeRadius = 0).count(),
+          graft.operators.Dedup.embeddingPairsFrom(
+            replicatedTagged(plantedBase, copies), (0.9 + 1.0) / 2.0,
+            probeRadius = 0, nBands = bands, bandBits = bits).count())
       // empirical check of the sign-flip replication's separation
       // claim: cross-copy cosines must stay below the 0.45 threshold
       // or the d5/s4 probes would leak spurious cross-copy pairs
@@ -157,6 +220,24 @@ object Probe {
             count(lit(1)).as("n")).collect()(0)
         println(f"PROBE xcos: max |cross-copy cos| ${r.getDouble(0)}%.4f; " +
           s"≥0.45: ${r.getLong(1)} of ${r.getLong(2)} pairs")
+      // the TAGGED scheme's empirical confirmation: max cross-copy
+      // cosine must be ≤ 0.5, strictly below the remapped 0.725 cut
+      case "xcost" =>
+        val two = replicatedTaggedVecs(2)
+        val c0 = two.filter(col("vec_id") < 1000000L)
+          .select(col("vec_id").as("ida"), col("embedding").as("va"))
+        val c1 = two.filter(col("vec_id") >= 1000000L)
+          .select(col("vec_id").as("idb"), col("embedding").as("vb"))
+        val r = c0.crossJoin(c1)
+          .select(graft.functions.Vectors.cosine(col("va"), col("vb"))
+            .as("c"))
+          .agg(max(abs(col("c"))).as("mx"),
+            sum(when(abs(col("c")) >= taggedThreshold, 1L).otherwise(0L))
+              .as("nv"),
+            count(lit(1)).as("n")).collect()(0)
+        println(f"PROBE xcost: max |cross-copy cos| ${r.getDouble(0)}%.4f " +
+          f"(bound 0.5); ≥$taggedThreshold%.3f: ${r.getLong(1)} " +
+          s"of ${r.getLong(2)} pairs")
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
