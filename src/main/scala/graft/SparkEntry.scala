@@ -117,7 +117,8 @@ object SparkEntry {
     "st7_stream_pack"     -> q(graft.streaming.Streams.st7StreamPack(_)),
     "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_)),
     "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_)),
-    "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink)
+    "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink),
+    "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

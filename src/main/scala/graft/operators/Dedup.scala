@@ -65,7 +65,7 @@ object Dedup {
     * hashing per-perm; all values < 2³² so p·h2 + h1 < 2³⁶ never
     * overflows int64 in either engine. Pure projection, no shuffle.
     */
-  private def minhashDocs(docsIn: DataFrame): DataFrame =
+  private[graft] def minhashDocs(docsIn: DataFrame): DataFrame =
     spread(docsIn)
       .withColumn("tk", Text.tokenize(col("text")))
       .select(col("doc_id"), Text.shinglesFast(3)(col("tk")).as("sh"))
@@ -91,11 +91,7 @@ object Dedup {
     // materialization keeps concurrent consumers from racing to
     // recompute it
     val docs = graft.Caches.materialized(minhashDocs(docsIn))
-    val bands = docs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
-        col("mhs"))
-      .select(col("doc_id"), col("band"),
-        concat_ws("-", slice(col("mhs"), col("band") * 4 + 1, lit(4))).as("sig"))
+    val bands = bandSigs(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -114,6 +110,17 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
     if (sorted) out.orderBy("doc_a", "doc_b") else out
   }
+
+  /** The 4-band × 4-row LSH banding of a (doc_id, mhs) signature
+    * frame — shared by batch d3/d6 and st13's incremental registry so
+    * the candidate construction is one expression, not two copies.
+    */
+  private[graft] def bandSigs(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
+        col("mhs"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("-", slice(col("mhs"), col("band") * 4 + 1, lit(4))).as("sig"))
 
   /** Per-doc 64-bit tf-weighted SimHash (Charikar) as a '0'/'1'
     * string: per bit, sum ±tf over the doc's distinct tokens according

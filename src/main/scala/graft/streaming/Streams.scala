@@ -792,7 +792,137 @@ object Streams {
     spark.read.parquet(outDir.toString).orderBy("doc_id")
   }
 
+  /** st13: INCREMENTAL GROUP MAINTENANCE — the continuous-dedup
+    * deployment's second half: st4 emits near-dup PAIRS as docs land;
+    * st13 maintains the GROUPS those pairs imply, without ever
+    * re-running CC over the corpus per batch (SURVEY §5 design note,
+    * implemented).
+    *
+    * State = three corpus-keyed TABLES (parquet, never driver
+    * memory): the band→signature registry (the st4 shape, plus a
+    * per-doc shingle table for exact verification), an adoption
+    * `labels(doc_id, root)` table — one row per doc that has ever
+    * matched, written once at its arrival — and a compressed EDGE LOG.
+    *
+    * Arrival path (per micro-batch, arrivals-only work): a new doc's
+    * band keys probe the registry (equi-join), candidates verify with
+    * the exact-Jaccard arithmetic batch d3/d6 use, and each verified
+    * pair is logged root-COMPRESSED — both endpoints first rewritten
+    * through `labels` (stale roots are fine: a stale root is still
+    * inside the component, so connectivity is preserved) — while the
+    * arrival adopts the min root it saw. Two existing groups bridged
+    * by an arrival simply log a root-root edge; nothing corpus-wide
+    * runs inline.
+    *
+    * Compaction (periodic in production, once at run end here):
+    * pointer-jump CC over the COMPRESSED edge log — root-level rows,
+    * orders of magnitude smaller than the raw pair set at scale —
+    * rewrites the labels. Because compression preserves connectivity
+    * exactly, the compacted groups equal batch d6's CC over the full
+    * pair evidence: d6's oracle applies VERBATIM, and the spec
+    * asserts bit-equality with the batch operator.
+    */
+  def st13StreamGroupMaintain(t: Tables,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    graft.Caches.fresh()
+    val state = java.nio.file.Files.createTempDirectory("graft_st13_")
+    state.toFile.deleteOnExit()
+    val (bandsDir, shDir, labelsDir, edgesDir) =
+      (s"$state/bands", s"$state/sh", s"$state/labels", s"$state/edges")
+    // initialize the state tables empty with their real schemas, so
+    // the per-batch logic has no first-batch special case
+    val empty0 = spark.read.parquet(path)
+      .select(col("doc_id"), col("text")).limit(0)
+    val sig0 = graft.operators.Dedup.minhashDocs(empty0)
+    graft.operators.Dedup.bandSigs(sig0).write.parquet(bandsDir)
+    sig0.select("doc_id", "sh").write.parquet(shDir)
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "root").write.parquet(labelsDir)
+    Seq.empty[(Long, Long)].toDF("x", "y").write.parquet(edgesDir)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+      .select("doc_id", "text")
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sigs = graft.Caches.materialized(
+          graft.operators.Dedup.minhashDocs(batch.toDF()))
+        val bands = graft.Caches.materialized(
+          graft.operators.Dedup.bandSigs(sigs))
+        // candidates: arrivals vs the registry, plus arrival-arrival
+        // within the batch — canonical a < b either way
+        val old = spark.read.parquet(bandsDir)
+        val candOld = bands.as("n").join(old.as("o"),
+            col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+          .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+            greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+        val candNew = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val cand = candOld.unionByName(candNew)
+          .filter(col("doc_a") =!= col("doc_b")).distinct()
+        // exact verification — the batch d3/d6 arithmetic verbatim;
+        // counterpart shingles come from the registry's shingle table
+        val shAll = spark.read.parquet(shDir)
+          .unionByName(sigs.select("doc_id", "sh"))
+        val pairs = graft.Caches.materialized(cand
+          .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+            "doc_a")
+          .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            "doc_b")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard", round(col("inter") /
+            (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b"))
+        // root-compress both endpoints through the adoption table
+        val labels = spark.read.parquet(labelsDir)
+        val compressed = graft.Caches.materialized(pairs
+          .join(labels.select(col("doc_id").as("doc_a"),
+            col("root").as("ra")), Seq("doc_a"), "left")
+          .join(labels.select(col("doc_id").as("doc_b"),
+            col("root").as("rb")), Seq("doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("ra"), col("doc_a")).as("x"),
+            coalesce(col("rb"), col("doc_b")).as("y")))
+        // arrivals adopt the min root they saw (self included); docs
+        // with no match stay out of the table — lookups coalesce to
+        // self, keeping labels match-count-sized, not corpus-sized
+        val newLabels = graft.Caches.materialized(compressed
+          .select(explode(array(
+            struct(col("doc_a").as("d"), col("y").as("r")),
+            struct(col("doc_b").as("d"), col("x").as("r")))).as("t"))
+          .select(col("t.d").as("doc_id"), col("t.r").as("r"))
+          .join(sigs.select("doc_id"), "doc_id")
+          .join(labels, Seq("doc_id"), "left_anti")
+          .groupBy("doc_id")
+          .agg(least(min(col("r")), min(col("doc_id"))).as("root")))
+        // all reads above are materialized — appends are now safe
+        compressed.select(col("x"), col("y"))
+          .filter(col("x") =!= col("y")).distinct()
+          .write.mode("append").parquet(edgesDir)
+        newLabels.write.mode("append").parquet(labelsDir)
+        bands.write.mode("append").parquet(bandsDir)
+        sigs.select("doc_id", "sh").write.mode("append").parquet(shDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // compaction: pointer-jump CC over the compressed edge log ONLY
+    graft.operators.Dedup.ccGroups(spark.read.parquet(edgesDir)
+      .select(col("x").as("doc_a"), col("y").as("doc_b")))
+  }
+
   val oracle: Map[String, String] = Map(
+    // compressed-edge connectivity equals the full pair evidence's,
+    // so compaction reproduces batch d6's groups — d6's oracle
+    // verbatim
+    "st13_stream_group_maintain" ->
+      graft.operators.Dedup.oracle("d6_dedup_groups"),
     // the scrub is a pure per-row projection under a pinned bench
     // set — batch d11's oracle verbatim
     "st12_stream_overlap_scrub" ->

@@ -275,6 +275,16 @@ class AnnStreamSpec extends SparkSpec {
     st4.foreach { case (a, b, _) => assert(a < b) }
   }
 
+  test("st13 incremental group maintenance equals batch d6 bit-for-bit") {
+    // connectivity through the compressed edge log must reproduce the
+    // batch CC over full pair evidence exactly: same components, same
+    // min-id keep_doc, same group sizes
+    val batch = run("d6_dedup_groups").collect().map(_.toSeq)
+    val stream = run("st13_stream_group_maintain").collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.length == batch.length)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("st4/st5 registries under the RocksDB state store: identical emissions") {
     // the documented production path for large dedup registries (state
     // off-heap, SST-backed) — exercised, not just named: both stateful
