@@ -337,26 +337,29 @@ object Graft {
     * 4×4 banding, exact verification of candidates).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.minhashPairsFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, sorted)
 
   /** tf-weighted SimHash near-dup pairs at Hamming ≤ maxHamming
     * (4×16-bit block pigeonhole candidates).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.simhashPairsFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      maxHamming, sorted)
 
   /** Near-dup GROUPS + keep/drop list: connected components over the
     * minhash-LSH pair evidence (keep-min policy). One row per doc in
     * a dup group: (doc_id, keep_doc, group_size).
     */
   def dedupGroups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.dedupGroupsFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, sorted)
 
   /** SEMANTIC DEDUP (SemDeDup): k-means-cluster the embedding space
     * (codebook trained FRESH on this frame — callers with a stored
@@ -368,7 +371,7 @@ object Graft {
     */
   def semdedupPairs(df: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, threshold: Double = 0.45,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, sorted: Boolean = false): DataFrame = {
     val vecsAll = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     // edge contract (matches the other hardened facades): an empty
@@ -396,7 +399,7 @@ object Graft {
         val assigned = vecs.select(col("vec_id"), col("v"),
           element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
             .as("cid"))
-        graft.operators.Dedup.semdedupPairsFrom(assigned, threshold)
+        graft.operators.Dedup.semdedupPairsFrom(assigned, threshold, sorted)
     }
   }
 
@@ -421,9 +424,11 @@ object Graft {
     * corpus pays one scan.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
-      benchMod: Long = 97, k: Int = 5): DataFrame =
+      benchMod: Long = 97, k: Int = 5,
+      sorted: Boolean = false): DataFrame =
     graft.operators.Dedup.decontaminateFrom(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, benchMod)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      k, benchMod, sorted)
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
     * from banded random-hyperplane LSH (256 bands × 16 bits) with
@@ -434,10 +439,12 @@ object Graft {
     * drops under 1% (measured in DedupTextSpec).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, probeRadius: Int = 1): DataFrame = {
+      threshold: Double, probeRadius: Int = 1,
+      sorted: Boolean = false): DataFrame = {
     val ids = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    graft.operators.Dedup.embeddingPairsFrom(ids, threshold, probeRadius)
+    graft.operators.Dedup.embeddingPairsFrom(ids, threshold, probeRadius,
+      sorted = sorted)
   }
 
   // ---- ann ----
@@ -451,10 +458,11 @@ object Graft {
     * neighbors at cos ≥ 0.45, best-effort in the isotropic bulk.
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 3): DataFrame =
+      k: Int = 3, sorted: Boolean = false): DataFrame =
     graft.operators.Ann.knnJoinFrom(
       df.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("embedding")), k)
+        col(vecCol).cast("array<double>").as("embedding")), k,
+      sorted = sorted)
 
   /** Exact top-k cosine neighbors of a literal probe vector. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -530,10 +538,11 @@ object Graft {
     * deliberately not offered.
     */
   def sequencePack(df: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, budget: Int = 2048): DataFrame =
+      textCol: String, budget: Int = 2048,
+      sorted: Boolean = false): DataFrame =
     graft.operators.TextAnalysis.sequencePackFrom(
       df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        col(textCol).as("text")), budget)
+        col(textCol).as("text")), budget, sorted)
 
   /** CORPUS MIXTURE SAMPLING: deterministic hash-Bernoulli keep with
     * per-source rates from a (source, rate) weights frame (broadcast

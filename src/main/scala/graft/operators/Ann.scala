@@ -197,7 +197,8 @@ object Ann {
     */
   private[graft] def knnJoinFrom(vecsIn: DataFrame, k: Int,
       probeRadius: Int = 1, nBands: Int = Dedup.lshBands,
-      bandBits: Int = Dedup.lshBandBits): DataFrame = {
+      bandBits: Int = Dedup.lshBandBits,
+      sorted: Boolean = true): DataFrame = {
     // cached: the union below consumes the candidate join TWICE (one
     // direction each), and an uncached frame would re-run it per
     // reference (embeddingCandidates opens this operator's cache
@@ -213,7 +214,7 @@ object Ann {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    sym
+    val out = sym
       .join(vecs.withColumnRenamed("vec_id", "src")
         .withColumnRenamed("v", "sv"), "src")
       .join(vecs.withColumnRenamed("vec_id", "dst")
@@ -222,7 +223,7 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("rank"), col("dst"), col("cos"))
-      .orderBy("src", "rank")
+    if (sorted) out.orderBy("src", "rank") else out
   }
 
   /** s5: PRODUCT-QUANTIZATION ENCODE — compress every embedding to

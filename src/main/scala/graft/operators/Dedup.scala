@@ -146,7 +146,7 @@ object Dedup {
 
   /** DataFrame form of d4 for the graft.api facade. */
   private[graft] def simhashPairsFrom(docsIn: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, sorted: Boolean = true): DataFrame = {
     graft.Caches.fresh()
     val docs = graft.Caches.materialized(simhashDocs(docsIn))
     val blocks = docs.select(col("doc_id"),
@@ -161,14 +161,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val out = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
       .withColumn("hamming",
         graft.functions.Vectors.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    if (sorted) out.orderBy("doc_a", "doc_b") else out
   }
 
   /** The md5-seeded hyperplanes are CONSTANT — hp(h,i) = unsigned
@@ -292,11 +292,11 @@ object Dedup {
     */
   private[graft] def embeddingPairsFrom(vecsIn: DataFrame,
       threshold: Double, probeRadius: Int = 1, nBands: Int = lshBands,
-      bandBits: Int = lshBandBits): DataFrame = {
+      bandBits: Int = lshBandBits, sorted: Boolean = true): DataFrame = {
     val cand = embeddingCandidates(vecsIn, probeRadius, nBands, bandBits)
     val vecs = vecsIn
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    cand
+    val out = cand
       .join(vecs.withColumnRenamed("vec_id", "vec_a")
         .withColumnRenamed("v", "va"), "vec_a")
       .join(vecs.withColumnRenamed("vec_id", "vec_b")
@@ -305,7 +305,7 @@ object Dedup {
         round(graft.functions.Vectors.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
+    if (sorted) out.orderBy("vec_a", "vec_b") else out
   }
 
   private[graft] val shingleCte =
@@ -490,7 +490,7 @@ object Dedup {
     * is the benchmark.
     */
   private[graft] def decontaminateFrom(docsIn: DataFrame, k: Int = 5,
-      benchMod: Long = 97): DataFrame = {
+      benchMod: Long = 97, sorted: Boolean = true): DataFrame = {
     graft.Caches.fresh()
     // one tokenize+shingle pass serves both sides (locally the bench
     // slice comes from the same table; in production it is a separate
@@ -508,11 +508,11 @@ object Dedup {
     val bench = graft.Caches.materialized(
       sh.filter(col("doc_id") % benchMod === 0)
         .select(col("doc_id").as("bench_id"), col("sh")))
-    sh.filter(col("doc_id") % benchMod =!= 0)
+    val out = sh.filter(col("doc_id") % benchMod =!= 0)
       .join(graft.Guards.sizedBroadcast(bench), "sh")
       .groupBy(col("doc_id").as("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("train_id", "bench_id")
+    if (sorted) out.orderBy("train_id", "bench_id") else out
   }
 
   /** d11: DECONTAMINATION SCRUB — d7 DETECTS train docs overlapping
@@ -689,17 +689,17 @@ object Dedup {
     * (frame-trained codebook).
     */
   private[graft] def semdedupPairsFrom(assigned: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sorted: Boolean = true): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
       col("v").as("vb"))
-    a.join(b, "cid").filter(col("vec_a") < col("vec_b"))
+    val out = a.join(b, "cid").filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         round(graft.functions.Vectors.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select("cid", "vec_a", "vec_b", "cos")
-      .orderBy("cid", "vec_a", "vec_b")
+    if (sorted) out.orderBy("cid", "vec_a", "vec_b") else out
   }
 
   /** Materialize the minhash band-signature table BUCKETED by its

@@ -150,11 +150,11 @@ object TextAnalysis {
     * (doc_id, source, text) frame in.
     */
   private[graft] def sequencePackFrom(docsIn: DataFrame,
-      budget: Int): DataFrame = {
+      budget: Int, sorted: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docsIn
+    val out = docsIn
       .select(col("doc_id"), col("source"),
         size(filter(split(col("text"), " +"), x => length(x) > 0))
           .cast("long").as("n_tok"))
@@ -164,7 +164,7 @@ object TextAnalysis {
         (col("cum") - col("n_tok")).as("tok_start"),
         floor((col("cum") - col("n_tok")) / budget).cast("long").as("pack_first"),
         floor((col("cum") - 1) / budget).cast("long").as("pack_last"))
-      .orderBy("source", "doc_id")
+    if (sorted) out.orderBy("source", "doc_id") else out
   }
 
   /** t7: MIXTURE SAMPLING — deterministic per-source Bernoulli

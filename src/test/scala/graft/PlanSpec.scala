@@ -198,11 +198,14 @@ class PlanSpec extends SparkSpec {
     // range-partition sort for presentation order the consumer
     // re-shuffles anyway; a mid-plan SMJ Sort is partition-local and
     // rides hashpartitioning, so rangepartitioning is the witness
+    val vecs = Tables(spark, sf).embeddings
     val facades = Seq(
       graft.api.Graft.lineDedup(docs, "doc_id", "text"),
       graft.api.Graft.overlapScrub(docs, "doc_id", "text"),
       graft.api.Graft.groupSplit(docs, "doc_id", "text"),
-      graft.api.Graft.perplexityScore(docs, "doc_id", "text"))
+      graft.api.Graft.perplexityScore(docs, "doc_id", "text"),
+      graft.api.Graft.minhashLshPairs(docs, "doc_id", "text"),
+      graft.api.Graft.knnJoin(vecs, "vec_id", "embedding"))
     facades.foreach { df =>
       df.collect()
       val p = df.queryExecution.executedPlan.toString
