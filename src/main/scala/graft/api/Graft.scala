@@ -606,6 +606,18 @@ object Graft {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 8): DataFrame =
     graft.operators.Search.bpeMerges(df, textCol, nMerges)
 
+  /** BPE ENCODE: train `nMerges` merges on this frame and apply them
+    * (greedy leftmost non-overlapping pass per merge, in training
+    * order) — per doc, subword count + md5 of the subword sequence.
+    * The encode itself is a pure chained-replace projection (no join,
+    * no shuffle); training is the eager r17 loop.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8, sorted: Boolean = false): DataFrame =
+    graft.operators.Search.bpeEncodeFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      nMerges, sorted)
+
   /** PERPLEXITY QUALITY SCORE: per-doc mean nll + perplexity under
     * the corpus's own add-one-smoothed bigram LM, with the p75
     * perplexity-filter keep flag. The LM join is unhinted (AQE

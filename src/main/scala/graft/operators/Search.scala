@@ -199,14 +199,33 @@ object Search {
     * doc chain d0..dN applying each learned merge with the identical
     * replace — the oracle re-derives both halves, trusting neither.
     */
-  def t14BpeEncode(t: Tables, nMerges: Int = 8): DataFrame = {
-    val merges = bpeMergeSeq(t.documents, "text", nMerges)
+  def t14BpeEncode(t: Tables, nMerges: Int = 8): DataFrame =
+    bpeEncodeFrom(t.documents.select("doc_id", "text"), nMerges)
+
+  /** DataFrame form of t14 for the graft.api facade: any
+    * (doc_id, text) frame in; trains the merge table on the SAME
+    * frame (callers holding a trained table should apply
+    * [[bpeApply]] directly).
+    */
+  private[graft] def bpeEncodeFrom(docsIn: DataFrame, nMerges: Int,
+      sorted: Boolean = true): DataFrame = {
+    val merges = bpeMergeSeq(docsIn, "text", nMerges)
+    val out = bpeApply(docsIn, merges)
+    if (sorted) out.orderBy("doc_id") else out
+  }
+
+  /** Apply an already-trained merge table to a (doc_id, text) frame —
+    * the pure-projection inference half, reusable under a pinned
+    * tokenizer artifact (the st11 pinned-model contract).
+    */
+  private[graft] def bpeApply(docsIn: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     val init = array_join(transform(col("tk"),
       w => regexp_replace(w, "(.)", " $1 ")), "|")
     val merged = merges.foldLeft(init) { case (c, (_, a, b, _)) =>
       replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    t.documents
+    docsIn
       .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"),
@@ -214,7 +233,6 @@ object Search {
       .select(col("doc_id"),
         size(col("subs")).cast("long").as("n_sub"),
         md5(array_join(col("subs"), " ")).as("sub_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of r17: the same N merge iterations as chained

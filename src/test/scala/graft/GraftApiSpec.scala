@@ -199,6 +199,22 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(1).getAs[String]("merged") == "abab")
   }
 
+  test("bpeEncode applies trained merges: frequent word fuses to one subword") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab xyz")).toDF("id", "body")
+    // merges 1-2 build abab (see bpeTrain test); doc 2 then encodes as
+    // [abab, x, y, z] — word bars keep "abab x" from merging across
+    val rows = Graft.bpeEncode(docs, "id", "body", nMerges = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_sub"))
+      .toMap
+    assert(rows(1L) == 1 + 1 + 2) // [abab, abab, c, d]
+    assert(rows(2L) == 1 + 3)     // [abab, x, y, z]
+    // zero merges = plain char counts
+    val chars = Graft.bpeEncode(docs, "id", "body", nMerges = 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_sub"))
+      .toMap
+    assert(chars(1L) == 10 && chars(2L) == 7)
+  }
+
   test("bpeTrain degrades to fewer merges when pairs run out") {
     val docs = Seq((1L, "ab")).toDF("id", "body")
     val rows = Graft.bpeTrain(docs, "body", nMerges = 3).collect()
