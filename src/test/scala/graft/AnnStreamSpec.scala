@@ -285,6 +285,48 @@ class AnnStreamSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("st13 bridge path: an arrival merges two existing groups, still = batch CC") {
+    // the sf corpora only exercise single-root adoption (measured: 13
+    // adoptions, 0 bridges at sf0.01), so the bridge logic needs its
+    // own corpus: docs 1,2 and 3,4 form two separate near-dup groups
+    // before doc 100 arrives sharing content with BOTH — the arrival
+    // must log a root-root bridge that compaction resolves into ONE
+    // component. Token strings were searched offline so every needed
+    // pair genuinely band-collides under the deterministic md5
+    // minhash (asserted below as a precondition, not assumed).
+    import SparkSpec.spark.implicits._
+    val a = (0 to 7).map(i => s"a35x$i")
+    val b = (0 to 13).map(i => s"b35x$i")
+    val corpus = Seq(
+      1L -> a.mkString(" "),
+      2L -> (a :+ "a35ext").mkString(" "),
+      3L -> b.mkString(" "),
+      4L -> (b :+ "b35ext").mkString(" "),
+      100L -> (a ++ b.take(11)).mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13_spec_")
+    dir.toFile.deleteOnExit()
+    corpus.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir.toString)
+    val docs = t.documents.select("doc_id", "text")
+    // precondition: exactly the designed pair structure survives the
+    // band-candidate join + exact verify at threshold 0.35
+    val pairs = graft.operators.Dedup.minhashPairsFrom(docs, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (1L, 100L), (3L, 100L),
+      (4L, 100L)), s"corpus no longer bridges: $pairs")
+    val stream = graft.streaming.Streams
+      .st13StreamGroupMaintain(t, 0.35).collect()
+    val batch = graft.operators.Dedup.dedupGroupsFrom(docs, 0.35).collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // and the merge really happened: one 5-doc component kept at min id
+    assert(stream.length == 5)
+    stream.foreach { r =>
+      assert(r.getAs[Long]("keep_doc") == 1L)
+      assert(r.getAs[Long]("group_size") == 5L)
+    }
+  }
+
   test("st4/st5 registries under the RocksDB state store: identical emissions") {
     // the documented production path for large dedup registries (state
     // off-heap, SST-backed) — exercised, not just named: both stateful
