@@ -908,6 +908,11 @@ object Streams {
         newLabels.write.mode("append").parquet(labelsDir)
         bands.write.mode("append").parquet(bandsDir)
         sigs.select("doc_id", "sh").write.mode("append").parquet(shDir)
+        // storage bounded by ONE batch's working set, not the batch
+        // count (d6's per-iteration drop contract): this batch's
+        // caches are dead once its appends land
+        Seq(compressed, newLabels, pairs, bands, sigs)
+          .foreach(graft.Caches.drop)
         ()
       }
       .start()
