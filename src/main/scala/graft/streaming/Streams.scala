@@ -828,99 +828,126 @@ object Streams {
     val path = s"${t.dir}/documents.parquet"
     val schema = spark.read.parquet(path).schema
     graft.Caches.fresh()
-    val state = java.nio.file.Files.createTempDirectory("graft_st13_")
-    state.toFile.deleteOnExit()
-    val (bandsDir, shDir, labelsDir, edgesDir) =
-      (s"$state/bands", s"$state/sh", s"$state/labels", s"$state/edges")
-    // initialize the state tables empty with their real schemas, so
-    // the per-batch logic has no first-batch special case
-    val empty0 = spark.read.parquet(path)
-      .select(col("doc_id"), col("text")).limit(0)
-    val sig0 = graft.operators.Dedup.minhashDocs(empty0)
-    graft.operators.Dedup.bandSigs(sig0).write.parquet(bandsDir)
-    sig0.select("doc_id", "sh").write.parquet(shDir)
-    import spark.implicits._
-    Seq.empty[(Long, Long)].toDF("doc_id", "root").write.parquet(labelsDir)
-    Seq.empty[(Long, Long)].toDF("x", "y").write.parquet(edgesDir)
+    val state = st13State(spark,
+      spark.read.parquet(path).select(col("doc_id"), col("text")).limit(0))
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(t, path, "doc_id"))
       .select("doc_id", "text")
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val sigs = graft.Caches.materialized(
-          graft.operators.Dedup.minhashDocs(batch.toDF()))
-        val bands = graft.Caches.materialized(
-          graft.operators.Dedup.bandSigs(sigs))
-        // candidates: arrivals vs the registry, plus arrival-arrival
-        // within the batch — canonical a < b either way
-        val old = spark.read.parquet(bandsDir)
-        val candOld = bands.as("n").join(old.as("o"),
-            col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
-          .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-            greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-        val candNew = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        val cand = candOld.unionByName(candNew)
-          .filter(col("doc_a") =!= col("doc_b")).distinct()
-        // exact verification — the batch d3/d6 arithmetic verbatim;
-        // counterpart shingles come from the registry's shingle table
-        val shAll = spark.read.parquet(shDir)
-          .unionByName(sigs.select("doc_id", "sh"))
-        val pairs = graft.Caches.materialized(cand
-          .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-            "doc_a")
-          .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-            "doc_b")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jaccard", round(col("inter") /
-            (size(col("sha")) + size(col("shb")) - col("inter")), 4))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_a", "doc_b"))
-        // root-compress both endpoints through the adoption table
-        val labels = spark.read.parquet(labelsDir)
-        val compressed = graft.Caches.materialized(pairs
-          .join(labels.select(col("doc_id").as("doc_a"),
-            col("root").as("ra")), Seq("doc_a"), "left")
-          .join(labels.select(col("doc_id").as("doc_b"),
-            col("root").as("rb")), Seq("doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            coalesce(col("ra"), col("doc_a")).as("x"),
-            coalesce(col("rb"), col("doc_b")).as("y")))
-        // arrivals adopt the min root they saw (self included); docs
-        // with no match stay out of the table — lookups coalesce to
-        // self, keeping labels match-count-sized, not corpus-sized
-        val newLabels = graft.Caches.materialized(compressed
-          .select(explode(array(
-            struct(col("doc_a").as("d"), col("y").as("r")),
-            struct(col("doc_b").as("d"), col("x").as("r")))).as("t"))
-          .select(col("t.d").as("doc_id"), col("t.r").as("r"))
-          .join(sigs.select("doc_id"), "doc_id")
-          .join(labels, Seq("doc_id"), "left_anti")
-          .groupBy("doc_id")
-          .agg(least(min(col("r")), min(col("doc_id"))).as("root")))
-        // all reads above are materialized — appends are now safe
-        compressed.select(col("x"), col("y"))
-          .filter(col("x") =!= col("y")).distinct()
-          .write.mode("append").parquet(edgesDir)
-        newLabels.write.mode("append").parquet(labelsDir)
-        bands.write.mode("append").parquet(bandsDir)
-        sigs.select("doc_id", "sh").write.mode("append").parquet(shDir)
-        // storage bounded by ONE batch's working set, not the batch
-        // count (d6's per-iteration drop contract): this batch's
-        // caches are dead once its appends land
-        Seq(compressed, newLabels, pairs, bands, sigs)
-          .foreach(graft.Caches.drop)
-        ()
+        st13MaintainStep(state, batch.toDF(), threshold)
       }
       .start()
     q.processAllAvailable(); q.stop()
-    // compaction: pointer-jump CC over the compressed edge log ONLY
-    graft.operators.Dedup.ccGroups(spark.read.parquet(edgesDir)
-      .select(col("x").as("doc_a"), col("y").as("doc_b")))
+    st13Compact(state)
   }
+
+  /** st13's state handle: four parquet table paths, initialized EMPTY
+    * with their real schemas (derived from a 0-row slice of the doc
+    * source) so the per-batch logic has no first-batch special case.
+    */
+  private[graft] case class St13State(spark: org.apache.spark.sql
+      .SparkSession, bandsDir: String, shDir: String, labelsDir: String,
+      edgesDir: String)
+
+  private[graft] def st13State(
+      spark: org.apache.spark.sql.SparkSession,
+      emptyDocs: DataFrame): St13State = {
+    val root = java.nio.file.Files.createTempDirectory("graft_st13_")
+    root.toFile.deleteOnExit()
+    val st = St13State(spark, s"$root/bands", s"$root/sh",
+      s"$root/labels", s"$root/edges")
+    val sig0 = graft.operators.Dedup.minhashDocs(emptyDocs)
+    graft.operators.Dedup.bandSigs(sig0).write.parquet(st.bandsDir)
+    sig0.select("doc_id", "sh").write.parquet(st.shDir)
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "root")
+      .write.parquet(st.labelsDir)
+    Seq.empty[(Long, Long)].toDF("x", "y").write.parquet(st.edgesDir)
+    st
+  }
+
+  /** ONE maintenance step: probe the registry with a batch of
+    * arriving (doc_id, text) rows, verify, log compressed edges,
+    * adopt roots, append registry rows. Factored out of the stream so
+    * specs can drive arbitrary batch sequences (staleness across ≥3
+    * waves is unreachable through the 2-file stream staging).
+    */
+  private[graft] def st13MaintainStep(st: St13State, batch: DataFrame,
+      threshold: Double): Unit = {
+    val spark = st.spark
+    val sigs = graft.Caches.materialized(
+      graft.operators.Dedup.minhashDocs(batch))
+    val bands = graft.Caches.materialized(
+      graft.operators.Dedup.bandSigs(sigs))
+    // candidates: arrivals vs the registry, plus arrival-arrival
+    // within the batch — canonical a < b either way
+    val old = spark.read.parquet(st.bandsDir)
+    val candOld = bands.as("n").join(old.as("o"),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val candNew = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candOld.unionByName(candNew)
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    // exact verification — the batch d3/d6 arithmetic verbatim;
+    // counterpart shingles come from the registry's shingle table
+    val shAll = spark.read.parquet(st.shDir)
+      .unionByName(sigs.select("doc_id", "sh"))
+    val pairs = graft.Caches.materialized(cand
+      .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b"))
+    // root-compress both endpoints through the adoption table
+    val labels = spark.read.parquet(st.labelsDir)
+    val compressed = graft.Caches.materialized(pairs
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("root").as("ra")), Seq("doc_a"), "left")
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("root").as("rb")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("ra"), col("doc_a")).as("x"),
+        coalesce(col("rb"), col("doc_b")).as("y")))
+    // arrivals adopt the min root they saw (self included); docs
+    // with no match stay out of the table — lookups coalesce to
+    // self, keeping labels match-count-sized, not corpus-sized
+    val newLabels = graft.Caches.materialized(compressed
+      .select(explode(array(
+        struct(col("doc_a").as("d"), col("y").as("r")),
+        struct(col("doc_b").as("d"), col("x").as("r")))).as("t"))
+      .select(col("t.d").as("doc_id"), col("t.r").as("r"))
+      .join(sigs.select("doc_id"), "doc_id")
+      .join(labels, Seq("doc_id"), "left_anti")
+      .groupBy("doc_id")
+      .agg(least(min(col("r")), min(col("doc_id"))).as("root")))
+    // all reads above are materialized — appends are now safe
+    compressed.select(col("x"), col("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .write.mode("append").parquet(st.edgesDir)
+    newLabels.write.mode("append").parquet(st.labelsDir)
+    bands.write.mode("append").parquet(st.bandsDir)
+    sigs.select("doc_id", "sh").write.mode("append").parquet(st.shDir)
+    // storage bounded by ONE batch's working set, not the batch
+    // count (d6's per-iteration drop contract): this batch's
+    // caches are dead once its appends land
+    Seq(compressed, newLabels, pairs, bands, sigs)
+      .foreach(graft.Caches.drop)
+  }
+
+  /** Compaction: pointer-jump CC over the compressed edge log ONLY. */
+  private[graft] def st13Compact(st: St13State): DataFrame =
+    graft.operators.Dedup.ccGroups(st.spark.read.parquet(st.edgesDir)
+      .select(col("x").as("doc_a"), col("y").as("doc_b")))
 
   val oracle: Map[String, String] = Map(
     // compressed-edge connectivity equals the full pair evidence's,

@@ -327,6 +327,54 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
+  test("st13 stale-root path across 3 waves: late adoption of a superseded root still converges") {
+    // the core claim behind root compression is that a STALE root
+    // (its group merged into a smaller one since the label was
+    // written) still preserves connectivity. That needs ≥3 waves:
+    //   wave 1: groups {1,2} (root 1) and {5,6} (root 5)
+    //   wave 2: doc 10 bridges both — 5's true root becomes 1, but
+    //           labels(5)=5 and labels(6)=5 are now stale
+    //   wave 3: doc 20 pairs ONLY with the B family and adopts the
+    //           STALE root 5; connectivity must flow 20→5→10→1
+    // Token strings searched offline; pair structure asserted below.
+    import SparkSpec.spark.implicits._
+    val a = (0 to 9).map(i => s"p6547a$i")
+    val b = (0 to 11).map(i => s"p6547b$i")
+    val corpus = Map(
+      1L  -> a.mkString(" "),
+      2L  -> (a :+ "p6547ax").mkString(" "),
+      5L  -> b.mkString(" "),
+      6L  -> (b :+ "p6547bx").mkString(" "),
+      10L -> (a.take(9) ++ b.take(9)).mkString(" "),
+      20L -> (b ++ Seq("p6547f0", "p6547f1")).mkString(" "))
+    def frame(ids: Long*) =
+      ids.map(i => i -> corpus(i)).toDF("doc_id", "text")
+    val all = frame(corpus.keys.toSeq.sorted: _*)
+    val pairs = graft.operators.Dedup.minhashPairsFrom(all, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 10L), (2L, 10L), (5L, 6L),
+      (5L, 10L), (6L, 10L), (5L, 20L), (6L, 20L)),
+      s"corpus lost its designed pair structure: $pairs")
+    val st = graft.streaming.Streams.st13State(spark, all.limit(0))
+    graft.streaming.Streams.st13MaintainStep(st, frame(1L, 2L, 5L, 6L), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st, frame(10L), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st, frame(20L), 0.35)
+    // the wave-3 arrival really adopted the SUPERSEDED root
+    val labels = spark.read.parquet(st.labelsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(20L) == 5L, s"labels=$labels — staleness not exercised")
+    assert(labels(10L) == 1L && labels(5L) == 5L)
+    // compaction resolves everything to one component at min id
+    val got = graft.streaming.Streams.st13Compact(st).collect()
+    val want = graft.operators.Dedup.dedupGroupsFrom(all, 0.35).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getAs[Long]("keep_doc") == 1L)
+      assert(r.getAs[Long]("group_size") == 6L)
+    }
+  }
+
   test("st4/st5 registries under the RocksDB state store: identical emissions") {
     // the documented production path for large dedup registries (state
     // off-heap, SST-backed) — exercised, not just named: both stateful
