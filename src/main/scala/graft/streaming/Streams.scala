@@ -820,7 +820,11 @@ object Streams {
     * rewrites the labels. Because compression preserves connectivity
     * exactly, the compacted groups equal batch d6's CC over the full
     * pair evidence: d6's oracle applies VERBATIM, and the spec
-    * asserts bit-equality with the batch operator.
+    * asserts bit-equality with the batch operator. Per-batch appends
+    * inherit the batch's parallelism, so the state tables accumulate
+    * small files between compactions — the same periodic rewrite that
+    * compacts labels also rewrites the registries (io5's small-file
+    * compaction pattern applied to state).
     */
   def st13StreamGroupMaintain(t: Tables,
       threshold: Double = 0.5): DataFrame = {
