@@ -497,6 +497,38 @@ object Graft {
     graft.streaming.Streams.incrementalEmbeddingDedup(
       stream, idCol, vecCol, threshold)
 
+  /** INCREMENTAL GROUP-MAINTENANCE session (the continuous-dedup
+    * deployment's group half, st13 as a library surface): feed
+    * arriving (id, text) batches with `step`; read the compacted
+    * groups — one row per doc in a dup group, (doc_id, keep_doc,
+    * group_size) — with `compact`. Per-step work touches only the
+    * arrivals (registry probe + exact verify + root-compressed edge
+    * log); compaction is pointer-jump CC over the compressed log, not
+    * the raw pair set. State lives in JVM-scratch parquet tables
+    * (deleted on exit); a cluster deployment points the same tables
+    * at the lake and compacts on a schedule.
+    */
+  final class GroupMaintenance private[api] (
+      spark: org.apache.spark.sql.SparkSession, threshold: Double) {
+    private val st = {
+      import spark.implicits._
+      graft.streaming.Streams.st13State(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    /** Process one batch of arrivals. */
+    def step(df: DataFrame, idCol: String, textCol: String): Unit =
+      graft.streaming.Streams.st13MaintainStep(st,
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        threshold)
+    /** Compact and return the current groups (sorted by doc_id). */
+    def compact(): DataFrame = graft.streaming.Streams.st13Compact(st)
+  }
+
+  /** Open an incremental group-maintenance session at `threshold`. */
+  def groupMaintenance(spark: org.apache.spark.sql.SparkSession,
+      threshold: Double = 0.5): GroupMaintenance =
+    new GroupMaintenance(spark, threshold)
+
   /** SALTED equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic salt in [0, nSalts) from `saltSrc` (any
     * per-row deterministic expression — an id column, a hash of the

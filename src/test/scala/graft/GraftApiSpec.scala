@@ -199,6 +199,23 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(1).getAs[String]("merged") == "abab")
   }
 
+  test("groupMaintenance session: incremental steps equal one-shot dedupGroups") {
+    val ab = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      1L -> ab, 2L -> (ab + " eleven"),          // a near-dup pair
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "cold stone river mountain valley cloud storm wind rain")
+    val all = docs.toDF("id", "body")
+    val gm = Graft.groupMaintenance(SparkSpec.spark)
+    // arrivals in two waves: the pair is split across them
+    gm.step(Seq(docs(0), docs(2)).toDF("id", "body"), "id", "body")
+    gm.step(Seq(docs(1), docs(3)).toDF("id", "body"), "id", "body")
+    val inc = gm.compact().collect().map(_.toSeq)
+    val batch = Graft.dedupGroups(all, "id", "body", sorted = true)
+      .collect().map(_.toSeq)
+    assert(inc.nonEmpty && inc.toSeq == batch.toSeq)
+  }
+
   test("bpeEncode applies trained merges: frequent word fuses to one subword") {
     val docs = Seq((1L, "abab abab cd"), (2L, "abab xyz")).toDF("id", "body")
     // merges 1-2 build abab (see bpeTrain test); doc 2 then encodes as
