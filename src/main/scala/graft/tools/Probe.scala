@@ -161,6 +161,24 @@ object Probe {
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")
           .count())
+      // incremental group maintenance driven wave-by-wave (4 id-range
+      // waves — arrival order), then one compaction: measures the
+      // whole maintain+compact machinery, output = d6's group rows
+      case "st13" =>
+        def runMaint(docs: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val st = graft.streaming.Streams.st13State(spark, docs.limit(0))
+          val mm = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val width = (hi - lo) / 4 + 1
+          (0 until 4).foreach { w =>
+            graft.streaming.Streams.st13MaintainStep(st,
+              docs.filter(col("doc_id") >= lo + w * width &&
+                col("doc_id") < lo + (w + 1) * width), 0.5)
+          }
+          graft.streaming.Streams.st13Compact(st).count()
+        }
+        timed("st13", runMaint(docs), runMaint(replicated(copies)))
       // s4 k-NN join off the shared banded index (fixed 16-bit bands —
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",
