@@ -179,22 +179,39 @@ object Dedup {
     * shuffle. The oracle recomputes the same constants in SQL.
     */
   private[graft] val hpDim = 64
-  private[graft] lazy val hpMatrix: graft.expressions.PlaneMatrix = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val flat = new Array[Double](4096 * hpDim)
-    var h = 0
-    while (h < 4096) {
-      var i = 0
-      while (i < hpDim) {
-        md.reset()
-        val d = md.digest(s"$h:$i".getBytes("UTF-8"))
-        flat(h * hpDim + i) = (d(0) & 0xff) / 255.0 * 2 - 1
-        i += 1
+
+  /** Plane matrices are memoized per size so a given nPlanes always
+    * yields the SAME instance (PlaneMatrix equality is identity —
+    * plan/cache reuse depends on it). Sizes beyond the 4096 default
+    * exist for the moderate-threshold scaling path: at cos ~0.5 the
+    * LSH exponent ρ ≈ 0.575 means table count L must grow ~n^ρ while
+    * band bits grow with log n — more planes, same constant family
+    * (plane h ≥ 4096 continues the identical md5 formula, so oracles
+    * replay any size).
+    */
+  private val hpMatrices =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      graft.expressions.PlaneMatrix]()
+  private[graft] def hpMatrixFor(nPlanes: Int)
+      : graft.expressions.PlaneMatrix =
+    hpMatrices.computeIfAbsent(nPlanes, { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val flat = new Array[Double](nPlanes * hpDim)
+      var h = 0
+      while (h < nPlanes) {
+        var i = 0
+        while (i < hpDim) {
+          md.reset()
+          val d = md.digest(s"$h:$i".getBytes("UTF-8"))
+          flat(h * hpDim + i) = (d(0) & 0xff) / 255.0 * 2 - 1
+          i += 1
+        }
+        h += 1
       }
-      h += 1
-    }
-    new graft.expressions.PlaneMatrix(flat, hpDim)
-  }
+      new graft.expressions.PlaneMatrix(flat, hpDim)
+    })
+  private[graft] lazy val hpMatrix: graft.expressions.PlaneMatrix =
+    hpMatrixFor(4096)
 
   /** LSH tuning for the synthetic corpus — chosen from a MEASURED
     * Pareto frontier, not hand-waved. The corpus is isotropic 64-dim
@@ -221,11 +238,11 @@ object Dedup {
     */
   private[graft] def hyperplaneSig(vecs: DataFrame,
       nPlanes: Int): DataFrame = {
-    require(nPlanes <= 4096, s"hpMatrix holds 4096 planes, asked $nPlanes")
+    val m = if (nPlanes <= 4096) hpMatrix else hpMatrixFor(nPlanes)
     spread(vecs)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("sig",
-        graft.functions.Vectors.hyperplaneBits(col("v"), hpMatrix, nPlanes))
+        graft.functions.Vectors.hyperplaneBits(col("v"), m, nPlanes))
   }
 
   /** Banded buckets of the signature: one row per (vec_id, band), the
@@ -236,15 +253,18 @@ object Dedup {
     */
   private[graft] def hyperplaneBuckets(vecs: DataFrame,
       nBands: Int = lshBands, bandBits: Int = lshBandBits): DataFrame = {
-    require(nBands * bandBits <= 4096,
-      s"band shape $nBands x $bandBits exceeds the 4096-plane matrix")
     require(bandBits + ceilLog2(nBands) <= 63,
       s"band shape $nBands x $bandBits overflows the packed long key")
+    // the default 4096-plane matrix serves any shape that fits it; a
+    // larger shape (the n^ρ more-tables path) generates more planes
+    // from the same md5 family on demand
+    val m = if (nBands * bandBits <= 4096) hpMatrix
+            else hpMatrixFor(nBands * bandBits)
     spread(vecs)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         explode(graft.functions.Vectors.hyperplaneBandKeys(
-          col("v"), hpMatrix, nBands, bandBits)).as("bk"))
+          col("v"), m, nBands, bandBits)).as("bk"))
   }
 
   private def ceilLog2(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n - 1)

@@ -196,6 +196,19 @@ object Probe {
           graft.operators.Ann.knnJoinFrom(vecsBase, 3).count(),
           graft.operators.Ann.knnJoinFrom(replicatedTaggedVecs(copies), 3,
             probeRadius = 1, nBands = bands, bandBits = bits).count())
+      // the n^ρ law APPLIED instead of violated: band bits grow with
+      // log₂(copies) (occupancy) AND table count grows ~copies^ρ
+      // (ρ ≈ 0.575 at cos 0.5) — planes generated on demand from the
+      // same md5 family (hpMatrixFor). Moderate-threshold LSH scaled
+      // the way the theory says it must.
+      case "d5n" =>
+        val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
+        val bands = math.max(256, (256 * math.pow(copies, 0.575)).toInt)
+        timed(s"d5n(${bands}x$bits)",
+          graft.operators.Dedup.embeddingPairsFrom(vecsBase, 0.45).count(),
+          graft.operators.Dedup.embeddingPairsFrom(
+            replicatedTaggedVecs(copies), taggedThreshold,
+            probeRadius = 1, nBands = bands, bandBits = bits).count())
       case "d5x" =>
         val bits = 16 + (32 - Integer.numberOfLeadingZeros(copies - 1))
         val bands = math.min(256, 4096 / bits)
