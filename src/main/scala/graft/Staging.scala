@@ -59,6 +59,19 @@ object Staging {
     }
   }
 
+  /** A FRESH scratch dir (no memoization — every call returns a new
+    * one) registered with the same shutdown cleanup as staged trees.
+    * The default home for session-scoped mutable state (st13's
+    * group-maintenance tables) that a deployment would instead point
+    * at durable storage.
+    */
+  def scratch(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toString
+    staged.put(s"scratch:$d", d)
+    d
+  }
+
   /** The staged path for `key`, if this JVM landed it — spec access. */
   def lookup(key: String): Option[String] = Option(staged.get(key))
 

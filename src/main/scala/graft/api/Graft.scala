@@ -431,20 +431,26 @@ object Graft {
       k, benchMod, sorted)
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
-    * from banded random-hyperplane LSH (256 bands × 16 bits) with
-    * exact-cosine verification. `probeRadius = 1` multi-probes
-    * Hamming-1 neighbor buckets — needed at moderate thresholds
-    * (~0.5); production near-dup (threshold ≥ 0.9) should pass
-    * `probeRadius = 0`: recall stays ~1.0 and the candidate fraction
-    * drops under 1% (measured in DedupTextSpec).
+    * from banded random-hyperplane LSH with exact-cosine
+    * verification. The LSH shape (table count, band bits, multi-probe
+    * radius) is AUTO-SIZED from the MEASURED corpus count and the
+    * threshold regime per SURVEY §5's scaling laws
+    * (`Dedup.lshConfigFor`): band bits grow with log₂ n (constant
+    * bucket occupancy), tables grow ~n^0.575 in the moderate-
+    * threshold regime, and production near-dup (threshold ≥ 0.9)
+    * runs exact collisions at the base 256 tables. Pass
+    * `probeRadius ≥ 0` to override the measured default.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, probeRadius: Int = 1,
+      threshold: Double, probeRadius: Int = -1,
       sorted: Boolean = false): DataFrame = {
     val ids = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
-    graft.operators.Dedup.embeddingPairsFrom(ids, threshold, probeRadius,
-      sorted = sorted)
+    val (nb, bb, pr) =
+      graft.operators.Dedup.lshConfigFor(ids.count(), threshold)
+    graft.operators.Dedup.embeddingPairsFrom(ids, threshold,
+      if (probeRadius >= 0) probeRadius else pr,
+      nBands = nb, bandBits = bb, sorted = sorted)
   }
 
   // ---- ann ----
@@ -456,13 +462,19 @@ object Graft {
     * tie-break (engine-portable ranking). Output: (src, rank, dst,
     * cos). Recall depends on the similarity regime — near-total for
     * neighbors at cos ≥ 0.45, best-effort in the isotropic bulk.
+    * The LSH shape is AUTO-SIZED from the MEASURED corpus count in
+    * the moderate regime (`Dedup.lshConfigFor` — top-k has no
+    * threshold to relax into exact collisions): band bits grow with
+    * log₂ n, tables ~n^0.575, multi-probe on.
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 3, sorted: Boolean = false): DataFrame =
-    graft.operators.Ann.knnJoinFrom(
-      df.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("embedding")), k,
-      sorted = sorted)
+      k: Int = 3, sorted: Boolean = false): DataFrame = {
+    val ids = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val (nb, bb, pr) = graft.operators.Dedup.lshConfigFor(ids.count(), 0.45)
+    graft.operators.Ann.knnJoinFrom(ids, k, probeRadius = pr,
+      nBands = nb, bandBits = bb, sorted = sorted)
+  }
 
   /** Exact top-k cosine neighbors of a literal probe vector. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -504,16 +516,23 @@ object Graft {
     * group_size) — with `compact`. Per-step work touches only the
     * arrivals (registry probe + exact verify + root-compressed edge
     * log); compaction is pointer-jump CC over the compressed log, not
-    * the raw pair set. State lives in JVM-scratch parquet tables
-    * (deleted on exit); a cluster deployment points the same tables
-    * at the lake and compacts on a schedule.
+    * the raw pair set; small-file buildup is rewritten past a file
+    * budget (io5's pattern applied to state).
+    *
+    * State lives under `stateRoot` when given — the ONE parameter a
+    * cluster deployment must set: point it at durable storage and a
+    * later session over the same root RESUMES (stop, reopen,
+    * continue — spec-covered equal to one continuous session). With
+    * no root, state sits in JVM scratch managed by [[graft.Staging]]
+    * (deleted at shutdown).
     */
   final class GroupMaintenance private[api] (
-      spark: org.apache.spark.sql.SparkSession, threshold: Double) {
+      spark: org.apache.spark.sql.SparkSession, threshold: Double,
+      stateRoot: Option[String]) {
     private val st = {
       import spark.implicits._
       graft.streaming.Streams.st13State(spark,
-        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), stateRoot)
     }
     /** Process one batch of arrivals. */
     def step(df: DataFrame, idCol: String, textCol: String): Unit =
@@ -524,10 +543,13 @@ object Graft {
     def compact(): DataFrame = graft.streaming.Streams.st13Compact(st)
   }
 
-  /** Open an incremental group-maintenance session at `threshold`. */
+  /** Open an incremental group-maintenance session at `threshold`,
+    * over durable state at `stateRoot` (resumable) or JVM scratch.
+    */
   def groupMaintenance(spark: org.apache.spark.sql.SparkSession,
-      threshold: Double = 0.5): GroupMaintenance =
-    new GroupMaintenance(spark, threshold)
+      threshold: Double = 0.5,
+      stateRoot: Option[String] = None): GroupMaintenance =
+    new GroupMaintenance(spark, threshold, stateRoot)
 
   /** SALTED equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic salt in [0, nSalts) from `saltSrc` (any

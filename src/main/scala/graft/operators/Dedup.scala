@@ -232,6 +232,46 @@ object Dedup {
   private[graft] val lshBands     = 256
   private[graft] val lshPlanes: Int = lshBandBits * lshBands
 
+  /** The corpus size the 256×16 frontier above was measured AT —
+    * the reference point [[lshConfigFor]] scales from. */
+  private[graft] val lshRefN = 2000L
+
+  /** The MEASURED moderate-regime LSH exponent (SURVEY §5 d5n probe:
+    * table count grown as n^0.575 held recall parity at theory-
+    * bounded cost — predicted ~230 s at 30×, measured 245 s). */
+  private[graft] val lshRhoMeasured = 0.575
+
+  /** AUTO-SIZED LSH shape for a corpus of `n` vectors at `threshold`
+    * — SURVEY §5's measured scaling laws as a library function
+    * instead of a hand-picked constant. Returns
+    * (nBands, bandBits, probeRadius):
+    *
+    *  - band BITS grow with log₂(n/n₀): per-bucket occupancy — and
+    *    so chance collisions per vector — stays constant as the
+    *    corpus grows (the d5p/s4x probes' knob);
+    *  - MODERATE threshold (< 0.9, p₁ ≈ 0.65 at cos 0.45): table
+    *    count must grow ~n^ρ with the measured ρ = 0.575, planes
+    *    generated on demand from the same md5 family
+    *    ([[hpMatrixFor]]); Hamming-1 multi-probe stays on. Operating
+    *    points: 256×16 @2k, 962×20 @20k, 1809×21 @60k, 3616×23
+    *    @200k — exactly the d5n probe table's, spec-locked;
+    *  - PRODUCTION near-dup (threshold ≥ 0.9, p₁ ≥ 0.9, ρ ≈ 0.15):
+    *    exact collisions already recall ~1.0 (d5p probe: output
+    *    replicated ×100 at 5.9× wall), so tables stay at 256 and
+    *    multi-probe off.
+    *
+    * `n` is a MEASURED count (the same measured-gate contract as
+    * [[graft.Guards]]): callers count the corpus, never guess.
+    */
+  private[graft] def lshConfigFor(n: Long,
+      threshold: Double): (Int, Int, Int) = {
+    val scale = math.max(1.0, n.toDouble / lshRefN)
+    val bits = lshBandBits + ceilLog2(math.ceil(scale).toInt)
+    if (threshold >= 0.9) (lshBands, bits, 0)
+    else (math.max(lshBands,
+      (lshBands * math.pow(scale, lshRhoMeasured)).toInt), bits, 1)
+  }
+
   /** Per-vector signed-random-projection signature ('0'/'1' string of
     * length nPlanes) — one compiled projection, no shuffle. Input:
     * (vec_id, embedding) with any float/double array type.

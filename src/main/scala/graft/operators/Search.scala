@@ -138,6 +138,20 @@ object Search {
   /** The trained merge table as a driver-side list — the BOUNDED
     * artifact (≤ nMerges rows, same O(1)-per-step contract as s3's
     * centroids) that t14's encode folds into its projection.
+    *
+    * The corpus is scanned ONCE (the word-frequency groupBy); every
+    * later step needs only the aggregated word dict, which is
+    * vocab-sized by construction (|V| ≪ corpus — MBs at 100 TB). So
+    * when the MEASURED dict size fits the shared [[graft.Guards]]
+    * budget — the same mechanical gate the forced broadcasts earn —
+    * the merge loop finishes LOCALLY in one collect
+    * ([[bpeMergeSeqLocal]]: bit-identical greedy argmax + leftmost
+    * replace), turning training from O(nMerges) sequential
+    * vocab-scale Spark jobs into O(1) jobs total; a real 32k-merge
+    * tokenizer is 2 jobs, not 32k. Past the budget (a dict that
+    * genuinely can't sit on one machine) it degrades to the
+    * distributed per-step loop, whose driver state stays a single
+    * argmax row. Both paths are spec-locked bit-equal.
     */
   private[graft] def bpeMergeSeq(docs: DataFrame, textCol: String,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
@@ -146,6 +160,59 @@ object Search {
       docs
         .select(explode(Text.tokenize(col(textCol))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq")))
+    if (graft.Guards.fitsBudget(words.count()))
+      bpeMergeSeqLocal(
+        words.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else bpeMergeSeqDistributed(words, nMerges)
+  }
+
+  /** LOCAL merge loop over the collected word dict — the hot path
+    * (the dict fit the measured Guards budget). Semantics are the
+    * distributed loop's, operation for operation: the same " c  a  t "
+    * space-wrapped form, pair counts summed over `split(trim(s),
+    * "  ")` adjacency weighted by word freq, argmax tie-broken
+    * (count desc, lhs, rhs) — ASCII tokens, so JVM string order =
+    * UTF8String order — and each merge ONE literal leftmost
+    * non-overlapping replace (`String.replace` = Spark `replace`).
+    * Spec asserts bit-equal merge tables against
+    * [[bpeMergeSeqDistributed]].
+    */
+  private[graft] def bpeMergeSeqLocal(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs = words.map { case (w, f) => (w.flatMap(c => s" $c "), f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        val tk = s.trim.split("  ")
+        var i = 0
+        while (i < tk.length - 1) {
+          val k = (tk(i), tk(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = cnt.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((step, a, b, c))
+        seqs = seqs.map { case (s, f) =>
+          (s.replace(s" $a  $b ", s" $a$b "), f)
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** DISTRIBUTED merge loop — the past-the-budget fallback: one
+    * vocab-scale job per step, O(1) driver state (a single argmax
+    * row).
+    */
+  private[graft] def bpeMergeSeqDistributed(words: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
     var seqs = words.withColumn("s",
       regexp_replace(col("word"), "(.)", " $1 "))
     val merges = Seq.newBuilder[(Int, String, String, Long)]

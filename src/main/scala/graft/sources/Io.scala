@@ -324,6 +324,20 @@ object Io {
     } finally s.close()
   }
 
+  /** Recursive variant for PARTITIONED dirs (data files live under
+    * key=value subdirs); a missing dir is an empty table, not an
+    * error — st13's lazily-initialized state depends on that.
+    */
+  private[graft] def parquetFilesRec(dir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return Nil
+    val s = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+    } finally s.close()
+  }
+
   /** Driver-side metadata sizing for the compaction target — a
     * planner stats read (file listing), not a data collect.
     */

@@ -350,8 +350,47 @@ object Streams {
         .option("path", s"$d/out").option("checkpointLocation", s"$d/ckpt")
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
+      // the sink landed ~one file per micro-batch — compact past the
+      // file budget at this quiescent boundary (stream stopped), the
+      // long-running-sink posture io5 documents for batch tables
+      compactFileSink(spark, s"$d/out")
     }
     spark.read.parquet(s"$staged/out").distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** io5's small-file rewrite applied to a STREAMING parquet sink's
+    * output (a long-running sink lands ~one file per micro-batch —
+    * a million 2 MB files is the scale-killer io5 documents, created
+    * here by the trigger cadence instead of a partitioned append).
+    * Past `aboveFiles` committed files the dir is read back (through
+    * `_spark_metadata`, so only COMMITTED files move), rewritten to
+    * ⌈bytes/target⌉ files (io5's own sizing) and swapped in.
+    *
+    * Correct only at a QUIESCENT boundary (stream stopped / between
+    * restarts): the swap retires the sink's `_spark_metadata` log, so
+    * the dir becomes a plain immutable table — the snapshot hand-off
+    * a streaming lake pipeline does when it seals a sink; a restart
+    * appends to a fresh sink dir, not this one. In-flight writers
+    * would race the swap, which is why the trigger sits AFTER
+    * `q.stop()` at every call site.
+    */
+  private[graft] def compactFileSink(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      targetBytes: Long = 8L << 20, aboveFiles: Int = 16): Unit = {
+    if (graft.sources.Io.parquetFiles(outDir).length <= aboveFiles) return
+    val schema = spark.read.parquet(outDir).schema
+    val tmp = s"$outDir.compacting"
+    spark.read.parquet(outDir)
+      .coalesce(graft.sources.Io.compactionFileCount(outDir, targetBytes))
+      .write.mode("overwrite").parquet(tmp)
+    // schema read-back guard: the swap must never land a frame that
+    // lost columns (paranoia against a silent empty-dir read)
+    require(spark.read.parquet(tmp).schema.fieldNames.sameElements(
+      schema.fieldNames), s"compaction changed schema at $outDir")
+    graft.Staging.deleteTree(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(outDir))
+    ()
   }
 
   /** Library core of st4: attach to ANY streaming (id, text) frame;
@@ -820,11 +859,15 @@ object Streams {
     * rewrites the labels. Because compression preserves connectivity
     * exactly, the compacted groups equal batch d6's CC over the full
     * pair evidence: d6's oracle applies VERBATIM, and the spec
-    * asserts bit-equality with the batch operator. Per-batch appends
-    * inherit the batch's parallelism, so the state tables accumulate
-    * small files between compactions — the same periodic rewrite that
-    * compacts labels also rewrites the registries (io5's small-file
-    * compaction pattern applied to state).
+    * asserts bit-equality with the batch operator.
+    *
+    * Storage layout: bands/sh/labels are hash-bucket-PARTITIONED by
+    * their probe keys, so every per-batch state read above is a
+    * partition-PRUNED scan — probes touch only the buckets the
+    * batch's keys hash into (PartitionFilters, locked by spec), never
+    * the whole registry. Per-batch small-file buildup is rewritten
+    * once a file-count budget is crossed ([[st13CompactState]] —
+    * io5's compaction pattern applied to state).
     */
   def st13StreamGroupMaintain(t: Tables,
       threshold: Double = 0.5): DataFrame = {
@@ -847,30 +890,99 @@ object Streams {
     st13Compact(state)
   }
 
-  /** st13's state handle: four parquet table paths, initialized EMPTY
-    * with their real schemas (derived from a 0-row slice of the doc
-    * source) so the per-batch logic has no first-batch special case.
+  /** st13's state handle: four parquet table paths under one root.
+    * bands/sh/labels are PARTITIONED by `pb`, a hash bucket of each
+    * table's probe key (band+sig for the registry, doc_id for
+    * shingles/labels) drawn from the bounded [0, nBuckets) domain —
+    * the layout that lets a micro-batch's probes prune to matching
+    * buckets instead of rescanning corpus-sized parquet. The edge log
+    * is only ever read whole (at compaction), so it stays flat.
+    *
+    * Tables are NOT pre-initialized: reads go through [[st13Read]],
+    * which returns an empty frame with the right schema when a dir
+    * has no data yet. That makes "open over an existing root" the
+    * same code path as "open fresh" — a session pointed at a durable
+    * root RESUMES the state a previous session wrote (spec-covered in
+    * GraftApiSpec).
     */
   private[graft] case class St13State(spark: org.apache.spark.sql
-      .SparkSession, bandsDir: String, shDir: String, labelsDir: String,
-      edgesDir: String)
+      .SparkSession, root: String, nBuckets: Int,
+      compactAboveFiles: Int) {
+    val bandsDir: String = s"$root/bands"
+    val shDir: String = s"$root/sh"
+    val labelsDir: String = s"$root/labels"
+    val edgesDir: String = s"$root/edges"
+  }
 
+  /** Hash bucket of a probe key into the bounded [0, nBuckets)
+    * partition domain. Deterministic (Murmur3, the same `hash` both
+    * writer and prober compile), so a probe's bucket set is always a
+    * superset-safe restriction of its matching state rows.
+    */
+  private[graft] def st13Pb(n: Int)(keys: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column = pmod(hash(keys: _*), lit(n))
+
+  private def st13HasData(dir: String): Boolean =
+    graft.sources.Io.parquetFilesRec(dir).nonEmpty
+
+  /** State read with the empty-dir case folded in (no first-batch or
+    * first-session special case at call sites).
+    */
+  private[graft] def st13Read(st: St13State, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (st13HasData(dir))
+      st.spark.read.schema(schema).parquet(dir)
+    else
+      st.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  private def withPb(s: org.apache.spark.sql.types.StructType) =
+    s.add("pb", org.apache.spark.sql.types.IntegerType)
+
+  private[graft] def st13BandsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.StringType)))
+  private[graft] def st13ShSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sh",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+  private[graft] def st13LabelsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("root",
+        org.apache.spark.sql.types.LongType)))
+  private[graft] def st13EdgesSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Open (or resume) an st13 state. `root = None` → fresh JVM
+    * scratch registered with [[graft.Staging]]'s shutdown cleanup;
+    * `root = Some(path)` → durable state a deployment owns: an
+    * existing root is RESUMED (its tables read as-is), an empty one
+    * initialized lazily by the first appends. `emptyDocs` is kept for
+    * signature compatibility (schemas are fixed by the minhash
+    * pipeline, not the doc source).
+    */
   private[graft] def st13State(
       spark: org.apache.spark.sql.SparkSession,
-      emptyDocs: DataFrame): St13State = {
-    val root = java.nio.file.Files.createTempDirectory("graft_st13_")
-    root.toFile.deleteOnExit()
-    val st = St13State(spark, s"$root/bands", s"$root/sh",
-      s"$root/labels", s"$root/edges")
-    val sig0 = graft.operators.Dedup.minhashDocs(emptyDocs)
-    graft.operators.Dedup.bandSigs(sig0).write.parquet(st.bandsDir)
-    sig0.select("doc_id", "sh").write.parquet(st.shDir)
-    import spark.implicits._
-    Seq.empty[(Long, Long)].toDF("doc_id", "root")
-      .write.parquet(st.labelsDir)
-    Seq.empty[(Long, Long)].toDF("x", "y").write.parquet(st.edgesDir)
-    st
-  }
+      emptyDocs: DataFrame,
+      root: Option[String] = None,
+      nBuckets: Int = 64,
+      compactAboveFiles: Int = 64): St13State =
+    St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
+      nBuckets, compactAboveFiles)
 
   /** ONE maintenance step: probe the registry with a batch of
     * arriving (doc_id, text) rows, verify, log compressed edges,
@@ -881,13 +993,25 @@ object Streams {
   private[graft] def st13MaintainStep(st: St13State, batch: DataFrame,
       threshold: Double): Unit = {
     val spark = st.spark
+    val nB = st.nBuckets
     val sigs = graft.Caches.materialized(
       graft.operators.Dedup.minhashDocs(batch))
     val bands = graft.Caches.materialized(
-      graft.operators.Dedup.bandSigs(sigs))
-    // candidates: arrivals vs the registry, plus arrival-arrival
-    // within the batch — canonical a < b either way
-    val old = spark.read.parquet(st.bandsDir)
+      graft.operators.Dedup.bandSigs(sigs)
+        .withColumn("pb", st13Pb(nB)(col("band"), col("sig"))))
+    // The pruning literals are drawn from the BOUNDED [0, nBuckets)
+    // partition domain — each collect is ≤ nBuckets ints off an
+    // already-materialized cache, O(1) in both batch and corpus size
+    // (the same measured-and-bounded contract as graft.Guards), and
+    // the IN list is what turns each state read below into a
+    // partition-PRUNED scan (PartitionFilters in the step plan)
+    // instead of a full-registry scan per micro-batch.
+    val batchPbs = bands.select("pb").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // candidates: arrivals vs the registry (bucket-pruned to the
+    // batch's band-key buckets), plus arrival-arrival within the
+    // batch — canonical a < b either way
+    val old = st13BandProbe(st, batchPbs)
     val candOld = bands.as("n").join(old.as("o"),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
@@ -896,11 +1020,21 @@ object Streams {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val cand = candOld.unionByName(candNew)
-      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val cand = graft.Caches.materialized(candOld.unionByName(candNew)
+      .filter(col("doc_a") =!= col("doc_b")).distinct())
+    // the shingle/label lookups only need rows for the candidate
+    // ENDPOINTS (registry partners included, so the batch's own pb
+    // set is not enough) — again a bounded-domain pb collect
+    val endpointPbs = cand
+      .select(explode(array(st13Pb(nB)(col("doc_a")),
+        st13Pb(nB)(col("doc_b")))).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     // exact verification — the batch d3/d6 arithmetic verbatim;
-    // counterpart shingles come from the registry's shingle table
-    val shAll = spark.read.parquet(st.shDir)
+    // counterpart shingles come from the registry's shingle table,
+    // bucket-pruned to the endpoints' buckets
+    val shAll = st13Read(st, st.shDir, withPb(st13ShSchema))
+      .filter(col("pb").isin(endpointPbs: _*))
+      .select("doc_id", "sh")
       .unionByName(sigs.select("doc_id", "sh"))
     val pairs = graft.Caches.materialized(cand
       .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
@@ -912,8 +1046,13 @@ object Streams {
         (size(col("sha")) + size(col("shb")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b"))
-    // root-compress both endpoints through the adoption table
-    val labels = spark.read.parquet(st.labelsDir)
+    // root-compress both endpoints through the adoption table —
+    // lookup keys are candidate endpoints, so the same pb pruning
+    // applies (anti-join included: a bucket with no endpoint pb
+    // cannot hold a matching label row)
+    val labels = st13Read(st, st.labelsDir, withPb(st13LabelsSchema))
+      .filter(col("pb").isin(endpointPbs: _*))
+      .select("doc_id", "root")
     val compressed = graft.Caches.materialized(pairs
       .join(labels.select(col("doc_id").as("doc_a"),
         col("root").as("ra")), Seq("doc_a"), "left")
@@ -934,24 +1073,96 @@ object Streams {
       .join(labels, Seq("doc_id"), "left_anti")
       .groupBy("doc_id")
       .agg(least(min(col("r")), min(col("doc_id"))).as("root")))
-    // all reads above are materialized — appends are now safe
+    // all reads above are materialized — appends are now safe.
+    // Partitioned appends repartition by pb first so each batch lands
+    // ≤ one file per touched bucket, not one per shuffle task ×
+    // bucket (the batch-side Exchange is arrivals-sized).
+    def appendPartitioned(df: DataFrame, dir: String): Unit =
+      df.withColumn("pb", st13Pb(nB)(col("doc_id")))
+        .repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(dir)
     compressed.select(col("x"), col("y"))
       .filter(col("x") =!= col("y")).distinct()
       .write.mode("append").parquet(st.edgesDir)
-    newLabels.write.mode("append").parquet(st.labelsDir)
-    bands.write.mode("append").parquet(st.bandsDir)
-    sigs.select("doc_id", "sh").write.mode("append").parquet(st.shDir)
+    appendPartitioned(newLabels, st.labelsDir)
+    bands.repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(st.bandsDir)
+    appendPartitioned(sigs.select("doc_id", "sh"), st.shDir)
     // storage bounded by ONE batch's working set, not the batch
     // count (d6's per-iteration drop contract): this batch's
     // caches are dead once its appends land
-    Seq(compressed, newLabels, pairs, bands, sigs)
+    Seq(compressed, newLabels, pairs, cand, bands, sigs)
       .foreach(graft.Caches.drop)
+    // per-batch appends accumulate small files; past the file-count
+    // budget the state is rewritten in place (io5's compaction
+    // pattern applied to state)
+    st13MaybeCompactState(st)
+  }
+
+  /** The registry probe frame a maintenance step scans: the bands
+    * table bucket-pruned to `pbs`. Factored out so the plan-lock spec
+    * can assert the pruning (PartitionFilters on pb, no full-registry
+    * scan) on exactly the frame the step uses.
+    */
+  private[graft] def st13BandProbe(st: St13State,
+      pbs: Seq[Int]): DataFrame =
+    st13Read(st, st.bandsDir, withPb(st13BandsSchema))
+      .filter(col("pb").isin(pbs: _*))
+
+  /** Per-dir parquet file counts — the compaction trigger's input and
+    * the spec's witness that compaction actually shrank the state.
+    */
+  private[graft] def st13StateFileCounts(st: St13State): Map[String, Int] =
+    Seq("bands" -> st.bandsDir, "sh" -> st.shDir,
+      "labels" -> st.labelsDir, "edges" -> st.edgesDir)
+      .map { case (k, d) =>
+        k -> graft.sources.Io.parquetFilesRec(d).length
+      }.toMap
+
+  private def st13MaybeCompactState(st: St13State): Unit =
+    if (st13StateFileCounts(st).values.max > st.compactAboveFiles)
+      st13CompactState(st)
+
+  /** STATE COMPACTION — io5's small-file rewrite applied to the
+    * st13 state tables: each dir is read whole, rewritten with ~one
+    * file per partition bucket (flat edges: ⌈bytes/target⌉ files via
+    * io5's own sizing), and atomically swapped in. Results are
+    * byte-identical by construction (a pure rewrite); the spec
+    * asserts file counts drop while step/compact outputs stay equal.
+    */
+  private[graft] def st13CompactState(st: St13State,
+      targetBytes: Long = 8L << 20): Unit = {
+    def swap(dir: String, tmp: String): Unit = {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir))
+      ()
+    }
+    Seq(st.bandsDir -> st13BandsSchema, st.shDir -> st13ShSchema,
+      st.labelsDir -> st13LabelsSchema).foreach { case (dir, schema) =>
+      if (st13HasData(dir)) {
+        val tmp = s"$dir.compacting"
+        st13Read(st, dir, withPb(schema))
+          .repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+        swap(dir, tmp)
+      }
+    }
+    if (st13HasData(st.edgesDir)) {
+      val tmp = s"${st.edgesDir}.compacting"
+      st13Read(st, st.edgesDir, st13EdgesSchema)
+        .coalesce(graft.sources.Io.compactionFileCount(
+          st.edgesDir, targetBytes))
+        .write.mode("overwrite").parquet(tmp)
+      swap(st.edgesDir, tmp)
+    }
   }
 
   /** Compaction: pointer-jump CC over the compressed edge log ONLY. */
   private[graft] def st13Compact(st: St13State): DataFrame =
-    graft.operators.Dedup.ccGroups(st.spark.read.parquet(st.edgesDir)
-      .select(col("x").as("doc_a"), col("y").as("doc_b")))
+    graft.operators.Dedup.ccGroups(
+      st13Read(st, st.edgesDir, st13EdgesSchema)
+        .select(col("x").as("doc_a"), col("y").as("doc_b")))
 
   val oracle: Map[String, String] = Map(
     // compressed-edge connectivity equals the full pair evidence's,

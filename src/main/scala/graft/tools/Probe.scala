@@ -163,22 +163,39 @@ object Probe {
           .count())
       // incremental group maintenance driven wave-by-wave (4 id-range
       // waves — arrival order), then one compaction: measures the
-      // whole maintain+compact machinery, output = d6's group rows
+      // whole maintain+compact machinery, output = d6's group rows.
+      // PER-WAVE walls are printed separately: the "arrivals-only
+      // work" claim says wave cost tracks BATCH size, not the
+      // registry's growth wave over wave — a flat wave-1 → wave-4
+      // line is that claim measured directly (the bucket-pruned
+      // state probes are what keep wave N from paying a registry
+      // that is N× wave-1's).
       case "st13" =>
-        def runMaint(docs: org.apache.spark.sql.DataFrame): Long = {
+        def runMaint(tag: String,
+            docs: org.apache.spark.sql.DataFrame): Long = {
           graft.Caches.fresh()
           val st = graft.streaming.Streams.st13State(spark, docs.limit(0))
           val mm = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
           val (lo, hi) = (mm.getLong(0), mm.getLong(1))
           val width = (hi - lo) / 4 + 1
-          (0 until 4).foreach { w =>
+          val waves = (0 until 4).map { w =>
+            val t = System.nanoTime
             graft.streaming.Streams.st13MaintainStep(st,
               docs.filter(col("doc_id") >= lo + w * width &&
                 col("doc_id") < lo + (w + 1) * width), 0.5)
+            (System.nanoTime - t) / 1e9
           }
-          graft.streaming.Streams.st13Compact(st).count()
+          val tC = System.nanoTime
+          val n = graft.streaming.Streams.st13Compact(st).count()
+          val sC = (System.nanoTime - tC) / 1e9
+          println(f"PROBE st13 [$tag] per-wave s: " +
+            waves.map(s => f"$s%.1f").mkString(" ") +
+            f"; compaction $sC%.1f s (registry grows each wave; " +
+            "arrivals-only cost => flat waves)")
+          n
         }
-        timed("st13", runMaint(docs), runMaint(replicated(copies)))
+        timed("st13", runMaint("base", docs),
+          runMaint(s"${copies}x", replicated(copies)))
       // s4 k-NN join off the shared banded index (fixed 16-bit bands —
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",

@@ -539,4 +539,199 @@ class AnnStreamSpec extends SparkSpec {
     val stream = run("st7_stream_pack").collect().map(key).toMap
     assert(stream.nonEmpty && stream == batch)
   }
+
+  /** Six-doc corpus (2 near-dup families + a bridge + a stale-root
+    * adopter) shared by the st13 state-layout tests below — the same
+    * designed pair structure as the stale-root test above.
+    */
+  private def st13Corpus = {
+    val a = (0 to 9).map(i => s"p6547a$i")
+    val b = (0 to 11).map(i => s"p6547b$i")
+    Map(
+      1L  -> a.mkString(" "),
+      2L  -> (a :+ "p6547ax").mkString(" "),
+      5L  -> b.mkString(" "),
+      6L  -> (b :+ "p6547bx").mkString(" "),
+      10L -> (a.take(9) ++ b.take(9)).mkString(" "),
+      20L -> (b ++ Seq("p6547f0", "p6547f1")).mkString(" "))
+  }
+
+  test("st13 step plans scan the state registries PRUNED: PartitionFilters on pb, no Exchange over a registry scan") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val corpus = st13Corpus
+    def frame(ids: Long*) =
+      ids.map(i => i -> corpus(i)).toDF("doc_id", "text")
+    // compaction off for this test: its pb repartition is the one
+    // legitimate raw state shuffle, and it is out-of-band (not the
+    // per-batch probe path this lock is about)
+    val st = graft.streaming.Streams.st13State(spark,
+      frame().limit(0), compactAboveFiles = 10000)
+    // capture every query execution the steps run — the lock is on
+    // the ACTUAL step plans, not a reconstruction
+    val captured =
+      new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.streaming.Streams.st13MaintainStep(st, frame(1L, 2L, 5L, 6L), 0.35)
+      graft.streaming.Streams.st13MaintainStep(st, frame(10L), 0.35)
+      graft.streaming.Streams.st13MaintainStep(st, frame(20L), 0.35)
+      // listener delivery is async — wait for the plans to land
+      val deadline = System.nanoTime + 30e9.toLong
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case r: ReusedExchangeExec    => Seq(r.child)
+          // cached frames hide their build plan (where the state
+          // scans live) behind the in-memory leaf — descend into it
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            Seq(m.relation.cachedPlan)
+          case other                    => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      def stateScans(of: String) = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.toSeq.flatMap(flatten).collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(of)) => f
+        }
+      }
+      while (stateScans(st.bandsDir).isEmpty &&
+          System.nanoTime < deadline) Thread.sleep(100)
+      // wave 2/3 probes scanned the bands registry (wave 1 sees an
+      // empty dir and short-circuits to an empty frame)
+      val bandScans = stateScans(st.bandsDir)
+      assert(bandScans.nonEmpty, "no bands-registry scan captured")
+      // every registry scan is partition-pruned on pb — the scan
+      // carries partition filters, never a full-registry read
+      (bandScans ++ stateScans(st.labelsDir) ++ stateScans(st.shDir))
+        .foreach { s =>
+          assert(s.partitionFilters.nonEmpty,
+            s"unpruned state scan: ${s.simpleString(200)}")
+          assert(s.partitionFilters.mkString(",").contains("pb"),
+            s.partitionFilters.mkString(","))
+        }
+      // and registry ROWS are never shuffled raw: no Exchange whose
+      // input (through unary operators — project/filter/codegen) is a
+      // state scan. Shuffles of derived frames (the candidate-pair
+      // distinct, output-sized) are fine; moving the corpus-sized
+      // side is not.
+      def scanUnderUnary(p: SparkPlan): Option[FileSourceScanExec] =
+        p match {
+          case f: FileSourceScanExec => Some(f)
+          case q: QueryStageExec     => scanUnderUnary(q.plan)
+          case a: AdaptiveSparkPlanExec => scanUnderUnary(a.executedPlan)
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            scanUnderUnary(m.relation.cachedPlan)
+          case u if u.children.size == 1 => scanUnderUnary(u.children.head)
+          case _ => None
+        }
+      def isStateScan(f: FileSourceScanExec) =
+        f.relation.location.rootPaths.exists(p =>
+          p.toString.contains(st.bandsDir) ||
+            p.toString.contains(st.labelsDir) ||
+            p.toString.contains(st.shDir))
+      import scala.jdk.CollectionConverters._
+      val offending = captured.asScala.toSeq.flatMap(flatten).collect {
+        case e: ShuffleExchangeExec
+          if scanUnderUnary(e.child).exists(isStateScan) => e
+      }
+      assert(offending.isEmpty,
+        s"registry rows shuffled raw: ${offending.headOption}")
+    } finally spark.listenerManager.unregister(listener)
+    // and the layout change didn't move the answer: compaction still
+    // equals batch CC over the same corpus
+    val got = graft.streaming.Streams.st13Compact(st).collect()
+    val all = frame(corpus.keys.toSeq.sorted: _*)
+    val want = graft.operators.Dedup.dedupGroupsFrom(all, 0.35).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("st4 sink compaction: committed files rewritten past the budget, pairs unchanged") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val ab = (0 to 9).map(i => s"c9w$i").mkString(" ")
+    // 24 docs, one file each (maxFilesPerTrigger=1 → 24 micro-batches,
+    // ~one sink file per batch): odds identical, evens one token off —
+    // every batch after the first emits pairs
+    val docs = (1L to 24L).map(i =>
+      (i, if (i % 2 == 0) ab + s" x$i" else ab)).toDF("doc_id", "text")
+    val root = graft.Staging.scratch("st4compact_spec")
+    docs.repartition(24).write.parquet(s"$root/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    val q = graft.streaming.Streams
+      .incrementalMinhashDedup(stream, "doc_id", "text", 0.5).toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val before = graft.sources.Io.parquetFiles(s"$root/out").length
+    val rowsBefore = spark.read.parquet(s"$root/out").distinct()
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(rowsBefore.nonEmpty)
+    assert(before > 16, s"expected ~one sink file per batch, got $before")
+    graft.streaming.Streams.compactFileSink(spark, s"$root/out")
+    val after = graft.sources.Io.parquetFiles(s"$root/out").length
+    assert(after < before, s"before=$before after=$after")
+    // compaction moved every committed row faithfully
+    val rowsAfter = spark.read.parquet(s"$root/out").distinct()
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(rowsAfter == rowsBefore)
+    // under the budget the trigger is a no-op
+    graft.streaming.Streams.compactFileSink(spark, s"$root/out")
+    assert(graft.sources.Io.parquetFiles(s"$root/out").length == after)
+  }
+
+  test("st13 state compaction: file counts drop past the budget, groups unchanged") {
+    import SparkSpec.spark.implicits._
+    val corpus = st13Corpus
+    def frame(ids: Long*) =
+      ids.map(i => i -> corpus(i)).toDF("doc_id", "text")
+    def drive(st: graft.streaming.Streams.St13State): Unit =
+      corpus.keys.toSeq.sorted.foreach { id =>
+        graft.streaming.Streams.st13MaintainStep(st, frame(id), 0.35)
+      }
+    // control: budget high enough that the trigger never fires —
+    // one-doc waves accumulate files per dir
+    val loose = graft.streaming.Streams.st13State(spark, frame().limit(0),
+      compactAboveFiles = 10000)
+    drive(loose)
+    val looseCounts = graft.streaming.Streams.st13StateFileCounts(loose)
+    // trigger path: tiny budget — the step itself compacts
+    val tight = graft.streaming.Streams.st13State(spark, frame().limit(0),
+      compactAboveFiles = 4)
+    drive(tight)
+    val tightCounts = graft.streaming.Streams.st13StateFileCounts(tight)
+    assert(looseCounts("bands") > 4, looseCounts.toString)
+    assert(tightCounts("bands") < looseCounts("bands"),
+      s"loose=$looseCounts tight=$tightCounts")
+    // compaction is a pure rewrite: both sessions' groups equal batch
+    val want = graft.operators.Dedup
+      .dedupGroupsFrom(frame(corpus.keys.toSeq.sorted: _*), 0.35)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.streaming.Streams.st13Compact(loose)
+      .collect().map(_.toSeq).toSeq == want)
+    assert(graft.streaming.Streams.st13Compact(tight)
+      .collect().map(_.toSeq).toSeq == want)
+    // explicit compaction is idempotent and shrinks-or-holds files
+    graft.streaming.Streams.st13CompactState(tight)
+    val again = graft.streaming.Streams.st13StateFileCounts(tight)
+    assert(again.values.sum <= tightCounts.values.sum)
+    assert(graft.streaming.Streams.st13Compact(tight)
+      .collect().map(_.toSeq).toSeq == want)
+  }
 }

@@ -101,6 +101,25 @@ class GraftApiSpec extends SparkSpec {
     assert(nn.head.getAs[Long]("vec_id") == 1L)
   }
 
+  test("lshConfigFor reproduces SURVEY §5's measured operating points") {
+    import graft.operators.Dedup
+    // moderate regime (threshold 0.45): bits with log n, tables n^ρ
+    // with the MEASURED ρ = 0.575 — the d5n probe table verbatim
+    assert(Dedup.lshConfigFor(2000, 0.45) == ((256, 16, 1)))
+    assert(Dedup.lshConfigFor(20000, 0.45) == ((962, 20, 1)))
+    assert(Dedup.lshConfigFor(60000, 0.45) == ((1809, 21, 1)))
+    assert(Dedup.lshConfigFor(200000, 0.45) == ((3616, 23, 1)))
+    // production near-dup regime (threshold ≥ 0.9): exact collisions
+    // only, tables fixed at the base 256, bits still with log n
+    assert(Dedup.lshConfigFor(2000, 0.95) == ((256, 16, 0)))
+    assert(Dedup.lshConfigFor(200000, 0.95) == ((256, 23, 0)))
+    // sub-reference corpora keep the measured frontier shape
+    assert(Dedup.lshConfigFor(100, 0.45) == ((256, 16, 1)))
+    // the packed-long band key holds at the largest auto point
+    val (nb, bb, _) = Dedup.lshConfigFor(200000, 0.45)
+    assert(bb + (32 - Integer.numberOfLeadingZeros(nb - 1)) <= 63)
+  }
+
   test("saltedJoin equals the plain join on an ad-hoc skewed frame") {
     // 200 facts all on ONE hot key + a few cold ones
     val facts = ((1 to 200).map(i => (i.toLong, 7L)) ++
@@ -199,6 +218,29 @@ class GraftApiSpec extends SparkSpec {
     assert(rows(1).getAs[String]("merged") == "abab")
   }
 
+  test("bpe local fast path = distributed loop bit-for-bit (nMerges=8, richer corpus)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox and the quick red fox"),
+      (3L, "lazy dogs and quick foxes quarrel over bones"),
+      (4L, "abab abab cd the fox")).toDF("id", "body")
+    val words = docs
+      .select(explode(graft.functions.Text.tokenize(col("body"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val dist = graft.operators.Search.bpeMergeSeqDistributed(words, 8)
+    val local = graft.operators.Search.bpeMergeSeqLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), 8)
+    assert(dist.nonEmpty && local == dist)
+    // and the public facade (which picks the local path here — the
+    // dict is measured far under the Guards budget) returns the same
+    // table
+    val facade = Graft.bpeTrain(docs, "body", nMerges = 8).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_n"))).toSeq
+    assert(facade == dist)
+  }
+
   test("groupMaintenance session: incremental steps equal one-shot dedupGroups") {
     val ab = "one two three four five six seven eight nine ten"
     val docs = Seq(
@@ -214,6 +256,40 @@ class GraftApiSpec extends SparkSpec {
     val batch = Graft.dedupGroups(all, "id", "body", sorted = true)
       .collect().map(_.toSeq)
     assert(inc.nonEmpty && inc.toSeq == batch.toSeq)
+  }
+
+  test("groupMaintenance over a durable state root: stop, reopen, continue = one continuous session") {
+    val ab = "one two three four five six seven eight nine ten"
+    val cd = "red green blue yellow purple orange pink brown gray black"
+    val docs = Seq(
+      1L -> ab, 2L -> (ab + " eleven"),          // near-dup pair, wave 1+2
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> cd, 5L -> (cd + " white"))           // near-dup pair, wave 2+3
+    val all = docs.toDF("id", "body")
+    val root = graft.Staging.scratch("gm_root_spec")
+    // session A: waves 1-2, then the session object goes away
+    val a = Graft.groupMaintenance(SparkSpec.spark,
+      stateRoot = Some(root))
+    a.step(Seq(docs(0), docs(2)).toDF("id", "body"), "id", "body")
+    a.step(Seq(docs(1), docs(3)).toDF("id", "body"), "id", "body")
+    // session B RESUMES the same root: wave 3, then compact
+    val b = Graft.groupMaintenance(SparkSpec.spark,
+      stateRoot = Some(root))
+    b.step(Seq(docs(4)).toDF("id", "body"), "id", "body")
+    val resumed = b.compact().collect().map(_.toSeq)
+    // one continuous session over a fresh root, same waves
+    val c = Graft.groupMaintenance(SparkSpec.spark)
+    c.step(Seq(docs(0), docs(2)).toDF("id", "body"), "id", "body")
+    c.step(Seq(docs(1), docs(3)).toDF("id", "body"), "id", "body")
+    c.step(Seq(docs(4)).toDF("id", "body"), "id", "body")
+    val continuous = c.compact().collect().map(_.toSeq)
+    assert(resumed.nonEmpty && resumed.toSeq == continuous.toSeq)
+    // and both equal the batch operator over the full corpus
+    val batch = Graft.dedupGroups(all, "id", "body", sorted = true)
+      .collect().map(_.toSeq)
+    assert(resumed.toSeq == batch.toSeq)
+    // both dup pairs really span a session/wave boundary
+    assert(batch.length == 4)
   }
 
   test("bpeEncode applies trained merges: frequent word fuses to one subword") {
