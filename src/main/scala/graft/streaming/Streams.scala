@@ -979,8 +979,17 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession,
       emptyDocs: DataFrame,
       root: Option[String] = None,
-      nBuckets: Int = 64,
-      compactAboveFiles: Int = 64): St13State =
+      // every append pays ~one parquet file CREATION per touched
+      // bucket (tens of ms each — measured dominant at small scale),
+      // so the bucket count is a dial between append cost and probe
+      // pruning granularity: 16 here; a cluster deployment sizes it
+      // with the corpus (buckets ~ corpus/bucket-target-bytes)
+      nBuckets: Int = 16,
+      // a batch appends ≤ nBuckets files per table, so the budget
+      // must sit WELL above nBuckets or the rewrite fires every
+      // batch and the full-state rewrite stops being amortized
+      // (one rewrite per ~8 batches at one file per bucket per batch)
+      compactAboveFiles: Int = 128): St13State =
     St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
       nBuckets, compactAboveFiles)
 
@@ -1076,18 +1085,29 @@ object Streams {
     // all reads above are materialized — appends are now safe.
     // Partitioned appends repartition by pb first so each batch lands
     // ≤ one file per touched bucket, not one per shuffle task ×
-    // bucket (the batch-side Exchange is arrivals-sized).
+    // bucket (the batch-side Exchange is arrivals-sized). The four
+    // appends are INDEPENDENT (distinct dirs, all inputs pinned), so
+    // they run as concurrent jobs: per-append cost is dominated by
+    // per-file creation latency, which overlaps across tables.
     def appendPartitioned(df: DataFrame, dir: String): Unit =
       df.withColumn("pb", st13Pb(nB)(col("doc_id")))
         .repartition(col("pb"))
         .write.mode("append").partitionBy("pb").parquet(dir)
-    compressed.select(col("x"), col("y"))
-      .filter(col("x") =!= col("y")).distinct()
-      .write.mode("append").parquet(st.edgesDir)
-    appendPartitioned(newLabels, st.labelsDir)
-    bands.repartition(col("pb"))
-      .write.mode("append").partitionBy("pb").parquet(st.bandsDir)
-    appendPartitioned(sigs.select("doc_id", "sh"), st.shDir)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        // batch-sized and read only whole (at compaction): one file
+        // per batch, not one per shuffle task
+        Future(compressed.select(col("x"), col("y"))
+          .filter(col("x") =!= col("y")).distinct().coalesce(1)
+          .write.mode("append").parquet(st.edgesDir)),
+        Future(appendPartitioned(newLabels, st.labelsDir)),
+        Future(bands.repartition(col("pb"))
+          .write.mode("append").partitionBy("pb").parquet(st.bandsDir)),
+        Future(appendPartitioned(sigs.select("doc_id", "sh"), st.shDir)))),
+        scala.concurrent.duration.Duration.Inf)
+    }
     // storage bounded by ONE batch's working set, not the batch
     // count (d6's per-iteration drop contract): this batch's
     // caches are dead once its appends land
