@@ -19,7 +19,12 @@ object Bench {
       }
     spark.catalog.clearCache()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names to time (iteration aid);
+    // no args = the full suite, which is what the driver runs
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
