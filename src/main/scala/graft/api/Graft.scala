@@ -155,11 +155,18 @@ object Graft {
     * weights tables are each consumed by several joins, and an
     * uncached plan re-runs the tokenize+explode scan per consumer —
     * measured ~4× the cached cost.
+    *
+    * `tfIn` lets a deployment serve from a pre-built index table (a
+    * (doc_id, term, tf) frame — e.g. Search.tfStaged's corpus-keyed
+    * parquet, or the bucketed warehouse tables) instead of
+    * re-tokenizing `docs` per query; scoring is identical by
+    * construction.
     */
   def search(docs: DataFrame, idCol: String, textCol: String,
-      query: String, k: Int = 5): DataFrame = {
+      query: String, k: Int = 5,
+      tfIn: Option[DataFrame] = None): DataFrame = {
     graft.Caches.fresh()
-    val tf = graft.Caches.cached(termFreq(docs, idCol, textCol))
+    val tf = tfIn.getOrElse(graft.Caches.cached(termFreq(docs, idCol, textCol)))
     val w = graft.Caches.materialized(tfIdfWeights(tf, idfOf(docs, tf)))
     scoreTfIdf(w, tokenizeQuery(query), k)
   }

@@ -117,6 +117,19 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("serving queries use the corpus-keyed staged TF index; staged " +
+      "rows equal a direct compute") {
+    run("r7_tfidf_search").collect()
+    val key = s"$sf:tfidx"
+    assert(graft.Staging.lookup(key).isDefined)
+    val t = graft.Tables(spark, sf)
+    val staged = graft.operators.Search.tfStaged(t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val direct = graft.operators.Search.termFreq(t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(staged.sorted.sameElements(direct.sorted))
+  }
+
   test("r13: raw-string query reproduces r7's term-list ranking exactly") {
     val viaString = run("r13_search_query_string").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
