@@ -17,16 +17,12 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its µs TimestampType. Read nanos as long (legacy conf) and
-    * truncate to µs — the same truncation DuckDB applies, so oracle
-    * comparisons see identical instants.
+  /** events.ts normalized to session-tz TimestampType whatever the
+    * file encodes — see [[Tables.normalizeTs]].
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    Tables.normalizeTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -34,4 +30,29 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an `events`-shaped frame's `ts` to session-tz
+    * TimestampType at µs precision, whatever the parquet file
+    * encodes. Generators have shipped three encodings so far:
+    * TIMESTAMP(NANOS) (surfaces as epoch-nanos LONG under the
+    * `nanosAsLong` legacy conf — truncate to µs, the same truncation
+    * DuckDB applies), TIMESTAMP(MICROS) without timezone (surfaces as
+    * TIMESTAMP_NTZ — reinterpret in the UTC session zone, which
+    * preserves the instant bit-for-bit), or an already-zoned
+    * TIMESTAMP (passes through). Oracle comparisons see identical
+    * instants in all three cases.
+    */
+  private[graft] def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(col).dataType match {
+      case LongType =>
+        df.withColumn(col, timestamp_micros(expr(s"$col div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(col, expr(s"cast($col as timestamp)"))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported $col type for events table: $other")
+    }
+  }
 }

@@ -49,11 +49,12 @@ object Streams {
 
   private val ctr = new AtomicInteger(0)
 
-  /** Streaming read of events.parquet with the same nanos→µs
-    * truncation as `Tables.events`, delivered as TWO time-ordered
-    * micro-batches (`maxFilesPerTrigger=1` over a time-split staging
-    * of the source file) so stateful operators genuinely carry state
-    * across batches. A production deployment streams a real landing
+  /** Streaming read of events.parquet with the same ts normalization
+    * as `Tables.events` (schema-adaptive — see `Tables.normalizeTs`),
+    * delivered as TWO time-ordered micro-batches
+    * (`maxFilesPerTrigger=1` over a time-split staging of the source
+    * file) so stateful operators genuinely carry state across
+    * batches. A production deployment streams a real landing
     * directory and none of the staging exists.
     */
   private def eventStream(t: Tables): DataFrame = {
@@ -61,10 +62,10 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"${t.dir}/events.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stagedDir(t, path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir(t, path)))
   }
 
   /** The file stream source requires a DIRECTORY of files; the test
@@ -80,15 +81,27 @@ object Streams {
       val spark = t.spark
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
       val all = spark.read.parquet(f)
-      val Array(mid) = all.stat.approxQuantile(splitCol, Array(0.5), 0.0)
-      val halves = Seq(col(splitCol) <= mid, col(splitCol) > mid)
+      // approxQuantile only takes numeric columns; split timestamps
+      // on their epoch-µs image (order-isomorphic, so the halves are
+      // the same rows either way)
+      val splitKey = all.schema(splitCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(splitCol).cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => col(splitCol)
+      }
+      val keyed = all.withColumn("__graft_split", splitKey)
+      val Array(mid) =
+        keyed.stat.approxQuantile("__graft_split", Array(0.5), 0.0)
+      val halves = Seq(col("__graft_split") <= mid, col("__graft_split") > mid)
       halves.zipWithIndex.foreach { case (cond, i) =>
         // write outside the stream dir (subdirs there would be taken
         // for partition columns), move the data file in, and pin
         // modification times so the source replays batch 0 first
         val out = java.nio.file.Files.createTempDirectory("graft_stage_out_")
-        all.filter(cond).coalesce(1).write.mode("overwrite")
-          .parquet(out.toString)
+        keyed.filter(cond).drop("__graft_split").coalesce(1)
+          .write.mode("overwrite").parquet(out.toString)
         val part = java.nio.file.Files.list(out).iterator()
         var moved = false
         while (part.hasNext) {

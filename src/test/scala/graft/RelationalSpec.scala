@@ -262,4 +262,31 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("events ts normalization: all generator encodings land on the " +
+      "same TimestampType instants") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables(spark, sf).events
+    assert(ev.schema("ts").dataType == TimestampType)
+    // whatever the file encodes, normalization must preserve the
+    // instant: against a long-encoded file (legacy nanos) compare
+    // epoch-µs numerically; against a timestamp-encoded file compare
+    // the zone-less wall-clock string (the session zone is UTC, so
+    // instant-preservation == string equality; DuckDB renders the
+    // same strings for the oracle)
+    val rawDf = spark.read.parquet(s"$sf/events.parquet")
+    val raw = (rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawDf.select(col("event_id"), expr("cast(ts div 1000 as string)"))
+      case _ => rawDf.select(col("event_id"), expr("cast(ts as string)"))
+    }).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val normalized = (rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.select(col("event_id"), unix_micros(col("ts")).cast("string"))
+      case _ => ev.select(col("event_id"), col("ts").cast("string"))
+    }).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(normalized.nonEmpty)
+    normalized.foreach { case (id, s) => assert(raw(id) == s) }
+  }
 }
