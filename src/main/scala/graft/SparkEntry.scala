@@ -118,7 +118,8 @@ object SparkEntry {
     "st8_stream_line_dedup" -> q(graft.streaming.Streams.st8StreamLineDedup(_)),
     "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_)),
     "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink),
-    "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_))
+    "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_)),
+    "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

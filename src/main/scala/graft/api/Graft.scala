@@ -558,6 +558,35 @@ object Graft {
       stateRoot: Option[String] = None): GroupMaintenance =
     new GroupMaintenance(spark, threshold, stateRoot)
 
+  /** INCREMENTAL SEARCH-INDEX session (st14 as a library surface —
+    * the maintained twin of the build-once staged index `search`
+    * serves from): feed arriving (id, text) batches with `step`;
+    * query the maintained index with `search` — batch BM25 scoring
+    * ([[searchBm25]] semantics) with every read bucket-pruned to the
+    * query's terms and candidate docs. Same `stateRoot` contract as
+    * [[groupMaintenance]]: durable root = a later session resumes;
+    * no root = JVM scratch.
+    */
+  final class IndexMaintenance private[api] (
+      spark: org.apache.spark.sql.SparkSession,
+      stateRoot: Option[String]) {
+    private val st = graft.streaming.Streams.st14State(spark, stateRoot)
+    /** Ingest one batch of arriving documents into the index. */
+    def step(df: DataFrame, idCol: String, textCol: String): Unit =
+      graft.streaming.Streams.st14MaintainStep(st,
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    /** BM25 top-`k` for `query` from the maintained index. */
+    def search(query: String, k: Int = 5): DataFrame =
+      graft.streaming.Streams.st14Serve(st, Graft.tokenizeQuery(query), k)
+  }
+
+  /** Open an incremental search-index session over durable state at
+    * `stateRoot` (resumable) or JVM scratch.
+    */
+  def indexMaintenance(spark: org.apache.spark.sql.SparkSession,
+      stateRoot: Option[String] = None): IndexMaintenance =
+    new IndexMaintenance(spark, stateRoot)
+
   /** SALTED equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic salt in [0, nSalts) from `saltSrc` (any
     * per-row deterministic expression — an id column, a hash of the

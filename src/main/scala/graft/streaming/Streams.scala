@@ -1197,7 +1197,266 @@ object Streams {
       st13Read(st, st.edgesDir, st13EdgesSchema)
         .select(col("x").as("doc_a"), col("y").as("doc_b")))
 
+  // ----------------------------------------------------------------
+  // st14: incremental SEARCH-INDEX maintenance
+  // ----------------------------------------------------------------
+
+  /** st14: INCREMENTAL SEARCH-INDEX MAINTENANCE — the serving-index
+    * twin of st13's group maintenance: documents arrive as a stream
+    * and the search index (the staged-TF contract r7/r8/r9/r13 serve
+    * from) is MAINTAINED, never rebuilt: per micro-batch, arrivals
+    * are tokenized and their postings/doc-length rows appended;
+    * nothing corpus-wide runs per batch. The reference builds its
+    * minsearch index once at startup — at 100 TB with a live corpus
+    * that build is a maintained table, not a scheduled rebuild.
+    *
+    * State = three tables under one root (parquet, never driver
+    * memory): `postings(term, doc_id, tf)` hash-bucket-PARTITIONED by
+    * term (the probe key a QUERY arrives with), `doclen(doc_id, dl)`
+    * partitioned by doc_id (the probe key the candidate lookup uses),
+    * and a flat `stats(nd, len_sum)` log — ONE row per batch, so the
+    * global BM25 stats (N, avgdl) are an O(batch-count) sum, never a
+    * corpus scan.
+    *
+    * Serving ([[st14Serve]]): a query reads ONLY its terms' posting
+    * buckets (partition-PRUNED, spec-locked), discovers the candidate
+    * docs, reads only THOSE docs' doclen buckets (the same
+    * bounded-domain pb collect contract as st13's probes), sums the
+    * stats log, and scores the exact BM25 arithmetic of batch r8 —
+    * df per term is exact because a term's ENTIRE posting list lives
+    * in its one bucket. Disjoint arrivals make maintained state equal
+    * the batch index row-for-row, so r8's oracle applies VERBATIM;
+    * the spec asserts bit-equality with the batch operator.
+    *
+    * Per-batch small files are rewritten past a file-count budget
+    * ([[st14CompactState]] — io5's pattern, st13's trigger).
+    */
+  def st14StreamIndexMaintain(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    graft.Caches.fresh()
+    val state = st14State(spark)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+      .select("doc_id", "text")
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        st14MaintainStep(state, batch.toDF())
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    st14Serve(state, graft.operators.Search.queryTerms, 5)
+  }
+
+  /** st14's state handle: three parquet table paths under one root —
+    * same layout contract as [[St13State]] (pb partition buckets on
+    * each table's probe key; stats is only ever summed whole, so it
+    * stays flat).
+    */
+  private[graft] case class St14State(spark: org.apache.spark.sql
+      .SparkSession, root: String, nBuckets: Int,
+      compactAboveFiles: Int) {
+    val postingsDir: String = s"$root/postings"
+    val doclenDir: String = s"$root/doclen"
+    val statsDir: String = s"$root/stats"
+  }
+
+  private[graft] def st14PostingsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType)))
+  private[graft] def st14DoclenSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType)))
+  private[graft] def st14StatsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nd",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len_sum",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Open (or resume) an st14 state — the same root/resume contract
+    * as [[st13State]]: `None` → JVM scratch with shutdown cleanup,
+    * `Some(path)` → durable state a deployment owns and a later
+    * session resumes.
+    */
+  private[graft] def st14State(
+      spark: org.apache.spark.sql.SparkSession,
+      root: Option[String] = None,
+      nBuckets: Int = 16,
+      compactAboveFiles: Int = 128): St14State =
+    St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
+      nBuckets, compactAboveFiles)
+
+  private def st14Read(spark: org.apache.spark.sql.SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (st13HasData(dir)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  private def st14WithPb(s: org.apache.spark.sql.types.StructType) =
+    s.add("pb", org.apache.spark.sql.types.IntegerType)
+
+  /** ONE maintenance step: tokenize the ARRIVING (doc_id, text) rows
+    * (batch r5's tokenize+explode+groupBy verbatim, so maintained
+    * postings equal the batch TF table row-for-row), append postings
+    * partitioned by term bucket, doc lengths by doc_id bucket, and
+    * ONE (nd, len_sum) stats row. All work is arrivals-sized; the
+    * appends are independent and run concurrently (st13's pattern).
+    */
+  private[graft] def st14MaintainStep(st: St14State,
+      batch: DataFrame): Unit = {
+    val spark = st.spark
+    val nB = st.nBuckets
+    val tf = graft.Caches.materialized(batch
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf")))
+    val dl = graft.Caches.materialized(
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(tf.select("doc_id", "term", "tf")
+          .withColumn("pb", st13Pb(nB)(col("term")))
+          .repartition(col("pb"))
+          .write.mode("append").partitionBy("pb").parquet(st.postingsDir)),
+        Future(dl.select("doc_id", "dl")
+          .withColumn("pb", st13Pb(nB)(col("doc_id")))
+          .repartition(col("pb"))
+          .write.mode("append").partitionBy("pb").parquet(st.doclenDir)),
+        Future(dl.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
+          .coalesce(1)
+          .write.mode("append").parquet(st.statsDir)))),
+        scala.concurrent.duration.Duration.Inf)
+    }
+    Seq(tf, dl).foreach(graft.Caches.drop)
+    st14MaybeCompactState(st)
+  }
+
+  /** The pruned postings frame a query scans — factored out so the
+    * plan-lock spec asserts the pruning on exactly the serving frame.
+    */
+  private[graft] def st14PostingProbe(st: St14State,
+      terms: Seq[String]): DataFrame = {
+    val spark = st.spark
+    import spark.implicits._
+    // bounded-domain pb collect (≤ |terms| ints): the query's term
+    // bucket set, computed with the same Murmur3 the writer compiled
+    val qpbs = terms.toDF("term")
+      .select(st13Pb(st.nBuckets)(col("term")).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    st14Read(spark, st.postingsDir, st14WithPb(st14PostingsSchema))
+      .filter(col("pb").isin(qpbs: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+  }
+
+  /** BM25 serving from the maintained state — batch r8's arithmetic
+    * (k1=1.2, b=0.75, round(·,4), (score desc, doc_id) top-k) with
+    * every read bucket-pruned: postings to the query terms' buckets,
+    * doclen to the candidate docs' buckets, stats summed whole (an
+    * O(batch-count) log). avgdl = len_sum/nd is exact-integer double
+    * arithmetic, so it equals batch avg(dl) bit-for-bit.
+    */
+  private[graft] def st14Serve(st: St14State, terms: Seq[String],
+      k: Int): DataFrame = {
+    val spark = st.spark
+    val nB = st.nBuckets
+    val k1 = 1.2; val b = 0.75
+    val posts = graft.Caches.materialized(st14PostingProbe(st, terms))
+    // candidate endpoints' doclen buckets — bounded-domain (≤ nB)
+    val candPbs = posts.select(st13Pb(nB)(col("doc_id")).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val dl = st14Read(spark, st.doclenDir, st14WithPb(st14DoclenSchema))
+      .filter(col("pb").isin(candPbs: _*))
+      .select("doc_id", "dl")
+    val stats = st14Read(spark, st.statsDir, st14StatsSchema)
+      .agg(sum("nd").as("nd"), sum("len_sum").as("len_sum"))
+      .withColumn("avgdl", col("len_sum").cast("double") / col("nd"))
+      .select("nd", "avgdl")
+    val idf = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bm",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+    val out = posts
+      .join(idf.select("term", "idf_bm", "avgdl"), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf_bm") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    graft.Caches.drop(posts)
+    out
+  }
+
+  private[graft] def st14StateFileCounts(st: St14State): Map[String, Int] =
+    Seq("postings" -> st.postingsDir, "doclen" -> st.doclenDir,
+      "stats" -> st.statsDir)
+      .map { case (k, d) =>
+        k -> graft.sources.Io.parquetFilesRec(d).length
+      }.toMap
+
+  private def st14MaybeCompactState(st: St14State): Unit =
+    if (st14StateFileCounts(st).values.max > st.compactAboveFiles)
+      st14CompactState(st)
+
+  /** io5's small-file rewrite applied to the st14 state (st13's
+    * compaction, on this state's tables): partitioned tables rewrite
+    * to ~one file per bucket; the flat stats log — whose per-batch
+    * rows must stay a tiny handful of files regardless of batch
+    * count — COLLAPSES to its running total, one row in one file
+    * (sums are associative, so the collapsed log serves identically).
+    */
+  private[graft] def st14CompactState(st: St14State): Unit = {
+    val spark = st.spark
+    def swap(dir: String, tmp: String): Unit = {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir))
+      ()
+    }
+    Seq(st.postingsDir -> st14PostingsSchema,
+      st.doclenDir -> st14DoclenSchema).foreach { case (dir, schema) =>
+      if (st13HasData(dir)) {
+        val tmp = s"$dir.compacting"
+        st14Read(spark, dir, st14WithPb(schema))
+          .repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+        swap(dir, tmp)
+      }
+    }
+    if (st13HasData(st.statsDir)) {
+      val tmp = s"${st.statsDir}.compacting"
+      st14Read(spark, st.statsDir, st14StatsSchema)
+        .agg(sum("nd").as("nd"), sum("len_sum").as("len_sum"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      swap(st.statsDir, tmp)
+    }
+  }
+
   val oracle: Map[String, String] = Map(
+    // disjoint arrivals make the maintained postings/doclen/stats
+    // equal the batch index row-for-row and the serving arithmetic
+    // is batch r8's — r8's oracle verbatim
+    "st14_stream_index_maintain" ->
+      graft.operators.Search.oracle("r8_bm25_search"),
     // compressed-edge connectivity equals the full pair evidence's,
     // so compaction reproduces batch d6's groups — d6's oracle
     // verbatim

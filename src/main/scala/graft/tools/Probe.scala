@@ -196,6 +196,45 @@ object Probe {
         }
         timed("st13", runMaint("base", docs),
           runMaint(s"${copies}x", replicated(copies)))
+      // incremental search-index maintenance: 4 arrival waves, then a
+      // BM25 query served from the maintained state. Per-wave walls
+      // measure the arrivals-only claim (st13's); the SERVING wall
+      // measures the pruned-read claim: the query touches its terms'
+      // buckets (1/nB of an index that grew ×copies — nB is the
+      // deployment dial, sized with the corpus), so serving must grow
+      // far slower than the corpus.
+      case "st14" =>
+        def runIdx(tag: String, d: org.apache.spark.sql.DataFrame,
+            terms: Seq[String]): Long = {
+          graft.Caches.fresh()
+          val st = graft.streaming.Streams.st14State(spark)
+          val mm = d.agg(min("doc_id"), max("doc_id")).collect()(0)
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val width = (hi - lo) / 4 + 1
+          val waves = (0 until 4).map { w =>
+            val t = System.nanoTime
+            graft.streaming.Streams.st14MaintainStep(st,
+              d.filter(col("doc_id") >= lo + w * width &&
+                col("doc_id") < lo + (w + 1) * width))
+            (System.nanoTime - t) / 1e9
+          }
+          val tS = System.nanoTime
+          val hits = graft.streaming.Streams.st14Serve(st, terms, 5)
+            .count()
+          val sS = (System.nanoTime - tS) / 1e9
+          val postings = spark.read.parquet(st.postingsDir).count()
+          println(f"PROBE st14 [$tag] per-wave s: " +
+            waves.map(s => f"$s%.1f").mkString(" ") +
+            f"; serve $sS%.2f s ($hits hits, $postings postings)")
+          postings
+        }
+        // the replicated corpus suffixes every token per copy, so the
+        // query probes copy 0's image of the standard term list —
+        // present at both scales, posting lists the same size
+        timed("st14",
+          runIdx("base", docs, graft.operators.Search.queryTerms),
+          runIdx(s"${copies}x", replicated(copies),
+            graft.operators.Search.queryTerms.map(_ + "x0")))
       // s4 k-NN join off the shared banded index (fixed 16-bit bands —
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",

@@ -734,4 +734,114 @@ class AnnStreamSpec extends SparkSpec {
     assert(graft.streaming.Streams.st13Compact(tight)
       .collect().map(_.toSeq).toSeq == want)
   }
+
+  test("st14 maintained index serves batch r8's BM25 result bit-for-bit") {
+    val got = run("st14_stream_index_maintain").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val want = run("r8_bm25_search").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("st14 maintained postings equal the batch TF table; serving " +
+      "reads are pb-PRUNED") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val spark = SparkSpec.spark
+    val docs = (1L to 12L).map(i =>
+      (i, s"alpha bravo w$i " + ("alpha " * (i % 3).toInt)))
+      .toDF("doc_id", "text")
+    val st = graft.streaming.Streams.st14State(spark,
+      compactAboveFiles = 10000)
+    // three disjoint arrival waves
+    Seq(1L to 4L, 5L to 8L, 9L to 12L).foreach { ids =>
+      graft.streaming.Streams.st14MaintainStep(st,
+        docs.filter(col("doc_id").isin(ids: _*)))
+    }
+    // maintained postings == batch tokenize over the union corpus
+    val maintained = spark.read.parquet(st.postingsDir)
+      .select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val direct = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(maintained.nonEmpty && maintained.sameElements(direct))
+    // the serving probe's postings scan carries pb PartitionFilters —
+    // a query never rescans the full index
+    val probe = graft.streaming.Streams
+      .st14PostingProbe(st, Seq("alpha", "bravo"))
+    probe.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o                        => o.children.flatMap(scans)
+    })
+    val ss = scans(probe.queryExecution.executedPlan)
+    assert(ss.nonEmpty, probe.queryExecution.executedPlan.toString)
+    ss.foreach { s =>
+      assert(s.partitionFilters.nonEmpty &&
+        s.partitionFilters.mkString(",").contains("pb"),
+        s.simpleString(200))
+    }
+    // serving the maintained state equals batch BM25 over the corpus
+    val got = graft.streaming.Streams
+      .st14Serve(st, Seq("alpha", "bravo"), 5)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Search.searchBm25From(
+      docs.select(col("doc_id"),
+          explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      Seq("alpha", "bravo"), 5).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("st14 state compaction: file counts drop past the budget, " +
+      "serving unchanged; a durable root resumes") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val docs = (1L to 16L).map(i =>
+      (i, s"query term$i common words here")).toDF("doc_id", "text")
+    def drive(st: graft.streaming.Streams.St14State): Unit =
+      (1L to 16L).foreach { id =>
+        graft.streaming.Streams.st14MaintainStep(st,
+          docs.filter(col("doc_id") === id))
+      }
+    val loose = graft.streaming.Streams.st14State(spark,
+      compactAboveFiles = 10000)
+    drive(loose)
+    val looseCounts = graft.streaming.Streams.st14StateFileCounts(loose)
+    val tight = graft.streaming.Streams.st14State(spark,
+      compactAboveFiles = 4)
+    drive(tight)
+    val tightCounts = graft.streaming.Streams.st14StateFileCounts(tight)
+    assert(looseCounts("postings") > 4, looseCounts.toString)
+    assert(tightCounts("postings") < looseCounts("postings"),
+      s"loose=$looseCounts tight=$tightCounts")
+    // the stats log collapses to its running total, so it cannot grow
+    // with batch count past a compaction
+    assert(tightCounts("stats") <= 4, tightCounts.toString)
+    val serve = (st: graft.streaming.Streams.St14State) =>
+      graft.streaming.Streams.st14Serve(st, Seq("query", "common"), 5)
+        .collect().map(_.toSeq).toSeq
+    assert(serve(loose).nonEmpty && serve(loose) == serve(tight))
+    // durable root: stop after half the waves, reopen, continue —
+    // equals one continuous session
+    val root = graft.Staging.scratch("st14_resume_spec")
+    val s1 = graft.streaming.Streams.st14State(spark, Some(root))
+    (1L to 8L).foreach { id =>
+      graft.streaming.Streams.st14MaintainStep(s1,
+        docs.filter(col("doc_id") === id))
+    }
+    val s2 = graft.streaming.Streams.st14State(spark, Some(root))
+    (9L to 16L).foreach { id =>
+      graft.streaming.Streams.st14MaintainStep(s2,
+        docs.filter(col("doc_id") === id))
+    }
+    assert(serve(s2) == serve(loose))
+  }
 }

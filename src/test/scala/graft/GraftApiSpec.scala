@@ -482,4 +482,26 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.head.getAs[Long]("bench_id") == 0L)
     assert(hits.head.getAs[Long]("n_shared") >= 4) // shared 5-grams
   }
+
+  test("indexMaintenance session: incremental arrivals serve the " +
+      "batch BM25 ranking; a durable root resumes") {
+    val docs = (1L to 10L).map(i =>
+      (i, s"spark filter doc$i " + ("spark " * (i % 4).toInt)))
+    val all = docs.toDF("id", "body")
+    val im = Graft.indexMaintenance(SparkSpec.spark)
+    im.step(docs.take(5).toDF("id", "body"), "id", "body")
+    im.step(docs.drop(5).toDF("id", "body"), "id", "body")
+    val inc = im.search("spark filter", k = 5).collect().map(_.toSeq)
+    val batch = Graft.searchBm25(Graft.termFreq(all, "id", "body"),
+      Graft.tokenizeQuery("spark filter"), k = 5).collect().map(_.toSeq)
+    assert(inc.nonEmpty && inc.toSeq == batch.toSeq)
+    // durable root: waves split across two sessions = one session
+    val root = graft.Staging.scratch("im_root_spec")
+    val a = Graft.indexMaintenance(SparkSpec.spark, Some(root))
+    a.step(docs.take(5).toDF("id", "body"), "id", "body")
+    val b = Graft.indexMaintenance(SparkSpec.spark, Some(root))
+    b.step(docs.drop(5).toDF("id", "body"), "id", "body")
+    assert(b.search("spark filter", k = 5).collect()
+      .map(_.toSeq).toSeq == inc.toSeq)
+  }
 }
