@@ -119,7 +119,8 @@ object SparkEntry {
     "st9_stream_decontaminate" -> q(graft.streaming.Streams.st9StreamDecontaminate(_)),
     "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink),
     "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_)),
-    "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain)
+    "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain),
+    "st15_stream_ann_maintain" -> q(graft.streaming.Streams.st15StreamAnnMaintain(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

@@ -587,6 +587,47 @@ object Graft {
       stateRoot: Option[String] = None): IndexMaintenance =
     new IndexMaintenance(spark, stateRoot)
 
+  /** INCREMENTAL VECTOR-INDEX session (st15 as a library surface —
+    * the ANN leg of the maintained-index triad): the coarse IVF
+    * codebook is trained ONCE from `trainVecs` (a corpus snapshot —
+    * the offline model a deployment versions; retraining = a new
+    * session), then arriving (id, vector) batches are assigned by a
+    * compiled projection and appended list-partitioned with `step`;
+    * `search` ranks the codebook with the query vector and
+    * exact-cosine-scans only the `nProbe` nearest lists. Same
+    * `stateRoot` contract as [[groupMaintenance]].
+    */
+  final class AnnIndexMaintenance private[api] (
+      spark: org.apache.spark.sql.SparkSession, trainVecs: DataFrame,
+      idCol: String, vecCol: String, nLists: Int,
+      stateRoot: Option[String]) {
+    private val cb = graft.operators.Ann.trainCodebook(
+      trainVecs.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")), nLists)
+    private val st = graft.streaming.Streams.st15State(spark,
+      stateRoot, nLists)
+    /** Ingest one batch of arriving vectors into the index. */
+    def step(df: DataFrame): Unit =
+      graft.streaming.Streams.st15MaintainStep(st, cb,
+        df.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("v")))
+    /** Exact-cosine top-`k` over the query's `nProbe` nearest lists. */
+    def search(queryVec: Seq[Double], k: Int = 10,
+        nProbe: Int = 2): DataFrame =
+      graft.streaming.Streams.st15Serve(st, cb, queryVec, nProbe, k)
+  }
+
+  /** Open an incremental vector-index session: codebook trained from
+    * `trainVecs` (pinned), state at `stateRoot` (resumable) or JVM
+    * scratch.
+    */
+  def annIndexMaintenance(spark: org.apache.spark.sql.SparkSession,
+      trainVecs: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16,
+      stateRoot: Option[String] = None): AnnIndexMaintenance =
+    new AnnIndexMaintenance(spark, trainVecs, idCol, vecCol, nLists,
+      stateRoot)
+
   /** SALTED equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic salt in [0, nSalts) from `saltSrc` (any
     * per-row deterministic expression — an id column, a hash of the

@@ -1451,7 +1451,167 @@ object Streams {
     }
   }
 
+  // ----------------------------------------------------------------
+  // st15: incremental VECTOR-index (IVF) maintenance
+  // ----------------------------------------------------------------
+
+  /** st15: INCREMENTAL VECTOR-INDEX MAINTENANCE — the ANN leg of the
+    * maintained-index triad (st13 groups, st14 text index, st15
+    * vector index): embeddings arrive as a stream and the IVF index
+    * batch s3 serves from is MAINTAINED, never rebuilt. The coarse
+    * codebook is PINNED — trained offline on the corpus snapshot
+    * (st11's model contract: retraining = a new model version, never
+    * mid-stream), so per-batch work is ONE compiled projection
+    * (CentroidRanks against the codebook constant — no join, no
+    * Exchange) plus a list-partitioned append.
+    *
+    * State = one table: `vectors(vec_id, v)` PARTITIONED by `cid`,
+    * the assigned coarse list — the natural IVF layout (a list IS a
+    * partition). Serving ([[st15Serve]]): the query vector ranks the
+    * codebook (a driver-side model-constant computation, replayed
+    * through the same compiled expression so ranking is bit-identical
+    * to batch), then reads ONLY its `nProbe` nearest lists
+    * (partition-PRUNED, spec-locked) and exact-cosine-ranks them —
+    * batch s3's arithmetic verbatim. Pinned codebook + disjoint
+    * arrivals ⇒ maintained assignments = batch `assignedVecs`
+    * row-for-row ⇒ s3's full k-means-replay oracle applies VERBATIM;
+    * the spec asserts bit-equality with the batch operator.
+    *
+    * Small-file buildup compacts past a file budget (st14's trigger);
+    * the state root is a resume-able parameter.
+    */
+  def st15StreamAnnMaintain(t: Tables, probeId: Long = 0L,
+      nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/embeddings.parquet"
+    val schema = spark.read.parquet(path).schema
+    graft.Caches.fresh()
+    val cb = graft.operators.Ann.assignedVecs(t, nLists)._2
+    val state = st15State(spark, nLists = nLists)
+    val vecs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = vecs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        st15MaintainStep(state, cb, batch.toDF())
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // the probe vector is looked up once (pushed-filter point read of
+    // the source table — the query side owns its vector at serving
+    // time); ranking/scoring run against the maintained state only
+    val pv = spark.read.parquet(path)
+      .filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect()(0).getSeq[Double](0)
+    st15Serve(state, cb, pv, nProbe, k = 10, excludeId = Some(probeId))
+  }
+
+  /** st15's state handle: one list-partitioned parquet table. */
+  private[graft] case class St15State(spark: org.apache.spark.sql
+      .SparkSession, root: String, nLists: Int,
+      compactAboveFiles: Int) {
+    val vectorsDir: String = s"$root/vectors"
+  }
+
+  private[graft] def st15VecSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+
+  private def st15WithCid(s: org.apache.spark.sql.types.StructType) =
+    s.add("cid", org.apache.spark.sql.types.IntegerType)
+
+  /** Open (or resume) an st15 state — st13/st14's root contract. */
+  private[graft] def st15State(
+      spark: org.apache.spark.sql.SparkSession,
+      root: Option[String] = None,
+      nLists: Int = 16,
+      compactAboveFiles: Int = 128): St15State =
+    St15State(spark, root.getOrElse(graft.Staging.scratch("st15")),
+      nLists, compactAboveFiles)
+
+  /** ONE maintenance step: assign the ARRIVING (vec_id, v) rows to
+    * their nearest coarse list — a compiled projection against the
+    * pinned codebook, batch `assignedVecs`'s expression verbatim —
+    * and append list-partitioned. All work is arrivals-sized.
+    */
+  private[graft] def st15MaintainStep(st: St15State,
+      cb: graft.expressions.PlaneMatrix, batch: DataFrame): Unit = {
+    batch
+      .select(col("vec_id"), col("v"),
+        element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+          .as("cid"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(st.vectorsDir)
+    if (graft.sources.Io.parquetFilesRec(st.vectorsDir).length >
+        st.compactAboveFiles)
+      st15CompactState(st)
+  }
+
+  /** The pruned list scan a query reads — factored out for the
+    * plan-lock spec (PartitionFilters on cid).
+    */
+  private[graft] def st15ListProbe(st: St15State,
+      cids: Seq[Int]): DataFrame =
+    st14Read(st.spark, st.vectorsDir, st15WithCid(st15VecSchema))
+      .filter(col("cid").isin(cids: _*))
+
+  /** Exact-cosine top-k over the query's `nProbe` nearest lists —
+    * batch s3's serving arithmetic (round(·,4), (cos desc, vec_id)
+    * top-k) with the list read partition-PRUNED. The query vector
+    * ranks the codebook through the SAME compiled expression the
+    * writer used (a one-row driver-bounded job, ≤ nProbe ints), so
+    * probe-list choice is bit-identical to batch.
+    */
+  private[graft] def st15Serve(st: St15State,
+      cb: graft.expressions.PlaneMatrix, queryVec: Seq[Double],
+      nProbe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val spark = st.spark
+    import spark.implicits._
+    val pvCol = typedLit(queryVec)
+    val probeCids = Seq(Tuple1(queryVec)).toDF("v")
+      .select(explode(slice(
+        graft.functions.Vectors.centroidRanks(col("v"), cb), 1, nProbe))
+        .as("cid"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val scanned = st15ListProbe(st, probeCids)
+    val base = excludeId match {
+      case Some(id) => scanned.filter(col("vec_id") =!= id)
+      case None     => scanned
+    }
+    base
+      .select(col("vec_id"),
+        round(graft.functions.Vectors.cosine(col("v"), pvCol), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** st14's compaction applied to the one list-partitioned table. */
+  private[graft] def st15CompactState(st: St15State): Unit = {
+    if (st13HasData(st.vectorsDir)) {
+      val tmp = s"${st.vectorsDir}.compacting"
+      st14Read(st.spark, st.vectorsDir, st15WithCid(st15VecSchema))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      graft.Staging.deleteTree(java.nio.file.Paths.get(st.vectorsDir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(st.vectorsDir))
+      ()
+    }
+  }
+
   val oracle: Map[String, String] = Map(
+    // pinned codebook + disjoint arrivals make the maintained IVF
+    // assignments equal batch assignedVecs row-for-row and the
+    // serving arithmetic is batch s3's — s3's full k-means-replay
+    // oracle verbatim
+    "st15_stream_ann_maintain" ->
+      graft.operators.Ann.oracle("s3_ann_ivf"),
     // disjoint arrivals make the maintained postings/doclen/stats
     // equal the batch index row-for-row and the serving arithmetic
     // is batch r8's — r8's oracle verbatim

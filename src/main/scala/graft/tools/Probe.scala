@@ -235,6 +235,43 @@ object Probe {
           runIdx("base", docs, graft.operators.Search.queryTerms),
           runIdx(s"${copies}x", replicated(copies),
             graft.operators.Search.queryTerms.map(_ + "x0")))
+      // incremental IVF maintenance: codebook trained offline (its
+      // wall reported separately — the versioned-model contract),
+      // then 4 arrival waves of compiled-projection assignment +
+      // list-partitioned appends, then a served query reading only
+      // its nProbe lists. Serving must stay flat as the index grows.
+      case "st15" =>
+        def runAnn(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val t0 = System.nanoTime
+          val dd = d.cache()
+          val cb = graft.operators.Ann.trainCodebook(
+            dd.select(col("vec_id"), col("embedding").as("v")), 16)
+          val sT = (System.nanoTime - t0) / 1e9
+          val st = graft.streaming.Streams.st15State(spark)
+          val waves = (0 until 4).map { w =>
+            val t = System.nanoTime
+            graft.streaming.Streams.st15MaintainStep(st, cb,
+              dd.filter(col("vec_id") % 4 === w)
+                .select(col("vec_id"), col("embedding").as("v")))
+            (System.nanoTime - t) / 1e9
+          }
+          val qv = dd.filter(col("vec_id") === 0L)
+            .collect()(0).getSeq[Double](1)
+          val tS = System.nanoTime
+          val hits = graft.streaming.Streams
+            .st15Serve(st, cb, qv, 2, 10).count()
+          val sS = (System.nanoTime - tS) / 1e9
+          val n = spark.read.parquet(st.vectorsDir).count()
+          dd.unpersist()
+          println(f"PROBE st15 [$tag] train $sT%.1f s; per-wave s: " +
+            waves.map(s => f"$s%.1f").mkString(" ") +
+            f"; serve $sS%.2f s ($hits hits, $n vectors)")
+          n
+        }
+        timed("st15", runAnn("base", vecsBase),
+          runAnn(s"${copies}x", replicatedVecs(copies)))
       // s4 k-NN join off the shared banded index (fixed 16-bit bands —
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",

@@ -800,6 +800,81 @@ class AnnStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("st15 maintained IVF index serves batch s3's ANN result " +
+      "bit-for-bit") {
+    val got = run("st15_stream_ann_maintain").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val want = run("s3_ann_ivf").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("st15 serving reads only the probe lists (cid-PRUNED); " +
+      "compaction shrinks files, serving unchanged; a root resumes") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val spark = SparkSpec.spark
+    val t = Tables(spark, sf)
+    val cb = graft.operators.Ann.assignedVecs(t, 16)._2
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    def drive(st: graft.streaming.Streams.St15State,
+        waves: Int): Unit =
+      (0 until waves).foreach { w =>
+        graft.streaming.Streams.st15MaintainStep(st, cb,
+          vecs.filter(col("vec_id") % waves === w))
+      }
+    val qv = vecs.filter(col("vec_id") === 7L)
+      .collect()(0).getSeq[Double](1)
+    val serve = (st: graft.streaming.Streams.St15State) =>
+      graft.streaming.Streams.st15Serve(st, cb, qv, 2, 10)
+        .collect().map(_.toSeq).toSeq
+    val loose = graft.streaming.Streams.st15State(spark,
+      compactAboveFiles = 10000)
+    drive(loose, 8)
+    // maintained rows = one per vector, assignments = batch expression
+    assert(spark.read.parquet(loose.vectorsDir).count() == n)
+    // the serving scan carries cid PartitionFilters
+    val probe = graft.streaming.Streams.st15ListProbe(loose, Seq(0, 3))
+    probe.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o                        => o.children.flatMap(scans)
+    })
+    val ss = scans(probe.queryExecution.executedPlan)
+    assert(ss.nonEmpty && ss.forall(s => s.partitionFilters.nonEmpty &&
+      s.partitionFilters.mkString(",").contains("cid")),
+      ss.map(_.simpleString(200)).mkString("\n"))
+    // compaction: tiny budget path ends with fewer files, same result
+    val tight = graft.streaming.Streams.st15State(spark,
+      compactAboveFiles = 4)
+    drive(tight, 8)
+    val looseFiles =
+      graft.sources.Io.parquetFilesRec(loose.vectorsDir).length
+    val tightFiles =
+      graft.sources.Io.parquetFilesRec(tight.vectorsDir).length
+    assert(looseFiles > 4 && tightFiles < looseFiles,
+      s"loose=$looseFiles tight=$tightFiles")
+    assert(serve(loose).nonEmpty && serve(loose) == serve(tight))
+    // durable root: waves split across two state opens = continuous
+    val root = graft.Staging.scratch("st15_resume_spec")
+    val a = graft.streaming.Streams.st15State(spark, Some(root))
+    (0 until 4).foreach { w =>
+      graft.streaming.Streams.st15MaintainStep(a, cb,
+        vecs.filter(col("vec_id") % 8 === w))
+    }
+    val b = graft.streaming.Streams.st15State(spark, Some(root))
+    (4 until 8).foreach { w =>
+      graft.streaming.Streams.st15MaintainStep(b, cb,
+        vecs.filter(col("vec_id") % 8 === w))
+    }
+    assert(serve(b) == serve(loose))
+  }
+
   test("st14 state compaction: file counts drop past the budget, " +
       "serving unchanged; a durable root resumes") {
     import SparkSpec.spark.implicits._

@@ -504,4 +504,27 @@ class GraftApiSpec extends SparkSpec {
     assert(b.search("spark filter", k = 5).collect()
       .map(_.toSeq).toSeq == inc.toSeq)
   }
+
+  test("annIndexMaintenance session: incremental arrivals serve the " +
+      "batch IVF ranking under the pinned codebook") {
+    val spark = SparkSpec.spark
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val im = Graft.annIndexMaintenance(spark, vecs, "vec_id",
+      "embedding")
+    im.step(vecs.filter(col("vec_id") % 2 === 0))
+    im.step(vecs.filter(col("vec_id") % 2 === 1))
+    val qv = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val got = im.search(qv, k = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    // rank-1 under cosine is the query vector itself (cos 1.0)
+    assert(got.length == 10 && got.head._1 == 0L && got.head._2 == 1.0)
+    // and the tail matches batch s3's serving over the same corpus
+    // (s3 excludes the probe row; the facade keeps it — rank 1)
+    val want = graft.operators.Ann.s3AnnIvf(Tables(spark, sf))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(got.tail.sameElements(want.take(9)))
+  }
 }
