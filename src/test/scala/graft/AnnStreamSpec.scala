@@ -875,6 +875,38 @@ class AnnStreamSpec extends SparkSpec {
     assert(serve(b) == serve(loose))
   }
 
+  test("st14 edges: token-less docs and unknown query terms match " +
+      "the batch operator") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    // doc 3 is empty, doc 4 punctuation-only: they produce no
+    // postings and no doclen row, so they must not shift nd/avgdl —
+    // in EITHER engine form
+    val docs = Seq(
+      1L -> "alpha beta alpha", 2L -> "alpha gamma", 3L -> "",
+      4L -> "!!! ???", 5L -> "beta beta beta delta")
+      .toDF("doc_id", "text")
+    val st = graft.streaming.Streams.st14State(spark)
+    docs.collect().zipWithIndex.foreach { case (r, _) =>
+      graft.streaming.Streams.st14MaintainStep(st,
+        Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text"))
+    }
+    // "zeta" appears nowhere: df would be 0 — the term must simply
+    // not contribute, same as the batch join dropping it
+    val terms = Seq("alpha", "beta", "zeta")
+    val got = graft.streaming.Streams.st14Serve(st, terms, 5)
+      .collect().map(_.toSeq).toSeq
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val want = graft.operators.Search.searchBm25From(tf, terms, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // an all-unknown query returns empty, not an error
+    assert(graft.streaming.Streams.st14Serve(st,
+      Seq("nosuchterm"), 5).collect().isEmpty)
+  }
+
   test("st14 state compaction: file counts drop past the budget, " +
       "serving unchanged; a durable root resumes") {
     import SparkSpec.spark.implicits._
