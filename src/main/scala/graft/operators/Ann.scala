@@ -369,7 +369,7 @@ object Ann {
     * so the doubles match bitwise).
     */
   private def pqDists(sv: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map { cw =>
+    array(cents.toIndexedSeq.map { cw =>
       val cc = cw.foldLeft(0.0)((a, x) => a + x * x)
       Vectors.dot(sv, sv) - lit(2.0) * Vectors.dot(sv, typedLit(cw.toSeq)) +
         lit(cc)

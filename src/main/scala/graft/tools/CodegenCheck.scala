@@ -17,7 +17,7 @@ object CodegenCheck {
     println("SUBTREES=" + code.linesIterator.take(2).mkString("|"))
     df.collect().foreach(r => println("ROW " + r))
     // WholeStageCodegen must cover the project (no fallback)
-    println(code.split("== Subtree").length - 1 + " codegen subtrees")
+    println(s"${code.split("== Subtree").length - 1} codegen subtrees")
     spark.stop()
   }
 }

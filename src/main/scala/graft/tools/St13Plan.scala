@@ -59,7 +59,7 @@ object St13Plan {
     Thread.sleep(3000)
     captured.clear()
     graft.streaming.Streams.st13MaintainStep(st,
-      docs.filter(col("doc_id").isin(groupDocs: _*)), 0.5)
+      docs.filter(col("doc_id").isin(groupDocs.toIndexedSeq: _*)), 0.5)
 
     // listener delivery is async
     Thread.sleep(3000)
