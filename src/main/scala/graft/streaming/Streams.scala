@@ -77,7 +77,11 @@ object Streams {
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDir(t: Tables, file: String,
       splitCol: String = "ts"): String =
-    staged.computeIfAbsent(file, { f =>
+    // keyed by (file, splitCol): a second call site staging the same
+    // file on a different column must never silently reuse the other
+    // column's split
+    staged.computeIfAbsent(s"$file#$splitCol", { _ =>
+      val f = file
       val spark = t.spark
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
       val all = spark.read.parquet(f)
@@ -919,12 +923,22 @@ object Streams {
     * GraftApiSpec).
     */
   private[graft] case class St13State(spark: org.apache.spark.sql
-      .SparkSession, root: String, nBuckets: Int,
-      compactAboveFiles: Int) {
+      .SparkSession, root: String, defaultBuckets: Int,
+      compactAboveFiles: Int,
+      targetBucketBytes: Long = stateTargetBucketBytes) {
     val bandsDir: String = s"$root/bands"
     val shDir: String = s"$root/sh"
     val labelsDir: String = s"$root/labels"
     val edgesDir: String = s"$root/edges"
+    /** CURRENT bucket count — starts at `defaultBuckets` (or the
+      * persisted count when resuming a root), re-derived from
+      * measured state bytes at compaction ([[stateBucketsFor]]).
+      * Single-writer contract: probes and the compactor share this
+      * handle, so a re-bucketing is visible to every later read.
+      */
+    private[streaming] val nBucketsRef =
+      new java.util.concurrent.atomic.AtomicInteger(defaultBuckets)
+    def nBuckets: Int = nBucketsRef.get()
   }
 
   /** Hash bucket of a probe key into the bounded [0, nBuckets)
@@ -937,6 +951,104 @@ object Streams {
 
   private def st13HasData(dir: String): Boolean =
     graft.sources.Io.parquetFilesRec(dir).nonEmpty
+
+  // ----------------------------------------------------------------
+  // shared maintained-state LAYOUT machinery (st13 / st14 / st15)
+  // ----------------------------------------------------------------
+
+  /** Default target bytes per state bucket. Bucket count is derived
+    * from MEASURED state bytes (never guessed — the Guards /
+    * lshConfigFor contract), so buckets stay ~constant-sized as the
+    * corpus grows instead of growing linearly under a fixed count.
+    */
+  private[graft] val stateTargetBucketBytes: Long = 64L << 20
+
+  /** AUTO-SIZED bucket count for a maintained state table holding
+    * `stateBytes` of parquet: ⌈bytes/target⌉ rounded UP to a power of
+    * two (so growth is a rare doubling event, not a per-compaction
+    * churn), clamped to [floor, 2^16]. Two regimes at 100 TB:
+    *  - below the 2^16 cap, buckets hold ~targetBucketBytes each and
+    *    a probe's partition-pruned read is constant-sized;
+    *  - past the cap (≳4 TB/table at the 64 MB default) the bucket
+    *    count stops growing — partition-listing stays tractable and
+    *    the [0, nB) pruning-literal collects stay bounded — and the
+    *    WITHIN-bucket sorted rewrite (see the compaction paths) takes
+    *    over: parquet row-group min/max stats on the sort key keep
+    *    the actual read row-group-sized even as buckets grow.
+    */
+  private[graft] def stateBucketsFor(stateBytes: Long,
+      targetBucketBytes: Long = stateTargetBucketBytes,
+      floor: Int = 16): Int = {
+    val want = math.min(1L << 16,
+      math.max(1L, math.ceil(
+        stateBytes.toDouble / targetBucketBytes).toLong)).toInt
+    val pow2 = if (want <= 1) 1 else Integer.highestOneBit(want - 1) << 1
+    math.max(floor, pow2)
+  }
+
+  /** Total parquet bytes under a state dir — a driver-side file
+    * listing (planner-stats read), never a data scan.
+    */
+  private[graft] def stateDirBytes(dir: String): Long =
+    graft.sources.Io.parquetFilesRec(dir)
+      .map(java.nio.file.Files.size(_)).sum
+
+  /** CRASH-SAFE state-table swap: the live dir is moved ASIDE first
+    * (`dir` → `dir.old`), the rewrite moved in, and only then the old
+    * copy deleted — a crash at any point leaves either the old or the
+    * new table recoverable ([[recoverStateDir]] at state open), never
+    * a window where the live dir is missing its data for longer than
+    * two directory renames. (A cluster deployment on object storage
+    * replaces these renames with a transactional pointer flip — the
+    * io7 time-travel commit pattern.)
+    */
+  private[graft] def swapStateDir(dir: String, tmp: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    val old = java.nio.file.Paths.get(s"$dir.old")
+    if (java.nio.file.Files.exists(old)) graft.Staging.deleteTree(old)
+    if (java.nio.file.Files.exists(d)) java.nio.file.Files.move(d, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), d)
+    if (java.nio.file.Files.exists(old)) graft.Staging.deleteTree(old)
+    ()
+  }
+
+  /** Recovery half of [[swapStateDir]], run at state open: a crash
+    * between the two renames leaves `dir.old` holding the only copy —
+    * restore it; a crash after the second rename leaves a stale
+    * `dir.old` beside a complete `dir` — drop it.
+    */
+  private def recoverStateDir(dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    val old = java.nio.file.Paths.get(s"$dir.old")
+    if (java.nio.file.Files.exists(old)) {
+      if (!java.nio.file.Files.exists(d)) java.nio.file.Files.move(old, d)
+      else graft.Staging.deleteTree(old)
+      ()
+    }
+  }
+
+  /** The persisted bucket count for a state root — what makes a
+    * RESUMED session compute the same `pb` the writer did after an
+    * auto-resizing compaction changed it. One int in a flat file
+    * beside the tables (the deployment analogue is a catalog entry).
+    */
+  private def bucketsMetaPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "nbuckets.meta")
+
+  private def loadStateBuckets(root: String): Option[Int] = {
+    val p = bucketsMetaPath(root)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  private[graft] def saveStateBuckets(root: String, n: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(bucketsMetaPath(root),
+      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 
   /** State read with the empty-dir case folded in (no first-batch or
     * first-session special case at call sites).
@@ -1002,9 +1114,21 @@ object Streams {
       // must sit WELL above nBuckets or the rewrite fires every
       // batch and the full-state rewrite stops being amortized
       // (one rewrite per ~8 batches at one file per bucket per batch)
-      compactAboveFiles: Int = 128): St13State =
-    St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
-      nBuckets, compactAboveFiles)
+      compactAboveFiles: Int = 128,
+      targetBucketBytes: Long = stateTargetBucketBytes): St13State = {
+    val st = St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
+      nBuckets, compactAboveFiles, targetBucketBytes)
+    // crash recovery + the persisted bucket count: a RESUMED root must
+    // compute the same pb the writer did, including after an
+    // auto-resizing compaction changed it mid-history
+    Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir)
+      .foreach(recoverStateDir)
+    loadStateBuckets(st.root) match {
+      case Some(n) => st.nBucketsRef.set(n)
+      case None    => saveStateBuckets(st.root, st.nBuckets)
+    }
+    st
+  }
 
   /** ONE maintenance step: probe the registry with a batch of
     * arriving (doc_id, text) rows, verify, log compressed edges,
@@ -1016,8 +1140,21 @@ object Streams {
       threshold: Double): Unit = {
     val spark = st.spark
     val nB = st.nBuckets
+    // AT-LEAST-ONCE REDELIVERY GUARD (st14's contract): arrivals whose
+    // doc_id is already in the shingle registry are re-deliveries (a
+    // foreachBatch retry, a replayed file) — a blind re-process would
+    // duplicate registry rows and self-pair every shingle. The guard
+    // is an anti-join against the shingle table bucket-pruned to the
+    // arrivals' doc_id buckets: arrivals-sized, never a corpus scan.
+    val arrivals = graft.Caches.materialized(batch)
+    val arrPbs = arrivals.select(st13Pb(nB)(col("doc_id")).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val seenDocs = st13Read(st, st.shDir, withPb(st13ShSchema))
+      .filter(col("pb").isin(arrPbs: _*))
+      .select("doc_id")
     val sigs = graft.Caches.materialized(
-      graft.operators.Dedup.minhashDocs(batch))
+      graft.operators.Dedup.minhashDocs(
+        arrivals.join(seenDocs, Seq("doc_id"), "left_anti")))
     val bands = graft.Caches.materialized(
       graft.operators.Dedup.bandSigs(sigs)
         .withColumn("pb", st13Pb(nB)(col("band"), col("sig"))))
@@ -1124,7 +1261,7 @@ object Streams {
     // storage bounded by ONE batch's working set, not the batch
     // count (d6's per-iteration drop contract): this batch's
     // caches are dead once its appends land
-    Seq(compressed, newLabels, pairs, cand, bands, sigs)
+    Seq(compressed, newLabels, pairs, cand, bands, sigs, arrivals)
       .foreach(graft.Caches.drop)
     // per-batch appends accumulate small files; past the file-count
     // budget the state is rewritten in place (io5's compaction
@@ -1157,29 +1294,51 @@ object Streams {
       st13CompactState(st)
 
   /** STATE COMPACTION — io5's small-file rewrite applied to the
-    * st13 state tables: each dir is read whole, rewritten with ~one
-    * file per partition bucket (flat edges: ⌈bytes/target⌉ files via
-    * io5's own sizing), and atomically swapped in. Results are
-    * byte-identical by construction (a pure rewrite); the spec
-    * asserts file counts drop while step/compact outputs stay equal.
+    * st13 state tables, with the LAYOUT work that keeps probes cheap
+    * at corpus scale folded into the rewrite it already pays for:
+    *
+    *  - each partitioned dir rewrites to ~one file per bucket, rows
+    *    SORTED by the table's probe key within the bucket (bands by
+    *    (band, sig), shingles/labels by doc_id) — so a pruned probe's
+    *    `isin` data filter skips parquet row groups by min/max stats
+    *    instead of scanning the whole unsorted bucket;
+    *  - the bucket count is RE-DERIVED from measured state bytes
+    *    ([[stateBucketsFor]] — the lshConfigFor pattern): buckets stay
+    *    ~constant-sized as the corpus grows, re-bucketing exactly when
+    *    the rewrite is already touching every row. All tables rewrite
+    *    to staging FIRST, then swap + persist the new count — the
+    *    mixed-bucket window is two renames per table, not a rewrite
+    *    (flat edges: ⌈bytes/target⌉ files via io5's own sizing).
+    *
+    * Results are byte-identical by construction (a pure rewrite); the
+    * spec asserts file counts drop, within-bucket row-group bounds
+    * are sorted, and step/compact outputs stay equal.
     */
   private[graft] def st13CompactState(st: St13State,
       targetBytes: Long = 8L << 20): Unit = {
-    def swap(dir: String, tmp: String): Unit = {
-      graft.Staging.deleteTree(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(dir))
-      ()
-    }
-    Seq(st.bandsDir -> st13BandsSchema, st.shDir -> st13ShSchema,
-      st.labelsDir -> st13LabelsSchema).foreach { case (dir, schema) =>
+    val nb = stateBucketsFor(
+      Seq(st.bandsDir, st.shDir, st.labelsDir).map(stateDirBytes).max,
+      st.targetBucketBytes, floor = st.defaultBuckets)
+    val rewrites = Seq(
+      (st.bandsDir, st13BandsSchema,
+        Seq(col("band"), col("sig")), Seq("band", "sig")),
+      (st.shDir, st13ShSchema, Seq(col("doc_id")), Seq("doc_id")),
+      (st.labelsDir, st13LabelsSchema, Seq(col("doc_id")), Seq("doc_id"))
+    ).flatMap { case (dir, schema, keyCols, sortCols) =>
       if (st13HasData(dir)) {
         val tmp = s"$dir.compacting"
         st13Read(st, dir, withPb(schema))
+          .drop("pb").withColumn("pb", st13Pb(nb)(keyCols: _*))
           .repartition(col("pb"))
+          .sortWithinPartitions(("pb" +: sortCols).map(col): _*)
           .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-        swap(dir, tmp)
-      }
+        Some(dir -> tmp)
+      } else None
+    }
+    rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
+    if (nb != st.nBuckets) {
+      st.nBucketsRef.set(nb)
+      saveStateBuckets(st.root, nb)
     }
     if (st13HasData(st.edgesDir)) {
       val tmp = s"${st.edgesDir}.compacting"
@@ -1187,7 +1346,7 @@ object Streams {
         .coalesce(graft.sources.Io.compactionFileCount(
           st.edgesDir, targetBytes))
         .write.mode("overwrite").parquet(tmp)
-      swap(st.edgesDir, tmp)
+      swapStateDir(st.edgesDir, tmp)
     }
   }
 
@@ -1256,11 +1415,18 @@ object Streams {
     * stays flat).
     */
   private[graft] case class St14State(spark: org.apache.spark.sql
-      .SparkSession, root: String, nBuckets: Int,
-      compactAboveFiles: Int) {
+      .SparkSession, root: String, defaultBuckets: Int,
+      compactAboveFiles: Int,
+      targetBucketBytes: Long = stateTargetBucketBytes) {
     val postingsDir: String = s"$root/postings"
     val doclenDir: String = s"$root/doclen"
     val statsDir: String = s"$root/stats"
+    /** CURRENT bucket count (st13's contract: persisted, re-derived
+      * from measured bytes at compaction, resumed from the root).
+      */
+    private[streaming] val nBucketsRef =
+      new java.util.concurrent.atomic.AtomicInteger(defaultBuckets)
+    def nBuckets: Int = nBucketsRef.get()
   }
 
   private[graft] def st14PostingsSchema =
@@ -1293,9 +1459,17 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession,
       root: Option[String] = None,
       nBuckets: Int = 16,
-      compactAboveFiles: Int = 128): St14State =
-    St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
-      nBuckets, compactAboveFiles)
+      compactAboveFiles: Int = 128,
+      targetBucketBytes: Long = stateTargetBucketBytes): St14State = {
+    val st = St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
+      nBuckets, compactAboveFiles, targetBucketBytes)
+    Seq(st.postingsDir, st.doclenDir, st.statsDir).foreach(recoverStateDir)
+    loadStateBuckets(st.root) match {
+      case Some(n) => st.nBucketsRef.set(n)
+      case None    => saveStateBuckets(st.root, st.nBuckets)
+    }
+    st
+  }
 
   private def st14Read(spark: org.apache.spark.sql.SparkSession,
       dir: String, schema: org.apache.spark.sql.types.StructType)
@@ -1313,12 +1487,27 @@ object Streams {
     * partitioned by term bucket, doc lengths by doc_id bucket, and
     * ONE (nd, len_sum) stats row. All work is arrivals-sized; the
     * appends are independent and run concurrently (st13's pattern).
+    *
+    * AT-LEAST-ONCE REDELIVERY GUARD: arrivals already in the index
+    * (a foreachBatch retry, a replayed source file) are dropped by an
+    * anti-join against the doclen table — bucket-pruned to the
+    * arrivals' doc_id buckets, so the guard costs an arrivals-sized
+    * pruned read, not a corpus scan. A blind append here would
+    * duplicate postings and double-count nd/len_sum, silently
+    * corrupting df/avgdl.
     */
   private[graft] def st14MaintainStep(st: St14State,
       batch: DataFrame): Unit = {
     val spark = st.spark
     val nB = st.nBuckets
-    val tf = graft.Caches.materialized(batch
+    val arrivals = graft.Caches.materialized(batch)
+    val arrPbs = arrivals.select(st13Pb(nB)(col("doc_id")).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val seen = st14Read(spark, st.doclenDir, st14WithPb(st14DoclenSchema))
+      .filter(col("pb").isin(arrPbs: _*))
+      .select("doc_id")
+    val tf = graft.Caches.materialized(arrivals
+      .join(seen, Seq("doc_id"), "left_anti")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(graft.functions.Text.tokenize(col("text"))).as("term"))
@@ -1343,7 +1532,7 @@ object Streams {
           .write.mode("append").parquet(st.statsDir)))),
         scala.concurrent.duration.Duration.Inf)
     }
-    Seq(tf, dl).foreach(graft.Caches.drop)
+    Seq(arrivals, tf, dl).foreach(graft.Caches.drop)
     st14MaybeCompactState(st)
   }
 
@@ -1377,6 +1566,13 @@ object Streams {
     val spark = st.spark
     val nB = st.nBuckets
     val k1 = 1.2; val b = 0.75
+    // serving opens its own cache scope: the materialized pruned
+    // postings feed the candidate collect AND both consumers of the
+    // returned plan (idf + scoring branches), so the cache must stay
+    // live until the CALLER consumes the result — the next operator's
+    // fresh() releases it (dropping it here would leave the caller's
+    // collect recomputing the pruned scan twice)
+    graft.Caches.fresh()
     val posts = graft.Caches.materialized(st14PostingProbe(st, terms))
     // candidate endpoints' doclen buckets — bounded-domain (≤ nB)
     val candPbs = posts.select(st13Pb(nB)(col("doc_id")).as("pb"))
@@ -1401,7 +1597,6 @@ object Streams {
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-    graft.Caches.drop(posts)
     out
   }
 
@@ -1416,30 +1611,47 @@ object Streams {
     if (st14StateFileCounts(st).values.max > st.compactAboveFiles)
       st14CompactState(st)
 
-  /** io5's small-file rewrite applied to the st14 state (st13's
-    * compaction, on this state's tables): partitioned tables rewrite
-    * to ~one file per bucket; the flat stats log — whose per-batch
-    * rows must stay a tiny handful of files regardless of batch
-    * count — COLLAPSES to its running total, one row in one file
-    * (sums are associative, so the collapsed log serves identically).
+  /** io5's small-file rewrite applied to the st14 state, carrying the
+    * serving-layout work (st13CompactState's contract):
+    *
+    *  - postings rewrite SORTED by (term, doc_id) within each bucket,
+    *    doclen by doc_id — a query term's `isin` read then skips
+    *    parquet row groups by min/max stats, so the serving scan is
+    *    posting-list-sized, not bucket-sized (spec-measured: fewer
+    *    rows read after compaction on a multi-term corpus);
+    *  - the bucket count re-derives from MEASURED postings bytes
+    *    ([[stateBucketsFor]]): buckets hold ~targetBucketBytes each
+    *    as the index grows, re-bucketing inside the rewrite that
+    *    already touches every row, the new count persisted for
+    *    resume;
+    *  - the flat stats log — whose per-batch rows must stay a tiny
+    *    handful of files regardless of batch count — COLLAPSES to its
+    *    running total, one row in one file (sums are associative, so
+    *    the collapsed log serves identically).
     */
   private[graft] def st14CompactState(st: St14State): Unit = {
     val spark = st.spark
-    def swap(dir: String, tmp: String): Unit = {
-      graft.Staging.deleteTree(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(dir))
-      ()
-    }
-    Seq(st.postingsDir -> st14PostingsSchema,
-      st.doclenDir -> st14DoclenSchema).foreach { case (dir, schema) =>
+    val nb = stateBucketsFor(stateDirBytes(st.postingsDir),
+      st.targetBucketBytes, floor = st.defaultBuckets)
+    val rewrites = Seq(
+      (st.postingsDir, st14PostingsSchema,
+        Seq(col("term")), Seq("term", "doc_id")),
+      (st.doclenDir, st14DoclenSchema, Seq(col("doc_id")), Seq("doc_id"))
+    ).flatMap { case (dir, schema, keyCols, sortCols) =>
       if (st13HasData(dir)) {
         val tmp = s"$dir.compacting"
         st14Read(spark, dir, st14WithPb(schema))
+          .drop("pb").withColumn("pb", st13Pb(nb)(keyCols: _*))
           .repartition(col("pb"))
+          .sortWithinPartitions(("pb" +: sortCols).map(col): _*)
           .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-        swap(dir, tmp)
-      }
+        Some(dir -> tmp)
+      } else None
+    }
+    rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
+    if (nb != st.nBuckets) {
+      st.nBucketsRef.set(nb)
+      saveStateBuckets(st.root, nb)
     }
     if (st13HasData(st.statsDir)) {
       val tmp = s"${st.statsDir}.compacting"
@@ -1447,7 +1659,7 @@ object Streams {
         .agg(sum("nd").as("nd"), sum("len_sum").as("len_sum"))
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      swap(st.statsDir, tmp)
+      swapStateDir(st.statsDir, tmp)
     }
   }
 
@@ -1531,23 +1743,38 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession,
       root: Option[String] = None,
       nLists: Int = 16,
-      compactAboveFiles: Int = 128): St15State =
-    St15State(spark, root.getOrElse(graft.Staging.scratch("st15")),
+      compactAboveFiles: Int = 128): St15State = {
+    val st = St15State(spark, root.getOrElse(graft.Staging.scratch("st15")),
       nLists, compactAboveFiles)
+    recoverStateDir(st.vectorsDir)
+    st
+  }
 
   /** ONE maintenance step: assign the ARRIVING (vec_id, v) rows to
     * their nearest coarse list — a compiled projection against the
     * pinned codebook, batch `assignedVecs`'s expression verbatim —
     * and append list-partitioned. All work is arrivals-sized.
+    *
+    * AT-LEAST-ONCE REDELIVERY GUARD (st14's contract): a redelivered
+    * vector lands in the SAME list (the pinned codebook makes
+    * assignment deterministic), so an anti-join against the state
+    * pruned to the batch's assigned lists — arrivals-sized, ≤ nLists
+    * partitions read — drops duplicates a retry would append.
     */
   private[graft] def st15MaintainStep(st: St15State,
       cb: graft.expressions.PlaneMatrix, batch: DataFrame): Unit = {
-    batch
+    val assigned = graft.Caches.materialized(batch
       .select(col("vec_id"), col("v"),
         element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
-          .as("cid"))
+          .as("cid")))
+    val arrCids = assigned.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val seen = st15ListProbe(st, arrCids).select("vec_id")
+    assigned
+      .join(seen, Seq("vec_id"), "left_anti")
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(st.vectorsDir)
+    graft.Caches.drop(assigned)
     if (graft.sources.Io.parquetFilesRec(st.vectorsDir).length >
         st.compactAboveFiles)
       st15CompactState(st)
@@ -1591,17 +1818,17 @@ object Streams {
       .limit(k)
   }
 
-  /** st14's compaction applied to the one list-partitioned table. */
+  /** st14's compaction applied to the one list-partitioned table
+    * (crash-safe swap; a list is already the serving read unit, so no
+    * within-list sort is needed — serving exact-scans whole lists).
+    */
   private[graft] def st15CompactState(st: St15State): Unit = {
     if (st13HasData(st.vectorsDir)) {
       val tmp = s"${st.vectorsDir}.compacting"
       st14Read(st.spark, st.vectorsDir, st15WithCid(st15VecSchema))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-      graft.Staging.deleteTree(java.nio.file.Paths.get(st.vectorsDir))
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(st.vectorsDir))
-      ()
+      swapStateDir(st.vectorsDir, tmp)
     }
   }
 
