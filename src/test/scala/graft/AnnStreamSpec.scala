@@ -733,6 +733,20 @@ class AnnStreamSpec extends SparkSpec {
     assert(again.values.sum <= tightCounts.values.sum)
     assert(graft.streaming.Streams.st13Compact(tight)
       .collect().map(_.toSeq).toSeq == want)
+    // sorted rewrite: every compacted bucket file is internally
+    // ordered by its probe key — bands by (band, sig), shingles and
+    // labels by doc_id — so row-group min/max stats on the key are
+    // monotone and a pruned probe's isin filter skips inside buckets
+    def assertSorted[K: Ordering](dir: String,
+        key: org.apache.spark.sql.Row => K): Unit =
+      graft.sources.Io.parquetFilesRec(dir).foreach { f =>
+        val ks = spark.read.parquet(f.toString).collect().toSeq.map(key)
+        assert(ks == ks.sorted, s"unsorted bucket file $f")
+      }
+    assertSorted(tight.bandsDir,
+      r => (r.getAs[Int]("band"), r.getAs[String]("sig")))
+    assertSorted(tight.shDir, _.getAs[Long]("doc_id"))
+    assertSorted(tight.labelsDir, _.getAs[Long]("doc_id"))
   }
 
   test("st14 maintained index serves batch r8's BM25 result bit-for-bit") {
@@ -950,5 +964,238 @@ class AnnStreamSpec extends SparkSpec {
         docs.filter(col("doc_id") === id))
     }
     assert(serve(s2) == serve(loose))
+  }
+
+  /** A multi-term st14 corpus: `nDocs` docs of `perDoc` distinct terms
+    * each, drawn striding through a `pool`-term vocabulary — every
+    * posting bucket holds many unrelated terms, which is what makes
+    * the sorted-rewrite row-group selectivity measurable.
+    */
+  private def st14WideCorpus(nDocs: Int, perDoc: Int = 50,
+      pool: Int = 2000): org.apache.spark.sql.DataFrame = {
+    import SparkSpec.spark.implicits._
+    (1 to nDocs).map { i =>
+      val terms = (0 until perDoc).map(j => f"t${(i * 37 + j) % pool}%04d")
+      (i.toLong, terms.distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("st14 sorted compaction: a served term's scan reads FEWER rows " +
+      "(row-group pruning) and compacted row-group bounds are ordered") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val docs = st14WideCorpus(800)
+    val st = graft.streaming.Streams.st14State(spark,
+      compactAboveFiles = 100000)
+    (0 until 8).foreach { w =>
+      graft.streaming.Streams.st14MaintainStep(st,
+        docs.filter(col("doc_id") % 8 === w))
+    }
+    val terms = Seq("t0040", "t0060")
+    def measureServe(): (Long, Seq[Seq[Any]]) = {
+      val records = new java.util.concurrent.atomic.AtomicLong(0)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(lst)
+      try {
+        val rows = graft.streaming.Streams.st14Serve(st, terms, 5)
+          .collect().map(_.toSeq).toSeq
+        Thread.sleep(2000) // listener bus drains async
+        (records.get(), rows)
+      } finally spark.sparkContext.removeSparkListener(lst)
+    }
+    val (preRecords, preRows) = measureServe()
+    // compact with small parquet row groups so min/max stats have
+    // several groups to prune between (the production analogue is the
+    // default 128 MB group inside a multi-GB bucket)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    val oldDict = hc.get("parquet.enable.dictionary")
+    try {
+      // dictionary encoding buffers tiny, so block-size checks never
+      // fire on a small corpus — turn it off so the file genuinely
+      // rolls row groups at the forced size
+      hc.setInt("parquet.block.size", 4 * 1024)
+      hc.setInt("parquet.page.size", 1024)
+      hc.setBoolean("parquet.enable.dictionary", false)
+      graft.streaming.Streams.st14CompactState(st)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+      if (oldDict == null) hc.unset("parquet.enable.dictionary")
+      else hc.set("parquet.enable.dictionary", oldDict)
+    }
+    val (postRecords, postRows) = measureServe()
+    assert(postRows.nonEmpty && postRows == preRows)
+    info(s"serve recordsRead: pre-compaction=$preRecords post=$postRecords")
+    assert(postRecords < (preRecords * 6) / 10,
+      s"sorted compaction should cut the serving scan: " +
+        s"pre=$preRecords post=$postRecords")
+    // footer evidence: compacted posting files carry SEVERAL row
+    // groups whose term min/max ranges are ordered and non-overlapping
+    // — exactly what lets the isin data filter skip groups
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val files = graft.sources.Io.parquetFilesRec(st.postingsDir)
+    var multiGroup = 0
+    files.foreach { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), hc))
+      try {
+        val bounds = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == "term").get
+          val s = cc.getStatistics
+          (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8,
+            s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8)
+        }
+        if (bounds.length > 1) multiGroup += 1
+        bounds.sliding(2).foreach {
+          case Seq((_, max1), (min2, _)) =>
+            assert(max1 <= min2,
+              s"row-group term bounds overlap in $f: $bounds")
+          case _ => ()
+        }
+      } finally rd.close()
+    }
+    assert(multiGroup > 0,
+      "expected at least one multi-row-group compacted posting file")
+  }
+
+  test("state bucket auto-sizing: counts pinned at probe scales; " +
+      "st14 re-buckets at compaction and a resumed root keeps the count") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    import graft.streaming.Streams.stateBucketsFor
+    // pinned operating points (64 MB target buckets): floor at small
+    // state, ~bytes/target as powers of two, capped at 2^16 where the
+    // within-bucket sort takes over
+    assert(stateBucketsFor(0L) == 16)
+    assert(stateBucketsFor(1L << 30) == 16)           // 1 GB → floor
+    assert(stateBucketsFor(10L << 30) == 256)         // 10 GB → 160 → 256
+    assert(stateBucketsFor(1L << 40) == 16384)        // 1 TB exact
+    assert(stateBucketsFor(100L << 40) == 65536)      // 100 TB → cap
+    assert(stateBucketsFor(1L << 40, floor = 64) == 16384)
+    // end-to-end: a tiny target forces a re-bucket during compaction;
+    // serving stays correct and a reopened root resumes the new count
+    val root = graft.Staging.scratch("st14_rebucket_spec")
+    val docs = st14WideCorpus(200)
+    val st = graft.streaming.Streams.st14State(spark, Some(root),
+      compactAboveFiles = 100000, targetBucketBytes = 4096)
+    (0 until 4).foreach { w =>
+      graft.streaming.Streams.st14MaintainStep(st,
+        docs.filter(col("doc_id") % 4 === w))
+    }
+    assert(st.nBuckets == 16)
+    graft.streaming.Streams.st14CompactState(st)
+    assert(st.nBuckets > 16, s"tiny target should grow buckets: ${st.nBuckets}")
+    // partition dirs beyond the old [0,16) domain actually exist
+    val pbs = graft.sources.Io.parquetFilesRec(st.postingsDir)
+      .map(_.getParent.getFileName.toString)
+      .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt)
+    assert(pbs.exists(_ >= 16), s"no re-bucketed partitions: $pbs")
+    val terms = Seq("t0040", "t0060")
+    val got = graft.streaming.Streams.st14Serve(st, terms, 5)
+      .collect().map(_.toSeq).toSeq
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val want = graft.operators.Search.searchBm25From(tf, terms, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // resume: the persisted count survives a reopen, and maintenance
+    // over the resumed handle writes into the re-bucketed domain
+    val re = graft.streaming.Streams.st14State(spark, Some(root),
+      targetBucketBytes = 4096)
+    assert(re.nBuckets == st.nBuckets)
+    assert(graft.streaming.Streams.st14Serve(re, terms, 5)
+      .collect().map(_.toSeq).toSeq == got)
+  }
+
+  test("maintain steps are idempotent under at-least-once redelivery " +
+      "(st13 groups, st14 index, st15 lists unchanged)") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    // st14: redeliver wave 1 between waves — index and stats unchanged
+    val docs = Seq(
+      1L -> "alpha beta alpha", 2L -> "alpha gamma",
+      3L -> "beta delta", 4L -> "gamma gamma alpha").toDF("doc_id", "text")
+    val once = graft.streaming.Streams.st14State(spark)
+    val twice = graft.streaming.Streams.st14State(spark)
+    def wave(st: graft.streaming.Streams.St14State, ids: Seq[Long]): Unit =
+      graft.streaming.Streams.st14MaintainStep(st,
+        docs.filter(col("doc_id").isin(ids: _*)))
+    wave(once, Seq(1L, 2L)); wave(once, Seq(3L, 4L))
+    wave(twice, Seq(1L, 2L)); wave(twice, Seq(1L, 2L)) // retry
+    wave(twice, Seq(3L, 4L)); wave(twice, Seq(3L, 4L)) // retry
+    val serveT = Seq("alpha", "beta")
+    def served(st: graft.streaming.Streams.St14State) =
+      graft.streaming.Streams.st14Serve(st, serveT, 5)
+        .collect().map(_.toSeq).toSeq
+    assert(served(twice).nonEmpty && served(twice) == served(once))
+    // nd must equal the doc count with rows, not the delivery count
+    val nd = spark.read.parquet(twice.statsDir)
+      .agg(sum("nd")).collect()(0).getLong(0)
+    assert(nd == 4L, s"stats double-counted: nd=$nd")
+    assert(spark.read.parquet(twice.postingsDir).count() ==
+      spark.read.parquet(once.postingsDir).count())
+    // st13: a redelivered wave adds no registry rows and no groups
+    val corpus = st13Corpus
+    def frame(ids: Long*) = ids.map(i => i -> corpus(i)).toDF("doc_id", "text")
+    val ids = corpus.keys.toSeq.sorted
+    val (w1, w2) = ids.splitAt(ids.length / 2)
+    val st13a = graft.streaming.Streams.st13State(spark, frame().limit(0))
+    val st13b = graft.streaming.Streams.st13State(spark, frame().limit(0))
+    graft.streaming.Streams.st13MaintainStep(st13a, frame(w1: _*), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st13a, frame(w2: _*), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st13b, frame(w1: _*), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st13b, frame(w1: _*), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st13b, frame(w2: _*), 0.35)
+    assert(spark.read.parquet(st13b.shDir).count() ==
+      spark.read.parquet(st13a.shDir).count())
+    assert(graft.streaming.Streams.st13Compact(st13b)
+      .collect().map(_.toSeq).toSeq ==
+      graft.streaming.Streams.st13Compact(st13a)
+        .collect().map(_.toSeq).toSeq)
+    // st15: a redelivered vector batch appends nothing
+    val t = Tables(spark, sf)
+    val cb = graft.operators.Ann.assignedVecs(t, 16)._2
+    val vecs = t.embeddings.limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val st15 = graft.streaming.Streams.st15State(spark)
+    graft.streaming.Streams.st15MaintainStep(st15, cb, vecs)
+    val n1 = spark.read.parquet(st15.vectorsDir).count()
+    graft.streaming.Streams.st15MaintainStep(st15, cb, vecs) // retry
+    assert(spark.read.parquet(st15.vectorsDir).count() == n1)
+  }
+
+  test("state swap crash recovery: a root whose table sits in .old " +
+      "(crash between renames) reopens complete") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val root = graft.Staging.scratch("st14_crash_spec")
+    val docs = Seq(1L -> "alpha beta", 2L -> "alpha gamma")
+      .toDF("doc_id", "text")
+    val st = graft.streaming.Streams.st14State(spark, Some(root))
+    graft.streaming.Streams.st14MaintainStep(st, docs)
+    val want = graft.streaming.Streams.st14Serve(st, Seq("alpha"), 5)
+      .collect().map(_.toSeq).toSeq
+    // simulate the crash window: live dir moved aside, rewrite lost
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(st.postingsDir),
+      java.nio.file.Paths.get(st.postingsDir + ".old"))
+    val re = graft.streaming.Streams.st14State(spark, Some(root))
+    assert(graft.streaming.Streams.st14Serve(re, Seq("alpha"), 5)
+      .collect().map(_.toSeq).toSeq == want)
   }
 }
