@@ -374,10 +374,14 @@ object Graft {
     * report within-cluster pairs with cosine ≥ threshold as
     * (cid, vec_a, vec_b, cos). Eager: training runs Lloyd's
     * iterations (full scans + a model-sized collect) at call time.
-    * Work is Σ|cluster|²; size nLists so clusters stay bounded.
+    * Work is Σ|cluster|²; `nLists ≤ 0` (the default) auto-sizes the
+    * list count from the MEASURED vector count
+    * ([[graft.operators.Ann.ivfConfigFor]] — ≈√n, so clusters stay
+    * ≈√n-sized as the corpus grows); pass an explicit positive
+    * nLists to pin a shape.
     */
   def semdedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, threshold: Double = 0.45,
+      nLists: Int = 0, threshold: Double = 0.45,
       iters: Int = 3, sorted: Boolean = false): DataFrame = {
     val vecsAll = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -402,7 +406,10 @@ object Graft {
         // ragged rows can't be scored against a dim-sized codebook —
         // drop them (graceful degradation, like the PQ edge handling)
         val vecs = vecsAll.filter(size(col("v")) === dim)
-        val cb = graft.operators.Ann.trainCodebook(vecs, nLists, dim, iters)
+        val lists =
+          if (nLists > 0) nLists
+          else graft.operators.Ann.ivfConfigFor(vecs.count())
+        val cb = graft.operators.Ann.trainCodebook(vecs, lists, dim, iters)
         val assigned = vecs.select(col("vec_id"), col("v"),
           element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
             .as("cid"))
@@ -532,6 +539,16 @@ object Graft {
     * continue — spec-covered equal to one continuous session). With
     * no root, state sits in JVM scratch managed by [[graft.Staging]]
     * (deleted at shutdown).
+    *
+    * DELIVERY CONTRACT (all three maintenance sessions): batches may
+    * be delivered AT LEAST ONCE — a step anti-joins arrivals against
+    * existing state (bucket-pruned, arrivals-sized), so a retried or
+    * replayed batch is a no-op. What a step does assume is that a
+    * document id maps to ONE immutable text: an id re-delivered with
+    * DIFFERENT content is treated as already-seen and ignored
+    * (updates are a delete+reingest at the deployment layer, not a
+    * stream semantic). Single writer per state root; readers share
+    * the writer's handle.
     */
   final class GroupMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession, threshold: Double,
@@ -563,9 +580,11 @@ object Graft {
     * serves from): feed arriving (id, text) batches with `step`;
     * query the maintained index with `search` — batch BM25 scoring
     * ([[searchBm25]] semantics) with every read bucket-pruned to the
-    * query's terms and candidate docs. Same `stateRoot` contract as
-    * [[groupMaintenance]]: durable root = a later session resumes;
-    * no root = JVM scratch.
+    * query's terms and candidate docs. Same `stateRoot` and
+    * at-least-once DELIVERY contract as [[groupMaintenance]]:
+    * durable root = a later session resumes; no root = JVM scratch;
+    * retried/replayed batches are dropped by the per-step anti-join
+    * guard (ids are immutable — an update is delete+reingest).
     */
   final class IndexMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession,
@@ -595,17 +614,27 @@ object Graft {
     * compiled projection and appended list-partitioned with `step`;
     * `search` ranks the codebook with the query vector and
     * exact-cosine-scans only the `nProbe` nearest lists. Same
-    * `stateRoot` contract as [[groupMaintenance]].
+    * `stateRoot` and at-least-once DELIVERY contract as
+    * [[groupMaintenance]] (deterministic assignment under the pinned
+    * codebook makes the redelivery anti-join list-pruned).
     */
   final class AnnIndexMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession, trainVecs: DataFrame,
       idCol: String, vecCol: String, nLists: Int,
       stateRoot: Option[String]) {
-    private val cb = graft.operators.Ann.trainCodebook(
-      trainVecs.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("v")), nLists)
+    private val vecs = trainVecs.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    /** The resolved list count: caller-pinned when positive,
+      * otherwise auto-sized from the MEASURED training-corpus count
+      * ([[graft.operators.Ann.ivfConfigFor]] — ≈√n lists keep probe
+      * lists ≈√n-sized as the corpus grows).
+      */
+    private[graft] val listCount: Int =
+      if (nLists > 0) nLists
+      else graft.operators.Ann.ivfConfigFor(vecs.count())
+    private val cb = graft.operators.Ann.trainCodebook(vecs, listCount)
     private val st = graft.streaming.Streams.st15State(spark,
-      stateRoot, nLists)
+      stateRoot, listCount)
     /** Ingest one batch of arriving vectors into the index. */
     def step(df: DataFrame): Unit =
       graft.streaming.Streams.st15MaintainStep(st, cb,
@@ -619,11 +648,14 @@ object Graft {
 
   /** Open an incremental vector-index session: codebook trained from
     * `trainVecs` (pinned), state at `stateRoot` (resumable) or JVM
-    * scratch.
+    * scratch. `nLists ≤ 0` (the default) auto-sizes the coarse-list
+    * count from the measured training-corpus size (≈√n —
+    * [[graft.operators.Ann.ivfConfigFor]]); pass a positive value to
+    * pin a shape.
     */
   def annIndexMaintenance(spark: org.apache.spark.sql.SparkSession,
       trainVecs: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16,
+      nLists: Int = 0,
       stateRoot: Option[String] = None): AnnIndexMaintenance =
     new AnnIndexMaintenance(spark, trainVecs, idCol, vecCol, nLists,
       stateRoot)

@@ -139,6 +139,19 @@ object Ann {
   private val codebooks = scala.collection.mutable
     .Map[(String, Int, Int, Int), graft.expressions.PlaneMatrix]()
 
+  /** AUTO-SIZED IVF coarse-list count for a corpus of `n` vectors —
+    * the √n guidance documented at s3/d9 bought as a library function
+    * (the lshConfigFor pattern: configuration from a MEASURED count,
+    * never a guess). nLists ≈ √n keeps per-list size ≈ √n, balancing
+    * the probe's list-scan cost against the codebook-ranking cost —
+    * the classical IVF operating point; floored at the sandbox
+    * default 16 so tiny corpora keep the spec-pinned shape. Operating
+    * points (spec-locked): 2k → 45, 20k → 141, 200k → 447, 20M →
+    * 4472 — at 100× the corpus a probe list grows 10×, not 100×.
+    */
+  private[graft] def ivfConfigFor(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** The corpus under its trained codebook: (vec_id, v, cid) with cid
     * the nearest list, plus the codebook itself (for probe ranking).
     * The list-assignment frame every IVF consumer starts from —

@@ -227,21 +227,47 @@ object Search {
     merges.result()
   }
 
-  /** DISTRIBUTED merge loop — the past-the-budget fallback: one
-    * vocab-scale job per step, O(1) driver state (a single argmax
-    * row).
+  /** DISTRIBUTED merge loop — the past-the-budget fallback. The naive
+    * form pays one vocab-scale job PER MERGE (a 32k-merge tokenizer =
+    * 32k sequential jobs); this one FOLDS a run of merges into each
+    * pass: the pass counts all adjacent pairs once, collects the top
+    * `fetchTop` rows (a bounded driver list — never the dict), and
+    * locally accepts the maximal PREFIX of pairs that are provably
+    * the next true greedy merges, paying the next distributed count
+    * only when local knowledge runs out.
+    *
+    * Greedy order is preserved EXACTLY — the prefix grows only while:
+    *  - the pair shares no symbol (lhs, rhs, or merged string) with a
+    *    merge accepted this pass. A merge (a,b)→ab changes only
+    *    counts of pairs involving a, b, or ab, and can only CREATE
+    *    pairs involving ab (each creation bounded by the old count of
+    *    an (·,a)/(b,·)/(b,a) pair), so a disjoint pair's count and
+    *    tie-key are untouched;
+    *  - no pair TYING its count in the visible tail involves an
+    *    accepted symbol: changed counts only decrease and created
+    *    counts are bounded by a touched pair's old count, and any
+    *    touched pair with a HIGHER count would have stopped the scan
+    *    before this one — equality is where a created pair could
+    *    steal the (count, lhs, rhs) tie-break, so ties must be clean;
+    *  - when the collect was truncated at `fetchTop`, its count sits
+    *    strictly above the truncation count (below-cut pairs are
+    *    unknown; the list head itself is always safe — it is the
+    *    global argmax of the very order the engine sorted by).
+    * Worst case one merge per pass (the old loop, job-for-job); in
+    * practice a pass folds many merges. Bit-equality with the local
+    * loop is spec-locked on corpora engineered to trip every guard.
     */
   private[graft] def bpeMergeSeqDistributed(words: DataFrame,
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
+      nMerges: Int, fetchTop: Int = 1024): Seq[(Int, String, String, Long)] = {
     var seqs = words.withColumn("s",
       regexp_replace(col("word"), "(.)", " $1 "))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      // headOption, not first(): a tiny corpus can run out of
-      // adjacent pairs before nMerges — degrade to fewer rows (the
-      // oracle's LIMIT 1 CTEs degrade identically)
+      // empty → a tiny corpus ran out of adjacent pairs before
+      // nMerges — degrade to fewer rows (the oracle's LIMIT 1 CTEs
+      // degrade identically)
       val top = seqs
         .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -252,15 +278,40 @@ object Search {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect().headOption
-      top match {
-        case None => exhausted = true
-        case Some(r) =>
-          val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
-          merges += ((step, a, b, r.getAs[Long]("cnt")))
-          seqs = seqs.withColumn("s",
-            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
-          step += 1
+        .limit(fetchTop).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt")))
+      if (top.isEmpty) exhausted = true
+      else {
+        val truncated = top.length == fetchTop
+        val cutCnt = top.last._3
+        val touched = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var stop = false
+        while (!stop && i < top.length && step <= nMerges) {
+          val (a, b, c) = top(i)
+          def tiedTailClean: Boolean = {
+            var j = i + 1
+            var ok = true
+            while (ok && j < top.length && top(j)._3 == c) {
+              if (touched(top(j)._1) || touched(top(j)._2)) ok = false
+              j += 1
+            }
+            ok
+          }
+          val safe = i == 0 ||
+            (!touched(a) && !touched(b) &&
+              (!truncated || c > cutCnt) && tiedTailClean)
+          if (!safe) stop = true
+          else {
+            merges += ((step, a, b, c))
+            seqs = seqs.withColumn("s",
+              replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+            touched += a; touched += b; touched += (a + b)
+            step += 1
+            i += 1
+          }
+        }
       }
     }
     merges.result()

@@ -241,6 +241,44 @@ class GraftApiSpec extends SparkSpec {
     assert(facade == dist)
   }
 
+  test("bpe batched fallback preserves exact greedy order on corpora " +
+      "engineered to trip the fold guards, and under truncation") {
+    import org.apache.spark.sql.functions._
+    def wordsOf(wf: (String, Long)*) = wf.toSeq.toDF("word", "freq")
+    def check(words: org.apache.spark.sql.DataFrame, n: Int,
+        fetchTop: Int = 1024): Unit = {
+      val dist = graft.operators.Search
+        .bpeMergeSeqDistributed(words, n, fetchTop)
+      val local = graft.operators.Search.bpeMergeSeqLocal(
+        words.collect().map(r => (r.getString(0), r.getLong(1))), n)
+      assert(dist.nonEmpty && dist == local,
+        s"dist=$dist\nlocal=$local")
+    }
+    // created-pair promotion: after (a,b)→ab merges, the TRUE next
+    // merge is the brand-new (x, ab) — a pair no pre-merge count list
+    // contains; a fold that kept consuming its stale list would pick
+    // (c, d) instead
+    check(wordsOf("xab" -> 100L, "cd" -> 60L), 4)
+    // overlap chain: (ab, ab) emerges from the merged word itself
+    check(wordsOf("abababab" -> 50L), 4)
+    // tie-steal surface: touched-sharing pairs tie untouched ones at
+    // the same count, so the clean-ties guard must stop the fold
+    check(wordsOf("aby" -> 10L, "ab" -> 5L, "acd" -> 10L, "nn" -> 10L), 6)
+    // truncation: a 2-row visible list forces the strict-above-cut
+    // guard every pass
+    check(wordsOf("xab" -> 100L, "cd" -> 60L, "ef" -> 60L), 5,
+      fetchTop = 2)
+    // seeded fuzz: random small-alphabet words exercise the guards
+    // organically; equality must hold bit-for-bit
+    val rnd = new scala.util.Random(42)
+    val fuzz = (1 to 60).map { _ =>
+      val len = 2 + rnd.nextInt(6)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      (w, (1 + rnd.nextInt(20)).toLong)
+    }.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq
+    check(wordsOf(fuzz: _*), 12)
+  }
+
   test("groupMaintenance session: incremental steps equal one-shot dedupGroups") {
     val ab = "one two three four five six seven eight nine ten"
     val docs = Seq(
@@ -510,8 +548,10 @@ class GraftApiSpec extends SparkSpec {
     val spark = SparkSpec.spark
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    // nLists pinned to 16: the batch-equality check below compares
+    // against s3's spec-pinned 16-list serving shape
     val im = Graft.annIndexMaintenance(spark, vecs, "vec_id",
-      "embedding")
+      "embedding", nLists = 16)
     im.step(vecs.filter(col("vec_id") % 2 === 0))
     im.step(vecs.filter(col("vec_id") % 2 === 1))
     val qv = vecs.filter(col("vec_id") === 0L)
@@ -526,5 +566,27 @@ class GraftApiSpec extends SparkSpec {
     val want = graft.operators.Ann.s3AnnIvf(Tables(spark, sf))
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
     assert(got.tail.sameElements(want.take(9)))
+  }
+
+  test("ivfConfigFor: √n list count pinned at probe scales; the " +
+      "default ANN session auto-sizes from the measured corpus") {
+    import graft.operators.Ann.ivfConfigFor
+    // operating points: floor below 256 vectors, ≈√n above — at 100×
+    // the corpus a probe list grows 10×, not 100×
+    assert(ivfConfigFor(40) == 16)
+    assert(ivfConfigFor(256) == 16)
+    assert(ivfConfigFor(2000) == 45)
+    assert(ivfConfigFor(20000) == 141)
+    assert(ivfConfigFor(200000) == 447)
+    assert(ivfConfigFor(20000000) == 4472)
+    // the facade's default resolves via the measured count (500
+    // vectors at this sf → 22 lists), not a hardcoded 16
+    val spark = SparkSpec.spark
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val auto = Graft.annIndexMaintenance(spark, vecs, "vec_id",
+      "embedding")
+    assert(auto.listCount == ivfConfigFor(vecs.count()))
+    assert(auto.listCount != 16)
   }
 }
