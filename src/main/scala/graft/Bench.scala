@@ -45,11 +45,17 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    // capture-truncation hygiene: past rounds' drivers kept only a
+    // bounded tail of the output and lost the head of this line — and
+    // the headline number with it. Headline fields (total_s first)
+    // lead, the long sorted per-query map trails: any truncation that
+    // keeps part of the line keeps the numbers that matter.
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$fj,"queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
