@@ -1107,8 +1107,11 @@ object Streams {
       // every append pays ~one parquet file CREATION per touched
       // bucket (tens of ms each — measured dominant at small scale),
       // so the bucket count is a dial between append cost and probe
-      // pruning granularity: 16 here; a cluster deployment sizes it
-      // with the corpus (buckets ~ corpus/bucket-target-bytes)
+      // pruning granularity. This is only the OPENING count: each
+      // compaction re-derives it from measured state bytes
+      // ([[stateBucketsFor]] against targetBucketBytes) and
+      // re-buckets in the rewrite, so the corpus — not the caller —
+      // sizes the layout as it grows
       nBuckets: Int = 16,
       // a batch appends ≤ nBuckets files per table, so the budget
       // must sit WELL above nBuckets or the rewrite fires every

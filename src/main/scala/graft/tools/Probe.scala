@@ -107,6 +107,29 @@ object Probe {
             (x, s) => x + s * nrm * lit(0.03125)).as("embedding")))
     }
 
+    // scan-cost witness for the serving probes: task input metrics
+    // (records + bytes actually read) accumulated across the body's
+    // jobs — wall time says "fast here", bytes-read says "reads only
+    // what the layout promises" (the claim that survives a 100×)
+    def measured[T](body: => T): (T, Long, Long) = {
+      val recs = new java.util.concurrent.atomic.AtomicLong(0)
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) {
+            recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+            bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      try {
+        val r = body
+        Thread.sleep(1500) // listener bus drains async
+        (r, recs.get, bytes.get)
+      } finally spark.sparkContext.removeSparkListener(lst)
+    }
+
     def timed(tag: String, small: => Long, big: => Long): Unit = {
       val t0 = System.nanoTime
       val nS = small
@@ -207,7 +230,11 @@ object Probe {
         def runIdx(tag: String, d: org.apache.spark.sql.DataFrame,
             terms: Seq[String]): Long = {
           graft.Caches.fresh()
-          val st = graft.streaming.Streams.st14State(spark)
+          // 256 KB bucket target: probe-scale stand-in for the 64 MB
+          // production default, so the auto-sizing actually re-buckets
+          // at this corpus size instead of idling at the floor
+          val st = graft.streaming.Streams.st14State(spark,
+            targetBucketBytes = 256L << 10)
           val mm = d.agg(min("doc_id"), max("doc_id")).collect()(0)
           val (lo, hi) = (mm.getLong(0), mm.getLong(1))
           val width = (hi - lo) / 4 + 1
@@ -218,14 +245,38 @@ object Probe {
                 col("doc_id") < lo + (w + 1) * width))
             (System.nanoTime - t) / 1e9
           }
-          val tS = System.nanoTime
-          val hits = graft.streaming.Streams.st14Serve(st, terms, 5)
-            .count()
-          val sS = (System.nanoTime - tS) / 1e9
+          def serveM() = {
+            val ((hits, wall), recs, bytes) = measured {
+              val t = System.nanoTime
+              val h = graft.streaming.Streams.st14Serve(st, terms, 5).count()
+              (h, (System.nanoTime - t) / 1e9)
+            }
+            (hits, recs, bytes, wall)
+          }
+          val (h0, r0, b0, s0) = serveM() // appended (unsorted) layout
+          // scale-model row groups: production keeps the default
+          // 128 MB groups inside multi-GB buckets (~dozens of groups
+          // per bucket); the probe's ~256 KB buckets get the same
+          // groups-per-bucket ratio via a 32 KB group size, so the
+          // within-bucket row-group pruning the sort buys is measured
+          // at proportionate geometry
+          val hc = spark.sparkContext.hadoopConfiguration
+          hc.setInt("parquet.block.size", 32 * 1024)
+          hc.setInt("parquet.page.size", 8 * 1024)
+          val tC = System.nanoTime
+          graft.streaming.Streams.st14CompactState(st)
+          val sC = (System.nanoTime - tC) / 1e9
+          hc.unset("parquet.block.size")
+          hc.unset("parquet.page.size")
+          val (h1, r1, b1, s1) = serveM() // sorted auto-bucketed layout
           val postings = spark.read.parquet(st.postingsDir).count()
           println(f"PROBE st14 [$tag] per-wave s: " +
             waves.map(s => f"$s%.1f").mkString(" ") +
-            f"; serve $sS%.2f s ($hits hits, $postings postings)")
+            f"; serve(appended) $s0%.2f s ($h0 hits, $r0 rows, " +
+            f"${b0 / 1024}%d KiB read); compact $sC%.1f s -> " +
+            f"nBuckets ${st.nBuckets}; serve(sorted) $s1%.2f s " +
+            f"($h1 hits, $r1 rows, ${b1 / 1024}%d KiB read); " +
+            f"$postings postings")
           postings
         }
         // the replicated corpus suffixes every token per copy, so the
@@ -246,10 +297,15 @@ object Probe {
           graft.Caches.fresh()
           val t0 = System.nanoTime
           val dd = d.cache()
+          // nLists from the MEASURED corpus (ivfConfigFor's √n law):
+          // the probe runs under the config the library would pick,
+          // so "serving stays flat" is measured on the bought path
+          val nLists = graft.operators.Ann.ivfConfigFor(dd.count())
           val cb = graft.operators.Ann.trainCodebook(
-            dd.select(col("vec_id"), col("embedding").as("v")), 16)
+            dd.select(col("vec_id"), col("embedding").as("v")), nLists)
           val sT = (System.nanoTime - t0) / 1e9
-          val st = graft.streaming.Streams.st15State(spark)
+          val st = graft.streaming.Streams.st15State(spark,
+            nLists = nLists)
           val waves = (0 until 4).map { w =>
             val t = System.nanoTime
             graft.streaming.Streams.st15MaintainStep(st, cb,
@@ -259,15 +315,18 @@ object Probe {
           }
           val qv = dd.filter(col("vec_id") === 0L)
             .collect()(0).getSeq[Double](1)
-          val tS = System.nanoTime
-          val hits = graft.streaming.Streams
-            .st15Serve(st, cb, qv, 2, 10).count()
-          val sS = (System.nanoTime - tS) / 1e9
+          val ((hits, sS), recs, bytes) = measured {
+            val t = System.nanoTime
+            val h = graft.streaming.Streams
+              .st15Serve(st, cb, qv, 2, 10).count()
+            (h, (System.nanoTime - t) / 1e9)
+          }
           val n = spark.read.parquet(st.vectorsDir).count()
           dd.unpersist()
-          println(f"PROBE st15 [$tag] train $sT%.1f s; per-wave s: " +
-            waves.map(s => f"$s%.1f").mkString(" ") +
-            f"; serve $sS%.2f s ($hits hits, $n vectors)")
+          println(f"PROBE st15 [$tag] nLists $nLists; train $sT%.1f s; " +
+            "per-wave s: " + waves.map(s => f"$s%.1f").mkString(" ") +
+            f"; serve $sS%.2f s ($hits hits, $recs rows, " +
+            f"${bytes / 1024}%d KiB read, $n vectors)")
           n
         }
         timed("st15", runAnn("base", vecsBase),

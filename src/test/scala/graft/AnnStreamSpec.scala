@@ -1122,6 +1122,38 @@ class AnnStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == got)
   }
 
+  test("st13 re-buckets at compaction under a tiny target: groups " +
+      "unchanged, resumed root keeps the grown count") {
+    import SparkSpec.spark.implicits._
+    val corpus = st13Corpus
+    def frame(ids: Long*) =
+      ids.map(i => i -> corpus(i)).toDF("doc_id", "text")
+    val root = graft.Staging.scratch("st13_rebucket_spec")
+    val st = graft.streaming.Streams.st13State(spark, frame().limit(0),
+      Some(root), targetBucketBytes = 1024)
+    val ids = corpus.keys.toSeq.sorted
+    val (w1, w2) = ids.splitAt(ids.length / 2)
+    graft.streaming.Streams.st13MaintainStep(st, frame(w1: _*), 0.35)
+    graft.streaming.Streams.st13MaintainStep(st, frame(w2: _*), 0.35)
+    assert(st.nBuckets == 16)
+    graft.streaming.Streams.st13CompactState(st)
+    assert(st.nBuckets > 16, s"tiny target should grow buckets: ${st.nBuckets}")
+    // post-re-bucket probes still verify and the registry still
+    // reproduces batch CC over the same corpus
+    val extra = Seq(9001L -> corpus(ids.head)).toDF("doc_id", "text")
+    graft.streaming.Streams.st13MaintainStep(st, extra, 0.35)
+    val got = graft.streaming.Streams.st13Compact(st)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Dedup.dedupGroupsFrom(
+      frame(ids: _*).unionByName(extra), 0.35)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // a reopened root resumes the grown count
+    val re = graft.streaming.Streams.st13State(spark, frame().limit(0),
+      Some(root), targetBucketBytes = 1024)
+    assert(re.nBuckets == st.nBuckets)
+  }
+
   test("maintain steps are idempotent under at-least-once redelivery " +
       "(st13 groups, st14 index, st15 lists unchanged)") {
     import SparkSpec.spark.implicits._
