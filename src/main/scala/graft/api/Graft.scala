@@ -624,6 +624,7 @@ object Graft {
       stateRoot: Option[String]) {
     private val vecs = trainVecs.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+    private val n = vecs.count()
     /** The resolved list count: caller-pinned when positive,
       * otherwise auto-sized from the MEASURED training-corpus count
       * ([[graft.operators.Ann.ivfConfigFor]] — ≈√n lists keep probe
@@ -631,8 +632,14 @@ object Graft {
       */
     private[graft] val listCount: Int =
       if (nLists > 0) nLists
-      else graft.operators.Ann.ivfConfigFor(vecs.count())
-    private val cb = graft.operators.Ann.trainCodebook(vecs, listCount)
+      else graft.operators.Ann.ivfConfigFor(n)
+    // offline model training pays the hash-sampled path: full-corpus
+    // Lloyd's is O(n^1.5) under the √n list count; a coarse
+    // quantizer trains on ~64 points per centroid (deterministic
+    // sample, so the versioned model is reproducible). At-or-under
+    // the sample target (every sandbox corpus) this IS full training.
+    private val cb = graft.operators.Ann.trainCodebookSampled(
+      vecs, listCount, n)
     private val st = graft.streaming.Streams.st15State(spark,
       stateRoot, listCount)
     /** Ingest one batch of arriving vectors into the index. */

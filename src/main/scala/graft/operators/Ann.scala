@@ -139,6 +139,34 @@ object Ann {
   private val codebooks = scala.collection.mutable
     .Map[(String, Int, Int, Int), graft.expressions.PlaneMatrix]()
 
+  /** HASH-SAMPLED codebook training — the offline-model cost bought
+    * down for corpora where full-corpus Lloyd's is the wrong price:
+    * k-means is O(n·k·d·iters), and with the √n list count the full
+    * scan cost grows n^1.5 (measured: 6.5 s at 2k/45 lists → 232 s at
+    * 200k/447 — §5). A coarse quantizer's cell boundaries stop moving
+    * beyond ~dozens of training points per centroid, so training runs
+    * on a DETERMINISTIC hash sample of ~`perCentroid`·nLists vectors:
+    * `pmod(hash(vec_id), m) = 0` with m = ⌈n/target⌉ — one pushdown-
+    * friendly scan, no sort, no RNG, reproducible across sessions
+    * (the versioned-model contract needs the same inputs to train the
+    * same model). `n` is the MEASURED corpus count the caller already
+    * holds (the ivfConfigFor contract). Corpora at-or-under the
+    * target train on everything — sandbox-scale behavior (and every
+    * pinned-oracle path) is unchanged.
+    */
+  private[graft] def trainCodebookSampled(vecs: DataFrame, nLists: Int,
+      n: Long, dim: Int = 64, iters: Int = 3,
+      perCentroid: Int = 64): graft.expressions.PlaneMatrix = {
+    val target = perCentroid.toLong * nLists
+    if (n <= target) trainCodebook(vecs, nLists, dim, iters)
+    else {
+      val m = math.ceil(n.toDouble / target).toLong
+      trainCodebook(
+        vecs.filter(pmod(hash(col("vec_id")), lit(m)) === 0),
+        nLists, dim, iters)
+    }
+  }
+
   /** AUTO-SIZED IVF coarse-list count for a corpus of `n` vectors —
     * the √n guidance documented at s3/d9 bought as a library function
     * (the lshConfigFor pattern: configuration from a MEASURED count,

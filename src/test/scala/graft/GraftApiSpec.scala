@@ -568,6 +568,53 @@ class GraftApiSpec extends SparkSpec {
     assert(got.tail.sameElements(want.take(9)))
   }
 
+  test("trainCodebookSampled: at-or-under the target it IS full " +
+      "training; past it a deterministic sample still serves with recall") {
+    val spark = SparkSpec.spark
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    // default perCentroid (64) puts this 500-vector corpus under the
+    // 16-list target — the sampled path must BE the full path
+    val full = graft.operators.Ann.trainCodebook(vecs, 16)
+    val same = graft.operators.Ann.trainCodebookSampled(vecs, 16, n)
+    assert(same.values.sameElements(full.values))
+    // a tiny perCentroid forces real sampling: deterministic (two
+    // trainings bit-equal) and a genuinely smaller training set
+    val s1 = graft.operators.Ann.trainCodebookSampled(vecs, 16, n,
+      perCentroid = 8)
+    val s2 = graft.operators.Ann.trainCodebookSampled(vecs, 16, n,
+      perCentroid = 8)
+    assert(s1.values.sameElements(s2.values))
+    assert(!s1.values.sameElements(full.values))
+    // the sampled coarse quantizer still serves: a coarser codebook
+    // trades recall PER PROBE, and widening nProbe buys it back (the
+    // IVF contract) — top-10 at nProbe=4 keeps real recall vs exact
+    // brute force on this near-uniform synthetic corpus
+    val exact = graft.operators.Ann.s1AnnBruteforce(Tables(spark, sf))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val assigned = vecs.select(col("vec_id"), col("v"),
+      element_at(graft.functions.Vectors.centroidRanks(col("v"), s1), 1)
+        .as("cid"))
+    val probeLists = assigned.filter(col("vec_id") === 0L)
+      .select(explode(slice(
+        graft.functions.Vectors.centroidRanks(col("v"), s1), 1, 4))
+        .as("pcid"))
+    val got = assigned
+      .join(broadcast(probeLists), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(assigned.filter(col("vec_id") === 0L)
+        .select(col("v").as("pv"))))
+      .select(col("vec_id"),
+        round(graft.functions.Vectors.cosine(col("v"), col("pv")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-codebook recall@10 = $recall")
+  }
+
   test("ivfConfigFor: √n list count pinned at probe scales; the " +
       "default ANN session auto-sizes from the measured corpus") {
     import graft.operators.Ann.ivfConfigFor
