@@ -615,6 +615,34 @@ class GraftApiSpec extends SparkSpec {
     assert(recall >= 0.5, s"sampled-codebook recall@10 = $recall")
   }
 
+  test("maintenance sessions tolerate an EMPTY batch (a foreachBatch " +
+      "retry with nothing new): state and serving unchanged") {
+    val spark = SparkSpec.spark
+    val docs = Seq(1L -> "alpha beta", 2L -> "alpha gamma")
+      .toDF("id", "body")
+    val emptyDocs = docs.limit(0)
+    val im = Graft.indexMaintenance(spark)
+    im.step(docs, "id", "body")
+    val want = im.search("alpha", 5).collect().map(_.toSeq).toSeq
+    im.step(emptyDocs, "id", "body")
+    assert(im.search("alpha", 5).collect().map(_.toSeq).toSeq == want)
+    val gm = Graft.groupMaintenance(spark)
+    gm.step(docs, "id", "body")
+    val g = gm.compact().collect().map(_.toSeq).toSeq
+    gm.step(emptyDocs, "id", "body")
+    assert(gm.compact().collect().map(_.toSeq).toSeq == g)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(20)
+    val am = Graft.annIndexMaintenance(spark, vecs, "vec_id",
+      "embedding", nLists = 4)
+    am.step(vecs)
+    val qv = vecs.select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val a = am.search(qv, 5).collect().map(_.toSeq).toSeq
+    am.step(vecs.limit(0))
+    assert(am.search(qv, 5).collect().map(_.toSeq).toSeq == a)
+  }
+
   test("ivfConfigFor: √n list count pinned at probe scales; the " +
       "default ANN session auto-sizes from the measured corpus") {
     import graft.operators.Ann.ivfConfigFor
