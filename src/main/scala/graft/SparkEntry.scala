@@ -58,6 +58,7 @@ object SparkEntry {
     "r8_bm25_search"     -> q(Search.r8Bm25Search),
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
+    "r18_hybrid_rrf"     -> q(Search.r18HybridRrf(_)),
     "r15_vocab_build"    -> q(Search.r15VocabBuild(_)),
     "r17_bpe_train"      -> q(Search.r17BpeTrain(_)),
     "t14_bpe_encode"     -> q(Search.t14BpeEncode(_)),
@@ -73,6 +74,7 @@ object SparkEntry {
     "d11_overlap_scrub"   -> q(Dedup.d11OverlapScrub(_)),
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
+    "d12_bloom_decontaminate" -> q(Dedup.d12BloomDecontaminate(_)),
     "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),
     "d9_semdedup"         -> q(Dedup.d9Semdedup(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),
@@ -88,6 +90,7 @@ object SparkEntry {
     "t11_tokenizer_encode" -> q(TextAnalysis.t11TokenizerEncode(_)),
     "t12_span_corruption"  -> q(TextAnalysis.t12SpanCorruption(_)),
     "t13_perplexity"       -> q(TextAnalysis.t13Perplexity),
+    "t15_shuffle_shard"    -> q(TextAnalysis.t15ShuffleShard(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),
@@ -108,6 +111,7 @@ object SparkEntry {
     "io6_schema_evolution" -> q(graft.sources.Io.io6SchemaEvolution),
     "io8_change_feed"     -> q(graft.sources.Io.io8ChangeFeed),
     "io7_time_travel"     -> q(graft.sources.Io.io7TimeTravel),
+    "io9_zorder"          -> q(graft.sources.Io.io9Zorder),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

@@ -575,6 +575,69 @@ object Dedup {
     if (sorted) out.orderBy("train_id", "bench_id") else out
   }
 
+  /** d12: BLOOM-PREFILTERED DECONTAMINATION — d7's exact contract
+    * through the middle-scale regime d7's broadcast can't reach: when
+    * the benchmark shingle SET outgrows the 64 MB broadcast budget
+    * (Guards drops the hint and d7's confirm join shuffles the FULL
+    * train shingle stream), a Bloom filter of the bench shingles still
+    * fits anywhere — ~10 bits per shingle vs ~50+ bytes of string, a
+    * 40× smaller resident side — and prefiltering train shingles
+    * through it cuts the rows entering that shuffle to
+    * contamination + fpp·corpus, instead of the whole corpus.
+    *
+    * Exactness: the bloom passes false positives by design; the exact
+    * join against the bench set afterwards kills them, so the output
+    * is bit-equal to d7 (the oracle is d7's verbatim). The probe is a
+    * native expression ([[graft.expressions.BloomMightContain]]) —
+    * codegen-resident, two hashes + bit tests per row.
+    *
+    * This is the static-build twin of Spark's AQE runtime bloom join
+    * filter: here the operator owns the build side (the eval suite is
+    * a known input), so the filter is built once per call with a
+    * MEASURED item count rather than estimated at runtime.
+    */
+  def d12BloomDecontaminate(t: Tables, k: Int = 5): DataFrame =
+    bloomDecontaminateFrom(t.documents.select("doc_id", "text"), k)
+
+  /** DataFrame form of d12 (facade + specs). `fpp` trades filter bits
+    * against confirm-join input: 3% keeps the bloom ~7 bits/shingle
+    * while the exact join sees ≤3% of clean-corpus shingles.
+    */
+  private[graft] def bloomDecontaminateFrom(docsIn: DataFrame, k: Int = 5,
+      benchMod: Long = 97, fpp: Double = 0.03,
+      sorted: Boolean = true): DataFrame = {
+    graft.Caches.fresh()
+    val sh = graft.Caches.materialized(
+      spread(docsIn)
+        .withColumn("tk", Text.tokenize(col("text")))
+        .select(col("doc_id"),
+          explode(Text.shinglesFast(k)(col("tk"))).as("sh")))
+    val bench = graft.Caches.materialized(
+      sh.filter(col("doc_id") % benchMod === 0)
+        .select(col("doc_id").as("bench_id"), col("sh")))
+    // build the filter with a MEASURED count (a cache read — bench is
+    // materialized above); expectedNumItems is the distinct bound, so
+    // the realized fpp is ≤ the requested one
+    val nBench = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("sh", nBench, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("sh")),
+        bos.toByteArray))
+    // prefilter BEFORE the confirm join: only bloom-passing shingles
+    // reach the exchange. The join itself keeps d7's sized-broadcast
+    // gate — locally it broadcasts; past the budget it shuffles, and
+    // the bloom is what keeps that shuffle contamination-sized.
+    val out = sh.filter(col("doc_id") % benchMod =!= 0)
+      .filter(might)
+      .join(graft.Guards.sizedBroadcast(bench), "sh")
+      .groupBy(col("doc_id").as("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    if (sorted) out.orderBy("train_id", "bench_id") else out
+  }
+
   /** d11: DECONTAMINATION SCRUB — d7 DETECTS train docs overlapping
     * the benchmark slice; d11 REMOVES the overlap: every train-doc
     * token covered by any word-k-gram that also appears in the bench
@@ -895,6 +958,25 @@ object Dedup {
         |  FROM probes x JOIN bands y
         |    ON x.band = y.band AND x.psig = y.bsig AND x.vec_id < y.vec_id)""".stripMargin
 
+  private val decontaminateOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS tk
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(tk) >= 5 THEN
+      |      [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, greatest(len(tk) - 3, 1))]
+      |    ELSE [] END) AS sh
+      |  FROM toks),
+      |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+      |bench AS (SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 97 = 0)
+      |SELECT t.doc_id AS train_id, b.bench_id, count(*) AS n_shared
+      |FROM shx t JOIN bench b ON t.sh = b.sh
+      |WHERE t.doc_id % 97 <> 0
+      |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // k-means replay (Ann's shared CTE) + within-cluster pair join;
     // cosine threshold applied to the ROUNDED score in both engines
@@ -976,24 +1058,12 @@ object Dedup {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(n_masked AS BIGINT) AS n_masked, md5(clean) AS clean_md5
         |FROM f ORDER BY doc_id""".stripMargin,
-    "d7_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS tk
-        |  FROM documents),
-        |shl AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(tk) >= 5 THEN
-        |      [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, greatest(len(tk) - 3, 1))]
-        |    ELSE [] END) AS sh
-        |  FROM toks),
-        |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
-        |bench AS (SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 97 = 0)
-        |SELECT t.doc_id AS train_id, b.bench_id, count(*) AS n_shared
-        |FROM shx t JOIN bench b ON t.sh = b.sh
-        |WHERE t.doc_id % 97 <> 0
-        |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin,
+    "d7_decontaminate" -> decontaminateOracleSql,
+    // d12 is CONTRACT-equal to d7 (the bloom is a prefilter ahead of
+    // the exact confirm join; false positives never reach the output),
+    // so the oracle is d7's verbatim — which is exactly the claim the
+    // gate should check
+    "d12_bloom_decontaminate" -> decontaminateOracleSql,
     "d1_dedup_exact" ->
       """WITH o AS (
         |  SELECT doc_id, text, unnest(range(0, length(text), 100)) AS start

@@ -530,6 +530,64 @@ object Search {
       .limit(5)
   }
 
+  /** r18: HYBRID RETRIEVAL with reciprocal-rank fusion — the standard
+    * two-tower RAG serving pattern the reference's minsearch-only
+    * stack stops short of: a LEXICAL ranking (r8's BM25 over the
+    * staged TF index) and a DENSE ranking (s1's exact cosine against
+    * the probe embedding, vec_id keyed to doc_id) are each cut to
+    * their top-`kList`, then fused by RRF (Cormack et al.):
+    * score(d) = Σ_lists 1/(rrfK + rank_list(d)), missing list ⇒ 0.
+    * RRF needs no score calibration between the towers — only ranks —
+    * which is why it is the default fusion in hybrid search engines.
+    *
+    * Scale: each tower ends in a distributed TakeOrdered top-kList
+    * (never a global sort); the rank windows then run on ≤ kList rows
+    * (k-sized, not corpus-sized), and the fusion is a k×k full-outer
+    * join — driver-free throughout, and each tower reuses its staged
+    * index (TF table here; at 100 TB the dense tower is s3/st15's IVF
+    * lists instead of the brute-force scan, same fusion contract).
+    * Docs without an embedding row simply never enter the dense list
+    * — RRF's missing-list zero handles partial dense coverage, the
+    * normal state while an embedding backfill runs.
+    */
+  def r18HybridRrf(t: Tables, probeId: Long = 0L, kList: Int = 20,
+      kOut: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Caches.fresh()
+    // lexical tower: r8's exact scoring, wider cut
+    val lex = searchBm25From(
+      graft.Caches.materialized(tfStaged(t)), queryTerms, kList)
+    // dense tower: s1's exact cosine vs the probe vector (rounded to
+    // the 1e-4 grid BEFORE ranking so rank order is engine-portable)
+    val probe = t.embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val dense = t.embeddings.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.Vectors.cosine(col("v"), col("pv")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(kList)
+    // rank windows run AFTER the top-k cut: ≤ kList rows each, so the
+    // unpartitioned window is k-sized by construction
+    val lexR = lex.withColumn("r_lex", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "r_lex")
+    val denseR = dense.withColumn("r_vec", row_number().over(
+      Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select("doc_id", "r_vec")
+    lexR.join(denseR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)),
+          6).as("rrf"),
+        col("r_lex"), col("r_vec"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(kOut)
+  }
+
   /** r13: the reference's ACTUAL user-facing entry — a raw query
     * STRING (mixed case + punctuation), tokenized inside the engine
     * (reference: zc_agent/search_tools.py:7-16 `SearchTool.search`
@@ -641,6 +699,43 @@ object Search {
          |           JOIN dl USING (doc_id), stats)
          |SELECT doc_id, round(sum(contrib), 4) AS score FROM c
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    // RRF fusion replay: r8's BM25 CTE chain cut at 20, s1's cosine
+    // cut at 20, row_number ranks, full-outer fuse at k=60
+    "r18_hybrid_rrf" ->
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
+         |        FROM d, stats),
+         |q AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+         |c AS (SELECT tf.doc_id,
+         |        idf.idf_bm * tf.tf * 2.2 /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+         |      FROM tf JOIN q USING (term) JOIN idf USING (term)
+         |           JOIN dl USING (doc_id), stats),
+         |lex AS (SELECT doc_id, round(sum(contrib), 4) AS score FROM c
+         |        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |       FROM lex),
+         |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+         |      FROM embeddings WHERE vec_id = 0),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |dn AS (SELECT vec_id AS doc_id,
+         |         round(list_dot_product(v, pv) /
+         |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 4) AS cos
+         |       FROM v, p ORDER BY cos DESC, doc_id LIMIT 20),
+         |dr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+         |       FROM dn)
+         |SELECT doc_id,
+         |  round(COALESCE(1.0 / (60 + r_lex), 0) +
+         |        COALESCE(1.0 / (60 + r_vec), 0), 6) AS rrf,
+         |  r_lex, r_vec
+         |FROM lr FULL OUTER JOIN dr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // identical scoring to r7 by construction — the string entry must
     // reproduce the term-list ranking bit-for-bit
     "r13_search_query_string" ->

@@ -446,6 +446,51 @@ object TextAnalysis {
     if (sorted) out.orderBy("doc_id") else out
   }
 
+  /** t15: DETERMINISTIC SHUFFLE-SHARD — the last step of every
+    * training-data pipeline: assign each document a seeded
+    * pseudo-random sort key (md5 of `doc_id:seed`), hash the key into
+    * `nShards` shards, and number documents within each shard in key
+    * order. The output (doc_id, shard, pos) IS the training data
+    * order: data loaders read shard files sequentially and the global
+    * order is a reproducible uniform shuffle — rerunning the pipeline
+    * (or re-sharding after a failure) yields bit-identical placement,
+    * unlike `rand()`-based shuffles whose order changes with task
+    * retries and partition counts.
+    *
+    * Scale: NO global sort and no unpartitioned window — the shard
+    * assignment is a pure projection, and the only shuffle is the
+    * `partitionBy(shard)` exchange of the position window, each shard
+    * sorting independently (at 100 TB pick nShards so a shard ≈ a few
+    * GB: nShards = corpus_bytes / shard_bytes, the stateBucketsFor
+    * pattern). The md5 key is uniform, so shards are balanced within
+    * √n noise regardless of doc_id clustering; `pos` is dense and
+    * 1-based within each shard, so (shard, pos) is a stable global
+    * address for curriculum slicing and mid-epoch resume.
+    */
+  def t15ShuffleShard(t: Tables, nShards: Int = 8,
+      seed: Int = 7): DataFrame =
+    shuffleShardFrom(t.documents, "doc_id", nShards, seed)
+
+  /** DataFrame-form core of t15 over any id column (facade entry). */
+  private[graft] def shuffleShardFrom(docsIn: DataFrame, idCol: String,
+      nShards: Int = 8, seed: Int = 7,
+      sorted: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 60-bit key prefix (15 hex chars) keeps conv() inside signed-long
+    // range; the shard is the key's low-order residue, so shard and
+    // in-shard order both derive from the ONE md5 — no second hash
+    val out = docsIn
+      .select(col(idCol).as("doc_id"),
+        md5(concat_ws(":", col(idCol), lit(seed))).as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("rk", "doc_id")))
+      .select(col("doc_id"), col("shard"), col("pos"))
+    if (sorted) out.orderBy("shard", "pos") else out
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -454,6 +499,20 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // seeded-md5 shard assignment + in-shard key order, replayed with
+    // the same 15-hex-char key prefix ('0x'||hex)::UBIGINT ≡ conv(,16,10)
+    "t15_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':7') AS rk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, rk,
+        |    CAST(('0x' || substring(rk, 1, 15))::UBIGINT % 8 AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     // bigram-LM replay: add-one smoothed nll per bigram instance,
     // per-doc average, roundP, p75 cut via quantile_cont ≡ percentile
     "t13_perplexity" ->

@@ -347,7 +347,94 @@ object Io {
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }
 
+  /** io9: Z-ORDER CLUSTERED LAYOUT — multi-dimensional file
+    * clustering (Delta/Iceberg `OPTIMIZE ZORDER BY`): map each row's
+    * (user_id, value) to a point on the Z-curve (min/max-normalize
+    * both dimensions to 16 bits, interleave the bits), then land the
+    * table range-partitioned AND sorted by that z-value. Because the
+    * Z-curve preserves locality in BOTH dimensions, every parquet
+    * file/row-group gets TIGHT min/max stats on user_id and value
+    * simultaneously — a 2-D box predicate prunes to the few files
+    * whose z-range intersects the box, where a single-column sort
+    * gives tight stats on one dimension only. IoSpec measures the
+    * records-read win on the live layouts.
+    *
+    * Scale: the z-value is a pure projection (no shuffle to compute);
+    * the ONE shuffle is the range-partitioner that the clustered
+    * rewrite would pay for any sort key. At 100 TB this runs as
+    * io5-style compaction with a file-count target, and the min/max
+    * normalization bounds come from the previous snapshot's stats (a
+    * metadata read) — here they are a broadcast 1-row aggregate.
+    * Read-back carries an explicit schema, and the query result is
+    * the z-value per row, so the oracle replays normalize+interleave
+    * relationally: a hash match proves the clustered rewrite kept
+    * every row and computed the curve correctly.
+    */
+  def io9Zorder(t: Tables): DataFrame = {
+    val ev = t.events.select("event_id", "user_id", "value")
+    val dir = stage(t, "zorder", zorderOf(ev))((df, d) =>
+      df.repartitionByRange(8, col("zval")).sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(d))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("zval", LongType)))
+    t.spark.read.schema(schema).parquet(dir)
+      .select("event_id", "zval")
+      .orderBy("event_id")
+  }
+
+  /** (event_id, user_id, value, zval) with zval = 32-bit Z-curve index
+    * of min/max-normalized (user_id, value). Constant columns
+    * normalize to 0 (the CASE guard) instead of dividing by zero.
+    */
+  private[graft] def zorderOf(ev: DataFrame): DataFrame = {
+    val b = ev.agg(
+      min(col("user_id")).cast("double").as("ux0"),
+      max(col("user_id")).cast("double").as("ux1"),
+      min(col("value")).as("vy0"), max(col("value")).as("vy1"))
+    def norm16(x: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(hi === lo, lit(0L))
+        .otherwise(floor((x - lo) / (hi - lo) * lit(65535.0)))
+    val z = (0 until 16).flatMap { i =>
+      Seq(shiftleft(shiftright(col("nx"), i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(col("ny"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    ev.crossJoin(broadcast(b))
+      .withColumn("nx", norm16(col("user_id").cast("double"), col("ux0"), col("ux1")))
+      .withColumn("ny", norm16(col("value"), col("vy0"), col("vy1")))
+      .withColumn("zval", z)
+      .select("event_id", "user_id", "value", "zval")
+  }
+
+  /** The z-interleave as SQL (both engines fold the same 32 terms). */
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   val oracle: Map[String, String] = Map(
+    "io9_zorder" ->
+      s"""WITH b AS (
+         |  SELECT CAST(min(user_id) AS DOUBLE) AS ux0,
+         |         CAST(max(user_id) AS DOUBLE) AS ux1,
+         |         min(value) AS vy0, max(value) AS vy1
+         |  FROM events),
+         |n AS (
+         |  SELECT event_id,
+         |    CASE WHEN ux1 = ux0 THEN 0
+         |         ELSE CAST(floor((CAST(user_id AS DOUBLE) - ux0) / (ux1 - ux0) * 65535.0) AS BIGINT)
+         |    END AS nx,
+         |    CASE WHEN vy1 = vy0 THEN 0
+         |         ELSE CAST(floor((value - vy0) / (vy1 - vy0) * 65535.0) AS BIGINT)
+         |    END AS ny
+         |  FROM events, b)
+         |SELECT event_id,
+         |  CAST(${zInterleaveSql("nx", "ny")} AS BIGINT) AS zval
+         |FROM n ORDER BY event_id""".stripMargin,
     "io1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

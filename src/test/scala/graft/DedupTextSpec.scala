@@ -452,6 +452,31 @@ class DedupTextSpec extends SparkSpec {
     assert(kept >= 0.6 && kept <= 0.95, s"kept fraction $kept")
   }
 
+  test("t15 shuffle-shard: exact cover, dense pos, balanced, seed-sensitive") {
+    val rows = run("t15_shuffle_shard").collect()
+    val docs = graft.Tables(spark, sf).documents.count()
+    // every document lands exactly once
+    assert(rows.length == docs)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.size == docs)
+    // pos is dense 1..count within each shard; shards balanced within
+    // binomial noise (500 docs / 8 shards ≈ 62.5 ± a few σ)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length > docs / 8 / 2 && rs.length < docs / 8 * 2)
+    }
+    // deterministic replay: bit-identical on a second run
+    val again = run("t15_shuffle_shard").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // a different seed is a different permutation of the same cover
+    val t = graft.Tables(spark, sf)
+    val other = graft.operators.TextAnalysis
+      .shuffleShardFrom(t.documents, "doc_id", seed = 8).collect()
+    assert(other.map(_.getAs[Long]("doc_id")).toSet.size == docs)
+    assert(other.map(_.toSeq).toSeq != rows.map(_.toSeq).toSeq)
+  }
+
   test("d11 overlap scrub: masks exactly the docs d7 flags, ≥k tokens each") {
     val rows = run("d11_overlap_scrub").collect()
     assert(rows.nonEmpty)
@@ -474,6 +499,38 @@ class DedupTextSpec extends SparkSpec {
     val stream = run("st12_stream_overlap_scrub").collect().map(_.toSeq)
     assert(stream.length == batch.length && stream.nonEmpty)
     assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("d12 bloom decontaminate: bit-equal to d7, prefilter selective, " +
+      "no false negatives") {
+    val d7 = run("d7_decontaminate").collect().map(_.toSeq)
+    val d12 = run("d12_bloom_decontaminate").collect().map(_.toSeq)
+    assert(d12.nonEmpty && d12.toSeq == d7.toSeq)
+    // rebuild the prefilter pieces and measure its selectivity
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, sf)
+    val sh = t.documents
+      .withColumn("tk", graft.functions.Text.tokenize(col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.Text.shinglesFast(5)(col("tk"))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").cache()
+    val bf = bench.stat.bloomFilter("sh", math.max(bench.count(), 1L), 0.03)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val might = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("sh")),
+        bos.toByteArray))
+    val train = sh.filter(col("doc_id") % 97 =!= 0).cache()
+    val total = train.count()
+    val passed = train.filter(might).count()
+    val exactHits = train.join(bench.distinct(), Seq("sh"), "left_semi").count()
+    bench.unpersist(); train.unpersist()
+    // bloom admits every true hit (no false negatives) …
+    assert(passed >= exactHits)
+    // … and the clean remainder leaks at ≲ fpp (generous 5× headroom
+    // over the requested 3% for small-sample noise)
+    assert(passed - exactHits <= math.max(50L, ((total - exactHits) * 0.15).toLong),
+      s"bloom passed $passed of $total (exact $exactHits)")
   }
 
   test("d7 decontaminate: bench slice is %97, train side isn't, overlaps real") {

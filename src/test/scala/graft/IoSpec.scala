@@ -91,6 +91,68 @@ class IoSpec extends SparkSpec {
     assert(rows.length == byChange.values.map(_.length).sum)
   }
 
+  test("io9 z-order: 2-D box scan reads far fewer records than a " +
+      "single-column layout; rows preserved") {
+    val t = Tables(spark, sf)
+    val withZ = graft.sources.Io.zorderOf(
+      t.events.select("event_id", "user_id", "value"))
+    val natDir = java.nio.file.Files
+      .createTempDirectory("graft_z_nat_").toString
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft_z_ord_").toString
+    try {
+      // same file count, same rows — only the clustering differs
+      withZ.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(natDir)
+      withZ.repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(zDir)
+      // a selective 2-D box that stays inside ONE z-octant (fractions
+      // 0.55–0.70 of both normalized ranges keep the top interleaved
+      // bits constant — a box straddling a dimension's midpoint would
+      // legitimately touch many z-ranges, the curve's known weakness)
+      val (u0, u1, v0, v1) = {
+        val r = withZ.agg(
+          min(col("user_id")).cast("double"), max(col("user_id")).cast("double"),
+          min(col("value")), max(col("value"))).head()
+        val (ulo, uhi, vlo, vhi) =
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        (ulo + 0.55 * (uhi - ulo), ulo + 0.70 * (uhi - ulo),
+          vlo + 0.55 * (vhi - vlo), vlo + 0.70 * (vhi - vlo))
+      }
+      def box(dir: String): (Array[Long], Long) = {
+        var recs = 0L
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              recs += te.taskMetrics.inputMetrics.recordsRead
+        }
+        spark.sparkContext.addSparkListener(lst)
+        try {
+          val ids = spark.read.parquet(dir)
+            .filter(col("user_id") >= u0 && col("user_id") <= u1 &&
+              col("value") >= v0 && col("value") <= v1)
+            .select("event_id").collect().map(_.getLong(0)).sorted
+          Thread.sleep(1200) // listener bus drains async
+          (ids, recs)
+        } finally spark.sparkContext.removeSparkListener(lst)
+      }
+      val (natIds, natRecs) = box(natDir)
+      val (zIds, zRecs) = box(zDir)
+      // identical answers off both layouts
+      assert(natIds.sameElements(zIds) && natIds.nonEmpty)
+      // the z-clustered layout's row-group stats prune most of the
+      // scan; the event_id-sorted layout reads every row group
+      assert(zRecs * 2 <= natRecs,
+        s"z-layout read $zRecs records vs $natRecs on the natural layout")
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(natDir))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(zDir))
+    }
+  }
+
   test("io5 compaction: file count shrinks to the metadata-sized target") {
     val t = Tables(spark, sf)
     assert(run("io5_compaction").count() == 500)

@@ -117,6 +117,38 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r18 hybrid rrf: fuses lexical+dense ranks, scores reconstruct") {
+    val rows = run("r18_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    var sawLex = false; var sawVec = false
+    rows.foreach { r =>
+      val rl = if (r.isNullAt(r.fieldIndex("r_lex"))) None
+               else Some(r.getAs[Int]("r_lex"))
+      val rv = if (r.isNullAt(r.fieldIndex("r_vec"))) None
+               else Some(r.getAs[Int]("r_vec"))
+      assert(rl.nonEmpty || rv.nonEmpty)
+      (rl ++ rv).foreach(x => assert(x >= 1 && x <= 20))
+      sawLex ||= rl.nonEmpty; sawVec ||= rv.nonEmpty
+      // the fused score is exactly the RRF of the two ranks
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // both towers contribute to the fused top-10
+    assert(sawLex && sawVec)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // lexical ranks agree with r8's own top-5 ordering
+    val bm25Top = run("r8_bm25_search").collect().map(_.getAs[Long]("doc_id"))
+    val lexRankOf = rows.flatMap { r =>
+      if (r.isNullAt(r.fieldIndex("r_lex"))) None
+      else Some(r.getAs[Long]("doc_id") -> r.getAs[Int]("r_lex"))
+    }.toMap
+    bm25Top.zipWithIndex.foreach { case (d, i) =>
+      lexRankOf.get(d).foreach(rk => assert(rk == i + 1))
+    }
+  }
+
   test("serving queries use the corpus-keyed staged TF index; staged " +
       "rows equal a direct compute") {
     run("r7_tfidf_search").collect()
