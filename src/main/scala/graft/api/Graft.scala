@@ -171,6 +171,32 @@ object Graft {
     scoreTfIdf(w, tokenizeQuery(query), k)
   }
 
+  /** RECIPROCAL-RANK FUSION over any ranked lists (the r18 core as a
+    * library surface): each input frame is a (idCol, scoreCol) ranked
+    * list — already top-k cut, so the rank windows here run on k rows,
+    * never corpus rows. Output: (idCol, rrf, r_0..r_{n-1}) with
+    * rrf = Σ_lists 1/(rrfK + rank), a list missing an id contributing
+    * 0 — RRF needs no score calibration between towers, which is why
+    * it is the default fusion for lexical+dense hybrid serving.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      df.withColumn(s"r_$i", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))))
+        .select(col(idCol), col(s"r_$i"))
+    }
+    val fused = ranked.reduce((a, b) =>
+      a.join(b, Seq(idCol), "full_outer"))
+    val rrf = ranked.indices.map(i =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"r_$i")), lit(0.0)))
+      .reduce(_ + _)
+    fused.withColumn("rrf", round(rrf, 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---- dedup ----
 
   /** Exact duplicate groups by arbitrary key expression (keep-min-id
@@ -443,6 +469,21 @@ object Graft {
     graft.operators.Dedup.decontaminateFrom(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       k, benchMod, sorted)
+
+  /** BLOOM-PREFILTERED DECONTAMINATION: [[decontaminate]]'s exact
+    * output through a Bloom prefilter — for the regime where the
+    * bench shingle set outgrows the broadcast budget but its Bloom
+    * filter (~10 bits/shingle at fpp 3%) still fits everywhere. The
+    * prefilter cuts the confirm join's shuffled input to
+    * contamination + fpp·corpus; false positives are killed by the
+    * exact join, so results are bit-equal to [[decontaminate]].
+    */
+  def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchMod: Long = 97, k: Int = 5, fpp: Double = 0.03,
+      sorted: Boolean = false): DataFrame =
+    graft.operators.Dedup.bloomDecontaminateFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      k, benchMod, fpp, sorted)
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, candidates
     * from banded random-hyperplane LSH with exact-cosine
@@ -801,6 +842,28 @@ object Graft {
       sorted: Boolean = false): DataFrame =
     graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol,
       minCount, sorted)
+
+  /** DETERMINISTIC SHUFFLE-SHARD: seeded-md5 shuffle of any frame
+    * into `nShards` balanced shards with dense in-shard positions —
+    * the reproducible global shuffle a training-data pipeline ends
+    * with. Returns (doc_id, shard, pos); no global sort, the one
+    * shuffle is the per-shard position window. Pick nShards ≈
+    * corpus_bytes / shard_bytes at scale.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int = 8,
+      seed: Int = 7, sorted: Boolean = false): DataFrame =
+    graft.operators.TextAnalysis.shuffleShardFrom(df, idCol, nShards,
+      seed, sorted)
+
+  /** Z-ORDER column: append `zval`, the 32-bit Z-curve index of the
+    * min/max-normalized (xCol, yCol) — write the frame
+    * `repartitionByRange + sortWithinPartitions` on it to give every
+    * file tight min/max stats on BOTH dimensions (the
+    * Delta/Iceberg OPTIMIZE ZORDER layout; see io9/IoSpec for the
+    * measured 2-D pruning win).
+    */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.sources.Io.zorderOf(df, xCol, yCol)
 
   /** PRODUCT-QUANTIZATION ENCODE: per-subspace L2 k-means codebooks
     * (id-order seed, decimal-exact means) + argmin code projection;

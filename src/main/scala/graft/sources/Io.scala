@@ -372,7 +372,7 @@ object Io {
     */
   def io9Zorder(t: Tables): DataFrame = {
     val ev = t.events.select("event_id", "user_id", "value")
-    val dir = stage(t, "zorder", zorderOf(ev))((df, d) =>
+    val dir = stage(t, "zorder", zorderOf(ev, "user_id", "value"))((df, d) =>
       df.repartitionByRange(8, col("zval")).sortWithinPartitions("zval")
         .write.mode("overwrite").parquet(d))
     val schema = StructType(Seq(
@@ -385,15 +385,18 @@ object Io {
       .orderBy("event_id")
   }
 
-  /** (event_id, user_id, value, zval) with zval = 32-bit Z-curve index
-    * of min/max-normalized (user_id, value). Constant columns
-    * normalize to 0 (the CASE guard) instead of dividing by zero.
+  /** Input columns + `zval` = 32-bit Z-curve index of the
+    * min/max-normalized (xCol, yCol). Constant columns normalize to 0
+    * (the CASE guard) instead of dividing by zero. The bounds are a
+    * broadcast 1-row aggregate (a metadata read at cluster scale).
     */
-  private[graft] def zorderOf(ev: DataFrame): DataFrame = {
-    val b = ev.agg(
-      min(col("user_id")).cast("double").as("ux0"),
-      max(col("user_id")).cast("double").as("ux1"),
-      min(col("value")).as("vy0"), max(col("value")).as("vy1"))
+  private[graft] def zorderOf(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val b = df.agg(
+      min(col(xCol)).cast("double").as("zx0"),
+      max(col(xCol)).cast("double").as("zx1"),
+      min(col(yCol)).cast("double").as("zy0"),
+      max(col(yCol)).cast("double").as("zy1"))
     def norm16(x: org.apache.spark.sql.Column,
         lo: org.apache.spark.sql.Column,
         hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -403,11 +406,11 @@ object Io {
       Seq(shiftleft(shiftright(col("nx"), i).bitwiseAND(lit(1L)), 2 * i),
           shiftleft(shiftright(col("ny"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
-    ev.crossJoin(broadcast(b))
-      .withColumn("nx", norm16(col("user_id").cast("double"), col("ux0"), col("ux1")))
-      .withColumn("ny", norm16(col("value"), col("vy0"), col("vy1")))
+    df.crossJoin(broadcast(b))
+      .withColumn("nx", norm16(col(xCol).cast("double"), col("zx0"), col("zx1")))
+      .withColumn("ny", norm16(col(yCol).cast("double"), col("zy0"), col("zy1")))
       .withColumn("zval", z)
-      .select("event_id", "user_id", "value", "zval")
+      .drop("zx0", "zx1", "zy0", "zy1", "nx", "ny")
   }
 
   /** The z-interleave as SQL (both engines fold the same 32 terms). */

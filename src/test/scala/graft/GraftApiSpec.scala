@@ -55,6 +55,57 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse equals r18's fusion on the same towers; facades run " +
+      "on ad-hoc frames") {
+    // r18's towers, rebuilt through the facade surface
+    val t = Tables(spark, sf)
+    val tf = graft.operators.Search.tfStaged(t)
+    val lex = Graft.searchBm25(tf, graft.operators.Search.queryTerms, 20)
+      .withColumnRenamed("doc_id", "id")
+    val probe = t.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val dense = t.embeddings.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("id"),
+        round(graft.functions.Vectors.cosine(col("v"), col("pv")), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("id")).limit(20)
+    val fused = Graft.rrfFuse(
+      Seq(lex.withColumnRenamed("score", "s"), dense.withColumnRenamed("score", "s")),
+      "id", "s", k = 10).collect()
+    val r18 = run("r18_hybrid_rrf").collect()
+    assert(fused.map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf"))).toSeq ==
+      r18.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq)
+    // shuffleShard facade on an ad-hoc frame: full cover, dense pos
+    val adhoc = (1L to 100L).map(i => (i, s"doc$i")).toDF("k", "body")
+    val sharded = Graft.shuffleShard(adhoc, "k", nShards = 4).collect()
+    assert(sharded.map(_.getAs[Long]("doc_id")).toSet.size == 100)
+    // zorderBy facade: zval appended, within 32-bit range, corners map
+    // to curve endpoints
+    val pts = Seq((0L, 0.0), (0L, 100.0), (9L, 0.0), (9L, 100.0), (5L, 50.0))
+      .toDF("x", "y")
+    val z = Graft.zorderBy(pts, "x", "y").collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Double]("y"), r.getAs[Long]("zval")))
+    assert(z.forall { case (_, _, v) => v >= 0L && v < (1L << 32) })
+    assert(z.collect { case (0L, 0.0, v) => v }.head == 0L)
+    assert(z.collect { case (9L, 100.0, v) => v }.head == (1L << 32) - 1)
+  }
+
+  test("bloomDecontaminate facade equals decontaminate on ad-hoc docs") {
+    val docs = (0L to 200L).map { i =>
+      val text = if (i % 97 == 0) "alpha beta gamma delta epsilon zeta"
+        else if (i % 10 == 0) "alpha beta gamma delta epsilon shared tail"
+        else s"unique body $i with plain filler words number $i"
+      (i, text)
+    }.toDF("id", "body")
+    val exact = Graft.decontaminate(docs, "id", "body", sorted = true)
+      .collect().map(_.toSeq)
+    val bloom = Graft.bloomDecontaminate(docs, "id", "body", sorted = true)
+      .collect().map(_.toSeq)
+    assert(exact.nonEmpty && bloom.toSeq == exact.toSeq)
+  }
+
   test("dedupExactGroups with a custom key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
     val groups = Graft.dedupExactGroups(df, "id", md5(col("v"))).collect()

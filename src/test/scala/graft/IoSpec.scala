@@ -95,7 +95,7 @@ class IoSpec extends SparkSpec {
       "single-column layout; rows preserved") {
     val t = Tables(spark, sf)
     val withZ = graft.sources.Io.zorderOf(
-      t.events.select("event_id", "user_id", "value"))
+      t.events.select("event_id", "user_id", "value"), "user_id", "value")
     val natDir = java.nio.file.Files
       .createTempDirectory("graft_z_nat_").toString
     val zDir = java.nio.file.Files
