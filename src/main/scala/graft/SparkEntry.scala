@@ -99,6 +99,7 @@ object SparkEntry {
     "st12_stream_overlap_scrub" -> q(graft.streaming.Streams.st12StreamOverlapScrub(_)),
     "s6_pq_search"        -> q(Ann.s6PqSearch(_)),
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
+    "s7_mmr_rerank"       -> q(Ann.s7MmrRerank(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),

@@ -543,6 +543,34 @@ object Graft {
       .limit(k)
   }
 
+  /** MMR DIVERSIFIED RERANK: cut the top-`kCand` cosine candidates
+    * against `probe`, then greedily select `kOut` maximizing
+    * λ·rel − μ·max-sim-to-selected (Carbonell & Goldstein) — the
+    * redundancy-aware rerank between retrieval and the context
+    * window. The candidate cut is distributed; the greedy loop runs
+    * on the collected k-bounded candidate set (how production
+    * rerankers run). Returns (rank, doc_id, rel, mmr).
+    */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Double], kCand: Int = 20, kOut: Int = 5,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val pv = array(probe.map(lit): _*)
+    val cand = df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        round(Vectors.cosine(col("v"), pv), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(kCand)
+      .collect() // ≤ kCand rows by construction
+    val sel = graft.operators.Ann.mmrSelect(
+      cand.map(_.getAs[Long]("vec_id")),
+      cand.map(_.getAs[Seq[Double]]("v").toArray),
+      cand.map(_.getAs[Double]("rel")), kOut, lambda, mu)
+    val spark = df.sparkSession
+    import spark.implicits._
+    sel.toDF("rank", "doc_id", "rel", "mmr")
+  }
+
   // ---- streaming dedup (dedup-at-ingest) ----
 
   /** Incremental minhash-LSH dedup over a STREAMING (id, text) frame:

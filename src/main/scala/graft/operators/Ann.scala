@@ -218,6 +218,84 @@ object Ann {
       .limit(10)
   }
 
+  /** s7: MMR DIVERSIFIED RERANK (Carbonell & Goldstein) — the rerank
+    * stage between retrieval and the LLM context window: from the
+    * top-`kCand` cosine candidates, greedily select `kOut` maximizing
+    * `λ·rel(d) − μ·max_{s∈S} sim(d, s)` — relevance traded against
+    * redundancy with what's already selected, so the context window
+    * doesn't fill with near-copies of one passage.
+    *
+    * Scale shape: the DISTRIBUTED part is the candidate cut (s1's
+    * scan + TakeOrdered — at 100 TB the IVF/PQ towers produce it);
+    * the greedy loop then runs on the COLLECTED candidate set, k²
+    * work on k ≤ tens of rows — the probe/topK bounded-collect
+    * exception (this is also how production rerankers run: the
+    * candidate set is in memory by definition). Scores compute on
+    * ROUNDED rel/sims with a doc-id tie-break, so the selection
+    * order is engine-portable; the oracle replays the greedy loop as
+    * a DuckDB recursive CTE.
+    *
+    * `mu` is an explicit constant (not derived `1 − λ`): `1 − 0.7`
+    * is 0.30000000000000004 in IEEE double while the oracle's
+    * literal `0.3` is not — deriving it would diverge the two
+    * engines' scores in the 17th digit and, eventually, a tie.
+    */
+  def s7MmrRerank(t: Tables, probeId: Long = 0L, kCand: Int = 20,
+      kOut: Int = 5, lambda: Double = 0.7,
+      mu: Double = 0.3): DataFrame = {
+    val probe = t.embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val cand = t.embeddings.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"),
+        round(Vectors.cosine(col("v"), col("pv")), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(kCand)
+      .collect() // ≤ kCand rows by construction
+    val sel = mmrSelect(
+      cand.map(_.getAs[Long]("vec_id")),
+      cand.map(_.getAs[Seq[Double]]("v").toArray),
+      cand.map(_.getAs[Double]("rel")), kOut, lambda, mu)
+    val spark = t.spark
+    import spark.implicits._
+    sel.toDF("rank", "doc_id", "rel", "mmr")
+  }
+
+  /** The greedy MMR loop over an in-memory candidate set. Pairwise
+    * sims use the same sequential-fold cosine and HALF_UP 4-dec
+    * rounding as the column expressions, so the scores — and the
+    * (score desc, id asc) argmax — are bit-portable.
+    */
+  private[graft] def mmrSelect(ids: Array[Long], vecs: Array[Array[Double]],
+      rels: Array[Double], kOut: Int, lambda: Double,
+      mu: Double): Seq[(Int, Long, Double, Double)] = {
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = ids.length
+    val sim = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 0.0 else rnd(cos(vecs(i), vecs(j)), 4))
+    val selected = scala.collection.mutable.Buffer[Int]()
+    val out = scala.collection.mutable.Buffer[(Int, Long, Double, Double)]()
+    for (step <- 1 to math.min(kOut, n)) {
+      val (bi, bs) = (0 until n).filterNot(selected.contains).map { i =>
+        val ms = if (selected.isEmpty) 0.0
+                 else selected.map(j => sim(i)(j)).max
+        (i, rnd(lambda * rels(i) - mu * ms, 6))
+      }.minBy { case (i, s) => (-s, ids(i)) }
+      selected += bi
+      out += ((step, ids(bi), rels(bi), bs))
+    }
+    out.toSeq
+  }
+
   /** s4: k-NN JOIN — top-k cosine neighbors for EVERY vector at once,
     * the batch form 100 TB pipelines actually run (near-dup scoring,
     * retrieval-index build), vs s1–s3's single-probe serving shape.
@@ -662,6 +740,41 @@ object Ann {
          |        (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(pv, pv))), 4) AS cos
          |FROM cand c JOIN vv v ON v.vec_id = c.vec_id, p
          |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin,
+    // greedy MMR replayed as a recursive CTE: candidate cut, pairwise
+    // rounded sims, one LATERAL argmax per step with (score desc, id)
+    // tie-break — the same loop the Scala side runs on the collected
+    // candidates
+    "s7_mmr_rerank" ->
+      """WITH RECURSIVE
+        |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+        |      FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, v, round(list_dot_product(v, pv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 4) AS rel
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id <> 0), p
+        |  ORDER BY rel DESC, vec_id LIMIT 20),
+        |sims AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |mmr(step, sel, picked, rel, score) AS (
+        |  SELECT * FROM (
+        |    SELECT 1 AS step, [c.vec_id] AS sel, c.vec_id AS picked, c.rel,
+        |      round(0.7 * c.rel, 6) AS score
+        |    FROM cand c ORDER BY score DESC, c.vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT m.step + 1, list_append(m.sel, w.vec_id), w.vec_id, w.rel, w.score
+        |  FROM mmr m, LATERAL (
+        |    SELECT c.vec_id, c.rel,
+        |      round(0.7 * c.rel - 0.3 * (SELECT max(s.sim) FROM sims s
+        |             WHERE s.ida = c.vec_id AND list_contains(m.sel, s.idb)), 6) AS score
+        |    FROM cand c WHERE NOT list_contains(m.sel, c.vec_id)
+        |    ORDER BY score DESC, c.vec_id LIMIT 1) w
+        |  WHERE m.step < 5)
+        |SELECT step AS rank, picked AS doc_id, rel, score AS mmr
+        |FROM mmr ORDER BY rank""".stripMargin,
     "s1_ann_bruteforce" ->
       """WITH p AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),

@@ -113,6 +113,51 @@ class AnnStreamSpec extends SparkSpec {
     assert(graft.operators.Ann.s6PqSearch(t, probeId = -424242L).count() == 0)
   }
 
+  test("s7 mmr rerank: rank1 = argmax rel, scores monotone, selection " +
+      "replays the greedy definition") {
+    val rows = run("s7_mmr_rerank").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    // rank 1 is the pure-relevance argmax (empty selected set)
+    val s1Top = run("s1_ann_bruteforce").collect().head.getAs[Long]("vec_id")
+    assert(rows.head.getAs[Long]("doc_id") == s1Top)
+    // as the selected set grows, the achievable MMR score can only
+    // fall — the greedy scores are non-increasing
+    val scores = rows.map(_.getAs[Double]("mmr"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // ids distinct; each step's score reconstructs from rel and the
+    // max sim to the PREVIOUSLY selected docs (independent replay on
+    // the collected candidate set)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 5)
+    val t = Tables(spark, sf)
+    val cand = t.embeddings.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("v").toArray).toMap
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val prev = ids.take(i)
+      val ms = prev.map(p => rnd(cos(cand(r.getAs[Long]("doc_id")), cand(p)), 4)).max
+      val expect = rnd(0.7 * r.getAs[Double]("rel") - 0.3 * ms, 6)
+      assert(r.getAs[Double]("mmr") == expect, s"step ${i + 1}")
+    }
+    // the facade form (explicit probe vector) selects identically
+    val pv = t.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val viaFacade = graft.api.Graft.mmrRerank(
+      t.embeddings.filter(col("vec_id") =!= 0L), "vec_id", "embedding", pv)
+      .collect()
+    assert(viaFacade.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("s4 knn join: ranked rows per src; recall ≥ 0.55 overall, ≥ 0.9 in the cos≥0.45 regime") {
     val rows = run("s4_knn_join").collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
