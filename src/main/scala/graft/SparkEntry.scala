@@ -75,6 +75,7 @@ object SparkEntry {
     "d6_dedup_groups"     -> q(Dedup.d6DedupGroups(_)),
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
     "d12_bloom_decontaminate" -> q(Dedup.d12BloomDecontaminate(_)),
+    "d13_dedup_keep_best" -> q(Dedup.d13DedupKeepBest(_)),
     "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),
     "d9_semdedup"         -> q(Dedup.d9Semdedup(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),
@@ -91,6 +92,8 @@ object SparkEntry {
     "t12_span_corruption"  -> q(TextAnalysis.t12SpanCorruption(_)),
     "t13_perplexity"       -> q(TextAnalysis.t13Perplexity),
     "t15_shuffle_shard"    -> q(TextAnalysis.t15ShuffleShard(_)),
+    "t16_ccnet_buckets"    -> q(TextAnalysis.t16CcnetBuckets),
+    "t17_mixture_weights"  -> q(TextAnalysis.t17MixtureWeights(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),

@@ -394,6 +394,19 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       threshold, sorted)
 
+  /** KEEP-BEST DEDUP: collapse each near-dup group (minhash-LSH +
+    * connected components at `threshold`) to its highest-QUALITY
+    * member — argmax of the composite quality score, tie-break min
+    * doc_id; singletons keep themselves. Returns one row per
+    * SURVIVOR: (doc_id, grp, group_size, q_score). The argmax window
+    * runs only on the match-sized group evidence, never the corpus.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, sorted: Boolean = false): DataFrame =
+    graft.operators.Dedup.keepBestFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, sorted = sorted)
+
   /** SEMANTIC DEDUP (SemDeDup): k-means-cluster the embedding space
     * (codebook trained FRESH on this frame — callers with a stored
     * model should pre-assign and use the operators directly), then
@@ -870,6 +883,29 @@ object Graft {
       sorted: Boolean = false): DataFrame =
     graft.operators.TextAnalysis.perplexityFrom(df, idCol, textCol,
       minCount, sorted)
+
+  /** CCNET PERPLEXITY BUCKETS: head/middle/tail thirds of the corpus
+    * by perplexity under its own bigram LM (low ppl = head) — the
+    * standard quality partitioning pretraining recipes sample from.
+    * Cuts are exact tertiles over the doc-level scored frame;
+    * assignment is a broadcast-constant projection. Returns
+    * (doc_id, ppl, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L, sorted: Boolean = false): DataFrame =
+    graft.operators.TextAnalysis.ccnetBucketsFrom(df, idCol, textCol,
+      minCount, sorted)
+
+  /** MIXTURE WEIGHTS under a token budget: per-`sourceCol` sqrt-
+    * temperature sampling weights (w ∝ √tokens), allocated against
+    * `targetFrac` × corpus tokens with a `maxEpochs` repetition cap.
+    * Returns (source, n_docs, n_tok, weight, alloc_tok, epochs) —
+    * the planning table `mixtureSample` executes.
+    */
+  def mixtureWeights(df: DataFrame, sourceCol: String, textCol: String,
+      targetFrac: Double = 0.5, maxEpochs: Double = 4.0): DataFrame =
+    graft.operators.TextAnalysis.mixtureWeightsFrom(df, sourceCol,
+      textCol, targetFrac, maxEpochs)
 
   /** DETERMINISTIC SHUFFLE-SHARD: seeded-md5 shuffle of any frame
     * into `nShards` balanced shards with dense in-shard positions —

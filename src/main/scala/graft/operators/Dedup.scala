@@ -463,6 +463,54 @@ object Dedup {
     if (sorted) out.orderBy("doc_id") else out
   }
 
+  /** d13: KEEP-BEST DEDUP — collapse each near-dup group (d6's
+    * connected component) to its highest-QUALITY member instead of
+    * min-id: winner = argmax(t2 q_score, tie-break min doc_id) within
+    * the group; singletons keep themselves. This is how production
+    * dedup actually decides survivors (the min-id convention d1/d6
+    * use is an arbitrary canonical pick; real pipelines keep the
+    * best-scoring copy of boilerplate families — e.g. the longest /
+    * least-truncated mirror of a page).
+    *
+    * Scale: the argmax window runs ONLY on the match-sized group
+    * registry join ([[ccLabelsStaged]] — rows = grouped docs, not the
+    * corpus), never a corpus-wide window; singletons come from an
+    * anti-join against the registry (AQE broadcasts the group side
+    * while it is small) and skip the window entirely; quality is a
+    * pure projection. One CC run is shared with d6/d10 through the
+    * corpus-keyed registry.
+    */
+  def d13DedupKeepBest(t: Tables, threshold: Double = 0.5): DataFrame =
+    keepBestFrom(t.documents.select("doc_id", "text"), threshold,
+      Some(ccLabelsStaged(t, threshold)))
+
+  /** DataFrame form of d13 (facade entry); `groupsIn` lets the
+    * Tables path supply the corpus-keyed CC registry.
+    */
+  private[graft] def keepBestFrom(docs: DataFrame, threshold: Double,
+      groupsIn: Option[DataFrame] = None,
+      sorted: Boolean = true): DataFrame = {
+    val q = graft.operators.TextAnalysis.qualityScoreFrom(docs)
+    val g = groupsIn
+      .getOrElse(dedupGroupsFrom(docs, threshold, sorted = false))
+      .select("doc_id", "keep_doc", "group_size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("q_score").desc, col("doc_id"))
+    val winners = g.join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_doc").as("grp"), col("group_size"),
+        coalesce(col("q_score"), lit(0.0)).as("q_score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val singles = docs.select("doc_id")
+      .join(g.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("doc_id").as("grp"),
+        lit(1L).as("group_size"),
+        coalesce(col("q_score"), lit(0.0)).as("q_score"))
+    val out = winners.unionByName(singles)
+    if (sorted) out.orderBy("doc_id") else out
+  }
+
   /** Connected components over an undirected pair frame (doc_a,
     * doc_b) — the CC engine behind d6, exposed at the pairs level so
     * any near-dup family's evidence (d2/d3/d4/d5) can be grouped and
@@ -1170,6 +1218,60 @@ object Dedup {
          |SELECT doc_id, keep_doc,
          |  count(*) OVER (PARTITION BY keep_doc) AS group_size
          |FROM labels ORDER BY doc_id""".stripMargin,
+    // d6's recursive-CC labels + t2's quality formula: winner per
+    // group by (q_score DESC, doc_id), singletons keep themselves
+    "d13_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shl WHERE len(sh) > 0),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter, sa.nsh AS na, sb.nsh AS nb
+         |  FROM cand JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE round(inter / (na + nb - inter), 4) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS grp FROM reach GROUP BY a),
+         |g AS (SELECT doc_id, grp,
+         |        CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS group_size
+         |      FROM labels),
+         |tq AS (
+         |  SELECT doc_id, length(text) AS n_chars_t,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS tk
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    floor((0.4 * least(n_chars_t / 500.0, 1.0) +
+         |           0.3 * (len(list_distinct(tk)) / len(tk)) +
+         |           0.3 * (len(list_filter(tk,
+         |                    x -> x IN ('the','a','of','and','is'))) / len(tk)))
+         |          * 10000 + 0.5) / 10000.0 AS q_score
+         |  FROM tq WHERE len(tk) > 0),
+         |win AS (
+         |  SELECT g.doc_id, g.grp, g.group_size,
+         |    coalesce(q.q_score, 0.0) AS q_score
+         |  FROM g LEFT JOIN q USING (doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY grp
+         |            ORDER BY coalesce(q.q_score, 0.0) DESC, g.doc_id) = 1),
+         |sing AS (
+         |  SELECT d.doc_id, d.doc_id AS grp, CAST(1 AS BIGINT) AS group_size,
+         |    coalesce(q.q_score, 0.0) AS q_score
+         |  FROM documents d LEFT JOIN q USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM labels))
+         |SELECT doc_id, grp, group_size, q_score FROM win
+         |UNION ALL SELECT doc_id, grp, group_size, q_score FROM sing
+         |ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (
         |  SELECT doc_id,

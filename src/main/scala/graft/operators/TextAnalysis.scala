@@ -80,6 +80,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t2's composite score alone, (doc_id, q_score), for consumers
+    * that rank docs by quality (d13's keep-best dedup) — the same
+    * expression tree as t2 so the two agree bit-for-bit. Token-less
+    * docs drop out here (no ratios exist); callers coalesce.
+    */
+  private[graft] def qualityScoreFrom(docs: DataFrame): DataFrame = {
+    val tk = Text.tokenize(col("text"))
+    val en = profiles.toMap.apply("en")
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars_t"), tk.as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), roundP(
+        lit(0.4) * least(col("n_chars_t") / 500.0, lit(1.0)) +
+          lit(0.3) * (size(array_distinct(col("tk"))) / col("n_tok")) +
+          lit(0.3) * (profileScore(col("tk"), en) / col("n_tok")))
+        .as("q_score"))
+  }
+
   /** t3: token counts — whitespace tokens vs a BPE-ish lexer regex
     * (letter runs | digit runs | single non-alnum-non-space).
     */
@@ -394,6 +413,21 @@ object TextAnalysis {
   private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L,
       sorted: Boolean = true): DataFrame = {
+    val scored = perplexityScored(docsIn, idCol, textCol, minCount)
+    val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
+    val out = scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
+        (col("ppl") <= col("p75")).cast("int").as("keep"))
+    if (sorted) out.orderBy("doc_id") else out
+  }
+
+  /** The per-doc perplexity frame (doc_id, n_bg, avg_nll, ppl) both
+    * t13's p75 keep-cut and t16's CCNet tertile buckets consume —
+    * materialized, so each caller's corpus-wide cut runs on the
+    * doc-level aggregate without re-running the token-scale LM join.
+    */
+  private[graft] def perplexityScored(docsIn: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1L): DataFrame = {
     graft.Caches.fresh()
     // materialized, not cached: the bigram stream feeds the LM build
     // AND the scoring scan concurrently — the lazy-cache broadcast
@@ -430,7 +464,7 @@ object TextAnalysis {
     // doc-scale (one row per doc) but the product of the pipeline's
     // expensive join — materialized so the p75 cut and the final
     // select don't each re-run the token-scale join+rollup
-    val scored = graft.Caches.materialized(docsBg
+    graft.Caches.materialized(docsBg
       .join(lm, "bg")
       .crossJoin(broadcast(vocabN))
       .withColumn("nll",
@@ -438,12 +472,88 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bg"), avg("nll").as("raw"))
       .withColumn("avg_nll", roundP(col("raw")))
-      .withColumn("ppl", roundP(exp(col("raw")))))
-    val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
-    val out = scored.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
-        (col("ppl") <= col("p75")).cast("int").as("keep"))
+      .withColumn("ppl", roundP(exp(col("raw"))))
+      .select("doc_id", "n_bg", "avg_nll", "ppl"))
+  }
+
+  /** t16: CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3) — the
+    * standard corpus partitioning by LM perplexity: docs sort into
+    * `head` / `middle` / `tail` thirds (low perplexity = closest to
+    * the LM's training distribution = `head`), the knob pretraining
+    * recipes use to up-sample the head and drop or down-weight the
+    * tail. Buckets come from exact tertile CUTS, not NTILE: the two
+    * cut points are a one-row aggregate over the doc-level frame,
+    * broadcast back, and assignment is a pure projection — no global
+    * sort, no unpartitioned window, the same corpus-constant-compare
+    * shape as t13's p75 keep flag (and the same percentile ≡
+    * quantile_cont portability, proven there).
+    */
+  def t16CcnetBuckets(t: Tables): DataFrame =
+    ccnetBucketsFrom(t.documents, "doc_id", "text")
+
+  /** DataFrame form of t16 (facade entry). */
+  private[graft] def ccnetBucketsFrom(docsIn: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1L,
+      sorted: Boolean = true): DataFrame = {
+    val scored = perplexityScored(docsIn, idCol, textCol, minCount)
+    val cuts = scored.agg(
+      expr("percentile(ppl, 1.0/3)").as("c1"),
+      expr("percentile(ppl, 2.0/3)").as("c2"))
+    val out = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("ppl"),
+        when(col("ppl") <= col("c1"), "head")
+          .when(col("ppl") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
     if (sorted) out.orderBy("doc_id") else out
+  }
+
+  /** t17: MIXTURE WEIGHTS under a token budget — temperature-scaled
+    * sampling weights per `source` (w_s ∝ n_tok_s^α, α=0.5 — the
+    * multilingual/multi-domain up-sampling standard, Conneau &
+    * Lample 2019), allocated against a target budget of
+    * `targetFrac` × corpus tokens with a per-source repetition cap of
+    * `maxEpochs` epochs. This is the planning half of t7's mixture
+    * SAMPLER: t17 computes the per-source rates a budget implies;
+    * t7 executes rates row-by-row.
+    *
+    * Scale: one token-count projection + a partial-agg groupBy(source)
+    * down to domain-level rows, then a broadcast 1-row total — no
+    * window, no second corpus pass. Portability: weights derive from
+    * INTEGER-valued doubles (w_int = floor(√n_tok·10⁶), summed as
+    * longs) so every engine computes the identical ratios — no
+    * float-accumulation-order hazard in the denominator.
+    */
+  def t17MixtureWeights(t: Tables, targetFrac: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame =
+    mixtureWeightsFrom(t.documents, "source", "text", targetFrac,
+      maxEpochs)
+
+  /** DataFrame form of t17 (facade entry). */
+  private[graft] def mixtureWeightsFrom(docsIn: DataFrame,
+      sourceCol: String, textCol: String, targetFrac: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame = {
+    // α = 0.5 computed as sqrt, NOT pow(·, 0.5): IEEE 754 pins sqrt
+    // to correctly-rounded (identical everywhere); pow is allowed
+    // 1-ulp slack and engines' intrinsics differ
+    val per = docsIn
+      .select(col(sourceCol).as("source"),
+        size(Text.tokenize(col(textCol))).cast("long").as("d_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("d_tok").as("n_tok"))
+      .withColumn("w_int",
+        floor(sqrt(col("n_tok").cast("double")) * 1000000L)
+          .cast("long"))
+    val tot = per.agg(sum("n_tok").as("tot_tok"), sum("w_int").as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target", floor(col("tot_tok") * targetFrac))
+      .withColumn("weight", floor(col("w_int") / col("w_sum")
+        * 1000000 + 0.5) / 1000000.0)
+      .withColumn("alloc_tok",
+        floor(least(col("target") * col("w_int") / col("w_sum"),
+          col("n_tok") * maxEpochs)).cast("long"))
+      .withColumn("epochs", roundP(col("alloc_tok") / col("n_tok")))
+      .select("source", "n_docs", "n_tok", "weight", "alloc_tok", "epochs")
+      .orderBy("source")
   }
 
   /** t15: DETERMINISTIC SHUFFLE-SHARD — the last step of every
@@ -515,6 +625,69 @@ object TextAnalysis {
         |FROM s ORDER BY shard, pos""".stripMargin,
     // bigram-LM replay: add-one smoothed nll per bigram instance,
     // per-doc average, roundP, p75 cut via quantile_cont ≡ percentile
+    // t13's scored frame replayed (same CTE chain), bucketed by the
+    // exact tertile cuts (quantile_cont ≡ Spark percentile — the
+    // q14/t13-proven identity) instead of the p75 keep flag
+    "t16_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(tk[i:i+1], ' ')
+        |            FOR i IN range(1, len(tk))]) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (SELECT bg, count(*) AS c_bi FROM bg GROUP BY bg),
+        |cw AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |         CAST(sum(c_bi) AS BIGINT) AS c_w1
+        |       FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u) AS v
+        |      FROM (SELECT unnest(tk) AS u FROM toks)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    -ln(CAST(c.c_bi + 1 AS DOUBLE) / CAST(w.c_w1 + v.v AS DOUBLE))
+        |      AS nll
+        |  FROM bg b JOIN c ON b.bg = c.bg
+        |  JOIN cw w ON string_split(b.bg, ' ')[1] = w.w1
+        |  CROSS JOIN v),
+        |d AS (SELECT doc_id, avg(nll) AS raw FROM sc GROUP BY doc_id),
+        |p AS (SELECT doc_id,
+        |        floor(exp(raw) * 10000 + 0.5) / 10000.0 AS ppl
+        |      FROM d),
+        |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1,
+        |               quantile_cont(ppl, 2.0/3) AS c2 FROM p)
+        |SELECT doc_id, ppl,
+        |  CASE WHEN ppl <= c1 THEN 'head'
+        |       WHEN ppl <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM p CROSS JOIN cut ORDER BY doc_id""".stripMargin,
+    // integer-valued weight numerators (floor(√n_tok·10⁶) summed as
+    // BIGINT) make every ratio a division of exactly-representable
+    // integers — identical doubles in any IEEE engine
+    "t17_mixture_weights" ->
+      """WITH tt AS (
+        |  SELECT source,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                    x -> x <> '')) AS d_tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(d_tok) AS BIGINT) AS n_tok,
+        |    CAST(floor(sqrt(CAST(sum(d_tok) AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w_int
+        |  FROM tt GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+        |               CAST(sum(w_int) AS BIGINT) AS w_sum FROM per)
+        |SELECT source, n_docs, n_tok,
+        |  floor(w_int / w_sum * 1000000 + 0.5) / 1000000.0 AS weight,
+        |  CAST(floor(least(floor(tot_tok * 0.5) * w_int / w_sum,
+        |                   n_tok * 4.0)) AS BIGINT) AS alloc_tok,
+        |  floor(CAST(floor(least(floor(tot_tok * 0.5) * w_int / w_sum,
+        |                         n_tok * 4.0)) AS BIGINT) / n_tok
+        |        * 10000 + 0.5) / 10000.0 AS epochs
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "t13_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,

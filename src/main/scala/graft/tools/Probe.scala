@@ -180,6 +180,29 @@ object Probe {
         graft.operators.Dedup
           .embeddingPairsFrom(replicatedTaggedVecs(copies),
             taggedThreshold, probeRadius = 0).count())
+      // keep-best = d6's CC evidence + a match-sized argmax window +
+      // a corpus anti-join: the probe shows it scales as d6 does
+      // (the window adds registry-sized work, not corpus-sized)
+      case "d13" => timed("d13",
+        graft.operators.Dedup.keepBestFrom(docs, 0.5).count(),
+        graft.operators.Dedup.keepBestFrom(replicated(copies), 0.5)
+          .count())
+      // shuffle-shard holds shard SIZE constant as the corpus grows
+      // (nShards scales with copies — the corpus_bytes/shard_bytes
+      // contract), so the per-shard position sort never grows
+      case "t15" => timed("t15",
+        graft.operators.TextAnalysis
+          .shuffleShardFrom(docs, "doc_id", 8, 7).count(),
+        graft.operators.TextAnalysis
+          .shuffleShardFrom(replicated(copies), "doc_id", 8 * copies, 7)
+          .count())
+      // ccnet buckets = t13's scored frame + two tertile constants:
+      // the delta over t13 is a doc-level 1-row agg + projection
+      case "t16" => timed("t16",
+        graft.operators.TextAnalysis
+          .ccnetBucketsFrom(docs, "doc_id", "text").count(),
+        graft.operators.TextAnalysis
+          .ccnetBucketsFrom(replicated(copies), "doc_id", "text").count())
       case "d2" => timed("d2",
         graft.api.Graft.jaccardPairs(docs, "doc_id", "text").count(),
         graft.api.Graft.jaccardPairs(replicated(copies), "doc_id", "text")

@@ -555,4 +555,76 @@ class DedupTextSpec extends SparkSpec {
       .intersect(docs(r0.getAs[Long]("bench_id"))).size
     assert(inter == r0.getAs[Long]("n_shared"))
   }
+
+  test("d13 keep-best: one survivor per group, exact cover, survivor has max quality") {
+    val kept = run("d13_dedup_keep_best").collect()
+    val groups = run("d6_dedup_groups").collect()
+    val nDocs = Tables(spark, sf).documents.count()
+    // exact cover: group sizes over survivors sum to the corpus
+    assert(kept.map(_.getAs[Long]("group_size")).sum == nDocs)
+    // one survivor per group: grp values are unique, and every d6
+    // component is represented by exactly one survivor
+    val grps = kept.map(_.getAs[Long]("grp"))
+    assert(grps.distinct.length == grps.length)
+    val d6Roots = groups.map(_.getAs[Long]("keep_doc")).distinct.sorted
+    val keptGroupRoots = kept.filter(_.getAs[Long]("group_size") > 1)
+      .map(_.getAs[Long]("grp")).sorted
+    assert(d6Roots.sameElements(keptGroupRoots))
+    // the survivor's q_score is its group's max (recomputed from t2)
+    val q = run("t2_quality_score").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q_score")).toMap
+    val byRoot = groups.groupBy(_.getAs[Long]("keep_doc"))
+    kept.filter(_.getAs[Long]("group_size") > 1).foreach { r =>
+      val members = byRoot(r.getAs[Long]("grp")).map(_.getAs[Long]("doc_id"))
+      val best = members.map(d => q.getOrElse(d, 0.0)).max
+      assert(r.getAs[Double]("q_score") == best)
+      assert(members.contains(r.getAs[Long]("doc_id")))
+    }
+    // keep-best genuinely differs from keep-min-id somewhere (else the
+    // operator is d6 with extra steps on this corpus)
+    assert(kept.exists(r => r.getAs[Long]("group_size") > 1 &&
+      r.getAs[Long]("doc_id") != r.getAs[Long]("grp")))
+  }
+
+  test("t16 ccnet buckets: thirds by ppl order, boundaries consistent") {
+    val rows = run("t16_ccnet_buckets").collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("ppl"))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.size == 3)
+    // buckets are ordered intervals: max(head) ≤ min(middle) etc.
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // tertile split: each bucket holds ~a third (ties can skew a bit)
+    val n = rows.length.toDouble
+    byBucket.values.foreach(b =>
+      assert(b.length / n > 0.2 && b.length / n < 0.47,
+        s"bucket fraction ${b.length / n}"))
+  }
+
+  test("t17 mixture weights: weights sum to 1, budget and epoch caps hold") {
+    val rows = run("t17_mixture_weights").collect()
+    assert(rows.length >= 2)
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weight sum $wSum")
+    val totTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val target = math.floor(totTok * 0.5).toLong
+    // allocation never exceeds the budget or the per-source epoch cap
+    assert(rows.map(_.getAs[Long]("alloc_tok")).sum <= target)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tok") <=
+        (r.getAs[Long]("n_tok") * 4.0).toLong)
+      val ep = r.getAs[Double]("epochs")
+      assert(ep >= 0.0 && ep <= 4.0)
+      // sqrt-temperature up-samples small sources: weight ≥ raw share
+      // for the smallest source, ≤ for the largest
+    }
+    val byTok = rows.sortBy(_.getAs[Long]("n_tok"))
+    val small = byTok.head; val large = byTok.last
+    assert(small.getAs[Double]("weight") >=
+      small.getAs[Long]("n_tok").toDouble / totTok)
+    assert(large.getAs[Double]("weight") <=
+      large.getAs[Long]("n_tok").toDouble / totTok)
+  }
 }
