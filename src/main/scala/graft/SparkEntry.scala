@@ -103,6 +103,7 @@ object SparkEntry {
     "s6_pq_search"        -> q(Ann.s6PqSearch(_)),
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "s7_mmr_rerank"       -> q(Ann.s7MmrRerank(_)),
+    "s8_ann_recall"       -> q(Ann.s8AnnRecall(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),

@@ -296,6 +296,59 @@ object Ann {
     out.toSeq
   }
 
+  /** s8: ANN RECALL EVALUATION — recall@k of the IVF index (s3's
+    * serving path: nProbe pruned lists under the trained codebook)
+    * against the exact brute-force ground truth (s1's arithmetic),
+    * over a probe set. This is the quality gate every approximate
+    * index ships with: the (nLists, nProbe) operating point is chosen
+    * BY this measurement, and a production pipeline re-runs it after
+    * every index rebuild to catch codebook drift.
+    *
+    * Scale: the exact side is intentionally brute-force — that is
+    * what "ground truth" means — so recall eval always runs over a
+    * SAMPLED probe set (here: the nProbes lowest vec_ids; production
+    * samples ~1k probes by hash), never the full query log. Per-probe
+    * top-k uses a rank window PARTITIONED by probe id (k-bounded
+    * output per partition, probes ≪ corpus); the approximate side
+    * reads only each probe's nProbe lists through the same broadcast
+    * probe table. Both sides rank ROUNDED cosines with a vec_id
+    * tie-break, so rank order — and therefore recall — is
+    * engine-portable and replayed exactly by the oracle.
+    */
+  def s8AnnRecall(t: Tables, nProbes: Int = 8, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    def topk(df: DataFrame): DataFrame = df
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(Vectors.cosine(col("v"), col("pv")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("pid", "vec_id")
+    val exact = topk(assigned.crossJoin(broadcast(probes)))
+    // each probe's nProbe nearest lists, ranked by the SAME compiled
+    // expression the writer assigns with (s3's serving contract)
+    val pls = probes.select(col("pid"), col("pv"),
+      explode(slice(Vectors.centroidRanks(col("pv"), cb), 1, nProbe))
+        .as("cid"))
+    val approx = topk(assigned.join(broadcast(pls), "cid"))
+      .withColumnRenamed("vec_id", "a_id")
+    exact
+      .join(approx,
+        exact("pid") === approx("pid") && col("vec_id") === col("a_id"),
+        "left")
+      .groupBy(exact("pid").as("probe_id"))
+      .agg(count(col("a_id")).as("n_hit"))
+      .withColumn("recall", floor(col("n_hit") / k * 10000 + 0.5) / 10000.0)
+      .select("probe_id", "n_hit", "recall")
+      .orderBy("probe_id")
+  }
+
   /** s4: k-NN JOIN — top-k cosine neighbors for EVERY vector at once,
     * the batch form 100 TB pipelines actually run (near-dup scoring,
     * retrieval-index build), vs s1–s3's single-probe serving shape.
@@ -686,6 +739,50 @@ object Ann {
          |  FROM c)
          |SELECT src, rank, dst, cos FROM r WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+    // the k-means replay (s3's CTE) + BOTH towers per probe: exact
+    // brute-force top-10 and IVF pruned-list top-10 over rounded
+    // cosines with id tie-breaks, intersected per probe
+    "s8_ann_recall" ->
+      s"""WITH $kmeansReplayCte,
+         |probes AS (SELECT vec_id AS pid, v AS pv FROM vv WHERE vec_id < 8),
+         |ex AS (
+         |  SELECT pid, vec_id FROM (
+         |    SELECT p.pid, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.pid ORDER BY
+         |        round(list_dot_product(a.v, p.pv) /
+         |          (sqrt(list_dot_product(a.v, a.v)) *
+         |           sqrt(list_dot_product(p.pv, p.pv))), 4) DESC,
+         |        a.vec_id) AS rn
+         |    FROM vv a, probes p WHERE a.vec_id <> p.pid) t
+         |  WHERE rn <= 10),
+         |pr AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.pid, cc.cid,
+         |      row_number() OVER (PARTITION BY p.pid ORDER BY
+         |        list_dot_product(p.pv, cc.cv) /
+         |        (sqrt(list_dot_product(p.pv, p.pv)) *
+         |         sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |        cc.cid) AS rn
+         |    FROM probes p, (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn <= 2),
+         |ap AS (
+         |  SELECT pid, vec_id FROM (
+         |    SELECT p.pid, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.pid ORDER BY
+         |        round(list_dot_product(a.v, p.pv) /
+         |          (sqrt(list_dot_product(a.v, a.v)) *
+         |           sqrt(list_dot_product(p.pv, p.pv))), 4) DESC,
+         |        a.vec_id) AS rn
+         |    FROM af a JOIN pr ON a.cid = pr.cid
+         |    JOIN probes p ON p.pid = pr.pid
+         |    WHERE a.vec_id <> p.pid) t
+         |  WHERE rn <= 10)
+         |SELECT e.pid AS probe_id,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |  floor(count(a.vec_id) / 10 * 10000 + 0.5) / 10000.0 AS recall
+         |FROM ex e LEFT JOIN ap a
+         |  ON a.pid = e.pid AND a.vec_id = e.vec_id
+         |GROUP BY e.pid ORDER BY probe_id""".stripMargin,
     // full replay of s3: seeded codebook (first 16 vectors by id),
     // three decimal-exact Lloyd's iterations, assignment + nProbe=2
     // probe lists under the final codebook, exact-cosine top-10

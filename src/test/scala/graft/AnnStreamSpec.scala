@@ -55,6 +55,27 @@ class AnnStreamSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("s8 ann recall: one row per probe, recall consistent with n_hit, " +
+      "probe 0 agrees with the s1-vs-s3 cross-check") {
+    val rows = run("s8_ann_recall").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 10)
+      assert(r.getAs[Double]("recall") == hit / 10.0)
+    }
+    // probe 0's recall must equal the independent s1 ∩ s3 measurement
+    // (same corpus, same codebook, same k)
+    val exact = run("s1_ann_bruteforce").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = run("s3_ann_ivf").collect().map(_.getAs[Long]("vec_id")).toSet
+    val p0 = rows.find(_.getAs[Long]("probe_id") == 0L).get
+    assert(p0.getAs[Long]("n_hit") == exact.intersect(ivf).size.toLong)
+    // the operating point is usable: mean recall over the probe set
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.6, s"mean recall $mean")
+  }
+
   test("s5 pq encode: codes in range, qerr ≥ 0, Lloyd's reduces mean error") {
     val t = Tables(spark, sf)
     val n = t.embeddings.count()
