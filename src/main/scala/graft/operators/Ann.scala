@@ -336,13 +336,18 @@ object Ann {
     val pls = probes.select(col("pid"), col("pv"),
       explode(slice(Vectors.centroidRanks(col("pv"), cb), 1, nProbe))
         .as("cid"))
+    // both towers descend from `assigned`, so the recall join is a
+    // self-join by lineage — rename the approx side's columns OUTRIGHT
+    // (exact("pid") === approx("pid") would resolve both sides to the
+    // same attribute and silently degenerate to `true`, leaking hits
+    // across probes)
     val approx = topk(assigned.join(broadcast(pls), "cid"))
-      .withColumnRenamed("vec_id", "a_id")
+      .select(col("pid").as("a_pid"), col("vec_id").as("a_id"))
     exact
       .join(approx,
-        exact("pid") === approx("pid") && col("vec_id") === col("a_id"),
+        col("pid") === col("a_pid") && col("vec_id") === col("a_id"),
         "left")
-      .groupBy(exact("pid").as("probe_id"))
+      .groupBy(col("pid").as("probe_id"))
       .agg(count(col("a_id")).as("n_hit"))
       .withColumn("recall", floor(col("n_hit") / k * 10000 + 0.5) / 10000.0)
       .select("probe_id", "n_hit", "recall")
