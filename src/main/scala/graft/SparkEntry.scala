@@ -59,6 +59,7 @@ object SparkEntry {
     "r9_filter_boost_search" -> q(Search.r9FilterBoostSearch),
     "r13_search_query_string" -> q(Search.r13SearchQueryString),
     "r18_hybrid_rrf"     -> q(Search.r18HybridRrf(_)),
+    "r19_search_eval"    -> q(Search.r19SearchEval(_)),
     "r15_vocab_build"    -> q(Search.r15VocabBuild(_)),
     "r17_bpe_train"      -> q(Search.r17BpeTrain(_)),
     "t14_bpe_encode"     -> q(Search.t14BpeEncode(_)),

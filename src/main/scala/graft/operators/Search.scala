@@ -508,6 +508,59 @@ object Search {
       .limit(k)
   }
 
+  /** r19: SEARCH QUALITY EVALUATION — the text-retrieval twin of
+    * s8's ANN recall gate: for a deterministic doc-derived query set
+    * (each of the first `nQueries` docs asks its own top-`topT`
+    * terms), score the whole corpus with r8's exact BM25 arithmetic
+    * and report where the SOURCE doc ranks — per-query rank,
+    * reciprocal rank, hit@k. This is the self-retrieval eval every
+    * search index ships with (the reference generates eval questions
+    * FROM docs — eval/generate_questions.py — and checks the doc
+    * comes back; here the query derivation is deterministic so the
+    * whole measurement replays in SQL).
+    *
+    * Scale: queries ≪ corpus by construction (a sampled eval set —
+    * s8's contract); query terms are a broadcast table; the corpus
+    * pays one postings join + per-(query, doc) partial agg; the rank
+    * window is partitioned by query id. Rounded scores + id
+    * tie-breaks make ranks engine-portable.
+    */
+  def r19SearchEval(t: Tables, nQueries: Int = 16, topT: Int = 3,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Caches.fresh()
+    val tf = graft.Caches.materialized(tfStaged(t))
+    val k1 = 1.2; val b = 0.75
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bm",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+    val wq = Window.partitionBy("qid").orderBy(col("tf").desc, col("term"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= topT)
+      .select("qid", "term")
+    val scores = tf.join(broadcast(qterms), "term")
+      .join(idf.select("term", "idf_bm", "avgdl"), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf_bm") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("score"))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("n_cand", count(lit(1)).over(
+        Window.partitionBy("qid")).cast("long"))
+      .filter(col("doc_id") === col("qid"))
+      .select(col("qid").as("query_doc"), col("n_cand"), col("rank"),
+        (floor(lit(1.0) / col("rank") * 10000 + 0.5) / 10000.0).as("rr"),
+        (col("rank") <= k).cast("int").as(s"hit$k"))
+      .orderBy("query_doc")
+  }
+
   /** r9: keyword-filtered (lang='en'), field-boosted search: text
     * match (unnormalized TF-IDF) + 3.0 × source-field match. IDF is
     * fit on the full corpus; the filter applies at query time, as in
@@ -684,6 +737,38 @@ object Search {
          |SELECT num.doc_id, round(num.num / norms.nrm, 4) AS score
          |FROM num JOIN norms USING (doc_id)
          |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    // r8's BM25 CTE chain with PER-QUERY terms (each query doc's
+    // top-3 tf-desc terms), rank window per query, source-doc row
+    "r19_search_eval" ->
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
+         |        FROM d, stats),
+         |qt AS (
+         |  SELECT qid, term FROM (
+         |    SELECT doc_id AS qid, term,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |    FROM tf WHERE doc_id < 16) t
+         |  WHERE rn <= 3),
+         |c AS (SELECT qt.qid, tf.doc_id,
+         |        idf.idf_bm * tf.tf * 2.2 /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+         |      FROM tf JOIN qt USING (term) JOIN idf USING (term)
+         |           JOIN dl USING (doc_id), stats),
+         |s AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score FROM c
+         |      GROUP BY qid, doc_id),
+         |r AS (SELECT qid, doc_id,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, doc_id) AS rank,
+         |        count(*) OVER (PARTITION BY qid) AS n_cand
+         |      FROM s)
+         |SELECT qid AS query_doc, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(rank AS BIGINT) AS rank,
+         |  floor(1.0 / rank * 10000 + 0.5) / 10000.0 AS rr,
+         |  CAST(rank <= 5 AS INT) AS hit5
+         |FROM r WHERE doc_id = qid ORDER BY query_doc""".stripMargin,
     "r8_bm25_search" ->
       s"""WITH $tokCte,
          |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

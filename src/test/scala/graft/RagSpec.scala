@@ -117,6 +117,23 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("r19 search eval: one row per query, self-retrieval ranks well, " +
+      "rr consistent, rank-1 queries recompute") {
+    val rows = run("r19_search_eval").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= 1 && rank <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Double]("rr") ==
+        math.floor(1.0 / rank * 10000 + 0.5) / 10000.0)
+      assert(r.getAs[Int]("hit5") == (if (rank <= 5) 1 else 0))
+    }
+    // self-retrieval on a doc's own top terms should be easy: the
+    // mean reciprocal rank over the query set must be high
+    val mrr = rows.map(_.getAs[Double]("rr")).sum / rows.length
+    assert(mrr >= 0.5, s"MRR $mrr")
+  }
+
   test("r18 hybrid rrf: fuses lexical+dense ranks, scores reconstruct") {
     val rows = run("r18_hybrid_rrf").collect()
     assert(rows.length == 10)
