@@ -385,6 +385,80 @@ object Io {
       .orderBy("event_id")
   }
 
+  /** io10: FILE-STATS MANIFEST PRUNING — the table-format metadata
+    * layer (Iceberg/Delta manifests) as data: events land clustered
+    * by event_id (range-partitioned + sorted), a MANIFEST table of
+    * per-file (min_id, max_id, n_rows) is built ONCE at landing and
+    * staged beside the data, and an id-range query plans against the
+    * manifest FIRST — only the files whose [min, max] intersects the
+    * predicate range are ever opened. This is file skipping one
+    * level above io9's row-group stats: at 100 TB the manifest is
+    * maintained AT WRITE TIME (here derived once from the landed
+    * files — same artifact), is millions of times smaller than the
+    * data, and is what lets a planner prune a petabyte to a file
+    * list without touching a single parquet footer.
+    *
+    * The file-list collect is bounded by the FILE count (the
+    * manifest's row count — a planner's working set by definition,
+    * like s7's top-k collect). IoSpec asserts the chosen file set is
+    * a strict subset and the pruned answer equals the full-scan
+    * answer; the oracle checks the ANSWER (a plain range query over
+    * events), because pruning must be invisible to results.
+    */
+  def io10StatsManifest(t: Tables): DataFrame = {
+    val (lo, hi) = (100L, 399L)
+    val (files, _) = io10PrunedFiles(t, lo, hi)
+    // a fully-pruned range reads NOTHING — an empty relation, not a
+    // zero-path read error
+    val slice =
+      if (files.isEmpty)
+        t.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), io10Schema)
+      else t.spark.read.schema(io10Schema).parquet(files: _*)
+    slice
+      .filter(col("event_id").between(lo, hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val io10Schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** The manifest-planning half of io10, exposed so the spec can
+    * assert the pruning: returns (files whose stats admit [lo, hi],
+    * total file count in the manifest).
+    */
+  private[graft] def io10PrunedFiles(t: Tables, lo: Long,
+      hi: Long): (Seq[String], Long) = {
+    val spark = t.spark
+    val dataDir = stage(t, "manifest_data",
+      t.events.select("event_id", "event_type", "value"))(
+      (df, d) => df.repartitionByRange(16, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(d))
+    // the manifest is itself a STAGED artifact — built once per
+    // landed snapshot, a metadata read thereafter
+    val mDir = graft.Staging.dir(s"${t.dir}:manifest_meta", "io_manifest") {
+      d =>
+        spark.read.schema(io10Schema).parquet(dataDir)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(d)
+    }
+    val manifest = spark.read.parquet(mDir)
+    val files = manifest
+      .filter(col("max_id") >= lo && col("min_id") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    (files, manifest.count())
+  }
+
   /** Input columns + `zval` = 32-bit Z-curve index of the
     * min/max-normalized (xCol, yCol). Constant columns normalize to 0
     * (the CASE guard) instead of dividing by zero. The bounds are a
@@ -446,6 +520,13 @@ object Io {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |  min(c_name) AS first_name
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle checks the ANSWER of the range query — manifest
+    // pruning must be invisible to results
+    "io10_stats_manifest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id BETWEEN 100 AND 399
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "io3_partitioned_prune" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -153,6 +153,29 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("io10 stats manifest: range query opens a strict file subset, " +
+      "answer equals the full scan") {
+    val t = Tables(spark, sf)
+    val (files, total) = graft.sources.Io.io10PrunedFiles(t, 100L, 399L)
+    assert(files.nonEmpty && files.length < total,
+      s"pruned ${files.length} of $total files — no skipping")
+    // the pruned answer must equal the unpruned one, row for row
+    val pruned = run("io10_stats_manifest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val full = t.events
+      .filter(col("event_id").between(100L, 399L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(pruned.sameElements(full))
+    // a disjoint range prunes everything
+    val (none, _) = graft.sources.Io.io10PrunedFiles(t, -5000L, -4000L)
+    assert(none.isEmpty)
+  }
+
   test("io5 compaction: file count shrinks to the metadata-sized target") {
     val t = Tables(spark, sf)
     assert(run("io5_compaction").count() == 500)
