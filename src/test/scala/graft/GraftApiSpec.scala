@@ -715,4 +715,73 @@ class GraftApiSpec extends SparkSpec {
     assert(auto.listCount == ivfConfigFor(vecs.count()))
     assert(auto.listCount != 16)
   }
+
+  test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
+      "singletons survive, cover is exact") {
+    // two near-identical docs (high shingle Jaccard: 87 shared
+    // distinct words + a short fresh tail) where the LONGER copy must
+    // win on quality despite the HIGHER doc id, plus a singleton
+    val base = "the and of " + (1 to 87).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " a is plus extra detail words marsh meadow route" +
+        " berry stone river"),
+      (30L, "completely unrelated content about spark plans"))
+      .toDF("id", "body")
+    val kept = Graft.dedupKeepBest(df = docs, idCol = "id",
+      textCol = "body", sorted = true).collect()
+    assert(kept.map(_.getAs[Long]("group_size")).sum == 3L)
+    val byDoc = kept.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the dup group collapsed to ONE survivor — the higher-quality
+    // (longer) copy, not the min id — and the singleton kept itself
+    assert(!byDoc.contains(10L) && byDoc.contains(20L))
+    assert(byDoc(20L).getAs[Long]("group_size") == 2L)
+    assert(byDoc(20L).getAs[Long]("grp") == 10L)
+    assert(byDoc(30L).getAs[Long]("group_size") == 1L)
+  }
+
+  test("perplexityBuckets on an ad-hoc corpus: repetitive text heads, " +
+      "odd text tails") {
+    // 9 docs from a shared template (low ppl under the corpus's own
+    // LM) + 3 with scrambled word order (high ppl)
+    val normal = (1 to 9).map(i =>
+      (i.toLong, s"the cat sat on the mat and the dog sat on the rug $i"))
+    val odd = (10 to 12).map(i =>
+      (i.toLong, s"mat$i rug cat on dog sat the on sat"))
+    val docs = (normal ++ odd).toDF("id", "body")
+    val rows = Graft.perplexityBuckets(docs, "id", "body",
+      sorted = true).collect()
+    assert(rows.length == 12)
+    val bucketOf = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // every scrambled doc lands in tail, no template doc does
+    (10L to 12L).foreach(i => assert(bucketOf(i) == "tail", s"doc $i"))
+    (1L to 9L).foreach(i => assert(bucketOf(i) != "tail", s"doc $i"))
+  }
+
+  test("mixtureWeights on an ad-hoc corpus: sqrt temperature " +
+      "up-samples the small source, caps bind") {
+    val docs = (
+      (1 to 80).map(i => (s"big", s"word " * 50 + i)) ++
+        (1 to 5).map(i => (s"small", s"word " * 50 + i)))
+      .toDF("src", "body")
+    val rows = Graft.mixtureWeights(docs, "src", "body").collect()
+    val by = rows.map(r => r.getAs[String]("source") -> r).toMap
+    val wBig = by("big").getAs[Double]("weight")
+    val wSmall = by("small").getAs[Double]("weight")
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-4)
+    // √-temperature: small's weight share ≫ its token share (5/85),
+    // big's below its share
+    val tokShareSmall = by("small").getAs[Long]("n_tok").toDouble /
+      (by("small").getAs[Long]("n_tok") + by("big").getAs[Long]("n_tok"))
+    assert(wSmall > 2 * tokShareSmall)
+    // the epoch cap binds for the tiny source (it can't fill its
+    // allocation without repeating more than maxEpochs times)
+    assert(by("small").getAs[Double]("epochs") <= 4.0)
+    assert(by("big").getAs[Double]("epochs") < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tok") <=
+        (r.getAs[Long]("n_tok") * 4.0).toLong)
+    }
+  }
 }
