@@ -110,6 +110,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("d13: argmax is rank-limited (WindowGroupLimit), joins broadcast, " +
+      "no corpus-keyed window shuffle") {
+    val p = plan("d13_dedup_keep_best")
+    // Spark's rank-limit pushdown must hold: only rank-1 rows survive
+    // BEFORE the full window sort materializes
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    // the group registry and quality frames join broadcast — a
+    // SortMergeJoin here would mean the registry went corpus-sized
+    assert(!p.split("== Initial Plan ==").head.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("r19: query terms ride broadcast; per-query rank windows are " +
+      "rank-limited") {
+    val p = plan("r19_search_eval")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("io10: the pruned range scan opens fewer input files than the " +
+      "landed layout holds") {
+    val t = Tables(spark, sf)
+    val (files, total) = graft.sources.Io.io10PrunedFiles(t, 100L, 399L)
+    val df = run("io10_stats_manifest")
+    df.collect()
+    // the executed scan's file sources are exactly the manifest's
+    // admitted files — the plan never references the full directory
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).getOrElse("")
+    assert(files.length < total)
+    assert(!scanLine.contains("io_manifest_data]"),
+      s"scan reads the whole landed dir: $scanLine")
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     // compact plan strings mark WholeStageCodegen stages with "*(n)"
     assert(plan("q1_pricing_summary").contains("*(1)"))
