@@ -131,7 +131,8 @@ object SparkEntry {
     "st10_stream_file_sink" -> q(graft.streaming.Streams.st10StreamFileSink),
     "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_)),
     "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain),
-    "st15_stream_ann_maintain" -> q(graft.streaming.Streams.st15StreamAnnMaintain(_))
+    "st15_stream_ann_maintain" -> q(graft.streaming.Streams.st15StreamAnnMaintain(_)),
+    "st16_stream_manifest_sink" -> q(graft.streaming.Streams.st16StreamManifestSink)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

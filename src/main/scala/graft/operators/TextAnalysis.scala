@@ -403,7 +403,35 @@ object TextAnalysis {
     * uses percentile ≡ quantile_cont (the q14-proven identity).
     */
   def t13Perplexity(t: Tables): DataFrame =
-    perplexityFrom(t.documents, "doc_id", "text")
+    pplKeepCut(pplScoredStaged(t)).orderBy("doc_id")
+
+  /** Corpus-keyed staged copy of the doc-level perplexity frame —
+    * the LM build + token-scale scoring join is the pipeline's
+    * expensive artifact, and BOTH its consumers (t13's p75 keep cut,
+    * t16's CCNet tertiles) are corpus-constant compares over the
+    * doc-level rows: pay the join ONCE per corpus snapshot, land
+    * (doc_id, n_bg, avg_nll, ppl), and serve every downstream cut
+    * from the landed frame (tfStaged / ccLabelsStaged's contract;
+    * doubles round-trip parquet exactly, so staged = fresh
+    * bit-for-bit).
+    */
+  private[graft] def pplScoredStaged(t: Tables): DataFrame = {
+    val dir = graft.Staging.dir(s"${t.dir}:pplscored", "ppl") { d =>
+      perplexityScored(t.documents, "doc_id", "text")
+        .write.mode("overwrite").parquet(d)
+    }
+    t.spark.read.parquet(dir)
+  }
+
+  /** t13's p75 keep flag over a scored frame (shared by the fresh
+    * and staged paths).
+    */
+  private def pplKeepCut(scored: DataFrame): DataFrame = {
+    val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
+        (col("ppl") <= col("p75")).cast("int").as("keep"))
+  }
 
   /** DataFrame-form core of t13 over any (idCol, textCol) frame —
     * the `Graft.perplexityScore` facade entry. `minCount` > 1 prunes
@@ -413,11 +441,7 @@ object TextAnalysis {
   private[graft] def perplexityFrom(docsIn: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L,
       sorted: Boolean = true): DataFrame = {
-    val scored = perplexityScored(docsIn, idCol, textCol, minCount)
-    val cut = scored.agg(expr("percentile(ppl, 0.75)").as("p75"))
-    val out = scored.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("n_bg"), col("avg_nll"), col("ppl"),
-        (col("ppl") <= col("p75")).cast("int").as("keep"))
+    val out = pplKeepCut(perplexityScored(docsIn, idCol, textCol, minCount))
     if (sorted) out.orderBy("doc_id") else out
   }
 
@@ -489,22 +513,28 @@ object TextAnalysis {
     * quantile_cont portability, proven there).
     */
   def t16CcnetBuckets(t: Tables): DataFrame =
-    ccnetBucketsFrom(t.documents, "doc_id", "text")
+    pplTertiles(pplScoredStaged(t)).orderBy("doc_id")
 
   /** DataFrame form of t16 (facade entry). */
   private[graft] def ccnetBucketsFrom(docsIn: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L,
       sorted: Boolean = true): DataFrame = {
-    val scored = perplexityScored(docsIn, idCol, textCol, minCount)
+    val out = pplTertiles(perplexityScored(docsIn, idCol, textCol, minCount))
+    if (sorted) out.orderBy("doc_id") else out
+  }
+
+  /** t16's tertile bucketing over a scored frame (shared by the
+    * fresh and staged paths).
+    */
+  private def pplTertiles(scored: DataFrame): DataFrame = {
     val cuts = scored.agg(
       expr("percentile(ppl, 1.0/3)").as("c1"),
       expr("percentile(ppl, 2.0/3)").as("c2"))
-    val out = scored.crossJoin(broadcast(cuts))
+    scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("ppl"),
         when(col("ppl") <= col("c1"), "head")
           .when(col("ppl") <= col("c2"), "middle")
           .otherwise("tail").as("bucket"))
-    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** t17: MIXTURE WEIGHTS under a token budget — temperature-scaled

@@ -424,7 +424,7 @@ object Io {
       .orderBy("event_type")
   }
 
-  private val io10Schema = StructType(Seq(
+  private[graft] val io10Schema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))

@@ -1667,6 +1667,108 @@ object Streams {
   }
 
   // ----------------------------------------------------------------
+  // st16: write-time manifest maintenance (io10's metadata layer at
+  // the sink)
+  // ----------------------------------------------------------------
+
+  /** st16: WRITE-TIME MANIFEST MAINTENANCE — io10 derives its
+    * file-stats manifest from an already-landed layout; at 100 TB
+    * the manifest is maintained BY THE SINK as data arrives, which
+    * is exactly what this operator does: each micro-batch lands its
+    * rows clustered by event_id into a per-batch directory and
+    * appends that batch's per-file (min, max, rows) manifest rows
+    * beside them — all arrivals-sized, nothing corpus-wide per
+    * batch, and the manifest is ready to prune the instant the
+    * batch commits (no post-hoc derivation pass over the landed
+    * files).
+    *
+    * AT-LEAST-ONCE SAFE by layout: both the batch's data dir and its
+    * manifest dir are keyed by batch id and written with OVERWRITE —
+    * a foreachBatch retry rewrites its own directories with
+    * identical content instead of double-appending (the st14
+    * redelivery contract, bought structurally instead of via an
+    * anti-join).
+    *
+    * Serving replays io10's plan: the manifest (an
+    * O(files)-row metadata read) admits only the files whose
+    * [min, max] intersects the query range; only those are opened.
+    * Every event arrives exactly once across the batches, so the
+    * served answer equals the batch range query — io10's oracle
+    * VERBATIM.
+    */
+  def st16StreamManifestSink(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/events.parquet"
+    val staged = graft.Staging.dir(s"${t.dir}:st16", "st16") { d =>
+      val schema = spark.read.parquet(path).schema
+      val ev = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir(t, path, "event_id"))
+        .select("event_id", "event_type", "value")
+      val q = ev.writeStream
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          st16SinkStep(spark, s"$d/data", s"$d/manifest",
+            batch.toDF(), bid)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    st16Serve(spark, s"$staged/manifest", 100L, 399L)
+  }
+
+  /** ONE sink step: land the batch clustered by event_id and its
+    * per-file manifest rows, both under batch-id-keyed dirs (see
+    * [[st16StreamManifestSink]] for the idempotence contract).
+    */
+  private[graft] def st16SinkStep(
+      spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      manDir: String, batch: DataFrame, bid: Long): Unit = {
+    val bDir = s"$dataDir/b$bid"
+    batch.repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(bDir)
+    spark.read.schema(graft.sources.Io.io10Schema).parquet(bDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$manDir/b$bid")
+  }
+
+  /** io10's serving plan over the MAINTAINED manifest: metadata read
+    * → admitted file list (bounded by the manifest's row count) →
+    * pruned multi-file scan → the range aggregate.
+    */
+  private[graft] def st16Serve(spark: org.apache.spark.sql.SparkSession,
+      manDir: String, lo: Long, hi: Long): DataFrame = {
+    val schema = graft.sources.Io.io10Schema
+    val manifest = spark.read.option("recursiveFileLookup", "true")
+      .parquet(manDir)
+    val files = manifest
+      .filter(col("max_id") >= lo && col("min_id") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val slice =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    slice
+      .filter(col("event_id").between(lo, hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The maintained manifest frame — spec access (pruning witness). */
+  private[graft] def st16Manifest(t: Tables): Option[DataFrame] =
+    graft.Staging.lookup(s"${t.dir}:st16").map(d =>
+      t.spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$d/manifest"))
+
+  // ----------------------------------------------------------------
   // st15: incremental VECTOR-index (IVF) maintenance
   // ----------------------------------------------------------------
 
@@ -1836,6 +1938,11 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // every event arrives exactly once across the batches and the
+    // manifest only PRUNES, so the served range aggregate equals the
+    // batch range query — io10's oracle verbatim
+    "st16_stream_manifest_sink" ->
+      graft.sources.Io.oracle("io10_stats_manifest"),
     // pinned codebook + disjoint arrivals make the maintained IVF
     // assignments equal batch assignedVecs row-for-row and the
     // serving arithmetic is batch s3's — s3's full k-means-replay

@@ -341,6 +341,40 @@ class AnnStreamSpec extends SparkSpec {
     st4.foreach { case (a, b, _) => assert(a < b) }
   }
 
+  test("st16 write-time manifest: served answer equals batch io10, " +
+      "manifest prunes, per-batch step is idempotent") {
+    val batch = run("io10_stats_manifest").collect().map(_.toSeq)
+    val stream = run("st16_stream_manifest_sink").collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
+    // the maintained manifest admits a strict file subset for the
+    // served range — write-time stats actually prune
+    val t = Tables(spark, sf)
+    val man = graft.streaming.Streams.st16Manifest(t).get.collect()
+    val admitted = man.count { r =>
+      r.getAs[Long]("max_id") >= 100L && r.getAs[Long]("min_id") <= 399L
+    }
+    assert(admitted > 0 && admitted < man.length,
+      s"admitted $admitted of ${man.length} manifest files")
+    // redelivery: a retried batch rewrites its batch-keyed dirs with
+    // identical content instead of double-appending (drilled on a
+    // throwaway state so the live staged one stays pristine)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st16_idem_").toString
+    try {
+      val replay = t.events.select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 0)
+      graft.streaming.Streams.st16SinkStep(
+        spark, s"$tmp/data", s"$tmp/manifest", replay, 0L)
+      val once = graft.streaming.Streams.st16Serve(
+        spark, s"$tmp/manifest", 100L, 399L).collect().map(_.toSeq).toSeq
+      graft.streaming.Streams.st16SinkStep(
+        spark, s"$tmp/data", s"$tmp/manifest", replay, 0L)
+      val twice = graft.streaming.Streams.st16Serve(
+        spark, s"$tmp/manifest", 100L, 399L).collect().map(_.toSeq).toSeq
+      assert(once.nonEmpty && twice == once)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("st13 incremental group maintenance equals batch d6 bit-for-bit") {
     // connectivity through the compressed edge log must reproduce the
     // batch CC over full pair evidence exactly: same components, same
