@@ -105,6 +105,7 @@ object SparkEntry {
     "s4_knn_join"         -> q(Ann.s4KnnJoin(_)),
     "s7_mmr_rerank"       -> q(Ann.s7MmrRerank(_)),
     "s8_ann_recall"       -> q(Ann.s8AnnRecall(_)),
+    "s9_ivfpq_search"     -> q(Ann.s9IvfPqSearch(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),

@@ -533,6 +533,99 @@ object Ann {
       .limit(10)
   }
 
+  /** s9: IVF-PQ SEARCH — the two pruning layers composed, which is
+    * the layout billion-scale ANN actually ships (FAISS IVFPQ): the
+    * coarse IVF codebook prunes the corpus to the probe's `nProbe`
+    * nearest lists (s3's serving contract), and within those lists
+    * every vector is scored through its PQ CODES via the probe's ADC
+    * lookup tables (s6's serving contract) — no float vector is
+    * touched at query time. Cost per query = (nProbe/nLists of the
+    * corpus) × (m byte-lookups + adds per row): both factors
+    * independently tunable, multiplicative together.
+    *
+    * At cluster scale `cid` is the partition key (st15's maintained
+    * layout) and the codes are stored 4-byte columns (s5's encode) —
+    * serving is a partition-pruned scan of compressed codes + a
+    * TakeOrdered; the on-the-fly encode here produces the identical
+    * codes the stored column would hold (same model, same argmin).
+    * Codes quantize the RAW vectors (codebooks trained corpus-wide,
+    * s5's model) rather than list residuals — the simpler published
+    * variant; the residual refinement is a model change, not a plan
+    * change. The oracle replays BOTH trainings (s3's k-means + s5's
+    * per-subspace Lloyd's), the probe's list choice, the ADC tables,
+    * and the pruned lookup-sum ranking in SQL.
+    */
+  def s9IvfPqSearch(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 2, m: Int = 4, k: Int = 4, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val books = pqModel(t, m, k, iters, dim)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("v"),
+        slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe).as("pls"))
+      .collect().headOption
+    if (probe.isEmpty)
+      return assigned.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
+    val pv = probe.get.getSeq[Double](0).toArray
+    val probeLists = probe.get.getSeq[Int](1)
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val dt: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      val psv = pv.slice(mi * sub, mi * sub + sub)
+      books(mi).map(cw => sdot(psv, psv) - 2 * sdot(psv, cw) + sdot(cw, cw))
+    }
+    pqCoded(assigned.filter(col("cid").isin(probeLists: _*)), books, sub)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        round((0 until m).map(mi =>
+            element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
+          .reduce(_ + _), 4).as("d_est"))
+      .orderBy(col("d_est"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** s9 oracle: s3's k-means replay (coarse lists + the probe's
+    * nProbe choice) composed with s5/s6's PQ replay (sub-codebooks,
+    * encodes, ADC tables), the final ranking restricted to the
+    * admitted lists.
+    */
+  private def ivfPqOracleSql(nProbe: Int, m: Int, k: Int, iters: Int,
+      dim: Int): String = {
+    val sub = dim / m
+    val subs = (0 until m).map(pqSubspaceCte(_, sub, k, iters)).mkString(",\n")
+    val dts = (0 until m).map { mi =>
+      s"""dt$mi AS (
+         |  SELECT c.cid, ${pqDistSql("p.sv", "c.cv")} AS dd
+         |  FROM (SELECT sv FROM s$mi WHERE vec_id = 0) p, c${mi}_$iters c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val eJoins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m)
+      .map(mi => s"JOIN dt$mi t$mi ON t$mi.cid = e$mi.code$mi").mkString(" ")
+    val estSum = (0 until m).map(mi => s"t$mi.dd").mkString(" + ")
+    s"""WITH $kmeansReplayCte,
+       |$subs,
+       |pr AS (
+       |  SELECT cid FROM (
+       |    SELECT cc.cid, row_number() OVER (ORDER BY
+       |      list_dot_product(p.v, cc.cv) /
+       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |      cc.cid) AS rn
+       |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+       |         (SELECT cid, v AS cv FROM c3) cc) t
+       |  WHERE rn <= $nProbe),
+       |$dts
+       |SELECT e0.vec_id, round($estSum, 4) AS d_est
+       |FROM e0 $eJoins $tJoins
+       |JOIN af ON af.vec_id = e0.vec_id
+       |JOIN pr ON pr.cid = af.cid
+       |WHERE e0.vec_id <> 0
+       |ORDER BY d_est, e0.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Train-once PQ codebook registry (same immutable-corpus contract
     * as [[codebooks]]): m sub-codebooks of k×(dim/m) doubles.
     */
@@ -744,6 +837,10 @@ object Ann {
          |  FROM c)
          |SELECT src, rank, dst, cos FROM r WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+    // both trainings replayed (s3's coarse k-means + s5's per-
+    // subspace Lloyd's), probe-list choice, ADC tables, pruned
+    // lookup-sum ranking
+    "s9_ivfpq_search" -> ivfPqOracleSql(2, 4, 4, 2, 64),
     // the k-means replay (s3's CTE) + BOTH towers per probe: exact
     // brute-force top-10 and IVF pruned-list top-10 over rounded
     // cosines with id tie-breaks, intersected per probe

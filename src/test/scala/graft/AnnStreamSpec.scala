@@ -76,6 +76,34 @@ class AnnStreamSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall $mean")
   }
 
+  test("s9 ivf-pq: estimates ascend, agree with s6's ADC on shared ids, " +
+      "results come from the probe's lists only") {
+    val s9 = run("s9_ivfpq_search").collect()
+    assert(s9.nonEmpty && s9.length <= 10)
+    val ests = s9.map(_.getAs[Double]("d_est"))
+    assert(ests.sameElements(ests.sorted))
+    // same model, same ADC arithmetic: wherever s6 (full-corpus scan)
+    // and s9 (pruned lists) both rank a vector, the estimate is equal
+    val s6 = run("s6_pq_search").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("d_est")).toMap
+    s9.foreach { r =>
+      s6.get(r.getAs[Long]("vec_id")).foreach { d =>
+        assert(d == r.getAs[Double]("d_est"))
+      }
+    }
+    // pruning witness: every result's coarse assignment is one of the
+    // probe's nProbe=2 nearest lists
+    val t = Tables(spark, sf)
+    val (assigned, cb) = graft.operators.Ann.assignedVecs(t, 16)
+    val pls = assigned.filter(col("vec_id") === 0L)
+      .select(explode(slice(
+        graft.functions.Vectors.centroidRanks(col("v"), cb), 1, 2))
+        .as("cid")).collect().map(_.getInt(0)).toSet
+    val cidOf = assigned.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    s9.foreach(r => assert(pls.contains(cidOf(r.getAs[Long]("vec_id")))))
+  }
+
   test("s5 pq encode: codes in range, qerr ≥ 0, Lloyd's reduces mean error") {
     val t = Tables(spark, sf)
     val n = t.embeddings.count()
