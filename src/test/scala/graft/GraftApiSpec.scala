@@ -716,6 +716,28 @@ class GraftApiSpec extends SparkSpec {
     assert(auto.listCount != 16)
   }
 
+  test("round-9 facades on edge inputs: empty frames yield typed " +
+      "empties, token-less docs survive with q_score 0") {
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "body")
+    val kb = Graft.dedupKeepBest(noDocs, "id", "body")
+    assert(kb.columns.toSeq ==
+      Seq("doc_id", "grp", "group_size", "q_score"))
+    assert(kb.count() == 0)
+    val mw = Graft.mixtureWeights(noDocs.withColumnRenamed("id", "src"),
+      "src", "body")
+    assert(mw.count() == 0)
+    assert(Graft.perplexityBuckets(noDocs, "id", "body").count() == 0)
+    // a doc with NO alphanumeric tokens has no quality ratios: it
+    // must survive keep-best as a singleton at q_score 0, not vanish
+    val odd = Seq((1L, "!!! ??? ***"), (2L, "real words here on the mat"))
+      .toDF("id", "body")
+    val kept = Graft.dedupKeepBest(odd, "id", "body", sorted = true)
+      .collect()
+    assert(kept.length == 2)
+    assert(kept.find(_.getAs[Long]("doc_id") == 1L).get
+      .getAs[Double]("q_score") == 0.0)
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
