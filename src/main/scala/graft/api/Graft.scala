@@ -676,9 +676,15 @@ object Graft {
     def step(df: DataFrame, idCol: String, textCol: String): Unit =
       graft.streaming.Streams.st14MaintainStep(st,
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-    /** BM25 top-`k` for `query` from the maintained index. */
-    def search(query: String, k: Int = 5): DataFrame =
+    /** BM25 top-`k` for `query` from the maintained index. The
+      * public serving entry owns the cache scope (st14Serve's pruned
+      * postings cache must outlive the returned frame, so the shared
+      * internal never drops scopes itself — Caches' contract).
+      */
+    def search(query: String, k: Int = 5): DataFrame = {
+      graft.Caches.fresh()
       graft.streaming.Streams.st14Serve(st, Graft.tokenizeQuery(query), k)
+    }
   }
 
   /** Open an incremental search-index session over durable state at

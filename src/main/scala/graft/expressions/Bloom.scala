@@ -35,7 +35,10 @@ case class BloomMightContain(child: Expression, bits: Array[Byte])
       new java.io.ByteArrayInputStream(bits))
 
   override def nullSafeEval(input: Any): Any =
-    bf.mightContainString(input.asInstanceOf[UTF8String].toString)
+    // probe the UTF-8 bytes directly: mightContainString hashes
+    // getBytes(UTF_8) of its argument, so this is the identical hash
+    // path minus a per-row UTF-16 decode + re-encode in the hot loop
+    bf.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {

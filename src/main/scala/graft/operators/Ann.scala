@@ -513,25 +513,42 @@ object Ann {
     if (pvRow.isEmpty)
       return vecs.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
     val pv = pvRow.get.getSeq[Double](0).toArray
-    // per-subspace ADC tables: dt(mi)(j) = ||probe_sv − c_j||² with the
-    // identical dot-product fold shape the oracle's SQL computes
+    adcRank(pqCoded(vecs, books, sub).filter(col("vec_id") =!= probeId),
+      adcTables(pv, books, m, sub), m)
+  }
+
+  /** Per-subspace ADC lookup tables for a probe: dt(mi)(j) =
+    * ||probe_sv − c_j||² with the identical dot-product fold shape
+    * the oracle's SQL computes. The bit-portability-critical ADC
+    * arithmetic lives HERE and in [[adcRank]] once, shared by s6's
+    * full-corpus scan and s9's pruned-list scan — a change to either
+    * formula cannot leave the two operators silently divergent.
+    */
+  private def adcTables(pv: Array[Double],
+      books: Array[Array[Array[Double]]], m: Int,
+      sub: Int): Array[Array[Double]] = {
     def sdot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    val dt: Array[Array[Double]] = Array.tabulate(m) { mi =>
+    Array.tabulate(m) { mi =>
       val psv = pv.slice(mi * sub, mi * sub + sub)
       books(mi).map(cw => sdot(psv, psv) - 2 * sdot(psv, cw) + sdot(cw, cw))
     }
-    pqCoded(vecs, books, sub)
-      .filter(col("vec_id") =!= probeId)
+  }
+
+  /** The ADC lookup-sum ranking over a coded frame: Σ dt[mi][code],
+    * rounded then (d_est, vec_id) top-10.
+    */
+  private def adcRank(coded: DataFrame, dt: Array[Array[Double]],
+      m: Int): DataFrame =
+    coded
       .select(col("vec_id"),
         round((0 until m).map(mi =>
             element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
           .reduce(_ + _), 4).as("d_est"))
       .orderBy(col("d_est"), col("vec_id"))
       .limit(10)
-  }
 
   /** s9: IVF-PQ SEARCH — the two pruning layers composed, which is
     * the layout billion-scale ANN actually ships (FAISS IVFPQ): the
@@ -569,22 +586,10 @@ object Ann {
       return assigned.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
     val pv = probe.get.getSeq[Double](0).toArray
     val probeLists = probe.get.getSeq[Int](1)
-    def sdot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
-    val dt: Array[Array[Double]] = Array.tabulate(m) { mi =>
-      val psv = pv.slice(mi * sub, mi * sub + sub)
-      books(mi).map(cw => sdot(psv, psv) - 2 * sdot(psv, cw) + sdot(cw, cw))
-    }
-    pqCoded(assigned.filter(col("cid").isin(probeLists: _*)), books, sub)
-      .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"),
-        round((0 until m).map(mi =>
-            element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
-          .reduce(_ + _), 4).as("d_est"))
-      .orderBy(col("d_est"), col("vec_id"))
-      .limit(10)
+    adcRank(
+      pqCoded(assigned.filter(col("cid").isin(probeLists: _*)), books, sub)
+        .filter(col("vec_id") =!= probeId),
+      adcTables(pv, books, m, sub), m)
   }
 
   /** s9 oracle: s3's k-means replay (coarse lists + the probe's

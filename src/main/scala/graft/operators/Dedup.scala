@@ -480,9 +480,11 @@ object Dedup {
     * pure projection. One CC run is shared with d6/d10 through the
     * corpus-keyed registry.
     */
-  def d13DedupKeepBest(t: Tables, threshold: Double = 0.5): DataFrame =
+  def d13DedupKeepBest(t: Tables, threshold: Double = 0.5): DataFrame = {
+    graft.Caches.fresh()
     keepBestFrom(t.documents.select("doc_id", "text"), threshold,
       Some(ccLabelsStaged(t, threshold)))
+  }
 
   /** DataFrame form of d13 (facade entry); `groupsIn` lets the
     * Tables path supply the corpus-keyed CC registry.
@@ -490,10 +492,15 @@ object Dedup {
   private[graft] def keepBestFrom(docs: DataFrame, threshold: Double,
       groupsIn: Option[DataFrame] = None,
       sorted: Boolean = true): DataFrame = {
-    val q = graft.operators.TextAnalysis.qualityScoreFrom(docs)
     val g = groupsIn
       .getOrElse(dedupGroupsFrom(docs, threshold, sorted = false))
       .select("doc_id", "keep_doc", "group_size")
+    // quality feeds BOTH branches (winners + singles): materialize it
+    // once — and AFTER the group evidence, whose pipeline opens its
+    // own cache scope when it runs fresh — instead of re-tokenizing
+    // the corpus per branch
+    val q = graft.Caches.materialized(
+      graft.operators.TextAnalysis.qualityScoreFrom(docs))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("q_score").desc, col("doc_id"))
     val winners = g.join(q, Seq("doc_id"), "left")

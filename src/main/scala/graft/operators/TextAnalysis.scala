@@ -402,8 +402,13 @@ object TextAnalysis {
     * (≈1e-11 absolute), far inside the 1e-4 grid; the p75 compare
     * uses percentile ≡ quantile_cont (the q14-proven identity).
     */
-  def t13Perplexity(t: Tables): DataFrame =
+  def t13Perplexity(t: Tables): DataFrame = {
+    // public operator entry: open a fresh cache scope even on the
+    // warm staged path, so the previous operator's storage is
+    // released here exactly as the pre-staging entry did
+    graft.Caches.fresh()
     pplKeepCut(pplScoredStaged(t)).orderBy("doc_id")
+  }
 
   /** Corpus-keyed staged copy of the doc-level perplexity frame —
     * the LM build + token-scale scoring join is the pipeline's
@@ -512,8 +517,10 @@ object TextAnalysis {
     * shape as t13's p75 keep flag (and the same percentile ≡
     * quantile_cont portability, proven there).
     */
-  def t16CcnetBuckets(t: Tables): DataFrame =
+  def t16CcnetBuckets(t: Tables): DataFrame = {
+    graft.Caches.fresh()
     pplTertiles(pplScoredStaged(t)).orderBy("doc_id")
+  }
 
   /** DataFrame form of t16 (facade entry). */
   private[graft] def ccnetBucketsFrom(docsIn: DataFrame, idCol: String,

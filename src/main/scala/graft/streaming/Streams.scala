@@ -1569,13 +1569,14 @@ object Streams {
     val spark = st.spark
     val nB = st.nBuckets
     val k1 = 1.2; val b = 0.75
-    // serving opens its own cache scope: the materialized pruned
-    // postings feed the candidate collect AND both consumers of the
-    // returned plan (idf + scoring branches), so the cache must stay
-    // live until the CALLER consumes the result — the next operator's
-    // fresh() releases it (dropping it here would leave the caller's
-    // collect recomputing the pruned scan twice)
-    graft.Caches.fresh()
+    // the materialized pruned postings feed the candidate collect AND
+    // both consumers of the returned plan (idf + scoring branches),
+    // so the cache must stay live until the CALLER consumes the
+    // result — it is REGISTERED here and released by the next public
+    // entry's fresh(). The scope itself is owned by the public
+    // serving entries (Graft.IndexMaintenance.search, the st14
+    // operator): a shared internal must never call fresh() and drop
+    // its caller's caches (Caches' contract).
     val posts = graft.Caches.materialized(st14PostingProbe(st, terms))
     // candidate endpoints' doclen buckets — bounded-domain (≤ nB)
     val candPbs = posts.select(st13Pb(nB)(col("doc_id")).as("pb"))
