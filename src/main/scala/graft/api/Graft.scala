@@ -712,22 +712,40 @@ object Graft {
       stateRoot: Option[String]) {
     private val vecs = trainVecs.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    private val n = vecs.count()
-    /** The resolved list count: caller-pinned when positive,
-      * otherwise auto-sized from the MEASURED training-corpus count
+    // a RESUMED durable root serves under ITS persisted model: the
+    // ingested vectors are partitioned by that codebook's list ids,
+    // and a retrained model (even off a slightly-drifted training
+    // frame) would assign/prune differently — silently wrong reads
+    // and a leaky redelivery guard. Retraining = a NEW root, the
+    // versioned-model contract.
+    private val persisted = stateRoot.flatMap(
+      graft.streaming.Streams.loadCodebook)
+    // measured once, and only on the training path (a resumed root
+    // never scans the training frame at all)
+    private lazy val n = vecs.count()
+    /** The resolved list count: a resumed root's persisted model
+      * wins; else caller-pinned when positive; else auto-sized from
+      * the MEASURED training-corpus count
       * ([[graft.operators.Ann.ivfConfigFor]] — ≈√n lists keep probe
       * lists ≈√n-sized as the corpus grows).
       */
     private[graft] val listCount: Int =
-      if (nLists > 0) nLists
-      else graft.operators.Ann.ivfConfigFor(n)
+      persisted.map(p => p.values.length / p.dim).getOrElse {
+        if (nLists > 0) nLists
+        else graft.operators.Ann.ivfConfigFor(n)
+      }
     // offline model training pays the hash-sampled path: full-corpus
     // Lloyd's is O(n^1.5) under the √n list count; a coarse
     // quantizer trains on ~64 points per centroid (deterministic
     // sample, so the versioned model is reproducible). At-or-under
     // the sample target (every sandbox corpus) this IS full training.
-    private val cb = graft.operators.Ann.trainCodebookSampled(
-      vecs, listCount, n)
+    private val cb = persisted.getOrElse {
+      val trained = graft.operators.Ann.trainCodebookSampled(
+        vecs, listCount, n)
+      stateRoot.foreach(r =>
+        graft.streaming.Streams.saveCodebook(r, trained))
+      trained
+    }
     private val st = graft.streaming.Streams.st15State(spark,
       stateRoot, listCount)
     /** Ingest one batch of arriving vectors into the index. */

@@ -899,8 +899,8 @@ object Streams {
       .parquet(stagedDir(t, path, "doc_id"))
       .select("doc_id", "text")
     val q = docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        st13MaintainStep(state, batch.toDF(), threshold)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        st13MaintainStep(state, batch.toDF(), threshold, bid)
       }
       .start()
     q.processAllAvailable(); q.stop()
@@ -1045,9 +1045,186 @@ object Streams {
 
   private[graft] def saveStateBuckets(root: String, n: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.write(bucketsMetaPath(root),
+    // atomic: a crash mid-write must never leave a truncated meta
+    // file a resumed session would fail to parse
+    val tmp = java.nio.file.Paths.get(root, "nbuckets.meta.tmp")
+    java.nio.file.Files.write(tmp,
       n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, bucketsMetaPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
+  }
+
+  // ---- compaction crash-atomicity --------------------------------
+  //
+  // An auto-resizing compaction rewrites EVERY bucketed table under a
+  // possibly-new bucket count and then persists that count — a crash
+  // between any two of those steps would leave tables bucketed under
+  // one modulus while a resumed session prunes with another (reads
+  // silently miss rows). The INTENT journal closes the window: all
+  // rewrites land in `.compacting` staging first, then one atomic
+  // intent write records (new count, affected dirs), then the swaps
+  // + count persist run, then the intent is cleared. Open-time
+  // recovery replays a pending intent to completion: any staged dir
+  // still present is swapped in, the recorded count is persisted —
+  // so the (tables, count) pair always changes as one unit.
+
+  private def intentPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "compaction.intent")
+
+  private[graft] def writeCompactionIntent(root: String, nb: Int,
+      dirs: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "compaction.intent.tmp")
+    java.nio.file.Files.write(tmp, (nb.toString +: dirs).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, intentPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def clearCompactionIntent(root: String): Unit = {
+    java.nio.file.Files.deleteIfExists(intentPath(root))
+    ()
+  }
+
+  /** Complete an interrupted compaction at state open: swap in any
+    * staged rewrite the intent lists, persist the intended count.
+    */
+  private def recoverCompactionIntent(root: String): Unit = {
+    val p = intentPath(root)
+    if (java.nio.file.Files.exists(p)) {
+      val lines = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      val nb = lines.head.trim.toInt
+      lines.tail.filter(_.nonEmpty).foreach { dir =>
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir.compacting")))
+          swapStateDir(dir, s"$dir.compacting")
+      }
+      saveStateBuckets(root, nb)
+      clearCompactionIntent(root)
+    }
+  }
+
+  // ---- batch-atomic multi-table appends --------------------------
+  //
+  // A maintenance step appends to SEVERAL state tables; under
+  // at-least-once delivery a retry of a PARTIALLY-failed batch must
+  // neither lose the failed tables (the guard marker landed, the
+  // data table didn't) nor double-append the landed ones. The
+  // anti-join guards only protect FULLY-committed redeliveries, so
+  // batch atomicity is made structural instead:
+  //
+  //  - every appended file carries a `gb<bid>-` name prefix
+  //    ([[appendTagged]]: the batch writes to scratch, files MOVE
+  //    into the live pb-partitioned layout under tagged names — the
+  //    partition dirs, and so the pruned-read contract, are
+  //    untouched);
+  //  - a batch is COMMITTED by one empty marker file written after
+  //    ALL its table appends ([[commitBatch]]);
+  //  - a step first checks the marker (committed ⇒ skip — the fast
+  //    path for streaming retries, which redeliver under the SAME
+  //    batch id) and then wipes any `gb<bid>-` remnants of a prior
+  //    failed attempt ([[wipeBatch]]) before reprocessing;
+  //  - state OPEN wipes every tagged file whose batch has no marker
+  //    ([[recoverUncommitted]]) — a crashed attempt from a PREVIOUS
+  //    process cannot leave half a batch behind even if the retry
+  //    arrives under a fresh id (the facade path).
+  //
+  // Compaction rewrites produce untagged files (consolidated state is
+  // not attributable to a batch and is never wiped); the commit
+  // markers are empty files, O(batch count) until compaction-time
+  // collapse is warranted.
+
+  private def commitsDir(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "commits")
+
+  private[graft] def batchCommitted(root: String, bid: Long): Boolean =
+    java.nio.file.Files.exists(commitsDir(root).resolve(s"b$bid"))
+
+  private[graft] def commitBatch(root: String, bid: Long): Unit = {
+    java.nio.file.Files.createDirectories(commitsDir(root))
+    java.nio.file.Files.write(commitsDir(root).resolve(s"b$bid"),
+      Array.emptyByteArray)
+    ()
+  }
+
+  /** Next unused batch id for NON-streaming callers (the facade's
+    * step): streaming retries reuse their stable foreachBatch id, a
+    * facade call is always a new batch — collisions with history are
+    * what the commits dir records.
+    */
+  private[graft] def nextBatchId(root: String): Long = {
+    val d = commitsDir(root)
+    if (!java.nio.file.Files.isDirectory(d)) 0L
+    else {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ids = s.iterator().asScala
+          .map(_.getFileName.toString).collect {
+            case n if n.startsWith("b") => n.drop(1).toLong
+          }.toSeq
+        if (ids.isEmpty) 0L else ids.max + 1L
+      } finally s.close()
+    }
+  }
+
+  /** Append `df` into the live `pb`-partitioned table under
+    * batch-tagged file names: write to scratch first, then move each
+    * data file to `dir/pb=X/gb<bid>-<name>` — the layout readers
+    * prune on is unchanged, but the batch's files are identifiable
+    * (and so wipe-able) afterwards.
+    */
+  private[graft] def appendTagged(df: DataFrame, dir: String,
+      bid: Long, partCol: Option[String]): Unit = {
+    val tmp = s"$dir.append-b$bid"
+    val w = df.write.mode("overwrite")
+    partCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
+    val tmpPath = java.nio.file.Paths.get(tmp)
+    val files = graft.sources.Io.parquetFilesRec(tmp)
+    files.foreach { f =>
+      val rel = tmpPath.relativize(f)
+      val target = java.nio.file.Paths.get(dir).resolve(
+        Option(rel.getParent).fold(
+          java.nio.file.Paths.get(s"gb$bid-${rel.getFileName}"))(p =>
+          p.resolve(s"gb$bid-${rel.getFileName}")))
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.move(f, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.Staging.deleteTree(tmpPath)
+  }
+
+  /** Delete every `gb<bid>-` file of a batch from the given table
+    * dirs — the remnants of a failed attempt, before its retry.
+    */
+  private[graft] def wipeBatch(dirs: Seq[String], bid: Long): Unit = {
+    val prefix = s"gb$bid-"
+    dirs.foreach { dir =>
+      graft.sources.Io.parquetFilesRec(dir)
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Open-time recovery: wipe every tagged file whose batch never
+    * committed (a crashed attempt from any previous process).
+    */
+  private def recoverUncommitted(root: String,
+      dirs: Seq[String]): Unit = {
+    val tag = "^gb(\\d+)-.*".r
+    dirs.foreach { dir =>
+      graft.sources.Io.parquetFilesRec(dir).foreach { f =>
+        f.getFileName.toString match {
+          case tag(bid) if !batchCommitted(root, bid.toLong) =>
+            java.nio.file.Files.delete(f)
+          case _ => ()
+        }
+      }
+    }
   }
 
   /** State read with the empty-dir case folded in (no first-batch or
@@ -1126,6 +1303,9 @@ object Streams {
     // auto-resizing compaction changed it mid-history
     Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir)
       .foreach(recoverStateDir)
+    recoverCompactionIntent(st.root)
+    recoverUncommitted(st.root,
+      Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir))
     loadStateBuckets(st.root) match {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
@@ -1140,9 +1320,16 @@ object Streams {
     * waves is unreachable through the 2-file stream staging).
     */
   private[graft] def st13MaintainStep(st: St13State, batch: DataFrame,
-      threshold: Double): Unit = {
+      threshold: Double, bid: Long = -1L): Unit = {
     val spark = st.spark
     val nB = st.nBuckets
+    // batch atomicity (tagged appends + one commit marker — see the
+    // block above [[st13Read]]): the four table appends land as one
+    // unit or are wiped before the retry reprocesses
+    val theBid = if (bid >= 0L) bid else nextBatchId(st.root)
+    if (batchCommitted(st.root, theBid)) return
+    wipeBatch(Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir),
+      theBid)
     // AT-LEAST-ONCE REDELIVERY GUARD (st14's contract): arrivals whose
     // doc_id is already in the shingle registry are re-deliveries (a
     // foreachBatch retry, a replayed file) — a blind re-process would
@@ -1243,24 +1430,24 @@ object Streams {
     // they run as concurrent jobs: per-append cost is dominated by
     // per-file creation latency, which overlaps across tables.
     def appendPartitioned(df: DataFrame, dir: String): Unit =
-      df.withColumn("pb", st13Pb(nB)(col("doc_id")))
-        .repartition(col("pb"))
-        .write.mode("append").partitionBy("pb").parquet(dir)
+      appendTagged(df.withColumn("pb", st13Pb(nB)(col("doc_id")))
+        .repartition(col("pb")), dir, theBid, Some("pb"))
     locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence(Seq(
         // batch-sized and read only whole (at compaction): one file
         // per batch, not one per shuffle task
-        Future(compressed.select(col("x"), col("y"))
-          .filter(col("x") =!= col("y")).distinct().coalesce(1)
-          .write.mode("append").parquet(st.edgesDir)),
+        Future(appendTagged(compressed.select(col("x"), col("y"))
+          .filter(col("x") =!= col("y")).distinct().coalesce(1),
+          st.edgesDir, theBid, None)),
         Future(appendPartitioned(newLabels, st.labelsDir)),
-        Future(bands.repartition(col("pb"))
-          .write.mode("append").partitionBy("pb").parquet(st.bandsDir)),
+        Future(appendTagged(bands.repartition(col("pb")),
+          st.bandsDir, theBid, Some("pb"))),
         Future(appendPartitioned(sigs.select("doc_id", "sh"), st.shDir)))),
         scala.concurrent.duration.Duration.Inf)
     }
+    commitBatch(st.root, theBid)
     // storage bounded by ONE batch's working set, not the batch
     // count (d6's per-iteration drop contract): this batch's
     // caches are dead once its appends land
@@ -1338,11 +1525,14 @@ object Streams {
         Some(dir -> tmp)
       } else None
     }
+    // all staged rewrites are complete — journal the (count, dirs)
+    // unit, swap, persist, clear (crash anywhere: open-time recovery
+    // replays the journal to completion)
+    writeCompactionIntent(st.root, nb, rewrites.map(_._1))
     rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
-    if (nb != st.nBuckets) {
-      st.nBucketsRef.set(nb)
-      saveStateBuckets(st.root, nb)
-    }
+    st.nBucketsRef.set(nb)
+    saveStateBuckets(st.root, nb)
+    clearCompactionIntent(st.root)
     if (st13HasData(st.edgesDir)) {
       val tmp = s"${st.edgesDir}.compacting"
       st13Read(st, st.edgesDir, st13EdgesSchema)
@@ -1404,8 +1594,8 @@ object Streams {
       .parquet(stagedDir(t, path, "doc_id"))
       .select("doc_id", "text")
     val q = docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        st14MaintainStep(state, batch.toDF())
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        st14MaintainStep(state, batch.toDF(), bid)
       }
       .start()
     q.processAllAvailable(); q.stop()
@@ -1467,6 +1657,9 @@ object Streams {
     val st = St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
       nBuckets, compactAboveFiles, targetBucketBytes)
     Seq(st.postingsDir, st.doclenDir, st.statsDir).foreach(recoverStateDir)
+    recoverCompactionIntent(st.root)
+    recoverUncommitted(st.root,
+      Seq(st.postingsDir, st.doclenDir, st.statsDir))
     loadStateBuckets(st.root) match {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
@@ -1500,9 +1693,17 @@ object Streams {
     * corrupting df/avgdl.
     */
   private[graft] def st14MaintainStep(st: St14State,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, bid: Long = -1L): Unit = {
     val spark = st.spark
     val nB = st.nBuckets
+    // batch atomicity (see the tagged-append block above): a
+    // streaming retry redelivers under its stable id — committed ⇒
+    // the whole step is a no-op; otherwise any half-landed remnants
+    // of a failed attempt are wiped before reprocessing, so the
+    // three table appends commit as one unit
+    val theBid = if (bid >= 0L) bid else nextBatchId(st.root)
+    if (batchCommitted(st.root, theBid)) return
+    wipeBatch(Seq(st.postingsDir, st.doclenDir, st.statsDir), theBid)
     val arrivals = graft.Caches.materialized(batch)
     val arrPbs = arrivals.select(st13Pb(nB)(col("doc_id")).as("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -1522,19 +1723,18 @@ object Streams {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence(Seq(
-        Future(tf.select("doc_id", "term", "tf")
+        Future(appendTagged(tf.select("doc_id", "term", "tf")
           .withColumn("pb", st13Pb(nB)(col("term")))
-          .repartition(col("pb"))
-          .write.mode("append").partitionBy("pb").parquet(st.postingsDir)),
-        Future(dl.select("doc_id", "dl")
+          .repartition(col("pb")), st.postingsDir, theBid, Some("pb"))),
+        Future(appendTagged(dl.select("doc_id", "dl")
           .withColumn("pb", st13Pb(nB)(col("doc_id")))
-          .repartition(col("pb"))
-          .write.mode("append").partitionBy("pb").parquet(st.doclenDir)),
-        Future(dl.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
-          .coalesce(1)
-          .write.mode("append").parquet(st.statsDir)))),
+          .repartition(col("pb")), st.doclenDir, theBid, Some("pb"))),
+        Future(appendTagged(
+          dl.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
+            .coalesce(1), st.statsDir, theBid, None)))),
         scala.concurrent.duration.Duration.Inf)
     }
+    commitBatch(st.root, theBid)
     Seq(arrivals, tf, dl).foreach(graft.Caches.drop)
     st14MaybeCompactState(st)
   }
@@ -1652,11 +1852,11 @@ object Streams {
         Some(dir -> tmp)
       } else None
     }
+    writeCompactionIntent(st.root, nb, rewrites.map(_._1))
     rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
-    if (nb != st.nBuckets) {
-      st.nBucketsRef.set(nb)
-      saveStateBuckets(st.root, nb)
-    }
+    st.nBucketsRef.set(nb)
+    saveStateBuckets(st.root, nb)
+    clearCompactionIntent(st.root)
     if (st13HasData(st.statsDir)) {
       val tmp = s"${st.statsDir}.compacting"
       st14Read(spark, st.statsDir, st14StatsSchema)
@@ -1843,6 +2043,47 @@ object Streams {
 
   private def st15WithCid(s: org.apache.spark.sql.types.StructType) =
     s.add("cid", org.apache.spark.sql.types.IntegerType)
+
+  /** The persisted IVF model for a durable st15 root: a RESUMED
+    * session must assign and serve under the SAME pinned codebook
+    * the writer used — vectors are partitioned by ITS list ids, and
+    * a retrained model (even off one extra training row) assigns
+    * differently, silently breaking both the pruned serving reads
+    * and the redelivery guard. Doubles round-trip as raw long bits,
+    * so the loaded model is bit-identical; the write is
+    * tmp + atomic-move (the nbuckets.meta contract).
+    */
+  private[graft] def saveCodebook(root: String,
+      cb: graft.expressions.PlaneMatrix): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val sb = new StringBuilder
+    sb.append(cb.dim).append('\n')
+    cb.values.foreach(v =>
+      sb.append(java.lang.Double.doubleToLongBits(v)).append('\n'))
+    val tmp = java.nio.file.Paths.get(root, "codebook.meta.tmp")
+    java.nio.file.Files.write(tmp,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(root, "codebook.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def loadCodebook(
+      root: String): Option[graft.expressions.PlaneMatrix] = {
+    val p = java.nio.file.Paths.get(root, "codebook.meta")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val dim = lines.head.toInt
+      val vals = lines.tail
+        .map(l => java.lang.Double.longBitsToDouble(l.toLong)).toArray
+      Some(new graft.expressions.PlaneMatrix(vals, dim))
+    }
+  }
 
   /** Open (or resume) an st15 state — st13/st14's root contract. */
   private[graft] def st15State(

@@ -1282,6 +1282,128 @@ class AnnStreamSpec extends SparkSpec {
     assert(re.nBuckets == st.nBuckets)
   }
 
+  test("batch atomicity: a PARTIALLY-failed st14 batch is wiped and " +
+      "reprocessed on retry; a committed batch id is a no-op") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val docs = Seq(
+      1L -> "alpha beta alpha", 2L -> "alpha gamma",
+      3L -> "beta delta", 4L -> "gamma gamma alpha").toDF("doc_id", "text")
+    val clean = graft.streaming.Streams.st14State(spark)
+    val crashed = graft.streaming.Streams.st14State(spark)
+    graft.streaming.Streams.st14MaintainStep(clean, docs, bid = 0L)
+    // simulate the failure the review flagged: batch 0's POSTINGS
+    // landed but its doclen marker and stats never did (the appends
+    // used to race as unordered Futures) — under the old anti-join
+    // guard alone this batch's postings would stay orphaned forever
+    // or double on retry
+    val partial = docs.filter(col("doc_id").isin(1L, 2L))
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pmod(hash(col("term")), lit(16)).cast("int"))
+    graft.streaming.Streams.appendTagged(partial, crashed.postingsDir,
+      0L, Some("pb"))
+    assert(spark.read.parquet(crashed.postingsDir).count() > 0)
+    // the retry (same stable streaming bid) wipes the remnants and
+    // reprocesses the WHOLE batch — state equals the clean run
+    graft.streaming.Streams.st14MaintainStep(crashed, docs, bid = 0L)
+    def served(st: graft.streaming.Streams.St14State) =
+      graft.streaming.Streams.st14Serve(st, Seq("alpha", "beta"), 5)
+        .collect().map(_.toSeq).toSeq
+    assert(served(crashed) == served(clean))
+    assert(spark.read.parquet(crashed.postingsDir).count() ==
+      spark.read.parquet(clean.postingsDir).count())
+    // a COMMITTED bid redelivered is the fast-path no-op
+    val before = spark.read.parquet(crashed.postingsDir).count()
+    graft.streaming.Streams.st14MaintainStep(crashed, docs, bid = 0L)
+    assert(spark.read.parquet(crashed.postingsDir).count() == before)
+    // open-time recovery: a fresh-bid partial attempt (facade crash)
+    // is wiped at the next state open because it never committed
+    graft.streaming.Streams.appendTagged(partial, crashed.postingsDir,
+      77L, Some("pb"))
+    val reopened = graft.streaming.Streams.st14State(spark,
+      root = Some(crashed.root))
+    assert(spark.read.parquet(reopened.postingsDir).count() == before)
+  }
+
+  test("compaction intent journal: a crash between the swaps and the " +
+      "bucket-count persist is replayed to completion at open") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val docs = Seq(
+      1L -> "alpha beta alpha", 2L -> "alpha gamma",
+      3L -> "beta delta", 4L -> "gamma gamma alpha").toDF("doc_id", "text")
+    val st = graft.streaming.Streams.st14State(spark)
+    graft.streaming.Streams.st14MaintainStep(st, docs, bid = 0L)
+    val servedBefore = graft.streaming.Streams
+      .st14Serve(st, Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq
+    // simulate the journaled crash window: a complete staged rewrite
+    // exists (here: a verbatim copy of the live table), the intent
+    // records (newNb, dirs), and the process dies before any swap or
+    // meta persist
+    def copyTree(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+      val walk = java.nio.file.Files.walk(s)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val t = d.resolve(s.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+          ()
+        }
+      } finally walk.close()
+    }
+    copyTree(st.postingsDir, s"${st.postingsDir}.compacting")
+    graft.streaming.Streams.writeCompactionIntent(st.root, 32,
+      Seq(st.postingsDir))
+    // reopen: recovery must complete the swap AND persist the
+    // intended count as one unit — and the state must still serve
+    val re = graft.streaming.Streams.st14State(spark,
+      root = Some(st.root))
+    assert(re.nBuckets == 32, s"recovered nBuckets ${re.nBuckets}")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(st.root, "compaction.intent")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${st.postingsDir}.compacting")))
+    // mechanics only: the staged copy here is a verbatim clone (not a
+    // real 32-bucket rewrite), so content-under-the-new-count is out
+    // of scope — the REAL re-bucketing rewrite is covered by the
+    // auto-sizing compaction spec; what this drill pins is that the
+    // (tables, count) pair moved as one recoverable unit
+    assert(spark.read.parquet(re.postingsDir).count() ==
+      spark.read.parquet(st.postingsDir).count())
+    val _ = servedBefore
+  }
+
+  test("annIndexMaintenance resume serves under the PERSISTED codebook " +
+      "even when the training frame drifted") {
+    val spark = SparkSpec.spark
+    val root = graft.Staging.scratch("st15_resume_model")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val s1 = graft.api.Graft.annIndexMaintenance(spark, vecs, "vec_id",
+      "embedding", stateRoot = Some(root))
+    s1.step(vecs)
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val r1 = s1.search(q, k = 5).collect().map(_.toSeq).toSeq
+    // session 2 resumes the root with a DRIFTED training frame (half
+    // the rows — ivfConfigFor would pick a different list count and
+    // hash-sampled training would pick different centroids): the
+    // persisted model must win, so list count and served results are
+    // unchanged
+    val drifted = vecs.filter(col("vec_id") % 2 === 0)
+    val s2 = graft.api.Graft.annIndexMaintenance(spark, drifted,
+      "vec_id", "embedding", stateRoot = Some(root))
+    assert(s2.listCount == s1.listCount)
+    val r2 = s2.search(q, k = 5).collect().map(_.toSeq).toSeq
+    assert(r2 == r1)
+  }
+
   test("maintain steps are idempotent under at-least-once redelivery " +
       "(st13 groups, st14 index, st15 lists unchanged)") {
     import SparkSpec.spark.implicits._
