@@ -605,7 +605,22 @@ object Dedup {
     * is the benchmark.
     */
   private[graft] def decontaminateFrom(docsIn: DataFrame, k: Int = 5,
-      benchMod: Long = 97, sorted: Boolean = true): DataFrame = {
+      benchMod: Long = 97, sorted: Boolean = true): DataFrame =
+    decontaminateCore(docsIn, k, benchMod, sorted)((train, _) => train)
+
+  /** ONE home for the detection pipeline d7 and d12 share (shingle
+    * derivation, bench slice, sized-broadcast confirm join, pair
+    * agg): d12's bloom is exactly a PREFILTER on the train shingle
+    * stream, so the two operators differ in one hook — and a change
+    * to the shared shape cannot leave d12 silently diverging from
+    * the d7 contract its oracle asserts bit-equality with.
+    *
+    * The hook sees (train shingles, bench shingles) and returns the
+    * train stream that enters the confirm join.
+    */
+  private def decontaminateCore(docsIn: DataFrame, k: Int,
+      benchMod: Long, sorted: Boolean)(
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     graft.Caches.fresh()
     // one tokenize+shingle pass serves both sides (locally the bench
     // slice comes from the same table; in production it is a separate
@@ -623,7 +638,7 @@ object Dedup {
     val bench = graft.Caches.materialized(
       sh.filter(col("doc_id") % benchMod === 0)
         .select(col("doc_id").as("bench_id"), col("sh")))
-    val out = sh.filter(col("doc_id") % benchMod =!= 0)
+    val out = prefilter(sh.filter(col("doc_id") % benchMod =!= 0), bench)
       .join(graft.Guards.sizedBroadcast(bench), "sh")
       .groupBy(col("doc_id").as("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -660,38 +675,26 @@ object Dedup {
     */
   private[graft] def bloomDecontaminateFrom(docsIn: DataFrame, k: Int = 5,
       benchMod: Long = 97, fpp: Double = 0.03,
-      sorted: Boolean = true): DataFrame = {
-    graft.Caches.fresh()
-    val sh = graft.Caches.materialized(
-      spread(docsIn)
-        .withColumn("tk", Text.tokenize(col("text")))
-        .select(col("doc_id"),
-          explode(Text.shinglesFast(k)(col("tk"))).as("sh")))
-    val bench = graft.Caches.materialized(
-      sh.filter(col("doc_id") % benchMod === 0)
-        .select(col("doc_id").as("bench_id"), col("sh")))
-    // build the filter with a MEASURED count (a cache read — bench is
-    // materialized above); expectedNumItems is the distinct bound, so
-    // the realized fpp is ≤ the requested one
-    val nBench = math.max(bench.count(), 1L)
-    val bf = bench.stat.bloomFilter("sh", nBench, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val might = org.apache.spark.sql.GraftExpressionBridge.column(
-      graft.expressions.BloomMightContain(
-        org.apache.spark.sql.GraftExpressionBridge.expression(col("sh")),
-        bos.toByteArray))
-    // prefilter BEFORE the confirm join: only bloom-passing shingles
-    // reach the exchange. The join itself keeps d7's sized-broadcast
-    // gate — locally it broadcasts; past the budget it shuffles, and
-    // the bloom is what keeps that shuffle contamination-sized.
-    val out = sh.filter(col("doc_id") % benchMod =!= 0)
-      .filter(might)
-      .join(graft.Guards.sizedBroadcast(bench), "sh")
-      .groupBy(col("doc_id").as("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    if (sorted) out.orderBy("train_id", "bench_id") else out
-  }
+      sorted: Boolean = true): DataFrame =
+    decontaminateCore(docsIn, k, benchMod, sorted) { (train, bench) =>
+      // build the filter with a MEASURED count (a cache read — bench
+      // is materialized by the core); expectedNumItems is the
+      // distinct bound, so the realized fpp is ≤ the requested one
+      val nBench = math.max(bench.count(), 1L)
+      val bf = bench.stat.bloomFilter("sh", nBench, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val might = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.expressions.BloomMightContain(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("sh")),
+          bos.toByteArray))
+      // prefilter BEFORE the confirm join: only bloom-passing
+      // shingles reach the exchange. The join keeps d7's
+      // sized-broadcast gate — locally it broadcasts; past the
+      // budget it shuffles, and the bloom is what keeps that shuffle
+      // contamination-sized.
+      train.filter(might)
+    }
 
   /** d11: DECONTAMINATION SCRUB — d7 DETECTS train docs overlapping
     * the benchmark slice; d11 REMOVES the overlap: every train-doc

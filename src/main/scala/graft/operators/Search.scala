@@ -622,23 +622,16 @@ object Search {
           .as("cos"))
       .orderBy(col("cos").desc, col("doc_id"))
       .limit(kList)
-    // rank windows run AFTER the top-k cut: ≤ kList rows each, so the
-    // unpartitioned window is k-sized by construction
-    val lexR = lex.withColumn("r_lex", row_number().over(
-      Window.orderBy(col("score").desc, col("doc_id"))))
-      .select("doc_id", "r_lex")
-    val denseR = dense.withColumn("r_vec", row_number().over(
-      Window.orderBy(col("cos").desc, col("doc_id"))))
-      .select("doc_id", "r_vec")
-    lexR.join(denseR, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(
-          coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)),
-          6).as("rrf"),
-        col("r_lex"), col("r_vec"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(kOut)
+    // fusion delegates to the library core (Graft.rrfFuse — ONE home
+    // for the RRF formula, so operator and facade cannot silently
+    // diverge); its rank windows run AFTER the top-k cuts, ≤ kList
+    // rows each by construction
+    graft.api.Graft.rrfFuse(
+        Seq(lex, dense.withColumnRenamed("cos", "score")),
+        "doc_id", "score", kOut, rrfK)
+      .withColumnRenamed("r_0", "r_lex")
+      .withColumnRenamed("r_1", "r_vec")
+      .select("doc_id", "rrf", "r_lex", "r_vec")
   }
 
   /** r13: the reference's ACTUAL user-facing entry — a raw query
