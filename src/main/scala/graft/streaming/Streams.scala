@@ -1211,7 +1211,8 @@ object Streams {
   }
 
   /** Open-time recovery: wipe every tagged file whose batch never
-    * committed (a crashed attempt from any previous process).
+    * committed, and any orphaned append-staging dir a crashed
+    * attempt left beside a table (both from any previous process).
     */
   private def recoverUncommitted(root: String,
       dirs: Seq[String]): Unit = {
@@ -1223,6 +1224,18 @@ object Streams {
             java.nio.file.Files.delete(f)
           case _ => ()
         }
+      }
+      val d = java.nio.file.Paths.get(dir)
+      val parent = d.getParent
+      val prefix = s"${d.getFileName}.append-b"
+      if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+        val ls = java.nio.file.Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(prefix))
+            .foreach(graft.Staging.deleteTree)
+        } finally ls.close()
       }
     }
   }
