@@ -56,6 +56,11 @@ object Bench {
     // lead, the long sorted per-query map trails: any truncation that
     // keeps part of the line keeps the numbers that matter.
     println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$fj,"queries":$qs}""")
+    // …and a SHORT trailer as the very last line: drivers have been
+    // observed to keep only a bounded tail, which cut the head (and
+    // total_s) off the long line above. Whichever end of the output
+    // survives capture now carries the headline numbers.
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$fj}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -740,6 +740,19 @@ object Graft {
     // sample, so the versioned model is reproducible). At-or-under
     // the sample target (every sandbox corpus) this IS full training.
     private val cb = persisted.getOrElse {
+      // LEGACY-ROOT GUARD: a root holding ingested vectors but no
+      // codebook.meta was written under a model this session cannot
+      // reconstruct — training a NEW model here and persisting it
+      // would make the list-assignment mismatch permanent (pruned
+      // serving reads silently miss vectors filed under the old
+      // model's lists). Fail loudly instead of corrupting.
+      stateRoot.foreach { r =>
+        require(!graft.streaming.Streams.st13HasData(s"$r/vectors"),
+          s"state root $r holds ingested vectors but no codebook.meta; " +
+            "refusing to train and persist a new model over state " +
+            "partitioned by an unknown codebook — resume with the " +
+            "original model file or start a fresh root")
+      }
       val trained = graft.operators.Ann.trainCodebookSampled(
         vecs, listCount, n)
       stateRoot.foreach(r =>

@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * The filter must have been built over the SAME byte view of the
   * values it is probed with: `DataFrameStatFunctions.bloomFilter` on a
   * string column puts UTF-8 bytes via putString, and this probe calls
-  * mightContainString on the column's UTF8String — the identical
-  * hashing path.
+  * mightContainBinary on the column's UTF8String bytes — putString and
+  * the byte probe hash the identical UTF-8 input, minus a per-row
+  * UTF-16 decode + re-encode in the hot loop.
   *
   * False positives are the CONTRACT (rate set at build time): callers
   * use the probe strictly as a prefilter ahead of an exact confirm

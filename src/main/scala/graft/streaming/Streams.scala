@@ -949,7 +949,7 @@ object Streams {
   private[graft] def st13Pb(n: Int)(keys: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column = pmod(hash(keys: _*), lit(n))
 
-  private def st13HasData(dir: String): Boolean =
+  private[graft] def st13HasData(dir: String): Boolean =
     graft.sources.Io.parquetFilesRec(dir).nonEmpty
 
   // ----------------------------------------------------------------
@@ -1126,23 +1126,74 @@ object Streams {
   //    ALL its table appends ([[commitBatch]]);
   //  - a step first checks the marker (committed ⇒ skip — the fast
   //    path for streaming retries, which redeliver under the SAME
-  //    batch id) and then wipes any `gb<bid>-` remnants of a prior
-  //    failed attempt ([[wipeBatch]]) before reprocessing;
+  //    batch id), then — ONLY when an ATTEMPT marker proves a prior
+  //    attempt of this batch started ([[markAttempt]]) — wipes any
+  //    `gb<bid>-` remnants of that attempt ([[wipeBatch]]) before
+  //    reprocessing. The attempt marker is what keeps the per-batch
+  //    hot path O(1): the recursive state-file walk the wipe needs
+  //    runs only on actual retries, never per clean batch (on an
+  //    object store that walk is a LIST storm);
   //  - state OPEN wipes every tagged file whose batch has no marker
   //    ([[recoverUncommitted]]) — a crashed attempt from a PREVIOUS
   //    process cannot leave half a batch behind even if the retry
   //    arrives under a fresh id (the facade path).
   //
   // Compaction rewrites produce untagged files (consolidated state is
-  // not attributable to a batch and is never wiped); the commit
-  // markers are empty files, O(batch count) until compaction-time
-  // collapse is warranted.
+  // not attributable to a batch and is never wiped), which is also
+  // what lets compaction RETIRE the markers ([[retireMarkers]]): once
+  // every committed batch's rows live in untagged files, a persisted
+  // LOW-WATER batch id replaces the individual marker files — commits
+  // at-or-below it answer [[batchCommitted]] from one int, and the
+  // marker dir stays bounded by the batches since the last compaction
+  // instead of growing one file per batch forever (the small-file rot
+  // the engine fixes everywhere else). Retirement assumes ordered
+  // commits (streaming's checkpoint order / the single-writer facade
+  // contract): a bid at-or-below the low-water mark can only be a
+  // redelivery, never a first delivery.
+  //
+  // BATCH-ID NAMESPACE / EPOCH: Structured Streaming batch ids are
+  // unique per CHECKPOINT, not per state root — a durable root
+  // re-attached to a new query (fresh checkpoint restarting ids at 0)
+  // would find old markers and silently drop genuinely-new batches.
+  // Callers owning such roots pass the query's identity as `epoch` at
+  // state open: an epoch CHANGE runs the barrier ([[epochBarrier]]) —
+  // compaction folds every committed tagged file into untagged state,
+  // then the whole marker namespace and the low-water mark reset, so
+  // the new incarnation's ids start clean. Same-epoch reopens (and
+  // the facade's nextBatchId path, which continues the one shared
+  // namespace) skip the barrier.
 
   private def commitsDir(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "commits")
 
+  private def lowWaterPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "lowwater.meta")
+
+  /** Highest RETIRED batch id (−1 = none): ids at-or-below it are
+    * committed by definition, their marker files long deleted.
+    */
+  private[graft] def loadLowWater(root: String): Long = {
+    val p = lowWaterPath(root)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private[graft] def saveLowWater(root: String, v: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "lowwater.meta.tmp")
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, lowWaterPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   private[graft] def batchCommitted(root: String, bid: Long): Boolean =
-    java.nio.file.Files.exists(commitsDir(root).resolve(s"b$bid"))
+    bid <= loadLowWater(root) ||
+      java.nio.file.Files.exists(commitsDir(root).resolve(s"b$bid"))
 
   private[graft] def commitBatch(root: String, bid: Long): Unit = {
     java.nio.file.Files.createDirectories(commitsDir(root))
@@ -1151,14 +1202,116 @@ object Streams {
     ()
   }
 
+  /** Attempt marker: written BEFORE a batch's first append, so a
+    * retry can tell "this bid was tried and may have left tagged
+    * remnants" (→ pay the wipe walk) from the clean first attempt
+    * (→ skip it). One empty file, retired with the commit markers.
+    */
+  private[graft] def markAttempt(root: String, bid: Long): Unit = {
+    java.nio.file.Files.createDirectories(commitsDir(root))
+    java.nio.file.Files.write(commitsDir(root).resolve(s"a$bid"),
+      Array.emptyByteArray)
+    ()
+  }
+
+  private[graft] def attemptExists(root: String, bid: Long): Boolean =
+    java.nio.file.Files.exists(commitsDir(root).resolve(s"a$bid"))
+
+  /** Retire marker files at compaction: every committed batch's rows
+    * now live in untagged files, so individual markers up to the max
+    * committed id collapse into the persisted low-water int. Order
+    * matters for crash safety: the low-water persist lands FIRST
+    * (atomic), then the files delete — a crash between the two leaves
+    * markers that merely linger until the next retirement.
+    */
+  private[graft] def retireMarkers(root: String): Unit = {
+    val d = commitsDir(root)
+    if (!java.nio.file.Files.isDirectory(d)) return
+    val names = {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList
+      } finally s.close()
+    }
+    val bIds = names.collect { case n if n.startsWith("b") => n.drop(1).toLong }
+    if (bIds.isEmpty) return
+    val lw = math.max(bIds.max, loadLowWater(root))
+    saveLowWater(root, lw)
+    names.foreach { n =>
+      if ((n.startsWith("b") || n.startsWith("a")) &&
+          n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= lw)
+        java.nio.file.Files.deleteIfExists(d.resolve(n))
+    }
+  }
+
+  // ---- batch-id epoch (durable roots vs fresh checkpoints) --------
+
+  private def epochPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "epoch.meta")
+
+  private[graft] def loadEpoch(root: String): Option[String] = {
+    val p = epochPath(root)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private[graft] def saveEpoch(root: String, e: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "epoch.meta.tmp")
+    java.nio.file.Files.write(tmp,
+      e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, epochPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def clearMarkers(root: String): Unit = {
+    val d = commitsDir(root)
+    if (java.nio.file.Files.isDirectory(d)) {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.foreach(
+          java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+  }
+
+  /** The epoch barrier, run at state open when the caller's `epoch`
+    * differs from the persisted one (a durable root re-attached to a
+    * NEW query whose checkpoint restarts batch ids at 0): `compact`
+    * (the root's own compaction) folds every committed tagged file
+    * into untagged state, then the marker namespace and low-water
+    * reset so new-incarnation ids are genuinely new. Crash-safe by
+    * re-entrancy: the epoch persists LAST, so a crash anywhere
+    * re-runs the (idempotent) barrier at the next open.
+    */
+  private def epochBarrier(root: String, epoch: Option[String],
+      compact: () => Unit): Unit = epoch.foreach { e =>
+    loadEpoch(root) match {
+      case Some(old) if old == e => ()
+      case Some(_) =>
+        compact()
+        clearMarkers(root)
+        saveLowWater(root, -1L)
+        saveEpoch(root, e)
+      case None => saveEpoch(root, e)
+    }
+  }
+
   /** Next unused batch id for NON-streaming callers (the facade's
     * step): streaming retries reuse their stable foreachBatch id, a
     * facade call is always a new batch — collisions with history are
-    * what the commits dir records.
+    * what the commits dir plus the retired low-water mark record.
     */
   private[graft] def nextBatchId(root: String): Long = {
+    val floor = loadLowWater(root) + 1L
     val d = commitsDir(root)
-    if (!java.nio.file.Files.isDirectory(d)) 0L
+    if (!java.nio.file.Files.isDirectory(d)) floor
     else {
       val s = java.nio.file.Files.list(d)
       try {
@@ -1167,7 +1320,7 @@ object Streams {
           .map(_.getFileName.toString).collect {
             case n if n.startsWith("b") => n.drop(1).toLong
           }.toSeq
-        if (ids.isEmpty) 0L else ids.max + 1L
+        if (ids.isEmpty) floor else math.max(ids.max + 1L, floor)
       } finally s.close()
     }
   }
@@ -1308,7 +1461,14 @@ object Streams {
       // batch and the full-state rewrite stops being amortized
       // (one rewrite per ~8 batches at one file per bucket per batch)
       compactAboveFiles: Int = 128,
-      targetBucketBytes: Long = stateTargetBucketBytes): St13State = {
+      targetBucketBytes: Long = stateTargetBucketBytes,
+      // the batch-id namespace owner (a streaming query's id): a
+      // durable root re-attached under a DIFFERENT epoch runs the
+      // barrier (see the epoch block above [[batchCommitted]]) so
+      // fresh-checkpoint ids restarting at 0 are never mistaken for
+      // committed history. None (the facade/scratch path) keeps the
+      // one shared namespace nextBatchId continues.
+      epoch: Option[String] = None): St13State = {
     val st = St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
       nBuckets, compactAboveFiles, targetBucketBytes)
     // crash recovery + the persisted bucket count: a RESUMED root must
@@ -1323,6 +1483,7 @@ object Streams {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
     }
+    epochBarrier(st.root, epoch, () => st13CompactState(st))
     st
   }
 
@@ -1341,8 +1502,13 @@ object Streams {
     // unit or are wiped before the retry reprocesses
     val theBid = if (bid >= 0L) bid else nextBatchId(st.root)
     if (batchCommitted(st.root, theBid)) return
-    wipeBatch(Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir),
-      theBid)
+    // the wipe's recursive state walk runs only when an attempt
+    // marker proves a prior try of THIS bid may have left remnants —
+    // the clean-batch hot path stays O(1) in state file count
+    if (attemptExists(st.root, theBid))
+      wipeBatch(Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir),
+        theBid)
+    markAttempt(st.root, theBid)
     // AT-LEAST-ONCE REDELIVERY GUARD (st14's contract): arrivals whose
     // doc_id is already in the shingle registry are re-deliveries (a
     // foreachBatch retry, a replayed file) — a blind re-process would
@@ -1519,6 +1685,13 @@ object Streams {
     */
   private[graft] def st13CompactState(st: St13State,
       targetBytes: Long = 8L << 20): Unit = {
+    // defense-in-depth: the rewrite below folds EVERY live file into
+    // untagged state, so an uncommitted remnant that somehow survived
+    // to here (unreachable through the step/retry paths, which wipe
+    // first) must be dropped NOW or it would be laundered into
+    // consolidated — unwipeable — state
+    recoverUncommitted(st.root,
+      Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir))
     val nb = stateBucketsFor(
       Seq(st.bandsDir, st.shDir, st.labelsDir).map(stateDirBytes).max,
       st.targetBucketBytes, floor = st.defaultBuckets)
@@ -1554,6 +1727,9 @@ object Streams {
         .write.mode("overwrite").parquet(tmp)
       swapStateDir(st.edgesDir, tmp)
     }
+    // every committed batch's rows are untagged now — collapse its
+    // marker files into the low-water int (bounds the commits dir)
+    retireMarkers(st.root)
   }
 
   /** Compaction: pointer-jump CC over the compressed edge log ONLY. */
@@ -1666,7 +1842,9 @@ object Streams {
       root: Option[String] = None,
       nBuckets: Int = 16,
       compactAboveFiles: Int = 128,
-      targetBucketBytes: Long = stateTargetBucketBytes): St14State = {
+      targetBucketBytes: Long = stateTargetBucketBytes,
+      // st13State's epoch contract: the batch-id namespace owner
+      epoch: Option[String] = None): St14State = {
     val st = St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
       nBuckets, compactAboveFiles, targetBucketBytes)
     Seq(st.postingsDir, st.doclenDir, st.statsDir).foreach(recoverStateDir)
@@ -1677,6 +1855,7 @@ object Streams {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
     }
+    epochBarrier(st.root, epoch, () => st14CompactState(st))
     st
   }
 
@@ -1716,7 +1895,10 @@ object Streams {
     // three table appends commit as one unit
     val theBid = if (bid >= 0L) bid else nextBatchId(st.root)
     if (batchCommitted(st.root, theBid)) return
-    wipeBatch(Seq(st.postingsDir, st.doclenDir, st.statsDir), theBid)
+    // attempt-gated wipe (st13's contract): O(1) unless a retry
+    if (attemptExists(st.root, theBid))
+      wipeBatch(Seq(st.postingsDir, st.doclenDir, st.statsDir), theBid)
+    markAttempt(st.root, theBid)
     val arrivals = graft.Caches.materialized(batch)
     val arrPbs = arrivals.select(st13Pb(nB)(col("doc_id")).as("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -1848,6 +2030,10 @@ object Streams {
     */
   private[graft] def st14CompactState(st: St14State): Unit = {
     val spark = st.spark
+    // st13CompactState's defense-in-depth: never fold an uncommitted
+    // remnant into untagged (unwipeable) consolidated state
+    recoverUncommitted(st.root,
+      Seq(st.postingsDir, st.doclenDir, st.statsDir))
     val nb = stateBucketsFor(stateDirBytes(st.postingsDir),
       st.targetBucketBytes, floor = st.defaultBuckets)
     val rewrites = Seq(
@@ -1878,6 +2064,7 @@ object Streams {
         .write.mode("overwrite").parquet(tmp)
       swapStateDir(st.statsDir, tmp)
     }
+    retireMarkers(st.root)
   }
 
   // ----------------------------------------------------------------

@@ -1302,6 +1302,9 @@ class AnnStreamSpec extends SparkSpec {
         explode(graft.functions.Text.tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("pb", pmod(hash(col("term")), lit(16)).cast("int"))
+    // a real step writes the attempt marker BEFORE its first append
+    // (the O(1)-wipe contract: only a marked attempt pays the walk)
+    graft.streaming.Streams.markAttempt(crashed.root, 0L)
     graft.streaming.Streams.appendTagged(partial, crashed.postingsDir,
       0L, Some("pb"))
     assert(spark.read.parquet(crashed.postingsDir).count() > 0)
@@ -1459,6 +1462,105 @@ class AnnStreamSpec extends SparkSpec {
     val n1 = spark.read.parquet(st15.vectorsDir).count()
     graft.streaming.Streams.st15MaintainStep(st15, cb, vecs) // retry
     assert(spark.read.parquet(st15.vectorsDir).count() == n1)
+  }
+
+  test("legacy-root guard: annIndexMaintenance refuses to train a new " +
+      "codebook over a root already holding vectors") {
+    val spark = SparkSpec.spark
+    val t = Tables(spark, sf)
+    val root = graft.Staging.scratch("st15_legacy_root")
+    val cb = graft.operators.Ann.assignedVecs(t, 16)._2
+    val st = graft.streaming.Streams.st15State(spark, Some(root))
+    // vectors land under SOME codebook, but codebook.meta is never
+    // written (a pre-upgrade root / hand-built layout)
+    graft.streaming.Streams.st15MaintainStep(st, cb, t.embeddings.limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graft.annIndexMaintenance(spark, vecs, "vec_id",
+        "embedding", stateRoot = Some(root))
+    }
+    assert(e.getMessage.contains("codebook.meta"))
+  }
+
+  test("commit markers retire at compaction: the commits dir stays " +
+      "bounded, retired bids still answer committed, redelivery drops") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val docs = (1L to 24L).map(i => i -> s"tok$i alpha common")
+      .toDF("doc_id", "text")
+    // a tiny file budget forces compaction during the run, so marker
+    // retirement actually fires
+    val st = graft.streaming.Streams.st14State(spark,
+      compactAboveFiles = 4)
+    (0 until 6).foreach { b =>
+      graft.streaming.Streams.st14MaintainStep(st,
+        docs.filter(col("doc_id") % 6 === b), bid = b.toLong)
+    }
+    val lw = graft.streaming.Streams.loadLowWater(st.root)
+    assert(lw >= 0L, s"no retirement happened (low-water $lw)")
+    // every marker file at-or-below the low-water mark is gone — the
+    // dir holds only post-retirement batches, not one file per batch
+    // forever
+    val commits = java.nio.file.Paths.get(st.root, "commits")
+    val leftover = {
+      val s = java.nio.file.Files.list(commits)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList
+      } finally s.close()
+    }
+    assert(leftover.forall(n => n.drop(1).toLong > lw),
+      s"markers at/below low-water $lw survive: $leftover")
+    // retired bids answer committed from the one persisted int…
+    assert(graft.streaming.Streams.batchCommitted(st.root, 0L))
+    // …so a redelivery of a retired batch is still the fast no-op
+    val before = spark.read.parquet(st.postingsDir).count()
+    graft.streaming.Streams.st14MaintainStep(st,
+      docs.filter(col("doc_id") % 6 === 0), bid = 0L)
+    assert(spark.read.parquet(st.postingsDir).count() == before)
+    // and the facade's id allocator never re-issues a retired id
+    assert(graft.streaming.Streams.nextBatchId(st.root) > lw)
+  }
+
+  test("epoch barrier: a durable root re-attached under a NEW query " +
+      "epoch processes fresh bid 0 instead of dropping it") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val root = graft.Staging.scratch("st14_epoch_spec")
+    val stA = graft.streaming.Streams.st14State(spark, Some(root),
+      epoch = Some("query-A"))
+    graft.streaming.Streams.st14MaintainStep(stA,
+      Seq(1L -> "alpha beta", 2L -> "alpha gamma").toDF("doc_id", "text"),
+      bid = 0L)
+    graft.streaming.Streams.st14MaintainStep(stA,
+      Seq(3L -> "beta delta").toDF("doc_id", "text"), bid = 1L)
+    assert(graft.streaming.Streams.batchCommitted(root, 0L))
+    // a NEW query incarnation attaches (fresh checkpoint, ids restart
+    // at 0): the barrier must clear the old namespace — without it,
+    // bid 0 below would look committed and the batch would be DROPPED
+    val stB = graft.streaming.Streams.st14State(spark, Some(root),
+      epoch = Some("query-B"))
+    assert(!graft.streaming.Streams.batchCommitted(root, 0L),
+      "old epoch's markers leaked into the new incarnation")
+    graft.streaming.Streams.st14MaintainStep(stB,
+      Seq(9L -> "alpha omega").toDF("doc_id", "text"), bid = 0L)
+    val served = graft.streaming.Streams.st14Serve(stB, Seq("alpha"), 5)
+      .collect().map(_.getLong(0)).toSet
+    // the new batch landed AND the old incarnation's docs survived
+    // the barrier's compaction fold
+    assert(served.contains(9L), s"new-epoch batch dropped: $served")
+    assert(served.contains(1L) && served.contains(2L),
+      s"old-epoch state lost by the barrier: $served")
+    // redelivery inside the SAME epoch is still the committed no-op
+    val before = spark.read.parquet(stB.postingsDir).count()
+    graft.streaming.Streams.st14MaintainStep(stB,
+      Seq(9L -> "alpha omega").toDF("doc_id", "text"), bid = 0L)
+    assert(spark.read.parquet(stB.postingsDir).count() == before)
+    // same-epoch reopen skips the barrier (history kept)
+    val stB2 = graft.streaming.Streams.st14State(spark, Some(root),
+      epoch = Some("query-B"))
+    assert(graft.streaming.Streams.batchCommitted(stB2.root, 0L))
   }
 
   test("state swap crash recovery: a root whose table sits in .old " +
