@@ -113,13 +113,45 @@ object Io {
       .parquet(dir)
   }
 
-  private val ordersSchema = StructType(Seq(
+  private[graft] val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType),
     StructField("o_orderdate", TimestampType),
     StructField("o_orderpriority", StringType)))
+
+  /** The corpus's versioned ORDERS table — ONE [[TableLog]] serving
+    * the whole lake family: v0 = the base snapshot, v1 = the io4
+    * MERGE rewrite (copy-on-write: v1 removes v0's files and adds its
+    * own in one atomic commit), v2 = v1 with the erasure pass applied.
+    * io4 reads v1, io7 time-travels v0 vs v1, io8 diffs v0 vs v2 —
+    * all from this one log, which is exactly how a production table
+    * format (Delta/Iceberg) expresses MERGE + time travel + CDC:
+    * versioned file lists behind atomic commit files, never three
+    * ad-hoc directory layouts. Built once per corpus; data files are
+    * immutable once committed, so old snapshots keep serving.
+    */
+  private[graft] def ordersLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:orderslog", "io_tablelog") { d =>
+      val log = TableLog.open(d)
+      def land(name: String, df: DataFrame): Seq[TableLog.FileEntry] = {
+        df.write.mode("overwrite").parquet(s"$d/$name")
+        TableLog.statsFor(t.spark, s"$d/$name", "o_orderkey", ordersSchema)
+      }
+      val v0 = land("v0", t.orders)
+      log.commit(v0.map(TableLog.Add), tag = "base")
+      val v1 = land("v1", mergedOrders(t))
+      log.commit(v0.map(f => TableLog.Remove(f.path)) ++
+        v1.map(TableLog.Add), tag = "merge")
+      val v2 = land("v2", mergedOrders(t)
+        .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))
+      log.commit(v1.map(f => TableLog.Remove(f.path)) ++
+        v2.map(TableLog.Add), tag = "erase")
+      ()
+    }
+    TableLog.open(root)
+  }
 
   /** io4: UPSERT (MERGE INTO) on a parquet lake table, copy-on-write.
     * The lakehouse write pattern every incremental pipeline needs:
@@ -134,14 +166,15 @@ object Io {
     * key + 10⁷ with status 'N') so the oracle reconstructs the
     * merged table relationally — the final aggregate hash-matches
     * iff the merge semantics AND the write→read round trip are
-    * right. At 100 TB the rewrite touches only the partitions
-    * holding matched keys (io3's partitioned layout); AQE sizes the
-    * output files.
+    * right. The merged state is version 1 of [[ordersLog]]'s commit
+    * log (remove-old + add-new in one atomic commit), read back
+    * through the snapshot's file list. At 100 TB the rewrite touches
+    * only the files holding matched keys — which is precisely what
+    * the log's per-file key stats identify; AQE sizes the output
+    * files.
     */
   def io4UpsertMerge(t: Tables): DataFrame = {
-    val outDir = stage(t, "merge_out", mergedOrders(t))(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    t.spark.read.schema(ordersSchema).parquet(outDir)
+    ordersLog(t).read(t.spark, ordersSchema, 1L)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
@@ -178,29 +211,26 @@ object Io {
   /** io7: TIME TRAVEL / SNAPSHOT DIFF — a lake table keeps its old
     * snapshots addressable after new writes: v0 is the base orders
     * table, v1 is the io4-merged state (updates + inserts applied),
-    * each landed as its own immutable snapshot directory (the
-    * copy-on-write layout Delta/Iceberg version manifests point at).
-    * The query reads BOTH versions "as of" their snapshot and emits
-    * the per-status diff (n/total at v0, at v1, and the deltas) —
-    * the audit query every versioned pipeline runs after a merge.
-    * The hash gate covers both snapshot reads AND the diff logic
-    * (the oracle reconstructs v1 relationally, as io4's does).
-    * At 100 TB: snapshots share unchanged files via the manifest —
-    * here each is fully materialized because the local stand-in has
-    * no manifest layer; the read path being versioned is the point.
+    * BOTH read "as of" their version from [[ordersLog]]'s one commit
+    * log — time travel is nothing but planning from an old
+    * snapshot's file list, since committed files are immutable and a
+    * rewrite is remove+add, never overwrite. The query emits the
+    * per-status diff (n/total at v0, at v1, and the deltas) — the
+    * audit query every versioned pipeline runs after a merge. The
+    * hash gate covers both snapshot reads AND the diff logic (the
+    * oracle reconstructs v1 relationally, as io4's does). At 100 TB
+    * snapshots share unchanged files through the log's file lists;
+    * the diff pays two snapshot scans, nothing version-count-sized.
     */
   def io7TimeTravel(t: Tables): DataFrame = {
-    val v0Dir = stage(t, "merge_base", t.orders)(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    val v1Dir = stage(t, "merge_out", mergedOrders(t))(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    def snap(dir: String, tag: String) =
-      t.spark.read.schema(ordersSchema).parquet(dir)
+    val log = ordersLog(t)
+    def snap(v: Long, tag: String) =
+      log.read(t.spark, ordersSchema, v)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as(s"n_$tag"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
             .as(s"total_$tag"))
-    snap(v0Dir, "v0").join(snap(v1Dir, "v1"), Seq("o_orderstatus"), "full")
+    snap(0L, "v0").join(snap(1L, "v1"), Seq("o_orderstatus"), "full")
       .select(col("o_orderstatus"),
         coalesce(col("n_v0"), lit(0L)).as("n_v0"),
         coalesce(col("n_v1"), lit(0L)).as("n_v1"),
@@ -219,25 +249,25 @@ object Io {
     * feed emits one row per changed key: inserts (synthetic negative
     * keys), updates (status/price changed by the merge), deletes
     * (erased keys), with absent sides filled ('NONE'/0.0 — no nulls
-    * on the gate path). Hash gate covers both snapshot round trips
-    * AND the diff classification.
+    * on the gate path). Both endpoints read from [[ordersLog]]'s one
+    * commit log (v0 base, v2 post-erasure) — the same log io4/io7
+    * serve from. Hash gate covers both snapshot round trips AND the
+    * diff classification.
     *
     * Scale: ONE full-outer sort-merge join keyed by the primary key —
-    * at 100 TB a manifest-backed lake diffs only changed FILES and
-    * the relational fallback partition-prunes on the key-partitioned
-    * layout; the output is change-sized, not table-sized.
+    * at 100 TB the log's commit actions identify the changed FILES
+    * (only they need diffing; unchanged files appear in both
+    * snapshots by identity) and the relational fallback below
+    * restricts the join to their keys; the output is change-sized,
+    * not table-sized.
     */
   def io8ChangeFeed(t: Tables): DataFrame = {
-    val v0Dir = stage(t, "merge_base", t.orders)(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    val v2Dir = stage(t, "erase_out", mergedOrders(t)
-      .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))(
-      (df, d) => df.write.mode("overwrite").parquet(d))
-    def snap(dir: String, tag: String) =
-      t.spark.read.schema(ordersSchema).parquet(dir)
+    val log = ordersLog(t)
+    def snap(v: Long, tag: String) =
+      log.read(t.spark, ordersSchema, v)
         .select(col("o_orderkey"), col("o_orderstatus").as(s"status_$tag"),
           col("o_totalprice").as(s"price_$tag"))
-    snap(v0Dir, "old").join(snap(v2Dir, "new"), Seq("o_orderkey"), "full")
+    snap(0L, "old").join(snap(2L, "new"), Seq("o_orderkey"), "full")
       .filter(col("status_old").isNull || col("status_new").isNull ||
         col("status_old") =!= col("status_new") ||
         col("price_old") =!= col("price_new"))
@@ -385,37 +415,54 @@ object Io {
       .orderBy("event_id")
   }
 
+  /** The corpus's clustered EVENTS table under its own [[TableLog]]:
+    * events land range-partitioned + sorted by event_id ONCE, and the
+    * commit records every file with its (min_id, max_id, n_rows)
+    * stats — io10's manifest, st16's write-time sink and any future
+    * range consumer plan against this same structure.
+    */
+  private[graft] def eventsLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:eventslog", "io_eventslog") {
+      d =>
+        t.events.select("event_id", "event_type", "value")
+          .repartitionByRange(16, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$d/v0")
+        TableLog.open(d).commit(
+          TableLog.statsFor(t.spark, s"$d/v0", "event_id", io10Schema)
+            .map(TableLog.Add), tag = "clustered-landing")
+        ()
+    }
+    TableLog.open(root)
+  }
+
   /** io10: FILE-STATS MANIFEST PRUNING — the table-format metadata
     * layer (Iceberg/Delta manifests) as data: events land clustered
-    * by event_id (range-partitioned + sorted), a MANIFEST table of
-    * per-file (min_id, max_id, n_rows) is built ONCE at landing and
-    * staged beside the data, and an id-range query plans against the
-    * manifest FIRST — only the files whose [min, max] intersects the
-    * predicate range are ever opened. This is file skipping one
-    * level above io9's row-group stats: at 100 TB the manifest is
-    * maintained AT WRITE TIME (here derived once from the landed
-    * files — same artifact), is millions of times smaller than the
-    * data, and is what lets a planner prune a petabyte to a file
-    * list without touching a single parquet footer.
+    * by event_id (range-partitioned + sorted) with their per-file
+    * (min_id, max_id, n_rows) stats committed to [[eventsLog]]'s
+    * commit log, and an id-range query plans against the log FIRST —
+    * only the files whose [min, max] intersects the predicate range
+    * are ever opened. This is file skipping one level above io9's
+    * row-group stats: at 100 TB the stats are maintained AT WRITE
+    * TIME (st16 is the streaming form of exactly this, on the same
+    * TableLog), are millions of times smaller than the data, and are
+    * what lets a planner prune a petabyte to a file list without
+    * touching a single parquet footer.
     *
-    * The file-list collect is bounded by the FILE count (the
-    * manifest's row count — a planner's working set by definition,
-    * like s7's top-k collect). IoSpec asserts the chosen file set is
-    * a strict subset and the pruned answer equals the full-scan
+    * The file-list computation is bounded by the FILE count (the
+    * log's entry count — a planner's working set by definition, like
+    * s7's top-k collect). IoSpec asserts the chosen file set is a
+    * strict subset and the pruned answer equals the full-scan
     * answer; the oracle checks the ANSWER (a plain range query over
     * events), because pruning must be invisible to results.
     */
   def io10StatsManifest(t: Tables): DataFrame = {
     val (lo, hi) = (100L, 399L)
-    val (files, _) = io10PrunedFiles(t, lo, hi)
+    val log = eventsLog(t)
     // a fully-pruned range reads NOTHING — an empty relation, not a
-    // zero-path read error
-    val slice =
-      if (files.isEmpty)
-        t.spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), io10Schema)
-      else t.spark.read.schema(io10Schema).parquet(files: _*)
-    slice
+    // zero-path read error (prunedRead's contract)
+    log.prunedRead(t.spark, io10Schema, log.latestVersion.getOrElse(-1L),
+        lo, hi)
       .filter(col("event_id").between(lo, hi))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -431,32 +478,15 @@ object Io {
 
   /** The manifest-planning half of io10, exposed so the spec can
     * assert the pruning: returns (files whose stats admit [lo, hi],
-    * total file count in the manifest).
+    * total file count in the log's snapshot). Pure metadata — no
+    * parquet footer is opened for a skipped file.
     */
   private[graft] def io10PrunedFiles(t: Tables, lo: Long,
       hi: Long): (Seq[String], Long) = {
-    val spark = t.spark
-    val dataDir = stage(t, "manifest_data",
-      t.events.select("event_id", "event_type", "value"))(
-      (df, d) => df.repartitionByRange(16, col("event_id"))
-        .sortWithinPartitions("event_id")
-        .write.mode("overwrite").parquet(d))
-    // the manifest is itself a STAGED artifact — built once per
-    // landed snapshot, a metadata read thereafter
-    val mDir = graft.Staging.dir(s"${t.dir}:manifest_meta", "io_manifest") {
-      d =>
-        spark.read.schema(io10Schema).parquet(dataDir)
-          .groupBy(col("_metadata.file_path").as("file"))
-          .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
-            count(lit(1)).as("n_rows"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(d)
-    }
-    val manifest = spark.read.parquet(mDir)
-    val files = manifest
-      .filter(col("max_id") >= lo && col("min_id") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq.sorted
-    (files, manifest.count())
+    val log = eventsLog(t)
+    val v = log.latestVersion.getOrElse(-1L)
+    (log.prunedFiles(v, lo, hi).map(_.path).sorted,
+      log.snapshot(v).length.toLong)
   }
 
   /** Input columns + `zval` = 32-bit Z-curve index of the

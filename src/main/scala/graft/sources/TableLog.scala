@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The lake family's ONE metadata layer: a versioned commit log of
+  * file lists with per-file stats — the minimal core of what Delta's
+  * `_delta_log` / Iceberg's manifest tree provide, and what lets time
+  * travel (io7), CDC (io8), MERGE snapshots (io4), manifest pruning
+  * (io10) and write-time manifest sinks (st16) all serve from the
+  * SAME structure instead of five ad-hoc directory layouts.
+  *
+  * Layout: `root/_log/v<NNNNNNNNNNNN>.commit`, one text file per
+  * version, each a list of `add`/`remove` actions over data files
+  * that live wherever the writer put them (typically under `root`).
+  * A snapshot at version v is the replay of actions 0..v — the file
+  * list plus per-file (min_key, max_key, n_rows) stats on the
+  * table's clustering key.
+  *
+  * COMMIT ATOMICITY (the st13-style pointer flip, applied to tables):
+  * a commit is staged to a `.tmp` and MOVED to its final name in one
+  * atomic rename that FAILS if the version already exists — readers
+  * see a version entirely or not at all (no torn commits), and two
+  * racing writers cannot both claim a version (the loser retries on
+  * a fresh one: optimistic concurrency, Delta's protocol). On object
+  * storage the rename becomes the store's if-absent PUT — same
+  * contract, different primitive.
+  *
+  * SCALE SHAPE: the log is metadata — O(files touched per commit),
+  * millions of times smaller than the data. A reader's planning cost
+  * is one log-directory listing plus the replay of commit files
+  * (bounded by commit count; production checkpoints the replay every
+  * N commits — the same collapse st14 applies to its stats log).
+  * Data files are immutable once added; a rewrite is remove+add in
+  * ONE commit, so old snapshots keep serving from the files they
+  * reference (copy-on-write time travel for free).
+  *
+  * Stats are keyed to a SINGLE clustering column (long-typed) — the
+  * min/max a range query prunes on. Wider stats (per-column, nulls)
+  * are a schema extension of the same line format, not a new design.
+  */
+object TableLog {
+
+  /** One data file under the log: path + clustering-key stats. */
+  case class FileEntry(path: String, minKey: Long, maxKey: Long,
+      nRows: Long)
+
+  sealed trait Action
+  final case class Add(f: FileEntry) extends Action
+  final case class Remove(path: String) extends Action
+
+  def open(root: String): TableLog = new TableLog(root)
+
+  /** Per-file (min, max, rows) stats for every parquet file under
+    * `dir` — the write-side half of a commit. One metadata-shaped
+    * aggregate over `_metadata.file_path` (io10's pattern); the
+    * collect is bounded by the FILE count, a planner's working set
+    * by definition.
+    */
+  def statsFor(spark: SparkSession, dir: String, keyCol: String,
+      schema: StructType): Seq[FileEntry] =
+    spark.read.schema(schema).parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(keyCol).as("mn"), max(keyCol).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq.sortBy(_.path)
+}
+
+final class TableLog(val root: String) {
+  import TableLog._
+
+  private def logDir: java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_log")
+
+  private def commitPath(v: Long): java.nio.file.Path =
+    logDir.resolve(f"v$v%012d.commit")
+
+  /** All committed versions, ascending. Only complete `*.commit`
+    * files count — a crashed writer's `.tmp` is invisible.
+    */
+  def versions: Seq[Long] = {
+    if (!java.nio.file.Files.isDirectory(logDir)) return Nil
+    val s = java.nio.file.Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).collect {
+        case n if n.startsWith("v") && n.endsWith(".commit") =>
+          n.stripPrefix("v").stripSuffix(".commit").toLong
+      }.toSeq.sorted
+    } finally s.close()
+  }
+
+  def latestVersion: Option[Long] = versions.lastOption
+
+  /** Append one commit (the next version, or `atVersion` when the
+    * writer computed its target up front — the optimistic-concurrency
+    * shape: read latest, prepare, claim; a LOSING claim throws
+    * `FileAlreadyExistsException` and the writer re-reads and
+    * retries, exactly Delta's protocol). `tag` is the writer's
+    * idempotence key — a streaming sink tags its batch id and checks
+    * [[tagVersion]] before re-landing a redelivered batch. Returns
+    * the committed version.
+    */
+  def commit(actions: Seq[Action], tag: String = "",
+      atVersion: Option[Long] = None): Long = {
+    java.nio.file.Files.createDirectories(logDir)
+    val v = atVersion.getOrElse(latestVersion.fold(0L)(_ + 1L))
+    val body = (s"tag:$tag" +: actions.map {
+      case Add(f) => s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"
+      case Remove(p) => s"remove\t$p"
+    }).mkString("\n")
+    val tmp = logDir.resolve(f"v$v%012d.commit.tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // atomic claim: move WITHOUT replace — if the target exists a
+    // concurrent writer won this version; never overwrite history
+    java.nio.file.Files.move(tmp, commitPath(v))
+    v
+  }
+
+  private def parse(v: Long): (String, Seq[Action]) = {
+    val lines = new String(java.nio.file.Files.readAllBytes(commitPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+    val tag = lines.head.stripPrefix("tag:")
+    val actions = lines.tail.filter(_.nonEmpty).map { l =>
+      l.split("\t") match {
+        case Array("add", p, mn, mx, n) =>
+          Add(FileEntry(p, mn.toLong, mx.toLong, n.toLong))
+        case Array("remove", p) => Remove(p)
+        case other => sys.error(s"corrupt commit v$v line: ${other.toSeq}")
+      }
+    }
+    (tag, actions)
+  }
+
+  /** The version a writer committed under `tag`, if any — the
+    * redelivery check for tagged (streaming) commits. O(commit
+    * count) text reads, a metadata scan.
+    */
+  def tagVersion(tag: String): Option[Long] =
+    versions.find(v => parse(v)._1 == tag)
+
+  /** Snapshot at version `v`: replay adds/removes of commits 0..v.
+    * Paths are unique per add (immutable files), so the replay is a
+    * map build — O(actions), driver-side metadata.
+    */
+  def snapshot(v: Long): Seq[FileEntry] = {
+    val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    versions.filter(_ <= v).foreach { cv =>
+      parse(cv)._2.foreach {
+        case Add(f)    => live(f.path) = f
+        case Remove(p) => live.remove(p)
+      }
+    }
+    live.values.toSeq
+  }
+
+  /** Read the table AS OF version `v` — time travel is just "plan
+    * from an old snapshot's file list". An empty snapshot reads as
+    * an empty relation, not a zero-path error.
+    */
+  def read(spark: SparkSession, schema: StructType, v: Long): DataFrame = {
+    val files = snapshot(v).map(_.path)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Manifest pruning: the files of snapshot `v` whose [min, max]
+    * intersects [lo, hi] — a pure metadata computation, no parquet
+    * footer is opened for a skipped file.
+    */
+  def prunedFiles(v: Long, lo: Long, hi: Long): Seq[FileEntry] =
+    snapshot(v).filter(f => f.maxKey >= lo && f.minKey <= hi)
+
+  /** The pruned scan: only stats-admitted files are opened. */
+  def prunedRead(spark: SparkSession, schema: StructType, v: Long,
+      lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(v, lo, hi).map(_.path)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}

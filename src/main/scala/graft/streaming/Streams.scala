@@ -2077,25 +2077,28 @@ object Streams {
     * the manifest is maintained BY THE SINK as data arrives, which
     * is exactly what this operator does: each micro-batch lands its
     * rows clustered by event_id into a per-batch directory and
-    * appends that batch's per-file (min, max, rows) manifest rows
-    * beside them — all arrivals-sized, nothing corpus-wide per
-    * batch, and the manifest is ready to prune the instant the
-    * batch commits (no post-hoc derivation pass over the landed
-    * files).
+    * COMMITS that batch's per-file (min, max, rows) entries to the
+    * table's [[graft.sources.TableLog]] — the SAME versioned commit
+    * log the batch lake family (io4/io7/io8/io10) serves from, so a
+    * streaming sink produces a first-class versioned table: every
+    * micro-batch is a snapshot, time travel and pruning come from
+    * the log, and the work stays arrivals-sized (nothing corpus-wide
+    * per batch).
     *
-    * AT-LEAST-ONCE SAFE by layout: both the batch's data dir and its
-    * manifest dir are keyed by batch id and written with OVERWRITE —
-    * a foreachBatch retry rewrites its own directories with
-    * identical content instead of double-appending (the st14
-    * redelivery contract, bought structurally instead of via an
-    * anti-join).
+    * AT-LEAST-ONCE SAFE by the log's tag: each commit carries the
+    * batch id as its idempotence tag — a foreachBatch retry finds
+    * its tag already committed and skips both the land and the
+    * commit (structural idempotence enforced by the metadata layer,
+    * not by directory-overwrite convention). A crash BETWEEN land
+    * and commit leaves orphan data files no snapshot references —
+    * invisible to every reader, re-landed by the retry (commit-log
+    * formats call the cleanup "vacuum").
     *
-    * Serving replays io10's plan: the manifest (an
-    * O(files)-row metadata read) admits only the files whose
-    * [min, max] intersects the query range; only those are opened.
-    * Every event arrives exactly once across the batches, so the
-    * served answer equals the batch range query — io10's oracle
-    * VERBATIM.
+    * Serving replays io10's plan through the log: snapshot → stats-
+    * admitted file list (O(files) metadata) → pruned multi-file scan
+    * → the range aggregate. Every event arrives exactly once across
+    * the batches, so the served answer equals the batch range query —
+    * io10's oracle VERBATIM.
     */
   def st16StreamManifestSink(t: Tables): DataFrame = {
     val spark = t.spark
@@ -2108,52 +2111,47 @@ object Streams {
         .select("event_id", "event_type", "value")
       val q = ev.writeStream
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
-          st16SinkStep(spark, s"$d/data", s"$d/manifest",
-            batch.toDF(), bid)
+          st16SinkStep(spark, d, batch.toDF(), bid)
         }
         .start()
       q.processAllAvailable(); q.stop()
     }
-    st16Serve(spark, s"$staged/manifest", 100L, 399L)
+    st16Serve(spark, staged, 100L, 399L)
   }
 
-  /** ONE sink step: land the batch clustered by event_id and its
-    * per-file manifest rows, both under batch-id-keyed dirs (see
-    * [[st16StreamManifestSink]] for the idempotence contract).
+  /** ONE sink step: land the batch clustered by event_id under a
+    * batch-keyed dir, then commit its file stats to the table log
+    * tagged with the batch id (see [[st16StreamManifestSink]] for
+    * the idempotence contract).
     */
   private[graft] def st16SinkStep(
-      spark: org.apache.spark.sql.SparkSession, dataDir: String,
-      manDir: String, batch: DataFrame, bid: Long): Unit = {
-    val bDir = s"$dataDir/b$bid"
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val log = graft.sources.TableLog.open(tableRoot)
+    val tag = s"b$bid"
+    // redelivery: the tag is already committed ⇒ the whole step is a
+    // no-op (never re-land, never double-commit)
+    if (log.tagVersion(tag).isDefined) return
+    val bDir = s"$tableRoot/b$bid"
     batch.repartitionByRange(4, col("event_id"))
       .sortWithinPartitions("event_id")
       .write.mode("overwrite").parquet(bDir)
-    spark.read.schema(graft.sources.Io.io10Schema).parquet(bDir)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$manDir/b$bid")
+    log.commit(
+      graft.sources.TableLog.statsFor(spark, bDir, "event_id",
+        graft.sources.Io.io10Schema).map(graft.sources.TableLog.Add),
+      tag)
+    ()
   }
 
-  /** io10's serving plan over the MAINTAINED manifest: metadata read
-    * → admitted file list (bounded by the manifest's row count) →
+  /** io10's serving plan over the MAINTAINED table log: snapshot →
+    * stats-admitted file list (bounded by the log's entry count) →
     * pruned multi-file scan → the range aggregate.
     */
   private[graft] def st16Serve(spark: org.apache.spark.sql.SparkSession,
-      manDir: String, lo: Long, hi: Long): DataFrame = {
-    val schema = graft.sources.Io.io10Schema
-    val manifest = spark.read.option("recursiveFileLookup", "true")
-      .parquet(manDir)
-    val files = manifest
-      .filter(col("max_id") >= lo && col("min_id") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq.sorted
-    val slice =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    slice
+      tableRoot: String, lo: Long, hi: Long): DataFrame = {
+    val log = graft.sources.TableLog.open(tableRoot)
+    log.prunedRead(spark, graft.sources.Io.io10Schema,
+        log.latestVersion.getOrElse(-1L), lo, hi)
       .filter(col("event_id").between(lo, hi))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -2163,11 +2161,18 @@ object Streams {
       .orderBy("event_type")
   }
 
-  /** The maintained manifest frame — spec access (pruning witness). */
+  /** The maintained manifest (latest snapshot's file stats) as a
+    * frame — spec access (pruning witness).
+    */
   private[graft] def st16Manifest(t: Tables): Option[DataFrame] =
-    graft.Staging.lookup(s"${t.dir}:st16").map(d =>
-      t.spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$d/manifest"))
+    graft.Staging.lookup(s"${t.dir}:st16").map { d =>
+      val log = graft.sources.TableLog.open(d)
+      val snap = log.snapshot(log.latestVersion.getOrElse(-1L))
+        .map(f => (f.path, f.minKey, f.maxKey, f.nRows))
+      val spark = t.spark
+      import spark.implicits._
+      snap.toDF("file", "min_id", "max_id", "n_rows")
+    }
 
   // ----------------------------------------------------------------
   // st15: incremental VECTOR-index (IVF) maintenance

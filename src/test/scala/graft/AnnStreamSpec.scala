@@ -383,23 +383,25 @@ class AnnStreamSpec extends SparkSpec {
     }
     assert(admitted > 0 && admitted < man.length,
       s"admitted $admitted of ${man.length} manifest files")
-    // redelivery: a retried batch rewrites its batch-keyed dirs with
-    // identical content instead of double-appending (drilled on a
-    // throwaway state so the live staged one stays pristine)
+    // redelivery: a retried batch's tag is already in the table log,
+    // so the whole step no-ops — no re-land, no double-commit, no new
+    // log version (drilled on a throwaway state so the live staged
+    // one stays pristine)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_st16_idem_").toString
     try {
       val replay = t.events.select("event_id", "event_type", "value")
         .filter(col("event_id") % 2 === 0)
-      graft.streaming.Streams.st16SinkStep(
-        spark, s"$tmp/data", s"$tmp/manifest", replay, 0L)
+      graft.streaming.Streams.st16SinkStep(spark, tmp, replay, 0L)
       val once = graft.streaming.Streams.st16Serve(
-        spark, s"$tmp/manifest", 100L, 399L).collect().map(_.toSeq).toSeq
-      graft.streaming.Streams.st16SinkStep(
-        spark, s"$tmp/data", s"$tmp/manifest", replay, 0L)
+        spark, tmp, 100L, 399L).collect().map(_.toSeq).toSeq
+      val vOnce = graft.sources.TableLog.open(tmp).latestVersion
+      graft.streaming.Streams.st16SinkStep(spark, tmp, replay, 0L)
       val twice = graft.streaming.Streams.st16Serve(
-        spark, s"$tmp/manifest", 100L, 399L).collect().map(_.toSeq).toSeq
+        spark, tmp, 100L, 399L).collect().map(_.toSeq).toSeq
       assert(once.nonEmpty && twice == once)
+      assert(graft.sources.TableLog.open(tmp).latestVersion == vOnce,
+        "redelivered batch minted a new log version")
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 

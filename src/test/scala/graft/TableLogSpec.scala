@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableLog
+
+/** The unified commit-log metadata layer: one versioned log must
+  * serve time travel, CDC and manifest pruning TOGETHER (the layer is
+  * the point — not three ad-hoc layouts), commits must be atomic
+  * (torn commits invisible, version claims exclusive), and committed
+  * files immutable (old snapshots keep serving after a rewrite).
+  */
+class TableLogSpec extends SparkSpec {
+
+  test("one orders log serves MERGE read, time travel and CDC: " +
+      "three versions, copy-on-write file lists, old snapshots intact") {
+    val t = Tables(spark, sf)
+    val log = graft.sources.Io.ordersLog(t)
+    assert(log.versions == Seq(0L, 1L, 2L))
+    val s0 = log.snapshot(0L).map(_.path).toSet
+    val s1 = log.snapshot(1L).map(_.path).toSet
+    val s2 = log.snapshot(2L).map(_.path).toSet
+    // the MERGE (v1) and the erasure (v2) are full copy-on-write
+    // rewrites: remove+add in one commit, no file shared across them
+    assert(s0.nonEmpty && s1.nonEmpty && s2.nonEmpty)
+    assert(s0.intersect(s1).isEmpty && s1.intersect(s2).isEmpty)
+    // immutability: v0's files still exist and serve AFTER two
+    // rewrites — time travel is planning from an old file list
+    assert(s0.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))))
+    val sch = graft.sources.Io.ordersSchema
+    val nBase = t.orders.count()
+    assert(log.read(spark, sch, 0L).count() == nBase)
+    // v1 = base + inserts (keys ≡ 0 mod 25 cloned): row-count law
+    val nIns = t.orders.filter(col("o_orderkey") % 25 === 0).count()
+    assert(log.read(spark, sch, 1L).count() == nBase + nIns)
+    // v2 = v1 minus erased real keys (≥ 0, ≡ 0 mod 50)
+    val nErase = log.read(spark, sch, 1L)
+      .filter(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)
+      .count()
+    assert(log.read(spark, sch, 2L).count() == nBase + nIns - nErase)
+    // CDC off the SAME log: io8's feed classifies against v0/v2 —
+    // deletes are exactly the erased keys
+    val feed = run("io8_change_feed")
+    assert(feed.filter(col("change") === "delete").count() == nErase)
+    // per-file key stats are real bounds (the pruning contract)
+    log.snapshot(2L).foreach { f =>
+      assert(f.minKey <= f.maxKey && f.nRows > 0)
+    }
+  }
+
+  test("manifest pruning and the st16 sink read the same log shape: " +
+      "stats admit a strict subset, pruned answer equals full scan") {
+    val t = Tables(spark, sf)
+    val log = graft.sources.Io.eventsLog(t)
+    val v = log.latestVersion.get
+    val admitted = log.prunedFiles(v, 100L, 399L)
+    val all = log.snapshot(v)
+    assert(admitted.nonEmpty && admitted.length < all.length,
+      s"admitted ${admitted.length} of ${all.length} — no skipping")
+    // pruning is invisible to answers
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_id").between(100L, 399L))
+      .agg(count(lit(1)),
+        sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).toSeq
+    assert(sums(log.prunedRead(spark, graft.sources.Io.io10Schema,
+      v, 100L, 399L)) == sums(t.events))
+    // a disjoint range prunes to nothing and reads as empty
+    assert(log.prunedFiles(v, -5000L, -4000L).isEmpty)
+    assert(log.prunedRead(spark, graft.sources.Io.io10Schema,
+      v, -5000L, -4000L).count() == 0L)
+  }
+
+  test("torn commit drill: a crashed writer's tmp is invisible, the " +
+      "next commit proceeds, and a claimed version cannot be overwritten") {
+    import SparkSpec.spark.implicits._
+    val root = graft.Staging.scratch("tablelog_torn")
+    val dataDir = s"$root/d0"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val log = TableLog.open(root)
+    val entries = TableLog.statsFor(spark, dataDir, "event_id",
+      graft.sources.Io.io10Schema)
+    assert(log.commit(entries.map(TableLog.Add), tag = "v0") == 0L)
+    // CRASH SIMULATION: a writer died after staging its commit body
+    // but before the atomic claim — only the .tmp exists
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    java.nio.file.Files.write(logDir.resolve("v000000000001.commit.tmp"),
+      "tag:torn\nadd\t/nowhere\t0\t0\t0"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // readers never see the torn commit
+    assert(TableLog.open(root).versions == Seq(0L))
+    assert(TableLog.open(root).snapshot(0L).map(_.path).toSet ==
+      entries.map(_.path).toSet)
+    // the next writer claims version 1 normally
+    assert(log.commit(Seq(TableLog.Remove(entries.head.path)),
+      tag = "v1") == 1L)
+    assert(TableLog.open(root).snapshot(1L).length ==
+      entries.length - 1)
+    // EXCLUSIVE CLAIM (the OCC race): this writer read latest = 1 and
+    // prepared a commit for version 2 — but a rival claimed 2 first.
+    // The stale claim must FAIL, never overwrite history.
+    java.nio.file.Files.write(logDir.resolve("v000000000002.commit"),
+      "tag:rival".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      log.commit(Seq(TableLog.Remove("x")), tag = "loser",
+        atVersion = Some(2L))
+    }
+    // the rival's commit is what history records
+    assert(TableLog.open(root).versions == Seq(0L, 1L, 2L))
+  }
+
+  test("tagged commits are the streaming idempotence key: tagVersion " +
+      "finds a batch's commit, unknown tags miss") {
+    import SparkSpec.spark.implicits._
+    val root = graft.Staging.scratch("tablelog_tags")
+    val dataDir = s"$root/d0"
+    Seq((7L, "x", 1.0)).toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val log = TableLog.open(root)
+    val entries = TableLog.statsFor(spark, dataDir, "event_id",
+      graft.sources.Io.io10Schema)
+    log.commit(entries.map(TableLog.Add), tag = "b0")
+    log.commit(Nil, tag = "b1")
+    assert(log.tagVersion("b0").contains(0L))
+    assert(log.tagVersion("b1").contains(1L))
+    assert(log.tagVersion("b2").isEmpty)
+  }
+}
