@@ -106,6 +106,10 @@ object SparkEntry {
     "s7_mmr_rerank"       -> q(Ann.s7MmrRerank(_)),
     "s8_ann_recall"       -> q(Ann.s8AnnRecall(_)),
     "s9_ivfpq_search"     -> q(Ann.s9IvfPqSearch(_)),
+    "s10_pq_residual"     -> q(Ann.s10PqResidual(_)),
+    "s11_ivfpq_rerank"    -> q(Ann.s11IvfPqRerank(_)),
+    "st17_ann_recall_maintain" ->
+      q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),

@@ -47,13 +47,24 @@ object Ann {
     * table.
     *
     * `tau < 0` (the default) derives the cut from `sketchBits` via
-    * [[defaultTau]], so overriding the sketch width alone keeps a
-    * correctly-scaled Hamming cut instead of silently reusing a
-    * 512-bit constant.
+    * [[defaultTau]] CAPPED by the candidate-bounded cut
+    * ([[tauFor]] against the MEASURED corpus count): the width-
+    * derived cut admits a roughly constant ~10% FRACTION of the
+    * corpus, so the exact-cosine tail would grow linearly with n per
+    * query — tauFor instead holds the expected bulk-candidate COUNT
+    * at ~max(1024, 64·k), so the per-query exact work stays flat as
+    * the corpus grows (the lshConfigFor pattern). At sandbox scale
+    * the count bound is looser than the width bound, so the cut —
+    * and the pinned oracle — are unchanged; the count is a parquet
+    * metadata read at lake scale, not a scan.
     */
   def s2AnnLsh(t: Tables, probeId: Long = 0L, sketchBits: Int = 512,
       tau: Int = -1): DataFrame = {
-    val cut = if (tau >= 0) tau else defaultTau(sketchBits)
+    val cut =
+      if (tau >= 0) tau
+      else math.min(defaultTau(sketchBits),
+        tauFor(sketchBits, t.embeddings.count(),
+          target = math.max(1024L, 64L * 10)))
     val sigs = Dedup.hyperplaneSig(
       t.embeddings.select("vec_id", "embedding"), sketchBits)
     val probe = sigs.filter(col("vec_id") === probeId)
@@ -77,6 +88,45 @@ object Ann {
     */
   private[graft] def defaultTau(bits: Int): Int =
     bits / 2 - math.round(2.75 * math.sqrt(bits.toDouble) / 2).toInt
+
+  /** P[Binomial(bits, ½) ≤ tau] — the fraction of an isotropic bulk a
+    * Hamming cut admits. Exact (log-space running binomial), bits up
+    * to a few thousand; tails below double underflow read as 0, which
+    * only makes the derived cut conservative.
+    */
+  private[graft] def hammingCdf(bits: Int, tau: Int): Double = {
+    val ln2 = math.log(2.0)
+    var logc = 0.0
+    var cdf = math.exp(-bits * ln2)
+    var i = 0
+    while (i < tau) {
+      i += 1
+      logc += math.log((bits - i + 1).toDouble / i)
+      cdf += math.exp(logc - bits * ln2)
+    }
+    cdf
+  }
+
+  /** CANDIDATE-BOUNDED Hamming cut: the largest τ whose expected
+    * random-bulk admission n · P[Binom(bits, ½) ≤ τ] stays at-or-under
+    * `target` candidates per query. Unlike [[defaultTau]] (a constant
+    * FRACTION of the corpus — linear exact-tail growth), this holds
+    * the exact-verify COUNT flat as n grows: 10× the corpus costs
+    * ~√bits·ln(10)/2 fewer Hamming bits of slack, not 10× the cosine
+    * work. Floored at bits/4 — a cut below that is tighter than any
+    * useful neighbor band, the signal to route to the IVF/PQ towers
+    * (s3/s9) instead.
+    */
+  private[graft] def tauFor(bits: Int, n: Long, target: Long): Int = {
+    val floor = bits / 4
+    var best = floor
+    var tau = floor
+    while (tau < bits / 2 &&
+        n.toDouble * hammingCdf(bits, tau + 1) <= target.toDouble) {
+      tau += 1; best = tau
+    }
+    best
+  }
 
   /** Train an IVF coarse codebook with Lloyd's k-means (cosine
     * assignment, mean update): deterministic seeded init (the first
@@ -538,17 +588,17 @@ object Ann {
   }
 
   /** The ADC lookup-sum ranking over a coded frame: Σ dt[mi][code],
-    * rounded then (d_est, vec_id) top-10.
+    * rounded then (d_est, vec_id) top-`k`.
     */
   private def adcRank(coded: DataFrame, dt: Array[Array[Double]],
-      m: Int): DataFrame =
+      m: Int, k: Int = 10): DataFrame =
     coded
       .select(col("vec_id"),
         round((0 until m).map(mi =>
             element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
           .reduce(_ + _), 4).as("d_est"))
       .orderBy(col("d_est"), col("vec_id"))
-      .limit(10)
+      .limit(k)
 
   /** s9: IVF-PQ SEARCH — the two pruning layers composed, which is
     * the layout billion-scale ANN actually ships (FAISS IVFPQ): the
@@ -567,8 +617,9 @@ object Ann {
     * codes the stored column would hold (same model, same argmin).
     * Codes quantize the RAW vectors (codebooks trained corpus-wide,
     * s5's model) rather than list residuals — the simpler published
-    * variant; the residual refinement is a model change, not a plan
-    * change. The oracle replays BOTH trainings (s3's k-means + s5's
+    * variant; the residual model ships as [[s10PqResidual]] and the
+    * exact-refinement serving stage as [[s11IvfPqRerank]]. The
+    * oracle replays BOTH trainings (s3's k-means + s5's
     * per-subspace Lloyd's), the probe's list choice, the ADC tables,
     * and the pruned lookup-sum ranking in SQL.
     */
@@ -590,6 +641,101 @@ object Ann {
       pqCoded(assigned.filter(col("cid").isin(probeLists: _*)), books, sub)
         .filter(col("vec_id") =!= probeId),
       adcTables(pv, books, m, sub), m)
+  }
+
+  /** s11: IVF-PQ SEARCH WITH EXACT REFINEMENT — s9's two pruning
+    * layers plus the standard third serving stage (FAISS's refine /
+    * `REFINE` index): the ADC lookup-sum ranks a SHORTLIST of
+    * `rerank` candidates (≈4·k — still code-only, no float touched),
+    * and only those `rerank` rows pay an exact L2² against their raw
+    * vectors before the final top-`k`. Quantization error moves
+    * who-beats-whom near the decision boundary; re-scoring a
+    * 4×-over-fetched shortlist recovers most of that recall for a
+    * fixed, k-bounded extra cost — AnnStreamSpec measures the
+    * recall-vs-exact-ground-truth gain over the pure-ADC path.
+    *
+    * Scale shape: stage 3 is one k-bounded semi-join back to the raw
+    * vector column (the shortlist rides as a broadcast id set at
+    * cluster scale) — the corpus-wide scan is still codes-only,
+    * exactly s9's. The exact distance uses the SAME fold shape as
+    * the ADC tables (sdot: v·v − 2·v·p + p·p), so the oracle replays
+    * it with list_dot_product bit-for-bit.
+    */
+  def s11IvfPqRerank(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 2, m: Int = 4, k: Int = 4, iters: Int = 2,
+      dim: Int = 64, kOut: Int = 10, rerank: Int = 40): DataFrame = {
+    val sub = dim / m
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val books = pqModel(t, m, k, iters, dim)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("v"),
+        slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe).as("pls"))
+      .collect().headOption
+    if (probe.isEmpty)
+      return assigned.select(col("vec_id"), lit(0.0).as("d_est"),
+        lit(0.0).as("d_exact")).limit(0)
+    val pv = probe.get.getSeq[Double](0).toArray
+    val probeLists = probe.get.getSeq[Int](1)
+    val shortlist = adcRank(
+      pqCoded(assigned.filter(col("cid").isin(probeLists: _*)), books, sub)
+        .filter(col("vec_id") =!= probeId),
+      adcTables(pv, books, m, sub), m, rerank)
+    // exact refinement: ||v − p||² = v·v − 2·v·p + p·p with p·p a
+    // driver constant — the adcTables fold shape on whole vectors
+    val pp = pv.foldLeft(0.0)((a, x) => a + x * x)
+    shortlist
+      .join(assigned.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("d_est"),
+        round(Vectors.dot(col("v"), col("v")) -
+          lit(2.0) * Vectors.dot(col("v"), typedLit(pv.toSeq)) + lit(pp),
+          4).as("d_exact"))
+      .orderBy(col("d_exact"), col("vec_id"))
+      .limit(kOut)
+  }
+
+  /** s11 oracle: the s9 replay's ADC ranking widened to the `rerank`
+    * shortlist, then the exact-L2² re-score over raw vectors and the
+    * final (d_exact, vec_id) top-k.
+    */
+  private def ivfPqRerankOracleSql(nProbe: Int, m: Int, k: Int,
+      iters: Int, dim: Int, rerank: Int, kOut: Int): String = {
+    val sub = dim / m
+    val subs = (0 until m).map(pqSubspaceCte(_, sub, k, iters)).mkString(",\n")
+    val dts = (0 until m).map { mi =>
+      s"""dt$mi AS (
+         |  SELECT c.cid, ${pqDistSql("p.sv", "c.cv")} AS dd
+         |  FROM (SELECT sv FROM s$mi WHERE vec_id = 0) p, c${mi}_$iters c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val eJoins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m)
+      .map(mi => s"JOIN dt$mi t$mi ON t$mi.cid = e$mi.code$mi").mkString(" ")
+    val estSum = (0 until m).map(mi => s"t$mi.dd").mkString(" + ")
+    s"""WITH $kmeansReplayCte,
+       |$subs,
+       |pr AS (
+       |  SELECT cid FROM (
+       |    SELECT cc.cid, row_number() OVER (ORDER BY
+       |      list_dot_product(p.v, cc.cv) /
+       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |      cc.cid) AS rn
+       |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+       |         (SELECT cid, v AS cv FROM c3) cc) t
+       |  WHERE rn <= $nProbe),
+       |$dts,
+       |adc AS (
+       |  SELECT e0.vec_id, round($estSum, 4) AS d_est
+       |  FROM e0 $eJoins $tJoins
+       |  JOIN af ON af.vec_id = e0.vec_id
+       |  JOIN pr ON pr.cid = af.cid
+       |  WHERE e0.vec_id <> 0
+       |  ORDER BY d_est, e0.vec_id LIMIT $rerank),
+       |p AS (SELECT v AS pv FROM vv WHERE vec_id = 0)
+       |SELECT a.vec_id, a.d_est,
+       |  round(list_dot_product(x.v, x.v) - 2*list_dot_product(x.v, pv)
+       |    + list_dot_product(pv, pv), 4) AS d_exact
+       |FROM adc a JOIN vv x ON x.vec_id = a.vec_id, p
+       |ORDER BY d_exact, a.vec_id LIMIT $kOut""".stripMargin
   }
 
   /** s9 oracle: s3's k-means replay (coarse lists + the probe's
@@ -636,6 +782,82 @@ object Ann {
     */
   private val pqBooks = scala.collection.mutable
     .Map[(String, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** Train-once registry for the RESIDUAL PQ model (keyed by the
+    * coarse shape too — residuals depend on the coarse codebook).
+    */
+  private val residBooks = scala.collection.mutable
+    .Map[(String, Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** s10: RESIDUAL PRODUCT QUANTIZATION — the FAISS-default quality
+    * bump over s5's raw-vector PQ: vectors are first assigned to
+    * their coarse IVF list (s3's trained codebook), and PQ encodes
+    * the RESIDUAL v − centroid(cid) instead of v. Residuals are
+    * centered near zero with far less spread than raw vectors (the
+    * coarse quantizer has already explained the between-list
+    * variance), so the same m×k code budget spends its codewords on
+    * a tighter distribution — strictly less quantization error for
+    * identical serving cost (AnnStreamSpec measures mean qerr
+    * strictly below s5's on the corpus).
+    *
+    * Scale: the residual is a pure zip_with PROJECTION against the
+    * model constant (no join, no Exchange — the centroid rides as a
+    * literal indexed by cid), so encode still fuses with the scan;
+    * training runs per subspace on the residual frame exactly as
+    * s5's does. The oracle replays BOTH trainings: s3's coarse
+    * k-means (assignment included) and the per-subspace Lloyd's over
+    * the derived residuals.
+    */
+  def s10PqResidual(t: Tables, nLists: Int = 16, m: Int = 4, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val resid = residualFrame(assigned, cb, dim)
+    val books = residBooks.synchronized {
+      residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim),
+        Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters)))
+    }
+    pqEncodeFrame(resid, books, sub).orderBy("vec_id")
+  }
+
+  /** (vec_id, v = vector − its coarse centroid): element-wise
+    * zip_with against the codebook constant indexed by cid — the
+    * shuffle-free residual projection s10 trains and encodes over.
+    */
+  private def residualFrame(assigned: DataFrame,
+      cb: graft.expressions.PlaneMatrix, dim: Int): DataFrame = {
+    val nLists = cb.values.length / dim
+    val cents: Seq[Seq[Double]] = (0 until nLists)
+      .map(ci => cb.values.slice(ci * dim, ci * dim + dim).toSeq)
+    assigned.select(col("vec_id"),
+      zip_with(col("v"),
+        element_at(typedLit(cents), col("cid") + 1),
+        (x, c) => x - c).as("v"))
+  }
+
+  /** s10 oracle: the s3 coarse replay, the residual derivation over
+    * the final assignment, then s5's per-subspace Lloyd's replay with
+    * the residual frame as its training source.
+    */
+  private def pqResidualOracleSql(m: Int, k: Int, iters: Int,
+      dim: Int): String = {
+    val sub = dim / m
+    val subs = (0 until m)
+      .map(pqSubspaceCte(_, sub, k, iters, src = "rv")).mkString(",\n")
+    val joins = (1 until m).map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val errSum = (0 until m).map(mi => s"err$mi").mkString(" + ")
+    s"""WITH $kmeansReplayCte,
+       |rv AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${dim + 1}),
+       |      i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v
+       |  FROM af a JOIN (SELECT cid, v AS cv FROM c3) c USING (cid)),
+       |$subs
+       |SELECT vec_id, $codes, round($errSum, 4) AS qerr
+       |FROM e0 $joins ORDER BY vec_id""".stripMargin
+  }
 
   /** L2² distances of a subvector to each codeword, as one array
     * column: d_j = sv·sv − 2·sv·c_j + c_j·c_j with the c_j·c_j term a
@@ -689,11 +911,12 @@ object Ann {
     s"list_dot_product($svT, $svT) - 2*list_dot_product($svT, $cvT)" +
       s" + list_dot_product($cvT, $cvT)"
 
-  private def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int): String = {
+  private def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int,
+      src: String = "vv"): String = {
     val off = mi * sub
     def dist(svT: String, cvT: String) = pqDistSql(svT, cvT)
     val seed =
-      s"""s$mi AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS sv FROM vv),
+      s"""s$mi AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS sv FROM $src),
          |c${mi}_0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |         sv AS cv
@@ -846,6 +1069,12 @@ object Ann {
     // subspace Lloyd's), probe-list choice, ADC tables, pruned
     // lookup-sum ranking
     "s9_ivfpq_search" -> ivfPqOracleSql(2, 4, 4, 2, 64),
+    // the s9 replay widened to the 40-candidate ADC shortlist, then
+    // the exact-L2² refinement over raw vectors and the final top-10
+    "s11_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 4, 4, 2, 64, 40, 10),
+    // coarse replay → residual derivation over the final assignment →
+    // s5's per-subspace Lloyd's replay trained on the residuals
+    "s10_pq_residual" -> pqResidualOracleSql(4, 4, 2, 64),
     // the k-means replay (s3's CTE) + BOTH towers per probe: exact
     // brute-force top-10 and IVF pruned-list top-10 over rounded
     // cosines with id tie-breaks, intersected per probe

@@ -2384,7 +2384,86 @@ object Streams {
     }
   }
 
+  /** st17: RECALL GATE OVER THE MAINTAINED VECTOR INDEX — s8
+    * measures batch s3's serving path, but its own use case ("re-run
+    * after every rebuild to catch codebook drift") belongs to the
+    * MAINTAINED index: this operator ingests the corpus through
+    * st15's maintenance steps (two disjoint batches — the
+    * exactly-once arrival pattern) and measures recall@k of
+    * [[st15Serve]] ITSELF — per probe, the pinned-codebook ranking
+    * plus the cid-pruned list read a deployment actually serves —
+    * against the exact brute-force ground truth. Pinned codebook +
+    * exactly-once arrivals ⇒ maintained serving ≡ batch s3 serving ⇒
+    * the measurement equals s8, so s8's full-replay oracle applies
+    * VERBATIM; the drift drill (AnnStreamSpec) shows the gate
+    * DEGRADES under a mismatched serving codebook — detecting
+    * exactly what it exists to detect.
+    *
+    * Scale: the probe set is a bounded sample (8 here, ~1k by hash
+    * in production) — the exact tower is per-probe brute force
+    * because that is what ground truth means; the approx tower costs
+    * nProbes pruned serves.
+    */
+  def st17AnnRecallMaintain(t: Tables, nProbes: Int = 8, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = t.spark
+    graft.Caches.fresh()
+    val cb = graft.operators.Ann.assignedVecs(t, nLists)._2
+    val state = st15State(spark, nLists = nLists)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    st15MaintainStep(state, cb, vecs.filter(col("vec_id") % 2 === 0))
+    st15MaintainStep(state, cb, vecs.filter(col("vec_id") % 2 === 1))
+    st17RecallFrom(state, cb, vecs, nProbes, k, nProbe)
+  }
+
+  /** The measurement half of st17, factored so the drift drill can
+    * run it under a DIFFERENT serving codebook than the writer's:
+    * exact per-probe brute force (s8's arithmetic verbatim) joined
+    * against nProbes [[st15Serve]] reads.
+    */
+  private[graft] def st17RecallFrom(st: St15State,
+      serveCb: graft.expressions.PlaneMatrix, vecs: DataFrame,
+      nProbes: Int, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(graft.functions.Vectors.cosine(col("v"), col("pv")), 4)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("pid", "vec_id")
+    // ≤ nProbes rows — the bounded probe sample, collected so each
+    // probe drives ITS OWN pruned serving read (the path under test)
+    val probeRows = probes.collect()
+    val approx = probeRows.map { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Double](1)
+      st15Serve(st, serveCb, pv, nProbe, k, excludeId = Some(pid))
+        .select(lit(pid).as("a_pid"), col("vec_id").as("a_id"))
+    }.reduce(_ unionByName _)
+    exact.join(approx,
+        col("pid") === col("a_pid") && col("vec_id") === col("a_id"),
+        "left")
+      .groupBy(col("pid").as("probe_id"))
+      .agg(count(col("a_id")).as("n_hit"))
+      .withColumn("recall",
+        floor(col("n_hit") / k * 10000 + 0.5) / 10000.0)
+      .select("probe_id", "n_hit", "recall")
+      .orderBy("probe_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // pinned codebook + exactly-once arrivals make maintained serving
+    // equal batch s3's per probe, so the recall measurement equals
+    // s8 — its full k-means-replay oracle verbatim
+    "st17_ann_recall_maintain" ->
+      graft.operators.Ann.oracle("s8_ann_recall"),
     // every event arrives exactly once across the batches and the
     // manifest only PRUNES, so the served range aggregate equals the
     // batch range query — io10's oracle verbatim

@@ -1466,6 +1466,104 @@ class AnnStreamSpec extends SparkSpec {
     assert(spark.read.parquet(st15.vectorsDir).count() == n1)
   }
 
+  test("s11 exact refinement: rerank recall against in-list exact " +
+      "ground truth is at least the pure-ADC path's") {
+    val t = Tables(spark, sf)
+    val (assigned, cb) = graft.operators.Ann.assignedVecs(t, 16)
+    val probe = assigned.filter(col("vec_id") === 0L)
+      .select(col("v"),
+        slice(graft.functions.Vectors.centroidRanks(col("v"), cb), 1, 2)
+          .as("pls"))
+      .collect()(0)
+    val pv = probe.getSeq[Double](0)
+    val pls = probe.getSeq[Int](1)
+    // ground truth for the ADMITTED lists (both towers prune the same
+    // lists — the rerank's win is in-list ordering): exact L2² top-10
+    val pp = pv.foldLeft(0.0)((a, x) => a + x * x)
+    val ground = assigned.filter(col("cid").isin(pls: _*))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        (graft.functions.Vectors.dot(col("v"), col("v")) -
+          lit(2.0) * graft.functions.Vectors.dot(col("v"), typedLit(pv)) +
+          lit(pp)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adcIds = run("s9_ivfpq_search").collect().map(_.getLong(0)).toSet
+    val rrIds = run("s11_ivfpq_rerank").collect().map(_.getLong(0)).toSet
+    val adcHits = (adcIds & ground).size
+    val rrHits = (rrIds & ground).size
+    assert(rrHits >= adcHits,
+      s"refinement lost recall: rerank $rrHits vs adc $adcHits of 10")
+    // the re-scored shortlist must recover neighbors the coarse codes
+    // misranked — on this corpus the 4× over-fetch recovers them all
+    assert(rrHits == 10, s"rerank recall $rrHits/10")
+  }
+
+  test("s10 residual PQ: mean quantization error strictly below the " +
+      "raw-vector model's at the same code budget") {
+    val raw = run("s5_pq_encode")
+      .agg(avg("qerr")).collect()(0).getDouble(0)
+    val res = run("s10_pq_residual")
+      .agg(avg("qerr")).collect()(0).getDouble(0)
+    assert(res < raw,
+      s"residual model did not reduce qerr: residual $res vs raw $raw")
+  }
+
+  test("s2 candidate-bounded cut: tauFor holds the expected bulk " +
+      "admission flat as the corpus grows; sandbox cut unchanged") {
+    import graft.operators.Ann.{tauFor, hammingCdf, defaultTau}
+    val bits = 512; val target = 1024L
+    // sandbox scale: the count bound is looser than the width bound —
+    // the operator's derived cut (and its pinned oracle) unchanged
+    assert(math.min(defaultTau(bits), tauFor(bits, 500L, target)) ==
+      defaultTau(bits))
+    // growth law: the cut TIGHTENS with n (constant count, shrinking
+    // fraction) instead of admitting a constant ~10% of the corpus
+    val t10k = tauFor(bits, 10000L, target)
+    val t1m = tauFor(bits, 1000000L, target)
+    val t100m = tauFor(bits, 100000000L, target)
+    assert(t1m < t10k && t100m < t1m,
+      s"cut not tightening: $t10k, $t1m, $t100m")
+    // the bound is REAL at every scale: expected bulk admission ≤
+    // target, and the cut is maximal (one more bit of slack breaks it)
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val tau = tauFor(bits, n, target)
+      assert(n * hammingCdf(bits, tau) <= target.toDouble)
+      assert(n * hammingCdf(bits, tau + 1) > target.toDouble,
+        s"cut not maximal at n=$n tau=$tau")
+    }
+  }
+
+  test("st17 drift drill: the maintained-index recall gate degrades " +
+      "under a serving codebook that drifted from the writer's") {
+    val t = Tables(spark, sf)
+    graft.Caches.fresh()
+    val cb = graft.operators.Ann.assignedVecs(t, 16)._2
+    val st = graft.streaming.Streams.st15State(spark, nLists = 16)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.Streams.st15MaintainStep(st, cb, vecs)
+    def hits(serveCb: graft.expressions.PlaneMatrix): Long =
+      graft.streaming.Streams.st17RecallFrom(st, serveCb, vecs, 8, 10, 2)
+        .agg(sum("n_hit")).collect()(0).getLong(0)
+    val pinned = hits(cb)
+    // under the pinned codebook and exactly-once arrivals the
+    // maintained gate measures EXACTLY what batch s8 measures
+    val s8hits = run("s8_ann_recall")
+      .agg(sum("n_hit")).collect()(0).getLong(0)
+    assert(pinned == s8hits,
+      s"maintained gate $pinned != batch s8 $s8hits")
+    // drift = the model retrained on a DRIFTED corpus snapshot (a
+    // third of the rows gone — different seeds, different centroids):
+    // the "rebuilt the model against newer data, kept the old index"
+    // mismatch the gate exists to catch
+    val drifted = graft.operators.Ann.trainCodebook(
+      vecs.filter(col("vec_id") % 3 =!= 0), 16)
+    val driftedHits = hits(drifted)
+    assert(driftedHits < pinned,
+      s"gate blind to drift: pinned $pinned, drifted $driftedHits")
+  }
+
   test("legacy-root guard: annIndexMaintenance refuses to train a new " +
       "codebook over a root already holding vectors") {
     val spark = SparkSpec.spark
