@@ -122,6 +122,57 @@ final class TableLog(val root: String) {
     v
   }
 
+  private def checkpointPath(v: Long): java.nio.file.Path =
+    logDir.resolve(f"v$v%012d.checkpoint")
+
+  /** Collapse the replay: persist the CURRENT snapshot's full file
+    * list beside its commit, so later readers start there instead of
+    * replaying from v0 (the production bound on planning cost as
+    * commit history grows — st14's stats-log collapse applied to the
+    * log itself). Commits stay in place: time travel BELOW the
+    * checkpoint still replays from v0. Idempotent — an existing
+    * checkpoint for the version is kept.
+    */
+  def checkpoint(): Unit = latestVersion.foreach { v =>
+    if (!java.nio.file.Files.exists(checkpointPath(v))) {
+      val body = snapshot(v).map(f =>
+        s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}")
+        .mkString("\n")
+      val tmp = logDir.resolve(f"v$v%012d.checkpoint.tmp")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, checkpointPath(v),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
+
+  /** Checkpointed versions, ascending. */
+  private def checkpoints: Seq[Long] = {
+    if (!java.nio.file.Files.isDirectory(logDir)) return Nil
+    val s = java.nio.file.Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).collect {
+        case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
+          n.stripPrefix("v").stripSuffix(".checkpoint").toLong
+      }.toSeq.sorted
+    } finally s.close()
+  }
+
+  private def readCheckpoint(v: Long): Seq[FileEntry] =
+    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        l.split("\t") match {
+          case Array("add", p, mn, mx, n) =>
+            FileEntry(p, mn.toLong, mx.toLong, n.toLong)
+          case other =>
+            sys.error(s"corrupt checkpoint v$v line: ${other.toSeq}")
+        }
+      }
+
   private def parse(v: Long): (String, Seq[Action]) = {
     val lines = new String(java.nio.file.Files.readAllBytes(commitPath(v)),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
@@ -144,13 +195,17 @@ final class TableLog(val root: String) {
   def tagVersion(tag: String): Option[Long] =
     versions.find(v => parse(v)._1 == tag)
 
-  /** Snapshot at version `v`: replay adds/removes of commits 0..v.
-    * Paths are unique per add (immutable files), so the replay is a
-    * map build — O(actions), driver-side metadata.
+  /** Snapshot at version `v`: start from the greatest checkpoint at
+    * or below `v` (if any — the replay-collapse bound), then replay
+    * adds/removes of the remaining commits up to v. Paths are unique
+    * per add (immutable files), so the replay is a map build —
+    * O(actions since the checkpoint), driver-side metadata.
     */
   def snapshot(v: Long): Seq[FileEntry] = {
     val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
-    versions.filter(_ <= v).foreach { cv =>
+    val base = checkpoints.filter(_ <= v).lastOption
+    base.foreach(cv => readCheckpoint(cv).foreach(f => live(f.path) = f))
+    versions.filter(cv => cv <= v && base.forall(cv > _)).foreach { cv =>
       parse(cv)._2.foreach {
         case Add(f)    => live(f.path) = f
         case Remove(p) => live.remove(p)

@@ -2136,11 +2136,15 @@ object Streams {
     batch.repartitionByRange(4, col("event_id"))
       .sortWithinPartitions("event_id")
       .write.mode("overwrite").parquet(bDir)
-    log.commit(
+    val v = log.commit(
       graft.sources.TableLog.statsFor(spark, bDir, "event_id",
         graft.sources.Io.io10Schema).map(graft.sources.TableLog.Add),
       tag)
-    ()
+    // the sink maintains the PLANNING-cost bound too: every 8 batches
+    // the log checkpoints, so a reader's replay is bounded by the
+    // checkpoint interval, not the batch history (st14's stats-log
+    // collapse applied to the metadata layer itself)
+    if ((v + 1) % 8 == 0) log.checkpoint()
   }
 
   /** io10's serving plan over the MAINTAINED table log: snapshot →

@@ -111,6 +111,36 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.open(root).versions == Seq(0L, 1L, 2L))
   }
 
+  test("checkpoint collapses the replay: snapshots equal pure replay " +
+      "above and below the checkpoint, and checkpointing is idempotent") {
+    val root = graft.Staging.scratch("tablelog_ckpt")
+    val log = TableLog.open(root)
+    // synthetic entries — the log is pure metadata, paths need not
+    // exist until a read plans them
+    def f(i: Int) = TableLog.FileEntry(s"f$i", i.toLong, i.toLong, 1L)
+    // commit i adds f_i and (from 2 on) removes f_{i-2}: live set at
+    // v is {f_{v-1}, f_v}
+    (0 until 8).foreach { i =>
+      log.commit(Seq(TableLog.Add(f(i))) ++
+        (if (i >= 2) Seq(TableLog.Remove(s"f${i - 2}")) else Nil))
+    }
+    log.checkpoint() // collapses v7
+    log.checkpoint() // idempotent
+    (8 until 12).foreach { i =>
+      log.commit(Seq(TableLog.Add(f(i)), TableLog.Remove(s"f${i - 2}")))
+    }
+    def live(v: Int) = Set(s"f${v - 1}", s"f$v")
+    // above the checkpoint: base = ckpt(7) + replay of 8..11
+    assert(TableLog.open(root).snapshot(11L).map(_.path).toSet == live(11))
+    // at the checkpoint exactly
+    assert(TableLog.open(root).snapshot(7L).map(_.path).toSet == live(7))
+    // BELOW the checkpoint: time travel still replays from v0
+    assert(TableLog.open(root).snapshot(5L).map(_.path).toSet == live(5))
+    // stats survive the checkpoint round trip
+    val e = TableLog.open(root).snapshot(11L).find(_.path == "f11").get
+    assert(e.minKey == 11L && e.maxKey == 11L && e.nRows == 1L)
+  }
+
   test("tagged commits are the streaming idempotence key: tagVersion " +
       "finds a batch's commit, unknown tags miss") {
     import SparkSpec.spark.implicits._
