@@ -448,6 +448,43 @@ object Probe {
         println(f"PROBE xcost: max |cross-copy cos| ${r.getDouble(0)}%.4f " +
           f"(bound 0.5); ≥$taggedThreshold%.3f: ${r.getLong(1)} " +
           s"of ${r.getLong(2)} pairs")
+      // TableLog planning cost vs batch history: a sink commits one
+      // batch per interval forever — the question a year of
+      // micro-batches asks is whether PLANNING (snapshot + prune)
+      // stays bounded. With write-time checkpoints every 8 commits
+      // the replay is ≤ 8 commit files regardless of history; without
+      // them it is O(history). Driver-side metadata only — no Spark
+      // job; `copies` scales the history (10 → 640 commits, 100 →
+      // 6,400).
+      case "tlog" =>
+        import graft.sources.TableLog
+        def fe(i: Int) = TableLog.FileEntry(
+          s"f$i", i * 100L, i * 100L + 99L, 100L)
+        val nC = copies * 64
+        def build(ckpt: Boolean): TableLog = {
+          val log = TableLog.open(
+            graft.Staging.scratch(s"probe_tlog_$ckpt"))
+          (0 until nC).foreach { i =>
+            val v = log.commit(Seq(TableLog.Add(fe(i))), tag = s"b$i")
+            if (ckpt && (v + 1) % 8 == 0) log.checkpoint()
+          }
+          log
+        }
+        def planMs(log: TableLog): (Double, Int) = {
+          val v = log.latestVersion.get
+          val t0 = System.nanoTime
+          val n = log.prunedFiles(v, nC * 50L, nC * 50L + 999L).length
+          ((System.nanoTime - t0) / 1e6, n)
+        }
+        val t0 = System.nanoTime
+        val withCk = build(ckpt = true)
+        val commitS = (System.nanoTime - t0) / 1e9
+        val noCk = build(ckpt = false)
+        val (msCk, nCk) = planMs(withCk)
+        val (msNo, nNo) = planMs(noCk)
+        println(f"PROBE tlog: $nC%d commits (write+ckpt $commitS%.1f s); " +
+          f"pruned-plan with checkpoints $msCk%.1f ms ($nCk files), " +
+          f"replay-from-v0 $msNo%.1f ms ($nNo files)")
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
