@@ -977,6 +977,51 @@ object Graft {
       df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v")), m, k, iters, dim)
 
+  // ---- versioned tables (the lake metadata layer) ----
+
+  /** Open (or lazily create) the versioned commit log at `root` —
+    * the metadata layer the lake family (upsert/time travel/CDC/
+    * manifest pruning/streaming manifest sink) serves from, as a
+    * public surface: `snapshot`/`read` for time travel, `prunedRead`
+    * for stats-based file skipping, `commit` (OCC via `atVersion`)
+    * for custom writers, `checkpoint` to bound replay. See
+    * [[graft.sources.TableLog]].
+    */
+  def tableLog(root: String): graft.sources.TableLog =
+    graft.sources.TableLog.open(root)
+
+  /** Land `df` as the NEXT VERSION of the versioned table at `root`,
+    * in one atomic commit carrying per-file (min, max, rows) stats on
+    * `keyCol` (long-typed — the clustering key range queries prune
+    * on). `replace = false` (default) APPENDS the landed files to the
+    * current snapshot (the streaming-sink shape); `replace = true` is
+    * the copy-on-write REWRITE (the previous snapshot's files are
+    * removed in the same commit — io4's MERGE shape; they stay on
+    * disk, so older versions keep serving). Files land under
+    * `root/v<version>`; returns the committed version.
+    *
+    * Scale: the data write is one Spark job the caller shaped
+    * (partitioning/sorting are the caller's layout choices); the
+    * commit itself is metadata — O(files landed), plus O(previous
+    * snapshot's file count) for a replace.
+    */
+  def tableCommit(df: DataFrame, root: String, keyCol: String,
+      replace: Boolean = false, tag: String = ""): Long = {
+    val log = graft.sources.TableLog.open(root)
+    val v = log.latestVersion.fold(0L)(_ + 1L)
+    val dir = s"$root/v$v"
+    df.write.mode("overwrite").parquet(dir)
+    val adds = graft.sources.TableLog
+      .statsFor(df.sparkSession, dir, keyCol, df.schema)
+      .map(graft.sources.TableLog.Add)
+    val removes =
+      if (replace)
+        log.latestVersion.toSeq.flatMap(log.snapshot)
+          .map(f => graft.sources.TableLog.Remove(f.path))
+      else Nil
+    log.commit(removes ++ adds, tag)
+  }
+
   // ---- events ----
 
   /** Gap-based sessionization: new session after > gap silence. */

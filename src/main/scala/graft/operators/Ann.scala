@@ -63,7 +63,9 @@ object Ann {
     val cut =
       if (tau >= 0) tau
       else math.min(defaultTau(sketchBits),
-        tauFor(sketchBits, t.embeddings.count(),
+        // 64 candidates per returned neighbor (s2's fixed top-10),
+        // floored at 1024 — the exact-verify budget per query
+        tauFor(sketchBits, embeddingCount(t),
           target = math.max(1024L, 64L * 10)))
     val sigs = Dedup.hyperplaneSig(
       t.embeddings.select("vec_id", "embedding"), sketchBits)
@@ -188,6 +190,16 @@ object Ann {
     */
   private val codebooks = scala.collection.mutable
     .Map[(String, Int, Int, Int), graft.expressions.PlaneMatrix]()
+
+  /** Measured-once corpus count per dir (the codebooks registries'
+    * immutable-corpus contract): a serving call must not re-pay a
+    * count job per query just to size its candidate cut.
+    */
+  private val corpusCounts = scala.collection.mutable.Map[String, Long]()
+
+  private def embeddingCount(t: Tables): Long = corpusCounts.synchronized {
+    corpusCounts.getOrElseUpdate(t.dir, t.embeddings.count())
+  }
 
   /** HASH-SAMPLED codebook training — the offline-model cost bought
     * down for corpora where full-corpus Lloyd's is the wrong price:

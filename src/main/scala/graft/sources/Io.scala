@@ -484,9 +484,11 @@ object Io {
   private[graft] def io10PrunedFiles(t: Tables, lo: Long,
       hi: Long): (Seq[String], Long) = {
     val log = eventsLog(t)
-    val v = log.latestVersion.getOrElse(-1L)
-    (log.prunedFiles(v, lo, hi).map(_.path).sorted,
-      log.snapshot(v).length.toLong)
+    // ONE snapshot replay serves both the admitted subset and the
+    // total (prunedFiles would replay it a second time)
+    val snap = log.snapshot(log.latestVersion.getOrElse(-1L))
+    (snap.filter(f => f.maxKey >= lo && f.minKey <= hi)
+      .map(_.path).sorted, snap.length.toLong)
   }
 
   /** Input columns + `zval` = 32-bit Z-curve index of the

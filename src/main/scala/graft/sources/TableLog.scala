@@ -113,12 +113,21 @@ final class TableLog(val root: String) {
       case Add(f) => s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"
       case Remove(p) => s"remove\t$p"
     }).mkString("\n")
-    val tmp = logDir.resolve(f"v$v%012d.commit.tmp")
+    // stage under a WRITER-UNIQUE name: two racing writers preparing
+    // the same version must never share a staging file, or the loser
+    // could truncate the winner's body mid-write and the "atomic
+    // claim" would publish torn/foreign bytes (Delta stages unique
+    // temp files for the same reason)
+    val tmp = logDir.resolve(
+      f"v$v%012d.commit.${java.util.UUID.randomUUID}%s.tmp")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // atomic claim: move WITHOUT replace — if the target exists a
     // concurrent writer won this version; never overwrite history
-    java.nio.file.Files.move(tmp, commitPath(v))
+    try java.nio.file.Files.move(tmp, commitPath(v))
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp); throw e
+    }
     v
   }
 
@@ -189,11 +198,21 @@ final class TableLog(val root: String) {
   }
 
   /** The version a writer committed under `tag`, if any — the
-    * redelivery check for tagged (streaming) commits. O(commit
-    * count) text reads, a metadata scan.
+    * redelivery check for tagged (streaming) commits. Scans NEWEST
+    * FIRST and stops below the latest checkpoint, so the per-batch
+    * cost is O(commits since the last checkpoint), not O(history) —
+    * the same bound checkpoints give snapshot(). Under the ordered-
+    * commit contract a redelivered tag is always in that recent
+    * window; a tag older than the checkpoint reads as absent, which
+    * is SAFE for the sink: re-committing identical adds is
+    * snapshot-idempotent (the replay map keys by path), costing only
+    * a redundant version, never a wrong file list.
     */
-  def tagVersion(tag: String): Option[Long] =
-    versions.find(v => parse(v)._1 == tag)
+  def tagVersion(tag: String): Option[Long] = {
+    val floor = checkpoints.lastOption.getOrElse(-1L)
+    versions.filter(_ >= floor).sortBy(-_)
+      .find(v => parse(v)._1 == tag)
+  }
 
   /** Snapshot at version `v`: start from the greatest checkpoint at
     * or below `v` (if any — the replay-collapse bound), then replay

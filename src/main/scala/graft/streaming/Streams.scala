@@ -1035,26 +1035,35 @@ object Streams {
   private def bucketsMetaPath(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "nbuckets.meta")
 
-  private def loadStateBuckets(root: String): Option[Int] = {
-    val p = bucketsMetaPath(root)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-    else None
-  }
-
-  private[graft] def saveStateBuckets(root: String, n: Int): Unit = {
+  /** The ONE atomic small-meta-file pair every persisted state
+    * scalar uses (bucket count, low-water mark, epoch): write a tmp,
+    * ATOMIC_MOVE into place — a crash mid-write can never leave a
+    * truncated file a resumed session would fail to parse.
+    */
+  private def saveMeta(root: String, name: String, value: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    // atomic: a crash mid-write must never leave a truncated meta
-    // file a resumed session would fail to parse
-    val tmp = java.nio.file.Paths.get(root, "nbuckets.meta.tmp")
+    val tmp = java.nio.file.Paths.get(root, s"$name.tmp")
     java.nio.file.Files.write(tmp,
-      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, bucketsMetaPath(root),
+      value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
+
+  private def loadMeta(root: String, name: String): Option[String] = {
+    val p = java.nio.file.Paths.get(root, name)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def loadStateBuckets(root: String): Option[Int] =
+    loadMeta(root, "nbuckets.meta").map(_.toInt)
+
+  private[graft] def saveStateBuckets(root: String, n: Int): Unit =
+    saveMeta(root, "nbuckets.meta", n.toString)
 
   // ---- compaction crash-atomicity --------------------------------
   //
@@ -1166,30 +1175,14 @@ object Streams {
   private def commitsDir(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "commits")
 
-  private def lowWaterPath(root: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, "lowwater.meta")
-
   /** Highest RETIRED batch id (−1 = none): ids at-or-below it are
     * committed by definition, their marker files long deleted.
     */
-  private[graft] def loadLowWater(root: String): Long = {
-    val p = lowWaterPath(root)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private[graft] def loadLowWater(root: String): Long =
+    loadMeta(root, "lowwater.meta").map(_.toLong).getOrElse(-1L)
 
-  private[graft] def saveLowWater(root: String, v: Long): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val tmp = java.nio.file.Paths.get(root, "lowwater.meta.tmp")
-    java.nio.file.Files.write(tmp,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, lowWaterPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private[graft] def saveLowWater(root: String, v: Long): Unit =
+    saveMeta(root, "lowwater.meta", v.toString)
 
   private[graft] def batchCommitted(root: String, bid: Long): Boolean =
     bid <= loadLowWater(root) ||
@@ -1247,27 +1240,11 @@ object Streams {
 
   // ---- batch-id epoch (durable roots vs fresh checkpoints) --------
 
-  private def epochPath(root: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, "epoch.meta")
+  private[graft] def loadEpoch(root: String): Option[String] =
+    loadMeta(root, "epoch.meta")
 
-  private[graft] def loadEpoch(root: String): Option[String] = {
-    val p = epochPath(root)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    else None
-  }
-
-  private[graft] def saveEpoch(root: String, e: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val tmp = java.nio.file.Paths.get(root, "epoch.meta.tmp")
-    java.nio.file.Files.write(tmp,
-      e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, epochPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private[graft] def saveEpoch(root: String, e: String): Unit =
+    saveMeta(root, "epoch.meta", e)
 
   private def clearMarkers(root: String): Unit = {
     val d = commitsDir(root)
@@ -1281,25 +1258,43 @@ object Streams {
     }
   }
 
+  /** True iff the root carries any committed-batch history under the
+    * current marker namespace — a retired low-water mark or any
+    * commit marker file.
+    */
+  private def hasCommitHistory(root: String): Boolean =
+    loadLowWater(root) >= 0L || {
+      val d = commitsDir(root)
+      java.nio.file.Files.isDirectory(d) && {
+        val s = java.nio.file.Files.list(d)
+        try s.findFirst().isPresent finally s.close()
+      }
+    }
+
   /** The epoch barrier, run at state open when the caller's `epoch`
     * differs from the persisted one (a durable root re-attached to a
     * NEW query whose checkpoint restarts batch ids at 0): `compact`
     * (the root's own compaction) folds every committed tagged file
     * into untagged state, then the marker namespace and low-water
-    * reset so new-incarnation ids are genuinely new. Crash-safe by
-    * re-entrancy: the epoch persists LAST, so a crash anywhere
-    * re-runs the (idempotent) barrier at the next open.
+    * reset so new-incarnation ids are genuinely new. A root with NO
+    * persisted epoch but existing batch history is the same case —
+    * its history belongs to the anonymous pre-epoch namespace (a
+    * legacy root, or the facade's shared-id path), and adopting an
+    * epoch over it without the barrier would leave new bid 0 looking
+    * committed. Crash-safe by re-entrancy: the epoch persists LAST,
+    * so a crash anywhere re-runs the (idempotent) barrier at the
+    * next open.
     */
   private def epochBarrier(root: String, epoch: Option[String],
       compact: () => Unit): Unit = epoch.foreach { e =>
-    loadEpoch(root) match {
-      case Some(old) if old == e => ()
-      case Some(_) =>
+    val old = loadEpoch(root)
+    if (!old.contains(e)) {
+      if (old.isDefined || hasCommitHistory(root)) {
         compact()
         clearMarkers(root)
         saveLowWater(root, -1L)
-        saveEpoch(root, e)
-      case None => saveEpoch(root, e)
+      }
+      saveEpoch(root, e)
     }
   }
 
@@ -2445,6 +2440,11 @@ object Streams {
     // ≤ nProbes rows — the bounded probe sample, collected so each
     // probe drives ITS OWN pruned serving read (the path under test)
     val probeRows = probes.collect()
+    // no probes (nProbes ≤ 0, or ids not starting near 0) → an empty
+    // recall frame, not an empty-reduce crash
+    if (probeRows.isEmpty)
+      return vecs.select(col("vec_id").as("probe_id"),
+        lit(0L).as("n_hit"), lit(0.0).as("recall")).limit(0)
     val approx = probeRows.map { r =>
       val pid = r.getLong(0)
       val pv = r.getSeq[Double](1)

@@ -1663,6 +1663,31 @@ class AnnStreamSpec extends SparkSpec {
     assert(graft.streaming.Streams.batchCommitted(stB2.root, 0L))
   }
 
+  test("epoch ADOPTION over a pre-epoch root with batch history runs " +
+      "the barrier too (legacy/upgrade path)") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val root = graft.Staging.scratch("st14_epoch_adopt")
+    // history accumulates under the ANONYMOUS namespace (no epoch —
+    // the facade path, or a root written before epochs existed)
+    val legacy = graft.streaming.Streams.st14State(spark, Some(root))
+    graft.streaming.Streams.st14MaintainStep(legacy,
+      Seq(1L -> "alpha beta").toDF("doc_id", "text"), bid = 0L)
+    assert(graft.streaming.Streams.batchCommitted(root, 0L))
+    // first epoch-bearing attach: adopting the epoch WITHOUT the
+    // barrier would leave the new query's bid 0 looking committed
+    val adopted = graft.streaming.Streams.st14State(spark, Some(root),
+      epoch = Some("q-new"))
+    assert(!graft.streaming.Streams.batchCommitted(root, 0L),
+      "pre-epoch markers leaked into the adopted namespace")
+    graft.streaming.Streams.st14MaintainStep(adopted,
+      Seq(7L -> "alpha omega").toDF("doc_id", "text"), bid = 0L)
+    val served = graft.streaming.Streams.st14Serve(adopted,
+      Seq("alpha"), 5).collect().map(_.getLong(0)).toSet
+    assert(served == Set(1L, 7L),
+      s"adoption dropped the new batch or lost history: $served")
+  }
+
   test("state swap crash recovery: a root whose table sits in .old " +
       "(crash between renames) reopens complete") {
     import SparkSpec.spark.implicits._

@@ -738,6 +738,39 @@ class GraftApiSpec extends SparkSpec {
       .getAs[Double]("q_score") == 0.0)
   }
 
+  test("tableCommit/tableLog on an ad-hoc frame: append then replace, " +
+      "time travel intact, stats prune the read") {
+    val root = graft.Staging.scratch("api_tablelog")
+    val gen1 = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val v0 = Graft.tableCommit(
+      gen1.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, "k", tag = "gen1")
+    assert(v0 == 0L)
+    // append a second generation — snapshot is the union
+    val gen2 = (101L to 200L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val v1 = Graft.tableCommit(
+      gen2.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, "k", tag = "gen2")
+    val log = Graft.tableLog(root)
+    val schema = gen1.schema
+    assert(log.read(session, schema, v0).count() == 100L)
+    assert(log.read(session, schema, v1).count() == 200L)
+    // stats prune: a narrow range admits a strict file subset
+    val admitted = log.prunedFiles(v1, 10L, 20L)
+    assert(admitted.nonEmpty &&
+      admitted.length < log.snapshot(v1).length)
+    assert(log.prunedRead(session, schema, v1, 10L, 20L)
+      .filter(col("k").between(10L, 20L)).count() == 11L)
+    // copy-on-write replace: new snapshot is only gen3, but v0/v1
+    // keep serving (their files were removed from the list, not disk)
+    val gen3 = (1L to 50L).map(i => (i, s"new$i")).toDF("k", "payload")
+    val v2 = Graft.tableCommit(gen3, root, "k", replace = true,
+      tag = "rewrite")
+    assert(log.read(session, schema, v2).count() == 50L)
+    assert(log.read(session, schema, v1).count() == 200L)
+    assert(log.tagVersion("rewrite").contains(v2))
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared

@@ -107,8 +107,23 @@ class TableLogSpec extends SparkSpec {
       log.commit(Seq(TableLog.Remove("x")), tag = "loser",
         atVersion = Some(2L))
     }
-    // the rival's commit is what history records
+    // the rival's commit is what history records — its bytes intact
+    // (writer-unique staging: the loser never touched them), and the
+    // loser's staging file cleaned up
     assert(TableLog.open(root).versions == Seq(0L, 1L, 2L))
+    assert(new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve("v000000000002.commit")),
+      java.nio.charset.StandardCharsets.UTF_8).startsWith("tag:rival"))
+    val strays = {
+      val s = java.nio.file.Files.list(logDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .count(n => n.endsWith(".tmp") && n.contains("commit.") &&
+            !n.startsWith("v000000000001"))
+      } finally s.close()
+    }
+    assert(strays == 0, s"loser left $strays staging files behind")
   }
 
   test("checkpoint collapses the replay: snapshots equal pure replay " +
