@@ -693,10 +693,15 @@ object Ann {
         .filter(col("vec_id") =!= probeId),
       adcTables(pv, books, m, sub), m, rerank)
     // exact refinement: ||v − p||² = v·v − 2·v·p + p·p with p·p a
-    // driver constant — the adcTables fold shape on whole vectors
+    // driver constant — the adcTables fold shape on whole vectors.
+    // The raw-vector re-fetch is restricted to the probe's lists
+    // (the shortlist is a subset by construction): under st15's
+    // cid-partitioned layout this is a partition-pruned read, never
+    // a corpus scan to fetch `rerank` rows.
     val pp = pv.foldLeft(0.0)((a, x) => a + x * x)
     shortlist
-      .join(assigned.select(col("vec_id"), col("v")), "vec_id")
+      .join(assigned.filter(col("cid").isin(probeLists: _*))
+        .select(col("vec_id"), col("v")), "vec_id")
       .select(col("vec_id"), col("d_est"),
         round(Vectors.dot(col("v"), col("v")) -
           lit(2.0) * Vectors.dot(col("v"), typedLit(pv.toSeq)) + lit(pp),
