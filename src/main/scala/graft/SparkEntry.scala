@@ -124,6 +124,7 @@ object SparkEntry {
     "io7_time_travel"     -> q(graft.sources.Io.io7TimeTravel),
     "io9_zorder"          -> q(graft.sources.Io.io9Zorder),
     "io10_stats_manifest" -> q(graft.sources.Io.io10StatsManifest),
+    "io11_vacuum"         -> q(graft.sources.Io.io11Vacuum),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

@@ -491,6 +491,63 @@ object Io {
       .map(_.path).sorted, snap.length.toLong)
   }
 
+  /** io11: VACUUM — the maintenance pass that completes the
+    * commit-log lifecycle (write → version → prune → checkpoint →
+    * vacuum): a versioned table accretes remove+add rewrites forever,
+    * and the files old snapshots reference are dead weight once the
+    * retention window passes — Delta/Iceberg expire them with VACUUM
+    * / expire_snapshots, exactly what [[TableLog.vacuum]] does. This
+    * operator builds its own three-version orders table (base →
+    * merge → erasure, io4/io7/io8's exact history, on a PRIVATE log
+    * so the shared one keeps time-traveling), vacuums down to the
+    * latest snapshot, and serves the post-vacuum aggregate: the hash
+    * gate proves retention kept the LIVE version byte-intact while
+    * IoSpec asserts the dead versions' bytes are physically gone.
+    *
+    * Scale: vacuum is metadata planning (replay + one pass over Add
+    * actions) plus O(deleted) file deletes — never a data scan; at
+    * 100 TB it is the storage-cost lever (every rewrite otherwise
+    * doubles the table's footprint forever).
+    */
+  def io11Vacuum(t: Tables): DataFrame = {
+    val log = vacuumedLog(t)
+    log.read(t.spark, ordersSchema, log.latestVersion.get)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** io11's private three-version log, vacuumed to retain = 1 at
+    * build time (staged once; spec access via the returned handle).
+    */
+  private[graft] def vacuumedLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:vacuumlog", "io_vacuumlog") {
+      d =>
+        val log = TableLog.open(d)
+        def land(name: String, df: DataFrame): Seq[TableLog.FileEntry] = {
+          df.write.mode("overwrite").parquet(s"$d/$name")
+          TableLog.statsFor(t.spark, s"$d/$name", "o_orderkey",
+            ordersSchema)
+        }
+        val v0 = land("v0", t.orders)
+        log.commit(v0.map(TableLog.Add), tag = "base")
+        val v1 = land("v1", mergedOrders(t))
+        log.commit(v0.map(f => TableLog.Remove(f.path)) ++
+          v1.map(TableLog.Add), tag = "merge")
+        val v2 = land("v2", mergedOrders(t)
+          .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))
+        log.commit(v1.map(f => TableLog.Remove(f.path)) ++
+          v2.map(TableLog.Add), tag = "erase")
+        log.vacuum(retain = 1)
+        ()
+    }
+    TableLog.open(root)
+  }
+
   /** Input columns + `zval` = 32-bit Z-curve index of the
     * min/max-normalized (xCol, yCol). Constant columns normalize to 0
     * (the CASE guard) instead of dividing by zero. The bounds are a
@@ -586,6 +643,32 @@ object Io {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the post-vacuum LIVE snapshot is io4's merge minus the erased
+    // keys — retention must keep it byte-intact, so the oracle is its
+    // relational reconstruction (deletion of the dead versions is
+    // asserted by IoSpec, invisible to answers by design)
+    "io11_vacuum" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey >= 0 AND o_orderkey % 50 = 0))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // v2 = io4's relational merge minus erased keys; row-level full-
     // join diff classified insert/update/delete, sides NONE/0-filled
     "io8_change_feed" ->

@@ -252,6 +252,38 @@ final class TableLog(val root: String) {
   def prunedFiles(v: Long, lo: Long, hi: Long): Seq[FileEntry] =
     snapshot(v).filter(f => f.maxKey >= lo && f.minKey <= hi)
 
+  /** VACUUM: physically delete data files no RETAINED snapshot
+    * references (Delta's VACUUM): the last `retain` versions keep
+    * serving; older versions' exclusive files are removed from disk,
+    * shrinking the time-travel horizon to the retained window. The
+    * commit history itself stays (tiny metadata; a pre-horizon
+    * snapshot() still replays its FILE LIST — only the bytes are
+    * gone). Idempotent and crash-safe: deletion of an already-deleted
+    * file is a no-op, so an interrupted vacuum simply re-runs.
+    * Returns the deleted paths.
+    *
+    * Scale: pure metadata planning (one replay per retained version
+    * + one pass over all Add actions) followed by O(deleted) deletes —
+    * never a data scan.
+    */
+  def vacuum(retain: Int = 1): Seq[String] = {
+    require(retain >= 1, s"retain=$retain must keep at least one version")
+    val vs = versions
+    if (vs.isEmpty) return Nil
+    val kept = vs.takeRight(retain)
+    val referenced = kept.flatMap(snapshot).map(_.path).toSet
+    val everAdded = vs.flatMap(v => parse(v)._2).collect {
+      case Add(f) => f.path
+    }.distinct
+    val doomed = everAdded.filterNot(referenced)
+    // report only what THIS run removed (deleteIfExists is the
+    // idempotence: a re-run after a crash finds nothing left)
+    doomed.filter { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
+    }
+  }
+
   /** The pruned scan: only stats-admitted files are opened. */
   def prunedRead(spark: SparkSession, schema: StructType, v: Long,
       lo: Long, hi: Long): DataFrame = {

@@ -156,6 +156,33 @@ class TableLogSpec extends SparkSpec {
     assert(e.minKey == 11L && e.maxKey == 11L && e.nRows == 1L)
   }
 
+  test("vacuum deletes exactly the bytes no retained snapshot " +
+      "references; the live version serves unchanged") {
+    val t = Tables(spark, sf)
+    val log = graft.sources.Io.vacuumedLog(t)
+    val sch = graft.sources.Io.ordersSchema
+    def onDisk(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))
+    // the live (latest) snapshot's files all survive and serve the
+    // correct erased-state row count
+    val live = log.snapshot(log.latestVersion.get)
+    assert(live.nonEmpty && live.forall(f => onDisk(f.path)))
+    val nBase = t.orders.count()
+    val nIns = t.orders.filter(col("o_orderkey") % 25 === 0).count()
+    val nErase = t.orders.filter(col("o_orderkey") >= 0 &&
+      col("o_orderkey") % 50 === 0).count()
+    assert(log.read(spark, sch, log.latestVersion.get).count() ==
+      nBase + nIns - nErase)
+    // the dead versions' exclusive files are PHYSICALLY gone (their
+    // commit metadata remains — the file lists still replay)
+    val v0Files = log.snapshot(0L)
+    val v1Files = log.snapshot(1L)
+    assert(v0Files.nonEmpty && v0Files.forall(f => !onDisk(f.path)))
+    assert(v1Files.nonEmpty && v1Files.forall(f => !onDisk(f.path)))
+    // vacuum is idempotent: nothing left to delete on a re-run
+    assert(log.vacuum(retain = 1).isEmpty)
+  }
+
   test("tagged commits are the streaming idempotence key: tagVersion " +
       "finds a batch's commit, unknown tags miss") {
     import SparkSpec.spark.implicits._
