@@ -828,9 +828,14 @@ object Ann {
   def s10PqResidual(t: Tables, nLists: Int = 16, m: Int = 4, k: Int = 4,
       iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    graft.Caches.fresh()
     val sub = dim / m
     val (assigned, cb) = assignedVecs(t, nLists)
-    val resid = residualFrame(assigned, cb, dim)
+    // cached: training scans the residual frame m×(iters+1) times
+    // (seed + each Lloyd's round per subspace) and the encode once
+    // more — without the cache every pass re-pays the scan, the
+    // coarse assignment AND the zip_with subtraction
+    val resid = graft.Caches.materialized(residualFrame(assigned, cb, dim))
     val books = residBooks.synchronized {
       residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim),
         Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters)))
