@@ -634,11 +634,12 @@ object Graft {
     */
   final class GroupMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession, threshold: Double,
-      stateRoot: Option[String]) {
+      stateRoot: Option[String], epoch: Option[String]) {
     private val st = {
       import spark.implicits._
       graft.streaming.Streams.st13State(spark,
-        Seq.empty[(Long, String)].toDF("doc_id", "text"), stateRoot)
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), stateRoot,
+        epoch = epoch)
     }
     /** Process one batch of arrivals. */
     def step(df: DataFrame, idCol: String, textCol: String): Unit =
@@ -651,11 +652,19 @@ object Graft {
 
   /** Open an incremental group-maintenance session at `threshold`,
     * over durable state at `stateRoot` (resumable) or JVM scratch.
+    * `epoch` names the batch-id namespace owner (the streaming
+    * query's identity): pass it when a durable root is driven by
+    * foreachBatch ids — a re-attach under a NEW query (fresh
+    * checkpoint restarting ids at 0) then runs the compact-and-reset
+    * barrier instead of mistaking new batches for committed history.
+    * Leave None for the facade's own `step` path (which allocates
+    * ids from the root's shared namespace).
     */
   def groupMaintenance(spark: org.apache.spark.sql.SparkSession,
       threshold: Double = 0.5,
-      stateRoot: Option[String] = None): GroupMaintenance =
-    new GroupMaintenance(spark, threshold, stateRoot)
+      stateRoot: Option[String] = None,
+      epoch: Option[String] = None): GroupMaintenance =
+    new GroupMaintenance(spark, threshold, stateRoot, epoch)
 
   /** INCREMENTAL SEARCH-INDEX session (st14 as a library surface —
     * the maintained twin of the build-once staged index `search`
@@ -670,8 +679,9 @@ object Graft {
     */
   final class IndexMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession,
-      stateRoot: Option[String]) {
-    private val st = graft.streaming.Streams.st14State(spark, stateRoot)
+      stateRoot: Option[String], epoch: Option[String]) {
+    private val st = graft.streaming.Streams.st14State(spark, stateRoot,
+      epoch = epoch)
     /** Ingest one batch of arriving documents into the index. */
     def step(df: DataFrame, idCol: String, textCol: String): Unit =
       graft.streaming.Streams.st14MaintainStep(st,
@@ -688,11 +698,15 @@ object Graft {
   }
 
   /** Open an incremental search-index session over durable state at
-    * `stateRoot` (resumable) or JVM scratch.
+    * `stateRoot` (resumable) or JVM scratch. `epoch` is
+    * [[groupMaintenance]]'s batch-id-namespace contract: pass the
+    * owning query's identity when foreachBatch ids drive a durable
+    * root.
     */
   def indexMaintenance(spark: org.apache.spark.sql.SparkSession,
-      stateRoot: Option[String] = None): IndexMaintenance =
-    new IndexMaintenance(spark, stateRoot)
+      stateRoot: Option[String] = None,
+      epoch: Option[String] = None): IndexMaintenance =
+    new IndexMaintenance(spark, stateRoot, epoch)
 
   /** INCREMENTAL VECTOR-INDEX session (st15 as a library surface —
     * the ANN leg of the maintained-index triad): the coarse IVF
