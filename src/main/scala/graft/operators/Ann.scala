@@ -831,14 +831,16 @@ object Ann {
     graft.Caches.fresh()
     val sub = dim / m
     val (assigned, cb) = assignedVecs(t, nLists)
-    // cached: training scans the residual frame m×(iters+1) times
-    // (seed + each Lloyd's round per subspace) and the encode once
-    // more — without the cache every pass re-pays the scan, the
-    // coarse assignment AND the zip_with subtraction
-    val resid = graft.Caches.materialized(residualFrame(assigned, cb, dim))
+    // cached only while TRAINING scans it m×(iters+1) times (seed +
+    // each Lloyd's round per subspace) — a warm call (model already
+    // in the registry) reads the frame exactly once for the encode,
+    // where a count-to-materialize would double the work
+    var resid = residualFrame(assigned, cb, dim)
     val books = residBooks.synchronized {
-      residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim),
-        Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters)))
+      residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim), {
+        resid = graft.Caches.materialized(resid)
+        Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters))
+      })
     }
     pqEncodeFrame(resid, books, sub).orderBy("vec_id")
   }

@@ -134,24 +134,45 @@ object Io {
     */
   private[graft] def ordersLog(t: Tables): TableLog = {
     val root = graft.Staging.dir(s"${t.dir}:orderslog", "io_tablelog") { d =>
-      val log = TableLog.open(d)
-      def land(name: String, df: DataFrame): Seq[TableLog.FileEntry] = {
-        df.write.mode("overwrite").parquet(s"$d/$name")
-        TableLog.statsFor(t.spark, s"$d/$name", "o_orderkey", ordersSchema)
-      }
-      val v0 = land("v0", t.orders)
-      log.commit(v0.map(TableLog.Add), tag = "base")
-      val v1 = land("v1", mergedOrders(t))
-      log.commit(v0.map(f => TableLog.Remove(f.path)) ++
-        v1.map(TableLog.Add), tag = "merge")
-      val v2 = land("v2", mergedOrders(t)
-        .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))
-      log.commit(v1.map(f => TableLog.Remove(f.path)) ++
-        v2.map(TableLog.Add), tag = "erase")
-      ()
+      landOrdersHistory(t, d, TableLog.open(d))
     }
     TableLog.open(root)
   }
+
+  /** Land the lake family's three-version orders history (base →
+    * MERGE rewrite → erasure) into `log`, data files under `d` —
+    * the ONE history builder behind [[ordersLog]] and io11's private
+    * [[vacuumedLog]], so the io11 oracle's assumption (vacuum runs
+    * over exactly io4/io7/io8's history) holds by construction.
+    */
+  private def landOrdersHistory(t: Tables, d: String, log: TableLog): Unit = {
+    def land(name: String, df: DataFrame): Seq[TableLog.FileEntry] = {
+      df.write.mode("overwrite").parquet(s"$d/$name")
+      TableLog.statsFor(t.spark, s"$d/$name", "o_orderkey", ordersSchema)
+    }
+    val v0 = land("v0", t.orders)
+    log.commit(v0.map(TableLog.Add), tag = "base")
+    val v1 = land("v1", mergedOrders(t))
+    log.commit(v0.map(f => TableLog.Remove(f.path)) ++
+      v1.map(TableLog.Add), tag = "merge")
+    val v2 = land("v2", mergedOrders(t)
+      .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))
+    log.commit(v1.map(f => TableLog.Remove(f.path)) ++
+      v2.map(TableLog.Add), tag = "erase")
+  }
+
+  /** The lake family's shared serving aggregate (io4, io11): per-
+    * status counts, exact money sum (DECIMAL(18,2) → double per the
+    * oracle hash policy), key span.
+    */
+  private def statusAgg(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
 
   /** io4: UPSERT (MERGE INTO) on a parquet lake table, copy-on-write.
     * The lakehouse write pattern every incremental pipeline needs:
@@ -173,16 +194,8 @@ object Io {
     * the log's per-file key stats identify; AQE sizes the output
     * files.
     */
-  def io4UpsertMerge(t: Tables): DataFrame = {
-    ordersLog(t).read(t.spark, ordersSchema, 1L)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-          .as("total_price"),
-        min("o_orderkey").as("min_key"),
-        max("o_orderkey").as("max_key"))
-      .orderBy("o_orderstatus")
-  }
+  def io4UpsertMerge(t: Tables): DataFrame =
+    statusAgg(ordersLog(t).read(t.spark, ordersSchema, 1L))
 
   /** io5: SMALL-FILE COMPACTION — the maintenance pass every
     * streaming/incremental sink needs (a million 2 MB files read 50×
@@ -502,7 +515,8 @@ object Io {
     * so the shared one keeps time-traveling), vacuums down to the
     * latest snapshot, and serves the post-vacuum aggregate: the hash
     * gate proves retention kept the LIVE version byte-intact while
-    * IoSpec asserts the dead versions' bytes are physically gone.
+    * TableLogSpec asserts the dead versions' bytes are physically
+    * gone (and that a re-run deletes nothing more).
     *
     * Scale: vacuum is metadata planning (replay + one pass over Add
     * actions) plus O(deleted) file deletes — never a data scan; at
@@ -511,14 +525,7 @@ object Io {
     */
   def io11Vacuum(t: Tables): DataFrame = {
     val log = vacuumedLog(t)
-    log.read(t.spark, ordersSchema, log.latestVersion.get)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-          .as("total_price"),
-        min("o_orderkey").as("min_key"),
-        max("o_orderkey").as("max_key"))
-      .orderBy("o_orderstatus")
+    statusAgg(log.read(t.spark, ordersSchema, log.latestVersion.get))
   }
 
   /** io11's private three-version log, vacuumed to retain = 1 at
@@ -528,20 +535,7 @@ object Io {
     val root = graft.Staging.dir(s"${t.dir}:vacuumlog", "io_vacuumlog") {
       d =>
         val log = TableLog.open(d)
-        def land(name: String, df: DataFrame): Seq[TableLog.FileEntry] = {
-          df.write.mode("overwrite").parquet(s"$d/$name")
-          TableLog.statsFor(t.spark, s"$d/$name", "o_orderkey",
-            ordersSchema)
-        }
-        val v0 = land("v0", t.orders)
-        log.commit(v0.map(TableLog.Add), tag = "base")
-        val v1 = land("v1", mergedOrders(t))
-        log.commit(v0.map(f => TableLog.Remove(f.path)) ++
-          v1.map(TableLog.Add), tag = "merge")
-        val v2 = land("v2", mergedOrders(t)
-          .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 50 === 0)))
-        log.commit(v1.map(f => TableLog.Remove(f.path)) ++
-          v2.map(TableLog.Add), tag = "erase")
+        landOrdersHistory(t, d, log)
         log.vacuum(retain = 1)
         ()
     }
@@ -646,7 +640,7 @@ object Io {
     // the post-vacuum LIVE snapshot is io4's merge minus the erased
     // keys — retention must keep it byte-intact, so the oracle is its
     // relational reconstruction (deletion of the dead versions is
-    // asserted by IoSpec, invisible to answers by design)
+    // asserted by TableLogSpec, invisible to answers by design)
     "io11_vacuum" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
