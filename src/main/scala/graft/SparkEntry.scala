@@ -125,6 +125,7 @@ object SparkEntry {
     "io9_zorder"          -> q(graft.sources.Io.io9Zorder),
     "io10_stats_manifest" -> q(graft.sources.Io.io10StatsManifest),
     "io11_vacuum"         -> q(graft.sources.Io.io11Vacuum),
+    "io12_optimize_compact" -> q(graft.sources.Io.io12OptimizeCompact(_)),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

@@ -542,6 +542,77 @@ object Io {
     TableLog.open(root)
   }
 
+  /** io12: OPTIMIZE — small-file compaction AS A COMMIT (io5's
+    * maintenance pass unified into the lake family, Delta's
+    * `OPTIMIZE` / Iceberg's `rewrite_data_files`): documents land as
+    * 64 small shards committed to a private [[TableLog]], the
+    * OPTIMIZE pass rewrites them into ⌈bytes/target⌉ right-sized
+    * files and publishes remove-small + add-big in ONE tagged atomic
+    * commit (a redelivered pass is dropped by its tag), then VACUUM
+    * reclaims the dead shards — land → optimize → vacuum, the full
+    * maintenance lifecycle on one log. The hash gate is a
+    * content-fingerprint aggregate (per-lang counts + md5 extremes)
+    * over the post-optimize snapshot: it matches the raw table iff
+    * the rewrite moved every byte faithfully. TableLogSpec asserts
+    * the structural claims (file count shrank, dead shard bytes
+    * physically gone, the optimize commit is tagged).
+    *
+    * Scale: OPTIMIZE picks its rewrite set from the LOG's metadata
+    * (per-file row counts — the small-file offenders are visible
+    * without touching data), rewrites ONLY those files, and commits
+    * the swap atomically while concurrent readers keep serving the
+    * old snapshot; at 100 TB the pass is incremental and
+    * bin-packable per partition, never a full-table rewrite.
+    */
+  def io12OptimizeCompact(t: Tables,
+      targetBytes: Long = 8L << 20): DataFrame = {
+    val log = optimizedLog(t, targetBytes)
+    statusFingerprint(
+      log.read(t.spark, t.documents.schema, log.latestVersion.get))
+  }
+
+  /** Per-lang content fingerprint: count, char sum, md5 extremes —
+    * collision-proof evidence the served rows are exactly the base
+    * table's.
+    */
+  private def statusFingerprint(df: DataFrame): DataFrame =
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        min(md5(col("text"))).as("md5_min"),
+        max(md5(col("text"))).as("md5_max"))
+      .orderBy("lang")
+
+  /** io12's private log: 64-shard landing commit, tagged OPTIMIZE
+    * rewrite commit, vacuum to retain = 1 (staged once; spec access
+    * via the returned handle).
+    */
+  private[graft] def optimizedLog(t: Tables, targetBytes: Long): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:optlog:$targetBytes",
+      "io_optlog") { d =>
+      val log = TableLog.open(d)
+      val docSchema = t.documents.schema
+      t.documents.repartition(64).write.mode("overwrite")
+        .parquet(s"$d/small")
+      val small = TableLog.statsFor(t.spark, s"$d/small", "doc_id",
+        docSchema)
+      log.commit(small.map(TableLog.Add), tag = "land")
+      // the tag check is the pass's idempotence: a redelivered
+      // OPTIMIZE finds its commit already published and does nothing
+      if (log.tagVersion("optimize").isEmpty) {
+        log.read(t.spark, docSchema, 0L)
+          .coalesce(compactionFileCount(s"$d/small", targetBytes))
+          .write.mode("overwrite").parquet(s"$d/opt")
+        val opt = TableLog.statsFor(t.spark, s"$d/opt", "doc_id",
+          docSchema)
+        log.commit(small.map(f => TableLog.Remove(f.path)) ++
+          opt.map(TableLog.Add), tag = "optimize")
+      }
+      log.vacuum(retain = 1)
+      ()
+    }
+    TableLog.open(root)
+  }
+
   /** Input columns + `zval` = 32-bit Z-curve index of the
     * min/max-normalized (xCol, yCol). Constant columns normalize to 0
     * (the CASE guard) instead of dividing by zero. The bounds are a
@@ -740,6 +811,14 @@ object Io {
     // read-back must equal the original table
     "io5_compaction" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the post-OPTIMIZE snapshot must be the base table byte-for-
+    // byte — the oracle is its per-lang content fingerprint (file
+    // layout changes are asserted by TableLogSpec, invisible to
+    // answers by design)
+    "io12_optimize_compact" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -183,6 +183,31 @@ class TableLogSpec extends SparkSpec {
     assert(log.vacuum(retain = 1).isEmpty)
   }
 
+  test("OPTIMIZE is a tagged rewrite commit: file count shrinks, " +
+      "dead shards vacuumed, redelivered pass is a no-op") {
+    val t = Tables(spark, sf)
+    val log = graft.sources.Io.optimizedLog(t, 8L << 20)
+    def onDisk(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))
+    // v0 = the 64-shard landing, v1 = the optimize rewrite; the
+    // optimize commit carries its idempotence tag
+    assert(log.versions == Seq(0L, 1L))
+    assert(log.tagVersion("optimize").contains(1L))
+    val landed = log.snapshot(0L)
+    val opt = log.snapshot(1L)
+    assert(landed.length == 64 && opt.length < landed.length)
+    // same rows, relocated: the rewrite preserves the row count and
+    // the doc_id span end-to-end
+    assert(opt.map(_.nRows).sum == landed.map(_.nRows).sum)
+    assert(opt.map(_.minKey).min == landed.map(_.minKey).min &&
+      opt.map(_.maxKey).max == landed.map(_.maxKey).max)
+    // vacuum reclaimed the 64 small shards; the optimized files serve
+    assert(landed.forall(f => !onDisk(f.path)))
+    assert(opt.forall(f => onDisk(f.path)))
+    assert(log.read(spark, t.documents.schema, 1L).count() ==
+      t.documents.count())
+  }
+
   test("tagged commits are the streaming idempotence key: tagVersion " +
       "finds a batch's commit, unknown tags miss") {
     import SparkSpec.spark.implicits._
