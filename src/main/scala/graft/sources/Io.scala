@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -593,24 +593,42 @@ object Io {
       val docSchema = t.documents.schema
       t.documents.repartition(64).write.mode("overwrite")
         .parquet(s"$d/small")
-      val small = TableLog.statsFor(t.spark, s"$d/small", "doc_id",
-        docSchema)
-      log.commit(small.map(TableLog.Add), tag = "land")
-      // the tag check is the pass's idempotence: a redelivered
-      // OPTIMIZE finds its commit already published and does nothing
-      if (log.tagVersion("optimize").isEmpty) {
-        log.read(t.spark, docSchema, 0L)
-          .coalesce(compactionFileCount(s"$d/small", targetBytes))
-          .write.mode("overwrite").parquet(s"$d/opt")
-        val opt = TableLog.statsFor(t.spark, s"$d/opt", "doc_id",
-          docSchema)
-        log.commit(small.map(f => TableLog.Remove(f.path)) ++
-          opt.map(TableLog.Add), tag = "optimize")
-      }
+      log.commit(TableLog.statsFor(t.spark, s"$d/small", "doc_id",
+        docSchema).map(TableLog.Add), tag = "land")
+      optimizePass(t.spark, log, s"$d/opt", docSchema, "doc_id",
+        targetBytes)
       log.vacuum(retain = 1)
       ()
     }
     TableLog.open(root)
+  }
+
+  /** The OPTIMIZE pass itself: partition the latest snapshot into
+    * small-file OFFENDERS (< targetBytes/2 on disk — pure file-size
+    * metadata, no data read) and right-sized files, rewrite ONLY the
+    * offenders into ⌈their bytes / target⌉ files under `outDir`, and
+    * publish remove-offenders + add-rewritten in ONE tagged atomic
+    * commit — right-sized files are never touched, which is what
+    * keeps the pass incremental at scale. A redelivered pass finds
+    * its tag and no-ops; a snapshot with no offenders commits
+    * nothing.
+    */
+  private[graft] def optimizePass(spark: SparkSession, log: TableLog,
+      outDir: String, schema: StructType, keyCol: String,
+      targetBytes: Long, tag: String = "optimize"): Unit = {
+    if (log.tagVersion(tag).nonEmpty) return
+    val snap = log.snapshot(log.latestVersion.get)
+    def bytes(p: String) = java.nio.file.Files.size(java.nio.file.Paths
+      .get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
+    val offenders = snap.filter(f => bytes(f.path) < targetBytes / 2)
+    if (offenders.isEmpty) return
+    val total = offenders.map(f => bytes(f.path)).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.schema(schema).parquet(offenders.map(_.path): _*)
+      .coalesce(n).write.mode("overwrite").parquet(outDir)
+    log.commit(offenders.map(f => TableLog.Remove(f.path)) ++
+      TableLog.statsFor(spark, outDir, keyCol, schema)
+        .map(TableLog.Add), tag = tag)
   }
 
   /** Input columns + `zval` = 32-bit Z-curve index of the

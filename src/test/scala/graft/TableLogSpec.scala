@@ -208,6 +208,40 @@ class TableLogSpec extends SparkSpec {
       t.documents.count())
   }
 
+  test("OPTIMIZE rewrites ONLY the small-file offenders: a " +
+      "right-sized file survives in place, untouched") {
+    import SparkSpec.spark.implicits._
+    val root = graft.Staging.scratch("tablelog_opt_select")
+    val log = TableLog.open(root)
+    // one right-sized file (100k rows) + 8 tiny shards (10 rows each)
+    val big = spark.range(0L, 100000L).select(col("id").as("doc_id"),
+      concat(lit("x"), md5(col("id").cast("string"))).as("text"))
+    big.coalesce(1).write.mode("overwrite").parquet(s"$root/big")
+    val small = spark.range(100000L, 100080L).select(
+      col("id").as("doc_id"), concat(lit("y"), col("id")).as("text"))
+    small.repartition(8).write.mode("overwrite").parquet(s"$root/small")
+    val sch = big.schema
+    val landed =
+      TableLog.statsFor(spark, s"$root/big", "doc_id", sch) ++
+        TableLog.statsFor(spark, s"$root/small", "doc_id", sch)
+    log.commit(landed.map(TableLog.Add), tag = "land")
+    def bytes(p: String) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))
+    val bigPaths = log.snapshot(0L).filter(f => bytes(f.path) >= 50_000)
+      .map(_.path).toSet
+    assert(bigPaths.size == 1 && log.snapshot(0L).length == 9)
+    graft.sources.Io.optimizePass(spark, log, s"$root/opt", sch,
+      "doc_id", targetBytes = 100_000L)
+    // the big file rode through untouched; the 8 offenders collapsed
+    val after = log.snapshot(1L)
+    assert(after.map(_.path).toSet.intersect(bigPaths) == bigPaths)
+    assert(after.length < 9 && after.map(_.nRows).sum == 100080L)
+    // redelivered pass: tag hit, no new version
+    graft.sources.Io.optimizePass(spark, log, s"$root/opt2", sch,
+      "doc_id", targetBytes = 100_000L)
+    assert(log.latestVersion.contains(1L))
+  }
+
   test("tagged commits are the streaming idempotence key: tagVersion " +
       "finds a batch's commit, unknown tags miss") {
     import SparkSpec.spark.implicits._
