@@ -567,7 +567,7 @@ object Io {
   def io12OptimizeCompact(t: Tables,
       targetBytes: Long = 8L << 20): DataFrame = {
     val log = optimizedLog(t, targetBytes)
-    statusFingerprint(
+    langFingerprint(
       log.read(t.spark, t.documents.schema, log.latestVersion.get))
   }
 
@@ -575,7 +575,7 @@ object Io {
     * collision-proof evidence the served rows are exactly the base
     * table's.
     */
-  private def statusFingerprint(df: DataFrame): DataFrame =
+  private def langFingerprint(df: DataFrame): DataFrame =
     df.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
         min(md5(col("text"))).as("md5_min"),
