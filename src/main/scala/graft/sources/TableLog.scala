@@ -131,6 +131,46 @@ final class TableLog(val root: String) {
     v
   }
 
+  /** The full optimistic-concurrency protocol on top of [[commit]]
+    * (Delta's commit loop): `prepare` computes this writer's actions
+    * against the CURRENT latest version (−1 on an empty log), the
+    * writer claims latest+1, and a lost claim triggers CONFLICT
+    * CHECKING against the intervening winners before re-preparing:
+    * a winner that removed a file this writer also removes is a true
+    * conflict (two rewrites of the same file — blind retry would
+    * double-apply or resurrect it) and aborts with
+    * `ConcurrentModificationException`; disjoint commits (the common
+    * case — appends never remove, compactions touch disjoint files)
+    * rebase and retry. Returns the committed version.
+    *
+    * Scale: retries cost one log listing + the conflict scan of the
+    * commits that beat us (each O(its actions)) — metadata-bounded,
+    * no data touched; exactly the concurrency cost profile of a
+    * production table format under writer contention.
+    */
+  def commitWithRetry(tag: String = "", maxRetries: Int = 10)(
+      prepare: Long => Seq[Action]): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion.getOrElse(-1L)
+      val actions = prepare(base)
+      try return commit(actions, tag, atVersion = Some(base + 1L))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        attempt += 1
+        val mineRemoved = actions.collect { case Remove(p) => p }.toSet
+        val theirsRemoved = versions.filter(_ > base)
+          .flatMap(v => parse(v)._2).collect { case Remove(p) => p }.toSet
+        if (mineRemoved.exists(theirsRemoved))
+          throw new java.util.ConcurrentModificationException(
+            "conflicting rewrite: a concurrent commit removed the same file")
+        if (attempt > maxRetries)
+          throw new java.util.ConcurrentModificationException(
+            s"lost the version claim $attempt times")
+      }
+    }
+    -1L // unreachable
+  }
+
   private def checkpointPath(v: Long): java.nio.file.Path =
     logDir.resolve(f"v$v%012d.checkpoint")
 

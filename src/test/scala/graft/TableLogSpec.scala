@@ -242,6 +242,39 @@ class TableLogSpec extends SparkSpec {
     assert(log.latestVersion.contains(1L))
   }
 
+  test("commitWithRetry: a lost claim rebases and retries; a " +
+      "conflicting rewrite of the same file aborts") {
+    val root = graft.Staging.scratch("tablelog_occ")
+    val log = TableLog.open(root)
+    def fe(p: String, k: Long) = TableLog.FileEntry(p, k, k, 1L)
+    log.commit(Seq(TableLog.Add(fe("f0", 0L))), tag = "base")
+    // append race: an intruder wins the claim mid-prepare — the
+    // writer's first claim collides, it rebases and lands next
+    var first = true
+    val v = log.commitWithRetry("appender") { base =>
+      if (first) { first = false
+        log.commit(Seq(TableLog.Add(fe("intruder", 1L)))) }
+      Seq(TableLog.Add(fe("mine", 2L)))
+    }
+    assert(v == 2L && log.latestVersion.contains(2L))
+    assert(log.snapshot(2L).map(_.path).toSet ==
+      Set("f0", "intruder", "mine"))
+    // rewrite conflict: the intruder removes f0 first; blind retry
+    // would double-apply the rewrite, so the loser must abort
+    var first2 = true
+    intercept[java.util.ConcurrentModificationException] {
+      log.commitWithRetry("rewriter") { base =>
+        if (first2) { first2 = false
+          log.commit(Seq(TableLog.Remove("f0"),
+            TableLog.Add(fe("theirs", 3L)))) }
+        Seq(TableLog.Remove("f0"), TableLog.Add(fe("ours", 4L)))
+      }
+    }
+    // the winner's rewrite stands; the loser published nothing
+    assert(log.snapshot(log.latestVersion.get).map(_.path).toSet ==
+      Set("intruder", "mine", "theirs"))
+  }
+
   test("tagged commits are the streaming idempotence key: tagVersion " +
       "finds a batch's commit, unknown tags miss") {
     import SparkSpec.spark.implicits._
