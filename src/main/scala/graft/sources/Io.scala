@@ -626,9 +626,15 @@ object Io {
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     spark.read.schema(schema).parquet(offenders.map(_.path): _*)
       .coalesce(n).write.mode("overwrite").parquet(outDir)
-    log.commit(offenders.map(f => TableLog.Remove(f.path)) ++
+    // published through the OCC loop: a concurrent APPEND landing
+    // between our read and our claim just rebases this commit one
+    // version later; a concurrent rewrite of one of our offenders is
+    // a true conflict and aborts the pass (re-run re-plans)
+    val actions = offenders.map(f => TableLog.Remove(f.path)) ++
       TableLog.statsFor(spark, outDir, keyCol, schema)
-        .map(TableLog.Add), tag = tag)
+        .map(TableLog.Add)
+    log.commitWithRetry(tag)(_ => actions)
+    ()
   }
 
   /** Input columns + `zval` = 32-bit Z-curve index of the
