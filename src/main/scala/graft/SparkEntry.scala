@@ -108,6 +108,8 @@ object SparkEntry {
     "s9_ivfpq_search"     -> q(Ann.s9IvfPqSearch(_)),
     "s10_pq_residual"     -> q(Ann.s10PqResidual(_)),
     "s11_ivfpq_rerank"    -> q(Ann.s11IvfPqRerank(_)),
+    "s12_sq_encode"       -> q(Ann.s12SqEncode(_)),
+    "s13_sq_search"       -> q(Ann.s13SqSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

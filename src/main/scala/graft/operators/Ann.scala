@@ -860,6 +860,158 @@ object Ann {
         (x, c) => x - c).as("v"))
   }
 
+  // ------------------------------------------------------------------
+  // s12/s13: SCALAR QUANTIZATION (SQ8)
+  // ------------------------------------------------------------------
+
+  /** Per-dimension SQ8 model — (mins, scales) with scale_i =
+    * (max_i − min_i)/256 — over a corpus's embedding column. The
+    * model is ONE map-side-partial 1-row aggregate (2·dim doubles on
+    * the driver: model-sized, the [[pqModel]] contract), memoized per
+    * corpus dir like the PQ codebooks.
+    */
+  private val sqModels = scala.collection.mutable
+    .Map.empty[(String, Int), (Array[Double], Array[Double])]
+
+  private[graft] def sqModel(t: Tables,
+      dim: Int = 64): (Array[Double], Array[Double]) =
+    sqModels.synchronized {
+      sqModels.getOrElseUpdate((t.dir, dim), {
+        val vecs = t.embeddings
+          .select(col("embedding").cast("array<double>").as("v"))
+        val aggs =
+          (0 until dim).map(i => min(element_at(col("v"), i + 1))) ++
+            (0 until dim).map(i => max(element_at(col("v"), i + 1)))
+        val row = vecs.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val mins = Array.tabulate(dim)(i => row.getDouble(i))
+        val scales =
+          Array.tabulate(dim)(i => (row.getDouble(dim + i) - mins(i)) / 256.0)
+        (mins, scales)
+      })
+    }
+
+  /** Per-dimension uint8 codes: code_i = clamp(⌊(v_i − min_i)/
+    * scale_i⌋, 0, 255) (0 where the dimension is constant). Pure
+    * projection against the literal model arrays — fuses with the
+    * scan, no shuffle. `floor` (not `round`) because the two engines
+    * disagree on round-half ties but agree exactly on floor.
+    */
+  private[graft] def sqCodes(v: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val sc = typedLit(scales.toSeq)
+    transform(v, (x, i) => {
+      val s = element_at(sc, i + 1)
+      when(s === 0.0, lit(0))
+        .otherwise(least(lit(255.0),
+          greatest(lit(0.0), floor((x - element_at(mn, i + 1)) / s)))
+          .cast("int"))
+    })
+  }
+
+  /** Bucket-center reconstruction: rec_i = min_i + (code_i + 0.5)·
+    * scale_i — the decode every SQ distance estimate runs on.
+    */
+  private[graft] def sqReconstruct(codes: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val sc = typedLit(scales.toSeq)
+    transform(codes, (c, i) =>
+      element_at(mn, i + 1) +
+        (c.cast("double") + 0.5) * element_at(sc, i + 1))
+  }
+
+  /** s12: SCALAR-QUANTIZATION ENCODE (FAISS SQ8) — every embedding
+    * compressed to one byte per DIMENSION: per-dim min/max over the
+    * corpus define 256 uniform buckets, code_i = ⌊(v_i − min_i)/
+    * scale_i⌋. 4× smaller than float32 with NO codebook training —
+    * the quantization tier below PQ (s5: dim/m bytes per vector, a
+    * trained model) for pipelines that want cheap compression with
+    * near-exact recall. Output per vector: the dash-joined code
+    * string (64 codes — one hash-stable column instead of 64) and
+    * the reconstruction error qerr = Σ(v_i − rec_i)², rounded 4.
+    *
+    * Scale: the model is a 1-row aggregate (all map-side partials);
+    * encode is a shuffle-free projection that fuses with the scan.
+    * At 100 TB the codes are the stored column (64 B/vector vs
+    * 256 B) and this operator is the ingest-time writer.
+    */
+  def s12SqEncode(t: Tables, dim: Int = 64): DataFrame = {
+    val (mins, scales) = sqModel(t, dim)
+    sqEncodeFrame(t.embeddings
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+      mins, scales)
+      .orderBy("vec_id")
+  }
+
+  /** The s12 output projection over any (vec_id, v) frame — batch
+    * entry and any future streaming form share it verbatim.
+    */
+  private[graft] def sqEncodeFrame(vecs: DataFrame, mins: Array[Double],
+      scales: Array[Double]): DataFrame =
+    vecs
+      .withColumn("codes_arr", sqCodes(col("v"), mins, scales))
+      .select(col("vec_id"),
+        array_join(transform(col("codes_arr"), c => c.cast("string")), "-")
+          .as("codes"),
+        round(aggregate(
+          zip_with(col("v"),
+            sqReconstruct(col("codes_arr"), mins, scales),
+            (x, r) => (x - r) * (x - r)),
+          lit(0.0), (a, e) => a + e), 4).as("qerr"))
+
+  /** s13: SQ8 ASYMMETRIC SEARCH — the serving half of s12: the query
+    * stays full-precision, every corpus vector is scored by exact
+    * L2² against its bucket-center RECONSTRUCTION (asymmetric
+    * distance — quantize one side only, half the quantization noise
+    * of code-vs-code). Top-10 by (d_est, vec_id).
+    *
+    * Scale: scan + projection + TakeOrdered, s6's serving shape; at
+    * lake scale the scan reads the stored 64 B code column, not the
+    * floats, and composes with IVF list pruning (s9's layout)
+    * unchanged. The on-the-fly encode here produces the identical
+    * codes the stored column would hold (same model, same floor).
+    */
+  def s13SqSearch(t: Tables, probeId: Long = 0L, dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    val (mins, scales) = sqModel(t, dim)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // missing probe → empty result, not a crash (s6's contract)
+    val pvRow = vecs.filter(col("vec_id") === probeId)
+      .select("v").collect().headOption
+    if (pvRow.isEmpty)
+      return vecs.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
+    val q = typedLit(pvRow.get.getSeq[Double](0))
+    vecs.filter(col("vec_id") =!= probeId)
+      .withColumn("rec",
+        sqReconstruct(sqCodes(col("v"), mins, scales), mins, scales))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(q, col("rec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 4).as("d_est"))
+      .orderBy(col("d_est"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Shared SQ replay CTEs: per-dim min/max model + the per-(vec, dim)
+    * coded rows c(vec_id, i, x, mn, sc, code) both SQ oracles read.
+    */
+  private def sqReplayCtes(dim: Int): String =
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |mm AS (
+       |  SELECT i, min(v[CAST(i AS INT)]) AS mn, max(v[CAST(i AS INT)]) AS mx
+       |  FROM vv, (SELECT unnest(range(1, ${dim + 1})) AS i) ii
+       |  GROUP BY i),
+       |c AS (
+       |  SELECT vec_id, i, v[CAST(i AS INT)] AS x, mn, (mx - mn) / 256 AS sc,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(LEAST(255.0, GREATEST(0.0,
+       |           floor((v[CAST(i AS INT)] - mn) / ((mx - mn) / 256)))) AS INT)
+       |    END AS code
+       |  FROM vv CROSS JOIN mm)""".stripMargin
+
   /** s10 oracle: the s3 coarse replay, the residual derivation over
     * the final assignment, then s5's per-subspace Lloyd's replay with
     * the residual frame as its training source.
@@ -1099,6 +1251,33 @@ object Ann {
     // coarse replay → residual derivation over the final assignment →
     // s5's per-subspace Lloyd's replay trained on the residuals
     "s10_pq_residual" -> pqResidualOracleSql(4, 4, 2, 64),
+    // per-dim min/max model replay + floor-encode + bucket-center
+    // reconstruction error, dash-joined code string per vector
+    "s12_sq_encode" ->
+      s"""WITH ${sqReplayCtes(64)},
+         |e AS (
+         |  SELECT vec_id,
+         |    string_agg(CAST(code AS VARCHAR), '-' ORDER BY i) AS codes,
+         |    round(list_sum(list(
+         |      (x - (mn + (code + 0.5) * sc)) * (x - (mn + (code + 0.5) * sc))
+         |      ORDER BY i)), 4) AS qerr
+         |  FROM c GROUP BY vec_id)
+         |SELECT vec_id, codes, qerr FROM e ORDER BY vec_id""".stripMargin,
+    // the same replay + the probe's full-precision row vs every
+    // vector's reconstruction: asymmetric L2², rounded top-10
+    "s13_sq_search" ->
+      s"""WITH ${sqReplayCtes(64)},
+         |p AS (SELECT i, x AS qx FROM c WHERE vec_id = 0),
+         |d AS (
+         |  SELECT c.vec_id,
+         |    round(list_sum(list(
+         |      (p.qx - (c.mn + (c.code + 0.5) * c.sc)) *
+         |      (p.qx - (c.mn + (c.code + 0.5) * c.sc)) ORDER BY c.i)), 4)
+         |      AS d_est
+         |  FROM c JOIN p USING (i)
+         |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+         |SELECT vec_id, d_est FROM d ORDER BY d_est, vec_id LIMIT 10"""
+        .stripMargin,
     // the k-means replay (s3's CTE) + BOTH towers per probe: exact
     // brute-force top-10 and IVF pruned-list top-10 over rounded
     // cosines with id tie-breaks, intersected per probe

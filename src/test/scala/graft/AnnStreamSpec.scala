@@ -1509,6 +1509,35 @@ class AnnStreamSpec extends SparkSpec {
       s"residual model did not reduce qerr: residual $res vs raw $raw")
   }
 
+  test("s12 SQ8 encode: 64 in-range codes per vector and qerr bounded " +
+      "by the bucket geometry") {
+    val enc = run("s12_sq_encode").collect()
+    assert(enc.length == 500)
+    // every vector compresses to exactly dim codes, each one byte
+    enc.foreach { r =>
+      val codes = r.getAs[String]("codes").split("-").map(_.toInt)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+    }
+    // bucket-center reconstruction error per dim is at most half a
+    // bucket squared (min/max are corpus-true, so no clamping error)
+    val (_, scales) = graft.operators.Ann.sqModel(graft.Tables(spark, sf))
+    val bound = scales.map(s => (s / 2) * (s / 2)).sum + 1e-9
+    enc.foreach { r =>
+      val q = r.getAs[Double]("qerr")
+      assert(q >= 0.0 && q <= bound, s"qerr $q outside [0, $bound]")
+    }
+  }
+
+  test("s13 SQ8 asymmetric search: recall@10 = 10/10 against the " +
+      "exact brute-force tower") {
+    val sq = run("s13_sq_search").collect().map(_.getLong(0)).toSet
+    val ex = run("s1_ann_bruteforce").collect().map(_.getLong(0)).toSet
+    assert(sq.size == 10 && ex.size == 10)
+    assert((sq & ex).size == 10,
+      s"SQ8 missed exact neighbors: ${(ex -- sq).toSeq.sorted}")
+  }
+
   test("s2 candidate-bounded cut: tauFor holds the expected bulk " +
       "admission flat as the corpus grows; sandbox cut unchanged") {
     import graft.operators.Ann.{tauFor, hammingCdf, defaultTau}
