@@ -77,6 +77,7 @@ object SparkEntry {
     "d7_decontaminate"    -> q(Dedup.d7Decontaminate(_)),
     "d12_bloom_decontaminate" -> q(Dedup.d12BloomDecontaminate(_)),
     "d13_dedup_keep_best" -> q(Dedup.d13DedupKeepBest(_)),
+    "d14_selfrep_scrub"  -> q(Dedup.d14SelfrepScrub(_)),
     "d8_line_dedup"       -> q(Dedup.d8LineDedup(_)),
     "d9_semdedup"         -> q(Dedup.d9Semdedup(_)),
     "t1_langid"           -> q(TextAnalysis.t1Langid),

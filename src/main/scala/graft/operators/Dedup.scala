@@ -745,16 +745,34 @@ object Dedup {
     */
   private[graft] def scrubTokens(trainToks: DataFrame, bench: DataFrame,
       k: Int): DataFrame = {
-    val covered = trainToks.filter(size(col("tk")) >= k)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("tk")) - k),
-          i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))
-        .as(Seq("i", "sh")))
+    val covered = positionedShingles(trainToks, k)
       .join(graft.Guards.sizedBroadcast(bench), "sh")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
       .withColumn("m", lit(1))
+    reassembleMasked(trainToks, covered)
+  }
+
+  /** Positioned word-k-gram starts of a (doc_id, tk) frame:
+    * (doc_id, i, sh) with i the 0-based start token — the span
+    * stream both scrub variants (d11/st12's external set, d14's
+    * self-derived set) read.
+    */
+  private[graft] def positionedShingles(toks: DataFrame,
+      k: Int): DataFrame =
+    toks.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))
+        .as(Seq("i", "sh")))
+
+  /** Reassembly shared by every span scrub: left-join a (doc_id,
+    * pos, m) covered set back onto the token stream, then ONE
+    * groupBy(doc_id) emitting counts + the cleaned-text md5.
+    */
+  private[graft] def reassembleMasked(trainToks: DataFrame,
+      covered: DataFrame): DataFrame =
     trainToks
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
       .join(covered, Seq("doc_id", "pos"), "left")
@@ -764,6 +782,55 @@ object Dedup {
         md5(array_join(transform(sort_array(collect_list(
           when(col("m").isNull, struct(col("pos"), col("tok"))))),
           s => s.getField("tok")), " ")).as("clean_md5"))
+
+  /** d14: CORPUS-INTERNAL DUPLICATED-SPAN SCRUB — the ExactSubstr
+    * policy of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") at word-k-gram granularity: every
+    * token covered by a k-gram appearing in MORE THAN ONE document
+    * is masked everywhere EXCEPT in the span's first owner (lowest
+    * doc_id) — exactly one copy of duplicated material survives and
+    * the documents around it are kept. d11 scrubs against an
+    * EXTERNAL benchmark set; d14 derives the span set from the
+    * corpus itself, the form pretraining dedup actually runs
+    * (within-doc repetition is t8's axis; this is the cross-doc
+    * one). Output per doc: token counts, masked count, cleaned-text
+    * md5 — d11's shape.
+    *
+    * Scale: the positioned-shingle stream is the same n·L-row scan
+    * d11 pays; the duplicated-span registry is ONE groupBy(sh) with
+    * min/count partial aggregates, duplication-sized output; its
+    * back-join onto span positions carries NO broadcast hint — on a
+    * clean corpus the registry is tiny and AQE broadcasts it, on a
+    * duplicate-heavy one it shuffle-joins (d11's covered-join
+    * contract). Reassembly is the shared one-shuffle groupBy(doc).
+    * No all-pairs stage, no driver-side state.
+    */
+  def d14SelfrepScrub(t: Tables, k: Int = 5): DataFrame =
+    selfrepScrubFrom(t.documents.select("doc_id", "text"), k)
+
+  /** DataFrame form of d14 for the graft.api facade and specs. */
+  private[graft] def selfrepScrubFrom(docsIn: DataFrame, k: Int = 5,
+      sorted: Boolean = true): DataFrame = {
+    graft.Caches.fresh()
+    val toks = graft.Caches.materialized(
+      docsIn.select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0))
+    // cached: the span stream feeds the registry groupBy AND the
+    // coverage join below
+    val spans = graft.Caches.materialized(positionedShingles(toks, k))
+    val dup = spans.select("doc_id", "sh").distinct()
+      .groupBy("sh")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("sh", "keeper")
+    val covered = spans.join(dup, "sh")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("m", lit(1))
+    val out = reassembleMasked(toks, covered)
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** d8: LINE-LEVEL EXACT DEDUP (the C4/RefinedWeb rule): every
@@ -1083,6 +1150,38 @@ object Dedup {
     // positioned-shingle hits → covered positions → reassembly from
     // survivors (string_agg ignores the masked CASE nulls; coalesce
     // keeps the fully-masked doc's empty string matching array_join)
+    "d14_selfrep_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |sh_pos AS (
+        |  SELECT doc_id, i, array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS sh
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        |        FROM tt WHERE len(tk) >= 5)),
+        |dup AS (
+        |  SELECT sh, min(doc_id) AS keeper
+        |  FROM (SELECT DISTINCT doc_id, sh FROM sh_pos)
+        |  GROUP BY sh HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.i + d.d AS j
+        |  FROM sh_pos s JOIN dup b ON s.sh = b.sh AND s.doc_id <> b.keeper,
+        |       (SELECT unnest(range(0, 5)) AS d) d),
+        |tok_pos AS (
+        |  SELECT doc_id, j, tk[CAST(j AS INT)] AS tok
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j
+        |        FROM tt)),
+        |f AS (
+        |  SELECT t.doc_id, count(*) AS n_tok, count(c.j) AS n_masked,
+        |    coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+        |                        ' ' ORDER BY t.j), '') AS clean
+        |  FROM tok_pos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_masked AS BIGINT) AS n_masked, md5(clean) AS clean_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "d11_overlap_scrub" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -477,6 +477,45 @@ class DedupTextSpec extends SparkSpec {
     assert(other.map(_.toSeq).toSeq != rows.map(_.toSeq).toSeq)
   }
 
+  test("d14 selfrep scrub: duplicated spans survive only in their " +
+      "first owner; untouched docs keep their exact text") {
+    val spark2 = SparkSpec.spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words alpha beta gamma delta epsilon tail end"),
+      (3L, "totally unrelated words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.selfrepScrubFrom(docs, k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"),
+          r.getAs[String]("clean_md5"))).toMap
+    // doc 1 owns the shared span (lowest doc_id) — nothing masked
+    assert(out(1L) == ((6L, 0L,
+      md5Hex("alpha beta gamma delta epsilon zeta"))))
+    // doc 2 loses exactly the 5-token duplicated span, keeps the rest
+    assert(out(2L) == ((9L, 5L, md5Hex("intro words tail end"))))
+    // doc 3 shares nothing — untouched
+    assert(out(3L) == ((5L, 0L,
+      md5Hex("totally unrelated words only here"))))
+  }
+
+  test("d14 selfrep scrub at corpus scale: masking happens, keepers " +
+      "retain every duplicated span once") {
+    val rows = run("d14_selfrep_scrub").collect()
+    assert(rows.length == 500)
+    val masked = rows.map(_.getAs[Long]("n_masked")).sum
+    assert(masked > 0, "synthetic corpus has cross-doc dups; none masked")
+    // never mask more than the doc holds, and some docs stay whole
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_masked") <= r.getAs[Long]("n_tok")))
+    assert(rows.count(_.getAs[Long]("n_masked") == 0L) > 0)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("d11 overlap scrub: masks exactly the docs d7 flags, ≥k tokens each") {
     val rows = run("d11_overlap_scrub").collect()
     assert(rows.nonEmpty)
