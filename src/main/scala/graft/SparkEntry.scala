@@ -96,6 +96,7 @@ object SparkEntry {
     "t15_shuffle_shard"    -> q(TextAnalysis.t15ShuffleShard(_)),
     "t16_ccnet_buckets"    -> q(TextAnalysis.t16CcnetBuckets),
     "t17_mixture_weights"  -> q(TextAnalysis.t17MixtureWeights(_)),
+    "t18_dsir_select"      -> q(TextAnalysis.t18DsirSelect(_)),
     "s1_ann_bruteforce"   -> q(Ann.s1AnnBruteforce(_)),
     "s2_ann_lsh"          -> q(Ann.s2AnnLsh(_)),
     "s3_ann_ivf"          -> q(Ann.s3AnnIvf(_)),

@@ -638,6 +638,58 @@ object TextAnalysis {
     if (sorted) out.orderBy("shard", "pos") else out
   }
 
+  /** t18: DSIR DATA SELECTION (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — rank the raw pool
+    * by how TARGET-LIKE each document's unigram distribution is:
+    * score(doc) = Σ_w c_w(doc) · [ln p̂_tgt(w) − ln p̂_raw(w)] with
+    * Laplace-smoothed (+1 over the shared corpus vocabulary) unigram
+    * models estimated from the target slice (`lang = 'en'` here —
+    * "select non-English docs that read most like the English
+    * distribution" is the cross-lingual transfer shape, but any
+    * predicate works) and from the whole raw corpus. The top-`topN`
+    * non-target docs by (rounded score, doc_id) are the selection a
+    * mixture recipe (t17 → t7) would up-sample.
+    *
+    * Scale: two vocabulary-sized model frames (term → count, map-side
+    * partial aggregates) joined onto the per-(doc, term) counts with
+    * NO broadcast hints — vocabulary grows with the corpus, so AQE
+    * must own the join strategy (t13's LM-join contract); the totals
+    * ride as a broadcast 1-row aggregate; scoring is one
+    * groupBy(doc_id) and the selection a TakeOrdered top-N, never a
+    * global sort. DSIR at web scale hashes features into a fixed-
+    * width table — the exact-unigram form here is the same plan with
+    * `term` already bucketed.
+    */
+  def t18DsirSelect(t: Tables, targetLang: String = "en",
+      topN: Int = 100): DataFrame = {
+    graft.Caches.fresh()
+    val toks = graft.Caches.materialized(
+      t.documents.select(col("doc_id"), col("lang"),
+        explode(Text.tokenize(col("text"))).as("term")))
+    val raw = toks.groupBy("term").agg(count(lit(1)).as("c_r"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("term").agg(count(lit(1)).as("c_t"))
+    val totals = toks.agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"),
+      countDistinct("term").as("v"))
+    toks.filter(col("lang") =!= targetLang)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .join(raw, "term")
+      .join(tgt, Seq("term"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", col("c") *
+        (log((col("c_t") + 1).cast("double") / (col("n_t") + col("v"))) -
+         log((col("c_r") + 1).cast("double") / (col("n_r") + col("v")))))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), sum("contrib").as("raw_score"))
+      .select(col("doc_id"), col("n_tok"),
+        roundP(col("raw_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   private val tokCte =
     """tt AS (
       |  SELECT doc_id, lang, length(text) AS n_chars_t,
@@ -703,6 +755,30 @@ object TextAnalysis {
     // integer-valued weight numerators (floor(√n_tok·10⁶) summed as
     // BIGINT) make every ratio a division of exactly-representable
     // integers — identical doubles in any IEEE engine
+    "t18_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS term
+        |  FROM documents),
+        |raw AS (SELECT term, count(*) AS c_r FROM toks GROUP BY term),
+        |tgt AS (SELECT term, count(*) AS c_t FROM toks
+        |        WHERE lang = 'en' GROUP BY term),
+        |tot AS (SELECT count(*) AS n_r,
+        |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+        |               count(DISTINCT term) AS v
+        |        FROM toks),
+        |dt AS (SELECT doc_id, term, count(*) AS c FROM toks
+        |       WHERE lang <> 'en' GROUP BY doc_id, term),
+        |s AS (
+        |  SELECT dt.doc_id, sum(dt.c) AS n_tok,
+        |    sum(dt.c * (ln(CAST(coalesce(tg.c_t, 0) + 1 AS DOUBLE) / (tot.n_t + tot.v)) -
+        |                ln(CAST(r.c_r + 1 AS DOUBLE) / (tot.n_r + tot.v)))) AS raw_score
+        |  FROM dt JOIN raw r USING (term) LEFT JOIN tgt tg USING (term), tot
+        |  GROUP BY dt.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  floor(raw_score * 10000 + 0.5) / 10000.0 AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "t17_mixture_weights" ->
       """WITH tt AS (
         |  SELECT source,

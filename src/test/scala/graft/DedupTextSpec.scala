@@ -625,6 +625,40 @@ class DedupTextSpec extends SparkSpec {
       r.getAs[Long]("doc_id") != r.getAs[Long]("grp")))
   }
 
+  test("t18 DSIR selection: target-vocabulary docs outrank disjoint " +
+      "ones; corpus selection excludes the target slice") {
+    // constructed drill: the non-target doc sharing the target's
+    // vocabulary must outscore the one with disjoint vocabulary
+    val spark2 = SparkSpec.spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "en", "spark engine data pipeline spark data"),
+      (2L, "en", "spark pipeline engine shuffle data"),
+      (10L, "de", "spark data engine pipeline shuffle spark"),
+      (11L, "de", "katze hund vogel fisch baum blume")
+    ).toDF("doc_id", "lang", "text")
+    val dir = graft.Staging.scratch("t18drill")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the drill corpus has no other tables — Tables reads lazily, so
+    // only documents is touched
+    val out = graft.operators.TextAnalysis
+      .t18DsirSelect(graft.Tables(spark2, dir)).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+    assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
+    // corpus scale: 100 selected, none from the target slice, scores
+    // ranked descending with the doc_id tie-break
+    val sel = run("t18_dsir_select").collect()
+    assert(sel.length == 100)
+    val langs = graft.Tables(spark2, sf).documents
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sel.forall(r => langs(r.getLong(0)) != "en"))
+    val scores = sel.map(r =>
+      (r.getAs[Double]("score"), r.getLong(0)))
+    assert(scores.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+  }
+
   test("t16 ccnet buckets: thirds by ppl order, boundaries consistent") {
     val rows = run("t16_ccnet_buckets").collect()
     assert(rows.nonEmpty)
