@@ -165,7 +165,7 @@ object Io {
     * status counts, exact money sum (DECIMAL(18,2) → double per the
     * oracle hash policy), key span.
     */
-  private def statusAgg(df: DataFrame): DataFrame =
+  private[graft] def statusAgg(df: DataFrame): DataFrame =
     df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")

@@ -2174,6 +2174,104 @@ object Streams {
     }
 
   // ----------------------------------------------------------------
+  // st18: CDC FOLLOW — a downstream mirror maintained from the
+  // commit log, version by version
+  // ----------------------------------------------------------------
+
+  /** st18: INCREMENTAL CDC FOLLOW — the consumption half of io8's
+    * change feed: a downstream MIRROR table maintained from
+    * [[graft.sources.TableLog]]'s commit history version by version
+    * (Delta's "streaming CDF source → MERGE sink" deployment shape).
+    * The follower persists a CURSOR (last applied version); each step
+    * row-diffs snapshot v−1 → v (io8's insert/update/delete
+    * classification, carrying the full new-side row) and applies the
+    * change set with ONE key-partitioned merge: changed keys leave
+    * the mirror via an anti-join, the new side of inserts/updates
+    * unions back in. Re-applying a version is structurally
+    * idempotent — the anti-join removes whatever a prior
+    * half-applied attempt left — so a crash between the mirror swap
+    * and the cursor write heals on retry; a version at-or-under the
+    * cursor is a no-op; the mirror rewrite itself is the crash-safe
+    * two-rename [[swapStateDir]]. Serving aggregates the MIRROR,
+    * which after following to the head must equal the source's live
+    * snapshot — io11's oracle verbatim, computed WITHOUT ever
+    * scanning the source at serve time.
+    *
+    * Scale: the apply join is keyed by the primary key with a
+    * change-sized build side; the diff here reads two snapshots, but
+    * the log's per-version actions NAME the changed files — a
+    * deployment diffs only those, unchanged files being shared
+    * between snapshots by identity — and the mirror rewrite is
+    * copy-on-write (io12's bin-packing applies to the mirror as to
+    * any lake table). Resume replays nothing version-count-sized:
+    * the cursor seeks straight to the first unapplied version.
+    */
+  def st18StreamCdcFollow(t: Tables): DataFrame = {
+    val spark = t.spark
+    val log = graft.sources.Io.ordersLog(t)
+    val root = graft.Staging.dir(s"${t.dir}:st18", "st18") { d =>
+      val latest = log.latestVersion.getOrElse(-1L)
+      (0L to latest).foreach(v => st18FollowStep(spark, d, log, v))
+    }
+    graft.sources.Io.statusAgg(st18Mirror(spark, root))
+  }
+
+  /** The follower's mirror table (crash-recovered read). */
+  private[graft] def st18Mirror(
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val dir = s"$root/mirror"
+    recoverStateDir(dir)
+    if (st13HasData(dir))
+      spark.read.schema(graft.sources.Io.ordersSchema).parquet(dir)
+    else
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.sources.Io.ordersSchema)
+  }
+
+  /** ONE follow step: diff snapshots v−1 → v from the log, merge the
+    * change set into the mirror, advance the cursor. Idempotent under
+    * redelivery (cursor) and under re-application after a crash (the
+    * anti-join + union is a set overwrite of exactly the changed
+    * keys).
+    */
+  private[graft] def st18FollowStep(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      log: graft.sources.TableLog, v: Long): Unit = {
+    val cursor = loadMeta(root, "cursor.meta").map(_.toLong).getOrElse(-1L)
+    if (v <= cursor) return
+    val schema = graft.sources.Io.ordersSchema
+    val cols = schema.fieldNames.toSeq
+    def sided(df: DataFrame, side: String) =
+      df.select(col("o_orderkey").as("k"),
+        struct(cols.map(col): _*).as(side))
+    val newSnap = log.read(spark, schema, v)
+    val oldSide =
+      if (v == 0L)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("o", schema))))
+      else sided(log.read(spark, schema, v - 1), "o")
+    val changes = graft.Caches.materialized(
+      oldSide.join(sided(newSnap, "n"), Seq("k"), "full")
+        .filter(col("o").isNull || col("n").isNull || col("o") =!= col("n")))
+    val upserts = changes.filter(col("n").isNotNull).select(col("n.*"))
+    val changedKeys = changes.select(col("k").as("o_orderkey"))
+    val mirrorDir = s"$root/mirror"
+    val next = st18Mirror(spark, root)
+      .join(changedKeys, Seq("o_orderkey"), "left_anti")
+      .unionByName(upserts)
+    val tmp = s"$mirrorDir.next"
+    next.write.mode("overwrite").parquet(tmp)
+    graft.Caches.drop(changes)
+    swapStateDir(mirrorDir, tmp)
+    saveMeta(root, "cursor.meta", v.toString)
+  }
+
+  // ----------------------------------------------------------------
   // st15: incremental VECTOR-index (IVF) maintenance
   // ----------------------------------------------------------------
 
@@ -2463,6 +2561,12 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // following the commit log to its head must reproduce the live
+    // snapshot in the mirror — io11's relational reconstruction of
+    // the post-erasure state, verbatim (the mirror never scans the
+    // source at serve time, which is what the gate proves)
+    "st18_stream_cdc_follow" ->
+      graft.sources.Io.oracle("io11_vacuum"),
     // pinned codebook + exactly-once arrivals make maintained serving
     // equal batch s3's per probe, so the recall measurement equals
     // s8 — its full k-means-replay oracle verbatim

@@ -405,6 +405,44 @@ class AnnStreamSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("st18 CDC follow: mirror equals the live snapshot row-for-row; " +
+      "redelivery no-ops; re-applying a version after a torn cursor heals") {
+    val t = Tables(spark, sf)
+    // following to the head reproduces the live snapshot exactly
+    // (serve-path agg is gated by the oracle; this is the row-level
+    // form), and the serve never scans the source
+    run("st18_stream_cdc_follow").collect()
+    val root = graft.Staging.lookup(s"${t.dir}:st18").get
+    val log = graft.sources.Io.ordersLog(t)
+    val latest = log.latestVersion.get
+    val mirror = graft.streaming.Streams.st18Mirror(spark, root)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val live = log.read(spark, graft.sources.Io.ordersSchema, latest)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(mirror.nonEmpty && mirror.toSeq == live.toSeq)
+    // a redelivered (already-applied) version is dropped by the cursor
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/mirror"))
+    graft.streaming.Streams.st18FollowStep(spark, root, log, latest)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/mirror")) == before,
+      "redelivered version rewrote the mirror")
+    // crash drill: cursor torn back one version (the crash window is
+    // between the mirror swap and the cursor write) — re-applying the
+    // head version against the already-current mirror must heal to
+    // the same state, not duplicate or drop rows
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "cursor.meta"),
+      (latest - 1).toString.getBytes("UTF-8"))
+    graft.streaming.Streams.st18FollowStep(spark, root, log, latest)
+    val healed = graft.streaming.Streams.st18Mirror(spark, root)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(healed.toSeq == live.toSeq, "re-applied version diverged")
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "cursor.meta")).get(0).trim
+      == latest.toString)
+  }
+
   test("st13 incremental group maintenance equals batch d6 bit-for-bit") {
     // connectivity through the compressed edge log must reproduce the
     // batch CC over full pair evidence exactly: same components, same
