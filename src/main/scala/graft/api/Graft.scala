@@ -991,6 +991,55 @@ object Graft {
       df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v")), m, k, iters, dim)
 
+  /** SQ8 scalar-quantization encode: per-dimension min/max over `df`
+    * define 256 uniform buckets; every vector becomes one byte per
+    * dimension (4× under float32, NO codebook training — the
+    * quantization tier below [[pqEncode]]). Returns (vec_id, codes,
+    * qerr) with `codes` the dash-joined byte string. Trains (one
+    * 1-row aggregate) per call — [[pqEncode]]'s contract.
+    */
+  def sqEncode(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): DataFrame =
+    graft.operators.Ann.sqTrainEncode(
+      df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")), dim)
+
+  /** SQ8 asymmetric search: score every vector of `df` by exact L2²
+    * of the full-precision `queryVec` against its bucket-center
+    * reconstruction, (d_est, vec_id) top-`k`. One scan + projection +
+    * TakeOrdered; at lake scale the scan reads the stored code
+    * column, and composes with IVF list pruning unchanged.
+    */
+  def sqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int = 10, dim: Int = 64): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val (mins, scales) = graft.operators.Ann.sqModelFrom(vecs, dim)
+    graft.operators.Ann.sqSearchFrame(vecs, mins, scales, queryVec, k)
+  }
+
+  /** Corpus-internal duplicated-span scrub (the ExactSubstr policy):
+    * word-`k`-gram spans appearing in more than one document are
+    * masked everywhere except their first owner (lowest id) — one
+    * copy of duplicated material survives, documents are kept.
+    * Returns (doc_id, n_tok, n_masked, clean_md5) per doc.
+    */
+  def selfrepScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame =
+    graft.operators.Dedup.selfrepScrubFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
+  /** DSIR data selection: rank `df`'s documents OUTSIDE the target
+    * group by how target-like their unigram distribution is
+    * (Laplace-smoothed log-ratio of the `grpCol == target` slice's
+    * unigram model vs the whole frame's), returning the `topN`
+    * selection as (doc_id, n_tok, score).
+    */
+  def dsirSelect(df: DataFrame, idCol: String, grpCol: String,
+      textCol: String, target: String, topN: Int = 100): DataFrame =
+    graft.operators.TextAnalysis.dsirSelectFrom(
+      df, idCol, grpCol, textCol, target, topN)
+
   // ---- versioned tables (the lake metadata layer) ----
 
   /** Open (or lazily create) the versioned commit log at `root` —
@@ -1034,6 +1083,46 @@ object Graft {
           .map(f => graft.sources.TableLog.Remove(f.path))
       else Nil
     log.commit(removes ++ adds, tag)
+  }
+
+  /** An incremental CDC FOLLOWER over a versioned table: maintains a
+    * downstream MIRROR of the [[tableLog]] at `sourceRoot` by
+    * applying version-to-version row diffs keyed on `keyCol`. The
+    * follower persists a cursor at `stateRoot` — `follow()` seeks to
+    * the first unapplied version and applies forward (nothing
+    * version-count-sized on resume), a redelivered version no-ops,
+    * and re-applying after a crash heals (the apply is a set
+    * overwrite of exactly the changed keys). `mirror` reads the
+    * maintained copy without touching the source.
+    */
+  final class CdcFollower private[api] (
+      spark: org.apache.spark.sql.SparkSession,
+      log: graft.sources.TableLog, stateRoot: String, keyCol: String,
+      schema: org.apache.spark.sql.types.StructType) {
+    /** Apply every version up to and including `v`. */
+    def followTo(v: Long): Unit =
+      (0L to v).foreach(u => graft.streaming.Streams
+        .st18FollowStep(spark, stateRoot, log, u, schema, keyCol))
+    /** Apply every committed version (catch up to the head). */
+    def follow(): Unit = log.latestVersion.foreach(followTo)
+    /** The maintained mirror table. */
+    def mirror: DataFrame =
+      graft.streaming.Streams.st18Mirror(spark, stateRoot, schema)
+  }
+
+  /** Open a CDC follower for the versioned table at `sourceRoot`,
+    * with follower state (mirror + cursor) at `stateRoot`. The row
+    * schema is inferred from the source's latest snapshot.
+    */
+  def cdcFollow(spark: org.apache.spark.sql.SparkSession,
+      sourceRoot: String, stateRoot: String,
+      keyCol: String): CdcFollower = {
+    val log = graft.sources.TableLog.open(sourceRoot)
+    val files = log.latestVersion.toSeq.flatMap(log.snapshot).map(_.path)
+    require(files.nonEmpty,
+      s"no committed snapshot at $sourceRoot to infer the schema from")
+    new CdcFollower(spark, log, stateRoot, keyCol,
+      spark.read.parquet(files: _*).schema)
   }
 
   // ---- events ----

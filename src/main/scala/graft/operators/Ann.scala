@@ -876,19 +876,34 @@ object Ann {
   private[graft] def sqModel(t: Tables,
       dim: Int = 64): (Array[Double], Array[Double]) =
     sqModels.synchronized {
-      sqModels.getOrElseUpdate((t.dir, dim), {
-        val vecs = t.embeddings
-          .select(col("embedding").cast("array<double>").as("v"))
-        val aggs =
-          (0 until dim).map(i => min(element_at(col("v"), i + 1))) ++
-            (0 until dim).map(i => max(element_at(col("v"), i + 1)))
-        val row = vecs.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val mins = Array.tabulate(dim)(i => row.getDouble(i))
-        val scales =
-          Array.tabulate(dim)(i => (row.getDouble(dim + i) - mins(i)) / 256.0)
-        (mins, scales)
-      })
+      sqModels.getOrElseUpdate((t.dir, dim),
+        sqModelFrom(t.embeddings
+          .select(col("embedding").cast("array<double>").as("v")), dim))
     }
+
+  /** The SQ8 model over an arbitrary (…, v) frame — no memoization
+    * (an arbitrary frame has no stable identity, [[pqTrainEncode]]'s
+    * contract).
+    */
+  private[graft] def sqModelFrom(vecs: DataFrame,
+      dim: Int): (Array[Double], Array[Double]) = {
+    val aggs =
+      (0 until dim).map(i => min(element_at(col("v"), i + 1))) ++
+        (0 until dim).map(i => max(element_at(col("v"), i + 1)))
+    val row = vecs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mins = Array.tabulate(dim)(i => row.getDouble(i))
+    val scales =
+      Array.tabulate(dim)(i => (row.getDouble(dim + i) - mins(i)) / 256.0)
+    (mins, scales)
+  }
+
+  /** Train-and-encode over an arbitrary (vec_id, v) frame — the
+    * `Graft.sqEncode` facade entry.
+    */
+  private[graft] def sqTrainEncode(vecs: DataFrame, dim: Int): DataFrame = {
+    val (mins, scales) = sqModelFrom(vecs, dim)
+    sqEncodeFrame(vecs, mins, scales)
+  }
 
   /** Per-dimension uint8 codes: code_i = clamp(⌊(v_i − min_i)/
     * scale_i⌋, 0, 255) (0 where the dimension is constant). Pure
@@ -983,8 +998,19 @@ object Ann {
       .select("v").collect().headOption
     if (pvRow.isEmpty)
       return vecs.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
-    val q = typedLit(pvRow.get.getSeq[Double](0))
-    vecs.filter(col("vec_id") =!= probeId)
+    sqSearchFrame(vecs.filter(col("vec_id") =!= probeId),
+      mins, scales, pvRow.get.getSeq[Double](0), k)
+  }
+
+  /** The s13 serving scan over any (vec_id, v) frame: asymmetric L2²
+    * of a full-precision query against each vector's bucket-center
+    * reconstruction, (d_est, vec_id) top-`k` — batch entry and the
+    * `Graft.sqSearch` facade share it verbatim.
+    */
+  private[graft] def sqSearchFrame(vecs: DataFrame, mins: Array[Double],
+      scales: Array[Double], queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(queryVec)
+    vecs
       .withColumn("rec",
         sqReconstruct(sqCodes(col("v"), mins, scales), mins, scales))
       .select(col("vec_id"),

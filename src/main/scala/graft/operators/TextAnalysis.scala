@@ -661,19 +661,28 @@ object TextAnalysis {
     * `term` already bucketed.
     */
   def t18DsirSelect(t: Tables, targetLang: String = "en",
+      topN: Int = 100): DataFrame =
+    dsirSelectFrom(t.documents, "doc_id", "lang", "text", targetLang, topN)
+
+  /** DataFrame-form core of t18 over any (idCol, grpCol, textCol)
+    * frame — the `Graft.dsirSelect` facade entry. `target` names the
+    * grpCol value whose docs define the target distribution.
+    */
+  private[graft] def dsirSelectFrom(docsIn: DataFrame, idCol: String,
+      grpCol: String, textCol: String, target: String,
       topN: Int = 100): DataFrame = {
     graft.Caches.fresh()
     val toks = graft.Caches.materialized(
-      t.documents.select(col("doc_id"), col("lang"),
-        explode(Text.tokenize(col("text"))).as("term")))
+      docsIn.select(col(idCol).as("doc_id"), col(grpCol).as("grp"),
+        explode(Text.tokenize(col(textCol))).as("term")))
     val raw = toks.groupBy("term").agg(count(lit(1)).as("c_r"))
-    val tgt = toks.filter(col("lang") === targetLang)
+    val tgt = toks.filter(col("grp") === target)
       .groupBy("term").agg(count(lit(1)).as("c_t"))
     val totals = toks.agg(
       count(lit(1)).as("n_r"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("grp") === target, 1L).otherwise(0L)).as("n_t"),
       countDistinct("term").as("v"))
-    toks.filter(col("lang") =!= targetLang)
+    toks.filter(col("grp") =!= target)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
       .join(raw, "term")
       .join(tgt, Seq("term"), "left")

@@ -2218,15 +2218,16 @@ object Streams {
 
   /** The follower's mirror table (crash-recovered read). */
   private[graft] def st18Mirror(
-      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType =
+        graft.sources.Io.ordersSchema): DataFrame = {
     val dir = s"$root/mirror"
     recoverStateDir(dir)
     if (st13HasData(dir))
-      spark.read.schema(graft.sources.Io.ordersSchema).parquet(dir)
+      spark.read.schema(schema).parquet(dir)
     else
       spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        graft.sources.Io.ordersSchema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
   /** ONE follow step: diff snapshots v−1 → v from the log, merge the
@@ -2237,13 +2238,15 @@ object Streams {
     */
   private[graft] def st18FollowStep(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      log: graft.sources.TableLog, v: Long): Unit = {
+      log: graft.sources.TableLog, v: Long,
+      schema: org.apache.spark.sql.types.StructType =
+        graft.sources.Io.ordersSchema,
+      keyCol: String = "o_orderkey"): Unit = {
     val cursor = loadMeta(root, "cursor.meta").map(_.toLong).getOrElse(-1L)
     if (v <= cursor) return
-    val schema = graft.sources.Io.ordersSchema
     val cols = schema.fieldNames.toSeq
     def sided(df: DataFrame, side: String) =
-      df.select(col("o_orderkey").as("k"),
+      df.select(col(keyCol).as("k"),
         struct(cols.map(col): _*).as(side))
     val newSnap = log.read(spark, schema, v)
     val oldSide =
@@ -2259,10 +2262,10 @@ object Streams {
       oldSide.join(sided(newSnap, "n"), Seq("k"), "full")
         .filter(col("o").isNull || col("n").isNull || col("o") =!= col("n")))
     val upserts = changes.filter(col("n").isNotNull).select(col("n.*"))
-    val changedKeys = changes.select(col("k").as("o_orderkey"))
+    val changedKeys = changes.select(col("k").as(keyCol))
     val mirrorDir = s"$root/mirror"
-    val next = st18Mirror(spark, root)
-      .join(changedKeys, Seq("o_orderkey"), "left_anti")
+    val next = st18Mirror(spark, root, schema)
+      .join(changedKeys, Seq(keyCol), "left_anti")
       .unionByName(upserts)
     val tmp = s"$mirrorDir.next"
     next.write.mode("overwrite").parquet(tmp)

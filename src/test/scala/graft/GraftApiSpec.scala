@@ -771,6 +771,51 @@ class GraftApiSpec extends SparkSpec {
     assert(log.tagVersion("rewrite").contains(v2))
   }
 
+  test("cdcFollow on an ad-hoc versioned table: mirror tracks the " +
+      "head across append and rewrite, resume applies only new versions") {
+    val src = graft.Staging.scratch("api_cdc_src")
+    val st = graft.Staging.scratch("api_cdc_state")
+    val gen1 = (1L to 60L).map(i => (i, s"v$i")).toDF("k", "payload")
+    Graft.tableCommit(gen1, src, "k")
+    val f = Graft.cdcFollow(session, src, st, "k")
+    f.follow()
+    assert(f.mirror.count() == 60L)
+    // a rewrite version: keys 1-30 updated, 31-60 dropped, 100+ added
+    val gen2 = ((1L to 30L).map(i => (i, s"u$i")) ++
+      (101L to 110L).map(i => (i, s"n$i"))).toDF("k", "payload")
+    Graft.tableCommit(gen2, src, "k", replace = true)
+    f.follow()
+    val m = f.mirror.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 40 && m(1L) == "u1" && m(101L) == "n101" &&
+      !m.contains(31L))
+    // a fresh follower over the same state resumes from the cursor —
+    // following again applies nothing and the mirror is unchanged
+    val f2 = Graft.cdcFollow(session, src, st, "k")
+    f2.follow()
+    assert(f2.mirror.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap == m)
+  }
+
+  test("sqEncode/sqSearch on an ad-hoc frame: exact-match neighbor " +
+      "ranks first, codes stay in byte range") {
+    val vecs = Seq(
+      (1L, Array(0.0, 0.0, 1.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.2)),
+      (3L, Array(0.1, 0.9, 0.3, 0.0)),
+      (4L, Array(0.89, 0.11, 0.01, 0.19))).toDF("id", "emb")
+    val enc = Graft.sqEncode(vecs, "id", "emb", dim = 4).collect()
+    assert(enc.length == 4)
+    enc.foreach { r =>
+      val codes = r.getAs[String]("codes").split("-").map(_.toInt)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c <= 255))
+      assert(r.getAs[Double]("qerr") >= 0.0)
+    }
+    // query at vector 2 — its near-twin 4 must rank above the rest
+    val hits = Graft.sqSearch(vecs.filter(col("id") =!= 2L), "id", "emb",
+      Seq(0.9, 0.1, 0.0, 0.2), k = 3, dim = 4).collect()
+    assert(hits.head.getLong(0) == 4L)
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
