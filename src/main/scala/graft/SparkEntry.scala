@@ -46,6 +46,7 @@ object SparkEntry {
     "q23_table_profile"  -> q(Relational.q23TableProfile(_)),
     "q23_profile_approx" -> q(Relational.q23TableProfile(_, approx = true)),
     "q24_gap_fill"       -> q(Relational.q24GapFill(_)),
+    "q25_grouping_sets"  -> q(Relational.q25GroupingSets),
     "r1_classify_files"  -> q(Ingest.r1ClassifyFiles),
     "r2_frontmatter"     -> q(Ingest.r2Frontmatter),
     "r3_strip_fence"     -> q(Ingest.r3StripFence),
@@ -112,6 +113,7 @@ object SparkEntry {
     "s11_ivfpq_rerank"    -> q(Ann.s11IvfPqRerank(_)),
     "s12_sq_encode"       -> q(Ann.s12SqEncode(_)),
     "s13_sq_search"       -> q(Ann.s13SqSearch(_)),
+    "s14_ivfsq_search"    -> q(Ann.s14IvfSqSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

@@ -1021,12 +1021,45 @@ object Ann {
       .limit(k)
   }
 
-  /** Shared SQ replay CTEs: per-dim min/max model + the per-(vec, dim)
-    * coded rows c(vec_id, i, x, mn, sc, code) both SQ oracles read.
+  /** s14: IVF-SQ SEARCH — the IVF coarse pruning composed with SQ8
+    * serving (FAISS's IVF-SQ8 index, the memory tier between IVF-flat
+    * and IVF-PQ): the probe's `nProbe` nearest lists are scanned
+    * (s3's pruning contract) and every vector in them is scored by
+    * asymmetric L2² against its SQ8 reconstruction (s13's serving
+    * contract) — 4× less I/O than IVF-flat at near-flat recall, no
+    * codebook training beyond the coarse quantizer. The SQ model
+    * stays CORPUS-GLOBAL (per-dim min/max — the standard layout;
+    * residual-range-per-list is a model change, s10's axis).
+    *
+    * Scale: serving reads nProbe/nLists of the corpus as stored
+    * 64 B/vector codes (cid the partition key, st15's maintained
+    * layout), then projection + TakeOrdered — both pruning factors
+    * and the compression multiply, each independently tunable.
     */
-  private def sqReplayCtes(dim: Int): String =
-    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |mm AS (
+  def s14IvfSqSearch(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 2, dim: Int = 64, k: Int = 10): DataFrame = {
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val (mins, scales) = sqModel(t, dim)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("v"),
+        slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe).as("pls"))
+      .collect().headOption
+    if (probe.isEmpty)
+      return assigned.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
+    val probeLists = probe.get.getSeq[Int](1)
+    sqSearchFrame(
+      assigned.filter(col("cid").isin(probeLists: _*))
+        .filter(col("vec_id") =!= probeId)
+        .select("vec_id", "v"),
+      mins, scales, probe.get.getSeq[Double](0), k)
+  }
+
+  /** SQ model + encode replay assuming a `vv(vec_id, v)` CTE is
+    * already in scope: per-dim min/max `mm` and the per-(vec, dim)
+    * coded rows c(vec_id, i, x, mn, sc, code) every SQ oracle reads.
+    */
+  private def sqModelCtes(dim: Int): String =
+    s"""mm AS (
        |  SELECT i, min(v[CAST(i AS INT)]) AS mn, max(v[CAST(i AS INT)]) AS mx
        |  FROM vv, (SELECT unnest(range(1, ${dim + 1})) AS i) ii
        |  GROUP BY i),
@@ -1037,6 +1070,11 @@ object Ann {
        |           floor((v[CAST(i AS INT)] - mn) / ((mx - mn) / 256)))) AS INT)
        |    END AS code
        |  FROM vv CROSS JOIN mm)""".stripMargin
+
+  /** Shared SQ replay CTEs: the corpus view + [[sqModelCtes]]. */
+  private def sqReplayCtes(dim: Int): String =
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${sqModelCtes(dim)}""".stripMargin
 
   /** s10 oracle: the s3 coarse replay, the residual derivation over
     * the final assignment, then s5's per-subspace Lloyd's replay with
@@ -1289,6 +1327,35 @@ object Ann {
          |      ORDER BY i)), 4) AS qerr
          |  FROM c GROUP BY vec_id)
          |SELECT vec_id, codes, qerr FROM e ORDER BY vec_id""".stripMargin,
+    // both models replayed (s3's coarse k-means for the list pruning,
+    // the SQ min/max for the scoring) — probe-list choice, then the
+    // asymmetric L2² ranking restricted to the pruned lists
+    "s14_ivfsq_search" ->
+      s"""WITH $kmeansReplayCte,
+         |${sqModelCtes(64)},
+         |pr AS (
+         |  SELECT cid FROM (
+         |    SELECT cc.cid, row_number() OVER (ORDER BY
+         |      list_dot_product(p.v, cc.cv) /
+         |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |      cc.cid) AS rn
+         |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+         |         (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT a.vec_id FROM af a JOIN pr ON a.cid = pr.cid
+         |  WHERE a.vec_id <> 0),
+         |p AS (SELECT i, x AS qx FROM c WHERE vec_id = 0),
+         |d AS (
+         |  SELECT c.vec_id,
+         |    round(list_sum(list(
+         |      (p.qx - (c.mn + (c.code + 0.5) * c.sc)) *
+         |      (p.qx - (c.mn + (c.code + 0.5) * c.sc)) ORDER BY c.i)), 4)
+         |      AS d_est
+         |  FROM c JOIN cand USING (vec_id) JOIN p USING (i)
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, d_est FROM d ORDER BY d_est, vec_id LIMIT 10"""
+        .stripMargin,
     // the same replay + the probe's full-precision row vs every
     // vector's reconstruction: asymmetric L2², rounded top-10
     "s13_sq_search" ->

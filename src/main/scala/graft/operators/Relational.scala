@@ -619,6 +619,27 @@ object Relational {
     * (users × hours), never event-bounded — the operator's output is
     * the resampled series a feature store materializes.
     */
+  /** q25: GROUPING SETS — three heterogeneous reports in ONE pass:
+    * revenue/count by (returnflag, linestatus), by linestatus ALONE,
+    * and the grand total. Unlike q3's rollup / q15's cube, the sets
+    * are not prefix- or powerset-shaped — exactly the case where
+    * GROUPING SETS is the only one-pass form. Spark expands the sets
+    * into one Expand + ONE hash aggregate (one shuffle serving all
+    * three reports, vs three separate scans); null patterns identify
+    * the set a row belongs to (grouping columns are non-null in the
+    * data, pinned by the orderBy gate).
+    */
+  def q25GroupingSets(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
   def q24GapFill(t: Tables, maxUser: Long = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t.events.filter(col("user_id") < maxUser)
@@ -883,6 +904,13 @@ object Relational {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
         |FROM events GROUP BY hour(ts) ORDER BY hr""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q15_cube" ->
       """SELECT c_mktsegment, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -1576,6 +1576,22 @@ class AnnStreamSpec extends SparkSpec {
       s"SQ8 missed exact neighbors: ${(ex -- sq).toSeq.sorted}")
   }
 
+  test("s14 IVF-SQ: pruning off reproduces the full SQ scan; pruned " +
+      "serving stays within the probe's lists") {
+    val t = Tables(spark, sf)
+    // nProbe = nLists ⇒ no pruning ⇒ bit-identical to s13's full scan
+    val full = graft.operators.Ann
+      .s14IvfSqSearch(t, nLists = 16, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    val flat = run("s13_sq_search").collect().map(_.toSeq).toSeq
+    assert(full == flat, "unpruned IVF-SQ diverged from the flat scan")
+    // the pruned form returns k rows in (d_est, vec_id) order
+    val pruned = run("s14_ivfsq_search").collect()
+    assert(pruned.length == 10)
+    val ds = pruned.map(_.getAs[Double]("d_est"))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
   test("s2 candidate-bounded cut: tauFor holds the expected bulk " +
       "admission flat as the corpus grows; sandbox cut unchanged") {
     import graft.operators.Ann.{tauFor, hammingCdf, defaultTau}

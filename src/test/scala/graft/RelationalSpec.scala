@@ -139,6 +139,24 @@ class RelationalSpec extends SparkSpec {
     assert(priOnly.map(_.getAs[Long]("n")).sum == nOrders)
   }
 
+  test("q25 grouping sets: exactly the three declared reports, each " +
+      "internally consistent — no rollup/cube strata leak in") {
+    val rows = run("q25_grouping_sets").collect()
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // grand total: one all-null row carrying every lineitem
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == nLi)
+    // status-only report sums to the total
+    val statusOnly = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(statusOnly.nonEmpty &&
+      statusOnly.map(_.getAs[Long]("n")).sum == nLi)
+    // the (flag, status) report partitions the total too
+    val both = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(both.nonEmpty && both.map(_.getAs[Long]("n")).sum == nLi)
+    // and NO flag-only stratum exists — the sets are not a rollup
+    assert(!rows.exists(r => !r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("q17 asof join: every event matches its user's latest prior order") {
     import org.apache.spark.sql.functions._
     val rows = run("q17_asof_join").collect()
