@@ -144,6 +144,59 @@ class PlanSpec extends SparkSpec {
       s"scan reads the whole landed dir: $scanLine")
   }
 
+  test("s13: SQ8 serving is scan → fused projection → TakeOrdered, " +
+      "zero Exchange") {
+    val p = plan("s13_sq_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "SQ8 flat serving should never shuffle:\n" + p.take(800))
+    // the probe filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
+  }
+
+  test("q25: grouping sets run as ONE Expand + one aggregate shuffle " +
+      "serving all three reports") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("q25_grouping_sets")
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]) == 1)
+    val ex = nodes.collect { case e: ShuffleExchangeLike => e }
+      .map(_.toString.linesIterator.next())
+    // one hash exchange for the aggregate + the display-order range
+    assert(ex.count(_.contains("hashpartitioning")) == 1, ex.mkString("\n"))
+    assert(df.queryExecution.executedPlan.toString.contains("partial_sum"),
+      "grouping-sets aggregate not map-side partial")
+  }
+
+  test("t18: the only FORCED broadcast is the 1-row totals; the " +
+      "selection is a TakeOrdered, not a global sort") {
+    val df = run("t18_dsir_select")
+    // the vocabulary-sized model joins must reach the planner
+    // unhinted — broadcast-vs-shuffle is AQE's call at runtime
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.length == 1,
+      s"expected exactly the totals broadcast hint, saw ${hints.length}")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-N selection fell back to a global sort")
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     // compact plan strings mark WholeStageCodegen stages with "*(n)"
     assert(plan("q1_pricing_summary").contains("*(1)"))
