@@ -187,6 +187,21 @@ object Probe {
         graft.operators.Dedup.keepBestFrom(docs, 0.5).count(),
         graft.operators.Dedup.keepBestFrom(replicated(copies), 0.5)
           .count())
+      // disjoint vocab ⇒ the duplicated-span registry replicates
+      // exactly ×copies (no cross-copy spans) — wall should track the
+      // span-stream scan, the registry join staying AQE-owned
+      case "d14" => timed("d14",
+        graft.operators.Dedup.selfrepScrubFrom(docs).count(),
+        graft.operators.Dedup.selfrepScrubFrom(replicated(copies)).count())
+      // langs kept per copy ⇒ target slice and vocab both grow
+      // ×copies; the model joins must shift from broadcast toward
+      // shuffle under AQE without a plan rewrite
+      case "t18" => timed("t18",
+        graft.operators.TextAnalysis
+          .dsirSelectFrom(full, "doc_id", "lang", "text", "en").count(),
+        graft.operators.TextAnalysis
+          .dsirSelectFrom(replicatedFull(copies),
+            "doc_id", "lang", "text", "en").count())
       // shuffle-shard holds shard SIZE constant as the corpus grows
       // (nShards scales with copies — the corpus_bytes/shard_bytes
       // contract), so the per-shard position sort never grows
