@@ -571,6 +571,50 @@ object Io {
       log.read(t.spark, t.documents.schema, log.latestVersion.get))
   }
 
+  /** io13: SHALLOW CLONE — a ZERO-COPY clone of a versioned table
+    * (Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg snapshot
+    * branching): one metadata-only commit at a NEW log root whose
+    * Add actions reference the SOURCE's live snapshot files — no
+    * data byte moves, however large the table. The clone then
+    * evolves independently: commits to it never touch the source's
+    * log (spec-drilled with a post-clone append diverging the clone
+    * while the source's version and file list stay frozen), which is
+    * the dev/test-against-production-data workflow clones exist for.
+    * Serving reads the clone's snapshot — byte-identical to the
+    * source's live state, [[ordersLog]]'s v2 reconstruction (the
+    * hash gate).
+    *
+    * The documented shallow-clone hazard is preserved faithfully:
+    * the clone BORROWS the source's files, so a SOURCE vacuum can
+    * strand it (Delta documents exactly this); the clone's own
+    * vacuum is safe — its retained snapshot references the borrowed
+    * files, so they are never its dead set (spec-asserted).
+    *
+    * Scale: the clone commit is O(source file count) metadata — a
+    * 100 TB table clones in planner time; the clone's log is the
+    * same TableLog machinery, so OPTIMIZE/VACUUM/CDC compose on it
+    * unchanged.
+    */
+  def io13ShallowClone(t: Tables): DataFrame = {
+    val log = clonedLog(t)
+    statusAgg(log.read(t.spark, ordersSchema, log.latestVersion.get))
+  }
+
+  /** io13's clone root: ONE metadata commit referencing the source
+    * ordersLog's live snapshot files (staged once; spec access via
+    * the returned handle).
+    */
+  private[graft] def clonedLog(t: Tables): TableLog = {
+    val src = ordersLog(t)
+    val root = graft.Staging.dir(s"${t.dir}:clonelog", "io_clonelog") {
+      d =>
+        val files = src.latestVersion.toSeq.flatMap(src.snapshot)
+        TableLog.open(d).commit(files.map(TableLog.Add), tag = "clone")
+        ()
+    }
+    TableLog.open(root)
+  }
+
   /** Per-lang content fingerprint: count, char sum, md5 extremes —
     * collision-proof evidence the served rows are exactly the base
     * table's.
@@ -671,6 +715,34 @@ object Io {
       s"((($x >> $i) & 1) << ${2 * i})",
       s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
+  /** The LIVE (post-erasure v2) orders state's relational
+    * reconstruction, status-aggregated — the shared gate for every
+    * operator whose claim is "serves the live snapshot exactly"
+    * (io11's retention, io13's zero-copy clone, st18's mirror).
+    */
+  private[graft] val oracleLiveOrders: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |ins AS (
+      |  SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
+      |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 25 = 0),
+      |v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |v2 AS (
+      |  SELECT * FROM v1
+      |  WHERE NOT (o_orderkey >= 0 AND o_orderkey % 50 = 0))
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "io9_zorder" ->
       s"""WITH b AS (
@@ -733,31 +805,14 @@ object Io {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the post-vacuum LIVE snapshot is io4's merge minus the erased
+    // a zero-copy clone serves the source's live state byte-identically
+    // — the same v2 reconstruction; independence and the borrowed-file
+    // vacuum semantics are TableLogSpec's structural claims
+    "io13_shallow_clone" -> oracleLiveOrders,
     // keys — retention must keep it byte-intact, so the oracle is its
     // relational reconstruction (deletion of the dead versions is
     // asserted by TableLogSpec, invisible to answers by design)
-    "io11_vacuum" ->
-      """WITH upd AS (
-        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 10 = 0),
-        |ins AS (
-        |  SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
-        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 25 = 0),
-        |v1 AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |    o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 10 <> 0
-        |  UNION ALL SELECT * FROM upd
-        |  UNION ALL SELECT * FROM ins),
-        |v2 AS (
-        |  SELECT * FROM v1
-        |  WHERE NOT (o_orderkey >= 0 AND o_orderkey % 50 = 0))
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "io11_vacuum" -> oracleLiveOrders,
     // v2 = io4's relational merge minus erased keys; row-level full-
     // join diff classified insert/update/delete, sides NONE/0-filled
     "io8_change_feed" ->

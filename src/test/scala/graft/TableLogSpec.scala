@@ -48,6 +48,41 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone is zero-copy and independent: borrowed files, " +
+      "divergent append leaves the source frozen, clone vacuum safe") {
+    val t = Tables(spark, sf)
+    val src = graft.sources.Io.ordersLog(t)
+    run("io13_shallow_clone").collect()
+    val clone = graft.sources.Io.clonedLog(t)
+    val srcLive = src.snapshot(src.latestVersion.get).map(_.path).toSet
+    // zero copy: the clone's v0 file list IS the source's live list —
+    // and no parquet data landed under the clone root
+    assert(clone.snapshot(0L).map(_.path).toSet == srcLive)
+    assert(graft.sources.Io.parquetFilesRec(clone.root).isEmpty,
+      "clone root holds data files — the clone copied bytes")
+    // independence: an append to the CLONE diverges it while the
+    // source's head and file list stay frozen
+    val srcHead = src.latestVersion.get
+    val extra = t.orders.limit(10)
+      .withColumn("o_orderkey", -(col("o_orderkey") + 9000000L))
+    val dir = s"${clone.root}/extra"
+    extra.write.mode("overwrite").parquet(dir)
+    clone.commit(graft.sources.TableLog
+      .statsFor(spark, dir, "o_orderkey", graft.sources.Io.ordersSchema)
+      .map(graft.sources.TableLog.Add), tag = "diverge")
+    assert(clone.read(spark, graft.sources.Io.ordersSchema,
+      clone.latestVersion.get).count() ==
+      src.read(spark, graft.sources.Io.ordersSchema, srcHead).count() + 10)
+    assert(src.latestVersion.get == srcHead)
+    assert(src.snapshot(srcHead).map(_.path).toSet == srcLive)
+    // the clone's own vacuum never deletes BORROWED files: its
+    // retained snapshot references them, so they are not its dead set
+    clone.vacuum(retain = 1)
+    assert(srcLive.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))),
+      "clone vacuum deleted source files")
+  }
+
   test("manifest pruning and the st16 sink read the same log shape: " +
       "stats admit a strict subset, pruned answer equals full scan") {
     val t = Tables(spark, sf)
