@@ -2197,14 +2197,16 @@ object Streams {
     * snapshot — io11's oracle verbatim, computed WITHOUT ever
     * scanning the source at serve time.
     *
-    * Scale: the apply join is keyed by the primary key with a
-    * change-sized build side; the diff here reads two snapshots, but
-    * the log's per-version actions NAME the changed files — a
-    * deployment diffs only those, unchanged files being shared
-    * between snapshots by identity — and the mirror rewrite is
-    * copy-on-write (io12's bin-packing applies to the mirror as to
-    * any lake table). Resume replays nothing version-count-sized:
-    * the cursor seeks straight to the first unapplied version.
+    * Scale: the diff reads ONLY the files that entered or left the
+    * snapshot between v−1 and v (the log's file lists name them —
+    * unchanged files are shared by identity and never read): a
+    * pure-append version costs exactly its appended files, a
+    * copy-on-write rewrite its rewritten set. The apply join is
+    * keyed by the primary key with a change-sized build side, and
+    * the mirror rewrite is copy-on-write (io12's bin-packing applies
+    * to the mirror as to any lake table). Resume replays nothing
+    * version-count-sized: the cursor seeks straight to the first
+    * unapplied version.
     */
   def st18StreamCdcFollow(t: Tables): DataFrame = {
     val spark = t.spark
@@ -2248,18 +2250,26 @@ object Streams {
     def sided(df: DataFrame, side: String) =
       df.select(col(keyCol).as("k"),
         struct(cols.map(col): _*).as(side))
-    val newSnap = log.read(spark, schema, v)
-    val oldSide =
-      if (v == 0L)
+    // FILE-LEVEL delta (the commit log's whole point): only files
+    // that entered or left the snapshot between v−1 and v can hold
+    // changed rows — unchanged files are shared by identity and
+    // their rows cancel out of the diff before any byte is read. A
+    // pure-append version reads exactly the appended files; a
+    // copy-on-write rewrite reads the rewritten set; rows that ride
+    // a rewrite unchanged appear equal on both sides and drop in
+    // the filter below.
+    val newPaths = log.snapshot(v).map(_.path)
+    val oldPaths = if (v == 0L) Nil else log.snapshot(v - 1).map(_.path)
+    val added = newPaths.filterNot(oldPaths.toSet)
+    val removed = oldPaths.filterNot(newPaths.toSet)
+    def readFiles(paths: Seq[String]) =
+      if (paths.isEmpty)
         spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("o", schema))))
-      else sided(log.read(spark, schema, v - 1), "o")
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(paths: _*)
     val changes = graft.Caches.materialized(
-      oldSide.join(sided(newSnap, "n"), Seq("k"), "full")
+      sided(readFiles(removed), "o")
+        .join(sided(readFiles(added), "n"), Seq("k"), "full")
         .filter(col("o").isNull || col("n").isNull || col("o") =!= col("n")))
     val upserts = changes.filter(col("n").isNotNull).select(col("n.*"))
     val changedKeys = changes.select(col("k").as(keyCol))

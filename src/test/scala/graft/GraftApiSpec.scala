@@ -738,6 +738,32 @@ class GraftApiSpec extends SparkSpec {
       .getAs[Double]("q_score") == 0.0)
   }
 
+  test("late-round facades on edge inputs: empty frames yield typed " +
+      "empties, degenerate shapes survive") {
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "body")
+    // selfrepScrub: empty corpus → empty typed frame
+    val sc = Graft.selfrepScrub(noDocs, "id", "body")
+    assert(sc.columns.toSeq ==
+      Seq("doc_id", "n_tok", "n_masked", "clean_md5"))
+    assert(sc.count() == 0)
+    // dsirSelect: no target-group docs ⇒ the target model is all-
+    // smoothing (c_t = 0 everywhere) — still ranks, never crashes
+    val allDe = Seq((1L, "de", "wort eins"), (2L, "de", "wort zwei"))
+      .toDF("id", "grp", "body")
+    assert(Graft.dsirSelect(allDe, "id", "grp", "body", "en").count() == 2)
+    // sqEncode on a constant dimension: scale 0 → code 0, zero error
+    val const = Seq((1L, Array(0.5, 1.0)), (2L, Array(0.5, 2.0)))
+      .toDF("id", "emb")
+    val enc = Graft.sqEncode(const, "id", "emb", dim = 2).collect()
+    assert(enc.forall(_.getAs[String]("codes").startsWith("0-")))
+    // cdcFollow on a log with no committed snapshot refuses loudly
+    val emptyRoot = graft.Staging.scratch("api_cdc_empty")
+    intercept[IllegalArgumentException] {
+      Graft.cdcFollow(session, emptyRoot,
+        graft.Staging.scratch("api_cdc_empty_state"), "k")
+    }
+  }
+
   test("tableCommit/tableLog on an ad-hoc frame: append then replace, " +
       "time travel intact, stats prune the read") {
     val root = graft.Staging.scratch("api_tablelog")
@@ -780,14 +806,22 @@ class GraftApiSpec extends SparkSpec {
     val f = Graft.cdcFollow(session, src, st, "k")
     f.follow()
     assert(f.mirror.count() == 60L)
-    // a rewrite version: keys 1-30 updated, 31-60 dropped, 100+ added
+    // a pure-APPEND version shares v0's files — the file-level delta
+    // diff sees only the appended file, classifying its rows inserts
+    // (v0's untouched rows never enter the diff)
+    val gen1b = (61L to 80L).map(i => (i, s"v$i")).toDF("k", "payload")
+    Graft.tableCommit(gen1b, src, "k")
+    f.follow()
+    val m1 = f.mirror.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.size == 80 && m1(61L) == "v61" && m1(1L) == "v1")
+    // a rewrite version: keys 1-30 updated, the rest dropped, 100+ added
     val gen2 = ((1L to 30L).map(i => (i, s"u$i")) ++
       (101L to 110L).map(i => (i, s"n$i"))).toDF("k", "payload")
     Graft.tableCommit(gen2, src, "k", replace = true)
     f.follow()
     val m = f.mirror.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m.size == 40 && m(1L) == "u1" && m(101L) == "n101" &&
-      !m.contains(31L))
+      !m.contains(31L) && !m.contains(61L))
     // a fresh follower over the same state resumes from the cursor —
     // following again applies nothing and the mirror is unchanged
     val f2 = Graft.cdcFollow(session, src, st, "k")
