@@ -1071,6 +1071,15 @@ object Graft {
   def tableCommit(df: DataFrame, root: String, keyCol: String,
       replace: Boolean = false, tag: String = ""): Long = {
     val log = graft.sources.TableLog.open(root)
+    // CHECK constraint enforcement (io14 / Delta constraints): a
+    // declared invariant gates EVERY commit through the public
+    // writer — the check scans only the batch, and a rejected batch
+    // lands nothing (no orphans, no version)
+    val bad = log.violations(df)
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"CHECK constraint '${log.constraint.get}' violated by " +
+          s"$bad rows; commit rejected")
     val v = log.latestVersion.fold(0L)(_ + 1L)
     val dir = s"$root/v$v"
     df.write.mode("overwrite").parquet(dir)
@@ -1084,6 +1093,16 @@ object Graft {
       else Nil
     log.commit(removes ++ adds, tag)
   }
+
+  /** Declare a CHECK constraint on the versioned table at `root` — a
+    * SQL boolean expression every subsequent [[tableCommit]] batch
+    * must satisfy row-wise (TRUE required; FALSE or NULL rejects the
+    * whole batch before any file lands). Delta's
+    * `ALTER TABLE ADD CONSTRAINT` shape; the enforcement scan is
+    * batch-sized, never table-sized.
+    */
+  def tableConstrain(root: String, exprSql: String): Unit =
+    graft.sources.TableLog.open(root).setConstraint(exprSql)
 
   /** An incremental CDC FOLLOWER over a versioned table: maintains a
     * downstream MIRROR of the [[tableLog]] at `sourceRoot` by

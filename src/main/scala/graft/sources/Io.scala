@@ -615,6 +615,59 @@ object Io {
     TableLog.open(root)
   }
 
+  /** io14: CHECK CONSTRAINTS AT COMMIT (Delta `ALTER TABLE ADD
+    * CONSTRAINT`): a versioned table declares a row-wise invariant
+    * (`o_totalprice >= 0 AND o_orderkey IS NOT NULL` here) and the
+    * commit path ENFORCES it — a batch with any violating row is
+    * rejected whole, before a single file lands (no orphans, no
+    * version minted), while admissible batches commit normally. The
+    * quality gate every curated lake runs at the write boundary: bad
+    * data is refused at ingest, not discovered downstream. The pass
+    * lands the base orders (admissible), then attempts a poisoned
+    * changeset (negative prices — REJECTED, drilled in-line), then
+    * an admissible changeset (committed); serving aggregates the
+    * live state = base + the good changeset, which is what the hash
+    * gate reconstructs.
+    *
+    * Scale: the enforcement scan is BATCH-sized (one filter+count
+    * over the arrivals — never the table), and the declared
+    * constraint is catalog metadata in the log dir; at 100 TB the
+    * same check rides every incremental commit unchanged.
+    */
+  def io14CheckConstraint(t: Tables): DataFrame = {
+    val log = constrainedLog(t)
+    statusAgg(log.read(t.spark, ordersSchema, log.latestVersion.get))
+  }
+
+  /** io14's private constrained log: declare → land base → reject a
+    * poisoned changeset → commit an admissible one (staged once;
+    * spec access via the returned handle).
+    */
+  private[graft] def constrainedLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:conslog", "io_conslog") { d =>
+      graft.api.Graft.tableConstrain(d,
+        "o_totalprice >= 0 AND o_orderkey IS NOT NULL")
+      graft.api.Graft.tableCommit(
+        t.orders.select(ordersSchema.fieldNames.map(col): _*),
+        d, "o_orderkey", tag = "base")
+      // the poisoned changeset MUST bounce: negative prices violate
+      val poisoned = t.orders.limit(8)
+        .select(ordersSchema.fieldNames.map(col): _*)
+        .withColumn("o_totalprice", lit(-1.0))
+      val rejected =
+        try { graft.api.Graft.tableCommit(poisoned, d, "o_orderkey"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "io14: poisoned commit was not rejected")
+      // an admissible changeset sails through: synthetic insert keys
+      val good = t.orders.filter(col("o_orderkey") % 100 === 0)
+        .select(ordersSchema.fieldNames.map(col): _*)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1))
+      graft.api.Graft.tableCommit(good, d, "o_orderkey", tag = "good")
+      ()
+    }
+    TableLog.open(root)
+  }
+
   /** Per-lang content fingerprint: count, char sum, md5 extremes —
     * collision-proof evidence the served rows are exactly the base
     * table's.
@@ -809,6 +862,21 @@ object Io {
     // — the same v2 reconstruction; independence and the borrowed-file
     // vacuum semantics are TableLogSpec's structural claims
     "io13_shallow_clone" -> oracleLiveOrders,
+    // live state = base + the ADMISSIBLE changeset only — the
+    // poisoned batch left no version, no rows, no trace (rejection
+    // is what the reconstruction-without-it proves)
+    "io14_check_constraint" ->
+      """WITH good AS (
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |v AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM good)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // keys — retention must keep it byte-intact, so the oracle is its
     // relational reconstruction (deletion of the dead versions is
     // asserted by TableLogSpec, invisible to answers by design)

@@ -333,4 +333,50 @@ final class TableLog(val root: String) {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema).parquet(files: _*)
   }
+
+  // ---- CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT` shape) ----
+
+  private def constraintPath: java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_log", "constraint.meta")
+
+  /** Declare the table's CHECK constraint — a SQL boolean expression
+    * every committed batch must satisfy ROW-WISE (evaluating to TRUE;
+    * FALSE or NULL is a violation — the strict form, so a constraint
+    * on a nullable column implies its NOT NULL). One constraint per
+    * table (compose with AND); persisted in the log dir as catalog
+    * metadata, atomic like a commit.
+    */
+  def setConstraint(exprSql: String): Unit = {
+    java.nio.file.Files.createDirectories(constraintPath.getParent)
+    val tmp = constraintPath.resolveSibling(
+      s"constraint.meta.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.write(tmp,
+      exprSql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, constraintPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The declared CHECK constraint, if any. */
+  def constraint: Option[String] = {
+    if (!java.nio.file.Files.exists(constraintPath)) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(constraintPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** Enforce the table's constraint against a batch about to commit:
+    * returns the VIOLATION count (0 = admissible). One scan of the
+    * BATCH — arrivals-sized, never table-sized; the check runs
+    * before any file is landed, so a rejected batch leaves no
+    * orphans at all.
+    */
+  def violations(df: DataFrame): Long = constraint match {
+    case None => 0L
+    case Some(c) =>
+      df.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(c),
+        org.apache.spark.sql.functions.lit(false))).count()
+  }
 }

@@ -83,6 +83,45 @@ class TableLogSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("CHECK constraint gates the commit path: rejection leaves no " +
+      "version and no files, NULL fails strictly, metadata persists") {
+    val session2 = spark
+    import session2.implicits._
+    val root = graft.Staging.scratch("tls_constraint")
+    graft.api.Graft.tableConstrain(root, "v > 0")
+    val log = graft.sources.TableLog.open(root)
+    assert(log.constraint.contains("v > 0"))
+    // admissible batch commits
+    assert(graft.api.Graft.tableCommit(
+      Seq((1L, 5L), (2L, 7L)).toDF("k", "v"), root, "k") == 0L)
+    // violating batch: rejected whole, no version minted, no files
+    val filesBefore = graft.sources.Io.parquetFilesRec(root).length
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.tableCommit(
+        Seq((3L, 9L), (4L, -1L)).toDF("k", "v"), root, "k")
+    }
+    assert(log.latestVersion.contains(0L))
+    assert(graft.sources.Io.parquetFilesRec(root).length == filesBefore,
+      "rejected commit landed files")
+    // NULL constraint result is a violation (the strict form)
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.tableCommit(
+        Seq((5L, Some(3L)), (6L, None)).toDF("k", "v"), root, "k")
+    }
+    // the constraint is catalog metadata — a fresh open still enforces
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.tableCommit(
+        Seq((7L, -2L)).toDF("k", "v"), root, "k")
+    }
+    // and the operator's own pass: poisoned bounced, good landed
+    val t = Tables(spark, sf)
+    run("io14_check_constraint").collect()
+    val cons = graft.sources.Io.constrainedLog(t)
+    assert(cons.versions == Seq(0L, 1L))
+    assert(cons.tagVersion("base").contains(0L) &&
+      cons.tagVersion("good").contains(1L))
+  }
+
   test("manifest pruning and the st16 sink read the same log shape: " +
       "stats admit a strict subset, pruned answer equals full scan") {
     val t = Tables(spark, sf)
