@@ -1060,8 +1060,10 @@ object Graft {
     * current snapshot (the streaming-sink shape); `replace = true` is
     * the copy-on-write REWRITE (the previous snapshot's files are
     * removed in the same commit — io4's MERGE shape; they stay on
-    * disk, so older versions keep serving). Files land under
-    * `root/v<version>`; returns the committed version.
+    * disk, so older versions keep serving). Files land under a
+    * writer-unique dir and the commit runs the full OCC retry loop
+    * (a lost claim rebases; conflicting same-file rewrites abort);
+    * returns the committed version.
     *
     * Scale: the data write is one Spark job the caller shaped
     * (partitioning/sorting are the caller's layout choices); the
@@ -1080,18 +1082,23 @@ object Graft {
       throw new IllegalArgumentException(
         s"CHECK constraint '${log.constraint.get}' violated by " +
           s"$bad rows; commit rejected")
-    val v = log.latestVersion.fold(0L)(_ + 1L)
-    val dir = s"$root/v$v"
+    // WRITER-UNIQUE data dir: two racing writers computing the same
+    // next version must never overwrite each other's files — the
+    // version is claimed by the LOG commit, not the directory name
+    val dir = s"$root/c${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(dir)
     val adds = graft.sources.TableLog
       .statsFor(df.sparkSession, dir, keyCol, df.schema)
       .map(graft.sources.TableLog.Add)
-    val removes =
-      if (replace)
-        log.latestVersion.toSeq.flatMap(log.snapshot)
-          .map(f => graft.sources.TableLog.Remove(f.path))
-      else Nil
-    log.commit(removes ++ adds, tag)
+    // full OCC: a lost claim rebases — replace recomputes its remove
+    // set against the new base; same-file remove conflicts abort
+    log.commitWithRetry(tag) { base =>
+      val removes =
+        if (replace && base >= 0L)
+          log.snapshot(base).map(f => graft.sources.TableLog.Remove(f.path))
+        else Nil
+      removes ++ adds
+    }
   }
 
   /** Declare a CHECK constraint on the versioned table at `root` — a

@@ -597,7 +597,12 @@ object Io {
     */
   def io13ShallowClone(t: Tables): DataFrame = {
     val log = clonedLog(t)
-    statusAgg(log.read(t.spark, ordersSchema, log.latestVersion.get))
+    // serve the CLONE-POINT version (the tagged clone commit), not
+    // the head: the operator's claim is "the clone captures the
+    // source's live state", and the clone is free to diverge after
+    // (TableLogSpec drills exactly that) without moving this answer
+    statusAgg(log.read(t.spark, ordersSchema,
+      log.tagVersion("clone").get))
   }
 
   /** io13's clone root: ONE metadata commit referencing the source

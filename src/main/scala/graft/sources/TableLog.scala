@@ -175,24 +175,36 @@ final class TableLog(val root: String) {
     logDir.resolve(f"v$v%012d.checkpoint")
 
   /** Collapse the replay: persist the CURRENT snapshot's full file
-    * list beside its commit, so later readers start there instead of
-    * replaying from v0 (the production bound on planning cost as
-    * commit history grows — st14's stats-log collapse applied to the
-    * log itself). Commits stay in place: time travel BELOW the
-    * checkpoint still replays from v0. Idempotent — an existing
-    * checkpoint for the version is kept.
+    * list beside its commit — plus the TAG INDEX of every commit at
+    * or below it, so [[tagVersion]]'s answers survive the collapse —
+    * and later readers start there instead of replaying from v0 (the
+    * production bound on planning cost as commit history grows —
+    * st14's stats-log collapse applied to the log itself). Commits
+    * stay in place: time travel BELOW the checkpoint still replays
+    * from v0. Idempotent — an existing checkpoint for the version is
+    * kept; staging is WRITER-UNIQUE and the claim is move-without-
+    * replace (commit()'s contract — a shared fixed tmp would let two
+    * racing checkpointers publish a truncated file).
     */
   def checkpoint(): Unit = latestVersion.foreach { v =>
     if (!java.nio.file.Files.exists(checkpointPath(v))) {
-      val body = snapshot(v).map(f =>
-        s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}")
+      val tagLines = versions.filter(_ <= v).flatMap { cv =>
+        val t = parse(cv)._1
+        if (t.nonEmpty) Some(s"tag\t$cv\t$t") else None
+      }
+      val body = (tagLines ++ snapshot(v).map(f =>
+        s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"))
         .mkString("\n")
-      val tmp = logDir.resolve(f"v$v%012d.checkpoint.tmp")
+      val tmp = logDir.resolve(
+        f"v$v%012d.checkpoint.${java.util.UUID.randomUUID}%s.tmp")
       java.nio.file.Files.write(tmp,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, checkpointPath(v),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // a losing claim means a concurrent checkpointer published the
+      // (identical-content) file for this version — drop ours
+      try java.nio.file.Files.move(tmp, checkpointPath(v))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); ()
+      }
       ()
     }
   }
@@ -213,14 +225,28 @@ final class TableLog(val root: String) {
   private def readCheckpoint(v: Long): Seq[FileEntry] =
     new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
         l.split("\t") match {
           case Array("add", p, mn, mx, n) =>
-            FileEntry(p, mn.toLong, mx.toLong, n.toLong)
+            Some(FileEntry(p, mn.toLong, mx.toLong, n.toLong))
+          case Array("tag", _, _) => None // the tag index, not a file
           case other =>
             sys.error(s"corrupt checkpoint v$v line: ${other.toSeq}")
         }
       }
+
+  /** The tag index a checkpoint carries: tag → version, for every
+    * tagged commit at or below the checkpoint.
+    */
+  private def checkpointTags(v: Long): Map[String, Long] =
+    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+        l.split("\t") match {
+          case Array("tag", cv, t) => Some(t -> cv.toLong)
+          case _ => None
+        }
+      }.toMap
 
   private def parse(v: Long): (String, Seq[Action]) = {
     val lines = new String(java.nio.file.Files.readAllBytes(commitPath(v)),
@@ -238,21 +264,27 @@ final class TableLog(val root: String) {
   }
 
   /** The version a writer committed under `tag`, if any — the
-    * redelivery check for tagged (streaming) commits. Scans NEWEST
-    * FIRST and stops below the latest checkpoint, so the per-batch
-    * cost is O(commits since the last checkpoint), not O(history) —
-    * the same bound checkpoints give snapshot(). Under the ordered-
-    * commit contract a redelivered tag is always in that recent
-    * window; a tag older than the checkpoint reads as absent, which
-    * is SAFE for the sink: re-committing identical adds is
-    * snapshot-idempotent (the replay map keys by path), costing only
-    * a redundant version, never a wrong file list.
+    * redelivery check for tagged (streaming) commits. Scans commits
+    * NEWEST FIRST down to the latest checkpoint, then consults the
+    * TAG INDEX the checkpoint carries for everything below it — so
+    * the per-batch cost is O(commits since the last checkpoint + one
+    * checkpoint read), not O(history), and a tag is NEVER read as
+    * absent just because its commit was collapsed (a re-land of an
+    * overwrite-keyed batch would otherwise delete the files its own
+    * earlier commit references).
     */
   def tagVersion(tag: String): Option[Long] = {
-    val floor = checkpoints.lastOption.getOrElse(-1L)
-    versions.filter(_ >= floor).sortBy(-_)
+    val floor = checkpoints.lastOption
+    versions.filter(v => floor.forall(v >= _)).sortBy(-_)
       .find(v => parse(v)._1 == tag)
+      .orElse(floor.flatMap(cv => checkpointTags(cv).get(tag)))
   }
+
+  /** Commit `v`'s own actions — the exact file DELTA that version
+    * introduced (the CDC follower's planning input: added = its Add
+    * paths, removed = its Remove paths; no snapshot replay needed).
+    */
+  def actions(v: Long): Seq[Action] = parse(v)._2
 
   /** Snapshot at version `v`: start from the greatest checkpoint at
     * or below `v` (if any — the replay-collapse bound), then replay

@@ -1365,10 +1365,17 @@ object Streams {
   private def recoverUncommitted(root: String,
       dirs: Seq[String]): Unit = {
     val tag = "^gb(\\d+)-.*".r
+    // the low-water mark is loaded ONCE per recovery, not once per
+    // tagged file (each loadMeta is a metadata round-trip — on an
+    // object store, F leftover files must not cost F reads)
+    val lowWater = loadLowWater(root)
+    def committed(bid: Long): Boolean =
+      bid <= lowWater ||
+        java.nio.file.Files.exists(commitsDir(root).resolve(s"b$bid"))
     dirs.foreach { dir =>
       graft.sources.Io.parquetFilesRec(dir).foreach { f =>
         f.getFileName.toString match {
-          case tag(bid) if !batchCommitted(root, bid.toLong) =>
+          case tag(bid) if !committed(bid.toLong) =>
             java.nio.file.Files.delete(f)
           case _ => ()
         }
@@ -2225,11 +2232,7 @@ object Streams {
         graft.sources.Io.ordersSchema): DataFrame = {
     val dir = s"$root/mirror"
     recoverStateDir(dir)
-    if (st13HasData(dir))
-      spark.read.schema(schema).parquet(dir)
-    else
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    st14Read(spark, dir, schema)
   }
 
   /** ONE follow step: diff snapshots v−1 → v from the log, merge the
@@ -2250,18 +2253,21 @@ object Streams {
     def sided(df: DataFrame, side: String) =
       df.select(col(keyCol).as("k"),
         struct(cols.map(col): _*).as(side))
-    // FILE-LEVEL delta (the commit log's whole point): only files
-    // that entered or left the snapshot between v−1 and v can hold
-    // changed rows — unchanged files are shared by identity and
-    // their rows cancel out of the diff before any byte is read. A
+    // FILE-LEVEL delta (the commit log's whole point): commit v's
+    // OWN actions ARE the delta — its Add paths entered the
+    // snapshot, its Remove paths left it (writers only remove live
+    // paths, adds are path-unique). No snapshot replay at all:
+    // planning a step is O(that commit's actions), so following V
+    // versions costs O(total actions), not O(V·history). A
     // pure-append version reads exactly the appended files; a
     // copy-on-write rewrite reads the rewritten set; rows that ride
     // a rewrite unchanged appear equal on both sides and drop in
     // the filter below.
-    val newPaths = log.snapshot(v).map(_.path)
-    val oldPaths = if (v == 0L) Nil else log.snapshot(v - 1).map(_.path)
-    val added = newPaths.filterNot(oldPaths.toSet)
-    val removed = oldPaths.filterNot(newPaths.toSet)
+    val delta = log.actions(v)
+    val added = delta.collect {
+      case graft.sources.TableLog.Add(f) => f.path }
+    val removed = delta.collect {
+      case graft.sources.TableLog.Remove(p) => p }
     def readFiles(paths: Seq[String]) =
       if (paths.isEmpty)
         spark.createDataFrame(

@@ -364,5 +364,16 @@ class TableLogSpec extends SparkSpec {
     assert(log.tagVersion("b0").contains(0L))
     assert(log.tagVersion("b1").contains(1L))
     assert(log.tagVersion("b2").isEmpty)
+    // tags SURVIVE the replay collapse: a checkpoint carries the tag
+    // index of everything it folds, so a redelivered old batch is
+    // still recognized (a miss here would let an overwrite-keyed
+    // re-land delete files its own earlier commit references)
+    log.checkpoint()
+    log.commit(Nil, tag = "b2")
+    assert(log.tagVersion("b0").contains(0L),
+      "checkpoint swallowed an old batch tag")
+    assert(log.tagVersion("b1").contains(1L))
+    assert(log.tagVersion("b2").contains(2L))
+    assert(log.tagVersion("b3").isEmpty)
   }
 }
