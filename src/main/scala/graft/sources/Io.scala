@@ -673,6 +673,80 @@ object Io {
     TableLog.open(root)
   }
 
+  /** io15: ROW-LEVEL EXPECTATIONS WITH QUARANTINE (Delta Live
+    * Tables' `expect ... ON VIOLATION` / the dead-letter-queue
+    * pattern) — io14 rejects a violating batch WHOLE; io15 is the
+    * other production policy: each row is classified against named
+    * expectations (`neg_price`: o_totalprice ≥ 0; `null_key`:
+    * o_orderkey present — first failure names the reason), passing
+    * rows flow to the MAIN table and failing rows land in a
+    * QUARANTINE table carrying their reason — bad data is kept,
+    * inspectable, and replayable after a fix, instead of silently
+    * dropped or blocking the pipeline. Both destinations are
+    * first-class [[TableLog]] tables (tagged commits, the full lake
+    * lifecycle). The batch is the orders table with a deterministic
+    * poisoning (keys ≡ 0 mod 37 get negated prices), so the gate
+    * reconstructs exactly which rows must sit on which side.
+    *
+    * Scale: classification is a pure projection fused with the
+    * batch scan; the split lands in ONE pass (`partitionBy(dest)` —
+    * not a filtered scan per destination); each side's commit is
+    * file-count metadata. Serving aggregates per (dest, reason).
+    */
+  def io15Expectations(t: Tables): DataFrame = {
+    val (mainLog, qLog) = expectationLogs(t)
+    val spark = t.spark
+    def side(log: TableLog, dest: String) =
+      log.read(spark, io15Schema, log.latestVersion.get)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(dest).as("dest"), coalesce(col("reason"), lit("")).as("reason"))
+    side(mainLog, "main").unionByName(side(qLog, "quarantine"))
+      .groupBy("dest", "reason")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("dest", "reason")
+  }
+
+  private[graft] val io15Schema = StructType(Seq(
+    StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+    StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+    StructField("reason", org.apache.spark.sql.types.StringType)))
+
+  /** io15's private logs: ONE classified landing pass split by dest,
+    * each destination committed (tagged) to its own TableLog.
+    */
+  private[graft] def expectationLogs(t: Tables): (TableLog, TableLog) = {
+    val root = graft.Staging.dir(s"${t.dir}:explog", "io_explog") { d =>
+      val batch = t.orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 37 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val classified = batch
+        .withColumn("reason",
+          when(col("o_totalprice") < 0, lit("neg_price"))
+            .when(col("o_orderkey").isNull, lit("null_key")))
+        .withColumn("dest",
+          when(col("reason").isNull, lit("main")).otherwise(lit("quarantine")))
+      classified.write.partitionBy("dest").mode("overwrite")
+        .parquet(s"$d/landing")
+      def commitSide(sub: String, logDir: String): Unit = {
+        val dir = s"$d/landing/dest=$sub"
+        val adds =
+          if (new java.io.File(dir).isDirectory)
+            TableLog.statsFor(t.spark, dir, "o_orderkey", io15Schema)
+              .map(TableLog.Add)
+          else Nil
+        TableLog.open(logDir).commit(adds, tag = "b0")
+        ()
+      }
+      commitSide("main", s"$d/main")
+      commitSide("quarantine", s"$d/quarantine")
+    }
+    (TableLog.open(s"$root/main"), TableLog.open(s"$root/quarantine"))
+  }
+
   /** Per-lang content fingerprint: count, char sum, md5 extremes —
     * collision-proof evidence the served rows are exactly the base
     * table's.
@@ -867,6 +941,26 @@ object Io {
     // — the same v2 reconstruction; independence and the borrowed-file
     // vacuum semantics are TableLogSpec's structural claims
     "io13_shallow_clone" -> oracleLiveOrders,
+    // each poisoned row must sit in quarantine under its reason and
+    // every clean row in main — the reconstruction replays the
+    // deterministic poisoning and the expectation classification
+    "io15_expectations" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |cls AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_totalprice < 0 THEN 'neg_price'
+        |         WHEN o_orderkey IS NULL THEN 'null_key' END AS reason
+        |  FROM b)
+        |SELECT CASE WHEN reason IS NULL THEN 'main'
+        |            ELSE 'quarantine' END AS dest,
+        |  coalesce(reason, '') AS reason, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM cls GROUP BY 1, 2 ORDER BY dest, reason""".stripMargin,
     // live state = base + the ADMISSIBLE changeset only — the
     // poisoned batch left no version, no rows, no trace (rejection
     // is what the reconstruction-without-it proves)

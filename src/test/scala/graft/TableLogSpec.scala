@@ -122,6 +122,33 @@ class TableLogSpec extends SparkSpec {
       cons.tagVersion("good").contains(1L))
   }
 
+  test("expectations split exactly: quarantine holds precisely the " +
+      "violating rows with their reason, main the rest, both tagged") {
+    val t = Tables(spark, sf)
+    run("io15_expectations").collect()
+    val (mainLog, qLog) = graft.sources.Io.expectationLogs(t)
+    val sch = graft.sources.Io.io15Schema
+    val main = mainLog.read(spark, sch, mainLog.latestVersion.get)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quar = qLog.read(spark, sch, qLog.latestVersion.get)
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // quarantine = exactly the poisoned keys, each negative, each
+    // carrying the expectation that caught it
+    val poisonKeys = t.orders
+      .filter(col("o_orderkey") % 37 === 0)
+      .filter(col("o_totalprice") > 0) // a zero price would pass
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(quar.map(_._1).toSet == poisonKeys)
+    assert(quar.forall(q => q._2 < 0 && q._3 == "neg_price"))
+    // the split is an exact partition of the batch
+    assert(main.keySet.intersect(quar.map(_._1).toSet).isEmpty)
+    assert(main.size + quar.length == t.orders.count())
+    // both destinations carry the batch's idempotence tag
+    assert(mainLog.tagVersion("b0").contains(0L) &&
+      qLog.tagVersion("b0").contains(0L))
+  }
+
   test("manifest pruning and the st16 sink read the same log shape: " +
       "stats admit a strict subset, pruned answer equals full scan") {
     val t = Tables(spark, sf)
