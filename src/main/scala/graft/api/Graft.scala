@@ -1125,10 +1125,12 @@ object Graft {
       spark: org.apache.spark.sql.SparkSession,
       log: graft.sources.TableLog, stateRoot: String, keyCol: String,
       schema: org.apache.spark.sql.types.StructType) {
-    /** Apply every version up to and including `v`. */
+    /** Apply every version up to and including `v` (cursor-seeking:
+      * already-applied versions cost nothing, not even a meta read).
+      */
     def followTo(v: Long): Unit =
-      (0L to v).foreach(u => graft.streaming.Streams
-        .st18FollowStep(spark, stateRoot, log, u, schema, keyCol))
+      graft.streaming.Streams
+        .st18FollowTo(spark, stateRoot, log, v, schema, keyCol)
     /** Apply every committed version (catch up to the head). */
     def follow(): Unit = log.latestVersion.foreach(followTo)
     /** The maintained mirror table. */

@@ -734,7 +734,7 @@ object Io {
       def commitSide(sub: String, logDir: String): Unit = {
         val dir = s"$d/landing/dest=$sub"
         val adds =
-          if (new java.io.File(dir).isDirectory)
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
             TableLog.statsFor(t.spark, dir, "o_orderkey", io15Schema)
               .map(TableLog.Add)
           else Nil

@@ -2219,10 +2219,24 @@ object Streams {
     val spark = t.spark
     val log = graft.sources.Io.ordersLog(t)
     val root = graft.Staging.dir(s"${t.dir}:st18", "st18") { d =>
-      val latest = log.latestVersion.getOrElse(-1L)
-      (0L to latest).foreach(v => st18FollowStep(spark, d, log, v))
+      st18FollowTo(spark, d, log, log.latestVersion.getOrElse(-1L))
     }
     graft.sources.Io.statusAgg(st18Mirror(spark, root))
+  }
+
+  /** Follow the log up to and including version `v`: the cursor is
+    * read ONCE and the loop starts at the first unapplied version —
+    * resume costs zero metadata reads per already-applied version.
+    */
+  private[graft] def st18FollowTo(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      log: graft.sources.TableLog, v: Long,
+      schema: org.apache.spark.sql.types.StructType =
+        graft.sources.Io.ordersSchema,
+      keyCol: String = "o_orderkey"): Unit = {
+    val cursor = loadMeta(root, "cursor.meta").map(_.toLong).getOrElse(-1L)
+    ((cursor + 1L) to v).foreach(u =>
+      st18FollowStep(spark, root, log, u, schema, keyCol))
   }
 
   /** The follower's mirror table (crash-recovered read). */
