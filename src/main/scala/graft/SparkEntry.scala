@@ -149,7 +149,8 @@ object SparkEntry {
     "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain),
     "st15_stream_ann_maintain" -> q(graft.streaming.Streams.st15StreamAnnMaintain(_)),
     "st16_stream_manifest_sink" -> q(graft.streaming.Streams.st16StreamManifestSink),
-    "st18_stream_cdc_follow" -> q(graft.streaming.Streams.st18StreamCdcFollow)
+    "st18_stream_cdc_follow" -> q(graft.streaming.Streams.st18StreamCdcFollow),
+    "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

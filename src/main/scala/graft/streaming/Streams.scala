@@ -2181,6 +2181,132 @@ object Streams {
     }
 
   // ----------------------------------------------------------------
+  // st19: streaming EXPECTATIONS sink — io15's quality gate at the
+  // micro-batch boundary
+  // ----------------------------------------------------------------
+
+  /** st19: STREAMING EXPECTATIONS SINK — io15's row-level quality
+    * gate applied where production applies it: AT THE SINK, per
+    * micro-batch (Delta Live Tables expectations on a streaming
+    * table). Each arriving batch is classified against the named
+    * expectation (`neg_value`: value ≥ 0 — arrivals carry a
+    * deterministic poisoning, event_id ≡ 0 mod 37 negated), split in
+    * ONE `partitionBy(dest)` write under a batch-keyed dir, and each
+    * side commits to ITS OWN [[graft.sources.TableLog]] tagged with
+    * the batch id — main and quarantine are both first-class
+    * versioned tables that grow batch by batch.
+    *
+    * AT-LEAST-ONCE SAFE with TWO destinations (the subtlety st16
+    * doesn't have): a retry first reads BOTH sides' tags — both
+    * present ⇒ no-op; NEITHER present ⇒ the previous attempt never
+    * committed anything, so re-landing (overwrite) is safe; exactly
+    * ONE present ⇒ the landing from the committed attempt is intact
+    * (tags follow the write), so the retry must NOT re-land — it
+    * commits the missing side from the existing files. Re-landing
+    * in that state would rewrite the part files the committed side's
+    * log already references (the tag-collapse hazard, closed the
+    * same way).
+    *
+    * Serving unions both tables' live snapshots into the per
+    * (dest, reason) aggregate — exactly-once arrivals across batches
+    * make it equal the batch classification, io15's oracle shape on
+    * the events table.
+    */
+  def st19StreamExpectations(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/events.parquet"
+    val staged = graft.Staging.dir(s"${t.dir}:st19", "st19") { d =>
+      val schema = spark.read.parquet(path).schema
+      val ev = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir(t, path, "event_id"))
+        .select("event_id", "event_type", "value")
+      val q = ev.writeStream
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          st19SinkStep(spark, d, batch.toDF(), bid)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    st19Serve(spark, staged)
+  }
+
+  private[graft] val st19Schema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType)))
+
+  /** ONE sink step: classify, land split by dest under the batch
+    * dir, commit each side tagged — see [[st19StreamExpectations]]
+    * for the two-destination redelivery protocol.
+    */
+  private[graft] def st19SinkStep(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val mainLog = graft.sources.TableLog.open(s"$root/main")
+    val qLog = graft.sources.TableLog.open(s"$root/quarantine")
+    val tag = s"b$bid"
+    val mainDone = mainLog.tagVersion(tag).isDefined
+    val qDone = qLog.tagVersion(tag).isDefined
+    if (mainDone && qDone) return
+    val bDir = s"$root/b$bid"
+    if (!mainDone && !qDone) {
+      // fresh (or never-committed torn) attempt: land the classified
+      // split in one pass
+      batch
+        .withColumn("value",
+          when(col("event_id") % 37 === 0, -col("value"))
+            .otherwise(col("value")))
+        .withColumn("reason",
+          when(col("value") < 0, lit("neg_value")))
+        .withColumn("dest",
+          when(col("reason").isNull, lit("main")).otherwise(lit("quarantine")))
+        .write.partitionBy("dest").mode("overwrite").parquet(bDir)
+    }
+    def commitSide(log: graft.sources.TableLog, sub: String): Unit = {
+      val dir = s"$bDir/dest=$sub"
+      val adds =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+          graft.sources.TableLog
+            .statsFor(spark, dir, "event_id", st19Schema)
+            .map(graft.sources.TableLog.Add)
+        else Nil
+      log.commit(adds, tag)
+      ()
+    }
+    if (!mainDone) commitSide(mainLog, "main")
+    if (!qDone) commitSide(qLog, "quarantine")
+  }
+
+  /** The per-(dest, reason) aggregate over both maintained tables'
+    * live snapshots.
+    */
+  private[graft] def st19Serve(
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    def side(sub: String, dest: String) = {
+      val log = graft.sources.TableLog.open(s"$root/$sub")
+      log.read(spark, st19Schema, log.latestVersion.getOrElse(-1L))
+        .select(col("event_id"), col("value"), lit(dest).as("dest"),
+          coalesce(col("reason"), lit("")).as("reason"))
+    }
+    side("main", "main").unionByName(side("quarantine", "quarantine"))
+      .groupBy("dest", "reason")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+          .as("total_value"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("dest", "reason")
+  }
+
+  // ----------------------------------------------------------------
   // st18: CDC FOLLOW — a downstream mirror maintained from the
   // commit log, version by version
   // ----------------------------------------------------------------
@@ -2594,6 +2720,24 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // exactly-once arrivals across micro-batches make the maintained
+    // main/quarantine union equal the batch classification — io15's
+    // replay shape on the events table
+    "st19_stream_expectations" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 37 = 0 THEN -value ELSE value END AS value
+        |  FROM events),
+        |cls AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN value < 0 THEN 'neg_value' END AS reason
+        |  FROM b)
+        |SELECT CASE WHEN reason IS NULL THEN 'main'
+        |            ELSE 'quarantine' END AS dest,
+        |  coalesce(reason, '') AS reason, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM cls GROUP BY 1, 2 ORDER BY dest, reason""".stripMargin,
     // following the commit log to its head must reproduce the live
     // snapshot in the mirror — io11's relational reconstruction of
     // the post-erasure state, verbatim (the mirror never scans the

@@ -405,6 +405,53 @@ class AnnStreamSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("st19 streaming expectations: per-batch versioned growth, " +
+      "redelivery no-ops, half-committed retry completes without re-landing") {
+    val t = Tables(spark, sf)
+    // multi-batch growth: each micro-batch committed one version to
+    // EACH destination log (the staging splits events into 2 files)
+    run("st19_stream_expectations").collect()
+    val root = graft.Staging.lookup(s"${t.dir}:st19").get
+    val mainLog = graft.sources.TableLog.open(s"$root/main")
+    val qLog = graft.sources.TableLog.open(s"$root/quarantine")
+    assert(mainLog.versions.size >= 2 &&
+      mainLog.versions.size == qLog.versions.size)
+    assert(mainLog.tagVersion("b0").isDefined &&
+      qLog.tagVersion("b0").isDefined)
+    // drills on a throwaway root
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st19_drill_").toString
+    try {
+      val batch = t.events.select("event_id", "event_type", "value")
+        .filter(col("event_id") % 3 === 0)
+      graft.streaming.Streams.st19SinkStep(spark, tmp, batch, 0L)
+      val once = graft.streaming.Streams.st19Serve(spark, tmp)
+        .collect().map(_.toSeq).toSeq
+      val m = graft.sources.TableLog.open(s"$tmp/main")
+      val q = graft.sources.TableLog.open(s"$tmp/quarantine")
+      val mFiles = m.snapshot(m.latestVersion.get).map(_.path).toSet
+      // redelivery: both tags present ⇒ the whole step no-ops
+      graft.streaming.Streams.st19SinkStep(spark, tmp, batch, 0L)
+      assert(m.latestVersion.contains(0L) && q.latestVersion.contains(0L))
+      assert(graft.streaming.Streams.st19Serve(spark, tmp)
+        .collect().map(_.toSeq).toSeq == once)
+      // half-committed crash: quarantine's commit vanishes (the
+      // retry window between the two side commits) — the retry must
+      // complete the missing side WITHOUT re-landing, or it would
+      // rewrite the part files main's log already references
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        s"$tmp/quarantine/_log/v000000000000.commit"))
+      graft.streaming.Streams.st19SinkStep(spark, tmp, batch, 0L)
+      val m2 = graft.sources.TableLog.open(s"$tmp/main")
+      assert(m2.snapshot(m2.latestVersion.get).map(_.path).toSet == mFiles,
+        "half-committed retry re-landed over committed files")
+      assert(graft.sources.TableLog.open(s"$tmp/quarantine")
+        .tagVersion("b0").isDefined)
+      assert(graft.streaming.Streams.st19Serve(spark, tmp)
+        .collect().map(_.toSeq).toSeq == once)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("st18 CDC follow: mirror equals the live snapshot row-for-row; " +
       "redelivery no-ops; re-applying a version after a torn cursor heals") {
     val t = Tables(spark, sf)
