@@ -695,18 +695,32 @@ object Io {
     */
   def io15Expectations(t: Tables): DataFrame = {
     val (mainLog, qLog) = expectationLogs(t)
-    val spark = t.spark
+    quarantineServe(t.spark, mainLog, qLog, io15Schema, "o_orderkey",
+      "o_totalprice", "total_price", "min_key", "max_key")
+  }
+
+  /** The per-(dest, reason) aggregate over a main/quarantine table
+    * pair's live snapshots — io15's serving, shared verbatim by
+    * st19's streaming form (both oracles gate the same decimal-sum
+    * contract, so it must live in ONE place). An empty log serves as
+    * an empty side, never a crash.
+    */
+  private[graft] def quarantineServe(
+      spark: org.apache.spark.sql.SparkSession, mainLog: TableLog,
+      qLog: TableLog, schema: StructType, keyCol: String,
+      valueCol: String, totalAs: String, minAs: String,
+      maxAs: String): DataFrame = {
     def side(log: TableLog, dest: String) =
-      log.read(spark, io15Schema, log.latestVersion.get)
-        .select(col("o_orderkey"), col("o_totalprice"),
+      log.read(spark, schema, log.latestVersion.getOrElse(-1L))
+        .select(col(keyCol), col(valueCol),
           lit(dest).as("dest"), coalesce(col("reason"), lit("")).as("reason"))
     side(mainLog, "main").unionByName(side(qLog, "quarantine"))
       .groupBy("dest", "reason")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-          .as("total_price"),
-        min("o_orderkey").as("min_key"),
-        max("o_orderkey").as("max_key"))
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double")
+          .as(totalAs),
+        min(keyCol).as(minAs),
+        max(keyCol).as(maxAs))
       .orderBy("dest", "reason")
   }
 
@@ -732,13 +746,8 @@ object Io {
       classified.write.partitionBy("dest").mode("overwrite")
         .parquet(s"$d/landing")
       def commitSide(sub: String, logDir: String): Unit = {
-        val dir = s"$d/landing/dest=$sub"
-        val adds =
-          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-            TableLog.statsFor(t.spark, dir, "o_orderkey", io15Schema)
-              .map(TableLog.Add)
-          else Nil
-        TableLog.open(logDir).commit(adds, tag = "b0")
+        TableLog.commitDir(t.spark, TableLog.open(logDir),
+          s"$d/landing/dest=$sub", "o_orderkey", io15Schema, tag = "b0")
         ()
       }
       commitSide("main", s"$d/main")

@@ -68,6 +68,22 @@ object TableLog {
       .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
       .toSeq.sortBy(_.path)
+
+  /** Commit every parquet file under `dir` to `log` as one tagged
+    * version — the land-then-commit shape every sink shares (io15's
+    * destinations, st19's per-batch sides). A MISSING dir commits an
+    * EMPTY tagged version: destination version counts stay in sync
+    * even when a batch routes nothing to one side, and the tag still
+    * answers redelivery checks.
+    */
+  def commitDir(spark: SparkSession, log: TableLog, dir: String,
+      keyCol: String, schema: StructType, tag: String): Long = {
+    val adds =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        statsFor(spark, dir, keyCol, schema).map(Add)
+      else Nil
+    log.commit(adds, tag)
+  }
 }
 
 final class TableLog(val root: String) {

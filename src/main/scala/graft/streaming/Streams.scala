@@ -2270,14 +2270,8 @@ object Streams {
         .write.partitionBy("dest").mode("overwrite").parquet(bDir)
     }
     def commitSide(log: graft.sources.TableLog, sub: String): Unit = {
-      val dir = s"$bDir/dest=$sub"
-      val adds =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-          graft.sources.TableLog
-            .statsFor(spark, dir, "event_id", st19Schema)
-            .map(graft.sources.TableLog.Add)
-        else Nil
-      log.commit(adds, tag)
+      graft.sources.TableLog.commitDir(spark, log, s"$bDir/dest=$sub",
+        "event_id", st19Schema, tag)
       ()
     }
     if (!mainDone) commitSide(mainLog, "main")
@@ -2285,26 +2279,14 @@ object Streams {
   }
 
   /** The per-(dest, reason) aggregate over both maintained tables'
-    * live snapshots.
+    * live snapshots — io15's serving core, shared.
     */
   private[graft] def st19Serve(
-      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
-    def side(sub: String, dest: String) = {
-      val log = graft.sources.TableLog.open(s"$root/$sub")
-      log.read(spark, st19Schema, log.latestVersion.getOrElse(-1L))
-        .select(col("event_id"), col("value"), lit(dest).as("dest"),
-          coalesce(col("reason"), lit("")).as("reason"))
-    }
-    side("main", "main").unionByName(side("quarantine", "quarantine"))
-      .groupBy("dest", "reason")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(
-          org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
-          .as("total_value"),
-        min("event_id").as("min_id"),
-        max("event_id").as("max_id"))
-      .orderBy("dest", "reason")
-  }
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    graft.sources.Io.quarantineServe(spark,
+      graft.sources.TableLog.open(s"$root/main"),
+      graft.sources.TableLog.open(s"$root/quarantine"),
+      st19Schema, "event_id", "value", "total_value", "min_id", "max_id")
 
   // ----------------------------------------------------------------
   // st18: CDC FOLLOW — a downstream mirror maintained from the
@@ -2350,9 +2332,12 @@ object Streams {
     graft.sources.Io.statusAgg(st18Mirror(spark, root))
   }
 
-  /** Follow the log up to and including version `v`: the cursor is
-    * read ONCE and the loop starts at the first unapplied version —
-    * resume costs zero metadata reads per already-applied version.
+  /** Follow the log up to and including version `v`: the starting
+    * point is computed from ONE cursor read, so already-applied
+    * versions cost nothing — not even a meta read. Each APPLIED step
+    * still re-checks the cursor itself: that per-step guard is the
+    * redelivery/torn-cursor heal (drilled by direct step calls) and
+    * must not be optimized away against this seek.
     */
   private[graft] def st18FollowTo(
       spark: org.apache.spark.sql.SparkSession, root: String,
