@@ -204,10 +204,21 @@ final class TableLog(val root: String) {
     */
   def checkpoint(): Unit = latestVersion.foreach { v =>
     if (!java.nio.file.Files.exists(checkpointPath(v))) {
-      val tagLines = versions.filter(_ <= v).flatMap { cv =>
-        val t = parse(cv)._1
-        if (t.nonEmpty) Some(s"tag\t$cv\t$t") else None
-      }
+      // the tag index carries FORWARD from the previous checkpoint —
+      // only the commits since it are parsed, so a checkpoint stays
+      // O(delta) like the snapshot replay it collapses (re-parsing
+      // the full history here would put O(history) back into the
+      // maintenance cadence the checkpoint exists to remove)
+      val prev = checkpoints.filter(_ < v).lastOption
+      val carried = prev.map(checkpointTags).getOrElse(Map.empty)
+      val fresh = versions
+        .filter(cv => cv <= v && prev.forall(cv > _))
+        .flatMap { cv =>
+          val t = parse(cv)._1
+          if (t.nonEmpty) Some(t -> cv) else None
+        }
+      val tagLines = (carried ++ fresh).toSeq.sortBy(_._2)
+        .map { case (t, cv) => s"tag\t$cv\t$t" }
       val body = (tagLines ++ snapshot(v).map(f =>
         s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"))
         .mkString("\n")
