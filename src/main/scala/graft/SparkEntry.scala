@@ -119,6 +119,7 @@ object SparkEntry {
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),
+    "m5_binary_dedup"     -> q(Multimodal.m5BinaryDedup(_)),
     "m3_frame_sample"     -> q(Multimodal.m3FrameSample(_)),
     "io1_jsonl_roundtrip" -> q(graft.sources.Io.io1JsonlRoundtrip),
     "io2_csv_roundtrip"   -> q(graft.sources.Io.io2CsvRoundtrip),

@@ -144,7 +144,52 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m5: BINARY CONTENT-HASH DEDUP — the FIRST dedup every
+    * multimodal pipeline runs: identical media payloads re-crawled
+    * under different ids collapse by their sha-256 BEFORE any decode
+    * or embedding is paid (LAION/CommonCrawl image dedup by content
+    * hash). The report emits each duplicated digest with its copy
+    * count, keeper (min doc_id — the survivor convention), and the
+    * payload bytes reclaimed by keeping one copy. Payload = the
+    * document's first 128 bytes under the family's text-as-bytes
+    * convention (the synthetic corpus's near-dup docs share their
+    * head, so the corpus has genuine duplicate payloads; a media
+    * corpus hashes the raw blob the same way).
+    *
+    * Scale: the payload is hashed IN the scan projection and only
+    * the 32-byte digest + length shuffle to the ONE groupBy — the
+    * blob itself never moves; digests are hash-uniform, so the
+    * groupBy has no planned skew. Output is duplication-sized.
+    */
+  def m5BinaryDedup(t: Tables, payloadBytes: Int = 128): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        lower(sha2(substring(col("text"), 1, payloadBytes), 256))
+          .as("sha256"),
+        length(substring(col("text"), 1, payloadBytes).cast("binary"))
+          .as("n_bytes"))
+      .groupBy("sha256")
+      .agg(count(lit(1)).as("n_copies"),
+        min("doc_id").as("keep_doc"),
+        min("n_bytes").as("nb"))
+      .filter(col("n_copies") >= 2)
+      .select(col("sha256"), col("n_copies"), col("keep_doc"),
+        ((col("n_copies") - 1) * col("nb")).as("bytes_saved"))
+      .orderBy("sha256")
+
   val oracle: Map[String, String] = Map(
+    // the digest groupBy replayed: per-dup-group copy count, min-id
+    // keeper, reclaimed bytes
+    "m5_binary_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    lower(sha256(substring(text, 1, 128))) AS sha256,
+        |    octet_length(CAST(substring(text, 1, 128) AS BLOB)) AS n_bytes
+        |  FROM documents)
+        |SELECT sha256, count(*) AS n_copies, min(doc_id) AS keep_doc,
+        |  (count(*) - 1) * min(n_bytes) AS bytes_saved
+        |FROM h GROUP BY sha256 HAVING count(*) >= 2
+        |ORDER BY sha256""".stripMargin,
     // caption/media sides re-derived + the per-shard batch window
     "m4_paired_sample" ->
       """WITH caps AS (

@@ -263,6 +263,28 @@ class AnnStreamSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("pair_fp")).distinct.length == 500)
   }
 
+  test("m5 binary dedup: every group is a true payload-equal set, " +
+      "keeper is its min id, reclaimed bytes exact") {
+    val t = Tables(spark, sf)
+    val groups = run("m5_binary_dedup").collect()
+    assert(groups.nonEmpty)
+    // recompute the payload digests locally
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(128)).toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byDigest = docs.groupBy { case (_, p) => sha(p) }
+    groups.foreach { g =>
+      val members = byDigest(g.getAs[String]("sha256"))
+      assert(members.size == g.getAs[Long]("n_copies"))
+      assert(members.keys.min == g.getAs[Long]("keep_doc"))
+      val nb = members.values.head.getBytes("UTF-8").length
+      assert(g.getAs[Long]("bytes_saved") == (members.size - 1).toLong * nb)
+    }
+    // and the report covers EVERY duplicated payload
+    assert(groups.length == byDigest.count(_._2.size >= 2))
+  }
+
   test("m1 binary meta: byte length == char length (ascii), sha256 shape") {
     val rows = run("m1_binary_meta").collect()
     assert(rows.length == 500)
