@@ -59,8 +59,13 @@ object Bench {
     // …and a SHORT trailer as the very last line: drivers have been
     // observed to keep only a bounded tail, which cut the head (and
     // total_s) off the long line above. Whichever end of the output
-    // survives capture now carries the headline numbers.
-    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$fj}""")
+    // survives capture now carries the headline numbers — including
+    // the top-20 slowest (key, seconds) pairs, so per-query evidence
+    // survives even a tail-only capture.
+    val top = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+      .map { case (k, v) => s"""["$k",${math.round(v * 100) / 100.0}]""" }
+      .mkString("[", ",", "]")
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$fj,"top20":$top}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1091,13 +1091,29 @@ object Graft {
       .statsFor(df.sparkSession, dir, keyCol, df.schema)
       .map(graft.sources.TableLog.Add)
     // full OCC: a lost claim rebases — replace recomputes its remove
-    // set against the new base; same-file remove conflicts abort
-    log.commitWithRetry(tag) { base =>
-      val removes =
-        if (replace && base >= 0L)
-          log.snapshot(base).map(f => graft.sources.TableLog.Remove(f.path))
-        else Nil
-      removes ++ adds
+    // set against the new base; same-file remove conflicts abort.
+    // An ABORT must not orphan the staged data dir: no commit ever
+    // referenced its files, so vacuum (which only deletes Add'd
+    // paths) could never reclaim them — sweep them here instead
+    try
+      log.commitWithRetry(tag) { base =>
+        val removes =
+          if (replace && base >= 0L)
+            log.snapshot(base).map(f => graft.sources.TableLog.Remove(f.path))
+          else Nil
+        removes ++ adds
+      }
+    catch { case e: Throwable =>
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally s.close()
+      }
+      throw e
     }
   }
 

@@ -109,6 +109,29 @@ object Ann {
     cdf
   }
 
+  /** The s2 candidate cut REPLAYED IN SQL — the oracle must derive
+    * its Hamming cut from the SAME `min(defaultTau, tauFor)` math the
+    * engine applies, or the two sides drift apart exactly when the
+    * count bound takes over (~3e5 embeddings at 512 bits): the
+    * binomial CDF values are literals generated by the SAME
+    * [[hammingCdf]] the engine evaluates (bit-identical doubles via
+    * round-trip string casts), the corpus count is read at oracle-RUN
+    * time, and the `n * cdf <= target` comparison is the same IEEE
+    * double multiply in both engines — so the admitted τ matches at
+    * every scale, not just below the crossover.
+    */
+  private def tauCutSql(bits: Int, target: Long): String = {
+    val rows = ((bits / 4 + 1) to (bits / 2)).map(tau =>
+      s"($tau, CAST('${hammingCdf(bits, tau)}' AS DOUBLE))")
+      .mkString(", ")
+    s"""cdfs(tau, cdf) AS (VALUES $rows),
+       |cut AS (
+       |  SELECT LEAST(${defaultTau(bits)}, coalesce(
+       |    (SELECT max(tau)
+       |     FROM cdfs, (SELECT count(*) AS n FROM embeddings) nn
+       |     WHERE n * cdf <= $target.0), ${bits / 4})) AS cut)""".stripMargin
+  }
+
   /** CANDIDATE-BOUNDED Hamming cut: the largest τ whose expected
     * random-bulk admission n · P[Binom(bits, ½) ≤ τ] stays at-or-under
     * `target` candidates per query. Unlike [[defaultTau]] (a constant
@@ -891,6 +914,12 @@ object Ann {
       (0 until dim).map(i => min(element_at(col("v"), i + 1))) ++
         (0 until dim).map(i => max(element_at(col("v"), i + 1)))
     val row = vecs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // an EMPTY frame aggregates to all-null min/max — serve the zero
+    // model (every code 0, reconstruction = 0) instead of an NPE, so
+    // the public sqEncode/sqSearch facades return typed empties on
+    // empty input like their siblings
+    if (row.isNullAt(0))
+      return (Array.fill(dim)(0.0), Array.fill(dim)(0.0))
     val mins = Array.tabulate(dim)(i => row.getDouble(i))
     val scales =
       Array.tabulate(dim)(i => (row.getDouble(dim + i) - mins(i)) / 256.0)
@@ -1439,10 +1468,12 @@ object Ann {
     },
     // mirrors hyperplaneSig(512 planes, same md5-seeded constants as
     // d5's oracle) + the Hamming-cut prefilter + exact-cosine top-10;
-    // the cut literal is generated from defaultTau so the two engines
-    // can never drift apart
+    // the cut is DERIVED in SQL from the engine's own min(defaultTau,
+    // tauFor) math (tauCutSql: hammingCdf literals + the live corpus
+    // count) so the two engines can never drift apart at any scale
     "s2_ann_lsh" ->
-      s"""WITH pl AS (
+      s"""WITH ${tauCutSql(512, math.max(1024L, 64L * 10))},
+         |pl AS (
          |  SELECT h, i,
          |    ((CASE WHEN ascii(substring(md5(h || ':' || i), 1, 1)) >= 97
          |       THEN ascii(substring(md5(h || ':' || i), 1, 1)) - 87
@@ -1462,7 +1493,7 @@ object Ann {
          |  FROM bits b JOIN bits p ON p.h = b.h
          |  WHERE p.vec_id = 0 AND b.vec_id <> 0
          |  GROUP BY b.vec_id),
-         |cand AS (SELECT vec_id FROM ham WHERE ham <= ${defaultTau(512)}),
+         |cand AS (SELECT vec_id FROM ham WHERE ham <= (SELECT cut FROM cut)),
          |p AS (SELECT v AS pv FROM vv WHERE vec_id = 0)
          |SELECT c.vec_id,
          |  round(list_dot_product(v.v, pv) /

@@ -604,21 +604,6 @@ object Relational {
       .orderBy("column")
   }
 
-  /** q24: TIME-SERIES GAP-FILL / RESAMPLE — regularize an event
-    * stream onto a fixed grid, the prelude to any temporal feature
-    * pipeline: per user, an hourly grid spans their first→last active
-    * hour, gap hours land with n_events=0, and the last observed
-    * event_type FORWARD-FILLS across gaps (`last(ignoreNulls)` — the
-    * as-of read expressed as a window). The in-hour "last event" is
-    * chosen by (ts, event_id) desc so both engines pick identically.
-    *
-    * Scale: the hourly rollup and the rank window share ONE exchange
-    * (window and groupBy key on (user_id, hr)); grid generation is a
-    * per-user `sequence` explode off the tiny span aggregate; the
-    * fill window shuffles by user only. Grid size is span-bounded
-    * (users × hours), never event-bounded — the operator's output is
-    * the resampled series a feature store materializes.
-    */
   /** q25: GROUPING SETS — three heterogeneous reports in ONE pass:
     * revenue/count by (returnflag, linestatus), by linestatus ALONE,
     * and the grand total. Unlike q3's rollup / q15's cube, the sets
@@ -640,6 +625,21 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** q24: TIME-SERIES GAP-FILL / RESAMPLE — regularize an event
+    * stream onto a fixed grid, the prelude to any temporal feature
+    * pipeline: per user, an hourly grid spans their first→last active
+    * hour, gap hours land with n_events=0, and the last observed
+    * event_type FORWARD-FILLS across gaps (`last(ignoreNulls)` — the
+    * as-of read expressed as a window). The in-hour "last event" is
+    * chosen by (ts, event_id) desc so both engines pick identically.
+    *
+    * Scale: the hourly rollup and the rank window share ONE exchange
+    * (window and groupBy key on (user_id, hr)); grid generation is a
+    * per-user `sequence` explode off the tiny span aggregate; the
+    * fill window shuffles by user only. Grid size is span-bounded
+    * (users × hours), never event-bounded — the operator's output is
+    * the resampled series a feature store materializes.
+    */
   def q24GapFill(t: Tables, maxUser: Long = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t.events.filter(col("user_id") < maxUser)

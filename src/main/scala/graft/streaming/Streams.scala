@@ -1229,8 +1229,22 @@ object Streams {
     }
     val bIds = names.collect { case n if n.startsWith("b") => n.drop(1).toLong }
     if (bIds.isEmpty) return
-    val lw = math.max(bIds.max, loadLowWater(root))
-    saveLowWater(root, lw)
+    // retire only the CONTIGUOUS committed prefix: low-water marks
+    // every id at-or-below it as committed, so advancing past a GAP
+    // (an uncommitted lower id — possible if a caller ever hands
+    // out-of-order bids to st13Step/st14Step) would silently drop
+    // that batch's redelivery as "already committed". The wired
+    // streaming paths commit in order, where prefix = max and the
+    // collapse is total; an out-of-order history keeps its markers
+    // above the gap until the gap commits.
+    val bSet = bIds.toSet
+    val cur = loadLowWater(root)
+    var lw = cur
+    while (bSet.contains(lw + 1L)) lw += 1L
+    // persist-first crash order (see scaladoc); markers at-or-below
+    // the (possibly unadvanced) mark still sweep — they linger only
+    // from a crash between persist and delete
+    if (lw > cur) saveLowWater(root, lw)
     names.foreach { n =>
       if ((n.startsWith("b") || n.startsWith("a")) &&
           n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= lw)

@@ -1775,6 +1775,32 @@ class AnnStreamSpec extends SparkSpec {
     assert(graft.streaming.Streams.nextBatchId(st.root) > lw)
   }
 
+  test("marker retirement stops at a commit GAP: an uncommitted " +
+      "lower bid keeps its redelivery slot instead of being dropped") {
+    val root = graft.Staging.scratch("st_retire_gap")
+    // out-of-order history: 0 and 2 committed, 1 attempted but NOT
+    // committed (the explicit-bid caller path retirement must respect)
+    graft.streaming.Streams.commitBatch(root, 0L)
+    graft.streaming.Streams.markAttempt(root, 1L)
+    graft.streaming.Streams.commitBatch(root, 2L)
+    graft.streaming.Streams.retireMarkers(root)
+    // low-water advances only through the contiguous prefix: marking
+    // 2 committed would claim 1 is too, silently dropping its redelivery
+    assert(graft.streaming.Streams.loadLowWater(root) == 0L)
+    assert(!graft.streaming.Streams.batchCommitted(root, 1L),
+      "gap bid 1 reads as committed — its redelivery would be dropped")
+    assert(graft.streaming.Streams.batchCommitted(root, 2L),
+      "bid 2's marker was retired without low-water covering it")
+    assert(graft.streaming.Streams.attemptExists(root, 1L),
+      "the dangling attempt marker must survive (wipe-walk signal)")
+    // the gap commits → the next retirement collapses everything
+    graft.streaming.Streams.commitBatch(root, 1L)
+    graft.streaming.Streams.retireMarkers(root)
+    assert(graft.streaming.Streams.loadLowWater(root) == 2L)
+    assert((0L to 2L).forall(
+      graft.streaming.Streams.batchCommitted(root, _)))
+  }
+
   test("epoch barrier: a durable root re-attached under a NEW query " +
       "epoch processes fresh bid 0 instead of dropping it") {
     import SparkSpec.spark.implicits._

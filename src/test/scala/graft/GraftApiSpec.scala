@@ -756,6 +756,12 @@ class GraftApiSpec extends SparkSpec {
       .toDF("id", "emb")
     val enc = Graft.sqEncode(const, "id", "emb", dim = 2).collect()
     assert(enc.forall(_.getAs[String]("codes").startsWith("0-")))
+    // sqEncode/sqSearch on an EMPTY frame: the all-null min/max row
+    // serves the zero model and a typed empty — never an NPE
+    val noVecs = const.filter(col("id") < 0L)
+    assert(Graft.sqEncode(noVecs, "id", "emb", dim = 2).count() == 0)
+    assert(Graft.sqSearch(noVecs, "id", "emb", Seq(0.1, 0.2),
+      k = 3, dim = 2).count() == 0)
     // cdcFollow on a log with no committed snapshot refuses loudly
     val emptyRoot = graft.Staging.scratch("api_cdc_empty")
     intercept[IllegalArgumentException] {

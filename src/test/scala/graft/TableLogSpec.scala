@@ -83,6 +83,33 @@ class TableLogSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("an aborted tableCommit sweeps its staged data dir: no bytes " +
+      "orphaned where vacuum could never reach them") {
+    val session2 = spark
+    import session2.implicits._
+    val root = graft.Staging.scratch("tls_abort_sweep")
+    graft.api.Graft.tableCommit(
+      (1L to 50L).map(i => (i, s"r$i")).toDF("k", "p"), root, "k")
+    // corrupt the NEXT version's commit file: the replace-commit's
+    // prepare (snapshot replay) throws inside the OCC loop — the
+    // deterministic stand-in for an exhausted/conflicted abort
+    val junk = java.nio.file.Paths.get(root, "_log",
+      f"v${1L}%012d.commit")
+    java.nio.file.Files.write(junk,
+      "tag:x\ngarbage line".getBytes("UTF-8"))
+    val before = graft.sources.Io.parquetFilesRec(root)
+      .map(_.toString).toSet
+    intercept[RuntimeException] {
+      graft.api.Graft.tableCommit(
+        (1L to 10L).map(i => (i, "new")).toDF("k", "p"), root, "k",
+        replace = true)
+    }
+    val after = graft.sources.Io.parquetFilesRec(root)
+      .map(_.toString).toSet
+    assert(after == before,
+      s"aborted commit orphaned staged files: ${after -- before}")
+  }
+
   test("CHECK constraint gates the commit path: rejection leaves no " +
       "version and no files, NULL fails strictly, metadata persists") {
     val session2 = spark
