@@ -321,37 +321,72 @@ object Io {
       .filter(col("_rn") === 1).drop("_v", "_rn")
   }
 
-  /** io6: SCHEMA EVOLUTION — a long-lived lake table accretes columns
-    * over time: early batches were written before a column existed,
-    * later batches carry it. The read side must serve ONE logical
-    * schema (new column null-filled on old files) without rewriting
-    * history. Stages orders as two generations (even keys without
-    * `o_orderpriority`, odd keys with it), reads with
-    * `mergeSchema=true` (a FOOTER merge — per-file metadata, no data
-    * scan), and aggregates by the evolved column with old rows
-    * surfacing as 'LEGACY'. `n_evolved` counts non-null priorities per
-    * group, so the gate fails if null-filling is wrong in either
-    * direction. At 100 TB schema merge cost is per-FILE, not per-row —
-    * production pins the merged schema in a catalog and reads with it
-    * explicitly, which is exactly the null-filling this verifies.
+  /** io6: SCHEMA EVOLUTION ON THE COMMIT LOG — a long-lived lake
+    * table accretes columns over time: early batches were written
+    * before a column existed, later batches carry it. Production
+    * table formats carry the SCHEMA in commit metadata (Delta's
+    * metaData action), which is what [[TableLog]] does here: gen1
+    * (even keys, no `o_orderpriority`) commits under the 3-column
+    * schema, an ALTER-style METADATA-ONLY commit declares the
+    * 4-column schema (no data moves — evolution is a log line), gen2
+    * (odd keys) commits carrying the new column. The read side serves
+    * [[TableLog.schemaAt]]'s answer: at the head the evolved schema
+    * null-fills gen1's legacy files; time travel to v0 serves the
+    * 3-column schema of ITS era (TableLogSpec drills both). The
+    * aggregate keys on the evolved column with old rows surfacing as
+    * 'LEGACY'; `n_evolved` counts non-null priorities per group, so
+    * the gate fails if null-filling is wrong in either direction.
+    *
+    * At 100 TB the schema read is ONE log line (no parquet footer is
+    * opened to discover the schema — mergeSchema's per-file footer
+    * pass doesn't scale past thousands of files), and history is
+    * never rewritten: an added column costs exactly one metadata
+    * commit.
     */
   def io6SchemaEvolution(t: Tables): DataFrame = {
-    val dir = stage(t, "evolve", t.orders) { (df, d) =>
-      df.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$d/gen1")
-      df.filter(col("o_orderkey") % 2 === 1)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite").parquet(s"$d/gen2")
-    }
-    t.spark.read.option("mergeSchema", "true")
-      .parquet(s"$dir/gen1", s"$dir/gen2")
+    val log = evolvedLog(t)
+    val head = log.latestVersion.get
+    log.read(t.spark, log.schemaAt(head).get, head)
       .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total_price"),
         count(col("o_orderpriority")).as("n_evolved"))
       .orderBy("priority")
+  }
+
+  private[graft] val io6Gen1Schema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  private[graft] val io6Gen2Schema =
+    io6Gen1Schema.add("o_orderpriority", StringType)
+
+  /** io6's evolving log: gen1 under the 3-column schema → ALTER
+    * (metadata-only schema commit) → gen2 under the 4-column schema
+    * (staged once; spec access via the returned handle).
+    */
+  private[graft] def evolvedLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:evolvelog", "io_evolvelog") {
+      d =>
+        val log = TableLog.open(d)
+        t.orders.filter(col("o_orderkey") % 2 === 0)
+          .select(io6Gen1Schema.fieldNames.map(col): _*)
+          .write.mode("overwrite").parquet(s"$d/gen1")
+        log.commit(TableLog.statsFor(t.spark, s"$d/gen1", "o_orderkey",
+          io6Gen1Schema).map(TableLog.Add), tag = "gen1",
+          schema = Some(io6Gen1Schema))
+        // ALTER TABLE ADD COLUMN: one metadata line, no data touched
+        log.commit(Nil, tag = "alter", schema = Some(io6Gen2Schema))
+        t.orders.filter(col("o_orderkey") % 2 === 1)
+          .select(io6Gen2Schema.fieldNames.map(col): _*)
+          .write.mode("overwrite").parquet(s"$d/gen2")
+        log.commit(TableLog.statsFor(t.spark, s"$d/gen2", "o_orderkey",
+          io6Gen2Schema).map(TableLog.Add), tag = "gen2")
+        ()
+    }
+    TableLog.open(root)
   }
 
   /** Staged dir for (corpus, tag) if already landed — spec access. */

@@ -122,10 +122,18 @@ final class TableLog(val root: String) {
     * the committed version.
     */
   def commit(actions: Seq[Action], tag: String = "",
-      atVersion: Option[Long] = None): Long = {
+      atVersion: Option[Long] = None,
+      schema: Option[StructType] = None): Long = {
     java.nio.file.Files.createDirectories(logDir)
     val v = atVersion.getOrElse(latestVersion.fold(0L)(_ + 1L))
-    val body = (s"tag:$tag" +: actions.map {
+    // the table SCHEMA rides the commit metadata (Delta's metaData
+    // action): a schema-carrying commit DECLARES the table's logical
+    // schema from this version on — an ALTER-style evolution is a
+    // metadata-only commit (no actions, new schema), and readers
+    // serve [[schemaAt]]'s answer with old files null-filling the
+    // columns they predate. Compact JSON: single line, no tabs.
+    val body = (Seq(s"tag:$tag") ++
+      schema.map(s => s"schema:${s.json}") ++ actions.map {
       case Add(f) => s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"
       case Remove(p) => s"remove\t$p"
     }).mkString("\n")
@@ -219,7 +227,12 @@ final class TableLog(val root: String) {
         }
       val tagLines = (carried ++ fresh).toSeq.sortBy(_._2)
         .map { case (t, cv) => s"tag\t$cv\t$t" }
-      val body = (tagLines ++ snapshot(v).map(f =>
+      // the schema in effect at the checkpoint carries too (like the
+      // tag index): schemaAt's scan stops at the checkpoint floor, so
+      // a collapsed schema-carrying commit must not make the table's
+      // schema unreadable
+      val schemaLine = schemaAt(v).map(s => s"schema:${s.json}").toSeq
+      val body = (schemaLine ++ tagLines ++ snapshot(v).map(f =>
         s"add\t${f.path}\t${f.minKey}\t${f.maxKey}\t${f.nRows}"))
         .mkString("\n")
       val tmp = logDir.resolve(
@@ -252,7 +265,8 @@ final class TableLog(val root: String) {
   private def readCheckpoint(v: Long): Seq[FileEntry] =
     new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+      .split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("schema:")).flatMap { l =>
         l.split("\t") match {
           case Array("add", p, mn, mx, n) =>
             Some(FileEntry(p, mn.toLong, mx.toLong, n.toLong))
@@ -279,7 +293,8 @@ final class TableLog(val root: String) {
     val lines = new String(java.nio.file.Files.readAllBytes(commitPath(v)),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
     val tag = lines.head.stripPrefix("tag:")
-    val actions = lines.tail.filter(_.nonEmpty).map { l =>
+    val actions = lines.tail
+      .filter(l => l.nonEmpty && !l.startsWith("schema:")).map { l =>
       l.split("\t") match {
         case Array("add", p, mn, mx, n) =>
           Add(FileEntry(p, mn.toLong, mx.toLong, n.toLong))
@@ -288,6 +303,39 @@ final class TableLog(val root: String) {
       }
     }
     (tag, actions)
+  }
+
+  /** The schema line commit `v` itself carries, if any. */
+  private def commitSchema(v: Long): Option[StructType] =
+    new String(java.nio.file.Files.readAllBytes(commitPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith("schema:"))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
+
+  /** The schema line a checkpoint carries, if any. */
+  private def checkpointSchema(v: Long): Option[StructType] =
+    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith("schema:"))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
+
+  /** The table's logical schema AS OF version `v`: the newest
+    * schema-carrying commit at or below it — the read side of schema
+    * evolution (old snapshots serve the schema of THEIR era; a reader
+    * at the head null-fills legacy files to the evolved schema). Scans
+    * newest-first down to the latest checkpoint ≤ v, then falls back
+    * to the schema THAT checkpoint carries — so planning cost is
+    * O(commits since the checkpoint), not O(history), exactly
+    * [[tagVersion]]'s bound. Time travel below the checkpoint replays
+    * the (never-deleted) commits themselves.
+    */
+  def schemaAt(v: Long): Option[StructType] = {
+    val floor = checkpoints.filter(_ <= v).lastOption
+    versions.filter(cv => cv <= v && floor.forall(cv >= _)).sortBy(-_)
+      .iterator.flatMap(commitSchema).nextOption()
+      .orElse(floor.flatMap(checkpointSchema))
   }
 
   /** The version a writer committed under `tag`, if any — the

@@ -83,6 +83,43 @@ class TableLogSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("schema evolution rides the commit log: old snapshots serve " +
+      "their era's schema, the head null-fills legacy files, and a " +
+      "checkpoint carries the schema across the collapse") {
+    val t = Tables(spark, sf)
+    run("io6_schema_evolution").collect()
+    val log = graft.sources.Io.evolvedLog(t)
+    assert(log.versions == Seq(0L, 1L, 2L))
+    // v0's era: the 3-column schema, served as written
+    assert(log.schemaAt(0L).get.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(log.read(spark, log.schemaAt(0L).get, 0L)
+      .columns.length == 3)
+    // the ALTER commit is METADATA-ONLY: schema evolves, no file moves
+    assert(log.schemaAt(1L).get.fieldNames.contains("o_orderpriority"))
+    assert(log.snapshot(1L).map(_.path).toSet ==
+      log.snapshot(0L).map(_.path).toSet)
+    // head read under the log's schema: legacy (even-key) files
+    // null-fill the new column, gen2 rows carry it — exactly
+    val head = log.latestVersion.get
+    val df = log.read(spark, log.schemaAt(head).get, head)
+    assert(df.columns.length == 4)
+    assert(df.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_orderpriority").isNotNull).count() == 0,
+      "legacy rows carry a non-null evolved column")
+    assert(df.filter(col("o_orderkey") % 2 === 1)
+      .filter(col("o_orderpriority").isNull).count() == 0,
+      "evolved rows lost their column")
+    // the checkpoint collapse must not lose the schema: a fresh open
+    // whose schemaAt scan stops at the checkpoint still reads it
+    log.checkpoint()
+    val reopened = graft.sources.TableLog.open(log.root)
+    assert(reopened.schemaAt(head).get.fieldNames
+      .contains("o_orderpriority"))
+    assert(reopened.schemaAt(0L).get.fieldNames.length == 3,
+      "time travel below the checkpoint lost its era's schema")
+  }
+
   test("an aborted tableCommit sweeps its staged data dir: no bytes " +
       "orphaned where vacuum could never reach them") {
     val session2 = spark
