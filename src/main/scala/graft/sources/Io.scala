@@ -425,42 +425,121 @@ object Io {
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }
 
-  /** io9: Z-ORDER CLUSTERED LAYOUT — multi-dimensional file
-    * clustering (Delta/Iceberg `OPTIMIZE ZORDER BY`): map each row's
-    * (user_id, value) to a point on the Z-curve (min/max-normalize
-    * both dimensions to 16 bits, interleave the bits), then land the
-    * table range-partitioned AND sorted by that z-value. Because the
-    * Z-curve preserves locality in BOTH dimensions, every parquet
-    * file/row-group gets TIGHT min/max stats on user_id and value
-    * simultaneously — a 2-D box predicate prunes to the few files
-    * whose z-range intersects the box, where a single-column sort
-    * gives tight stats on one dimension only. IoSpec measures the
-    * records-read win on the live layouts.
+  /** io9: OPTIMIZE ZORDER BY — multi-dimensional clustering AS A
+    * LAKE MAINTENANCE COMMIT (Delta/Iceberg `OPTIMIZE ... ZORDER BY
+    * (user_id, value)`), unified into the [[TableLog]] family like
+    * io12's size-binned OPTIMIZE: events land UNCLUSTERED and
+    * committed (the streaming-sink arrival layout), then the ZORDER
+    * pass maps each row's (user_id, value) to a point on the Z-curve
+    * (min/max-normalize both dimensions to 16 bits, interleave the
+    * bits — a pure projection), rewrites the snapshot range-
+    * partitioned AND sorted by that z-value, and publishes
+    * remove-unclustered + add-clustered in ONE tagged atomic commit
+    * with per-file z-range stats in the log; VACUUM reclaims the
+    * landing bytes. Because the Z-curve preserves locality in BOTH
+    * dimensions, every file gets tight stats on user_id and value
+    * simultaneously — a 2-D box predicate maps to a z-interval (the
+    * box's corner z-values bound it, Morton monotonicity) and the
+    * LOG's stats prune to the few files intersecting it, where a
+    * single-column sort gives tight stats on one dimension only.
+    * IoSpec measures the ≥2× file-pruning win through exactly this
+    * log-first planning.
     *
     * Scale: the z-value is a pure projection (no shuffle to compute);
-    * the ONE shuffle is the range-partitioner that the clustered
-    * rewrite would pay for any sort key. At 100 TB this runs as
-    * io5-style compaction with a file-count target, and the min/max
+    * the ONE shuffle is the range-partitioner any clustered rewrite
+    * pays. At 100 TB the pass is incremental (io12's offender
+    * selection composes — rewrite only the unclustered tail) and the
     * normalization bounds come from the previous snapshot's stats (a
-    * metadata read) — here they are a broadcast 1-row aggregate.
-    * Read-back carries an explicit schema, and the query result is
-    * the z-value per row, so the oracle replays normalize+interleave
-    * relationally: a hash match proves the clustered rewrite kept
-    * every row and computed the curve correctly.
+    * metadata read) — here a broadcast 1-row aggregate. Serving reads
+    * the post-OPTIMIZE snapshot; the result is the z-value per row,
+    * so the oracle replays normalize+interleave relationally: a hash
+    * match proves the clustered rewrite kept every row and computed
+    * the curve correctly.
     */
   def io9Zorder(t: Tables): DataFrame = {
-    val ev = t.events.select("event_id", "user_id", "value")
-    val dir = stage(t, "zorder", zorderOf(ev, "user_id", "value"))((df, d) =>
-      df.repartitionByRange(8, col("zval")).sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(d))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("user_id", LongType),
-      StructField("value", DoubleType),
-      StructField("zval", LongType)))
-    t.spark.read.schema(schema).parquet(dir)
+    val log = zorderedLog(t)
+    log.read(t.spark, io9Schema, log.latestVersion.get)
       .select("event_id", "zval")
       .orderBy("event_id")
+  }
+
+  private[graft] val io9Schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("zval", LongType)))
+
+  /** io9's log: unclustered landing commit → tagged OPTIMIZE ZORDER
+    * rewrite commit → vacuum to retain = 1 (staged once; spec access
+    * via the returned handle).
+    */
+  private[graft] def zorderedLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:zorderlog", "io_zorderlog") {
+      d =>
+        val log = TableLog.open(d)
+        zorderOf(t.events.select("event_id", "user_id", "value"),
+          "user_id", "value")
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$d/land")
+        log.commit(TableLog.statsFor(t.spark, s"$d/land", "zval",
+          io9Schema).map(TableLog.Add), tag = "land")
+        optimizeZorderPass(t.spark, log, s"$d/zorder", io9Schema, 8)
+        log.vacuum(retain = 1)
+        ()
+    }
+    TableLog.open(root)
+  }
+
+  /** The OPTIMIZE ZORDER pass: rewrite the latest snapshot range-
+    * partitioned + sorted by the (precomputed) z-value into `nFiles`
+    * files under `outDir`, publishing remove-old + add-new with
+    * per-file z-range stats in ONE tagged commit through the OCC loop
+    * (io12's protocol, z-ordering instead of size binning). A
+    * redelivered pass finds its tag and no-ops.
+    */
+  private[graft] def optimizeZorderPass(spark: SparkSession,
+      log: TableLog, outDir: String, schema: StructType, nFiles: Int,
+      tag: String = "zorder"): Unit = {
+    if (log.tagVersion(tag).nonEmpty) return
+    val snap = log.snapshot(log.latestVersion.get)
+    spark.read.schema(schema).parquet(snap.map(_.path): _*)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(outDir)
+    val actions = snap.map(f => TableLog.Remove(f.path)) ++
+      TableLog.statsFor(spark, outDir, "zval", schema)
+        .map(TableLog.Add)
+    log.commitWithRetry(tag)(_ => actions)
+    ()
+  }
+
+  /** The z-interval a 2-D box predicate maps to under `df`'s
+    * normalization bounds: z(corner_lo) to z(corner_hi). Valid
+    * because the Morton code is monotone in each coordinate — every
+    * row inside the box z-sorts inside the corner span (loose: an
+    * admitted file may hold non-matching rows, never the reverse).
+    * This is the planner-side half of the ZORDER win: a 2-D predicate
+    * becomes ONE stats range the log prunes on.
+    */
+  private[graft] def zorderRange(df: DataFrame, xCol: String,
+      yCol: String, x0: Double, x1: Double, y0: Double,
+      y1: Double): (Long, Long) = {
+    val r = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double"))
+      .head()
+    def n16(v: Double, lo: Double, hi: Double): Long =
+      if (hi == lo) 0L
+      else math.min(65535L, math.max(0L,
+        math.floor((v - lo) / (hi - lo) * 65535.0).toLong))
+    def zOf(nx: Long, ny: Long): Long =
+      (0 until 16).map(i =>
+        (((nx >> i) & 1L) << (2 * i)) | (((ny >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    (zOf(n16(x0, r.getDouble(0), r.getDouble(1)),
+        n16(y0, r.getDouble(2), r.getDouble(3))),
+      zOf(n16(x1, r.getDouble(0), r.getDouble(1)),
+        n16(y1, r.getDouble(2), r.getDouble(3))))
   }
 
   /** The corpus's clustered EVENTS table under its own [[TableLog]]:

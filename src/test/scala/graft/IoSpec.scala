@@ -91,66 +91,53 @@ class IoSpec extends SparkSpec {
     assert(rows.length == byChange.values.map(_.length).sum)
   }
 
-  test("io9 z-order: 2-D box scan reads far fewer records than a " +
-      "single-column layout; rows preserved") {
+  test("io9 OPTIMIZE ZORDER: a 2-D box plans log-first to a strict " +
+      "file subset (≥2× pruning), answer intact, landing reclaimed") {
     val t = Tables(spark, sf)
-    val withZ = graft.sources.Io.zorderOf(
-      t.events.select("event_id", "user_id", "value"), "user_id", "value")
-    val natDir = java.nio.file.Files
-      .createTempDirectory("graft_z_nat_").toString
-    val zDir = java.nio.file.Files
-      .createTempDirectory("graft_z_ord_").toString
-    try {
-      // same file count, same rows — only the clustering differs
-      withZ.repartitionByRange(8, col("event_id"))
-        .sortWithinPartitions("event_id")
-        .write.mode("overwrite").parquet(natDir)
-      withZ.repartitionByRange(8, col("zval"))
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(zDir)
-      // a selective 2-D box that stays inside ONE z-octant (fractions
-      // 0.55–0.70 of both normalized ranges keep the top interleaved
-      // bits constant — a box straddling a dimension's midpoint would
-      // legitimately touch many z-ranges, the curve's known weakness)
-      val (u0, u1, v0, v1) = {
-        val r = withZ.agg(
-          min(col("user_id")).cast("double"), max(col("user_id")).cast("double"),
-          min(col("value")), max(col("value"))).head()
-        val (ulo, uhi, vlo, vhi) =
-          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-        (ulo + 0.55 * (uhi - ulo), ulo + 0.70 * (uhi - ulo),
-          vlo + 0.55 * (vhi - vlo), vlo + 0.70 * (vhi - vlo))
-      }
-      def box(dir: String): (Array[Long], Long) = {
-        var recs = 0L
-        val lst = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null)
-              recs += te.taskMetrics.inputMetrics.recordsRead
-        }
-        spark.sparkContext.addSparkListener(lst)
-        try {
-          val ids = spark.read.parquet(dir)
-            .filter(col("user_id") >= u0 && col("user_id") <= u1 &&
-              col("value") >= v0 && col("value") <= v1)
-            .select("event_id").collect().map(_.getLong(0)).sorted
-          Thread.sleep(1200) // listener bus drains async
-          (ids, recs)
-        } finally spark.sparkContext.removeSparkListener(lst)
-      }
-      val (natIds, natRecs) = box(natDir)
-      val (zIds, zRecs) = box(zDir)
-      // identical answers off both layouts
-      assert(natIds.sameElements(zIds) && natIds.nonEmpty)
-      // the z-clustered layout's row-group stats prune most of the
-      // scan; the event_id-sorted layout reads every row group
-      assert(zRecs * 2 <= natRecs,
-        s"z-layout read $zRecs records vs $natRecs on the natural layout")
-    } finally {
-      graft.Staging.deleteTree(java.nio.file.Paths.get(natDir))
-      graft.Staging.deleteTree(java.nio.file.Paths.get(zDir))
+    run("io9_zorder").collect() // builds the staged log
+    val log = graft.sources.Io.zorderedLog(t)
+    // lifecycle: unclustered landing (v0) → tagged ZORDER rewrite
+    // (v1) → vacuum reclaimed the landing bytes
+    assert(log.versions == Seq(0L, 1L))
+    assert(log.tagVersion("zorder").contains(1L))
+    val landed = log.snapshot(0L).map(_.path)
+    assert(landed.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))),
+      "vacuum left the dead unclustered landing on disk")
+    // a selective 2-D box that stays inside ONE z-octant (fractions
+    // 0.55–0.70 of both normalized ranges keep the top interleaved
+    // bits constant — a box straddling a dimension's midpoint would
+    // legitimately touch many z-ranges, the curve's known weakness)
+    val ev = t.events.select("event_id", "user_id", "value")
+    val (u0, u1, v0, v1) = {
+      val r = ev.agg(
+        min(col("user_id")).cast("double"), max(col("user_id")).cast("double"),
+        min(col("value")), max(col("value"))).head()
+      val (ulo, uhi, vlo, vhi) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      (ulo + 0.55 * (uhi - ulo), ulo + 0.70 * (uhi - ulo),
+        vlo + 0.55 * (vhi - vlo), vlo + 0.70 * (vhi - vlo))
     }
+    // LOG-FIRST PLANNING: the 2-D predicate maps to one z-interval
+    // (corner z-values), and the log's per-file z-stats prune to the
+    // files intersecting it — pure metadata, no footer opened
+    val (zLo, zHi) = graft.sources.Io.zorderRange(
+      ev, "user_id", "value", u0, u1, v0, v1)
+    val head = log.latestVersion.get
+    val admitted = log.prunedFiles(head, zLo, zHi)
+    val total = log.snapshot(head).length
+    assert(admitted.nonEmpty && admitted.length * 2 <= total,
+      s"log admitted ${admitted.length} of $total files — under 2× pruning")
+    // the pruned plan's answer equals the full-scan answer exactly
+    val sch = graft.sources.Io.io9Schema
+    def boxIds(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.filter(col("user_id") >= u0 && col("user_id") <= u1 &&
+          col("value") >= v0 && col("value") <= v1)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+    val pruned = boxIds(log.prunedRead(spark, sch, head, zLo, zHi))
+    val full = boxIds(log.read(spark, sch, head))
+    assert(pruned.sameElements(full) && full.nonEmpty,
+      "log-pruned box answer diverges from the full scan")
   }
 
   test("io10 stats manifest: range query opens a strict file subset, " +
