@@ -136,6 +136,7 @@ object SparkEntry {
     "io13_shallow_clone"  -> q(graft.sources.Io.io13ShallowClone),
     "io14_check_constraint" -> q(graft.sources.Io.io14CheckConstraint),
     "io15_expectations"   -> q(graft.sources.Io.io15Expectations),
+    "io16_quarantine_replay" -> q(graft.sources.Io.io16QuarantineReplay),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

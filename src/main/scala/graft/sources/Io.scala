@@ -847,27 +847,134 @@ object Io {
     * each destination committed (tagged) to its own TableLog.
     */
   private[graft] def expectationLogs(t: Tables): (TableLog, TableLog) = {
-    val root = graft.Staging.dir(s"${t.dir}:explog", "io_explog") { d =>
-      val batch = t.orders.select(col("o_orderkey"),
-        when(col("o_orderkey") % 37 === 0, -col("o_totalprice"))
-          .otherwise(col("o_totalprice")).as("o_totalprice"))
-      val classified = batch
-        .withColumn("reason",
-          when(col("o_totalprice") < 0, lit("neg_price"))
-            .when(col("o_orderkey").isNull, lit("null_key")))
-        .withColumn("dest",
-          when(col("reason").isNull, lit("main")).otherwise(lit("quarantine")))
-      classified.write.partitionBy("dest").mode("overwrite")
-        .parquet(s"$d/landing")
-      def commitSide(sub: String, logDir: String): Unit = {
-        TableLog.commitDir(t.spark, TableLog.open(logDir),
-          s"$d/landing/dest=$sub", "o_orderkey", io15Schema, tag = "b0")
+    val root = graft.Staging.dir(s"${t.dir}:explog", "io_explog")(
+      landExpectations(t, _))
+    (TableLog.open(s"$root/main"), TableLog.open(s"$root/quarantine"))
+  }
+
+  /** io15's landing pass, factored so io16's replay can build the
+    * SAME pre-replay state on its own root: classify the poisoned
+    * orders batch, split by dest in one pass, commit each side tagged.
+    */
+  private def landExpectations(t: Tables, d: String): Unit = {
+    val batch = t.orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 37 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val classified = batch
+      .withColumn("reason",
+        when(col("o_totalprice") < 0, lit("neg_price"))
+          .when(col("o_orderkey").isNull, lit("null_key")))
+      .withColumn("dest",
+        when(col("reason").isNull, lit("main")).otherwise(lit("quarantine")))
+    classified.write.partitionBy("dest").mode("overwrite")
+      .parquet(s"$d/landing")
+    def commitSide(sub: String, logDir: String): Unit = {
+      TableLog.commitDir(t.spark, TableLog.open(logDir),
+        s"$d/landing/dest=$sub", "o_orderkey", io15Schema, tag = "b0")
+      ()
+    }
+    commitSide("main", s"$d/main")
+    commitSide("quarantine", s"$d/quarantine")
+  }
+
+  /** io16: QUARANTINE REPLAY — the closing move of the expectations
+    * lifecycle (io15's promise "bad data is kept and REPLAYABLE after
+    * a fix", made an operator): the `neg_price` expectation turns out
+    * to be wrong for refund accounts (even keys here — the corrected
+    * rule admits `o_totalprice >= 0 OR o_orderkey % 2 = 0`), so the
+    * quarantined rows are re-run through the CORRECTED expectation
+    * set in one pass — survivors COMMIT TO MAIN and the replayed rows
+    * RETIRE FROM QUARANTINE (remove-live + add-still-failing) in one
+    * tagged pair of commits, st19's two-destination protocol in
+    * reverse: a redelivered replay finds both tags and no-ops; a
+    * crash between the two commits completes the missing side from
+    * the landed files WITHOUT re-landing (TableLogSpec drills both).
+    * Still-failing rows stay quarantined under their re-classified
+    * reason; quarantine's dead bytes are vacuumed after the pass.
+    *
+    * Scale: the replay scans the QUARANTINE table only (violation-
+    * sized, never corpus-sized), the split lands in one
+    * `partitionBy(dest)` pass, and each side's commit is file-count
+    * metadata — the whole fix-and-replay costs what the bad data
+    * weighs, which is the point of quarantining instead of dropping.
+    */
+  def io16QuarantineReplay(t: Tables): DataFrame = {
+    val (mainLog, qLog) = replayedLogs(t)
+    quarantineServe(t.spark, mainLog, qLog, io15Schema, "o_orderkey",
+      "o_totalprice", "total_price", "min_key", "max_key")
+  }
+
+  /** io16's corrected expectation set: the first failing rule names
+    * the reason, rows passing every rule re-enter main.
+    */
+  private def io16CorrectedReason: org.apache.spark.sql.Column =
+    when(!(col("o_totalprice") >= 0 || col("o_orderkey") % 2 === 0),
+      lit("neg_price"))
+
+  /** io16's private pair: io15's exact pre-replay state on its own
+    * root, then ONE replay pass + quarantine vacuum (staged once;
+    * spec access via the returned handles).
+    */
+  private[graft] def replayedLogs(t: Tables): (TableLog, TableLog) = {
+    val root = graft.Staging.dir(s"${t.dir}:replaylog", "io_replaylog") {
+      d =>
+        landExpectations(t, d)
+        val qLog = TableLog.open(s"$d/quarantine")
+        quarantineReplayPass(t.spark, TableLog.open(s"$d/main"), qLog,
+          s"$d/replay0", io15Schema, "o_orderkey", io16CorrectedReason,
+          tag = "replay-b0")
+        qLog.vacuum(retain = 1)
         ()
-      }
-      commitSide("main", s"$d/main")
-      commitSide("quarantine", s"$d/quarantine")
     }
     (TableLog.open(s"$root/main"), TableLog.open(s"$root/quarantine"))
+  }
+
+  /** ONE quarantine-replay pass: re-classify the quarantine table's
+    * live rows under `correctedReason` (NULL = survives), land the
+    * split under `outDir` in one pass, then commit survivors to MAIN
+    * (add) and retire the replayed rows from QUARANTINE (remove its
+    * live snapshot + add the still-failing remainder) — each side
+    * tagged with `tag`. Redelivery-idempotent by the two-destination
+    * protocol: both tags ⇒ no-op; neither ⇒ land then commit both;
+    * exactly one ⇒ the landing from the committed attempt is intact,
+    * commit only the missing side from it (re-landing would rewrite
+    * files the committed side's log already references).
+    */
+  private[graft] def quarantineReplayPass(spark: SparkSession,
+      mainLog: TableLog, qLog: TableLog, outDir: String,
+      schema: StructType, keyCol: String,
+      correctedReason: org.apache.spark.sql.Column, tag: String): Unit = {
+    val mainDone = mainLog.tagVersion(tag).isDefined
+    val qDone = qLog.tagVersion(tag).isDefined
+    if (mainDone && qDone) return
+    if (!mainDone && !qDone) {
+      qLog.read(spark, schema, qLog.latestVersion.getOrElse(-1L))
+        .withColumn("reason", correctedReason)
+        .withColumn("dest",
+          when(col("reason").isNull, lit("main"))
+            .otherwise(lit("quarantine")))
+        .write.partitionBy("dest").mode("overwrite").parquet(outDir)
+    }
+    if (!mainDone) {
+      TableLog.commitDir(spark, mainLog, s"$outDir/dest=main", keyCol,
+        schema, tag)
+      ()
+    }
+    if (!qDone) {
+      // retire: the ENTIRE pre-replay live snapshot leaves (it was
+      // replayed whole), the still-failing remainder re-enters under
+      // its re-classified reason — one atomic commit
+      val removes = qLog.latestVersion.toSeq.flatMap(qLog.snapshot)
+        .map(f => TableLog.Remove(f.path))
+      val remDir = s"$outDir/dest=quarantine"
+      val adds =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(remDir)))
+          TableLog.statsFor(spark, remDir, keyCol, schema)
+            .map(TableLog.Add)
+        else Nil
+      qLog.commit(removes ++ adds, tag)
+      ()
+    }
   }
 
   /** Per-lang content fingerprint: count, char sum, md5 extremes —
@@ -1084,6 +1191,36 @@ object Io {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM cls GROUP BY 1, 2 ORDER BY dest, reason""".stripMargin,
+    // post-replay state: the original classification, then the
+    // quarantined rows re-run under the CORRECTED expectation —
+    // survivors join main (reason cleared), the rest stay under the
+    // re-classified reason
+    "io16_quarantine_replay" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |cls AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_totalprice < 0 THEN 'neg_price'
+        |         WHEN o_orderkey IS NULL THEN 'null_key' END AS reason
+        |  FROM b),
+        |rq AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN NOT (o_totalprice >= 0 OR o_orderkey % 2 = 0)
+        |         THEN 'neg_price' END AS reason
+        |  FROM cls WHERE reason IS NOT NULL),
+        |fin AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS reason
+        |  FROM cls WHERE reason IS NULL
+        |  UNION ALL SELECT * FROM rq)
+        |SELECT CASE WHEN reason IS NULL THEN 'main'
+        |            ELSE 'quarantine' END AS dest,
+        |  coalesce(reason, '') AS reason, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM fin GROUP BY 1, 2 ORDER BY dest, reason""".stripMargin,
     // live state = base + the ADMISSIBLE changeset only — the
     // poisoned batch left no version, no rows, no trace (rejection
     // is what the reconstruction-without-it proves)

@@ -2115,6 +2115,14 @@ object Streams {
     * → the range aggregate. Every event arrives exactly once across
     * the batches, so the served answer equals the batch range query —
     * io10's oracle VERBATIM.
+    *
+    * FILE GROWTH IS BOUNDED: past the sink's file budget the step
+    * runs [[sinkMaintain]] — io12's OPTIMIZE rewrite + io11's VACUUM
+    * wired into the sink — so a long-running stream converges to
+    * right-sized clustered files instead of accreting one dir per
+    * batch forever, with batch tags still answering redelivery
+    * checks across the rewrite (drilled over ~20 batches in
+    * AnnStreamSpec).
     */
   def st16StreamManifestSink(t: Tables): DataFrame = {
     val spark = t.spark
@@ -2138,11 +2146,15 @@ object Streams {
   /** ONE sink step: land the batch clustered by event_id under a
     * batch-keyed dir, then commit its file stats to the table log
     * tagged with the batch id (see [[st16StreamManifestSink]] for
-    * the idempotence contract).
+    * the idempotence contract). Past `maxFiles` live files the step
+    * runs [[sinkMaintain]] — io12's OPTIMIZE + io11's VACUUM at the
+    * sink, so the table's file count is BOUNDED however many batches
+    * arrive (st13/st14's state-compaction trigger applied to the
+    * versioned table itself).
     */
   private[graft] def st16SinkStep(
       spark: org.apache.spark.sql.SparkSession, tableRoot: String,
-      batch: DataFrame, bid: Long): Unit = {
+      batch: DataFrame, bid: Long, maxFiles: Int = 6): Unit = {
     val log = graft.sources.TableLog.open(tableRoot)
     val tag = s"b$bid"
     // redelivery: the tag is already committed ⇒ the whole step is a
@@ -2161,6 +2173,82 @@ object Streams {
     // checkpoint interval, not the batch history (st14's stats-log
     // collapse applied to the metadata layer itself)
     if ((v + 1) % 8 == 0) log.checkpoint()
+    sinkMaintain(spark, log, tableRoot, s"$tableRoot/m$bid",
+      "event_id", graft.sources.Io.io10Schema, s"maintain-b$bid",
+      maxFiles, nMin = 4)
+  }
+
+  /** FILE-BUDGET MAINTENANCE for a [[graft.sources.TableLog]]-backed
+    * streaming sink — the pass that keeps a sink table's live file
+    * count BOUNDED as batches accrete forever (the one genuine
+    * scale-rot a per-batch landing has): when the live snapshot
+    * exceeds `maxFiles`, rewrite it clustered by `keyCol` into
+    * max(nMin, ⌈bytes/targetBytes⌉) right-sized files (nMin keeps the
+    * stats-pruning granularity a single giant file would destroy),
+    * publish remove-all + add-rewritten in ONE tagged OCC commit
+    * (io12's OPTIMIZE protocol — a redelivered pass finds its tag and
+    * skips the rewrite), VACUUM down to the retained window (io11 —
+    * the dead per-batch bytes are physically reclaimed), and sweep
+    * batch dirs that no longer hold any data file. Batch-id TAGS are
+    * untouched throughout: they live in the commit history, which
+    * vacuum never deletes — redelivery checks keep answering across
+    * the rewrite.
+    *
+    * Scale: triggers at the budget, not per batch, so the rewrite +
+    * vacuum (an O(history) metadata pass) amortize over the batches
+    * since the last trigger; the rewrite reads only live bytes. A
+    * crash between the rewrite commit and the vacuum leaves dead
+    * bytes that the NEXT trigger reclaims (vacuum is idempotent) —
+    * Delta's periodic-VACUUM posture exactly.
+    */
+  private[graft] def sinkMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      log: graft.sources.TableLog, sweepRoot: String, outDir: String,
+      keyCol: String, schema: org.apache.spark.sql.types.StructType,
+      tag: String, maxFiles: Int, nMin: Int = 1,
+      targetBytes: Long = 8L << 20, retain: Int = 1): Unit = {
+    val head = log.latestVersion.getOrElse(-1L)
+    if (head < 0L || log.snapshot(head).length <= maxFiles) return
+    if (log.tagVersion(tag).isEmpty) {
+      val snap = log.snapshot(head)
+      def bytes(p: String) = java.nio.file.Files.size(java.nio.file.Paths
+        .get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
+      val n = math.max(nMin.toLong, (snap.map(f => bytes(f.path)).sum +
+        targetBytes - 1) / targetBytes).toInt
+      spark.read.schema(schema).parquet(snap.map(_.path): _*)
+        .repartitionByRange(n, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(outDir)
+      log.commitWithRetry(tag)(_ =>
+        snap.map(f => graft.sources.TableLog.Remove(f.path)) ++
+          graft.sources.TableLog.statsFor(spark, outDir, keyCol, schema)
+            .map(graft.sources.TableLog.Add))
+      ()
+    }
+    log.vacuum(retain)
+    sweepDeadBatchDirs(sweepRoot)
+    val outParent = java.nio.file.Paths.get(outDir).getParent.toString
+    if (outParent != sweepRoot) sweepDeadBatchDirs(outParent)
+  }
+
+  /** Remove per-batch landing/maintenance dirs (`b<id>` / `m<id>`)
+    * that hold no data file — vacuum deletes the FILES it knows from
+    * Add actions; the empty shells are the sink's to reclaim. A dir
+    * still holding any parquet (e.g. the uncommitted side of a torn
+    * two-destination batch) is left alone.
+    */
+  private def sweepDeadBatchDirs(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val s = java.nio.file.Files.list(p)
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(d =>
+        java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.matches("[bm]\\d+")).toList
+    } finally s.close()
+    dirs.filter(d => graft.sources.Io.parquetFilesRec(d.toString).isEmpty)
+      .foreach(graft.Staging.deleteTree)
   }
 
   /** io10's serving plan over the MAINTAINED table log: snapshot →
@@ -2225,6 +2313,13 @@ object Streams {
     * (dest, reason) aggregate — exactly-once arrivals across batches
     * make it equal the batch classification, io15's oracle shape on
     * the events table.
+    *
+    * FILE GROWTH IS BOUNDED on BOTH destinations: past the budget
+    * each side's table runs [[sinkMaintain]] (io12's OPTIMIZE +
+    * io11's VACUUM at the sink). The dead-dir sweep spares any batch
+    * dir still holding an uncommitted side's files, so the
+    * two-destination retry protocol keeps its re-land source across
+    * a maintenance pass.
     */
   def st19StreamExpectations(t: Tables): DataFrame = {
     val spark = t.spark
@@ -2262,7 +2357,7 @@ object Streams {
     */
   private[graft] def st19SinkStep(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      batch: DataFrame, bid: Long): Unit = {
+      batch: DataFrame, bid: Long, maxFiles: Int = 1): Unit = {
     val mainLog = graft.sources.TableLog.open(s"$root/main")
     val qLog = graft.sources.TableLog.open(s"$root/quarantine")
     val tag = s"b$bid"
@@ -2290,6 +2385,16 @@ object Streams {
     }
     if (!mainDone) commitSide(mainLog, "main")
     if (!qDone) commitSide(qLog, "quarantine")
+    // file-budget maintenance on EACH destination table (io12's
+    // OPTIMIZE + io11's VACUUM at the sink — see sinkMaintain): the
+    // sweep spares any batch dir still holding an uncommitted side's
+    // files, so the two-destination retry protocol above keeps its
+    // re-land source across a maintenance pass
+    Seq(mainLog -> "main", qLog -> "quarantine").foreach {
+      case (log, sub) =>
+        sinkMaintain(spark, log, root, s"$root/$sub/m$bid", "event_id",
+          st19Schema, s"maintain-b$bid", maxFiles)
+    }
   }
 
   /** The per-(dest, reason) aggregate over both maintained tables'

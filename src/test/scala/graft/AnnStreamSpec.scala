@@ -474,6 +474,90 @@ class AnnStreamSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("sink file growth is BOUNDED: ~20 micro-batches under a file " +
+      "budget keep the live count flat, reclaim dead batch dirs, and " +
+      "honor redelivery tags across the rewrite") {
+    val t = Tables(spark, sf)
+    val ev = t.events.select("event_id", "event_type", "value")
+    // ---- st16 (single destination) ----
+    val root16 = java.nio.file.Files
+      .createTempDirectory("graft_st16_budget_").toString
+    try {
+      val budget = 12
+      (0 until 20).foreach { b =>
+        graft.streaming.Streams.st16SinkStep(spark, root16,
+          ev.filter(col("event_id") % 20 === b), b.toLong,
+          maxFiles = budget)
+      }
+      val log = graft.sources.TableLog.open(root16)
+      val live = log.snapshot(log.latestVersion.get)
+      // the live file count is BOUNDED by the budget + one batch's
+      // landing (a trigger compacts back under it), not 20 × 4 dirs
+      assert(live.length <= budget + 4,
+        s"live file count ${live.length} escaped the budget $budget")
+      // dead batch dirs are physically reclaimed (vacuum + sweep):
+      // far fewer than one dir per batch survives
+      val dirs = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(root16))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("[bm]\\d+")).toList
+        } finally s.close()
+      }
+      assert(dirs.length < 10,
+        s"${dirs.length} batch dirs survive — dead dirs not reclaimed")
+      // every batch's tag still answers redelivery across rewrites…
+      assert((0 until 20).forall(b =>
+        log.tagVersion(s"b$b").isDefined),
+        "a batch tag was lost across maintenance")
+      // …so a redelivered old batch is a no-op (no version minted)
+      val vBefore = log.latestVersion
+      graft.streaming.Streams.st16SinkStep(spark, root16,
+        ev.filter(col("event_id") % 20 === 3), 3L, maxFiles = budget)
+      assert(log.latestVersion == vBefore,
+        "redelivered batch re-landed after maintenance")
+      // and the served answer is the whole corpus, exactly once
+      val served = graft.streaming.Streams.st16Serve(
+        spark, root16, Long.MinValue, Long.MaxValue)
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(served == ev.count(), s"served $served rows after maintenance")
+    } finally graft.Staging.deleteTree(
+      java.nio.file.Paths.get(root16))
+    // ---- st19 (two destinations) ----
+    val root19 = java.nio.file.Files
+      .createTempDirectory("graft_st19_budget_").toString
+    try {
+      val budget = 6
+      (0 until 20).foreach { b =>
+        graft.streaming.Streams.st19SinkStep(spark, root19,
+          ev.filter(col("event_id") % 20 === b), b.toLong,
+          maxFiles = budget)
+      }
+      val m = graft.sources.TableLog.open(s"$root19/main")
+      val q = graft.sources.TableLog.open(s"$root19/quarantine")
+      assert(m.snapshot(m.latestVersion.get).length <= budget + 1)
+      assert(q.snapshot(q.latestVersion.get).length <= budget + 1)
+      assert((0 until 20).forall(b => m.tagVersion(s"b$b").isDefined &&
+        q.tagVersion(s"b$b").isDefined))
+      val dirs19 = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(root19))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("b\\d+")).toList
+        } finally s.close()
+      }
+      assert(dirs19.length < 10,
+        s"${dirs19.length} st19 batch dirs survive")
+      // the union serve still reconstructs the full classification
+      val n = graft.streaming.Streams.st19Serve(spark, root19)
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(n == ev.count(), s"st19 served $n rows after maintenance")
+    } finally graft.Staging.deleteTree(
+      java.nio.file.Paths.get(root19))
+  }
+
   test("st18 CDC follow: mirror equals the live snapshot row-for-row; " +
       "redelivery no-ops; re-applying a version after a torn cursor heals") {
     val t = Tables(spark, sf)

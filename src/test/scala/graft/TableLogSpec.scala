@@ -83,6 +83,81 @@ class TableLogSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("quarantine replay: survivors rejoin main, failures retire " +
+      "under the corrected reason, dead quarantine bytes vacuumed; " +
+      "redelivery no-ops and a torn side heals without re-landing") {
+    val t = Tables(spark, sf)
+    run("io16_quarantine_replay").collect()
+    val (mainLog, qLog) = graft.sources.Io.replayedLogs(t)
+    val sch = graft.sources.Io.io15Schema
+    // post-replay quarantine = exactly the ODD poisoned keys, each
+    // under the (unchanged here) corrected reason
+    val quar = qLog.read(spark, sch, qLog.latestVersion.get).collect()
+    assert(quar.nonEmpty)
+    assert(quar.forall(r => r.getLong(0) % 37 == 0 &&
+      r.getLong(0) % 2 != 0 && r.getDouble(1) < 0 &&
+      r.getString(2) == "neg_price"))
+    // every EVEN poisoned key survived into main with reason cleared
+    val evenPoisoned = t.orders.filter(col("o_orderkey") % 37 === 0 &&
+      col("o_orderkey") % 2 === 0).count()
+    val mainRows = mainLog.read(spark, sch, mainLog.latestVersion.get)
+    assert(mainRows.filter(col("o_orderkey") % 37 === 0).count()
+      == evenPoisoned)
+    assert(mainRows.filter(col("reason").isNotNull).count() == 0)
+    // the pre-replay quarantine bytes are physically reclaimed
+    val preReplay = qLog.snapshot(qLog.tagVersion("b0").get).map(_.path)
+    assert(preReplay.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))),
+      "vacuum left pre-replay quarantine bytes")
+    // ---- redelivery + torn-side drills on a throwaway pair ----
+    val session2 = spark
+    import session2.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_io16_drill_").toString
+    try {
+      graft.api.Graft.tableCommit(
+        Seq((1L, 10.0, Option.empty[String]))
+          .toDF("o_orderkey", "o_totalprice", "reason"),
+        s"$tmp/main", "o_orderkey", tag = "b0")
+      graft.api.Graft.tableCommit(
+        Seq((3L, -5.0, Some("neg_price")), (4L, -7.0, Some("neg_price")))
+          .toDF("o_orderkey", "o_totalprice", "reason"),
+        s"$tmp/quarantine", "o_orderkey", tag = "b0")
+      val m = graft.sources.TableLog.open(s"$tmp/main")
+      val q = graft.sources.TableLog.open(s"$tmp/quarantine")
+      val corrected = when(!(col("o_totalprice") >= 0 ||
+        col("o_orderkey") % 2 === 0), lit("neg_price"))
+      def pass(): Unit = graft.sources.Io.quarantineReplayPass(spark,
+        m, q, s"$tmp/replay", sch, "o_orderkey", corrected, "replay-b0")
+      pass()
+      def serve() = graft.sources.Io.quarantineServe(spark, m, q, sch,
+        "o_orderkey", "o_totalprice", "total_price", "min_key",
+        "max_key").collect().map(_.toSeq).toSeq
+      val once = serve()
+      // 4 (even) rejoined main; 3 (odd) retired-in-place
+      assert(m.read(spark, sch, m.latestVersion.get).count() == 2)
+      assert(q.read(spark, sch, q.latestVersion.get).collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+      // redelivery: both tags present ⇒ no-op, no version minted
+      val (vm, vq) = (m.latestVersion, q.latestVersion)
+      pass()
+      assert(m.latestVersion == vm && q.latestVersion == vq)
+      assert(serve() == once)
+      // torn side: main's replay commit vanishes (the window between
+      // the two commits) — the retry completes it from the landed
+      // files WITHOUT re-landing over what quarantine references
+      val mFiles = m.snapshot(m.latestVersion.get).map(_.path).toSet
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        f"$tmp/main/_log/v${vm.get}%012d.commit"))
+      pass()
+      val m2 = graft.sources.TableLog.open(s"$tmp/main")
+      assert(m2.tagVersion("replay-b0").isDefined)
+      assert(m2.snapshot(m2.latestVersion.get).map(_.path).toSet
+        == mFiles, "torn-side heal re-landed the replay files")
+      assert(serve() == once)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("schema evolution rides the commit log: old snapshots serve " +
       "their era's schema, the head null-fills legacy files, and a " +
       "checkpoint carries the schema across the collapse") {
