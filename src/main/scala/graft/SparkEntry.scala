@@ -114,6 +114,7 @@ object SparkEntry {
     "s12_sq_encode"       -> q(Ann.s12SqEncode(_)),
     "s13_sq_search"       -> q(Ann.s13SqSearch(_)),
     "s14_ivfsq_search"    -> q(Ann.s14IvfSqSearch(_)),
+    "s15_sq_perlist"      -> q(Ann.s15SqPerList(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

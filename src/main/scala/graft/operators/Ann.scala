@@ -941,9 +941,16 @@ object Ann {
     * disagree on round-half ties but agree exactly on floor.
     */
   private[graft] def sqCodes(v: Column, mins: Array[Double],
-      scales: Array[Double]): Column = {
-    val mn = typedLit(mins.toSeq)
-    val sc = typedLit(scales.toSeq)
+      scales: Array[Double]): Column =
+    sqCodesCol(v, typedLit(mins.toSeq), typedLit(scales.toSeq))
+
+  /** [[sqCodes]] with the model as COLUMNS — the per-list variant
+    * (s15) passes `element_at(<nested literal>, cid + 1)` lookups so
+    * each row encodes against ITS list's ranges; still a pure fused
+    * projection, no join.
+    */
+  private[graft] def sqCodesCol(v: Column, mn: Column,
+      sc: Column): Column =
     transform(v, (x, i) => {
       val s = element_at(sc, i + 1)
       when(s === 0.0, lit(0))
@@ -951,19 +958,22 @@ object Ann {
           greatest(lit(0.0), floor((x - element_at(mn, i + 1)) / s)))
           .cast("int"))
     })
-  }
 
   /** Bucket-center reconstruction: rec_i = min_i + (code_i + 0.5)·
     * scale_i — the decode every SQ distance estimate runs on.
     */
   private[graft] def sqReconstruct(codes: Column, mins: Array[Double],
-      scales: Array[Double]): Column = {
-    val mn = typedLit(mins.toSeq)
-    val sc = typedLit(scales.toSeq)
+      scales: Array[Double]): Column =
+    sqReconstructCol(codes, typedLit(mins.toSeq), typedLit(scales.toSeq))
+
+  /** [[sqReconstruct]] with the model as columns (s15's per-list
+    * lookup).
+    */
+  private[graft] def sqReconstructCol(codes: Column, mn: Column,
+      sc: Column): Column =
     transform(codes, (c, i) =>
       element_at(mn, i + 1) +
         (c.cast("double") + 0.5) * element_at(sc, i + 1))
-  }
 
   /** s12: SCALAR-QUANTIZATION ENCODE (FAISS SQ8) — every embedding
     * compressed to one byte per DIMENSION: per-dim min/max over the
@@ -1081,6 +1091,77 @@ object Ann {
         .filter(col("vec_id") =!= probeId)
         .select("vec_id", "v"),
       mins, scales, probe.get.getSeq[Double](0), k)
+  }
+
+  /** s15: PER-LIST RESIDUAL SQ ENCODE — the documented model change
+    * s14's scaladoc names as the quality bump (FAISS's
+    * `IVF,SQ8`-with-residual layout): instead of ONE corpus-global
+    * per-dim range, each coarse list quantizes its RESIDUALS
+    * (v − centroid) against ITS OWN per-dim min/max. Residuals
+    * concentrate near zero within a list, so the 256 buckets span a
+    * far tighter range than the raw corpus — mean reconstruction
+    * error drops strictly below the global model's at the same byte
+    * budget (spec-pinned against s12 on the sf corpus). Output per
+    * vector: the dash-joined 64-code string and qerr = Σ(res_i −
+    * rec_i)² — the full-vector reconstruction error, since
+    * v − (centroid + rec) = res − rec.
+    *
+    * Scale: the model is nLists × dim × 2 doubles from ONE
+    * (cid, pos) aggregate over the residual frame (map-side partials,
+    * model-sized collect); encode is a fused projection — the per-row
+    * model lookup is an `element_at(<literal>, cid + 1)`, no join, no
+    * extra Exchange beyond s3's one-time assignment. At 100 TB the
+    * codes are the stored column (64 B/vector) partitioned by cid —
+    * s14's serving composes unchanged, with the tighter ranges.
+    */
+  def s15SqPerList(t: Tables, nLists: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val cents: Seq[Seq[Double]] = (0 until nLists)
+      .map(ci => cb.values.slice(ci * dim, ci * dim + dim).toSeq)
+    val resid = graft.Caches.materialized(
+      assigned.select(col("vec_id"), col("cid"),
+        zip_with(col("v"),
+          element_at(typedLit(cents), col("cid") + 1),
+          (x, c) => x - c).as("v")))
+    try {
+      val (mins, scales) = sqPerListModel(resid, nLists, dim)
+      val mn = element_at(typedLit(mins), col("cid") + 1)
+      val sc = element_at(typedLit(scales), col("cid") + 1)
+      resid
+        .withColumn("codes_arr", sqCodesCol(col("v"), mn, sc))
+        .select(col("vec_id"),
+          array_join(transform(col("codes_arr"), c => c.cast("string")),
+            "-").as("codes"),
+          round(aggregate(
+            zip_with(col("v"),
+              sqReconstructCol(col("codes_arr"), mn, sc),
+              (x, r) => (x - r) * (x - r)),
+            lit(0.0), (a, e) => a + e), 4).as("qerr"))
+        .orderBy("vec_id")
+    } finally graft.Caches.drop(resid)
+  }
+
+  /** The per-list SQ model: for each coarse list, per-dim min/max of
+    * its residuals — ONE (cid, pos) aggregate, collect bounded by
+    * nLists × dim (model-sized, the [[pqModel]] contract). A list
+    * with no vectors keeps the zero model (nothing encodes under it).
+    */
+  private[graft] def sqPerListModel(residuals: DataFrame, nLists: Int,
+      dim: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val rows = residuals
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    val mins = Array.fill(nLists, dim)(0.0)
+    val scales = Array.fill(nLists, dim)(0.0)
+    rows.foreach { r =>
+      val ci = r.getInt(0); val p = r.getInt(1)
+      mins(ci)(p) = r.getDouble(2)
+      scales(ci)(p) = (r.getDouble(3) - r.getDouble(2)) / 256.0
+    }
+    (mins.map(_.toSeq).toSeq, scales.map(_.toSeq).toSeq)
   }
 
   /** SQ model + encode replay assuming a `vv(vec_id, v)` CTE is
@@ -1344,6 +1425,36 @@ object Ann {
     // coarse replay → residual derivation over the final assignment →
     // s5's per-subspace Lloyd's replay trained on the residuals
     "s10_pq_residual" -> pqResidualOracleSql(4, 4, 2, 64),
+    // coarse k-means replay → residual derivation (s10's CTE) →
+    // PER-LIST per-dim min/max → floor-encode + reconstruction error
+    "s15_sq_perlist" ->
+      s"""WITH $kmeansReplayCte,
+         |rv AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(range(1, 65),
+         |      i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v
+         |  FROM af a JOIN (SELECT cid, v AS cv FROM c3) c USING (cid)),
+         |rc AS (
+         |  SELECT vec_id, cid, i, v[CAST(i AS INT)] AS x
+         |  FROM rv, (SELECT unnest(range(1, 65)) AS i) ii),
+         |mm AS (
+         |  SELECT cid, i, min(x) AS mn, max(x) AS mx
+         |  FROM rc GROUP BY cid, i),
+         |cc AS (
+         |  SELECT rc.vec_id, rc.i, rc.x, mm.mn, (mm.mx - mm.mn) / 256 AS sc,
+         |    CASE WHEN mm.mx = mm.mn THEN 0
+         |         ELSE CAST(LEAST(255.0, GREATEST(0.0,
+         |           floor((rc.x - mm.mn) / ((mm.mx - mm.mn) / 256)))) AS INT)
+         |    END AS code
+         |  FROM rc JOIN mm ON rc.cid = mm.cid AND rc.i = mm.i),
+         |e AS (
+         |  SELECT vec_id,
+         |    string_agg(CAST(code AS VARCHAR), '-' ORDER BY i) AS codes,
+         |    round(list_sum(list(
+         |      (x - (mn + (code + 0.5) * sc)) * (x - (mn + (code + 0.5) * sc))
+         |      ORDER BY i)), 4) AS qerr
+         |  FROM cc GROUP BY vec_id)
+         |SELECT vec_id, codes, qerr FROM e ORDER BY vec_id""".stripMargin,
     // per-dim min/max model replay + floor-encode + bucket-center
     // reconstruction error, dash-joined code string per vector
     "s12_sq_encode" ->

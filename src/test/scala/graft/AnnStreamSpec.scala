@@ -1720,6 +1720,21 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
+  test("s15 per-list SQ: mean quantization error strictly below the " +
+      "corpus-global model's at the same byte budget; codes in range") {
+    val global = run("s12_sq_encode")
+      .agg(avg("qerr")).collect()(0).getDouble(0)
+    val perList = run("s15_sq_perlist")
+      .agg(avg("qerr")).collect()(0).getDouble(0)
+    assert(perList < global,
+      s"per-list ranges did not reduce qerr: $perList vs global $global")
+    // same byte budget: exactly dim one-byte codes per vector
+    run("s15_sq_perlist").collect().foreach { r =>
+      val codes = r.getAs[String]("codes").split("-").map(_.toInt)
+      assert(codes.length == 64 && codes.forall(c => c >= 0 && c <= 255))
+    }
+  }
+
   test("s13 SQ8 asymmetric search: recall@10 = 10/10 against the " +
       "exact brute-force tower") {
     val sq = run("s13_sq_search").collect().map(_.getLong(0)).toSet
