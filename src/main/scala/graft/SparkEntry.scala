@@ -151,6 +151,7 @@ object SparkEntry {
     "st13_stream_group_maintain" -> q(graft.streaming.Streams.st13StreamGroupMaintain(_)),
     "st14_stream_index_maintain" -> q(graft.streaming.Streams.st14StreamIndexMaintain),
     "st15_stream_ann_maintain" -> q(graft.streaming.Streams.st15StreamAnnMaintain(_)),
+    "st20_ann_migrate"    -> q(graft.streaming.Streams.st20AnnMigrate(_)),
     "st16_stream_manifest_sink" -> q(graft.streaming.Streams.st16StreamManifestSink),
     "st18_stream_cdc_follow" -> q(graft.streaming.Streams.st18StreamCdcFollow),
     "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations)

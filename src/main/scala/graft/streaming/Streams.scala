@@ -1040,7 +1040,7 @@ object Streams {
     * ATOMIC_MOVE into place — a crash mid-write can never leave a
     * truncated file a resumed session would fail to parse.
     */
-  private def saveMeta(root: String, name: String, value: String): Unit = {
+  private[graft] def saveMeta(root: String, name: String, value: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val tmp = java.nio.file.Paths.get(root, s"$name.tmp")
     java.nio.file.Files.write(tmp,
@@ -2823,7 +2823,113 @@ object Streams {
       .orderBy("probe_id")
   }
 
+  // ----------------------------------------------------------------
+  // st20: model-version MIGRATION for the maintained vector index
+  // ----------------------------------------------------------------
+
+  /** st20: MODEL-VERSION MIGRATION — the remediation st17's drift
+    * gate calls for: the maintained index was encoded under a model
+    * trained on a PAST corpus snapshot (v1's codebook here trains on
+    * two-thirds of the rows — the drill's drift shape), the corpus
+    * drifted, and the retrained model CANNOT be swapped in place
+    * (st11/st15's pinned-model contract: vectors are partitioned by
+    * the old model's list ids — serving under the new one silently
+    * breaks the pruned reads, which is exactly what st17 detects).
+    * The cutover: train model v2 OFFLINE on the current corpus,
+    * RE-ENCODE the old root's vectors under it in ONE corpus pass
+    * (read every list, re-assign, land list-partitioned in a NEW
+    * root with its codebook persisted), then ATOMICALLY flip the
+    * serving pointer and vacuum the old root. Readers see v1's
+    * consistent serving until the flip, v2's after — never a torn
+    * index. AnnStreamSpec drills the full arc: recall degraded under
+    * drift is RESTORED post-migration to batch s8's level, with
+    * serving answers gated before (batch-twin bit-equality) and
+    * after (s3's DuckDB oracle — this operator's gate).
+    *
+    * Scale: the migration pays ONE read+shuffle+write pass over the
+    * index (the minimum any re-encode costs); training is offline
+    * (sampled at lake scale — trainCodebookSampled); the pointer
+    * flip is one atomic metadata move, so the swap is instant
+    * however large the index; the old root's bytes free at vacuum.
+    * Crash order: pointer LAST — a crash mid-migration leaves v1
+    * serving and a partial v2 the re-run overwrites.
+    */
+  def st20AnnMigrate(t: Tables, nLists: Int = 16, nProbe: Int = 2,
+      probeId: Long = 0L): DataFrame = {
+    val spark = t.spark
+    graft.Caches.fresh()
+    val parent = graft.Staging.dir(s"${t.dir}:st20", "st20") { d =>
+      val vecs = t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // v1 era: the codebook trained on a PAST snapshot (the drift
+      // drill's shape), the full drifted corpus since ingested
+      val cbOld = graft.operators.Ann.trainCodebook(
+        vecs.filter(col("vec_id") % 3 =!= 0), nLists)
+      val st1 = st15State(spark, Some(s"$d/v1"), nLists)
+      saveCodebook(st1.root, cbOld)
+      st15MaintainStep(st1, cbOld, vecs.filter(col("vec_id") % 2 === 0))
+      st15MaintainStep(st1, cbOld, vecs.filter(col("vec_id") % 2 === 1))
+      saveMeta(d, "current.meta", "v1")
+      // drift detected (st17's gate) → cut over to the retrained model
+      val cbNew = graft.operators.Ann.assignedVecs(t, nLists)._2
+      st20Migrate(spark, d, "v2", cbNew, nLists)
+    }
+    val (st, cb) = st20Serving(spark, parent, nLists)
+    val pv = t.embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect()(0).getSeq[Double](0)
+    st15Serve(st, cb, pv, nProbe, k = 10, excludeId = Some(probeId))
+  }
+
+  /** The cutover itself: one-pass re-encode of the CURRENT serving
+    * root's vectors under `cbNew` into `$parent/$toSub`, codebook
+    * persisted beside them, pointer flipped atomically, old root
+    * vacuumed. See [[st20AnnMigrate]] for the crash order.
+    */
+  private[graft] def st20Migrate(
+      spark: org.apache.spark.sql.SparkSession, parent: String,
+      toSub: String, cbNew: graft.expressions.PlaneMatrix,
+      nLists: Int): Unit = {
+    val fromSub = loadMeta(parent, "current.meta").getOrElse(
+      sys.error(s"st20Migrate: no serving index under $parent"))
+    require(fromSub != toSub,
+      s"st20Migrate: target '$toSub' IS the serving root")
+    val from = st15State(spark, Some(s"$parent/$fromSub"), nLists)
+    val to = st15State(spark, Some(s"$parent/$toSub"), nLists)
+    st14Read(spark, from.vectorsDir, st15WithCid(st15VecSchema))
+      .select(col("vec_id"), col("v"),
+        element_at(
+          graft.functions.Vectors.centroidRanks(col("v"), cbNew), 1)
+          .as("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(to.vectorsDir)
+    saveCodebook(to.root, cbNew)
+    // the atomic cutover: readers resolve the pointer at open
+    saveMeta(parent, "current.meta", toSub)
+    // the old root is dead the instant the pointer moved
+    graft.Staging.deleteTree(java.nio.file.Paths.get(from.root))
+  }
+
+  /** Resolve the serving index under a migration parent: the pointer
+    * names the active subroot, whose persisted codebook is THE model
+    * (never a retrain — the [[st20AnnMigrate]] contract).
+    */
+  private[graft] def st20Serving(
+      spark: org.apache.spark.sql.SparkSession, parent: String,
+      nLists: Int): (St15State, graft.expressions.PlaneMatrix) = {
+    val sub = loadMeta(parent, "current.meta").getOrElse(
+      sys.error(s"st20Serving: no serving index under $parent"))
+    val st = st15State(spark, Some(s"$parent/$sub"), nLists)
+    (st, loadCodebook(st.root).getOrElse(
+      sys.error(s"st20Serving: serving root ${st.root} has no codebook")))
+  }
+
   val oracle: Map[String, String] = Map(
+    // the migrated index is the full corpus re-encoded under the
+    // current full-corpus codebook, so post-cutover serving equals
+    // batch s3 bit-for-bit — its full k-means-replay oracle verbatim
+    "st20_ann_migrate" ->
+      graft.operators.Ann.oracle("s3_ann_ivf"),
     // exactly-once arrivals across micro-batches make the maintained
     // main/quarantine union equal the batch classification — io15's
     // replay shape on the events table

@@ -1815,6 +1815,87 @@ class AnnStreamSpec extends SparkSpec {
       s"gate blind to drift: pinned $pinned, drifted $driftedHits")
   }
 
+  test("st20 migration: drift-degraded recall is RESTORED by the v2 " +
+      "cutover; serving gated before and after; old root vacuumed") {
+    val t = Tables(spark, sf)
+    graft.Caches.fresh()
+    val parent = graft.Staging.scratch("st20_drill")
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // v1: index consistently encoded under the STALE model (trained
+    // on a past snapshot — the drift drill's shape)
+    val cbOld = graft.operators.Ann.trainCodebook(
+      vecs.filter(col("vec_id") % 3 =!= 0), 16)
+    val st1 = graft.streaming.Streams.st15State(spark,
+      Some(s"$parent/v1"), nLists = 16)
+    graft.streaming.Streams.saveCodebook(st1.root, cbOld)
+    graft.streaming.Streams.st15MaintainStep(st1, cbOld, vecs)
+    graft.streaming.Streams.saveMeta(parent, "current.meta", "v1")
+    // BEFORE: consistent serving under the old model equals an
+    // independently-computed batch twin bit-for-bit
+    val pv = vecs.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Double](1)
+    val before = graft.streaming.Streams
+      .st15Serve(st1, cbOld, pv, 2, 10, excludeId = Some(0L))
+      .collect().map(_.toSeq).toSeq
+    val twin = {
+      val assigned = vecs.select(col("vec_id"), col("v"),
+        element_at(graft.functions.Vectors.centroidRanks(col("v"), cbOld), 1)
+          .as("cid"))
+      val pls = assigned.filter(col("vec_id") === 0L)
+        .select(explode(slice(
+          graft.functions.Vectors.centroidRanks(col("v"), cbOld), 1, 2))
+          .as("cid"))
+        .collect().map(_.getInt(0)).toSeq
+      assigned.filter(col("cid").isin(pls: _*))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(graft.functions.Vectors.cosine(col("v"),
+            typedLit(pv)), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).collect().map(_.toSeq).toSeq
+    }
+    assert(before == twin,
+      "pre-migration serving diverged from its batch twin")
+    // the corpus drifted: the retrained (current full-corpus) model
+    // degrades the gate against the v1-encoded index — st17's drill
+    val cbNew = graft.operators.Ann.assignedVecs(t, 16)._2
+    def hits(st: graft.streaming.Streams.St15State,
+        cb: graft.expressions.PlaneMatrix): Long =
+      graft.streaming.Streams.st17RecallFrom(st, cb, vecs, 8, 10, 2)
+        .agg(sum("n_hit")).collect()(0).getLong(0)
+    val consistent = hits(st1, cbOld)
+    val drifted = hits(st1, cbNew)
+    assert(drifted < consistent,
+      s"gate blind to the drift: $drifted vs consistent $consistent")
+    // MIGRATE: v2 root re-encoded under the new model, pointer flip
+    graft.streaming.Streams.st20Migrate(spark, parent, "v2", cbNew, 16)
+    val (st2, cb2) = graft.streaming.Streams.st20Serving(spark, parent, 16)
+    assert(st2.root.endsWith("/v2"))
+    assert(cb2.values.sameElements(cbNew.values),
+      "migrated root serves a different codebook than it persisted")
+    // RESTORED: the gate returns to batch s8's level (cbNew IS s8's
+    // codebook and the re-encode was exactly-once over the corpus)
+    val restored = hits(st2, cb2)
+    assert(restored > drifted,
+      s"migration did not restore recall: $restored vs drifted $drifted")
+    val s8hits = run("s8_ann_recall")
+      .agg(sum("n_hit")).collect()(0).getLong(0)
+    assert(restored == s8hits,
+      s"post-migration gate $restored != batch s8 $s8hits")
+    // AFTER: serving equals batch s3 bit-for-bit (the DuckDB-gated
+    // operator path serves the same)
+    val after = graft.streaming.Streams
+      .st15Serve(st2, cb2, pv, 2, 10, excludeId = Some(0L))
+      .collect().map(_.toSeq).toSeq
+    val s3 = run("s3_ann_ivf").collect().map(_.toSeq).toSeq
+    assert(after == s3, "post-migration serving diverged from batch s3")
+    // the old root's bytes are gone the moment the pointer moved
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/v1")),
+      "old index root survived the migration vacuum")
+  }
+
   test("legacy-root guard: annIndexMaintenance refuses to train a new " +
       "codebook over a root already holding vectors") {
     val spark = SparkSpec.spark
