@@ -1086,8 +1086,17 @@ object Ann {
     if (probe.isEmpty)
       return assigned.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
     val probeLists = probe.get.getSeq[Int](1)
+    // the serving scan is built DIRECTLY over the corpus (not over
+    // assignedVecs' training-parallelized frame, whose repartition
+    // would shuffle the pruned candidates for nothing): the cid
+    // filter and the asymmetric scoring both fuse with the scan —
+    // zero Exchange, PlanSpec-locked
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid",
+        element_at(Vectors.centroidRanks(col("v"), cb), 1))
     sqSearchFrame(
-      assigned.filter(col("cid").isin(probeLists: _*))
+      vecs.filter(col("cid").isin(probeLists: _*))
         .filter(col("vec_id") =!= probeId)
         .select("vec_id", "v"),
       mins, scales, probe.get.getSeq[Double](0), k)

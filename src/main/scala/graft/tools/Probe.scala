@@ -463,6 +463,85 @@ object Probe {
         println(f"PROBE xcost: max |cross-copy cos| ${r.getDouble(0)}%.4f " +
           f"(bound 0.5); ≥$taggedThreshold%.3f: ${r.getLong(1)} " +
           s"of ${r.getLong(2)} pairs")
+      // the SQ8 tier's serving I/O claim at scale: land the SAME
+      // corpus twice partitioned by cid — float vectors (IVF-flat's
+      // serving read) and the s12 code column (IVF-SQ's) — and serve
+      // the same nProbe=2 pruned top-10 from each, measuring bytes
+      // actually read. The claim: both prune identically (cid
+      // partitions), codes read ~4-8× fewer bytes (one byte/dim
+      // bit-packed vs 8-byte doubles), and both serving walls stay
+      // flat as the corpus grows (pruning absorbs the growth; the
+      // scored set is nProbe/nLists of the data at every scale).
+      case "sq" =>
+        def runSq(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val dd = d.cache()
+          val nV = dd.count()
+          val nLists = graft.operators.Ann.ivfConfigFor(nV)
+          val cb = graft.operators.Ann.trainCodebookSampled(
+            dd.select(col("vec_id"), col("embedding").as("v")), nLists, nV)
+          val assigned = dd.select(col("vec_id"),
+            col("embedding").as("v"),
+            element_at(graft.functions.Vectors
+              .centroidRanks(col("embedding"), cb), 1).as("cid"))
+          val (mins, scales) = graft.operators.Ann.sqModelFrom(
+            dd.select(col("embedding").as("v")), 64)
+          val base = graft.Staging.scratch(s"probe_sq_$tag")
+          assigned.repartition(col("cid")).write
+            .partitionBy("cid").parquet(s"$base/flat")
+          assigned
+            .select(col("vec_id"),
+              graft.operators.Ann.sqCodes(col("v"), mins, scales)
+                .as("codes"), col("cid"))
+            .repartition(col("cid")).write
+            .partitionBy("cid").parquet(s"$base/codes")
+          val qv = dd.filter(col("vec_id") === 0L)
+            .collect()(0).getSeq[Double](1)
+          dd.unpersist()
+          val pls = {
+            import spark.implicits._
+            Seq(Tuple1(qv)).toDF("v")
+              .select(explode(slice(graft.functions.Vectors
+                .centroidRanks(col("v"), cb), 1, 2)).as("cid"))
+              .collect().map(_.getInt(0)).toSeq
+          }
+          val q = typedLit(qv)
+          def serveFlat(): Long = spark.read.parquet(s"$base/flat")
+            .filter(col("cid").isin(pls: _*) && col("vec_id") =!= 0L)
+            .select(col("vec_id"),
+              round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+          val mn = typedLit(mins.toSeq)
+          val sc = typedLit(scales.toSeq)
+          def serveSq(): Long = spark.read.parquet(s"$base/codes")
+            .filter(col("cid").isin(pls: _*) && col("vec_id") =!= 0L)
+            .select(col("vec_id"),
+              round(aggregate(
+                zip_with(q, transform(col("codes"), (c, i) =>
+                  element_at(mn, i + 1) +
+                    (c.cast("double") + 0.5) * element_at(sc, i + 1)),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, e) => acc + e), 4).as("d_est"))
+            .orderBy(col("d_est"), col("vec_id")).limit(10).count()
+          val ((hF, sF), rF, bF) = measured {
+            val t = System.nanoTime
+            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
+          }
+          val ((hS, sS), rS, bS) = measured {
+            val t = System.nanoTime
+            val h = serveSq(); (h, (System.nanoTime - t) / 1e9)
+          }
+          println(f"PROBE sq [$tag] nLists $nLists, nProbe 2: " +
+            f"IVF-flat serve $sF%.2f s ($hF hits, $rF rows, " +
+            f"${bF / 1024}%d KiB read); IVF-SQ serve $sS%.2f s " +
+            f"($hS hits, $rS rows, ${bS / 1024}%d KiB read); " +
+            f"bytes ratio ${bF.toDouble / math.max(1L, bS)}%.1f x")
+          hS
+        }
+        timed("sq", runSq("base", vecsBase),
+          runSq(s"${copies}x", replicatedVecs(copies)))
       // TableLog planning cost vs batch history: a sink commits one
       // batch per interval forever — the question a year of
       // micro-batches asks is whether PLANNING (snapshot + prune)

@@ -154,6 +154,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
   }
 
+  test("s14: IVF-SQ serving is a cid-pruned scan → fused projection " +
+      "→ TakeOrdered, zero Exchange") {
+    val p = plan("s14_ivfsq_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "IVF-SQ serving should never shuffle:\n" + p.take(800))
+  }
+
+  test("s15: per-list SQ encode has no join; the only Exchanges are " +
+      "the one-time cid assignment and the cosmetic output order") {
+    val p = plan("s15_sq_perlist")
+    assert(!p.contains("Join"),
+      "per-list model lookup must be element_at, not a join:\n" +
+        p.take(800))
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, finalPlan.take(800))
+  }
+
   test("q25: grouping sets run as ONE Expand + one aggregate shuffle " +
       "serving all three reports") {
     import org.apache.spark.sql.execution.SparkPlan
