@@ -800,6 +800,56 @@ object Graft {
     new AnnIndexMaintenance(spark, trainVecs, idCol, vecCol, nLists,
       stateRoot)
 
+  /** MIGRATE a maintained vector index to a retrained model (st20's
+    * cutover, the remediation the recall gate's drift detection calls
+    * for): trains model v2 on `trainVecs` (hash-sampled offline path,
+    * [[annIndexMaintenance]]'s contract), re-encodes the CURRENT
+    * serving root's vectors under it in ONE corpus pass into
+    * `$parentRoot/$toSub`, atomically flips the serving pointer, and
+    * vacuums the old root. The parent root must carry a
+    * `current.meta` pointer (one line naming the serving subroot —
+    * st20's layout); resume the migrated index with
+    * `annIndexMaintenance(..., stateRoot = Some(s"$parentRoot/$toSub"))`.
+    */
+  def annIndexMigrate(spark: org.apache.spark.sql.SparkSession,
+      parentRoot: String, toSub: String, trainVecs: DataFrame,
+      idCol: String, vecCol: String, nLists: Int = 0): Unit = {
+    val vecs = trainVecs.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    val lists =
+      if (nLists > 0) nLists else graft.operators.Ann.ivfConfigFor(n)
+    val cbNew = graft.operators.Ann.trainCodebookSampled(vecs, lists, n)
+    graft.streaming.Streams.st20Migrate(spark, parentRoot, toSub,
+      cbNew, lists)
+  }
+
+  /** REPLAY a quarantine table through a corrected expectation set
+    * (io16's operator as a surface): rows of the quarantine table at
+    * `quarantineRoot` are re-classified against `expectations`
+    * (ordered (name, passExprSql) pairs — the FIRST failing rule
+    * names the reason; a row passing every rule survives); survivors
+    * commit to the main table at `mainRoot` and the replayed rows
+    * retire from quarantine in one tagged pair of commits. Land dir
+    * `outDir` must persist (both logs reference its files).
+    * Redelivery-idempotent under `tag` (both-done ⇒ no-op; one-done ⇒
+    * the missing side commits from the landed files).
+    */
+  def quarantineReplay(spark: org.apache.spark.sql.SparkSession,
+      mainRoot: String, quarantineRoot: String, outDir: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      expectations: Seq[(String, String)], tag: String): Unit = {
+    require(expectations.nonEmpty, "quarantineReplay: no expectations")
+    val reason = expectations.foldLeft(
+      when(lit(false), lit(""))) { case (acc, (name, sql)) =>
+      acc.when(!coalesce(expr(sql), lit(false)), lit(name))
+    }
+    graft.sources.Io.quarantineReplayPass(spark,
+      graft.sources.TableLog.open(mainRoot),
+      graft.sources.TableLog.open(quarantineRoot), outDir, schema,
+      keyCol, reason, tag)
+  }
+
   /** SALTED equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic salt in [0, nSalts) from `saltSrc` (any
     * per-row deterministic expression — an id column, a hash of the

@@ -770,6 +770,64 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("quarantineReplay + annIndexMigrate facades drive the round-11 " +
+      "lifecycles on ad-hoc state") {
+    val session = spark
+    import session.implicits._
+    // quarantineReplay: corrected rule readmits even keys to main
+    val tmp = graft.Staging.scratch("api_qreplay")
+    Graft.tableCommit(
+      Seq((1L, 10.0, Option.empty[String])).toDF("k", "v", "reason"),
+      s"$tmp/main", "k", tag = "b0")
+    Graft.tableCommit(
+      Seq((3L, -5.0, Some("neg_v")), (4L, -7.0, Some("neg_v")))
+        .toDF("k", "v", "reason"),
+      s"$tmp/quarantine", "k", tag = "b0")
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType)))
+    Graft.quarantineReplay(session, s"$tmp/main", s"$tmp/quarantine",
+      s"$tmp/replay", sch, "k",
+      expectations = Seq(("neg_v", "v >= 0 OR k % 2 = 0")),
+      tag = "replay-b0")
+    val m = Graft.tableLog(s"$tmp/main")
+    val q = Graft.tableLog(s"$tmp/quarantine")
+    assert(m.read(session, sch, m.latestVersion.get).count() == 2)
+    assert(q.read(session, sch, q.latestVersion.get).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((3L, "neg_v")))
+    // annIndexMigrate: v1 trained on a stale half, migrated to the
+    // full-corpus model through the facade; pointer + codebook flip,
+    // old root vacuumed, index still serves
+    val t = Tables(spark, sf)
+    val parent = graft.Staging.scratch("api_migrate")
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val idx = Graft.annIndexMaintenance(session,
+      vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nLists = 16, stateRoot = Some(s"$parent/v1"))
+    idx.step(vecs)
+    graft.streaming.Streams.saveMeta(parent, "current.meta", "v1")
+    Graft.annIndexMigrate(session, parent, "v2", vecs,
+      "vec_id", "embedding", nLists = 16)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/v1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/v2/codebook.meta")))
+    val (st2, cb2) = graft.streaming.Streams.st20Serving(session,
+      parent, 16)
+    assert(spark.read.parquet(st2.vectorsDir).count() == vecs.count())
+    val qv = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    assert(graft.streaming.Streams
+      .st15Serve(st2, cb2, qv, 2, 10, excludeId = Some(0L))
+      .count() == 10)
+  }
+
   test("tableCommit/tableLog on an ad-hoc frame: append then replace, " +
       "time travel intact, stats prune the read") {
     val root = graft.Staging.scratch("api_tablelog")
