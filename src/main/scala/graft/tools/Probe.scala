@@ -542,6 +542,41 @@ object Probe {
         }
         timed("sq", runSq("base", vecsBase),
           runSq(s"${copies}x", replicatedVecs(copies)))
+      // the sink file-growth bound measured as deployed: drive 20
+      // micro-batches of the sf0.1 events through st16SinkStep under
+      // a file budget and report PER-BATCH walls with maintenance
+      // batches marked. The claims: non-maintenance batches stay
+      // flat (arrivals-sized work — the landing + one tag check +
+      // bounded snapshot replay), maintenance amortizes over the
+      // batches since the last trigger, and the live file count ends
+      // bounded by the budget while 20 batches landed 80 files.
+      case "st16" =>
+        val ev = spark.read
+          .parquet("/root/testdata/sf0.1/events.parquet")
+          .selectExpr("event_id", "event_type",
+            "CAST(value AS DOUBLE) AS value")
+        val root = graft.Staging.scratch("probe_st16")
+        val budget = 12
+        val walls = (0 until 20).map { b =>
+          val log = graft.sources.TableLog.open(root)
+          val before = log.latestVersion.getOrElse(-1L)
+          val t = System.nanoTime
+          graft.streaming.Streams.st16SinkStep(spark, root,
+            ev.filter(col("event_id") % 20 === b), b.toLong,
+            maxFiles = budget)
+          val s = (System.nanoTime - t) / 1e9
+          // a maintenance pass mints an extra (tagged) version
+          val maint = graft.sources.TableLog.open(root)
+            .latestVersion.getOrElse(-1L) > before + 1L
+          (s, maint)
+        }
+        val log = graft.sources.TableLog.open(root)
+        val live = log.snapshot(log.latestVersion.get).length
+        println("PROBE st16 per-batch s: " + walls.map { case (s, m) =>
+          f"$s%.1f${if (m) "*" else ""}" }.mkString(" ") +
+          f"; ${walls.count(_._2)}%d maintenance passes (*), " +
+          f"live files $live%d (budget $budget%d, 80 landed), " +
+          f"${log.versions.length}%d versions")
       // TableLog planning cost vs batch history: a sink commits one
       // batch per interval forever — the question a year of
       // micro-batches asks is whether PLANNING (snapshot + prune)
