@@ -828,7 +828,9 @@ object Graft {
     * (io16's operator as a surface): rows of the quarantine table at
     * `quarantineRoot` are re-classified against `expectations`
     * (ordered (name, passExprSql) pairs — the FIRST failing rule
-    * names the reason; a row passing every rule survives); survivors
+    * names the reason; a row passing every rule survives; a rule
+    * evaluating NULL does NOT fail the row — name missingness as its
+    * own rule, e.g. ("null_key", "k IS NOT NULL")); survivors
     * commit to the main table at `mainRoot` and the replayed rows
     * retire from quarantine in one tagged pair of commits. Land dir
     * `outDir` must persist (both logs reference its files).
@@ -840,9 +842,14 @@ object Graft {
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
       expectations: Seq[(String, String)], tag: String): Unit = {
     require(expectations.nonEmpty, "quarantineReplay: no expectations")
+    // NULL-evaluating rules PASS (io16's operator/oracle semantics:
+    // `when(!cond)` — NULL never matches): a rule over a nullable
+    // column fails only rows it evaluates FALSE on; make missingness
+    // itself a named rule ("k IS NOT NULL", io15's null_key shape)
+    // when NULL must quarantine
     val reason = expectations.foldLeft(
       when(lit(false), lit(""))) { case (acc, (name, sql)) =>
-      acc.when(!coalesce(expr(sql), lit(false)), lit(name))
+      acc.when(!expr(sql), lit(name))
     }
     graft.sources.Io.quarantineReplayPass(spark,
       graft.sources.TableLog.open(mainRoot),
@@ -1154,15 +1161,7 @@ object Graft {
         removes ++ adds
       }
     catch { case e: Throwable =>
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.reverseIterator
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally s.close()
-      }
+      graft.Staging.deleteTree(java.nio.file.Paths.get(dir))
       throw e
     }
   }

@@ -413,6 +413,20 @@ final class TableLog(val root: String) {
     * + one pass over all Add actions) followed by O(deleted) deletes —
     * never a data scan.
     */
+  /** Every path any commit ever Add'd, as LOCAL filesystem paths —
+    * the reference universe vacuum deletes within. A data file on
+    * disk that is NOT in this set belongs to no version (a torn
+    * writer's leftover) and is the caller's to reclaim
+    * (sinkMaintain's stale-dir sweep).
+    */
+  private[graft] def addedPathsLocal: Set[String] =
+    versions.flatMap(v => parse(v)._2).collect {
+      case Add(f) => localPath(f.path)
+    }.toSet
+
+  private def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
   def vacuum(retain: Int = 1): Seq[String] = {
     require(retain >= 1, s"retain=$retain must keep at least one version")
     val vs = versions

@@ -2229,6 +2229,34 @@ object Streams {
     sweepDeadBatchDirs(sweepRoot)
     val outParent = java.nio.file.Paths.get(outDir).getParent.toString
     if (outParent != sweepRoot) sweepDeadBatchDirs(outParent)
+    // TORN-ATTEMPT RECLAIM: a crash between a previous maintenance
+    // pass's rewrite write and its tagged commit leaves an m<bid> dir
+    // whose files no commit ever referenced — vacuum (Add'd paths
+    // only) and the dead-dir sweep (spares dirs holding parquet) can
+    // never reclaim it, and the batch's own tag blocks a re-run. At
+    // the NEXT maintenance trigger (here), any sibling m-dir other
+    // than this pass's own outDir whose parquet files are ALL
+    // unreferenced by the log is exactly that leftover — delete it.
+    // Cost: one addedPaths set build, already O(history) like the
+    // vacuum beside it, paid only at maintenance cadence.
+    val added = log.addedPathsLocal
+    val outName = java.nio.file.Paths.get(outDir).getFileName.toString
+    val pp = java.nio.file.Paths.get(outParent)
+    if (java.nio.file.Files.isDirectory(pp)) {
+      val s = java.nio.file.Files.list(pp)
+      val stale = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { d =>
+          java.nio.file.Files.isDirectory(d) &&
+            d.getFileName.toString.matches("m\\d+") &&
+            d.getFileName.toString != outName && {
+              val fs = graft.sources.Io.parquetFilesRec(d.toString)
+              fs.nonEmpty && fs.forall(f => !added.contains(f.toString))
+            }
+        }.toList
+      } finally s.close()
+      stale.foreach(graft.Staging.deleteTree)
+    }
   }
 
   /** Remove per-batch landing/maintenance dirs (`b<id>` / `m<id>`)
@@ -2357,7 +2385,7 @@ object Streams {
     */
   private[graft] def st19SinkStep(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      batch: DataFrame, bid: Long, maxFiles: Int = 1): Unit = {
+      batch: DataFrame, bid: Long, maxFiles: Int = 6): Unit = {
     val mainLog = graft.sources.TableLog.open(s"$root/main")
     val qLog = graft.sources.TableLog.open(s"$root/quarantine")
     val tag = s"b$bid"
@@ -2852,7 +2880,10 @@ object Streams {
     * flip is one atomic metadata move, so the swap is instant
     * however large the index; the old root's bytes free at vacuum.
     * Crash order: pointer LAST — a crash mid-migration leaves v1
-    * serving and a partial v2 the re-run overwrites.
+    * serving and a partial v2 the re-run overwrites; a crash AFTER
+    * the flip leaves only the retired root on disk, and a re-run
+    * (same target) completes the vacuum instead of failing — the
+    * pointer is the migration's commit point.
     */
   def st20AnnMigrate(t: Tables, nLists: Int = 16, nProbe: Int = 2,
       probeId: Long = 0L): DataFrame = {
@@ -2892,8 +2923,14 @@ object Streams {
       nLists: Int): Unit = {
     val fromSub = loadMeta(parent, "current.meta").getOrElse(
       sys.error(s"st20Migrate: no serving index under $parent"))
-    require(fromSub != toSub,
-      s"st20Migrate: target '$toSub' IS the serving root")
+    if (fromSub == toSub) {
+      // RE-RUN AFTER A CRASH between the pointer flip and the old
+      // root's vacuum: the cutover already happened (the pointer IS
+      // the migration's commit point), so complete the cleanup —
+      // under the pointer contract every non-serving subroot is dead
+      vacuumRetiredRoots(parent, toSub)
+      return
+    }
     val from = st15State(spark, Some(s"$parent/$fromSub"), nLists)
     val to = st15State(spark, Some(s"$parent/$toSub"), nLists)
     st14Read(spark, from.vectorsDir, st15WithCid(st15VecSchema))
@@ -2904,10 +2941,31 @@ object Streams {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(to.vectorsDir)
     saveCodebook(to.root, cbNew)
-    // the atomic cutover: readers resolve the pointer at open
+    // the atomic cutover: readers resolve the pointer at open. NEW
+    // opens see v2 from here; a reader that opened v1 BEFORE the
+    // flip must drain before the vacuum below reclaims it — at
+    // production scale the delete is deferred by a retention window
+    // (TableLog.vacuum's posture); in this single-writer harness the
+    // serving reads are synchronous, so immediate vacuum is safe
     saveMeta(parent, "current.meta", toSub)
-    // the old root is dead the instant the pointer moved
-    graft.Staging.deleteTree(java.nio.file.Paths.get(from.root))
+    vacuumRetiredRoots(parent, toSub)
+  }
+
+  /** Delete every subroot under `parent` except the serving one —
+    * the pointer contract makes them dead; idempotent (a re-run
+    * finds nothing left).
+    */
+  private def vacuumRetiredRoots(parent: String, serving: String): Unit = {
+    val p = java.nio.file.Paths.get(parent)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val s = java.nio.file.Files.list(p)
+    val dead = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(d =>
+        java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString != serving).toList
+    } finally s.close()
+    dead.foreach(graft.Staging.deleteTree)
   }
 
   /** Resolve the serving index under a migration parent: the pointer

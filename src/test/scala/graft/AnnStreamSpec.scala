@@ -522,6 +522,19 @@ class AnnStreamSpec extends SparkSpec {
         spark, root16, Long.MinValue, Long.MaxValue)
         .agg(sum("n")).collect()(0).getLong(0)
       assert(served == ev.count(), s"served $served rows after maintenance")
+      // torn-attempt reclaim: a crash between a maintenance rewrite
+      // and its commit leaves an m-dir no commit references — the
+      // NEXT trigger must sweep it (vacuum and the dead-dir sweep
+      // both structurally cannot)
+      ev.limit(5).write.parquet(s"$root16/m999")
+      (20 until 25).foreach { b =>
+        graft.streaming.Streams.st16SinkStep(spark, root16,
+          ev.filter(col("event_id") % 20 === (b - 20)
+            && col("event_id") % 40 >= 20), b.toLong, maxFiles = budget)
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root16/m999")),
+        "torn maintenance dir survived the next trigger")
     } finally graft.Staging.deleteTree(
       java.nio.file.Paths.get(root16))
     // ---- st19 (two destinations) ----
@@ -1894,6 +1907,19 @@ class AnnStreamSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$parent/v1")),
       "old index root survived the migration vacuum")
+    // crash-after-flip heal: the retired root lingers (crash between
+    // pointer flip and vacuum, simulated) — a re-run with the SAME
+    // target completes the cleanup instead of refusing
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$parent/v1"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$parent/v1/stale.bin"), Array[Byte](1))
+    graft.streaming.Streams.st20Migrate(spark, parent, "v2", cbNew, 16)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/v1")),
+      "re-run did not complete the crashed migration's vacuum")
+    assert(graft.streaming.Streams.st20Serving(spark, parent, 16)
+      ._1.root.endsWith("/v2"))
   }
 
   test("legacy-root guard: annIndexMaintenance refuses to train a new " +

@@ -140,6 +140,27 @@ class IoSpec extends SparkSpec {
       "log-pruned box answer diverges from the full scan")
   }
 
+  test("zorderRange's scalar corner math agrees with zorderOf's " +
+      "Column path bit-for-bit (the pruning bound's coupling law)") {
+    val session2 = spark
+    import session2.implicits._
+    // extreme rows pin the normalization bounds; rows 3/4 sit exactly
+    // on the box corners, so their Column-path zvals must equal the
+    // scalar corner bounds — any divergence in the normalize or
+    // interleave math breaks this before it can mis-prune a file
+    val df = Seq((1L, 0L, 0.0), (2L, 1000L, 10.0),
+      (3L, 550L, 5.5), (4L, 700L, 7.0))
+      .toDF("event_id", "user_id", "value")
+    val z = graft.sources.Io.zorderOf(df, "user_id", "value")
+      .select("event_id", "zval").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (zLo, zHi) = graft.sources.Io.zorderRange(
+      df, "user_id", "value", 550.0, 700.0, 5.5, 7.0)
+    assert(zLo == z(3L) && zHi == z(4L),
+      s"scalar corners ($zLo, $zHi) != Column path (${z(3L)}, ${z(4L)})")
+    assert(zLo <= zHi && z(1L) <= zLo && zHi <= z(2L))
+  }
+
   test("io10 stats manifest: range query opens a strict file subset, " +
       "answer equals the full scan") {
     val t = Tables(spark, sf)
