@@ -2893,9 +2893,13 @@ object Streams {
       val vecs = t.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // v1 era: the codebook trained on a PAST snapshot (the drift
-      // drill's shape), the full drifted corpus since ingested
-      val cbOld = graft.operators.Ann.trainCodebook(
-        vecs.filter(col("vec_id") % 3 =!= 0), nLists)
+      // drill's shape), the full drifted corpus since ingested. The
+      // stale model rides the SAMPLED offline path (the facade's
+      // default) — the operator's gate depends only on the v2 model,
+      // so the v1 stand-in need not pay full Lloyd's
+      val past = vecs.filter(col("vec_id") % 3 =!= 0)
+      val cbOld = graft.operators.Ann.trainCodebookSampled(
+        past, nLists, past.count())
       val st1 = st15State(spark, Some(s"$d/v1"), nLists)
       saveCodebook(st1.root, cbOld)
       st15MaintainStep(st1, cbOld, vecs.filter(col("vec_id") % 2 === 0))
