@@ -800,15 +800,24 @@ object Graft {
     new AnnIndexMaintenance(spark, trainVecs, idCol, vecCol, nLists,
       stateRoot)
 
+  /** PUBLISH the serving pointer of a migration parent: names which
+    * subroot under `parentRoot` currently serves (st20's
+    * `current.meta`, written atomically). Run once when standing up
+    * the parent over its first index root; [[annIndexMigrate]] flips
+    * the pointer on every cutover thereafter.
+    */
+  def annIndexPublish(parentRoot: String, sub: String): Unit =
+    graft.streaming.Streams.saveMeta(parentRoot, "current.meta", sub)
+
   /** MIGRATE a maintained vector index to a retrained model (st20's
     * cutover, the remediation the recall gate's drift detection calls
     * for): trains model v2 on `trainVecs` (hash-sampled offline path,
     * [[annIndexMaintenance]]'s contract), re-encodes the CURRENT
     * serving root's vectors under it in ONE corpus pass into
     * `$parentRoot/$toSub`, atomically flips the serving pointer, and
-    * vacuums the old root. The parent root must carry a
-    * `current.meta` pointer (one line naming the serving subroot —
-    * st20's layout); resume the migrated index with
+    * vacuums the old root. The parent root must carry a serving
+    * pointer (publish the first one with [[annIndexPublish]]);
+    * resume the migrated index with
     * `annIndexMaintenance(..., stateRoot = Some(s"$parentRoot/$toSub"))`.
     */
   def annIndexMigrate(spark: org.apache.spark.sql.SparkSession,

@@ -810,7 +810,7 @@ class GraftApiSpec extends SparkSpec {
       vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
       nLists = 16, stateRoot = Some(s"$parent/v1"))
     idx.step(vecs)
-    graft.streaming.Streams.saveMeta(parent, "current.meta", "v1")
+    Graft.annIndexPublish(parent, "v1")
     Graft.annIndexMigrate(session, parent, "v2", vecs,
       "vec_id", "embedding", nLists = 16)
     assert(!java.nio.file.Files.exists(
