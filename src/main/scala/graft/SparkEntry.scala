@@ -115,6 +115,7 @@ object SparkEntry {
     "s13_sq_search"       -> q(Ann.s13SqSearch(_)),
     "s14_ivfsq_search"    -> q(Ann.s14IvfSqSearch(_)),
     "s15_sq_perlist"      -> q(Ann.s15SqPerList(_)),
+    "s16_ivfsq_perlist_search" -> q(Ann.s16IvfSqPerlistSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

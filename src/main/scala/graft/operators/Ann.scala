@@ -1126,29 +1126,113 @@ object Ann {
   def s15SqPerList(t: Tables, nLists: Int = 16,
       dim: Int = 64): DataFrame = {
     val (assigned, cb) = assignedVecs(t, nLists)
-    val cents: Seq[Seq[Double]] = (0 until nLists)
+    val cents = centroidRows(cb, nLists, dim)
+    val (mins, scales) = sqPerListModelFor(t, nLists, dim)
+    val resid = assigned.select(col("vec_id"), col("cid"),
+      zip_with(col("v"),
+        element_at(typedLit(cents), col("cid") + 1),
+        (x, c) => x - c).as("v"))
+    val mn = element_at(typedLit(mins), col("cid") + 1)
+    val sc = element_at(typedLit(scales), col("cid") + 1)
+    resid
+      .withColumn("codes_arr", sqCodesCol(col("v"), mn, sc))
+      .select(col("vec_id"),
+        array_join(transform(col("codes_arr"), c => c.cast("string")),
+          "-").as("codes"),
+        round(aggregate(
+          zip_with(col("v"),
+            sqReconstructCol(col("codes_arr"), mn, sc),
+            (x, r) => (x - r) * (x - r)),
+          lit(0.0), (a, e) => a + e), 4).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** The codebook's centroids as row vectors (literal-friendly). */
+  private def centroidRows(cb: graft.expressions.PlaneMatrix,
+      nLists: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nLists)
       .map(ci => cb.values.slice(ci * dim, ci * dim + dim).toSeq)
-    val resid = graft.Caches.materialized(
-      assigned.select(col("vec_id"), col("cid"),
-        zip_with(col("v"),
-          element_at(typedLit(cents), col("cid") + 1),
-          (x, c) => x - c).as("v")))
-    try {
-      val (mins, scales) = sqPerListModel(resid, nLists, dim)
-      val mn = element_at(typedLit(mins), col("cid") + 1)
-      val sc = element_at(typedLit(scales), col("cid") + 1)
-      resid
-        .withColumn("codes_arr", sqCodesCol(col("v"), mn, sc))
-        .select(col("vec_id"),
-          array_join(transform(col("codes_arr"), c => c.cast("string")),
-            "-").as("codes"),
-          round(aggregate(
+
+  /** Memoized per-corpus per-list SQ model (s15 trains it, s16 serves
+    * from it — the pqModel registry contract): residuals derived
+    * under the corpus codebook, cached only while the one (cid, pos)
+    * training aggregate runs.
+    */
+  private val sqPerListModels = scala.collection.mutable
+    .Map.empty[(String, Int, Int), (Seq[Seq[Double]], Seq[Seq[Double]])]
+
+  private[graft] def sqPerListModelFor(t: Tables, nLists: Int,
+      dim: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) =
+    sqPerListModels.synchronized {
+      sqPerListModels.getOrElseUpdate((t.dir, nLists, dim), {
+        val (assigned, cb) = assignedVecs(t, nLists)
+        val cents = centroidRows(cb, nLists, dim)
+        val resid = graft.Caches.materialized(
+          assigned.select(col("vec_id"), col("cid"),
             zip_with(col("v"),
-              sqReconstructCol(col("codes_arr"), mn, sc),
-              (x, r) => (x - r) * (x - r)),
-            lit(0.0), (a, e) => a + e), 4).as("qerr"))
-        .orderBy("vec_id")
-    } finally graft.Caches.drop(resid)
+              element_at(typedLit(cents), col("cid") + 1),
+              (x, c) => x - c).as("v")))
+        try sqPerListModel(resid, nLists, dim)
+        finally graft.Caches.drop(resid)
+      })
+    }
+
+  /** s16: IVF-SQ SEARCH OVER THE PER-LIST MODEL — the serving half
+    * of s15, completing the FAISS `IVF,SQ8`-with-residual tier
+    * end-to-end (encode s15, serve s16): the probe's `nProbe`
+    * nearest lists are scanned (s3's pruning) and every candidate is
+    * scored by exact L2² of the full-precision query against its
+    * reconstruction v̂ = centroid[cid] + decode_perlist(codes) —
+    * s13's asymmetric-distance contract over s15's per-list ranges.
+    * The model-quality claim lives at the ENCODE level (s15: corpus-
+    * mean reconstruction error strictly below the global model's,
+    * spec-pinned); at SERVING the spec pins what the ranking needs —
+    * the quantized estimates preserve the pruned pool's exact-L2
+    * top-10 and stay within a small fraction of the pool's distance
+    * spread. (Measured honestly: pool-wise distance-error aggregates
+    * do NOT reliably order the two models — the (v+v̂−2q) lever-arm
+    * cross terms dominate the per-dim reconstruction win.)
+    *
+    * Scale: s14's fused serving shape exactly — the cid filter, the
+    * per-row model lookups (element_at on nested literals: centroid,
+    * mins, scales), the residual encode/decode and the scoring ALL
+    * fuse with the corpus scan; projection + TakeOrdered, zero
+    * Exchange (PlanSpec-locked). At lake scale the scan reads the
+    * stored per-list code column (st15's cid-partitioned layout).
+    */
+  def s16IvfSqPerlistSearch(t: Tables, probeId: Long = 0L,
+      nLists: Int = 16, nProbe: Int = 2, dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    val (assigned, cb) = assignedVecs(t, nLists)
+    val cents = centroidRows(cb, nLists, dim)
+    val (mins, scales) = sqPerListModelFor(t, nLists, dim)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("v"),
+        slice(Vectors.centroidRanks(col("v"), cb), 1, nProbe).as("pls"))
+      .collect().headOption
+    if (probe.isEmpty)
+      return assigned.select(col("vec_id"), lit(0.0).as("d_est")).limit(0)
+    val probeLists = probe.get.getSeq[Int](1)
+    val q = typedLit(probe.get.getSeq[Double](0))
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid",
+        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+    val cent = element_at(typedLit(cents), col("cid") + 1)
+    val mn = element_at(typedLit(mins), col("cid") + 1)
+    val sc = element_at(typedLit(scales), col("cid") + 1)
+    val res = zip_with(col("v"), cent, (x, c) => x - c)
+    val rec = zip_with(cent,
+      sqReconstructCol(sqCodesCol(res, mn, sc), mn, sc),
+      (c, r) => c + r)
+    vecs.filter(col("cid").isin(probeLists: _*))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(q, rec, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 4).as("d_est"))
+      .orderBy(col("d_est"), col("vec_id"))
+      .limit(k)
   }
 
   /** The per-list SQ model: for each coarse list, per-dim min/max of
@@ -1434,6 +1518,63 @@ object Ann {
     // coarse replay → residual derivation over the final assignment →
     // s5's per-subspace Lloyd's replay trained on the residuals
     "s10_pq_residual" -> pqResidualOracleSql(4, 4, 2, 64),
+    // s15's full replay (coarse k-means → residuals → per-list
+    // min/max → codes) restricted to the probe's pruned lists, then
+    // the asymmetric L2² of the query against centroid + decoded
+    // residual — top-10 by (d_est, vec_id)
+    "s16_ivfsq_perlist_search" ->
+      s"""WITH $kmeansReplayCte,
+         |rv AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(range(1, 65),
+         |      i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v
+         |  FROM af a JOIN (SELECT cid, v AS cv FROM c3) c USING (cid)),
+         |rc AS (
+         |  SELECT vec_id, cid, i, v[CAST(i AS INT)] AS x
+         |  FROM rv, (SELECT unnest(range(1, 65)) AS i) ii),
+         |mm AS (
+         |  SELECT cid, i, min(x) AS mn, max(x) AS mx
+         |  FROM rc GROUP BY cid, i),
+         |pr AS (
+         |  SELECT cid FROM (
+         |    SELECT cc.cid, row_number() OVER (ORDER BY
+         |      list_dot_product(p.v, cc.cv) /
+         |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |      cc.cid) AS rn
+         |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+         |         (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT a.vec_id FROM af a JOIN pr ON a.cid = pr.cid
+         |  WHERE a.vec_id <> 0),
+         |cvd AS (
+         |  SELECT cid, i, v[CAST(i AS INT)] AS cv
+         |  FROM c3, (SELECT unnest(range(1, 65)) AS i) ii),
+         |code_rows AS (
+         |  SELECT rc.vec_id, rc.i, rc.cid, mm.mn,
+         |    (mm.mx - mm.mn) / 256 AS sc,
+         |    CASE WHEN mm.mx = mm.mn THEN 0
+         |         ELSE CAST(LEAST(255.0, GREATEST(0.0,
+         |           floor((rc.x - mm.mn) / ((mm.mx - mm.mn) / 256)))) AS INT)
+         |    END AS code
+         |  FROM rc JOIN mm ON rc.cid = mm.cid AND rc.i = mm.i
+         |  JOIN cand USING (vec_id)),
+         |p AS (
+         |  SELECT i, v[CAST(i AS INT)] AS qx
+         |  FROM (SELECT v FROM vv WHERE vec_id = 0),
+         |       (SELECT unnest(range(1, 65)) AS i) ii),
+         |d AS (
+         |  SELECT cr.vec_id,
+         |    round(list_sum(list(
+         |      (p.qx - (cvd.cv + (cr.mn + (cr.code + 0.5) * cr.sc))) *
+         |      (p.qx - (cvd.cv + (cr.mn + (cr.code + 0.5) * cr.sc)))
+         |      ORDER BY cr.i)), 4) AS d_est
+         |  FROM code_rows cr
+         |  JOIN cvd ON cvd.cid = cr.cid AND cvd.i = cr.i
+         |  JOIN p ON p.i = cr.i
+         |  GROUP BY cr.vec_id)
+         |SELECT vec_id, d_est FROM d
+         |ORDER BY d_est, vec_id LIMIT 10""".stripMargin,
     // coarse k-means replay → residual derivation (s10's CTE) →
     // PER-LIST per-dim min/max → floor-encode + reconstruction error
     "s15_sq_perlist" ->

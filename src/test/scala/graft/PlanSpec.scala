@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       "IVF-SQ serving should never shuffle:\n" + p.take(800))
   }
 
+  test("s16: per-list IVF-SQ serving is a cid-pruned scan → fused " +
+      "projection → TakeOrdered, zero Exchange") {
+    val p = plan("s16_ivfsq_perlist_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "per-list IVF-SQ serving should never shuffle:\n" + p.take(800))
+  }
+
   test("s15: per-list SQ encode has no join; the only Exchanges are " +
       "the one-time cid assignment and the cosmetic output order") {
     val p = plan("s15_sq_perlist")
