@@ -874,9 +874,7 @@ object Ann {
     */
   private def residualFrame(assigned: DataFrame,
       cb: graft.expressions.PlaneMatrix, dim: Int): DataFrame = {
-    val nLists = cb.values.length / dim
-    val cents: Seq[Seq[Double]] = (0 until nLists)
-      .map(ci => cb.values.slice(ci * dim, ci * dim + dim).toSeq)
+    val cents = centroidRows(cb, cb.values.length / dim, dim)
     assigned.select(col("vec_id"),
       zip_with(col("v"),
         element_at(typedLit(cents), col("cid") + 1),

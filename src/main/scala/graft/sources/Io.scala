@@ -501,13 +501,28 @@ object Io {
       log: TableLog, outDir: String, schema: StructType, nFiles: Int,
       tag: String = "zorder"): Unit = {
     if (log.tagVersion(tag).nonEmpty) return
+    clusteredRewriteCommit(spark, log, outDir, schema, "zval", nFiles,
+      tag)
+  }
+
+  /** The clustered-rewrite-as-a-commit core OPTIMIZE ZORDER (io9)
+    * and the sinks' file-budget maintenance
+    * ([[graft.streaming.Streams.sinkMaintain]]) share: rewrite the
+    * latest snapshot range-partitioned + sorted by `keyCol` into
+    * `nFiles` files under `outDir`, publish remove-old + add-new
+    * with per-file `keyCol` stats in ONE tagged commit through the
+    * OCC loop. The caller owns the trigger and the tag guard.
+    */
+  private[graft] def clusteredRewriteCommit(spark: SparkSession,
+      log: TableLog, outDir: String, schema: StructType,
+      keyCol: String, nFiles: Int, tag: String): Unit = {
     val snap = log.snapshot(log.latestVersion.get)
     spark.read.schema(schema).parquet(snap.map(_.path): _*)
-      .repartitionByRange(nFiles, col("zval"))
-      .sortWithinPartitions("zval")
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(outDir)
     val actions = snap.map(f => TableLog.Remove(f.path)) ++
-      TableLog.statsFor(spark, outDir, "zval", schema)
+      TableLog.statsFor(spark, outDir, keyCol, schema)
         .map(TableLog.Add)
     log.commitWithRetry(tag)(_ => actions)
     ()

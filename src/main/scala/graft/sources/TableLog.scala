@@ -95,20 +95,25 @@ final class TableLog(val root: String) {
   private def commitPath(v: Long): java.nio.file.Path =
     logDir.resolve(f"v$v%012d.commit")
 
-  /** All committed versions, ascending. Only complete `*.commit`
-    * files count — a crashed writer's `.tmp` is invisible.
+  /** Version numbers of the `v<NNN>.<suffix>` files in the log dir,
+    * ascending — the one listing both [[versions]] and the
+    * checkpoint index share. Only complete files count — a crashed
+    * writer's `.tmp` is invisible.
     */
-  def versions: Seq[Long] = {
+  private def numberedFiles(suffix: String): Seq[Long] = {
     if (!java.nio.file.Files.isDirectory(logDir)) return Nil
     val s = java.nio.file.Files.list(logDir)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString).collect {
-        case n if n.startsWith("v") && n.endsWith(".commit") =>
-          n.stripPrefix("v").stripSuffix(".commit").toLong
+        case n if n.startsWith("v") && n.endsWith(suffix) =>
+          n.stripPrefix("v").stripSuffix(suffix).toLong
       }.toSeq.sorted
     } finally s.close()
   }
+
+  /** All committed versions, ascending. */
+  def versions: Seq[Long] = numberedFiles(".commit")
 
   def latestVersion: Option[Long] = versions.lastOption
 
@@ -250,17 +255,7 @@ final class TableLog(val root: String) {
   }
 
   /** Checkpointed versions, ascending. */
-  private def checkpoints: Seq[Long] = {
-    if (!java.nio.file.Files.isDirectory(logDir)) return Nil
-    val s = java.nio.file.Files.list(logDir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString).collect {
-        case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
-          n.stripPrefix("v").stripSuffix(".checkpoint").toLong
-      }.toSeq.sorted
-    } finally s.close()
-  }
+  private def checkpoints: Seq[Long] = numberedFiles(".checkpoint")
 
   private def readCheckpoint(v: Long): Seq[FileEntry] =
     new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
@@ -305,21 +300,20 @@ final class TableLog(val root: String) {
     (tag, actions)
   }
 
-  /** The schema line commit `v` itself carries, if any. */
-  private def commitSchema(v: Long): Option[StructType] =
-    new String(java.nio.file.Files.readAllBytes(commitPath(v)),
+  /** The schema line of a commit/checkpoint file, if any. */
+  private def schemaLineOf(
+      p: java.nio.file.Path): Option[StructType] =
+    new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").find(_.startsWith("schema:"))
       .map(l => org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
 
-  /** The schema line a checkpoint carries, if any. */
+  private def commitSchema(v: Long): Option[StructType] =
+    schemaLineOf(commitPath(v))
+
   private def checkpointSchema(v: Long): Option[StructType] =
-    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").find(_.startsWith("schema:"))
-      .map(l => org.apache.spark.sql.types.DataType
-        .fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
+    schemaLineOf(checkpointPath(v))
 
   /** The table's logical schema AS OF version `v`: the newest
     * schema-carrying commit at or below it — the read side of schema

@@ -2210,20 +2210,13 @@ object Streams {
     val head = log.latestVersion.getOrElse(-1L)
     if (head < 0L || log.snapshot(head).length <= maxFiles) return
     if (log.tagVersion(tag).isEmpty) {
-      val snap = log.snapshot(head)
       def bytes(p: String) = java.nio.file.Files.size(java.nio.file.Paths
         .get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
-      val n = math.max(nMin.toLong, (snap.map(f => bytes(f.path)).sum +
-        targetBytes - 1) / targetBytes).toInt
-      spark.read.schema(schema).parquet(snap.map(_.path): _*)
-        .repartitionByRange(n, col(keyCol))
-        .sortWithinPartitions(keyCol)
-        .write.mode("overwrite").parquet(outDir)
-      log.commitWithRetry(tag)(_ =>
-        snap.map(f => graft.sources.TableLog.Remove(f.path)) ++
-          graft.sources.TableLog.statsFor(spark, outDir, keyCol, schema)
-            .map(graft.sources.TableLog.Add))
-      ()
+      val n = math.max(nMin.toLong,
+        (log.snapshot(head).map(f => bytes(f.path)).sum +
+          targetBytes - 1) / targetBytes).toInt
+      graft.sources.Io.clusteredRewriteCommit(spark, log, outDir,
+        schema, keyCol, n, tag)
     }
     log.vacuum(retain)
     sweepDeadBatchDirs(sweepRoot)
@@ -2241,22 +2234,29 @@ object Streams {
     // vacuum beside it, paid only at maintenance cadence.
     val added = log.addedPathsLocal
     val outName = java.nio.file.Paths.get(outDir).getFileName.toString
-    val pp = java.nio.file.Paths.get(outParent)
-    if (java.nio.file.Files.isDirectory(pp)) {
-      val s = java.nio.file.Files.list(pp)
-      val stale = try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter { d =>
-          java.nio.file.Files.isDirectory(d) &&
-            d.getFileName.toString.matches("m\\d+") &&
-            d.getFileName.toString != outName && {
-              val fs = graft.sources.Io.parquetFilesRec(d.toString)
-              fs.nonEmpty && fs.forall(f => !added.contains(f.toString))
-            }
-        }.toList
-      } finally s.close()
-      stale.foreach(graft.Staging.deleteTree)
-    }
+    childDirs(outParent)
+      .filter { d =>
+        d.getFileName.toString.matches("m\\d+") &&
+          d.getFileName.toString != outName && {
+            val fs = graft.sources.Io.parquetFilesRec(d.toString)
+            fs.nonEmpty && fs.forall(f => !added.contains(f.toString))
+          }
+      }
+      .foreach(graft.Staging.deleteTree)
+  }
+
+  /** Immediate child directories of `dir` (empty if absent) — the
+    * one listing every maintenance sweep shares.
+    */
+  private def childDirs(dir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return Nil
+    val s = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_)).toList
+    } finally s.close()
   }
 
   /** Remove per-batch landing/maintenance dirs (`b<id>` / `m<id>`)
@@ -2265,19 +2265,11 @@ object Streams {
     * still holding any parquet (e.g. the uncommitted side of a torn
     * two-destination batch) is left alone.
     */
-  private def sweepDeadBatchDirs(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(p)) return
-    val s = java.nio.file.Files.list(p)
-    val dirs = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(d =>
-        java.nio.file.Files.isDirectory(d) &&
-          d.getFileName.toString.matches("[bm]\\d+")).toList
-    } finally s.close()
-    dirs.filter(d => graft.sources.Io.parquetFilesRec(d.toString).isEmpty)
+  private def sweepDeadBatchDirs(root: String): Unit =
+    childDirs(root)
+      .filter(d => d.getFileName.toString.matches("[bm]\\d+") &&
+        graft.sources.Io.parquetFilesRec(d.toString).isEmpty)
       .foreach(graft.Staging.deleteTree)
-  }
 
   /** io10's serving plan over the MAINTAINED table log: snapshot →
     * stats-admitted file list (bounded by the log's entry count) →
@@ -2959,18 +2951,9 @@ object Streams {
     * the pointer contract makes them dead; idempotent (a re-run
     * finds nothing left).
     */
-  private def vacuumRetiredRoots(parent: String, serving: String): Unit = {
-    val p = java.nio.file.Paths.get(parent)
-    if (!java.nio.file.Files.isDirectory(p)) return
-    val s = java.nio.file.Files.list(p)
-    val dead = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(d =>
-        java.nio.file.Files.isDirectory(d) &&
-          d.getFileName.toString != serving).toList
-    } finally s.close()
-    dead.foreach(graft.Staging.deleteTree)
-  }
+  private def vacuumRetiredRoots(parent: String, serving: String): Unit =
+    childDirs(parent).filter(_.getFileName.toString != serving)
+      .foreach(graft.Staging.deleteTree)
 
   /** Resolve the serving index under a migration parent: the pointer
     * names the active subroot, whose persisted codebook is THE model
