@@ -116,6 +116,7 @@ object SparkEntry {
     "s14_ivfsq_search"    -> q(Ann.s14IvfSqSearch(_)),
     "s15_sq_perlist"      -> q(Ann.s15SqPerList(_)),
     "s16_ivfsq_perlist_search" -> q(Ann.s16IvfSqPerlistSearch(_)),
+    "s17_bq_search"       -> q(Ann.s17BqSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
@@ -139,6 +140,7 @@ object SparkEntry {
     "io14_check_constraint" -> q(graft.sources.Io.io14CheckConstraint),
     "io15_expectations"   -> q(graft.sources.Io.io15Expectations),
     "io16_quarantine_replay" -> q(graft.sources.Io.io16QuarantineReplay),
+    "io17_restore"        -> q(graft.sources.Io.io17Restore),
     "st1_stream_windowed" -> q(graft.streaming.Streams.st1StreamWindowed),
     "st2_stream_sessionize" -> q(graft.streaming.Streams.st2StreamSessionize),
     "st3_stream_late_append" -> q(graft.streaming.Streams.st3StreamLateAppend),

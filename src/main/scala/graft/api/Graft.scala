@@ -1084,6 +1084,26 @@ object Graft {
     graft.operators.Ann.sqSearchFrame(vecs, mins, scales, queryVec, k)
   }
 
+  /** Binary-quantization search (the 1-bit tier below [[sqSearch]]):
+    * per-dim mean thresholds over `df` define a sign-bit signature
+    * (8 B/vector at dim 64), candidates rank by sketch Hamming, the
+    * `shortlist` best pay the exact cosine, top-`k` of the rerank
+    * returned as (vec_id, hamming, cos). One scan + fused projections
+    * + TakeOrdered — zero Exchange; at lake scale the bit column is
+    * stored at ingest and composes with IVF list pruning unchanged.
+    * Trains (one dim-row aggregate) per call — [[pqEncode]]'s
+    * contract.
+    */
+  def bqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], shortlist: Int = 50, k: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val means = graft.operators.Ann.bqModelFrom(vecs, dim)
+    graft.operators.Ann.bqSearchFrame(vecs, means, queryVec,
+      shortlist, k)
+  }
+
   /** Corpus-internal duplicated-span scrub (the ExactSubstr policy):
     * word-`k`-gram spans appearing in more than one document are
     * masked everywhere except their first owner (lowest id) — one
@@ -1184,6 +1204,20 @@ object Graft {
     */
   def tableConstrain(root: String, exprSql: String): Unit =
     graft.sources.TableLog.open(root).setConstraint(exprSql)
+
+  /** RESTORE the versioned table at `root` to `toVersion` (Delta
+    * RESTORE / the rollback runbook): one metadata-only commit makes
+    * the target version's file list the new head — no data bytes
+    * move, the mis-write stays addressable for audit, and a
+    * follow-up [[tableLog]].vacuum reclaims its exclusive files.
+    * Returns Some(newVersion), or None when the head already serves
+    * the target's exact file list (idempotent re-run). A writer
+    * landing concurrently CONFLICTS the restore (the claim throws)
+    * instead of being silently rolled back.
+    */
+  def tableRestore(root: String, toVersion: Long): Option[Long] =
+    graft.sources.Io.restorePass(
+      graft.sources.TableLog.open(root), toVersion)
 
   /** An incremental CDC FOLLOWER over a versioned table: maintains a
     * downstream MIRROR of the [[tableLog]] at `sourceRoot` by

@@ -1255,6 +1255,111 @@ object Ann {
     (mins.map(_.toSeq).toSeq, scales.map(_.toSeq).toSeq)
   }
 
+  /** BQ threshold registry: per-dim corpus MEANS (decimal-exact sums,
+    * [[trainCodebook]]'s portability recipe, so engine and oracle
+    * derive bit-identical thresholds), memoized per (corpus, dim)
+    * like the SQ models.
+    */
+  private val bqModels = scala.collection.mutable
+    .Map.empty[(String, Int), Array[Double]]
+
+  private[graft] def bqModel(t: Tables, dim: Int = 64): Array[Double] =
+    bqModels.synchronized {
+      bqModels.getOrElseUpdate((t.dir, dim),
+        bqModelFrom(t.embeddings
+          .select(col("embedding").cast("array<double>").as("v")), dim))
+    }
+
+  /** The BQ model over an arbitrary (…, v) frame: per-dim mean as ONE
+    * map-side-partial aggregate, `dim` rows collected (model-sized,
+    * the [[pqModel]] contract). Empty frame → all-zero thresholds
+    * (plain sign quantization).
+    */
+  private[graft] def bqModelFrom(vecs: DataFrame,
+      dim: Int): Array[Double] = {
+    val rows = vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+        .as("s"), count(lit(1)).as("n"))
+      .collect()
+    val means = Array.fill(dim)(0.0)
+    rows.foreach { r =>
+      means(r.getInt(0)) =
+        r.getAs[java.math.BigDecimal](1).doubleValue / r.getLong(2)
+    }
+    means
+  }
+
+  /** The 1-bit signature: '1' where v_i exceeds its dimension's mean
+    * — a pure projection that fuses with the scan (d4/d5's bit-string
+    * form; production packs the 64 bits into ONE long so the Hamming
+    * is a single XOR+POPCNT — the string layer is the oracle-parity
+    * choice, exactly d4's).
+    */
+  private[graft] def bqBits(v: Column, means: Array[Double]): Column = {
+    val mn = typedLit(means.toSeq)
+    array_join(transform(v, (x, i) =>
+      when(x > element_at(mn, i + 1), lit("1")).otherwise(lit("0"))), "")
+  }
+
+  /** s17: BINARY-QUANTIZATION SEARCH — the 1-bit-per-dimension tier
+    * BELOW SQ8 (the BQ layer of modern vector stores — Lucene/
+    * Weaviate/Milvus BQ): each dimension keeps only its sign against
+    * the corpus mean (8 B/vector at dim 64 — 32× under float32, 8×
+    * under s12's SQ8), candidates are ranked by sketch HAMMING
+    * distance (centered sign bits ≈ Charikar's axis-hyperplane
+    * sketch: Hamming tracks angular distance), and only the
+    * `shortlist` best pay the exact full-precision cosine — top-`k`
+    * of the rerank is the answer. s2 differs in the model (random
+    * hyperplanes + a threshold CUT sized to admit a corpus fraction);
+    * BQ is the STORED-CODE form: the bit column is the index, the
+    * shortlist is a fixed candidate budget, and recall comes from the
+    * rerank, not the sketch.
+    *
+    * Scale: ONE corpus scan — the bit signature and the Hamming fuse
+    * with the scan as projections, the shortlist is a distributed
+    * TakeOrdered (never a global sort), the rerank touches exactly
+    * `shortlist` rows, zero Exchange end-to-end (PlanSpec-locked).
+    * At 100 TB the bit column is stored at ingest (the s12 pattern)
+    * and the scan reads 8 B/vector; composes with IVF list pruning
+    * (s14's layout) unchanged; both knobs (shortlist, nProbe) are
+    * independent recall/cost dials.
+    */
+  def s17BqSearch(t: Tables, probeId: Long = 0L, dim: Int = 64,
+      shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val means = bqModel(t, dim)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probeRow = vecs.filter(col("vec_id") === probeId)
+      .select("v").collect().headOption
+    if (probeRow.isEmpty)
+      return vecs.select(col("vec_id"), lit(0).as("hamming"),
+        lit(0.0).as("cos")).limit(0)
+    bqSearchFrame(vecs.filter(col("vec_id") =!= probeId), means,
+      probeRow.get.getSeq[Double](0), shortlist, k)
+  }
+
+  /** The s17 serving scan over any (vec_id, v) frame — batch entry
+    * and the `Graft.bqSearch` facade share it verbatim. The query's
+    * own bits are derived driver-side from the same threshold array
+    * the scan projects against.
+    */
+  private[graft] def bqSearchFrame(vecs: DataFrame,
+      means: Array[Double], queryVec: Seq[Double], shortlist: Int,
+      k: Int): DataFrame = {
+    val pbits = queryVec.zip(means)
+      .map { case (x, m) => if (x > m) '1' else '0' }.mkString
+    vecs
+      .withColumn("hamming",
+        Vectors.hamming(bqBits(col("v"), means), lit(pbits)))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), col("hamming"),
+        round(Vectors.cosine(col("v"), typedLit(queryVec)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SQ model + encode replay assuming a `vv(vec_id, v)` CTE is
     * already in scope: per-dim min/max `mm` and the per-(vec, dim)
     * coded rows c(vec_id, i, x, mn, sc, code) every SQ oracle reads.
@@ -1803,6 +1908,43 @@ object Ann {
         |SELECT vec_id,
         |  round(list_dot_product(v, pv) /
         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 4) AS cos
-        |FROM v, p ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |FROM v, p ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // full BQ replay: decimal-exact per-dim means, sign bits, Hamming
+    // against the probe's bits, rank-window shortlist of 50, exact
+    // cosine rerank — engine and oracle share every threshold
+    "s17_bq_search" ->
+      """WITH vv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mu AS (
+        |  SELECT i, CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,15)))
+        |              AS DOUBLE) / count(*) AS m
+        |  FROM vv, (SELECT unnest(range(1, 65)) AS i) ii
+        |  GROUP BY i),
+        |ml AS (SELECT list(m ORDER BY i) AS ms FROM mu),
+        |bb AS (
+        |  SELECT vec_id, v, array_to_string(
+        |    [CASE WHEN v[CAST(i AS INT)] > ms[CAST(i AS INT)]
+        |          THEN '1' ELSE '0' END
+        |     FOR i IN range(1, 65)], '') AS bits
+        |  FROM vv CROSS JOIN ml),
+        |p AS (SELECT v AS pv, bits AS pbits FROM bb WHERE vec_id = 0),
+        |h AS (
+        |  SELECT vec_id, v,
+        |    len(list_filter(range(1, 65),
+        |        i -> substring(bits, CAST(i AS INT), 1)
+        |          <> substring(pbits, CAST(i AS INT), 1))) AS hamming
+        |  FROM bb, p WHERE vec_id <> 0),
+        |sl AS (
+        |  SELECT vec_id, v, hamming,
+        |    row_number() OVER (ORDER BY hamming, vec_id) AS rk
+        |  FROM h),
+        |r AS (
+        |  SELECT vec_id, hamming,
+        |    round(list_dot_product(v, pv) /
+        |          (sqrt(list_dot_product(v, v)) *
+        |           sqrt(list_dot_product(pv, pv))), 4) AS cos
+        |  FROM sl, p WHERE rk <= 50)
+        |SELECT vec_id, hamming, cos FROM r
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -992,6 +992,90 @@ object Io {
     }
   }
 
+  /** io17: RESTORE TO VERSION — the lake's rollback move (Delta
+    * `RESTORE TABLE … TO VERSION AS OF`): a bad write (here the
+    * erasure pass of the io4/io8 history) is undone by committing the
+    * TARGET version's file list as the NEW HEAD — remove every
+    * current file absent from the target snapshot, re-add every
+    * target file the head dropped. METADATA-ONLY: zero data bytes
+    * move; the re-added files never left the data dir (committed
+    * files are immutable — only vacuum deletes). The restore is
+    * itself a new version, so the mis-write stays addressable for
+    * audit and a restore can itself be restored away; re-running it
+    * commits nothing (the head already serves the target's list).
+    * The query emits the per-status restored-vs-previous-head diff —
+    * merge updates reverted ('U' gone), synthetic inserts gone
+    * ('N'), erased keys back — under the full hash gate.
+    *
+    * Scale: planning is two snapshot listings + a set difference —
+    * O(file count) metadata, nothing data-sized (Delta RESTORE's
+    * cost profile). The real hazard is vacuum interplay: a
+    * retain-only-head vacuum AFTER the restore reclaims exactly the
+    * mis-write's exclusive files while the restored head keeps
+    * serving (its files are referenced again) — TableLogSpec drills
+    * that order; restore-then-vacuum is the rollback runbook.
+    */
+  def io17Restore(t: Tables): DataFrame = {
+    val log = restoredLog(t)
+    val head = log.latestVersion.get
+    val restored = log.read(t.spark, ordersSchema, head)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_restored"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_restored"))
+    val prev = log.read(t.spark, ordersSchema, head - 1)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_prev"))
+    restored.join(prev, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_restored"), lit(0L)).as("n_restored"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        (coalesce(col("n_restored"), lit(0L)) -
+          coalesce(col("n_prev"), lit(0L))).as("n_delta"),
+        coalesce(col("total_restored"), lit(0.0)).as("total_restored"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** io17's private log: the io4/io8 three-version history landed on
+    * its OWN root (the shared [[ordersLog]] must keep its head at
+    * the erasure state for io8/io11), then ONE restore-to-v0 commit.
+    * No vacuum here — the operator reads the pre-restore head for
+    * its diff; the vacuum ordering is TableLogSpec's drill.
+    */
+  private[graft] def restoredLog(t: Tables): TableLog = {
+    val root = graft.Staging.dir(s"${t.dir}:restorelog", "io_restorelog") {
+      d =>
+        val log = TableLog.open(d)
+        landOrdersHistory(t, d, log)
+        restorePass(log, 0L)
+        ()
+    }
+    TableLog.open(root)
+  }
+
+  /** ONE restore pass: commit `toV`'s snapshot as the new head of
+    * `log` — remove current-only files, re-add target-only files.
+    * Returns the committed version, or None when the head already
+    * serves exactly `toV`'s file list (idempotent re-run, restore to
+    * self). The commit claims head+1 EXPLICITLY (no OCC rebase): a
+    * writer landing between planning and claim must CONFLICT the
+    * restore rather than be silently rolled back by it — a lost
+    * claim throws and the caller re-decides against the new head.
+    */
+  private[graft] def restorePass(log: TableLog, toV: Long): Option[Long] = {
+    val head = log.latestVersion.getOrElse(
+      throw new IllegalArgumentException("restore on an empty log"))
+    val cur = log.snapshot(head)
+    val tgt = log.snapshot(toV)
+    val curPaths = cur.map(_.path).toSet
+    val tgtPaths = tgt.map(_.path).toSet
+    val removes = cur.filterNot(f => tgtPaths(f.path))
+      .map(f => TableLog.Remove(f.path))
+    val adds = tgt.filterNot(f => curPaths(f.path)).map(TableLog.Add)
+    if (removes.isEmpty && adds.isEmpty) None
+    else Some(log.commit(removes ++ adds, tag = s"restore-v$toV",
+      atVersion = Some(head + 1L)))
+  }
+
   /** Per-lang content fingerprint: count, char sum, md5 extremes —
     * collision-proof evidence the served rows are exactly the base
     * table's.
@@ -1315,6 +1399,41 @@ object Io {
         |  coalesce(n_v1, 0) - coalesce(n_v0, 0) AS n_delta,
         |  coalesce(total_v1, 0.0) AS total_v1
         |FROM s0 FULL JOIN s1 USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+    // restored head = the base orders table verbatim; previous head =
+    // v2 (io4's relational merge minus erased keys) — the diff shows
+    // the rollback: 'U'/'N' strata vanish, erased keys return
+    "io17_restore" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT -(o_orderkey + 1) AS o_orderkey, 'N' AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey >= 0 AND o_orderkey % 50 = 0)),
+        |sr AS (
+        |  SELECT o_orderstatus, count(*) AS n_restored,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_restored
+        |  FROM orders GROUP BY o_orderstatus),
+        |sp AS (
+        |  SELECT o_orderstatus, count(*) AS n_prev
+        |  FROM v2 GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  coalesce(n_restored, 0) AS n_restored,
+        |  coalesce(n_prev, 0) AS n_prev,
+        |  coalesce(n_restored, 0) - coalesce(n_prev, 0) AS n_delta,
+        |  coalesce(total_restored, 0.0) AS total_restored
+        |FROM sr FULL JOIN sp USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
     // relational twin of the two-generation read: even keys never had
     // the priority column (→ LEGACY, n_evolved 0), odd keys carry it

@@ -542,6 +542,94 @@ object Probe {
         }
         timed("sq", runSq("base", vecsBase),
           runSq(s"${copies}x", replicatedVecs(copies)))
+      // BQ serving measured as DEPLOYED: the 64 sign bits packed
+      // into ONE long landed as their own column table at ingest
+      // (8 B/vector — the production layout the s17 scaladoc names;
+      // the operator's string bits are the oracle-parity layer),
+      // serving = bit_count(sig XOR query) Hamming shortlist over
+      // the packed scan + exact rerank fetching ONLY the shortlist's
+      // vectors — bytes-read vs the flat exact scan is the claim
+      case "bq" =>
+        def runBq(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val dd = d.cache()
+          dd.count()
+          val means = graft.operators.Ann.bqModelFrom(
+            dd.select(col("embedding").as("v")), 64)
+          val mn = typedLit(means.toSeq)
+          // sign bits packed msb-first into one long: a pure fold,
+          // fuses with the ingest scan (overflow into the sign bit
+          // wraps identically for every row — only XOR sees it)
+          def packed(v: org.apache.spark.sql.Column)
+              : org.apache.spark.sql.Column =
+            aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+              shiftleft(acc, 1).bitwiseOR(
+                when(element_at(v, i) > element_at(mn, i), 1L)
+                  .otherwise(0L)))
+          val base = graft.Staging.scratch(s"probe_bq_$tag")
+          dd.select(col("vec_id"), col("embedding").as("v"))
+            .write.parquet(s"$base/flat")
+          dd.select(col("vec_id"), packed(col("embedding")).as("sig"))
+            .write.parquet(s"$base/sig")
+          val qv = dd.filter(col("vec_id") === 0L)
+            .collect()(0).getSeq[Double](1)
+          dd.unpersist()
+          val psig = qv.zip(means)
+            .foldLeft(0L) { case (acc, (x, m)) =>
+              (acc << 1) | (if (x > m) 1L else 0L) }
+          val q = typedLit(qv)
+          def serveFlat(): Long = spark.read.parquet(s"$base/flat")
+            .filter(col("vec_id") =!= 0L)
+            .select(col("vec_id"),
+              round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+          def serveBq(): Long = {
+            val short = spark.read.parquet(s"$base/sig")
+              .filter(col("vec_id") =!= 0L)
+              .select(col("vec_id"),
+                bit_count(col("sig").bitwiseXOR(lit(psig)))
+                  .as("hamming"))
+              .orderBy(col("hamming"), col("vec_id")).limit(50)
+              .collect().map(_.getLong(0))
+            spark.read.parquet(s"$base/flat")
+              .filter(col("vec_id").isin(short: _*))
+              .select(col("vec_id"),
+                round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                  .as("cos"))
+              .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+          }
+          val ((hF, sF), rF, bF) = measured {
+            val t = System.nanoTime
+            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
+          }
+          val ((hB, sB), rB, bB) = measured {
+            val t = System.nanoTime
+            val h = serveBq(); (h, (System.nanoTime - t) / 1e9)
+          }
+          // the storage claim, measured directly: the index the
+          // Hamming stage scans (packed sigs) vs the full-precision
+          // table the flat scan reads. bytes-read at probe scale is
+          // dictionary-compression noise (replicated vectors), so
+          // the footprint ratio is the honest scan-cost proxy.
+          def dirBytes(p: String): Long = {
+            val d = java.nio.file.Paths.get(p)
+            java.nio.file.Files.walk(d).filter(
+              java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+          }
+          val (zF, zS) = (dirBytes(s"$base/flat"), dirBytes(s"$base/sig"))
+          println(f"PROBE bq [$tag]: flat serve $sF%.2f s ($hF hits, " +
+            f"$rF rows, ${bF / 1024}%d KiB read); BQ serve $sB%.2f s " +
+            f"($hB hits, $rB rows, ${bB / 1024}%d KiB read); " +
+            f"index footprint ${zS / 1024}%d KiB vs flat " +
+            f"${zF / 1024}%d KiB = ${zF.toDouble / math.max(1L, zS)}%.1f" +
+            "x smaller")
+          hB
+        }
+        timed("bq", runBq("base", vecsBase),
+          runBq(s"${copies}x", replicatedVecs(copies)))
       // the sink file-growth bound measured as deployed: drive 20
       // micro-batches of the sf0.1 events through st16SinkStep under
       // a file budget and report PER-BATCH walls with maintenance

@@ -44,6 +44,34 @@ class AnnStreamSpec extends SparkSpec {
     assert(defaultTau(128) > 0 && defaultTau(128) < defaultTau(256))
   }
 
+  test("s17 BQ search: 1-bit shortlist + exact rerank — recall vs s1, " +
+      "rerank cosines are s1's exact values, probe excluded") {
+    val s1Rows = run("s1_ann_bruteforce").collect()
+    val exact = s1Rows.map(_.getAs[Long]("vec_id")).toSet
+    val rows = run("s17_bq_search").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+    // the rerank output is exact cosine, descending
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val recall =
+      exact.intersect(rows.map(_.getAs[Long]("vec_id")).toSet).size / 10.0
+    info(s"s17 BQ recall@10 = $recall (shortlist 50)")
+    assert(recall >= 0.6, s"recall@10 = $recall")
+    // rerank scores are EXACT: any id shared with s1 carries the
+    // identical rounded cosine (the shortlist changes WHICH rows
+    // surface, never their scores)
+    val s1cos = s1Rows
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      s1cos.get(r.getAs[Long]("vec_id")).foreach(c =>
+        assert(c == r.getAs[Double]("cos")))
+    }
+    // the sketch is real: shortlist Hamming is far below the ~32-bit
+    // random-pair expectation for the surfaced neighbors
+    assert(rows.map(_.getAs[Int]("hamming")).min < 32)
+  }
+
   test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet

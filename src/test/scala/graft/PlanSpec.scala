@@ -170,6 +170,16 @@ class PlanSpec extends SparkSpec {
       "per-list IVF-SQ serving should never shuffle:\n" + p.take(800))
   }
 
+  test("s17: BQ serving is one scan → fused bit/Hamming projections " +
+      "→ TakeOrdered shortlist → rerank, zero Exchange") {
+    val p = plan("s17_bq_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "BQ serving should never shuffle:\n" + p.take(800))
+    // the probe filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
+  }
+
   test("s15: per-list SQ encode has no join; the only Exchanges are " +
       "the one-time cid assignment and the cosmetic output order") {
     val p = plan("s15_sq_perlist")

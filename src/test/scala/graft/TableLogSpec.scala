@@ -83,6 +83,51 @@ class TableLogSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("io17 RESTORE: metadata-only rollback — the head re-serves " +
+      "the target's file list, idempotent, vacuum reclaims the " +
+      "mis-write, restored head survives it") {
+    val t = Tables(spark, sf)
+    run("io17_restore").collect()
+    val log = graft.sources.Io.restoredLog(t)
+    // the restore is a NEW version on top of the 3-version history
+    assert(log.versions == Seq(0L, 1L, 2L, 3L))
+    // metadata-only: the restored head's file list IS v0's file list
+    // (paths re-added by reference, no data bytes landed)
+    assert(log.snapshot(3L).map(_.path).toSet ==
+      log.snapshot(0L).map(_.path).toSet)
+    // the mis-write stays addressable for audit
+    val sch = graft.sources.Io.ordersSchema
+    assert(log.read(spark, sch, 2L).count() > 0)
+    // idempotent: a re-run sees head == target and commits NOTHING
+    assert(graft.sources.Io.restorePass(log, 0L).isEmpty)
+    assert(log.versions.size == 4)
+
+    // vacuum-ordering drill on a PRIVATE log (the shared staged one
+    // must keep v2 readable for the operator's diff): land, rewrite,
+    // restore, vacuum — the mis-write's exclusive bytes die, the
+    // restored head keeps serving because its files are referenced
+    // again by the head snapshot
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restore_drill_").toString
+    val d1 = spark.range(0, 100)
+      .select(col("id").as("k"), lit("a").as("s"))
+    val d2 = spark.range(0, 40)
+      .select(col("id").as("k"), lit("b").as("s"))
+    graft.api.Graft.tableCommit(d1, root, "k")
+    graft.api.Graft.tableCommit(d2, root, "k", replace = true)
+    val drill = TableLog.open(root)
+    val v1Files = drill.snapshot(1L).map(_.path)
+    assert(graft.api.Graft.tableRestore(root, 0L).contains(2L))
+    // restoring to a version whose list the head already serves no-ops
+    assert(graft.api.Graft.tableRestore(root, 0L).isEmpty)
+    drill.vacuum(retain = 1)
+    // the mis-write's exclusive files are reclaimed...
+    assert(v1Files.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))))
+    // ...and the restored head still serves the original rows
+    assert(drill.read(spark, d1.schema, 2L).count() == 100L)
+  }
+
   test("quarantine replay: survivors rejoin main, failures retire " +
       "under the corrected reason, dead quarantine bytes vacuumed; " +
       "redelivery no-ops and a torn side heals without re-landing") {
