@@ -117,6 +117,7 @@ object SparkEntry {
     "s15_sq_perlist"      -> q(Ann.s15SqPerList(_)),
     "s16_ivfsq_perlist_search" -> q(Ann.s16IvfSqPerlistSearch(_)),
     "s17_bq_search"       -> q(Ann.s17BqSearch(_)),
+    "s18_mrl_search"      -> q(Ann.s18MrlSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

@@ -1104,6 +1104,25 @@ object Graft {
       shortlist, k)
   }
 
+  /** Matryoshka (MRL) truncated-prefix search (the DIMENSION-cut
+    * tier; [[bqSearch]] is the precision cut): candidates rank by
+    * cosine over the first `prefixDim` dims only, the `shortlist`
+    * best pay the exact full-dimension cosine, top-`k` of the rerank
+    * returned as (vec_id, pcos, cos). One scan + fused prefix
+    * projections + TakeOrdered — zero Exchange; at lake scale the
+    * prefix is stored as its own column/table so the shortlist scan
+    * reads prefixDim/dim of the bytes. Composes with IVF pruning and
+    * the BQ bit tier — coarsest first.
+    */
+  def mrlSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], prefixDim: Int = 32, shortlist: Int = 100,
+      k: Int = 10): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    graft.operators.Ann.mrlSearchFrame(vecs, queryVec, prefixDim,
+      shortlist, k)
+  }
+
   /** Corpus-internal duplicated-span scrub (the ExactSubstr policy):
     * word-`k`-gram spans appearing in more than one document are
     * masked everywhere except their first owner (lowest id) — one

@@ -1360,6 +1360,62 @@ object Ann {
       .limit(k)
   }
 
+  /** s18: MATRYOSHKA (MRL) TRUNCATED-PREFIX SEARCH — the
+    * DIMENSION-cut serving tier (s17 cuts precision to 1 bit; s18
+    * cuts dimensions to a prefix): Matryoshka-trained embeddings
+    * carry a usable coarse representation in their first dims, so
+    * serving ranks the corpus by cosine over `v[1..prefixDim]` only,
+    * keeps the `shortlist` best, and reranks exactly those by
+    * full-dimension cosine — top-`k` answers. The adaptive-retrieval
+    * pattern of the MRL paper (Kusupati et al. 2022, §4.3
+    * shortlist-and-rerank), and the funnel modern vector stores run
+    * when the model ships nested dims.
+    *
+    * Scale: ONE corpus scan — the prefix slice + prefix cosine fuse
+    * with the scan as projections, the shortlist is a distributed
+    * TakeOrdered (never a global sort), the rerank touches exactly
+    * `shortlist` rows, zero Exchange end-to-end (PlanSpec-locked).
+    * At 100 TB the prefix is stored as its OWN column/table at
+    * ingest so the shortlist scan reads prefixDim/dim of the bytes
+    * (dim 64 → 32 halves the scan; real MRL funnels start at 1/8th);
+    * composes with s14's IVF pruning and s17's bit tier — coarsest
+    * first, each stage a recall/cost dial.
+    */
+  def s18MrlSearch(t: Tables, probeId: Long = 0L, prefixDim: Int = 32,
+      shortlist: Int = 100, k: Int = 10): DataFrame = {
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probeRow = vecs.filter(col("vec_id") === probeId)
+      .select("v").collect().headOption
+    if (probeRow.isEmpty)
+      return vecs.select(col("vec_id"), lit(0.0).as("pcos"),
+        lit(0.0).as("cos")).limit(0)
+    mrlSearchFrame(vecs.filter(col("vec_id") =!= probeId),
+      probeRow.get.getSeq[Double](0), prefixDim, shortlist, k)
+  }
+
+  /** The s18 serving scan over any (vec_id, v) frame — batch entry
+    * and the `Graft.mrlSearch` facade share it. Prefix cosine ranks
+    * the shortlist; the exact full-dim cosine ranks the answer; both
+    * surface (pcos, cos) rounded for the hash gate.
+    */
+  private[graft] def mrlSearchFrame(vecs: DataFrame,
+      queryVec: Seq[Double], prefixDim: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    val qp = typedLit(queryVec.take(prefixDim))
+    val q = typedLit(queryVec)
+    vecs
+      .withColumn("pc",
+        Vectors.cosine(slice(col("v"), 1, prefixDim), qp))
+      .orderBy(col("pc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(col("pc"), 4).as("pcos"),
+        round(Vectors.cosine(col("v"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SQ model + encode replay assuming a `vv(vec_id, v)` CTE is
     * already in scope: per-dim min/max `mm` and the per-(vec, dim)
     * coded rows c(vec_id, i, x, mn, sc, code) every SQ oracle reads.
@@ -1945,6 +2001,32 @@ object Ann {
         |           sqrt(list_dot_product(pv, pv))), 4) AS cos
         |  FROM sl, p WHERE rk <= 50)
         |SELECT vec_id, hamming, cos FROM r
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // full MRL replay: prefix-32 cosine ranks a rank-window shortlist
+    // of 100, the exact full-dim cosine reranks — identical doubles
+    // in both engines (list_dot_product = the sequential fold), so
+    // the shortlist cut and the answer agree bit-for-bit
+    "s18_mrl_search" ->
+      """WITH vv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT v AS pv FROM vv WHERE vec_id = 0),
+        |h AS (
+        |  SELECT vec_id, v,
+        |    list_dot_product(v[1:32], pv[1:32]) /
+        |      (sqrt(list_dot_product(v[1:32], v[1:32])) *
+        |       sqrt(list_dot_product(pv[1:32], pv[1:32]))) AS pc
+        |  FROM vv, p WHERE vec_id <> 0),
+        |sl AS (
+        |  SELECT vec_id, v, pc,
+        |    row_number() OVER (ORDER BY pc DESC, vec_id) AS rk
+        |  FROM h),
+        |r AS (
+        |  SELECT vec_id, round(pc, 4) AS pcos,
+        |    round(list_dot_product(v, pv) /
+        |          (sqrt(list_dot_product(v, v)) *
+        |           sqrt(list_dot_product(pv, pv))), 4) AS cos
+        |  FROM sl, p WHERE rk <= 100)
+        |SELECT vec_id, pcos, cos FROM r
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -630,6 +630,71 @@ object Probe {
         }
         timed("bq", runBq("base", vecsBase),
           runBq(s"${copies}x", replicatedVecs(copies)))
+      // MRL serving measured as deployed: the prefix-32 slice landed
+      // as its own table at ingest, the shortlist scan reads ONLY
+      // the prefix bytes, the rerank fetches the shortlist's full
+      // vectors — index footprint vs the flat table is the claim
+      case "mrl" =>
+        def runMrl(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val dd = d.cache()
+          dd.count()
+          val base = graft.Staging.scratch(s"probe_mrl_$tag")
+          dd.select(col("vec_id"), col("embedding").as("v"))
+            .write.parquet(s"$base/flat")
+          dd.select(col("vec_id"),
+            slice(col("embedding"), 1, 32).as("pv"))
+            .write.parquet(s"$base/prefix")
+          val qv = dd.filter(col("vec_id") === 0L)
+            .collect()(0).getSeq[Double](1)
+          dd.unpersist()
+          val qp = typedLit(qv.take(32))
+          val q = typedLit(qv)
+          def serveFlat(): Long = spark.read.parquet(s"$base/flat")
+            .filter(col("vec_id") =!= 0L)
+            .select(col("vec_id"),
+              round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+          def serveMrl(): Long = {
+            val short = spark.read.parquet(s"$base/prefix")
+              .filter(col("vec_id") =!= 0L)
+              .select(col("vec_id"),
+                graft.functions.Vectors.cosine(col("pv"), qp).as("pc"))
+              .orderBy(col("pc").desc, col("vec_id")).limit(100)
+              .collect().map(_.getLong(0))
+            spark.read.parquet(s"$base/flat")
+              .filter(col("vec_id").isin(short: _*))
+              .select(col("vec_id"),
+                round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                  .as("cos"))
+              .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+          }
+          val ((hF, sF), _, _) = measured {
+            val t = System.nanoTime
+            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
+          }
+          val ((hM, sM), _, _) = measured {
+            val t = System.nanoTime
+            val h = serveMrl(); (h, (System.nanoTime - t) / 1e9)
+          }
+          def dirBytes(p: String): Long = {
+            val dd2 = java.nio.file.Paths.get(p)
+            java.nio.file.Files.walk(dd2).filter(
+              java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+          }
+          val (zF, zP) =
+            (dirBytes(s"$base/flat"), dirBytes(s"$base/prefix"))
+          println(f"PROBE mrl [$tag]: flat serve $sF%.2f s ($hF hits); " +
+            f"MRL serve $sM%.2f s ($hM hits); prefix footprint " +
+            f"${zP / 1024}%d KiB vs flat ${zF / 1024}%d KiB = " +
+            f"${zF.toDouble / math.max(1L, zP)}%.1fx smaller")
+          hM
+        }
+        timed("mrl", runMrl("base", vecsBase),
+          runMrl(s"${copies}x", replicatedVecs(copies)))
       // the sink file-growth bound measured as deployed: drive 20
       // micro-batches of the sf0.1 events through st16SinkStep under
       // a file budget and report PER-BATCH walls with maintenance

@@ -72,6 +72,32 @@ class AnnStreamSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("hamming")).min < 32)
   }
 
+  test("s18 MRL search: prefix-32 shortlist + exact rerank — recall " +
+      "vs s1, rerank cosines are s1's exact values, prefix cosine is " +
+      "a real coarse rank") {
+    val s1Rows = run("s1_ann_bruteforce").collect()
+    val exact = s1Rows.map(_.getAs[Long]("vec_id")).toSet
+    val rows = run("s18_mrl_search").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val recall =
+      exact.intersect(rows.map(_.getAs[Long]("vec_id")).toSet).size / 10.0
+    info(s"s18 MRL recall@10 = $recall (prefix 32, shortlist 100)")
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    // the rerank is EXACT: shared ids carry s1's identical cosines
+    val s1cos = s1Rows
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      s1cos.get(r.getAs[Long]("vec_id")).foreach(c =>
+        assert(c == r.getAs[Double]("cos")))
+    }
+    // the prefix is a real coarse signal: surfaced neighbors' prefix
+    // cosine is positive and tracks the full cosine's sign
+    assert(rows.map(_.getAs[Double]("pcos")).max > 0.0)
+  }
+
   test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet

@@ -180,6 +180,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
   }
 
+  test("s18: MRL serving is one scan → fused prefix-cosine " +
+      "projection → TakeOrdered shortlist → rerank, zero Exchange") {
+    val p = plan("s18_mrl_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "MRL serving should never shuffle:\n" + p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
+  }
+
   test("s15: per-list SQ encode has no join; the only Exchanges are " +
       "the one-time cid assignment and the cosmetic output order") {
     val p = plan("s15_sq_perlist")
