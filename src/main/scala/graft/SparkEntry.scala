@@ -120,6 +120,7 @@ object SparkEntry {
     "s18_mrl_search"      -> q(Ann.s18MrlSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
+    "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),
@@ -168,5 +169,5 @@ object SparkEntry {
     Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
       EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
       Ann.oracle ++ Multimodal.oracle ++ graft.sources.Io.oracle ++
-      graft.streaming.Streams.oracle
+      graft.streaming.Streams.oracle ++ Pipeline.oracle
 }

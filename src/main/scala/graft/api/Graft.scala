@@ -1104,6 +1104,34 @@ object Graft {
       shortlist, k)
   }
 
+  /** The full curation pipeline over any (idCol, textCol) corpus —
+    * quality cut (t2's composite score ≥ `qualityMin`) → language
+    * filter (t1's profile argmax = 'en') → exact dedup (keep-min-id
+    * per content md5) → near dedup (keep-min-id per winnowing
+    * fingerprint) → benchmark decontamination (d7's shared-`k`-gram
+    * contract against the `idCol % benchMod == 0` holdout). Returns
+    * the SURVIVORS as (doc_id, n_bpe, q_score). One tokenize pass
+    * feeds every stage; the dedups are one hash shuffle each; the
+    * bench side enters size-guard-broadcast. [[curationFunnel]] is
+    * the per-stage attrition report of the same run.
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double = 0.35, k: Int = 5,
+      benchMod: Long = 97): DataFrame =
+    graft.operators.Pipeline.curatedFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      qualityMin, k, benchMod)
+
+  /** The per-stage attrition funnel of [[curate]]: (ord, stage,
+    * n_in, n_out, n_dropped, toks_out), one row per pipeline stage.
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double = 0.35, k: Int = 5,
+      benchMod: Long = 97): DataFrame =
+    graft.operators.Pipeline.funnelFrom(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      qualityMin, k, benchMod)
+
   /** Matryoshka (MRL) truncated-prefix search (the DIMENSION-cut
     * tier; [[bqSearch]] is the precision cut): candidates rank by
     * cosine over the first `prefixDim` dims only, the `shortlist`
