@@ -159,7 +159,8 @@ object SparkEntry {
     "st20_ann_migrate"    -> q(graft.streaming.Streams.st20AnnMigrate(_)),
     "st16_stream_manifest_sink" -> q(graft.streaming.Streams.st16StreamManifestSink),
     "st18_stream_cdc_follow" -> q(graft.streaming.Streams.st18StreamCdcFollow),
-    "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations)
+    "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations),
+    "st21_backfill_tail"  -> q(graft.streaming.Streams.st21BackfillThenTail)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float

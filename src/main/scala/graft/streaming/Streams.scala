@@ -2156,18 +2156,12 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, tableRoot: String,
       batch: DataFrame, bid: Long, maxFiles: Int = 6): Unit = {
     val log = graft.sources.TableLog.open(tableRoot)
-    val tag = s"b$bid"
+    val vOpt = landClusteredCommit(spark, log, tableRoot, batch,
+      s"b$bid", s"b$bid")
     // redelivery: the tag is already committed ⇒ the whole step is a
     // no-op (never re-land, never double-commit)
-    if (log.tagVersion(tag).isDefined) return
-    val bDir = s"$tableRoot/b$bid"
-    batch.repartitionByRange(4, col("event_id"))
-      .sortWithinPartitions("event_id")
-      .write.mode("overwrite").parquet(bDir)
-    val v = log.commit(
-      graft.sources.TableLog.statsFor(spark, bDir, "event_id",
-        graft.sources.Io.io10Schema).map(graft.sources.TableLog.Add),
-      tag)
+    if (vOpt.isEmpty) return
+    val v = vOpt.get
     // the sink maintains the PLANNING-cost bound too: every 8 batches
     // the log checkpoints, so a reader's replay is bounded by the
     // checkpoint interval, not the batch history (st14's stats-log
@@ -2176,6 +2170,28 @@ object Streams {
     sinkMaintain(spark, log, tableRoot, s"$tableRoot/m$bid",
       "event_id", graft.sources.Io.io10Schema, s"maintain-b$bid",
       maxFiles, nMin = 4)
+  }
+
+  /** The sink protocol's ONE landing move, shared by st16's
+    * per-batch tail step and st21's backfill: land the rows
+    * clustered by event_id under `dirName`, commit the per-file
+    * stats Adds under `tag`. Returns None when the tag is already
+    * committed (redelivery / re-run ⇒ structural no-op: never
+    * re-land, never double-commit).
+    */
+  private[graft] def landClusteredCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      log: graft.sources.TableLog, tableRoot: String, batch: DataFrame,
+      dirName: String, tag: String, nParts: Int = 4): Option[Long] = {
+    if (log.tagVersion(tag).isDefined) return None
+    val bDir = s"$tableRoot/$dirName"
+    batch.repartitionByRange(nParts, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(bDir)
+    Some(log.commit(
+      graft.sources.TableLog.statsFor(spark, bDir, "event_id",
+        graft.sources.Io.io10Schema).map(graft.sources.TableLog.Add),
+      tag))
   }
 
   /** FILE-BUDGET MAINTENANCE for a [[graft.sources.TableLog]]-backed
@@ -2288,6 +2304,73 @@ object Streams {
           .as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** st21: BACKFILL THEN TAIL — bootstrapping a NEW streaming sink
+    * from history, the first move of every production deployment
+    * (Spark's Trigger.AvailableNow posture: drain what exists, then
+    * tail): the historical corpus lands in ONE batch pass through
+    * the SAME landing protocol the tail's micro-batches use
+    * ([[landClusteredCommit]]), under the reserved `backfill` tag in
+    * the same [[graft.sources.TableLog]] — then the live stream
+    * attaches its foreachBatch sink ([[st16SinkStep]]) to the
+    * pre-populated table and continues incrementally. The handoff is
+    * exactly-once BY CONSTRUCTION on both axes: the source split is
+    * disjoint (history = ids ≤ median, live = the rest), and both
+    * phases are tag-idempotent (a re-run backfill finds its tag and
+    * lands nothing; a redelivered tail batch likewise), so the served
+    * table equals the batch answer over the full corpus — io10's
+    * oracle verbatim, st16's equality extended across the bootstrap
+    * boundary.
+    *
+    * Scale: the backfill is one range-clustered write of the history
+    * (right-sizing then falls to the sink's own maintenance pass,
+    * which treats backfill and batch files uniformly — the first
+    * tail batches trigger it when the combined count passes the
+    * budget); the tail accretes arrivals-sized batches exactly as
+    * st16. Nothing re-reads history after the one pass.
+    */
+  def st21BackfillThenTail(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = s"${t.dir}/events.parquet"
+    val staged = graft.Staging.dir(s"${t.dir}:st21", "st21") { d =>
+      val all = spark.read.parquet(path)
+        .select("event_id", "event_type", "value")
+      val Array(mid) =
+        all.stat.approxQuantile("event_id", Array(0.5), 0.0)
+      // the id-ordered first half stands in for the historical
+      // corpus; the rest arrives live (two files → two micro-batches)
+      all.filter(col("event_id") <= mid).coalesce(1)
+        .write.parquet(s"$d/history")
+      all.filter(col("event_id") > mid)
+        .repartitionByRange(2, col("event_id"))
+        .write.parquet(s"$d/live")
+      val table = s"$d/table"
+      st21Backfill(spark, table, spark.read.parquet(s"$d/history"))
+      val q = spark.readStream
+        .schema(spark.read.parquet(s"$d/live").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$d/live")
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          st16SinkStep(spark, table, batch.toDF(), bid)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    st16Serve(spark, s"$staged/table", 100L, 399L)
+  }
+
+  /** The backfill pass: the history frame through the sink's ONE
+    * landing move under the reserved tag. Returns the committed
+    * version, or None when the backfill already ran (idempotent
+    * re-run — the bootstrap can crash and be retried wholesale).
+    */
+  private[graft] def st21Backfill(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      history: DataFrame, nParts: Int = 4): Option[Long] =
+    landClusteredCommit(spark,
+      graft.sources.TableLog.open(tableRoot), tableRoot, history,
+      "backfill", "backfill", nParts)
 
   /** The maintained manifest (latest snapshot's file stats) as a
     * frame — spec access (pruning witness).
@@ -3008,6 +3091,12 @@ object Streams {
     // manifest only PRUNES, so the served range aggregate equals the
     // batch range query — io10's oracle verbatim
     "st16_stream_manifest_sink" ->
+      graft.sources.Io.oracle("io10_stats_manifest"),
+    // the disjoint history/live split + tag idempotence on both
+    // phases make the bootstrapped table hold every event exactly
+    // once — the served range aggregate is io10's oracle verbatim,
+    // st16's equality extended across the backfill/tail boundary
+    "st21_backfill_tail" ->
       graft.sources.Io.oracle("io10_stats_manifest"),
     // pinned codebook + disjoint arrivals make the maintained IVF
     // assignments equal batch assignedVecs row-for-row and the

@@ -481,6 +481,33 @@ class AnnStreamSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("st21 backfill-then-tail: bootstrapped table holds every " +
+      "event exactly once, both phases tagged, backfill re-run no-ops") {
+    val batch = run("io10_stats_manifest").collect().map(_.toSeq)
+    val served = run("st21_backfill_tail").collect().map(_.toSeq)
+    // the bootstrap boundary is invisible: served == batch answer
+    assert(served.nonEmpty && served.toSeq == batch.toSeq)
+    val t = Tables(spark, sf)
+    val table = s"${graft.Staging.lookup(s"${t.dir}:st21").get}/table"
+    val log = graft.sources.TableLog.open(table)
+    // both phases committed under their own tags
+    assert(log.tagVersion("backfill").isDefined)
+    assert(log.tagVersion("b0").isDefined && log.tagVersion("b1").isDefined)
+    // exactly once across the handoff: the live table's id multiset
+    // is the full corpus's (count + distinct count pin it)
+    val head = log.latestVersion.get
+    val live = log.read(spark, graft.sources.Io.io10Schema, head)
+    val all = t.events
+    assert(live.count() == all.count())
+    assert(live.select("event_id").distinct().count() ==
+      all.select("event_id").distinct().count())
+    // a re-run bootstrap finds its tag and lands nothing
+    val nv = log.versions.size
+    assert(graft.streaming.Streams
+      .st21Backfill(spark, table, live.limit(5)).isEmpty)
+    assert(graft.sources.TableLog.open(table).versions.size == nv)
+  }
+
   test("st19 streaming expectations: per-batch versioned growth, " +
       "redelivery no-ops, half-committed retry completes without re-landing") {
     val t = Tables(spark, sf)
