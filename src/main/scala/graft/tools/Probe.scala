@@ -148,6 +148,15 @@ object Probe {
       case "d7" => timed("d7",
         graft.operators.Dedup.decontaminateFrom(docs).count(),
         graft.operators.Dedup.decontaminateFrom(replicated(copies)).count())
+      // the full curation funnel: one tokenize pass + filters + two
+      // keyed dedup shuffles + the bench-broadcast decontamination —
+      // the probe pins the whole composition's scaling, not a stage
+      case "p1" => timed("p1",
+        graft.operators.Pipeline.funnelFrom(docs, 0.35, 5, 97L)
+          .collect().map(_.getAs[Long]("n_out")).sum,
+        graft.operators.Pipeline
+          .funnelFrom(replicated(copies), 0.35, 5, 97L)
+          .collect().map(_.getAs[Long]("n_out")).sum)
       case "t6" => timed("t6",
         graft.operators.TextAnalysis.sequencePackFrom(full, 128).count(),
         graft.operators.TextAnalysis.sequencePackFrom(replicatedFull(copies), 128).count())
