@@ -121,6 +121,7 @@ object SparkEntry {
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),
+    "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
     "m4_paired_sample"    -> q(Multimodal.m4PairedSample(_)),

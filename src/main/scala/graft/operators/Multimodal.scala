@@ -111,6 +111,56 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** m6: VISION-TOKEN PATCH BUDGETING — the preprocessing math every
+    * modern VLM data pipeline runs per image (Qwen-VL's smart_resize
+    * / LLaVA's anyres layout): the image's pixel grid is cut into
+    * `patch`×`patch` ViT patches, and images whose patch count
+    * exceeds the per-sample `budget` are downscaled by
+    * s = √(budget/patches) with both dims snapped DOWN to patch
+    * multiples — so every sample's token cost is known and bounded
+    * BEFORE batch assembly (m4's packer consumes these counts).
+    *
+    * The decode is the STUB (this container ships no codec): (w, h)
+    * derive deterministically from the payload's md5 — the swap
+    * point is exactly one projection; every downstream expression is
+    * the real budgeting math, so the whole op is HASH-GATED (the
+    * oracle replays the md5-hex arithmetic via the proven
+    * ('0x'||hex)::UBIGINT ≡ conv(hex,16,10) identity and the same
+    * floor/sqrt doubles).
+    *
+    * Scale: pure per-row projection fused with the scan — no
+    * shuffle, no state; the snap-down floor guarantees
+    * patches_fit ≤ budget (w_fit·h_fit ≤ s²·w_s·h_s = budget·p²).
+    */
+  def m6PatchBudget(t: Tables, patch: Int = 14,
+      budget: Int = 1024): DataFrame = {
+    val p = lit(patch.toDouble)
+    val md = md5(col("text"))
+    val w = (lit(224) + (conv(substring(md, 1, 6), 16, 10)
+      .cast("long") % 1600)).as("w")
+    val h = (lit(224) + (conv(substring(md, 7, 6), 16, 10)
+      .cast("long") % 1200)).as("h")
+    t.documents
+      .select(col("doc_id"), w, h)
+      // snap the raw dims UP to patch multiples (the pixel grid a
+      // ViT actually consumes), then count patches
+      .withColumn("w_s", (ceil(col("w") / p) * patch).cast("long"))
+      .withColumn("h_s", (ceil(col("h") / p) * patch).cast("long"))
+      .withColumn("patches_raw",
+        ((col("w_s") / patch) * (col("h_s") / patch)).cast("long"))
+      .withColumn("s", when(col("patches_raw") <= budget, lit(1.0))
+        .otherwise(sqrt(lit(budget.toDouble) / col("patches_raw"))))
+      .withColumn("w_fit", greatest(lit(patch.toLong),
+        (floor(col("w_s") * col("s") / p) * patch).cast("long")))
+      .withColumn("h_fit", greatest(lit(patch.toLong),
+        (floor(col("h_s") * col("s") / p) * patch).cast("long")))
+      .withColumn("img_tokens",
+        ((col("w_fit") / patch) * (col("h_fit") / patch)).cast("long"))
+      .select("doc_id", "w", "h", "patches_raw", "w_fit", "h_fit",
+        "img_tokens")
+      .orderBy("doc_id")
+  }
+
   /** m4: PAIRED SAMPLE ASSEMBLY (CLIP-style) — the join that builds
     * multimodal training records: a CAPTIONS side (doc text,
     * truncated to caption length) and a MEDIA side (the binary
@@ -190,6 +240,40 @@ object Multimodal {
         |  (count(*) - 1) * min(n_bytes) AS bytes_saved
         |FROM h GROUP BY sha256 HAVING count(*) >= 2
         |ORDER BY sha256""".stripMargin,
+    // the stub decode's md5-hex arithmetic via ('0x'||hex)::UBIGINT ≡
+    // conv(hex,16,10), then the identical ceil/sqrt/floor budgeting
+    // doubles — every cast input is an exact integer-valued double,
+    // so DuckDB's round-on-cast and Spark's truncate agree
+    "m6_patch_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    224 + CAST(('0x' || substring(md5(text), 1, 6))::UBIGINT
+        |               % 1600 AS BIGINT) AS w,
+        |    224 + CAST(('0x' || substring(md5(text), 7, 6))::UBIGINT
+        |               % 1200 AS BIGINT) AS h
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(ceil(w / 14.0) * 14 AS BIGINT) AS w_s,
+        |    CAST(ceil(h / 14.0) * 14 AS BIGINT) AS h_s
+        |  FROM d),
+        |s2 AS (
+        |  SELECT *, CAST((w_s / 14.0) * (h_s / 14.0) AS BIGINT)
+        |    AS patches_raw FROM s1),
+        |s3 AS (
+        |  SELECT *, CASE WHEN patches_raw <= 1024 THEN 1.0
+        |                 ELSE sqrt(1024.0 / patches_raw) END AS s
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, w, h, patches_raw,
+        |    greatest(14, CAST(floor(w_s * s / 14.0) * 14 AS BIGINT))
+        |      AS w_fit,
+        |    greatest(14, CAST(floor(h_s * s / 14.0) * 14 AS BIGINT))
+        |      AS h_fit
+        |  FROM s3)
+        |SELECT doc_id, w, h, patches_raw, w_fit, h_fit,
+        |  CAST((w_fit / 14.0) * (h_fit / 14.0) AS BIGINT) AS img_tokens
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     // caption/media sides re-derived + the per-shard batch window
     "m4_paired_sample" ->
       """WITH caps AS (

@@ -366,6 +366,35 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
+  test("m6 patch budget: every sample bounded by the budget, dims " +
+      "patch-multiples, only over-budget images shrink, scaling is " +
+      "the √-law") {
+    val rows = run("m6_patch_budget").collect()
+    assert(rows.length == 500)
+    var shrunk = 0
+    rows.foreach { r =>
+      val (pr, wf, hf, tok) = (r.getAs[Long]("patches_raw"),
+        r.getAs[Long]("w_fit"), r.getAs[Long]("h_fit"),
+        r.getAs[Long]("img_tokens"))
+      assert(tok <= 1024, s"budget blown: $tok")
+      assert(wf % 14 == 0 && hf % 14 == 0)
+      assert(tok == (wf / 14) * (hf / 14))
+      if (pr <= 1024) {
+        // under budget: the snapped grid is served unshrunk
+        assert(tok == pr)
+      } else {
+        shrunk += 1
+        // the √-law: the fitted grid is the floor-snap of s·dims,
+        // so it recovers most of the budget (> budget/2 is loose
+        // but proves real scaling, not a degenerate clamp)
+        assert(tok > 1024 / 2, s"over-shrunk: $pr -> $tok")
+        assert(wf < r.getAs[Long]("w") + 14)
+      }
+    }
+    assert(shrunk > 0, "no over-budget image in the corpus")
+    assert(shrunk < rows.length, "every image over budget")
+  }
+
   test("m3 frame sample: stride-2 frames, thumbnails match local recompute") {
     val rows = run("m3_frame_sample").collect()
     assert(rows.nonEmpty)
