@@ -118,6 +118,7 @@ object SparkEntry {
     "s16_ivfsq_perlist_search" -> q(Ann.s16IvfSqPerlistSearch(_)),
     "s17_bq_search"       -> q(Ann.s17BqSearch(_)),
     "s18_mrl_search"      -> q(Ann.s18MrlSearch(_)),
+    "s19_filtered_ann"    -> q(Ann.s19FilteredAnn(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),

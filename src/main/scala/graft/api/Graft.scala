@@ -556,6 +556,19 @@ object Graft {
       .limit(k)
   }
 
+  /** FILTERED top-k: [[annTopK]] restricted to rows where
+    * `predicate` holds — filter-during-search (the predicate enters
+    * BEFORE the top-k cut, so the answer always has up to `k` rows
+    * from the admissible set; post-filtering a top-k returns fewer
+    * whenever the filter bites). The predicate fuses with the scan;
+    * compose with an IVF/BQ/MRL tier for the pruned form (s19 is the
+    * IVF instance).
+    */
+  def annTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+      predicate: org.apache.spark.sql.Column, probe: Seq[Double],
+      k: Int = 10): DataFrame =
+    annTopK(df.filter(predicate), idCol, vecCol, probe, k)
+
   /** MMR DIVERSIFIED RERANK: cut the top-`kCand` cosine candidates
     * against `probe`, then greedily select `kOut` maximizing
     * λ·rel − μ·max-sim-to-selected (Carbonell & Goldstein) — the

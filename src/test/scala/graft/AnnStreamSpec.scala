@@ -98,6 +98,42 @@ class AnnStreamSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("pcos")).max > 0.0)
   }
 
+  test("s19 filtered ANN: every hit passes the filter, the " +
+      "selectivity-scaled probe recovers the filtered brute force " +
+      "exactly, a naive fixed nProbe demonstrably loses recall") {
+    val t = Tables(spark, sf)
+    val probe = t.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"), col("label"))
+      .collect()(0)
+    val pv = probe.getSeq[Double](0)
+    val pLabel = probe.getInt(1)
+    // the ground truth: brute force over the admissible set only
+    val exact = graft.api.Graft.annTopKWhere(
+        t.embeddings.filter(col("vec_id") =!= 0L), "vec_id",
+        "embedding", col("label") === pLabel, pv)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("cos"))
+    val rows = run("s19_filtered_ann").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(r.getAs[Int]("label") == pLabel))
+    // on this corpus the ~10%-selective label collapses the planner
+    // to all lists, so the answer IS the filtered brute force —
+    // ids AND cosines verbatim
+    assert(rows.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Double]("cos")).toSeq == exact.toSeq)
+    // the naive fixed cut the planner exists to avoid: nProbe 4
+    // measurably under-recalls the filtered ground truth
+    val naive = graft.operators.Ann
+      .s19FilteredAnn(t, nProbeOverride = Some(4))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exactIds = exact.map(_._1).toSet
+    val recallNaive = exactIds.count(naive) / exactIds.size.toDouble
+    info(s"s19 naive nProbe=4 recall = $recallNaive (planner = 1.0)")
+    assert(recallNaive < 1.0,
+      "naive fixed nProbe unexpectedly matched brute force — " +
+        "the selectivity planner would be unjustified on this corpus")
+  }
+
   test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet

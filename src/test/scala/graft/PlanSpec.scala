@@ -189,6 +189,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(600))
   }
 
+  test("s19: filtered ANN serving is one scan — cid + label + cosine " +
+      "fused, TakeOrdered, zero Exchange") {
+    val p = plan("s19_filtered_ann")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "filtered ANN serving should never shuffle:\n" + p.take(800))
+    // the label predicate reaches the parquet scan
+    assert(p.contains("EqualTo(label,"), p.take(800))
+  }
+
   test("s15: per-list SQ encode has no join; the only Exchanges are " +
       "the one-time cid assignment and the cosmetic output order") {
     val p = plan("s15_sq_perlist")
