@@ -121,6 +121,7 @@ object SparkEntry {
     "s19_filtered_ann"    -> q(Ann.s19FilteredAnn(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
+    "r20_rm3_expand"      -> q(Search.r20Rm3Expand(_)),
     "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),

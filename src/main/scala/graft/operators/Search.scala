@@ -489,7 +489,16 @@ object Search {
 
   /** BM25 core over any (doc_id, term, tf) frame — facade entry. */
   private[graft] def searchBm25From(tf: DataFrame, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bm25Scores(tf, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The UNLIMITED per-doc BM25 scores (rounded) — [[searchBm25From]]
+    * cuts these; r20's interpolation consumes both passes whole.
+    */
+  private[graft] def bm25Scores(tf: DataFrame,
+      terms: Seq[String]): DataFrame = {
     val k1 = 1.2; val b = 0.75
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
@@ -504,7 +513,57 @@ object Search {
         col("idf_bm") * col("tf") * (k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** r20: RM3 PSEUDO-RELEVANCE FEEDBACK — the classic two-pass query
+    * expansion (Lavrenko & Croft relevance models, the RM3
+    * interpolated form Anserini/Lucene ship as `-rm3`): pass 1 runs
+    * the plain BM25 query; the top `fbDocs` hits are PRESUMED
+    * relevant and vote for expansion terms by their relevance-model
+    * mass w(t) = Σ_d tf(t,d)/|d| · score(d) (original query terms
+    * excluded); the top `fbTerms` terms form the expansion query;
+    * pass 2 scores it, and the final rank interpolates
+    * α·orig + β·expansion. Fixes the vocabulary-mismatch failure —
+    * docs about the query's TOPIC that share none of its words.
+    *
+    * Determinism: term votes sum as INTEGER numerators
+    * (floor(tf/dl·score·10⁹) as BIGINT — the t17 pattern), so the
+    * expansion-term cut is exact in both engines; pass scores are
+    * r8's rounded arithmetic; `beta` is an explicit literal, not
+    * 1−α (s7's IEEE lesson).
+    *
+    * Scale: two postings-join passes over the SAME cached tf index +
+    * one feedback-doc-sized broadcast + a model-sized term collect
+    * (fbTerms strings); the interpolation is one id-keyed full join
+    * of two score frames. Nothing new materializes beyond r8's own
+    * shapes.
+    */
+  def r20Rm3Expand(t: Tables, fbDocs: Int = 5, fbTerms: Int = 5,
+      alpha: Double = 0.6, beta: Double = 0.4, k: Int = 5): DataFrame = {
+    graft.Caches.fresh()
+    val tf = graft.Caches.materialized(tfStaged(t))
+    val s1 = graft.Caches.materialized(bm25Scores(tf, queryTerms))
+    val fb = s1.orderBy(col("score").desc, col("doc_id")).limit(fbDocs)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val expTerms = tf
+      .join(broadcast(fb), "doc_id")
+      .join(dl, "doc_id")
+      .filter(!col("term").isin(queryTerms: _*))
+      .withColumn("c_int", floor(col("tf").cast("double") /
+        col("dl").cast("double") * col("score") * lit(1e9)).cast("long"))
+      .groupBy("term").agg(sum("c_int").as("w_int"))
+      .orderBy(col("w_int").desc, col("term")).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    val s2 = bm25Scores(tf, expTerms)
+      .withColumnRenamed("score", "score_exp")
+    s1.join(s2, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(0.0)).as("score_orig"),
+        coalesce(col("score_exp"), lit(0.0)).as("score_exp"),
+        round(lit(alpha) * coalesce(col("score"), lit(0.0)) +
+          lit(beta) * coalesce(col("score_exp"), lit(0.0)), 4)
+          .as("score_rm3"))
+      .orderBy(col("score_rm3").desc, col("doc_id"))
       .limit(k)
   }
 
@@ -777,6 +836,49 @@ object Search {
          |           JOIN dl USING (doc_id), stats)
          |SELECT doc_id, round(sum(contrib), 4) AS score FROM c
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+    // RM3 replayed whole: r8's pass-1 chain, the top-5 feedback cut,
+    // integer-numerator term votes (floor(tf/dl·score·1e9) as BIGINT
+    // — exact in both engines), the excluded-query-terms top-5
+    // expansion, pass 2 verbatim, α/β interpolation
+    "r20_rm3_expand" ->
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
+         |        FROM d, stats),
+         |q AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+         |c1 AS (SELECT tf.doc_id,
+         |         idf.idf_bm * tf.tf * 2.2 /
+         |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+         |       FROM tf JOIN q USING (term) JOIN idf USING (term)
+         |            JOIN dl USING (doc_id), stats),
+         |s1 AS (SELECT doc_id, round(sum(contrib), 4) AS score FROM c1
+         |       GROUP BY doc_id),
+         |fb AS (SELECT doc_id, score FROM s1
+         |       ORDER BY score DESC, doc_id LIMIT 5),
+         |wg AS (
+         |  SELECT tf.term,
+         |    sum(CAST(floor(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+         |                   * fb.score * 1000000000.0) AS BIGINT)) AS w_int
+         |  FROM tf JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+         |  WHERE tf.term NOT IN ('spark','filter','join','window','group')
+         |  GROUP BY tf.term ORDER BY w_int DESC, term LIMIT 5),
+         |c2 AS (SELECT tf.doc_id,
+         |         idf.idf_bm * tf.tf * 2.2 /
+         |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+         |       FROM tf JOIN wg ON tf.term = wg.term
+         |            JOIN idf ON idf.term = tf.term
+         |            JOIN dl USING (doc_id), stats),
+         |s2 AS (SELECT doc_id, round(sum(contrib), 4) AS score_exp FROM c2
+         |       GROUP BY doc_id)
+         |SELECT doc_id,
+         |  coalesce(score, 0.0) AS score_orig,
+         |  coalesce(score_exp, 0.0) AS score_exp,
+         |  round(0.6 * coalesce(score, 0.0) +
+         |        0.4 * coalesce(score_exp, 0.0), 4) AS score_rm3
+         |FROM s1 FULL JOIN s2 USING (doc_id)
+         |ORDER BY score_rm3 DESC, doc_id LIMIT 5""".stripMargin,
     // RRF fusion replay: r8's BM25 CTE chain cut at 20, s1's cosine
     // cut at 20, row_number ranks, full-outer fuse at k=60
     "r18_hybrid_rrf" ->

@@ -134,6 +134,35 @@ class RagSpec extends SparkSpec {
     assert(mrr >= 0.5, s"MRR $mrr")
   }
 
+  test("r20 RM3: interpolation reconstructs, expansion terms exclude " +
+      "the query, the second pass genuinely retrieves") {
+    val rows = run("r20_rm3_expand").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (o, e, f) = (r.getAs[Double]("score_orig"),
+        r.getAs[Double]("score_exp"), r.getAs[Double]("score_rm3"))
+      assert(f == BigDecimal(0.6 * o + 0.4 * e)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the expansion pass found real co-occurring vocabulary: at
+    // least one top hit carries expansion-term mass
+    assert(rows.map(_.getAs[Double]("score_exp")).max > 0.0)
+    // and the feedback loop surfaces vocabulary-mismatch docs
+    // somewhere in the corpus: a doc scored by the expansion query
+    // that the original query missed entirely
+    val t = Tables(spark, sf)
+    val tf = graft.operators.Search.tfStaged(t)
+    val s1docs = graft.operators.Search
+      .bm25Scores(tf, graft.operators.Search.queryTerms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = graft.operators.Search.r20Rm3Expand(t, k = 100000)
+      .collect()
+    assert(full.exists(r => r.getAs[Double]("score_orig") == 0.0 &&
+      r.getAs[Double]("score_exp") > 0.0 &&
+      !s1docs(r.getAs[Long]("doc_id"))),
+      "no vocabulary-mismatch doc found by the expansion")
+  }
+
   test("r18 hybrid rrf: fuses lexical+dense ranks, scores reconstruct") {
     val rows = run("r18_hybrid_rrf").collect()
     assert(rows.length == 10)
