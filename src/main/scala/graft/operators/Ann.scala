@@ -1282,6 +1282,13 @@ object Ann {
       .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
         .as("s"), count(lit(1)).as("n"))
       .collect()
+    // dim is a contract, not a discovery: longer vectors would write
+    // past the threshold array (AIOOBE deep in the driver), shorter
+    // ones would silently zero-threshold the missing dims — name the
+    // mismatch instead
+    rows.foreach(r => require(r.getInt(0) < dim,
+      s"vector dimension ${r.getInt(0) + 1} exceeds the declared " +
+        s"dim=$dim — pass the embeddings' true dimension"))
     val means = Array.fill(dim)(0.0)
     rows.foreach { r =>
       means(r.getInt(0)) =
@@ -1464,12 +1471,15 @@ object Ann {
         lit(0.0).as("cos")).limit(0)
     val pv = probe.get.getSeq[Double](0)
     val pLabel = probe.get.getInt(1)
-    val counts = t.embeddings.agg(count(lit(1)),
-      count(when(col("label") === pLabel &&
-        col("vec_id") =!= probeId, 1))).collect()(0)
-    val nProbeEff = nProbeOverride.getOrElse(math.min(nLists,
-      math.ceil(nProbeBase.toDouble * counts.getLong(0) /
-        math.max(1L, counts.getLong(1))).toInt))
+    // by-name default: an explicit override must not pay the
+    // selectivity aggregate it exists to bypass
+    val nProbeEff = nProbeOverride.getOrElse {
+      val counts = t.embeddings.agg(count(lit(1)),
+        count(when(col("label") === pLabel &&
+          col("vec_id") =!= probeId, 1))).collect()(0)
+      math.min(nLists, math.ceil(nProbeBase.toDouble *
+        counts.getLong(0) / math.max(1L, counts.getLong(1))).toInt)
+    }
     val pls = probe.get.getSeq[Int](2).take(nProbeEff)
     t.embeddings
       .select(col("vec_id"), col("label"),

@@ -38,9 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Engine-portable 4-decimal rounding (t2's recipe). */
-  private def roundP(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
-
   /** The staged survivor frames, funnel order, each carrying
     * (doc_id, n_bpe, ...signals). Shared by the funnel query and the
     * `Graft.curate` facade (whose answer is the LAST frame).
@@ -62,10 +59,10 @@ object Pipeline {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
       .withColumns(profiles.map { case (l, ws) =>
         s"s_$l" -> pScore(ws) }.toMap)
-      .withColumn("q_score", roundP(
+      .withColumn("q_score", TextAnalysis.roundP(
         lit(0.4) * least(col("n_chars_t") / 500.0, lit(1.0)) +
           lit(0.3) * (size(array_distinct(col("tk"))) / col("n_tok")) +
-          lit(0.3) * (pScore(profiles.toMap.apply("en")) / col("n_tok"))))
+          lit(0.3) * (col("s_en") / col("n_tok"))))
       .withColumn("sh", Text.shinglesFast(k)(col("tk"))))
 
     // stage 1: t2's quality cut (token-less docs are unscoreable →

@@ -56,7 +56,8 @@ object TextAnalysis {
     * so doubles landing on a .xxxx5 boundary split between engines;
     * this formula is pure IEEE arithmetic and identical in both.
     */
-  private def roundP(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+  private[operators] def roundP(c: Column): Column =
+    floor(c * 10000 + 0.5) / 10000.0
 
   /** t2: composite quality score — length norm (0.4), lexical
     * diversity (0.3), stopword ratio (0.3); all ratios round(4).

@@ -1071,6 +1071,20 @@ object Io {
     val removes = cur.filterNot(f => tgtPaths(f.path))
       .map(f => TableLog.Remove(f.path))
     val adds = tgt.filterNot(f => curPaths(f.path)).map(TableLog.Add)
+    // Delta's RESTORE refusal: a target past the vacuum horizon
+    // replays a file list whose exclusive bytes are gone — committing
+    // it would mint a head that throws on every read. Check the
+    // RE-ADDED paths (current-snapshot files are live by invariant)
+    // and refuse the whole restore rather than corrupt the head.
+    val missing = adds.map(_.f.path).filterNot { p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
+    }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"restore to v$toV impossible: ${missing.size} of its files " +
+          s"were vacuumed (first: ${missing.head}); the target is past " +
+          "the vacuum horizon")
     if (removes.isEmpty && adds.isEmpty) None
     else Some(log.commit(removes ++ adds, tag = s"restore-v$toV",
       atVersion = Some(head + 1L)))

@@ -551,42 +551,43 @@ object Probe {
         }
         timed("sq", runSq("base", vecsBase),
           runSq(s"${copies}x", replicatedVecs(copies)))
-      // BQ serving measured as DEPLOYED: the 64 sign bits packed
-      // into ONE long landed as their own column table at ingest
-      // (8 B/vector — the production layout the s17 scaladoc names;
-      // the operator's string bits are the oracle-parity layer),
-      // serving = bit_count(sig XOR query) Hamming shortlist over
-      // the packed scan + exact rerank fetching ONLY the shortlist's
-      // vectors — bytes-read vs the flat exact scan is the claim
-      case "bq" =>
-        def runBq(tag: String,
-            d: org.apache.spark.sql.DataFrame): Long = {
+      // shared two-layout serve scaffold for the quantized/truncated
+      // index probes: land the full-precision table and a compact
+      // index table, time the flat exact serve against the
+      // index-shortlist serve, and report the index-footprint ratio
+      // (bytes-read at probe scale is dictionary-compression noise —
+      // replicated vectors — so on-disk footprint is the honest
+      // scan-cost proxy). buildIndex writes $base/index and returns
+      // the index-serve closure for a query vector.
+      case op @ ("bq" | "mrl") =>
+        def dirBytes(p: String): Long = {
+          val d0 = java.nio.file.Paths.get(p)
+          java.nio.file.Files.walk(d0).filter(
+            java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+        }
+        def rerank(base: String, short: Array[Long],
+            q: org.apache.spark.sql.Column): Long =
+          spark.read.parquet(s"$base/flat")
+            .filter(col("vec_id").isin(short: _*))
+            .select(col("vec_id"),
+              round(graft.functions.Vectors.cosine(col("v"), q), 4)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+        def servedIndexProbe(tag: String,
+            d: org.apache.spark.sql.DataFrame,
+            buildIndex: (org.apache.spark.sql.DataFrame, String) =>
+              Seq[Double] => Long): Long = {
           graft.Caches.fresh()
           val dd = d.cache()
           dd.count()
-          val means = graft.operators.Ann.bqModelFrom(
-            dd.select(col("embedding").as("v")), 64)
-          val mn = typedLit(means.toSeq)
-          // sign bits packed msb-first into one long: a pure fold,
-          // fuses with the ingest scan (overflow into the sign bit
-          // wraps identically for every row — only XOR sees it)
-          def packed(v: org.apache.spark.sql.Column)
-              : org.apache.spark.sql.Column =
-            aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
-              shiftleft(acc, 1).bitwiseOR(
-                when(element_at(v, i) > element_at(mn, i), 1L)
-                  .otherwise(0L)))
-          val base = graft.Staging.scratch(s"probe_bq_$tag")
+          val base = graft.Staging.scratch(s"probe_${op}_$tag")
           dd.select(col("vec_id"), col("embedding").as("v"))
             .write.parquet(s"$base/flat")
-          dd.select(col("vec_id"), packed(col("embedding")).as("sig"))
-            .write.parquet(s"$base/sig")
+          val serveIdx = buildIndex(dd, base)
           val qv = dd.filter(col("vec_id") === 0L)
             .collect()(0).getSeq[Double](1)
           dd.unpersist()
-          val psig = qv.zip(means)
-            .foldLeft(0L) { case (acc, (x, m)) =>
-              (acc << 1) | (if (x > m) 1L else 0L) }
           val q = typedLit(qv)
           def serveFlat(): Long = spark.read.parquet(s"$base/flat")
             .filter(col("vec_id") =!= 0L)
@@ -594,116 +595,78 @@ object Probe {
               round(graft.functions.Vectors.cosine(col("v"), q), 4)
                 .as("cos"))
             .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
-          def serveBq(): Long = {
-            val short = spark.read.parquet(s"$base/sig")
+          val ((hF, sF), _, _) = measured {
+            val t = System.nanoTime
+            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
+          }
+          val ((hI, sI), _, _) = measured {
+            val t = System.nanoTime
+            val h = serveIdx(qv); (h, (System.nanoTime - t) / 1e9)
+          }
+          val (zF, zI) =
+            (dirBytes(s"$base/flat"), dirBytes(s"$base/index"))
+          println(f"PROBE $op [$tag]: flat serve $sF%.2f s ($hF " +
+            f"hits); $op serve $sI%.2f s ($hI hits); index footprint " +
+            f"${zI / 1024}%d KiB vs flat ${zF / 1024}%d KiB = " +
+            f"${zF.toDouble / math.max(1L, zI)}%.1fx smaller")
+          hI
+        }
+        // BQ: the 64 sign bits packed msb-first into ONE long
+        // (8 B/vector — the production layout the s17 scaladoc
+        // names; the operator's string bits are the oracle-parity
+        // layer), served by bit_count(sig XOR query) Hamming
+        // shortlist + exact rerank over exactly the shortlist
+        def buildBq(dd: org.apache.spark.sql.DataFrame,
+            base: String): Seq[Double] => Long = {
+          val means = graft.operators.Ann.bqModelFrom(
+            dd.select(col("embedding").as("v")), 64)
+          val mn = typedLit(means.toSeq)
+          // a pure fold that fuses with the ingest scan (overflow
+          // into the sign bit wraps identically for every row —
+          // only XOR sees it)
+          val packed =
+            aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+              shiftleft(acc, 1).bitwiseOR(
+                when(element_at(col("embedding"), i) >
+                  element_at(mn, i), 1L).otherwise(0L)))
+          dd.select(col("vec_id"), packed.as("sig"))
+            .write.parquet(s"$base/index")
+          qv => {
+            val psig = qv.zip(means)
+              .foldLeft(0L) { case (acc, (x, m)) =>
+                (acc << 1) | (if (x > m) 1L else 0L) }
+            val short = spark.read.parquet(s"$base/index")
               .filter(col("vec_id") =!= 0L)
               .select(col("vec_id"),
                 bit_count(col("sig").bitwiseXOR(lit(psig)))
                   .as("hamming"))
               .orderBy(col("hamming"), col("vec_id")).limit(50)
               .collect().map(_.getLong(0))
-            spark.read.parquet(s"$base/flat")
-              .filter(col("vec_id").isin(short: _*))
-              .select(col("vec_id"),
-                round(graft.functions.Vectors.cosine(col("v"), q), 4)
-                  .as("cos"))
-              .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+            rerank(base, short, typedLit(qv))
           }
-          val ((hF, sF), rF, bF) = measured {
-            val t = System.nanoTime
-            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
-          }
-          val ((hB, sB), rB, bB) = measured {
-            val t = System.nanoTime
-            val h = serveBq(); (h, (System.nanoTime - t) / 1e9)
-          }
-          // the storage claim, measured directly: the index the
-          // Hamming stage scans (packed sigs) vs the full-precision
-          // table the flat scan reads. bytes-read at probe scale is
-          // dictionary-compression noise (replicated vectors), so
-          // the footprint ratio is the honest scan-cost proxy.
-          def dirBytes(p: String): Long = {
-            val d = java.nio.file.Paths.get(p)
-            java.nio.file.Files.walk(d).filter(
-              java.nio.file.Files.isRegularFile(_))
-              .mapToLong(java.nio.file.Files.size(_)).sum()
-          }
-          val (zF, zS) = (dirBytes(s"$base/flat"), dirBytes(s"$base/sig"))
-          println(f"PROBE bq [$tag]: flat serve $sF%.2f s ($hF hits, " +
-            f"$rF rows, ${bF / 1024}%d KiB read); BQ serve $sB%.2f s " +
-            f"($hB hits, $rB rows, ${bB / 1024}%d KiB read); " +
-            f"index footprint ${zS / 1024}%d KiB vs flat " +
-            f"${zF / 1024}%d KiB = ${zF.toDouble / math.max(1L, zS)}%.1f" +
-            "x smaller")
-          hB
         }
-        timed("bq", runBq("base", vecsBase),
-          runBq(s"${copies}x", replicatedVecs(copies)))
-      // MRL serving measured as deployed: the prefix-32 slice landed
-      // as its own table at ingest, the shortlist scan reads ONLY
-      // the prefix bytes, the rerank fetches the shortlist's full
-      // vectors — index footprint vs the flat table is the claim
-      case "mrl" =>
-        def runMrl(tag: String,
-            d: org.apache.spark.sql.DataFrame): Long = {
-          graft.Caches.fresh()
-          val dd = d.cache()
-          dd.count()
-          val base = graft.Staging.scratch(s"probe_mrl_$tag")
-          dd.select(col("vec_id"), col("embedding").as("v"))
-            .write.parquet(s"$base/flat")
+        // MRL: the prefix-32 slice as its own table — the shortlist
+        // scan reads ONLY the prefix bytes, the rerank fetches the
+        // shortlist's full vectors
+        def buildMrl(dd: org.apache.spark.sql.DataFrame,
+            base: String): Seq[Double] => Long = {
           dd.select(col("vec_id"),
             slice(col("embedding"), 1, 32).as("pv"))
-            .write.parquet(s"$base/prefix")
-          val qv = dd.filter(col("vec_id") === 0L)
-            .collect()(0).getSeq[Double](1)
-          dd.unpersist()
-          val qp = typedLit(qv.take(32))
-          val q = typedLit(qv)
-          def serveFlat(): Long = spark.read.parquet(s"$base/flat")
-            .filter(col("vec_id") =!= 0L)
-            .select(col("vec_id"),
-              round(graft.functions.Vectors.cosine(col("v"), q), 4)
-                .as("cos"))
-            .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
-          def serveMrl(): Long = {
-            val short = spark.read.parquet(s"$base/prefix")
+            .write.parquet(s"$base/index")
+          qv => {
+            val short = spark.read.parquet(s"$base/index")
               .filter(col("vec_id") =!= 0L)
-              .select(col("vec_id"),
-                graft.functions.Vectors.cosine(col("pv"), qp).as("pc"))
+              .select(col("vec_id"), graft.functions.Vectors
+                .cosine(col("pv"), typedLit(qv.take(32))).as("pc"))
               .orderBy(col("pc").desc, col("vec_id")).limit(100)
               .collect().map(_.getLong(0))
-            spark.read.parquet(s"$base/flat")
-              .filter(col("vec_id").isin(short: _*))
-              .select(col("vec_id"),
-                round(graft.functions.Vectors.cosine(col("v"), q), 4)
-                  .as("cos"))
-              .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
+            rerank(base, short, typedLit(qv))
           }
-          val ((hF, sF), _, _) = measured {
-            val t = System.nanoTime
-            val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
-          }
-          val ((hM, sM), _, _) = measured {
-            val t = System.nanoTime
-            val h = serveMrl(); (h, (System.nanoTime - t) / 1e9)
-          }
-          def dirBytes(p: String): Long = {
-            val dd2 = java.nio.file.Paths.get(p)
-            java.nio.file.Files.walk(dd2).filter(
-              java.nio.file.Files.isRegularFile(_))
-              .mapToLong(java.nio.file.Files.size(_)).sum()
-          }
-          val (zF, zP) =
-            (dirBytes(s"$base/flat"), dirBytes(s"$base/prefix"))
-          println(f"PROBE mrl [$tag]: flat serve $sF%.2f s ($hF hits); " +
-            f"MRL serve $sM%.2f s ($hM hits); prefix footprint " +
-            f"${zP / 1024}%d KiB vs flat ${zF / 1024}%d KiB = " +
-            f"${zF.toDouble / math.max(1L, zP)}%.1fx smaller")
-          hM
         }
-        timed("mrl", runMrl("base", vecsBase),
-          runMrl(s"${copies}x", replicatedVecs(copies)))
+        val build = if (op == "bq") buildBq _ else buildMrl _
+        timed(op, servedIndexProbe("base", vecsBase, build),
+          servedIndexProbe(s"${copies}x", replicatedVecs(copies),
+            build))
       // the sink file-growth bound measured as deployed: drive 20
       // micro-batches of the sf0.1 events through st16SinkStep under
       // a file budget and report PER-BATCH walls with maintenance

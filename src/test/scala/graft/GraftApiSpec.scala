@@ -914,6 +914,41 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.head.getLong(0) == 4L)
   }
 
+  test("bqSearch on an ad-hoc frame: near-twin ranks first, hamming " +
+      "bounded by dim, dim mismatch names itself") {
+    val vecs = Seq(
+      (1L, Array(0.0, 0.0, 1.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.2)),
+      (3L, Array(0.1, 0.9, 0.3, 0.0)),
+      (4L, Array(0.89, 0.11, 0.01, 0.19))).toDF("id", "emb")
+    val hits = Graft.bqSearch(vecs.filter(col("id") =!= 2L), "id",
+      "emb", Seq(0.9, 0.1, 0.0, 0.2), shortlist = 3, k = 2, dim = 4)
+      .collect()
+    assert(hits.head.getLong(0) == 4L)
+    hits.foreach(r => assert(r.getAs[Int]("hamming") <= 4))
+    // the dim contract is enforced, not silently corrupted
+    val ex = intercept[IllegalArgumentException] {
+      Graft.bqSearch(vecs, "id", "emb", Seq(0.9, 0.1), dim = 2)
+    }
+    assert(ex.getMessage.contains("dim"))
+  }
+
+  test("mrlSearch on an ad-hoc frame: prefix shortlist + exact " +
+      "rerank find the near-twin") {
+    val vecs = Seq(
+      (1L, Array(0.0, 0.0, 1.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.2)),
+      (3L, Array(0.1, 0.9, 0.3, 0.0)),
+      (4L, Array(0.89, 0.11, 0.01, 0.19))).toDF("id", "emb")
+    val hits = Graft.mrlSearch(vecs.filter(col("id") =!= 2L), "id",
+      "emb", Seq(0.9, 0.1, 0.0, 0.2), prefixDim = 2, shortlist = 3,
+      k = 2).collect()
+    assert(hits.head.getLong(0) == 4L)
+    // rerank cosine dominates the prefix estimate's ordering scope
+    assert(hits.map(_.getAs[Double]("cos")).toSeq.sorted.reverse ==
+      hits.map(_.getAs[Double]("cos")).toSeq)
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared

@@ -126,6 +126,18 @@ class TableLogSpec extends SparkSpec {
       java.nio.file.Paths.get(new java.net.URI(p).getPath))))
     // ...and the restored head still serves the original rows
     assert(drill.read(spark, d1.schema, 2L).count() == 100L)
+    // restoring PAST the vacuum horizon refuses instead of minting a
+    // head that references reclaimed bytes (Delta RESTORE's refusal):
+    // v1's exclusive files are gone, so restore-to-v1 must throw and
+    // leave the log untouched
+    val nvAfter = drill.versions.size
+    val ex = intercept[IllegalStateException] {
+      graft.api.Graft.tableRestore(root, 1L)
+    }
+    assert(ex.getMessage.contains("vacuum"))
+    assert(drill.versions.size == nvAfter,
+      "refused restore minted a version")
+    assert(drill.read(spark, d1.schema, 2L).count() == 100L)
   }
 
   test("quarantine replay: survivors rejoin main, failures retire " +
