@@ -119,6 +119,7 @@ object SparkEntry {
     "s17_bq_search"       -> q(Ann.s17BqSearch(_)),
     "s18_mrl_search"      -> q(Ann.s18MrlSearch(_)),
     "s19_filtered_ann"    -> q(Ann.s19FilteredAnn(_)),
+    "s20_funnel_search"   -> q(Ann.s20FunnelSearch(_)),
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "r20_rm3_expand"      -> q(Search.r20Rm3Expand(_)),

@@ -1494,6 +1494,58 @@ object Ann {
       .limit(k)
   }
 
+  /** s20: THE COMPOSED FUNNEL — IVF coarse prune → BQ Hamming
+    * shortlist → exact rerank, the three tiers this family ships
+    * run TOGETHER (the modern vector-store serving funnel:
+    * coarsest-first, every stage a recall/cost dial). s17's scaladoc
+    * claims the bit tier "composes with IVF list pruning unchanged";
+    * s20 is that claim as an oracle-gated operator: the probe's
+    * `nProbe` nearest lists bound the candidate pool, the 1-bit
+    * signatures rank it, only the `shortlist` best pay the exact
+    * cosine, top-`k` answers. The BQ model stays CORPUS-trained
+    * (quantizers are trained offline corpus-wide, applied per pool).
+    *
+    * Scale: still ONE corpus scan — the cid assignment, the bit
+    * signature and the Hamming all fuse with it (zero Exchange,
+    * PlanSpec-locked). At 100 TB the scan cost multiplies the
+    * tiers' savings: cid partition pruning reads nProbe/nLists of
+    * the files, each at 8 bit-bytes/vector instead of 512 — the
+    * funnel is why serving a trillion vectors reads gigabytes, not
+    * terabytes.
+    */
+  def s20FunnelSearch(t: Tables, probeId: Long = 0L, nLists: Int = 16,
+      nProbe: Int = 4, dim: Int = 64, shortlist: Int = 50,
+      k: Int = 10): DataFrame = {
+    val cb = assignedVecs(t, nLists)._2
+    val means = bqModel(t, dim)
+    val probe = t.embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("v"),
+        slice(Vectors.centroidRanks(
+          col("embedding").cast("array<double>"), cb), 1, nProbe)
+          .as("pls"))
+      .collect().headOption
+    if (probe.isEmpty)
+      return t.embeddings.select(col("vec_id"), lit(0).as("hamming"),
+        lit(0.0).as("cos")).limit(0)
+    val pv = probe.get.getSeq[Double](0)
+    val pls = probe.get.getSeq[Int](1)
+    val pbits = pv.zip(means)
+      .map { case (x, m) => if (x > m) '1' else '0' }.mkString
+    t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid",
+        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+      .filter(col("cid").isin(pls: _*) && col("vec_id") =!= probeId)
+      .withColumn("hamming",
+        Vectors.hamming(bqBits(col("v"), means), lit(pbits)))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), col("hamming"),
+        round(Vectors.cosine(col("v"), typedLit(pv)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SQ model + encode replay assuming a `vv(vec_id, v)` CTE is
     * already in scope: per-dim min/max `mm` and the per-(vec, dim)
     * coded rows c(vec_id, i, x, mn, sc, code) every SQ oracle reads.
@@ -2106,6 +2158,59 @@ object Ann {
         |  FROM sl, p WHERE rk <= 100)
         |SELECT vec_id, pcos, cos FROM r
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // the full funnel replayed: k-means lists + the probe's top-4
+    // cut, corpus-trained decimal-exact BQ means, sign bits + Hamming
+    // WITHIN the pruned pool, rank-window 50, exact rerank top-10
+    "s20_funnel_search" ->
+      s"""WITH $kmeansReplayCte,
+         |pr AS (
+         |  SELECT cid FROM (
+         |    SELECT cc.cid, row_number() OVER (ORDER BY
+         |      list_dot_product(p.v, cc.cv) /
+         |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+         |      cc.cid) AS rn
+         |    FROM (SELECT v FROM vv WHERE vec_id = 0) p,
+         |         (SELECT cid, v AS cv FROM c3) cc) t
+         |  WHERE rn <= 4),
+         |pool AS (
+         |  SELECT a.vec_id, a.v FROM af a JOIN pr ON a.cid = pr.cid
+         |  WHERE a.vec_id <> 0),
+         |mu AS (
+         |  SELECT i, CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,15)))
+         |              AS DOUBLE) / count(*) AS m
+         |  FROM vv, (SELECT unnest(range(1, 65)) AS i) ii
+         |  GROUP BY i),
+         |ml AS (SELECT list(m ORDER BY i) AS ms FROM mu),
+         |bb AS (
+         |  SELECT vec_id, v, array_to_string(
+         |    [CASE WHEN v[CAST(i AS INT)] > ms[CAST(i AS INT)]
+         |          THEN '1' ELSE '0' END
+         |     FOR i IN range(1, 65)], '') AS bits
+         |  FROM pool CROSS JOIN ml),
+         |pb AS (
+         |  SELECT v AS pv, array_to_string(
+         |    [CASE WHEN v[CAST(i AS INT)] > ms[CAST(i AS INT)]
+         |          THEN '1' ELSE '0' END
+         |     FOR i IN range(1, 65)], '') AS pbits
+         |  FROM vv CROSS JOIN ml WHERE vec_id = 0),
+         |h AS (
+         |  SELECT vec_id, v,
+         |    len(list_filter(range(1, 65),
+         |        i -> substring(bits, CAST(i AS INT), 1)
+         |          <> substring(pbits, CAST(i AS INT), 1))) AS hamming
+         |  FROM bb, pb),
+         |sl AS (
+         |  SELECT vec_id, v, hamming,
+         |    row_number() OVER (ORDER BY hamming, vec_id) AS rk
+         |  FROM h),
+         |r AS (
+         |  SELECT vec_id, hamming,
+         |    round(list_dot_product(v, pv) /
+         |          (sqrt(list_dot_product(v, v)) *
+         |           sqrt(list_dot_product(pv, pv))), 4) AS cos
+         |  FROM sl, pb WHERE rk <= 50)
+         |SELECT vec_id, hamming, cos FROM r
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // s3's k-means replay + the selectivity-scaled probe-list cut
     // (nProbe_eff = min(16, ceil(2·n/n_admissible)) from LIVE counts,
     // the s2 tauCut coupling pattern) + the label cut fused into the

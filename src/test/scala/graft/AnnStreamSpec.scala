@@ -134,6 +134,43 @@ class AnnStreamSpec extends SparkSpec {
         "the selectivity planner would be unjustified on this corpus")
   }
 
+  test("s20 funnel: IVF cut honored, hamming matches s17's corpus " +
+      "model, rerank cosines are s1's exact values, recall holds " +
+      "through the composed tiers") {
+    val t = Tables(spark, sf)
+    val rows = run("s20_funnel_search").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every hit sits in the probe's top-4 lists (the IVF tier bit)
+    val (assigned, cb) = graft.operators.Ann.assignedVecs(t)
+    val pls = t.embeddings.filter(col("vec_id") === 0L)
+      .select(slice(graft.functions.Vectors.centroidRanks(
+        col("embedding").cast("array<double>"), cb), 1, 4))
+      .collect()(0).getSeq[Int](0).toSet
+    val cids = assigned.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(pls(cids(r.getAs[Long]("vec_id")))))
+    // the BQ tier is s17's exact corpus model: shared ids carry
+    // identical hamming; and the rerank is exact: shared ids carry
+    // s1's identical cosines
+    val s17h = run("s17_bq_search").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("hamming")).toMap
+    val s1cos = run("s1_ann_bruteforce").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      s17h.get(r.getAs[Long]("vec_id"))
+        .foreach(h => assert(h == r.getAs[Int]("hamming")))
+      s1cos.get(r.getAs[Long]("vec_id"))
+        .foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+    // composed recall: both tiers cut, so it sits at or below s17's,
+    // but must stay a real retrieval
+    val exact = s1cos.keySet
+    val recall = exact.count(rows.map(_.getAs[Long]("vec_id")).toSet)
+      ./(10.0)
+    info(s"s20 funnel recall@10 = $recall (nProbe 4, shortlist 50)")
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("s3 IVF ANN: ≤10 results, k-means codebook recall ≥ 0.6 vs s1") {
     val exact = run("s1_ann_bruteforce").collect()
       .map(_.getAs[Long]("vec_id")).toSet

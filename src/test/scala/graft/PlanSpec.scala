@@ -199,6 +199,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(label,"), p.take(800))
   }
 
+  test("s20: the composed funnel serves from one scan — cid cut, bit " +
+      "Hamming, shortlist, rerank all fused, zero Exchange") {
+    val p = plan("s20_funnel_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "the funnel should never shuffle:\n" + p.take(800))
+  }
+
   test("s15: per-list SQ encode has no join; the only Exchanges are " +
       "the one-time cid assignment and the cosmetic output order") {
     val p = plan("s15_sq_perlist")
