@@ -559,7 +559,7 @@ object Probe {
       // replicated vectors — so on-disk footprint is the honest
       // scan-cost proxy). buildIndex writes $base/index and returns
       // the index-serve closure for a query vector.
-      case op @ ("bq" | "mrl") =>
+      case op @ ("bq" | "mrl" | "funnel") =>
         def dirBytes(p: String): Long = {
           val d0 = java.nio.file.Paths.get(p)
           java.nio.file.Files.walk(d0).filter(
@@ -595,19 +595,23 @@ object Probe {
               round(graft.functions.Vectors.cosine(col("v"), q), 4)
                 .as("cos"))
             .orderBy(col("cos").desc, col("vec_id")).limit(10).count()
-          val ((hF, sF), _, _) = measured {
+          val ((hF, sF), rF, _) = measured {
             val t = System.nanoTime
             val h = serveFlat(); (h, (System.nanoTime - t) / 1e9)
           }
-          val ((hI, sI), _, _) = measured {
+          val ((hI, sI), rI, _) = measured {
             val t = System.nanoTime
             val h = serveIdx(qv); (h, (System.nanoTime - t) / 1e9)
           }
           val (zF, zI) =
             (dirBytes(s"$base/flat"), dirBytes(s"$base/index"))
+          // records-read is the pruning witness bytes can't be at
+          // probe scale (dictionary compression): a partitioned
+          // index serve must read FEWER rows than the flat scan
           println(f"PROBE $op [$tag]: flat serve $sF%.2f s ($hF " +
-            f"hits); $op serve $sI%.2f s ($hI hits); index footprint " +
-            f"${zI / 1024}%d KiB vs flat ${zF / 1024}%d KiB = " +
+            f"hits, $rF rows read); $op serve $sI%.2f s ($hI hits, " +
+            f"$rI rows read); index footprint ${zI / 1024}%d KiB vs " +
+            f"flat ${zF / 1024}%d KiB = " +
             f"${zF.toDouble / math.max(1L, zI)}%.1fx smaller")
           hI
         }
@@ -663,7 +667,61 @@ object Probe {
             rerank(base, short, typedLit(qv))
           }
         }
-        val build = if (op == "bq") buildBq _ else buildMrl _
+        // FUNNEL: the deployed s20 layout — the packed-long BQ table
+        // PARTITIONED BY cid, so the serve's list cut becomes
+        // partition pruning (reads nProbe/nLists of the index rows)
+        // before the 50-row exact rerank
+        def buildFunnel(dd: org.apache.spark.sql.DataFrame,
+            base: String): Seq[Double] => Long = {
+          val cb = graft.operators.Ann.trainCodebook(
+            dd.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v")),
+            16, 64, 3)
+          val means = graft.operators.Ann.bqModelFrom(
+            dd.select(col("embedding").as("v")), 64)
+          val mn = typedLit(means.toSeq)
+          val packed =
+            aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+              shiftleft(acc, 1).bitwiseOR(
+                when(element_at(col("embedding"), i) >
+                  element_at(mn, i), 1L).otherwise(0L)))
+          dd.select(col("vec_id"), packed.as("sig"),
+            element_at(graft.functions.Vectors
+              .centroidRanks(col("embedding"), cb), 1).as("cid"))
+            .write.partitionBy("cid").parquet(s"$base/index")
+          qv => {
+            val pls = spark.range(1)
+              .select(slice(graft.functions.Vectors.centroidRanks(
+                typedLit(qv), cb), 1, 4))
+              .collect()(0).getSeq[Int](0)
+            val psig = qv.zip(means)
+              .foldLeft(0L) { case (acc, (x, m)) =>
+                (acc << 1) | (if (x > m) 1L else 0L) }
+            // the shortlist stage measured ALONE: its rows-read is
+            // the partition-pruning witness (the rerank's 50-row
+            // fetch pays row-group granularity at probe scale and
+            // would drown it)
+            val (short, rS, _) = measured {
+              spark.read.parquet(s"$base/index")
+                .filter(col("cid").isin(pls: _*) &&
+                  col("vec_id") =!= 0L)
+                .select(col("vec_id"),
+                  bit_count(col("sig").bitwiseXOR(lit(psig)))
+                    .as("hamming"))
+                .orderBy(col("hamming"), col("vec_id")).limit(50)
+                .collect().map(_.getLong(0))
+            }
+            println(f"PROBE funnel shortlist stage: $rS%d of the " +
+              "index rows read (4/16 lists pruned at the partition " +
+              "level)")
+            rerank(base, short, typedLit(qv))
+          }
+        }
+        val build = op match {
+          case "bq" => buildBq _
+          case "mrl" => buildMrl _
+          case _ => buildFunnel _
+        }
         timed(op, servedIndexProbe("base", vecsBase, build),
           servedIndexProbe(s"${copies}x", replicatedVecs(copies),
             build))
