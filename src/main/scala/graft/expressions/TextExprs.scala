@@ -276,6 +276,45 @@ case class HyperplaneBits(child: Expression, planes: PlaneMatrix, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Per-dimension threshold sign bits (the BQ signature): bit i = '1'
+  * iff v(i) > thresholds(i), emitted as a '0'/'1' string of length
+  * dim — one compiled loop per row. The HOF formulation (transform +
+  * element_at on a 64-literal + array_join) evaluates interpreted
+  * inside the serving scan; this keeps s17/s20's hot projection in a
+  * tight loop (same win as [[HyperplaneBits]] over its HOF twin).
+  * Output identical to the HOF form, including strict `>`.
+  */
+case class ThresholdBits(child: Expression, thresholds: PlaneMatrix)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "threshold_bits"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thresholdBits", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val t = thresholds.values
+    val n = t.length
+    val d = math.min(v.numElements(), n)
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < d) {
+      out(i) = if (v.getDouble(i) > t(i)) '1' else '0'
+      i += 1
+    }
+    while (i < n) { out(i) = '0'; i += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ThresholdBits =
+    copy(child = newChild)
+}
+
 /** Sketch AND banded bucket keys in ONE pass: struct(sketch BINARY
   * of the first sketchBits sign bits, keys ARRAY<LONG> of packed
   * band keys over all nBands·bandBits planes). One expression for

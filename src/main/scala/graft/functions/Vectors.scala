@@ -36,6 +36,16 @@ object Vectors {
         org.apache.spark.sql.GraftExpressionBridge.expression(a),
         org.apache.spark.sql.GraftExpressionBridge.expression(b)))
 
+  /** Compiled per-dimension threshold sign bits ('0'/'1' string, one
+    * char per threshold; strict `>`) — the BQ signature's hot form.
+    */
+  def thresholdBits(v: Column,
+      thresholds: graft.expressions.PlaneMatrix): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.ThresholdBits(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        thresholds))
+
   /** Compiled signed-random-projection bit signature ('0'/'1' string
     * of length nPlanes) against a constant plane matrix.
     */

@@ -1301,13 +1301,13 @@ object Ann {
     * — a pure projection that fuses with the scan (d4/d5's bit-string
     * form; production packs the 64 bits into ONE long so the Hamming
     * is a single XOR+POPCNT — the string layer is the oracle-parity
-    * choice, exactly d4's).
+    * choice, exactly d4's). Compiled (ThresholdBits): the HOF form
+    * (transform + element_at on the mean literal) evaluated
+    * interpreted inside the serving scan.
     */
-  private[graft] def bqBits(v: Column, means: Array[Double]): Column = {
-    val mn = typedLit(means.toSeq)
-    array_join(transform(v, (x, i) =>
-      when(x > element_at(mn, i + 1), lit("1")).otherwise(lit("0"))), "")
-  }
+  private[graft] def bqBits(v: Column, means: Array[Double]): Column =
+    Vectors.thresholdBits(v,
+      new graft.expressions.PlaneMatrix(means, means.length))
 
   /** s17: BINARY-QUANTIZATION SEARCH — the 1-bit-per-dimension tier
     * BELOW SQ8 (the BQ layer of modern vector stores — Lucene/

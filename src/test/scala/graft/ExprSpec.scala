@@ -45,6 +45,27 @@ class ExprSpec extends SparkSpec {
     hof.foreach { case (id, sig) => assert(fast(id) == sig, s"doc $id") }
   }
 
+  test("ThresholdBits == HOF threshold signature (strict >, per-dim)") {
+    val t = Tables(spark, sf)
+    val means = graft.operators.Ann.bqModel(t, 64)
+    val mn = typedLit(means.toSeq)
+    val rows = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        array_join(transform(col("v"), (x, i) =>
+          when(x > element_at(mn, i + 1), lit("1"))
+            .otherwise(lit("0"))), "").as("hof"),
+        graft.functions.Vectors.thresholdBits(col("v"),
+          new graft.expressions.PlaneMatrix(means, 64)).as("fast"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"vec ${r.getLong(0)}")
+      assert(r.getString(2).length == 64)
+    }
+  }
+
   test("signature expressions run inside WholeStageCodegen (no fallback boundary)") {
     // one projection holding all three signature expressions: if any
     // of them were CodegenFallback, CollapseCodegenStages would push
