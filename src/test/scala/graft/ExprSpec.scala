@@ -72,7 +72,11 @@ class ExprSpec extends SparkSpec {
     // the WHOLE project out of codegen (no '*(n)' stage around it)
     val df = toksDf.select(
       Text.shinglesFast(3)(col("tk")).as("sh"),
-      Text.simhashSig(col("tk")).as("sim"))
+      Text.simhashSig(col("tk")).as("sim"),
+      graft.functions.Vectors.thresholdBits(
+        array(lit(0.5), lit(-0.5)),
+        new graft.expressions.PlaneMatrix(Array(0.0, 0.0), 2))
+        .as("tb"))
       .withColumn("mhs", Text.minhashSig(col("sh")))
     // fallback=false: a '*(n)' in the plan STRING only proves
     // CollapseCodegenStages accepted the expressions — if the
