@@ -123,6 +123,7 @@ object SparkEntry {
     "st17_ann_recall_maintain" ->
       q(graft.streaming.Streams.st17AnnRecallMaintain(_)),
     "r20_rm3_expand"      -> q(Search.r20Rm3Expand(_)),
+    "e1_embed_batch"      -> q(Embed.e1EmbedBatch(_)),
     "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
@@ -174,5 +175,5 @@ object SparkEntry {
     Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
       EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
       Ann.oracle ++ Multimodal.oracle ++ graft.sources.Io.oracle ++
-      graft.streaming.Streams.oracle ++ Pipeline.oracle
+      graft.streaming.Streams.oracle ++ Pipeline.oracle ++ Embed.oracle
 }

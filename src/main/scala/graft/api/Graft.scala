@@ -1145,6 +1145,19 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       qualityMin, k, benchMod)
 
+  /** BATCHED EMBEDDING INFERENCE (e1): encode a text column into the
+    * `(vec_id, embedding)` table the similarity family serves from —
+    * partition-parallel, `batchSize` records per (stub) model
+    * request, responses zipped back in order, vectors L2-normalized
+    * float arrays stamped with a pinned model version. Output is
+    * batch-size- and arrival-order-invariant. Pure mapPartitions
+    * projection: no shuffle, no state, no driver collect — the
+    * billion-row embedding-backfill shape.
+    */
+  def embed(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 32, dim: Int = graft.operators.Embed.dim): DataFrame =
+    graft.operators.Embed.embeddingsFrame(df, idCol, textCol, batchSize, dim)
+
   /** Matryoshka (MRL) truncated-prefix search (the DIMENSION-cut
     * tier; [[bqSearch]] is the precision cut): candidates rank by
     * cosine over the first `prefixDim` dims only, the `shortlist`

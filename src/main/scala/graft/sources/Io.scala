@@ -1053,19 +1053,32 @@ object Io {
   }
 
   /** ONE restore pass: commit `toV`'s snapshot as the new head of
-    * `log` — remove current-only files, re-add target-only files.
+    * `log` — remove current-only files, re-add target-only files,
+    * and (Delta RESTORE's metaData re-commit) carry the TARGET
+    * version's schema line when it differs from the head's, so a
+    * restore across an ALTER boundary serves the target era's schema
+    * instead of the post-ALTER one over pre-ALTER files.
     * Returns the committed version, or None when the head already
-    * serves exactly `toV`'s file list (idempotent re-run, restore to
-    * self). The commit claims head+1 EXPLICITLY (no OCC rebase): a
-    * writer landing between planning and claim must CONFLICT the
-    * restore rather than be silently rolled back by it — a lost
-    * claim throws and the caller re-decides against the new head.
+    * serves exactly `toV`'s file list AND schema (idempotent re-run,
+    * restore to self). The commit claims head+1 EXPLICITLY (no OCC
+    * rebase): a writer landing between planning and claim must
+    * CONFLICT the restore rather than be silently rolled back by it —
+    * a lost claim throws and the caller re-decides against the new
+    * head.
     */
   private[graft] def restorePass(log: TableLog, toV: Long): Option[Long] = {
     val head = log.latestVersion.getOrElse(
       throw new IllegalArgumentException("restore on an empty log"))
     val cur = log.snapshot(head)
     val tgt = log.snapshot(toV)
+    // schema rollback: when the target era declared a different
+    // schema than the head's, the restore commit must re-declare it
+    // (schemaAt resolves the NEWEST line at-or-below a version, so
+    // without this line the restored head would keep the post-ALTER
+    // schema). Both reads are metadata-bounded (schemaAt's
+    // checkpoint-floored scan).
+    val tgtSchema = log.schemaAt(toV)
+    val schemaDelta = tgtSchema.filter(s => !log.schemaAt(head).contains(s))
     val curPaths = cur.map(_.path).toSet
     val tgtPaths = tgt.map(_.path).toSet
     val removes = cur.filterNot(f => tgtPaths(f.path))
@@ -1085,9 +1098,9 @@ object Io {
         s"restore to v$toV impossible: ${missing.size} of its files " +
           s"were vacuumed (first: ${missing.head}); the target is past " +
           "the vacuum horizon")
-    if (removes.isEmpty && adds.isEmpty) None
+    if (removes.isEmpty && adds.isEmpty && schemaDelta.isEmpty) None
     else Some(log.commit(removes ++ adds, tag = s"restore-v$toV",
-      atVersion = Some(head + 1L)))
+      atVersion = Some(head + 1L), schema = schemaDelta))
   }
 
   /** Per-lang content fingerprint: count, char sum, md5 extremes —

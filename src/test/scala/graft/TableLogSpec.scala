@@ -140,6 +140,53 @@ class TableLogSpec extends SparkSpec {
     assert(drill.read(spark, d1.schema, 2L).count() == 100L)
   }
 
+  test("RESTORE across an ALTER boundary re-declares the target " +
+      "era's schema (Delta's metaData re-commit): the restored head " +
+      "serves the pre-ALTER schema, not the post-ALTER one over " +
+      "pre-ALTER files") {
+    val t = Tables(spark, sf)
+    run("io6_schema_evolution").collect()
+    // work on a COPY of the evolved log: the staged one is shared
+    val src = graft.sources.Io.evolvedLog(t)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restore_schema_drill_").toString
+    val log = TableLog.open(root)
+    val g1 = graft.sources.Io.io6Gen1Schema
+    val g2 = graft.sources.Io.io6Gen2Schema
+    // replay the io6 history shape onto the private log: gen1 files
+    // (referenced in place — restore never moves bytes) under the
+    // 3-col schema, ALTER to 4 cols, gen2 files
+    log.commit(src.snapshot(0L).map(TableLog.Add), tag = "gen1",
+      schema = Some(g1))
+    log.commit(Nil, tag = "alter", schema = Some(g2))
+    val gen2Only = {
+      val base = src.snapshot(0L).map(_.path).toSet
+      src.snapshot(2L).filterNot(f => base(f.path))
+    }
+    log.commit(gen2Only.map(TableLog.Add), tag = "gen2")
+    assert(log.schemaAt(2L).get.fieldNames.length == 4)
+    // restore to v0: pre-ALTER files AND pre-ALTER schema
+    val rv = graft.sources.Io.restorePass(log, 0L)
+    assert(rv.contains(3L))
+    assert(log.snapshot(3L).map(_.path).toSet ==
+      log.snapshot(0L).map(_.path).toSet)
+    assert(log.schemaAt(3L).get.fieldNames.toSeq == g1.fieldNames.toSeq,
+      "restored head kept the post-ALTER schema")
+    assert(log.read(spark, log.schemaAt(3L).get, 3L).columns.length == 3)
+    // idempotent: head already serves v0's list AND schema
+    assert(graft.sources.Io.restorePass(log, 0L).isEmpty)
+    // a restore FORWARD to the post-ALTER head re-declares v2's
+    // schema again (schema-only delta would also commit: the file
+    // lists differ here so both deltas ride one commit)
+    val fwd = graft.sources.Io.restorePass(log, 2L)
+    assert(fwd.contains(4L))
+    assert(log.schemaAt(4L).get.fieldNames.length == 4)
+    // the private log references the SHARED staged data files by
+    // path — delete only our log dir, never their bytes
+    graft.Staging.deleteTree(java.nio.file.Paths.get(root))
+    ()
+  }
+
   test("quarantine replay: survivors rejoin main, failures retire " +
       "under the corrected reason, dead quarantine bytes vacuumed; " +
       "redelivery no-ops and a torn side heals without re-landing") {
