@@ -1145,6 +1145,38 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       qualityMin, k, benchMod)
 
+  /** RAG INGEST NORMALIZATION (p2's routing on REAL content): classify
+    * each entry by its file path (r1's gate — directories, hidden
+    * files and unsupported extensions drop), then normalize the kept
+    * text by type through the named operator's own tree: `md`/`mdx`
+    * strip frontmatter (r2), `ipynb` parses nbformat JSON and exports
+    * markdown (r12), other code rewrites through the batched LLM pass
+    * (r16's stub client). Returns (idCol, body) — feed it to
+    * [[chunk]] → [[embed]] / BM25 indexing for the reference's full
+    * prepare→chunk→index flow. Pure projections + one mapPartitions
+    * inference pass; no shuffle.
+    */
+  def ragNormalize(df: DataFrame, idCol: String, pathCol: String,
+      langCol: String, textCol: String, batchSize: Int = 32): DataFrame = {
+    import graft.operators.Ingest
+    val base = df.select(col(idCol).as("doc_id"),
+        col(pathCol).as("filepath"), col(langCol).as("lang"),
+        col(textCol).as("text"))
+      .withColumn("ext", Ingest.extOf(col("filepath")))
+      .withColumn("action", Ingest.actionOf(col("filepath")))
+    val docB = base.filter(col("action") === "doc")
+      .select(col("doc_id"), Ingest.fmBody(col("text")).as("body"))
+    val nbB = base.filter(col("action") === "code" && col("ext") === "ipynb")
+      .select(col("doc_id"),
+        Ingest.r12MdBody(Ingest.r12Cells(col("text"))).as("body"))
+    val codeB = Ingest.rewriteFrame(
+      base.filter(col("action") === "code" && col("ext") =!= "ipynb")
+        .select("doc_id", "lang", "text"), batchSize)
+      .select("doc_id", "body")
+    docB.unionByName(nbB).unionByName(codeB)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** BATCHED EMBEDDING INFERENCE (e1): encode a text column into the
     * `(vec_id, embedding)` table the similarity family serves from —
     * partition-parallel, `batchSize` records per (stub) model

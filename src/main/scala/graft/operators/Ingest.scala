@@ -29,7 +29,7 @@ object Ingest {
   /** Deterministic synthetic filepath per document (directory entries,
     * hidden files, unsupported extensions all represented).
     */
-  private def synthFilepath: Column = {
+  private[graft] def synthFilepath: Column = {
     val exts = array(Seq("md", "mdx", "py", "sql", "java", "ipynb",
       "txt", "png").map(lit): _*)
     val ext0 = element_at(exts, (col("doc_id") % 8 + 1).cast("int"))
@@ -40,21 +40,34 @@ object Ingest {
         lit("file_"), col("doc_id"), lit("."), ext0))
   }
 
+  /** r1's extension / action classification over a `filepath`
+    * column — exposed so p2's composed pipeline routes on the SAME
+    * expression trees r1 gates.
+    */
+  private[graft] def extOf(fp: Column): Column =
+    regexp_extract(element_at(split(lower(fp), "/"), -1),
+      "\\.([^.]*)$", 1)
+
+  private[graft] def actionOf(fp: Column): Column = {
+    val fname = element_at(split(lower(fp), "/"), -1)
+    val ext = extOf(fp)
+    when(fp.endsWith("/"), lit("skip_dir"))
+      .when(fname.startsWith("."), lit("skip_hidden"))
+      .when(!ext.isin(docExts ++ codeExts: _*), lit("skip_ext"))
+      .when(ext.isin(docExts: _*), lit("doc"))
+      .otherwise(lit("code"))
+  }
+
   /** r1: skip/classify/normalize, one row per repo entry.
     * action ∈ skip_dir | skip_hidden | skip_ext | doc | code;
     * norm_path strips the zip's top-level directory (null if skipped).
     */
   def r1ClassifyFiles(t: Tables): DataFrame = {
-    val fname = element_at(split(lower(col("filepath")), "/"), -1)
-    val ext   = regexp_extract(fname, "\\.([^.]*)$", 1)
-    val action = when(col("filepath").endsWith("/"), lit("skip_dir"))
-      .when(fname.startsWith("."), lit("skip_hidden"))
-      .when(!ext.isin(docExts ++ codeExts: _*), lit("skip_ext"))
-      .when(ext.isin(docExts: _*), lit("doc"))
-      .otherwise(lit("code"))
     t.documents
       .select(col("doc_id"), synthFilepath.as("filepath"))
-      .select(col("doc_id"), col("filepath"), ext.as("ext"), action.as("action"))
+      .select(col("doc_id"), col("filepath"),
+        extOf(col("filepath")).as("ext"),
+        actionOf(col("filepath")).as("action"))
       .withColumn("norm_path",
         when(col("action").isin("doc", "code"),
           regexp_replace(col("filepath"), "^[^/]*/", "")))
@@ -69,14 +82,23 @@ object Ingest {
     * (sorted `k=v` joined with "; ") because engine-portable hashing
     * of MAP columns is not defined across Spark parquet and DuckDB.
     */
-  def r2Frontmatter(t: Tables): DataFrame = {
-    val fm = when(col("doc_id") % 3 === 0,
+  /** r2's synthetic frontmatter injection (over doc_id/text) and its
+    * body strip — p2 routes `doc` entries through these same trees.
+    */
+  private[graft] def r2FmInput: Column =
+    when(col("doc_id") % 3 === 0,
       concat(lit("---\ntitle: doc "), col("doc_id"),
         lit("\ntags: t"), col("doc_id") % 5,
         lit("\nauthor: a"), col("doc_id") % 7, lit("\n---\n"), col("text")))
       .otherwise(col("text"))
+
+  private[graft] def fmBody(fm: Column): Column =
+    regexp_replace(fm, "(?s)^---\n.*?\n---\n", "")
+
+  def r2Frontmatter(t: Tables): DataFrame = {
+    val fm = r2FmInput
     val meta = regexp_extract(col("fm"), "(?s)^---\n(.*?)\n---\n", 1)
-    val body = regexp_replace(col("fm"), "(?s)^---\n.*?\n---\n", "")
+    val body = fmBody(col("fm"))
     val entries = filter(split(meta, "\n"), l => l.rlike("^[^:]+: "))
     val kv = transform(entries, l =>
       concat(regexp_extract(l, "^([^:]+): ", 1), lit("="),
@@ -149,27 +171,39 @@ object Ingest {
     * blank lines (the MarkdownExporter output shape). No explode, no
     * shuffle: at 100 TB this is a single narrow scan.
     */
-  def r12NotebookCells(t: Tables): DataFrame = {
-    val nb = concat(
-      lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":\"# doc "),
-      col("doc_id"),
-      lit("\\nlen="), col("n_chars"),
-      lit("\"},{\"cell_type\":\"code\",\"source\":\"print('"), md5(col("text")),
-      lit("')\"},{\"cell_type\":\"raw\",\"source\":\"no-export\"},"),
-      lit("{\"cell_type\":\"code\",\"source\":\"x = "), col("doc_id") % 7,
-      lit("\"}]}"))
+  /** r12's synthetic notebook JSON (over doc_id/n_chars/text) and the
+    * nbformat-parse → markdown projection — p2 routes `ipynb` entries
+    * through these same trees.
+    */
+  private[graft] def r12NbJson: Column = concat(
+    lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":\"# doc "),
+    col("doc_id"),
+    lit("\\nlen="), col("n_chars"),
+    lit("\"},{\"cell_type\":\"code\",\"source\":\"print('"), md5(col("text")),
+    lit("')\"},{\"cell_type\":\"raw\",\"source\":\"no-export\"},"),
+    lit("{\"cell_type\":\"code\",\"source\":\"x = "), col("doc_id") % 7,
+    lit("\"}]}"))
+
+  private[graft] def r12Cells(nb: Column): Column = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "cells ARRAY<STRUCT<cell_type: STRING, source: STRING>>")
-    val cells = from_json(col("nb"), schema).getField("cells")
+    from_json(nb, schema).getField("cells")
+  }
+
+  private[graft] def r12MdBody(cells: Column): Column =
+    concat_ws("\n\n", transform(
+      filter(cells, c => c.getField("cell_type").isin("markdown", "code")),
+      c => when(c.getField("cell_type") === "code",
+        concat(lit("```python\n"), c.getField("source"), lit("\n```")))
+        .otherwise(c.getField("source"))))
+
+  def r12NotebookCells(t: Tables): DataFrame = {
     t.documents
-      .select(col("doc_id"), nb.as("nb"))
-      .withColumn("cells", cells)
+      .select(col("doc_id"), r12NbJson.as("nb"))
+      .withColumn("cells", r12Cells(col("nb")))
       .withColumn("kept", filter(col("cells"),
         c => c.getField("cell_type").isin("markdown", "code")))
-      .withColumn("md_body", concat_ws("\n\n", transform(col("kept"), c =>
-        when(c.getField("cell_type") === "code",
-          concat(lit("```python\n"), c.getField("source"), lit("\n```")))
-          .otherwise(c.getField("source")))))
+      .withColumn("md_body", r12MdBody(col("cells")))
       .select(col("doc_id"),
         size(col("cells")).as("n_cells"),
         size(filter(col("kept"),
@@ -195,13 +229,19 @@ object Ingest {
     * contract are real and oracle-gated. No shuffle: pure partition-
     * parallel map, like every inference pass.
     */
-  def r16LlmRewrite(t: Tables, batchSize: Int = 32): DataFrame = {
-    val spark = t.spark
+  /** r16's batched rewrite pass with the BODY kept: (doc_id, model,
+    * body) — p2 routes `code` entries through this, then chunks and
+    * indexes the rewritten text (the reference's process_code_files →
+    * chunk flow). r16's gated form projects len/md5 off the same
+    * frame.
+    */
+  private[graft] def rewriteFrame(df: DataFrame,
+      batchSize: Int = 32): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id"), col("lang"), col("text"))
+    df.select(col("doc_id").cast("long"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.grouped(batchSize).flatMap { batch =>
           // --- STUB: one fake "model request" per batch; a real
           // client sends the batch and zips responses back in order
@@ -214,15 +254,17 @@ object Ingest {
             val stripped = fenced
               .replaceFirst("^```[^\n]*\n", "")
               .replaceFirst("\n[ \t]*```[ \t]*\\z", "")
-            md.reset()
-            val hex = md.digest(stripped.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            (id, "stub-1", stripped.length, hex)
+            (id, "stub-1", stripped)
           }
         }
-      }.toDF("doc_id", "model", "out_len", "out_md5")
-      .orderBy("doc_id")
+      }.toDF("doc_id", "model", "body")
   }
+
+  def r16LlmRewrite(t: Tables, batchSize: Int = 32): DataFrame =
+    rewriteFrame(t.documents.select("doc_id", "lang", "text"), batchSize)
+      .select(col("doc_id"), col("model"),
+        length(col("body")).as("out_len"), md5(col("body")).as("out_md5"))
+      .orderBy("doc_id")
 
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
     * mirrors each parse expression (RE2 ≡ Java for every pattern used;

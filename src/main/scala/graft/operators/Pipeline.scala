@@ -150,6 +150,155 @@ object Pipeline {
     stages(docs, qualityMin, k, benchMod).last._2
       .select(col("doc_id"), col("n_bpe"), col("q_score"))
 
+  // ------------------------------------------------------------------
+  // p2: the reference's RAG ingest pipeline, end-to-end
+  // ------------------------------------------------------------------
+
+  /** The ROUTED corpus (doc_id, body): r1's classify gate, then each
+    * kept entry normalized by its type through the named operator's
+    * OWN expression tree — `doc` via r2's frontmatter strip, `ipynb`
+    * via r12's nbformat→markdown projection, other `code` via r16's
+    * batched rewrite pass (the reference's prepare_data.py flow:
+    * markdown parses, notebooks export, code rewrites; skips drop).
+    */
+  private[graft] def ragRouted(t: Tables, batchSize: Int = 32): DataFrame = {
+    val base = t.documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("text"))
+      .withColumn("filepath", Ingest.synthFilepath)
+      .withColumn("ext", Ingest.extOf(col("filepath")))
+      .withColumn("action", Ingest.actionOf(col("filepath")))
+    val docB = base.filter(col("action") === "doc")
+      .withColumn("fm", Ingest.r2FmInput)
+      .select(col("doc_id"), Ingest.fmBody(col("fm")).as("body"))
+    val nbB = base.filter(col("action") === "code" && col("ext") === "ipynb")
+      .withColumn("nb", Ingest.r12NbJson)
+      .select(col("doc_id"),
+        Ingest.r12MdBody(Ingest.r12Cells(col("nb"))).as("body"))
+    val codeB = Ingest.rewriteFrame(
+      base.filter(col("action") === "code" && col("ext") =!= "ipynb")
+        .select("doc_id", "lang", "text"), batchSize)
+      .select(col("doc_id"), col("body"))
+    docB.unionByName(nbB).unionByName(codeB)
+  }
+
+  /** BUILD-ONCE staging of the p2 artifacts per corpus (the
+    * reference builds its index once at startup and serves every
+    * query from it; at 100 TB each table below is a lake write):
+    * `routed` (the normalized bodies), `chunks` (r4's sliding
+    * window, chunk_id = doc_id·10⁶ + start), `tf` (the sparse tower:
+    * r5's per-(chunk,term) frequencies), `dense` (the dense tower:
+    * e1's encode per chunk + IVF list assignment under an auto-sized
+    * [[Ann.ivfConfigFor]] codebook trained by [[Ann]]'s sampled
+    * Lloyd's). Chunking/TF/encode are all map-side over the staged
+    * scan; the ONE shuffle in the build is the TF groupBy.
+    */
+  private[graft] def ragRoot(t: Tables, size: Int = 200,
+      step: Int = 100): String =
+    graft.Staging.dir(s"${t.dir}:ragingest:$size:$step", "rag_ingest") { d =>
+      ragRouted(t).write.mode("overwrite").parquet(s"$d/routed")
+      val routed = t.spark.read.parquet(s"$d/routed")
+      graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
+        .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
+          col("doc_id"), col("start"), col("chunk"))
+        .write.mode("overwrite").parquet(s"$d/chunks")
+      val ch = t.spark.read.parquet(s"$d/chunks")
+      ch.select(col("chunk_id"),
+          explode(Text.tokenize(col("chunk"))).as("term"))
+        .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$d/tf")
+      val enc = Embed.encodeFrame(ch, "chunk_id", "chunk")
+      enc.write.mode("overwrite").parquet(s"$d/enc")
+      val vecs = t.spark.read.parquet(s"$d/enc")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = vecs.count()
+      val cb = Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n,
+        dim = Embed.dim)
+      vecs.select(col("vec_id"),
+          element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+            .as("cid"))
+        .write.mode("overwrite").parquet(s"$d/dense")
+    }
+
+  /** The staged p2 tables, for serving / spec access. */
+  private[graft] def ragTables(t: Tables): Map[String, DataFrame] = {
+    val d = ragRoot(t)
+    Seq("routed", "chunks", "tf", "enc", "dense")
+      .map(n => n -> t.spark.read.parquet(s"$d/$n")).toMap
+  }
+
+  /** p2: THE REFERENCE'S RAG INGEST PIPELINE END-TO-END — prepare
+    * (classify → frontmatter/notebook/rewrite normalize) → chunk →
+    * index build (sparse TF tower + dense e1-encode/IVF tower) →
+    * serve, in ONE call (reference: zc_agent/prepare_data.py:193-224
+    * → load_data.py:28-57 → search_tools.py:7-17; p1's composition
+    * statement applied to the RAG surface). Emits the build report:
+    * one row per stage with exact-integer evidence —
+    *
+    *   ord stage        n_rows              aux
+    *   0   input        docs                Σ chars
+    *   1   classify     kept (doc|code)     skipped
+    *   2   normalize    routed bodies       Σ body chars
+    *   3   chunk        chunks              Σ chunk chars
+    *   4   tf_index     postings            distinct terms
+    *   5   dense_index  vectors             Σ u_sum (exact int
+    *                                        checksum of EVERY dim of
+    *                                        every chunk vector)
+    *   6   serving      top-5 BM25 hits     Σ hit chunk_ids
+    *
+    * The serving row runs the standard query against the BUILT
+    * sparse tower through r8's own scoring core — the gate fails if
+    * any upstream stage (classify routing, body normalization,
+    * chunk boundaries, tokenization, TF counts) drifted by one char.
+    * Every cell is an exact integer; floats never enter the hash.
+    *
+    * Scale: the build is staged once per corpus ([[ragRoot]]); the
+    * report is 7 one-row aggregates over the staged tables unioned
+    * in-plan (p1's metadata-cheap report shape); serving reads the
+    * staged TF tower only.
+    */
+  def p2RagIngest(t: Tables, k: Int = 5): DataFrame = {
+    val tbl = ragTables(t)
+    val docs = t.documents
+    val cls = docs.select(col("doc_id"), col("source"))
+      .withColumn("filepath", Ingest.synthFilepath)
+      .withColumn("kept",
+        Ingest.actionOf(col("filepath")).isin("doc", "code").cast("long"))
+    val serve = Search.searchBm25From(
+      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
+      Search.queryTerms, k)
+    val rows = Seq(
+      docs.agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).cast("long").as("aux"))
+        .select(lit(0).as("ord"), lit("input").as("stage"),
+          col("n_rows"), col("aux")),
+      cls.agg(sum(col("kept")).as("n_rows"),
+        (count(lit(1)) - sum(col("kept"))).cast("long").as("aux"))
+        .select(lit(1).as("ord"), lit("classify").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("routed").agg(count(lit(1)).as("n_rows"),
+        sum(length(col("body"))).cast("long").as("aux"))
+        .select(lit(2).as("ord"), lit("normalize").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("chunks").agg(count(lit(1)).as("n_rows"),
+        sum(length(col("chunk"))).cast("long").as("aux"))
+        .select(lit(3).as("ord"), lit("chunk").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("tf").agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("term")).cast("long").as("aux"))
+        .select(lit(4).as("ord"), lit("tf_index").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("enc").agg(count(lit(1)).as("n_rows"),
+        sum(col("u_sum")).cast("long").as("aux"))
+        .select(lit(5).as("ord"), lit("dense_index").as("stage"),
+          col("n_rows"), col("aux")),
+      serve.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("aux"))
+        .select(lit(6).as("ord"), lit("serving").as("stage"),
+          col("n_rows"), col("aux")))
+    rows.reduce(_ unionByName _).orderBy("ord")
+  }
+
   /** Shared SQL fragments: the scored corpus (tokens + every stage
     * signal) and the five stage CTEs — the oracle replays the exact
     * expression trees the engine fuses.
@@ -202,7 +351,134 @@ object Pipeline {
       |st5 AS (SELECT * FROM st4 WHERE doc_id % 97 <> 0
       |  AND doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
 
+  /** p2's replay: classify (r1's CTEs), the three normalize routes
+    * (r2 strip / r12 notebook markdown / r16 rewrite — each the
+    * named operator's own proven oracle fragment), r4's chunk rule,
+    * chunk-granularity TF, r8's BM25 chain over it, and e1's
+    * integer-exact dim checksum — then the 7 report rows.
+    */
+  private val p2Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source, lang, n_chars, text,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'repo-main/' || source || '/'
+      |         ELSE 'repo-main/' || source || '/' ||
+      |              CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END ||
+      |              'file_' || doc_id || '.' ||
+      |              (['md','mdx','py','sql','java','ipynb','txt','png'])[CAST(doc_id % 8 AS INT) + 1]
+      |    END AS filepath
+      |  FROM documents),
+      |cl AS (
+      |  SELECT *, regexp_extract(str_split(lower(filepath), '/')[-1],
+      |                           '\.([^.]*)$', 1) AS ext,
+      |    CASE WHEN filepath LIKE '%/' THEN 'skip_dir'
+      |         WHEN str_split(lower(filepath), '/')[-1] LIKE '.%' THEN 'skip_hidden'
+      |         WHEN regexp_extract(str_split(lower(filepath), '/')[-1], '\.([^.]*)$', 1)
+      |              NOT IN ('md','mdx','py','sql','java','ipynb') THEN 'skip_ext'
+      |         WHEN regexp_extract(str_split(lower(filepath), '/')[-1], '\.([^.]*)$', 1)
+      |              IN ('md','mdx') THEN 'doc'
+      |         ELSE 'code' END AS action
+      |  FROM f),
+      |docb AS (
+      |  SELECT doc_id, regexp_replace(
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '---' || chr(10) || 'title: doc ' || doc_id || chr(10) ||
+      |              'tags: t' || (doc_id % 5) || chr(10) ||
+      |              'author: a' || (doc_id % 7) || chr(10) || '---' || chr(10) || text
+      |         ELSE text END,
+      |    '(?s)^---\n.*?\n---\n', '') AS body
+      |  FROM cl WHERE action = 'doc'),
+      |nbj AS (
+      |  SELECT doc_id,
+      |    '{"cells":[{"cell_type":"markdown","source":"# doc ' || doc_id ||
+      |    '\nlen=' || n_chars || '"},{"cell_type":"code","source":"print(''' ||
+      |    md5(text) || ''')"},{"cell_type":"raw","source":"no-export"},' ||
+      |    '{"cell_type":"code","source":"x = ' || (doc_id % 7) || '"}]}' AS j
+      |  FROM cl WHERE action = 'code' AND ext = 'ipynb'),
+      |nbc AS (
+      |  SELECT doc_id,
+      |    [json_extract_string(j, '$.cells[' || CAST(i AS INT) || '].cell_type')
+      |     FOR i IN range(0, CAST(json_array_length(j, '$.cells') AS BIGINT))] AS types,
+      |    [json_extract_string(j, '$.cells[' || CAST(i AS INT) || '].source')
+      |     FOR i IN range(0, CAST(json_array_length(j, '$.cells') AS BIGINT))] AS srcs
+      |  FROM nbj),
+      |nbb AS (
+      |  SELECT doc_id, array_to_string(
+      |    [CASE WHEN types[CAST(i AS INT)] = 'code'
+      |          THEN '```python' || chr(10) || srcs[CAST(i AS INT)] || chr(10) || '```'
+      |          ELSE srcs[CAST(i AS INT)] END
+      |     FOR i IN range(1, len(types) + 1)
+      |     IF types[CAST(i AS INT)] IN ('markdown', 'code')],
+      |    chr(10) || chr(10)) AS body
+      |  FROM nbc),
+      |codeb AS (
+      |  SELECT doc_id,
+      |    '# ' || lang || chr(10) || array_to_string(tk[1:12], ' ') ||
+      |    chr(10) || '(rewritten)' AS body
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                      x -> x <> '') AS tk
+      |        FROM cl WHERE action = 'code' AND ext <> 'ipynb')),
+      |routed AS (
+      |  SELECT * FROM docb UNION ALL SELECT * FROM nbb
+      |  UNION ALL SELECT * FROM codeb),
+      |ch AS (
+      |  SELECT doc_id * 1000000 + start AS chunk_id,
+      |    substring(body, CAST(start AS INT) + 1, 200) AS chunk
+      |  FROM (SELECT doc_id, body, unnest(range(0, length(body), 100)) AS start
+      |        FROM routed WHERE length(body) > 0) o
+      |  WHERE start = 0 OR start - 100 + 200 <= length(body)),
+      |ctok AS (
+      |  SELECT chunk_id, t AS term FROM (
+      |    SELECT chunk_id,
+      |      unnest(regexp_split_to_array(lower(chunk), '[^a-z0-9]+')) AS t
+      |    FROM ch) u
+      |  WHERE t <> ''),
+      |ctf AS (SELECT chunk_id, term, count(*) AS tf FROM ctok
+      |        GROUP BY chunk_id, term),
+      |cdl AS (SELECT chunk_id, sum(tf) AS dl FROM ctf GROUP BY chunk_id),
+      |cstats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM cdl),
+      |cd AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+      |cidf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
+      |         FROM cd, cstats),
+      |cq AS (SELECT unnest(['spark','filter','join','window','group']) AS term),
+      |cc AS (SELECT ctf.chunk_id,
+      |         cidf.idf_bm * ctf.tf * 2.2 /
+      |           (ctf.tf + 1.2 * (0.25 + 0.75 * cdl.dl / cstats.avgdl)) AS contrib
+      |       FROM ctf JOIN cq USING (term) JOIN cidf USING (term)
+      |            JOIN cdl USING (chunk_id), cstats),
+      |serve AS (SELECT chunk_id, round(sum(contrib), 4) AS score FROM cc
+      |          GROUP BY chunk_id ORDER BY score DESC, chunk_id LIMIT 5),
+      |uenc AS (
+      |  SELECT chunk_id,
+      |    CAST(list_sum(
+      |      [CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 8))
+      |            AS UBIGINT)
+      |       FOR j IN range(0, 64)]) AS BIGINT) AS u_sum
+      |  FROM ch)
+      |SELECT * FROM (
+      |  SELECT 0 AS ord, 'input' AS stage, count(*) AS n_rows,
+      |    CAST(sum(length(text)) AS BIGINT) AS aux FROM documents
+      |  UNION ALL
+      |  SELECT 1, 'classify',
+      |    CAST(sum(CASE WHEN action IN ('doc','code') THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN action IN ('doc','code') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM cl
+      |  UNION ALL
+      |  SELECT 2, 'normalize', count(*), CAST(sum(length(body)) AS BIGINT)
+      |  FROM routed
+      |  UNION ALL
+      |  SELECT 3, 'chunk', count(*), CAST(sum(length(chunk)) AS BIGINT) FROM ch
+      |  UNION ALL
+      |  SELECT 4, 'tf_index', count(*),
+      |    CAST(count(DISTINCT term) AS BIGINT) FROM ctf
+      |  UNION ALL
+      |  SELECT 5, 'dense_index', count(*), CAST(sum(u_sum) AS BIGINT) FROM uenc
+      |  UNION ALL
+      |  SELECT 6, 'serving', count(*), CAST(sum(chunk_id) AS BIGINT) FROM serve)
+      |ORDER BY ord""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "p2_rag_ingest" -> p2Sql,
     // the full funnel replayed: every stage signal from the shared
     // scored CTE, six per-stage aggregates, n_in threaded by hand
     "p1_curation_funnel" ->

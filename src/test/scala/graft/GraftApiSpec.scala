@@ -1017,4 +1017,27 @@ class GraftApiSpec extends SparkSpec {
         (r.getAs[Long]("n_tok") * 4.0).toLong)
     }
   }
+
+  test("ragNormalize routes REAL content by path: frontmatter strips " +
+      "from md, ipynb parses to markdown, code rewrites, skips drop") {
+    val s = spark
+    import s.implicits._
+    val nb = """{"cells":[{"cell_type":"markdown","source":"# hi"},""" +
+      """{"cell_type":"code","source":"x = 1"},""" +
+      """{"cell_type":"raw","source":"drop-me"}]}"""
+    val in = Seq(
+      (1L, "repo/guide.md", "en", "---\ntitle: t\n---\nguide body"),
+      (2L, "repo/nb.ipynb", "en", nb),
+      (3L, "repo/tool.py", "en", "The quick brown fox jumps"),
+      (4L, "repo/.hidden.md", "en", "never"),
+      (5L, "repo/img.png", "en", "never"),
+      (6L, "repo/dir/", "en", "never")
+    ).toDF("id", "path", "lang", "text")
+    val out = Graft.ragNormalize(in, "id", "path", "lang", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "classify gate drifted")
+    assert(out(1L) == "guide body")
+    assert(out(2L) == "# hi\n\n```python\nx = 1\n```")
+    assert(out(3L) == "# en\nthe quick brown fox jumps\n(rewritten)")
+  }
 }

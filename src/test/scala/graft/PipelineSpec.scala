@@ -94,4 +94,135 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(curated == docs("decontaminate"))
   }
+
+  // ------------------------------------------------------------------
+  // p2: the RAG ingest pipeline's composition claims
+  // ------------------------------------------------------------------
+
+  private def p2Report: Map[String, (Long, Long)] =
+    run("p2_rag_ingest").collect().map { r =>
+      r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("aux")))
+    }.toMap
+
+  test("p2 classify stage = r1's own action census; every routed " +
+      "body equals the named operator's own output (r2 body_md5 for " +
+      "docs, r12 md_md5 for notebooks, r16 out_md5 for code)") {
+    val t = Tables(spark, sf)
+    val rep = p2Report
+    val r1 = run("r1_classify_files").groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = r1.getOrElse("doc", 0L) + r1.getOrElse("code", 0L)
+    assert(rep("classify") == ((kept, r1.values.sum - kept)))
+    val cls = run("r1_classify_files").select("doc_id", "ext", "action")
+    val routed = graft.operators.Pipeline.ragTables(t)("routed")
+      .select(col("doc_id"), md5(col("body")).as("m"))
+    assert(rep("normalize")._1 == kept, "normalize row lost kept docs")
+    def mismatches(ids: org.apache.spark.sql.DataFrame,
+        opOut: org.apache.spark.sql.DataFrame): Long =
+      routed.join(ids, "doc_id").join(opOut, "doc_id")
+        .filter(col("m") =!= col("op_md5")).count()
+    assert(mismatches(
+      cls.filter(col("action") === "doc").select("doc_id"),
+      run("r2_frontmatter")
+        .select(col("doc_id"), col("body_md5").as("op_md5"))) == 0,
+      "a doc-routed body diverged from r2's own strip")
+    assert(mismatches(
+      cls.filter(col("action") === "code" && col("ext") === "ipynb")
+        .select("doc_id"),
+      run("r12_notebook_cells")
+        .select(col("doc_id"), col("md_md5").as("op_md5"))) == 0,
+      "an ipynb-routed body diverged from r12's own markdown export")
+    assert(mismatches(
+      cls.filter(col("action") === "code" && col("ext") =!= "ipynb")
+        .select("doc_id"),
+      run("r16_llm_rewrite")
+        .select(col("doc_id"), col("out_md5").as("op_md5"))) == 0,
+      "a code-routed body diverged from r16's own rewrite")
+  }
+
+  test("p2 chunk stage = r4's sliding rule over the routed bodies; " +
+      "tf tower = r5's termFreq shape at chunk granularity") {
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val expected = graft.api.Graft
+      .chunk(tbl("routed"), "doc_id", "body", 200, 100)
+      .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
+        md5(col("chunk")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val staged = tbl("chunks")
+      .select(col("chunk_id"), md5(col("chunk")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(staged == expected, "staged chunks drifted from r4's rule")
+    val tfRecomputed = tbl("chunks")
+      .select(col("chunk_id"),
+        explode(graft.functions.Text.tokenize(col("chunk"))).as("term"))
+      .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val tfStaged = tbl("tf").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    assert(tfStaged == tfRecomputed, "tf tower drifted from r5's shape")
+  }
+
+  test("p2 serving answers r8/r18 queries from the BUILT towers: " +
+      "BM25 top-5 reconciles with the report row; the dense tower " +
+      "serves cosine top-k; RRF fuses both") {
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val rep = p2Report
+    // r8's query through the staged sparse tower = the gated row
+    val lex = graft.operators.Search.searchBm25From(
+      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
+      graft.operators.Search.queryTerms, 5)
+    val hits = lex.collect()
+    assert(rep("serving") ==
+      ((hits.length.toLong, hits.map(_.getLong(0)).sum)))
+    // the dense tower: brute-force cosine against the FIRST chunk's
+    // vector — unit self-similarity, full k, scores in [-1, 1]
+    val enc = tbl("enc")
+    val probeId = enc.agg(min("vec_id")).head().getLong(0)
+    val probe = enc.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val dense2 = enc.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.Vectors.cosine(
+          col("embedding").cast("array<double>"), col("pv")), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+    val dRows = dense2.collect()
+    assert(dRows.length == 10)
+    assert(dRows.forall(r => math.abs(r.getDouble(1)) <= 1.0001))
+    // r18's fusion over the two built towers
+    val fused = graft.api.Graft.rrfFuse(
+      Seq(lex, dense2), "doc_id", "score", 10, 60).collect()
+    assert(fused.nonEmpty && fused.length <= 10)
+    val rrfs = fused.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)), "rrf not descending")
+  }
+
+  test("p2 dense tower: IVF assignment is total, list ids bounded " +
+      "by the auto-sized codebook, and the build is deterministic") {
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val nVec = tbl("enc").count()
+    val dense = tbl("dense")
+    assert(dense.count() == nVec, "an encoded chunk missed assignment")
+    val nLists = graft.operators.Ann.ivfConfigFor(nVec)
+    val bad = dense.filter(col("cid") < 0 || col("cid") >= nLists).count()
+    assert(bad == 0, s"cid outside [0, $nLists)")
+    // retrain from the staged encodes → bit-identical assignment
+    val vecs = tbl("enc").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cb = graft.operators.Ann.trainCodebookSampled(vecs, nLists, nVec,
+      dim = graft.operators.Embed.dim)
+    val re = vecs.select(col("vec_id"),
+      element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+        .as("cid2"))
+    assert(dense.join(re, "vec_id")
+      .filter(col("cid") =!= col("cid2")).count() == 0,
+      "IVF assignment not deterministic")
+  }
 }
