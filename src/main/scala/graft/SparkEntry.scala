@@ -166,7 +166,9 @@ object SparkEntry {
     "st16_stream_manifest_sink" -> q(graft.streaming.Streams.st16StreamManifestSink),
     "st18_stream_cdc_follow" -> q(graft.streaming.Streams.st18StreamCdcFollow),
     "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations),
-    "st21_backfill_tail"  -> q(graft.streaming.Streams.st21BackfillThenTail)
+    "st21_backfill_tail"  -> q(graft.streaming.Streams.st21BackfillThenTail),
+    "st22_stream_curate"  -> q(graft.streaming.Streams.st22StreamCurate),
+    "st23_stream_embed"   -> q(graft.streaming.Streams.st23StreamEmbed(_))
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
@@ -176,5 +178,10 @@ object SparkEntry {
     Relational.oracle ++ Ingest.oracle ++ Search.oracle ++
       EvalMetrics.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
       Ann.oracle ++ Multimodal.oracle ++ graft.sources.Io.oracle ++
-      graft.streaming.Streams.oracle ++ Pipeline.oracle ++ Embed.oracle
+      graft.streaming.Streams.oracle ++ Pipeline.oracle ++ Embed.oracle ++
+      Map(
+        // the streaming twins equal their batch operators under
+        // exactly-once arrivals — the batch oracles gate them verbatim
+        "st22_stream_curate" -> Pipeline.oracle("p1_curation_funnel"),
+        "st23_stream_embed"  -> Embed.oracle("e1_embed_batch"))
 }

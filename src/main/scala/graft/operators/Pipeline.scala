@@ -42,14 +42,17 @@ object Pipeline {
     * (doc_id, n_bpe, ...signals). Shared by the funnel query and the
     * `Graft.curate` facade (whose answer is the LAST frame).
     */
-  private[graft] def stages(docs: DataFrame, qualityMin: Double,
-      k: Int, benchMod: Long): Seq[(String, DataFrame)] = {
-    graft.Caches.fresh()
+  /** The fused per-doc signal projection every p1 stage (and st22's
+    * per-batch twin) filters on: ONE tokenize pass, quality score,
+    * language profile scores, BPE count, shingles — no shuffle, no
+    * caching (callers own their cache scope).
+    */
+  private[graft] def scoredProjection(docs: DataFrame,
+      k: Int): DataFrame = {
     val profiles = TextAnalysis.profiles
     def pScore(words: Seq[String]): Column =
       size(filter(col("tk"), tk => tk.isin(words.map(w => w: Any): _*)))
-    // one tokenize pass; every stage signal is a fused projection
-    val scored = graft.Caches.materialized(docs
+    docs
       .select(col("doc_id"), col("text"),
         length(col("text")).as("n_chars_t"),
         Text.tokenize(col("text")).as("tk"))
@@ -63,17 +66,42 @@ object Pipeline {
         lit(0.4) * least(col("n_chars_t") / 500.0, lit(1.0)) +
           lit(0.3) * (size(array_distinct(col("tk"))) / col("n_tok")) +
           lit(0.3) * (col("s_en") / col("n_tok"))))
-      .withColumn("sh", Text.shinglesFast(k)(col("tk"))))
+      .withColumn("sh", Text.shinglesFast(k)(col("tk")))
+  }
+
+  /** p1's quality-cut predicate (stage 1) over a scored frame. */
+  private[graft] def qualityPass(qualityMin: Double): Column =
+    col("n_tok") > 0 && col("q_score") >= qualityMin
+
+  /** p1's language-filter predicate (stage 2): t1's argmax with t1's
+    * tie order ('de' wins an en/de tie) — keep docs the ID calls
+    * English.
+    */
+  private[graft] def langPass: Column = {
+    val mx = greatest(TextAnalysis.profiles.map { case (l, _) =>
+      col(s"s_$l") }: _*)
+    col("s_en") === mx && col("s_de") =!= mx
+  }
+
+  /** p1's near-dup fingerprint (t4's winnowing min-5-gram md5);
+    * shingle-less docs have none.
+    */
+  private[graft] def fingerprintCol: Column =
+    when(size(col("sh")) > 0, array_min(transform(col("sh"), s => md5(s))))
+
+  private[graft] def stages(docs: DataFrame, qualityMin: Double,
+      k: Int, benchMod: Long): Seq[(String, DataFrame)] = {
+    graft.Caches.fresh()
+    // one tokenize pass; every stage signal is a fused projection
+    val scored = graft.Caches.materialized(scoredProjection(docs, k))
 
     // stage 1: t2's quality cut (token-less docs are unscoreable →
     // dropped, t2's own domain rule)
-    val st1 = scored.filter(col("n_tok") > 0 &&
-      col("q_score") >= qualityMin)
+    val st1 = scored.filter(qualityPass(qualityMin))
 
     // stage 2: t1's argmax with t1's tie order (profiles seq order:
     // 'de' wins an en/de tie) — keep docs the ID calls English
-    val mx = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
-    val st2 = st1.filter(col("s_en") === mx && col("s_de") =!= mx)
+    val st2 = st1.filter(langPass)
 
     // stage 3: exact dedup — keep-min-id per content md5 (d1's policy
     // at document granularity)
@@ -85,8 +113,7 @@ object Pipeline {
     // stage 4: near dedup — keep-min-id per t4 winnowing fingerprint
     // (min 5-gram md5); shingle-less docs have no fingerprint → kept
     val st4 = st3
-      .withColumn("fingerprint", when(size(col("sh")) > 0,
-        array_min(transform(col("sh"), s => md5(s)))))
+      .withColumn("fingerprint", fingerprintCol)
       .withColumn("rk_n", row_number().over(
         Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
       .filter(col("fingerprint").isNull || col("rk_n") === 1)

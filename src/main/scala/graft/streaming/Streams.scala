@@ -3052,7 +3052,247 @@ object Streams {
       sys.error(s"st20Serving: serving root ${st.root} has no codebook")))
   }
 
+  /** st23: STREAMING EMBEDDING ENCODE — e1's batched inference pass
+    * at the sink: arriving documents encode through the SAME
+    * mapPartitions batch client under the PINNED model version
+    * (st11's contract applied to the encoder — the model never
+    * changes mid-stream; retraining is a new version via st20's
+    * migration). Pure stateless per-batch projection: no state
+    * store, no join, nothing grows — the shape a production
+    * embedding-at-ingest pass has. Emissions are arrival-order- and
+    * batch-boundary-independent (e1's stub is a per-record pure
+    * function) ⇒ batch e1's oracle gates the stream output verbatim.
+    */
+  def st23StreamEmbed(t: Tables, batchSize: Int = 32): DataFrame = {
+    val spark = t.spark
+    val name = s"st23_sink_${ctr.incrementAndGet()}"
+    val path = s"${t.dir}/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(t, path, "doc_id"))
+      .select("doc_id", "text")
+    val q = graft.operators.Embed
+      .encodeFrame(docs, "doc_id", "text", batchSize)
+      .select(col("vec_id"), col("model"),
+        lit(graft.operators.Embed.dim).as("n_dim"),
+        col("u_sum"), col("u_md5"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy("vec_id")
+  }
+
+  // ------------------------------------------------------------------
+  // st22: STREAMING CURATION — p1's funnel at the sink
+  // ------------------------------------------------------------------
+
+  /** The four TableLog destinations one st22 batch commits, all
+    * tagged `b<bid>`: survivors (the curated set), per-stage
+    * attrition stats, and the two dedup-key registries the
+    * cross-batch stages consult. A torn batch (crash between logs)
+    * HEALS on redelivery — each log skips only its own committed
+    * part (io16/st19's multi-destination contract).
+    */
+  private[graft] case class St22Roots(root: String) {
+    val main: String = s"$root/main"
+    val stats: String = s"$root/stats"
+    val md5s: String = s"$root/state_md5"
+    val fps: String = s"$root/state_fp"
+    def logs: Seq[graft.sources.TableLog] =
+      Seq(main, stats, md5s, fps).map(graft.sources.TableLog.open)
+  }
+
+  private[graft] val st22MainSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_bpe INT, q_score DOUBLE")
+  private[graft] val st22StatsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "ord BIGINT, stage STRING, n_out BIGINT, toks_out BIGINT")
+  private[graft] val st22KeySchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, key STRING")
+
+  /** ONE st22 sink step: the arriving batch runs p1's funnel — t2
+    * quality cut, t1 language filter, exact dedup (in-batch keep-min
+    * + anti-join against the COMMITTED md5 registry), t4 near dedup
+    * (same, fingerprint registry), d7 decontamination against the
+    * PINNED bench shingle frame — then survivors, the batch's
+    * per-stage attrition rows, and the two registry deltas land as
+    * tagged commits. Cross-batch keep-min-id equals batch p1's
+    * because arrivals are doc_id-ascending (the staged split): the
+    * min-id member of any dup group arrives first and registers its
+    * key before any later member probes it.
+    *
+    * Scale: every state probe is an arrivals×registry equi-join
+    * (broadcast-able batch side); registries grow with DISTINCT
+    * keys, not arrivals; the bench side is the pinned eval-suite
+    * broadcast; nothing corpus-wide runs inline.
+    */
+  private[graft] def st22Step(
+      spark: org.apache.spark.sql.SparkSession, roots: St22Roots,
+      bench: DataFrame, batch: DataFrame, bid: Long,
+      qualityMin: Double = 0.35, k: Int = 5,
+      benchMod: Long = 97): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = s"b$bid"
+    val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
+    if (Seq(mainLog, statsLog, md5Log, fpLog)
+        .forall(_.tagVersion(tag).isDefined)) return
+    val scored = graft.operators.Pipeline
+      .scoredProjection(batch, k).persist()
+    // a registry is probed AS OF BEFORE this batch: a torn retry
+    // whose registry side already committed (tag present) must not
+    // see its OWN keys, or the recomputed stages read as fully
+    // deduped and the healed stats side lands zeros — the retry has
+    // to reproduce the original batch's state view exactly
+    def stateBefore(log: graft.sources.TableLog): DataFrame =
+      log.read(spark, st22KeySchema,
+        log.tagVersion(tag).map(_ - 1)
+          .orElse(log.latestVersion).getOrElse(-1L))
+    try {
+      val s1 = scored.filter(
+        graft.operators.Pipeline.qualityPass(qualityMin))
+      val s2 = s1.filter(graft.operators.Pipeline.langPass)
+      // exact dedup: committed registry first (state keys all carry
+      // smaller ids than any arrival — ascending delivery), then the
+      // in-batch keep-min window
+      val seenMd5 = stateBefore(md5Log).select("key")
+      val s2k = s2.withColumn("key", md5(col("text")))
+      val s3 = s2k.join(seenMd5, Seq("key"), "left_anti")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1).drop("rk")
+      // near dedup: fingerprint registry over exact survivors;
+      // fingerprint-less docs bypass and never register
+      val seenFp = stateBefore(fpLog).select(col("key").as("fp"))
+      val s3f = s3.drop("key")
+        .withColumn("fp", graft.operators.Pipeline.fingerprintCol)
+      val s4 = s3f.filter(col("fp").isNull)
+        .unionByName(s3f.filter(col("fp").isNotNull)
+          .join(seenFp, Seq("fp"), "left_anti")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1).drop("rk"))
+      // decontamination: d7's contract against the PINNED bench set
+      val contaminated = scored
+        .filter(col("doc_id") % benchMod =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s5"))
+        .join(graft.Guards.sizedBroadcast(bench), "s5")
+        .select("doc_id").distinct()
+      val s5 = s4.filter(col("doc_id") % benchMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // land all four destinations, each tag-idempotent
+      def landKeys(log: graft.sources.TableLog, dir: String,
+          keys: DataFrame): Unit =
+        if (log.tagVersion(tag).isEmpty) {
+          keys.select(xxhash64(col("key")).as("k"), col("key"))
+            .write.mode("overwrite").parquet(dir)
+          graft.sources.TableLog.commitDir(spark, log, dir, "k",
+            st22KeySchema, tag)
+          ()
+        }
+      if (mainLog.tagVersion(tag).isEmpty) {
+        val dir = s"${roots.main}/$tag"
+        s5.select(col("doc_id"), col("n_bpe"), col("q_score"))
+          .write.mode("overwrite").parquet(dir)
+        graft.sources.TableLog.commitDir(spark, mainLog, dir, "doc_id",
+          st22MainSchema, tag)
+      }
+      if (statsLog.tagVersion(tag).isEmpty) {
+        val stageFrames = Seq("input" -> scored, "quality" -> s1,
+          "language" -> s2, "exact_dedup" -> s3, "near_dedup" -> s4,
+          "decontaminate" -> s5)
+        val rows = stageFrames.zipWithIndex.map { case ((n, df), i) =>
+          df.agg(count(lit(1)).as("n_out"),
+              coalesce(sum(col("n_bpe")), lit(0L)).as("toks_out"))
+            .select(lit(i.toLong).as("ord"), lit(n).as("stage"),
+              col("n_out"), col("toks_out"))
+        }.reduce(_ unionByName _)
+        val dir = s"${roots.stats}/$tag"
+        rows.write.mode("overwrite").parquet(dir)
+        graft.sources.TableLog.commitDir(spark, statsLog, dir, "ord",
+          st22StatsSchema, tag)
+      }
+      // registries record EVERY doc that reached their stage (the
+      // kept one is the min id — later arrivals of the key must
+      // block whichever batch they land in)
+      landKeys(md5Log, s"${roots.md5s}/$tag",
+        s2.select(md5(col("text")).as("key")).distinct()
+          .join(seenMd5.select(col("key")), Seq("key"), "left_anti"))
+      landKeys(fpLog, s"${roots.fps}/$tag",
+        s3.drop("key")
+          .withColumn("key", graft.operators.Pipeline.fingerprintCol)
+          .filter(col("key").isNotNull).select("key").distinct()
+          .join(seenFp.select(col("fp").as("key")), Seq("key"),
+            "left_anti"))
+    } finally { scored.unpersist(); () }
+  }
+
+  /** st22's staged run: pin the bench shingle frame off the static
+    * corpus (the versioned-contamination-screen contract st9/st12
+    * established — batch p1 derives the SAME set, so stream and
+    * batch agree by construction), then drive every micro-batch
+    * through [[st22Step]].
+    */
+  private[graft] def st22Root(t: Tables, qualityMin: Double = 0.35,
+      k: Int = 5, benchMod: Long = 97): String =
+    graft.Staging.dir(s"${t.dir}:st22", "st22") { d =>
+      val spark = t.spark
+      val path = s"${t.dir}/documents.parquet"
+      val schema = spark.read.parquet(path).schema
+      graft.Caches.fresh()
+      val bench = graft.Caches.materialized(
+        graft.operators.Pipeline.scoredProjection(
+            spark.read.parquet(path).select("doc_id", "text"), k)
+          .filter(col("doc_id") % benchMod === 0)
+          .select(explode(col("sh")).as("s5")).distinct())
+      val roots = St22Roots(d)
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir(t, path, "doc_id"))
+        .select("doc_id", "text")
+      val q = docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          st22Step(spark, roots, bench, batch.toDF(), bid,
+            qualityMin, k, benchMod)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+  /** st22: STREAMING CURATION — p1's quality→language→dedup→
+    * decontaminate funnel AT THE SINK: each micro-batch curates
+    * under pinned thresholds and its survivors + attrition land
+    * batch-atomically (tagged commits; redelivery no-ops, torn
+    * batches heal). The gated answer is the accumulated funnel
+    * report — p1's columns, p1's ORACLE VERBATIM, because per-stage
+    * totals are additive over batches once the cross-batch dedup
+    * registries enforce the same keep-min-id policy batch p1
+    * computes in one pass.
+    */
+  def st22StreamCurate(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = t.spark
+    val roots = St22Roots(st22Root(t))
+    val statsLog = graft.sources.TableLog.open(roots.stats)
+    statsLog.read(spark, st22StatsSchema,
+        statsLog.latestVersion.getOrElse(-1L))
+      .groupBy("ord", "stage")
+      .agg(sum("n_out").as("n_out"), sum("toks_out").as("toks_out"))
+      .withColumn("n_in", coalesce(
+        lag(col("n_out"), 1).over(Window.orderBy("ord")),
+        col("n_out")))
+      .select(col("ord").cast("int").as("ord"), col("stage"),
+        col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("toks_out"))
+      .orderBy("ord")
+  }
+
   val oracle: Map[String, String] = Map(
+    // st22 equals batch p1 under exactly-once arrivals — p1's oracle
+    // gates the stream verbatim (wired in SparkEntry.oracleSql);
+    // st23 likewise serves under e1's oracle
     // the migrated index is the full corpus re-encoded under the
     // current full-corpus codebook, so post-cutover serving equals
     // batch s3 bit-for-bit — its full k-means-replay oracle verbatim

@@ -203,6 +203,80 @@ class PipelineSpec extends SparkSpec {
     assert(rrfs.sameElements(rrfs.sortBy(-_)), "rrf not descending")
   }
 
+  test("st22 = batch p1 under exactly-once arrivals: the accumulated " +
+      "funnel report matches row for row, and the landed survivor " +
+      "set is Graft.curate's own answer") {
+    val t = Tables(spark, sf)
+    val stream = run("st22_stream_curate").collect().map(_.toSeq).toSeq
+    val batch = run("p1_curation_funnel").collect().map(_.toSeq).toSeq
+    assert(stream == batch, "stream funnel diverged from batch p1")
+    // every batch committed one version to EVERY destination
+    val roots = graft.streaming.Streams.St22Roots(
+      graft.Staging.lookup(s"${t.dir}:st22").get)
+    val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
+    assert(mainLog.versions.size >= 2, "stream ran fewer than 2 batches")
+    assert(Seq(statsLog, md5Log, fpLog)
+      .forall(_.versions.size == mainLog.versions.size))
+    val landed = mainLog.read(spark,
+        graft.streaming.Streams.st22MainSchema,
+        mainLog.latestVersion.get)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curated = graft.api.Graft.curate(t.documents, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == curated, "landed survivors != batch curate")
+  }
+
+  test("st22 redelivery no-ops on all four destinations; a torn " +
+      "batch (one side's commit lost) heals without re-landing the " +
+      "committed sides") {
+    val t = Tables(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st22_drill_").toString
+    try {
+      val docs = t.documents.select("doc_id", "text")
+      val bench = graft.operators.Pipeline.scoredProjection(docs, 5)
+        .filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("s5")).distinct()
+      val roots = graft.streaming.Streams.St22Roots(tmp)
+      graft.streaming.Streams.st22Step(spark, roots, bench, docs, 0L)
+      val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
+      assert(roots.logs.forall(_.latestVersion.contains(0L)))
+      val mainFiles = mainLog.snapshot(0L).map(_.path).toSet
+      val statsOnce = statsLog.read(spark,
+          graft.streaming.Streams.st22StatsSchema, 0L)
+        .collect().map(_.toSeq).toSet
+      // redelivery: every tag present ⇒ structural no-op
+      graft.streaming.Streams.st22Step(spark, roots, bench, docs, 0L)
+      assert(roots.logs.forall(_.versions == Seq(0L)),
+        "redelivered batch minted a version")
+      // torn batch: the stats side's commit vanishes (crash between
+      // side commits) — the retry completes ONLY the missing side;
+      // main's files are untouched (its log still references them)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        s"${roots.stats}/_log/v000000000000.commit"))
+      graft.streaming.Streams.st22Step(spark, roots, bench, docs, 0L)
+      val statsLog2 = graft.sources.TableLog.open(roots.stats)
+      assert(statsLog2.tagVersion("b0").isDefined, "torn side not healed")
+      assert(statsLog2.read(spark,
+          graft.streaming.Streams.st22StatsSchema, 0L)
+        .collect().map(_.toSeq).toSet == statsOnce)
+      val mainLog2 = graft.sources.TableLog.open(roots.main)
+      assert(mainLog2.versions == Seq(0L) &&
+        mainLog2.snapshot(0L).map(_.path).toSet == mainFiles,
+        "healing the stats side disturbed main")
+      // the one-batch drill's report equals batch p1 (single batch =
+      // trivially exactly-once)
+      val rep = statsLog2.read(spark,
+          graft.streaming.Streams.st22StatsSchema, 0L)
+        .orderBy("ord").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val p1 = run("p1_curation_funnel").orderBy("ord").collect()
+        .map(r => (r.getAs[Int]("ord").toLong, r.getAs[String]("stage"),
+          r.getAs[Long]("n_out"))).toSeq
+      assert(rep == p1)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("p2 dense tower: IVF assignment is total, list ids bounded " +
       "by the auto-sized codebook, and the build is deterministic") {
     val t = Tables(spark, sf)
