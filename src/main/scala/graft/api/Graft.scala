@@ -1177,6 +1177,20 @@ object Graft {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** VISION-TOKEN PATCH BUDGETING (m6's math on YOUR decode): cut
+    * each image's (w, h) pixel grid into `patch`×`patch` ViT patches
+    * and downscale any image whose patch count exceeds `budget` by
+    * √(budget/patches), dims snapped down to patch multiples — token
+    * cost known and bounded before batch assembly. `wDecode`/
+    * `hDecode` are the caller's decode projections (a real header
+    * parse / codec output); the engine ships only the budgeting
+    * math. Pure fused projection, no shuffle.
+    */
+  def patchBudget(df: DataFrame, idCol: String, wDecode: Column,
+      hDecode: Column, patch: Int = 14, budget: Int = 1024): DataFrame =
+    graft.operators.Multimodal.patchBudgetFrom(df, idCol, wDecode,
+      hDecode, patch, budget)
+
   /** BATCHED EMBEDDING INFERENCE (e1): encode a text column into the
     * `(vec_id, embedding)` table the similarity family serves from —
     * partition-parallel, `batchSize` records per (stub) model

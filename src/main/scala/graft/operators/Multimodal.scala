@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as
@@ -132,16 +132,18 @@ object Multimodal {
     * shuffle, no state; the snap-down floor guarantees
     * patches_fit ≤ budget (w_fit·h_fit ≤ s²·w_s·h_s = budget·p²).
     */
-  def m6PatchBudget(t: Tables, patch: Int = 14,
-      budget: Int = 1024): DataFrame = {
+  /** The REAL budgeting math over caller-supplied (w, h) decode
+    * columns — the swap surface a production pipeline uses: pass the
+    * projections a real header parse / codec emits and every
+    * downstream expression is unchanged (`Graft.patchBudget`). Pure
+    * fused projection; no shuffle.
+    */
+  private[graft] def patchBudgetFrom(df: DataFrame, idCol: String,
+      wDecode: Column, hDecode: Column, patch: Int,
+      budget: Int): DataFrame = {
     val p = lit(patch.toDouble)
-    val md = md5(col("text"))
-    val w = (lit(224) + (conv(substring(md, 1, 6), 16, 10)
-      .cast("long") % 1600)).as("w")
-    val h = (lit(224) + (conv(substring(md, 7, 6), 16, 10)
-      .cast("long") % 1200)).as("h")
-    t.documents
-      .select(col("doc_id"), w, h)
+    df
+      .select(col(idCol), wDecode.as("w"), hDecode.as("h"))
       // snap the raw dims UP to patch multiples (the pixel grid a
       // ViT actually consumes), then count patches
       .withColumn("w_s", (ceil(col("w") / p) * patch).cast("long"))
@@ -156,8 +158,23 @@ object Multimodal {
         (floor(col("h_s") * col("s") / p) * patch).cast("long")))
       .withColumn("img_tokens",
         ((col("w_fit") / patch) * (col("h_fit") / patch)).cast("long"))
-      .select("doc_id", "w", "h", "patches_raw", "w_fit", "h_fit",
-        "img_tokens")
+      .select(col(idCol), col("w"), col("h"), col("patches_raw"),
+        col("w_fit"), col("h_fit"), col("img_tokens"))
+  }
+
+  /** m6's stub decode: (w, h) derive deterministically from the
+    * payload's md5 — the ONE projection a real codec replaces.
+    */
+  private[graft] def stubDims: (Column, Column) = {
+    val md = md5(col("text"))
+    (lit(224) + (conv(substring(md, 1, 6), 16, 10).cast("long") % 1600),
+      lit(224) + (conv(substring(md, 7, 6), 16, 10).cast("long") % 1200))
+  }
+
+  def m6PatchBudget(t: Tables, patch: Int = 14,
+      budget: Int = 1024): DataFrame = {
+    val (w, h) = stubDims
+    patchBudgetFrom(t.documents, "doc_id", w, h, patch, budget)
       .orderBy("doc_id")
   }
 

@@ -1018,6 +1018,28 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("patchBudget takes a real decoder's (w,h) projections: a toy " +
+      "header parse drops in and the budgeting math is unchanged") {
+    val s = spark
+    import s.implicits._
+    val in = Seq((1L, "IMG28x14"), (2L, "IMG1400x1400"),
+      (3L, "IMG13x13")).toDF("id", "hdr")
+    val w = regexp_extract(col("hdr"), "IMG(\\d+)x(\\d+)", 1).cast("long")
+    val h = regexp_extract(col("hdr"), "IMG(\\d+)x(\\d+)", 2).cast("long")
+    val out = Graft.patchBudget(in, "id", w, h, patch = 14, budget = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("patches_raw"), r.getAs[Long]("w_fit"),
+          r.getAs[Long]("h_fit"), r.getAs[Long]("img_tokens")))).toMap
+    // in-budget image: untouched
+    assert(out(1L) == ((2L, 28L, 14L, 2L)))
+    // 10000 raw patches, budget 100 → s = 0.1, dims snap to 140
+    assert(out(2L) == ((10000L, 140L, 140L, 100L)))
+    // sub-patch image snaps UP to one patch
+    assert(out(3L) == ((1L, 14L, 14L, 1L)))
+    // and the budget bound holds by construction
+    out.values.foreach { case (_, _, _, tok) => assert(tok <= 100L) }
+  }
+
   test("ragNormalize routes REAL content by path: frontmatter strips " +
       "from md, ipynb parses to markdown, code rewrites, skips drop") {
     val s = spark
