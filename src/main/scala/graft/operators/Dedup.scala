@@ -524,14 +524,31 @@ object Dedup {
     * so the iteration logic is testable on adversarial graph shapes
     * (long chains) without going through minhash.
     */
+  /** Shuffle-round count of the LAST [[ccGroups]] run — probe/spec
+    * instrumentation for the O(log diameter) convergence claim (the
+    * deep-chain measurement SURVEY §5 records).
+    */
+  private[graft] val lastCcRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def ccGroups(pairs: DataFrame,
       sorted: Boolean = true): DataFrame = {
+    lastCcRounds.set(0)
     val edges = graft.Caches.materialized(
       pairs.union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b"))))
-    var labels = graft.Caches.cached(
-      edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
+    // each round LOCAL-CHECKPOINTS its labels: an iterative frame's
+    // lineage otherwise nests one whole plan per round, and on a
+    // deep-chain graph (log₂(diameter) rounds) the accumulated tree
+    // is exponential — the 100× chain probe OOM'd the DRIVER merely
+    // STRINGIFYING the plan before the cached data was ever large.
+    // Truncation caps every round at a flat scan + two joins, the
+    // standard posture for distributed iterative algorithms
+    // (GraphX/GraphFrames checkpoint their iteration for the same
+    // reason). Blocks of superseded rounds are freed eagerly.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     // coalesce: a dup-free corpus has no edges, and sum over an empty
     // frame is null
     def labelSum(df: DataFrame): Long =
@@ -539,6 +556,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
+      lastCcRounds.incrementAndGet()
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
@@ -552,24 +570,21 @@ object Dedup {
       // the remaining distance to the component root — convergence in
       // O(log diameter) joins instead of O(diameter), the difference
       // between 4 and 40 shuffle rounds on a long dup chain
-      val next = graft.Caches.cached(
-        hop.join(
+      val next = hop.join(
           labels.select(col("doc_id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("ll"), col("label")))
-              .as("label")))
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"))
+        .localCheckpoint() // eager: materializes the round, cuts lineage
       // labels are monotonically non-increasing, so an unchanged sum
-      // IS the fixpoint — and this one scalar agg is ALSO the action
-      // that materializes the iteration's cache (single consumer, no
-      // broadcast race → no separate count() needed)
+      // IS the fixpoint
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
-      // superseded labels are dropped NOW, not at the next operator's
-      // fresh(): storage stays bounded by one iteration's working set
-      // instead of growing with component diameter
-      graft.Caches.drop(labels)
+      // superseded rounds are freed NOW: storage stays bounded by one
+      // iteration's working set instead of growing with log(diameter)
+      labels.unpersist()
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")

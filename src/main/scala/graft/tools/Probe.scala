@@ -145,6 +145,30 @@ object Probe {
       case "d6" => timed("d6",
         graft.operators.Dedup.dedupGroupsFrom(docs, 0.5).count(),
         graft.operators.Dedup.dedupGroupsFrom(replicated(copies), 0.5).count())
+      // the CC registry under the ADVERSARIAL graph: one deep chain
+      // of `copies`·5k nodes (diameter = corpus size — the worst
+      // component shape a dedup corpus can produce) plus the measured
+      // pointer-jump round count, pinning the O(log diameter) claim
+      case "ccchain" =>
+        def chain(n: Long) = {
+          graft.Caches.fresh()
+          val t0 = System.nanoTime()
+          val edges = spark.range(0, n - 1)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+          val groups = graft.operators.Dedup.ccGroups(edges,
+            sorted = false)
+          // one component, every node labeled with the root
+          val ok = groups.agg(count(lit(1)),
+            countDistinct(col("keep_doc"))).collect()(0)
+          val s = (System.nanoTime() - t0) / 1e9
+          (s, graft.operators.Dedup.lastCcRounds.get(),
+            ok.getLong(0), ok.getLong(1))
+        }
+        val (sS, rS, nS, gS) = chain(5000L)
+        val (sB, rB, nB, gB) = chain(copies * 5000L)
+        println(f"PROBE ccchain: 5k-node chain $sS%.1f s, $rS rounds " +
+          f"($nS nodes, $gS roots); ${copies * 5}%dk-node chain " +
+          f"$sB%.1f s, $rB rounds ($nB nodes, $gB roots)")
       case "d7" => timed("d7",
         graft.operators.Dedup.decontaminateFrom(docs).count(),
         graft.operators.Dedup.decontaminateFrom(replicated(copies)).count())
