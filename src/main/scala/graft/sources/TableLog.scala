@@ -355,6 +355,11 @@ final class TableLog(val root: String) {
     */
   def actions(v: Long): Seq[Action] = parse(v)._2
 
+  /** Commit `v`'s tag — the writer's idempotence/metadata key (the
+    * maintained-state rewrite protocol rides its bucket count here).
+    */
+  def tagOf(v: Long): String = parse(v)._1
+
   /** Snapshot at version `v`: start from the greatest checkpoint at
     * or below `v` (if any — the replay-collapse bound), then replay
     * adds/removes of the remaining commits up to v. Paths are unique

@@ -926,19 +926,33 @@ object Streams {
       .SparkSession, root: String, defaultBuckets: Int,
       compactAboveFiles: Int,
       targetBucketBytes: Long = stateTargetBucketBytes) {
-    val bandsDir: String = s"$root/bands"
-    val shDir: String = s"$root/sh"
-    val labelsDir: String = s"$root/labels"
-    val edgesDir: String = s"$root/edges"
+    /** CURRENT table dirs — the generation the root's rewrite log
+      * serves (plain `root/<table>` before the first rewrite),
+      * resolved at open and flipped by the compactor (single-writer
+      * contract, like [[nBucketsRef]]).
+      */
+    private[streaming] val dirsRef =
+      new java.util.concurrent.atomic.AtomicReference[Map[String, String]](
+        St13State.tables.map(t => t -> s"$root/$t").toMap)
+    def bandsDir: String = dirsRef.get()("bands")
+    def shDir: String = dirsRef.get()("sh")
+    def labelsDir: String = dirsRef.get()("labels")
+    def edgesDir: String = dirsRef.get()("edges")
+    def allDirs: Seq[String] = St13State.tables.map(dirsRef.get())
     /** CURRENT bucket count — starts at `defaultBuckets` (or the
-      * persisted count when resuming a root), re-derived from
-      * measured state bytes at compaction ([[stateBucketsFor]]).
-      * Single-writer contract: probes and the compactor share this
-      * handle, so a re-bucketing is visible to every later read.
+      * count the head rewrite commit's tag declares when resuming a
+      * root), re-derived from measured state bytes at compaction
+      * ([[stateBucketsFor]]). Single-writer contract: probes and the
+      * compactor share this handle, so a re-bucketing is visible to
+      * every later read.
       */
     private[streaming] val nBucketsRef =
       new java.util.concurrent.atomic.AtomicInteger(defaultBuckets)
     def nBuckets: Int = nBucketsRef.get()
+  }
+
+  private[graft] object St13State {
+    val tables: Seq[String] = Seq("bands", "sh", "labels", "edges")
   }
 
   /** Hash bucket of a probe key into the bounded [0, nBuckets)
@@ -993,39 +1007,113 @@ object Streams {
     graft.sources.Io.parquetFilesRec(dir)
       .map(java.nio.file.Files.size(_)).sum
 
-  /** CRASH-SAFE state-table swap: the live dir is moved ASIDE first
-    * (`dir` → `dir.old`), the rewrite moved in, and only then the old
-    * copy deleted — a crash at any point leaves either the old or the
-    * new table recoverable ([[recoverStateDir]] at state open), never
-    * a window where the live dir is missing its data for longer than
-    * two directory renames. (A cluster deployment on object storage
-    * replaces these renames with a transactional pointer flip — the
-    * io7 time-travel commit pattern.)
+  // ---- maintained-state REWRITE COMMITS (the ONE recovery story) --
+  //
+  // Every state-table rewrite — compaction, re-bucketing, the st18
+  // mirror merge — publishes through the state root's OWN TableLog,
+  // io12's OPTIMIZE protocol applied to state: the rewrite lands in
+  // a FRESH generation dir (`<table>.g<version>`), and ONE tagged
+  // commit flips every rewritten table (remove the old generation's
+  // files, add the new's) with the re-derived bucket count riding
+  // the TAG — so (tables, count) change as a single atomic unit.
+  // Readers resolve the CURRENT generation from the log snapshot at
+  // state open. A crash BEFORE the commit leaves only an
+  // unreferenced generation dir (swept at open, invisible to every
+  // read); a crash AFTER it leaves superseded bytes that vacuum +
+  // the same sweep reclaim. This deletes the second, hand-rolled
+  // versioning mechanism the marker-era code carried beside
+  // TableLog: the two-rename dir swap, its open-time recovery, the
+  // compaction intent journal, and the count/tables atomicity gap
+  // between them.
+
+  private[graft] def stateLog(root: String): graft.sources.TableLog =
+    graft.sources.TableLog.open(root)
+
+  /** FileEntry list for a landed generation dir — stats come from
+    * the PATH (the `pb=X` / `cid=X` partition value; 0 for an
+    * unpartitioned table): a metadata-only build, no Spark job, no
+    * parquet footer opened.
     */
-  private[graft] def swapStateDir(dir: String, tmp: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    val old = java.nio.file.Paths.get(s"$dir.old")
-    if (java.nio.file.Files.exists(old)) graft.Staging.deleteTree(old)
-    if (java.nio.file.Files.exists(d)) java.nio.file.Files.move(d, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), d)
-    if (java.nio.file.Files.exists(old)) graft.Staging.deleteTree(old)
-    ()
+  private def genEntries(dir: String): Seq[graft.sources.TableLog.FileEntry] =
+    graft.sources.Io.parquetFilesRec(dir).map { f =>
+      val k = Option(f.getParent).map(_.getFileName.toString)
+        .filter(_.contains("="))
+        .flatMap(_.split("=", 2).lift(1))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(0L)
+      graft.sources.TableLog.FileEntry(f.toString, k, k, 0L)
+    }
+
+  /** Resolve the CURRENT dir of each state table under `root`: the
+    * generation the log's head snapshot serves, or the plain
+    * `root/<table>` dir for a root that predates any rewrite commit
+    * (initial appends land there).
+    */
+  private[graft] def resolveStateDirs(root: String,
+      tables: Seq[String]): Map[String, String] = {
+    val log = stateLog(root)
+    val snap = log.latestVersion.map(log.snapshot).getOrElse(Nil)
+      .map(_.path)
+    tables.map { t =>
+      val marker = s"/$t.g"
+      val hit = snap.find(_.contains(marker)).map { p =>
+        val i = p.indexOf(marker) + marker.length
+        p.substring(0, i + p.substring(i).takeWhile(_.isDigit).length)
+      }
+      t -> hit.getOrElse(s"$root/$t")
+    }.toMap
   }
 
-  /** Recovery half of [[swapStateDir]], run at state open: a crash
-    * between the two renames leaves `dir.old` holding the only copy —
-    * restore it; a crash after the second rename leaves a stale
-    * `dir.old` beside a complete `dir` — drop it.
+  /** The bucket count the log's head rewrite commit declared
+    * (`nb=<n>` in its tag), if any — the atomic partner of the
+    * tables it flipped.
     */
-  private def recoverStateDir(dir: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    val old = java.nio.file.Paths.get(s"$dir.old")
-    if (java.nio.file.Files.exists(old)) {
-      if (!java.nio.file.Files.exists(d)) java.nio.file.Files.move(old, d)
-      else graft.Staging.deleteTree(old)
-      ()
+  private[graft] def stateLogBuckets(root: String): Option[Int] = {
+    val log = stateLog(root)
+    log.latestVersion.flatMap { v =>
+      "(?:^|[:;])nb=(\\d+)".r.findFirstMatchIn(log.tagOf(v))
+        .map(_.group(1).toInt)
     }
   }
+
+  /** Publish a completed multi-table rewrite: one tagged commit
+    * removing every previous-generation file and adding the new
+    * generations' — then vacuum the superseded tracked bytes and
+    * sweep every non-current table dir (which also reclaims folded
+    * batch-append files the log never tracked). Returns the commit
+    * version (= the generation number the new dirs carry).
+    */
+  private[graft] def commitStateRewrite(root: String,
+      tables: Seq[String], newDirs: Seq[String], tag: String): Long = {
+    val log = stateLog(root)
+    val prev = log.latestVersion.map(log.snapshot).getOrElse(Nil)
+    val v = log.commit(
+      prev.map(f => graft.sources.TableLog.Remove(f.path)) ++
+        newDirs.flatMap(genEntries).map(graft.sources.TableLog.Add),
+      tag)
+    log.vacuum(retain = 1)
+    sweepStateGenerations(root, tables, resolveStateDirs(root, tables))
+    v
+  }
+
+  /** Delete every `<table>` / `<table>.g<N>` dir that is not the
+    * resolved CURRENT one: torn rewrites (staged, never committed)
+    * and superseded generations (committed away; their untracked
+    * batch-append remnants ride along). Run at state open and after
+    * every rewrite commit.
+    */
+  private[graft] def sweepStateGenerations(root: String,
+      tables: Seq[String], current: Map[String, String]): Unit =
+    tables.foreach { t =>
+      childDirs(root)
+        .filter { d =>
+          val n = d.getFileName.toString
+          (n == t || n.matches(
+            java.util.regex.Pattern.quote(t) + "\\.g\\d+")) &&
+            d.toString != current(t)
+        }
+        .foreach(graft.Staging.deleteTree)
+    }
 
   /** The persisted bucket count for a state root — what makes a
     * RESUMED session compute the same `pb` the writer did after an
@@ -1065,57 +1153,10 @@ object Streams {
   private[graft] def saveStateBuckets(root: String, n: Int): Unit =
     saveMeta(root, "nbuckets.meta", n.toString)
 
-  // ---- compaction crash-atomicity --------------------------------
-  //
-  // An auto-resizing compaction rewrites EVERY bucketed table under a
-  // possibly-new bucket count and then persists that count — a crash
-  // between any two of those steps would leave tables bucketed under
-  // one modulus while a resumed session prunes with another (reads
-  // silently miss rows). The INTENT journal closes the window: all
-  // rewrites land in `.compacting` staging first, then one atomic
-  // intent write records (new count, affected dirs), then the swaps
-  // + count persist run, then the intent is cleared. Open-time
-  // recovery replays a pending intent to completion: any staged dir
-  // still present is swapped in, the recorded count is persisted —
-  // so the (tables, count) pair always changes as one unit.
-
-  private def intentPath(root: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, "compaction.intent")
-
-  private[graft] def writeCompactionIntent(root: String, nb: Int,
-      dirs: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(root, "compaction.intent.tmp")
-    java.nio.file.Files.write(tmp, (nb.toString +: dirs).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, intentPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
-
-  private def clearCompactionIntent(root: String): Unit = {
-    java.nio.file.Files.deleteIfExists(intentPath(root))
-    ()
-  }
-
-  /** Complete an interrupted compaction at state open: swap in any
-    * staged rewrite the intent lists, persist the intended count.
-    */
-  private def recoverCompactionIntent(root: String): Unit = {
-    val p = intentPath(root)
-    if (java.nio.file.Files.exists(p)) {
-      val lines = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-      val nb = lines.head.trim.toInt
-      lines.tail.filter(_.nonEmpty).foreach { dir =>
-        if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$dir.compacting")))
-          swapStateDir(dir, s"$dir.compacting")
-      }
-      saveStateBuckets(root, nb)
-      clearCompactionIntent(root)
-    }
-  }
+  // (The compaction intent journal that used to live here is gone:
+  // the rewrite COMMIT above carries the bucket count in its tag, so
+  // the (tables, count) pair flips atomically by construction and
+  // there is no window for a journal to close.)
 
   // ---- batch-atomic multi-table appends --------------------------
   //
@@ -1487,15 +1528,17 @@ object Streams {
       epoch: Option[String] = None): St13State = {
     val st = St13State(spark, root.getOrElse(graft.Staging.scratch("st13")),
       nBuckets, compactAboveFiles, targetBucketBytes)
-    // crash recovery + the persisted bucket count: a RESUMED root must
-    // compute the same pb the writer did, including after an
-    // auto-resizing compaction changed it mid-history
-    Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir)
-      .foreach(recoverStateDir)
-    recoverCompactionIntent(st.root)
-    recoverUncommitted(st.root,
-      Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir))
-    loadStateBuckets(st.root) match {
+    // crash recovery + the bucket count a RESUMED root must compute
+    // the same pb with: resolve the current generations from the
+    // root's rewrite log, sweep torn/superseded ones, and take the
+    // count the head rewrite's tag declared (pre-first-rewrite roots
+    // fall back to the opening meta so a resumed session matches the
+    // writer's pb even before any compaction ran)
+    val dirs = resolveStateDirs(st.root, St13State.tables)
+    st.dirsRef.set(dirs)
+    sweepStateGenerations(st.root, St13State.tables, dirs)
+    recoverUncommitted(st.root, st.allDirs)
+    stateLogBuckets(st.root).orElse(loadStateBuckets(st.root)) match {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
     }
@@ -1706,43 +1749,47 @@ object Streams {
     // to here (unreachable through the step/retry paths, which wipe
     // first) must be dropped NOW or it would be laundered into
     // consolidated — unwipeable — state
-    recoverUncommitted(st.root,
-      Seq(st.bandsDir, st.shDir, st.labelsDir, st.edgesDir))
+    recoverUncommitted(st.root, st.allDirs)
+    val log = stateLog(st.root)
+    val gen = log.latestVersion.getOrElse(-1L) + 1L
     val nb = stateBucketsFor(
       Seq(st.bandsDir, st.shDir, st.labelsDir).map(stateDirBytes).max,
       st.targetBucketBytes, floor = st.defaultBuckets)
+    // every table's rewrite lands in its NEXT-generation dir; nothing
+    // is visible until the one commit below flips all of them with
+    // the new count riding the tag (crash before it: the staged gens
+    // are unreferenced and the open-time sweep reclaims them)
     val rewrites = Seq(
-      (st.bandsDir, st13BandsSchema,
+      ("bands", st.bandsDir, st13BandsSchema,
         Seq(col("band"), col("sig")), Seq("band", "sig")),
-      (st.shDir, st13ShSchema, Seq(col("doc_id")), Seq("doc_id")),
-      (st.labelsDir, st13LabelsSchema, Seq(col("doc_id")), Seq("doc_id"))
-    ).flatMap { case (dir, schema, keyCols, sortCols) =>
+      ("sh", st.shDir, st13ShSchema, Seq(col("doc_id")), Seq("doc_id")),
+      ("labels", st.labelsDir, st13LabelsSchema,
+        Seq(col("doc_id")), Seq("doc_id"))
+    ).flatMap { case (table, dir, schema, keyCols, sortCols) =>
       if (st13HasData(dir)) {
-        val tmp = s"$dir.compacting"
+        val out = s"${st.root}/$table.g$gen"
         st13Read(st, dir, withPb(schema))
           .drop("pb").withColumn("pb", st13Pb(nb)(keyCols: _*))
           .repartition(col("pb"))
           .sortWithinPartitions(("pb" +: sortCols).map(col): _*)
-          .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-        Some(dir -> tmp)
+          .write.mode("overwrite").partitionBy("pb").parquet(out)
+        Some(table -> out)
       } else None
-    }
-    // all staged rewrites are complete — journal the (count, dirs)
-    // unit, swap, persist, clear (crash anywhere: open-time recovery
-    // replays the journal to completion)
-    writeCompactionIntent(st.root, nb, rewrites.map(_._1))
-    rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
-    st.nBucketsRef.set(nb)
-    saveStateBuckets(st.root, nb)
-    clearCompactionIntent(st.root)
-    if (st13HasData(st.edgesDir)) {
-      val tmp = s"${st.edgesDir}.compacting"
+    } ++ (if (st13HasData(st.edgesDir)) {
+      val out = s"${st.root}/edges.g$gen"
       st13Read(st, st.edgesDir, st13EdgesSchema)
         .coalesce(graft.sources.Io.compactionFileCount(
           st.edgesDir, targetBytes))
-        .write.mode("overwrite").parquet(tmp)
-      swapStateDir(st.edgesDir, tmp)
+        .write.mode("overwrite").parquet(out)
+      Seq("edges" -> out)
+    } else Nil)
+    if (rewrites.nonEmpty) {
+      commitStateRewrite(st.root, St13State.tables,
+        rewrites.map(_._2), tag = s"compact-$gen:nb=$nb")
+      st.dirsRef.set(st.dirsRef.get() ++ rewrites.toMap
+        .map { case (t, d) => t -> d })
     }
+    st.nBucketsRef.set(nb)
     // every committed batch's rows are untagged now — collapse its
     // marker files into the low-water int (bounds the commits dir)
     retireMarkers(st.root)
@@ -1816,15 +1863,24 @@ object Streams {
       .SparkSession, root: String, defaultBuckets: Int,
       compactAboveFiles: Int,
       targetBucketBytes: Long = stateTargetBucketBytes) {
-    val postingsDir: String = s"$root/postings"
-    val doclenDir: String = s"$root/doclen"
-    val statsDir: String = s"$root/stats"
-    /** CURRENT bucket count (st13's contract: persisted, re-derived
-      * from measured bytes at compaction, resumed from the root).
+    private[streaming] val dirsRef =
+      new java.util.concurrent.atomic.AtomicReference[Map[String, String]](
+        St14State.tables.map(t => t -> s"$root/$t").toMap)
+    def postingsDir: String = dirsRef.get()("postings")
+    def doclenDir: String = dirsRef.get()("doclen")
+    def statsDir: String = dirsRef.get()("stats")
+    def allDirs: Seq[String] = St14State.tables.map(dirsRef.get())
+    /** CURRENT bucket count (st13's contract: rides the head rewrite
+      * commit's tag, re-derived from measured bytes at compaction,
+      * resumed from the root's log).
       */
     private[streaming] val nBucketsRef =
       new java.util.concurrent.atomic.AtomicInteger(defaultBuckets)
     def nBuckets: Int = nBucketsRef.get()
+  }
+
+  private[graft] object St14State {
+    val tables: Seq[String] = Seq("postings", "doclen", "stats")
   }
 
   private[graft] def st14PostingsSchema =
@@ -1863,11 +1919,11 @@ object Streams {
       epoch: Option[String] = None): St14State = {
     val st = St14State(spark, root.getOrElse(graft.Staging.scratch("st14")),
       nBuckets, compactAboveFiles, targetBucketBytes)
-    Seq(st.postingsDir, st.doclenDir, st.statsDir).foreach(recoverStateDir)
-    recoverCompactionIntent(st.root)
-    recoverUncommitted(st.root,
-      Seq(st.postingsDir, st.doclenDir, st.statsDir))
-    loadStateBuckets(st.root) match {
+    val dirs = resolveStateDirs(st.root, St14State.tables)
+    st.dirsRef.set(dirs)
+    sweepStateGenerations(st.root, St14State.tables, dirs)
+    recoverUncommitted(st.root, st.allDirs)
+    stateLogBuckets(st.root).orElse(loadStateBuckets(st.root)) match {
       case Some(n) => st.nBucketsRef.set(n)
       case None    => saveStateBuckets(st.root, st.nBuckets)
     }
@@ -2048,38 +2104,43 @@ object Streams {
     val spark = st.spark
     // st13CompactState's defense-in-depth: never fold an uncommitted
     // remnant into untagged (unwipeable) consolidated state
-    recoverUncommitted(st.root,
-      Seq(st.postingsDir, st.doclenDir, st.statsDir))
+    recoverUncommitted(st.root, st.allDirs)
+    val log = stateLog(st.root)
+    val gen = log.latestVersion.getOrElse(-1L) + 1L
     val nb = stateBucketsFor(stateDirBytes(st.postingsDir),
       st.targetBucketBytes, floor = st.defaultBuckets)
     val rewrites = Seq(
-      (st.postingsDir, st14PostingsSchema,
+      ("postings", st.postingsDir, st14PostingsSchema,
         Seq(col("term")), Seq("term", "doc_id")),
-      (st.doclenDir, st14DoclenSchema, Seq(col("doc_id")), Seq("doc_id"))
-    ).flatMap { case (dir, schema, keyCols, sortCols) =>
+      ("doclen", st.doclenDir, st14DoclenSchema,
+        Seq(col("doc_id")), Seq("doc_id"))
+    ).flatMap { case (table, dir, schema, keyCols, sortCols) =>
       if (st13HasData(dir)) {
-        val tmp = s"$dir.compacting"
+        val out = s"${st.root}/$table.g$gen"
         st14Read(spark, dir, st14WithPb(schema))
           .drop("pb").withColumn("pb", st13Pb(nb)(keyCols: _*))
           .repartition(col("pb"))
           .sortWithinPartitions(("pb" +: sortCols).map(col): _*)
-          .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-        Some(dir -> tmp)
+          .write.mode("overwrite").partitionBy("pb").parquet(out)
+        Some(table -> out)
       } else None
-    }
-    writeCompactionIntent(st.root, nb, rewrites.map(_._1))
-    rewrites.foreach { case (dir, tmp) => swapStateDir(dir, tmp) }
-    st.nBucketsRef.set(nb)
-    saveStateBuckets(st.root, nb)
-    clearCompactionIntent(st.root)
-    if (st13HasData(st.statsDir)) {
-      val tmp = s"${st.statsDir}.compacting"
+    } ++ (if (st13HasData(st.statsDir)) {
+      // the flat stats log COLLAPSES to its running total in the
+      // same atomic flip (previously a separate swap — a crash
+      // between the two left tables and stats from different passes)
+      val out = s"${st.root}/stats.g$gen"
       st14Read(spark, st.statsDir, st14StatsSchema)
         .agg(sum("nd").as("nd"), sum("len_sum").as("len_sum"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      swapStateDir(st.statsDir, tmp)
+        .write.mode("overwrite").parquet(out)
+      Seq("stats" -> out)
+    } else Nil)
+    if (rewrites.nonEmpty) {
+      commitStateRewrite(st.root, St14State.tables,
+        rewrites.map(_._2), tag = s"compact-$gen:nb=$nb")
+      st.dirsRef.set(st.dirsRef.get() ++ rewrites.toMap)
     }
+    st.nBucketsRef.set(nb)
     retireMarkers(st.root)
   }
 
@@ -2525,11 +2586,12 @@ object Streams {
     * change set with ONE key-partitioned merge: changed keys leave
     * the mirror via an anti-join, the new side of inserts/updates
     * unions back in. Re-applying a version is structurally
-    * idempotent — the anti-join removes whatever a prior
-    * half-applied attempt left — so a crash between the mirror swap
-    * and the cursor write heals on retry; a version at-or-under the
-    * cursor is a no-op; the mirror rewrite itself is the crash-safe
-    * two-rename [[swapStateDir]]. Serving aggregates the MIRROR,
+    * idempotent, and each merge publishes through the follower
+    * root's own rewrite log ([[commitStateRewrite]], tagged with the
+    * applied version) — a crash between the merge commit and the
+    * cursor write heals on retry by advancing the cursor past the
+    * already-committed tag, never re-merging; a version at-or-under
+    * the cursor is a no-op. Serving aggregates the MIRROR,
     * which after following to the head must equal the source's live
     * snapshot — io11's oracle verbatim, computed WITHOUT ever
     * scanning the source at serve time.
@@ -2572,15 +2634,17 @@ object Streams {
       st18FollowStep(spark, root, log, u, schema, keyCol))
   }
 
-  /** The follower's mirror table (crash-recovered read). */
+  /** The follower's mirror table — read from the generation the
+    * follower root's OWN rewrite log serves (a torn merge is an
+    * unreferenced generation dir, invisible here and swept by the
+    * next committed step).
+    */
   private[graft] def st18Mirror(
       spark: org.apache.spark.sql.SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType =
-        graft.sources.Io.ordersSchema): DataFrame = {
-    val dir = s"$root/mirror"
-    recoverStateDir(dir)
-    st14Read(spark, dir, schema)
-  }
+        graft.sources.Io.ordersSchema): DataFrame =
+    st14Read(spark, resolveStateDirs(root, Seq("mirror"))("mirror"),
+      schema)
 
   /** ONE follow step: diff snapshots v−1 → v from the log, merge the
     * change set into the mirror, advance the cursor. Idempotent under
@@ -2626,14 +2690,20 @@ object Streams {
         .filter(col("o").isNull || col("n").isNull || col("o") =!= col("n")))
     val upserts = changes.filter(col("n").isNotNull).select(col("n.*"))
     val changedKeys = changes.select(col("k").as(keyCol))
-    val mirrorDir = s"$root/mirror"
-    val next = st18Mirror(spark, root, schema)
-      .join(changedKeys, Seq(keyCol), "left_anti")
-      .unionByName(upserts)
-    val tmp = s"$mirrorDir.next"
-    next.write.mode("overwrite").parquet(tmp)
+    val mLog = stateLog(root)
+    val tag = s"mirror-v$v"
+    // a crash between a prior try's commit and its cursor persist:
+    // the merge is already served — heal the cursor, never re-merge
+    if (mLog.tagVersion(tag).isEmpty) {
+      val gen = mLog.latestVersion.getOrElse(-1L) + 1L
+      val out = s"$root/mirror.g$gen"
+      st18Mirror(spark, root, schema)
+        .join(changedKeys, Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+        .write.mode("overwrite").parquet(out)
+      commitStateRewrite(root, Seq("mirror"), Seq(out), tag)
+    }
     graft.Caches.drop(changes)
-    swapStateDir(mirrorDir, tmp)
     saveMeta(root, "cursor.meta", v.toString)
   }
 
@@ -2698,7 +2768,10 @@ object Streams {
   private[graft] case class St15State(spark: org.apache.spark.sql
       .SparkSession, root: String, nLists: Int,
       compactAboveFiles: Int) {
-    val vectorsDir: String = s"$root/vectors"
+    private[streaming] val dirsRef =
+      new java.util.concurrent.atomic.AtomicReference[Map[String, String]](
+        Map("vectors" -> s"$root/vectors"))
+    def vectorsDir: String = dirsRef.get()("vectors")
   }
 
   private[graft] def st15VecSchema =
@@ -2761,7 +2834,9 @@ object Streams {
       compactAboveFiles: Int = 128): St15State = {
     val st = St15State(spark, root.getOrElse(graft.Staging.scratch("st15")),
       nLists, compactAboveFiles)
-    recoverStateDir(st.vectorsDir)
+    val dirs = resolveStateDirs(st.root, Seq("vectors"))
+    st.dirsRef.set(dirs)
+    sweepStateGenerations(st.root, Seq("vectors"), dirs)
     st
   }
 
@@ -2834,16 +2909,20 @@ object Streams {
   }
 
   /** st14's compaction applied to the one list-partitioned table
-    * (crash-safe swap; a list is already the serving read unit, so no
-    * within-list sort is needed — serving exact-scans whole lists).
+    * (the rewrite-commit flip; a list is already the serving read
+    * unit, so no within-list sort is needed — serving exact-scans
+    * whole lists).
     */
   private[graft] def st15CompactState(st: St15State): Unit = {
     if (st13HasData(st.vectorsDir)) {
-      val tmp = s"${st.vectorsDir}.compacting"
+      val gen = stateLog(st.root).latestVersion.getOrElse(-1L) + 1L
+      val out = s"${st.root}/vectors.g$gen"
       st14Read(st.spark, st.vectorsDir, st15WithCid(st15VecSchema))
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-      swapStateDir(st.vectorsDir, tmp)
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      commitStateRewrite(st.root, Seq("vectors"), Seq(out),
+        tag = s"compact-$gen")
+      st.dirsRef.set(Map("vectors" -> out))
     }
   }
 

@@ -770,20 +770,22 @@ class AnnStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(mirror.nonEmpty && mirror.toSeq == live.toSeq)
     // a redelivered (already-applied) version is dropped by the cursor
-    val before = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$root/mirror"))
+    val mLog = graft.streaming.Streams.stateLog(root)
+    val genBefore = mLog.latestVersion.get
     graft.streaming.Streams.st18FollowStep(spark, root, log, latest)
-    assert(java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$root/mirror")) == before,
-      "redelivered version rewrote the mirror")
+    assert(mLog.latestVersion.contains(genBefore),
+      "redelivered version committed a new mirror generation")
     // crash drill: cursor torn back one version (the crash window is
-    // between the mirror swap and the cursor write) — re-applying the
-    // head version against the already-current mirror must heal to
-    // the same state, not duplicate or drop rows
+    // between the merge COMMIT and the cursor write) — re-applying
+    // the head version must heal the cursor off the already-committed
+    // tag WITHOUT re-merging (no new generation), and the mirror
+    // still equals the live snapshot
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "cursor.meta"),
       (latest - 1).toString.getBytes("UTF-8"))
     graft.streaming.Streams.st18FollowStep(spark, root, log, latest)
+    assert(mLog.latestVersion.contains(genBefore),
+      "torn-cursor heal re-merged instead of advancing the cursor")
     val healed = graft.streaming.Streams.st18Mirror(spark, root)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(healed.toSeq == live.toSeq, "re-applied version diverged")
@@ -1719,8 +1721,10 @@ class AnnStreamSpec extends SparkSpec {
     assert(spark.read.parquet(reopened.postingsDir).count() == before)
   }
 
-  test("compaction intent journal: a crash between the swaps and the " +
-      "bucket-count persist is replayed to completion at open") {
+  test("state rewrites publish through the root's own TableLog: a " +
+      "torn rewrite (staged generation, no commit) is invisible and " +
+      "swept at open; a committed rewrite flips every table AND the " +
+      "bucket count as one tagged unit") {
     import SparkSpec.spark.implicits._
     val spark = SparkSpec.spark
     val docs = Seq(
@@ -1730,10 +1734,10 @@ class AnnStreamSpec extends SparkSpec {
     graft.streaming.Streams.st14MaintainStep(st, docs, bid = 0L)
     val servedBefore = graft.streaming.Streams
       .st14Serve(st, Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq
-    // simulate the journaled crash window: a complete staged rewrite
-    // exists (here: a verbatim copy of the live table), the intent
-    // records (newNb, dirs), and the process dies before any swap or
-    // meta persist
+    // TORN rewrite: a staged generation dir exists (a verbatim copy
+    // of the live table), the process died before the commit — at
+    // reopen the generation must be invisible (resolution ignores
+    // it), swept from disk, and the count unchanged
     def copyTree(src: String, dst: String): Unit = {
       val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
       val walk = java.nio.file.Files.walk(s)
@@ -1748,26 +1752,39 @@ class AnnStreamSpec extends SparkSpec {
         }
       } finally walk.close()
     }
-    copyTree(st.postingsDir, s"${st.postingsDir}.compacting")
-    graft.streaming.Streams.writeCompactionIntent(st.root, 32,
-      Seq(st.postingsDir))
-    // reopen: recovery must complete the swap AND persist the
-    // intended count as one unit — and the state must still serve
+    copyTree(st.postingsDir, s"${st.root}/postings.g99")
     val re = graft.streaming.Streams.st14State(spark,
       root = Some(st.root))
-    assert(re.nBuckets == 32, s"recovered nBuckets ${re.nBuckets}")
+    assert(re.postingsDir == s"${st.root}/postings",
+      "torn generation leaked into resolution")
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(st.root, "compaction.intent")))
+      java.nio.file.Paths.get(s"${st.root}/postings.g99")),
+      "torn generation not swept")
+    assert(re.nBuckets == st.nBuckets)
+    assert(graft.streaming.Streams
+      .st14Serve(re, Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq
+      == servedBefore)
+    // COMMITTED rewrite: the real compaction — every table flips to
+    // its new generation and the re-derived bucket count rides the
+    // commit TAG, so (tables, count) change as one atomic unit a
+    // fresh open re-derives from the log alone
+    graft.streaming.Streams.st14CompactState(re)
+    assert(re.postingsDir.matches(".*/postings\\.g\\d+"),
+      s"compaction did not flip the generation: ${re.postingsDir}")
+    val log = graft.streaming.Streams.stateLog(st.root)
+    val head = log.latestVersion.get
+    assert(log.tagOf(head).contains(s"nb=${re.nBuckets}"),
+      "bucket count does not ride the rewrite tag")
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"${st.postingsDir}.compacting")))
-    // mechanics only: the staged copy here is a verbatim clone (not a
-    // real 32-bucket rewrite), so content-under-the-new-count is out
-    // of scope — the REAL re-bucketing rewrite is covered by the
-    // auto-sizing compaction spec; what this drill pins is that the
-    // (tables, count) pair moved as one recoverable unit
-    assert(spark.read.parquet(re.postingsDir).count() ==
-      spark.read.parquet(st.postingsDir).count())
-    val _ = servedBefore
+      java.nio.file.Paths.get(s"${st.root}/postings")),
+      "superseded plain table dir survived the flip")
+    val re2 = graft.streaming.Streams.st14State(spark,
+      root = Some(st.root))
+    assert(re2.postingsDir == re.postingsDir)
+    assert(re2.nBuckets == re.nBuckets)
+    assert(graft.streaming.Streams
+      .st14Serve(re2, Seq("alpha", "beta"), 5).collect().map(_.toSeq).toSeq
+      == servedBefore)
   }
 
   test("annIndexMaintenance resume serves under the PERSISTED codebook " +
@@ -2314,8 +2331,9 @@ class AnnStreamSpec extends SparkSpec {
       s"adoption dropped the new batch or lost history: $served")
   }
 
-  test("state swap crash recovery: a root whose table sits in .old " +
-      "(crash between renames) reopens complete") {
+  test("rewrite-commit crash recovery: a crash AFTER the commit but " +
+      "before the sweep leaves superseded dirs that reopen invisible " +
+      "and swept; the committed generation serves") {
     import SparkSpec.spark.implicits._
     val spark = SparkSpec.spark
     val root = graft.Staging.scratch("st14_crash_spec")
@@ -2325,11 +2343,20 @@ class AnnStreamSpec extends SparkSpec {
     graft.streaming.Streams.st14MaintainStep(st, docs)
     val want = graft.streaming.Streams.st14Serve(st, Seq("alpha"), 5)
       .collect().map(_.toSeq).toSeq
-    // simulate the crash window: live dir moved aside, rewrite lost
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(st.postingsDir),
-      java.nio.file.Paths.get(st.postingsDir + ".old"))
+    graft.streaming.Streams.st14CompactState(st)
+    // simulate the crash window: a superseded plain dir REAPPEARS
+    // beside the committed generation (as if the post-commit sweep
+    // never ran) — it must not shadow the resolved generation, and
+    // the reopen sweeps it
+    val stale = java.nio.file.Paths.get(s"$root/postings")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
     val re = graft.streaming.Streams.st14State(spark, Some(root))
+    assert(re.postingsDir.matches(".*/postings\\.g\\d+"),
+      s"stale plain dir shadowed the committed generation: " +
+        s"${re.postingsDir}")
+    assert(!java.nio.file.Files.exists(stale), "stale dir not swept")
     assert(graft.streaming.Streams.st14Serve(re, Seq("alpha"), 5)
       .collect().map(_.toSeq).toSeq == want)
   }
