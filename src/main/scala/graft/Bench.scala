@@ -44,8 +44,10 @@ object Bench {
         val body = new String(java.nio.file.Files.readAllBytes(
           cwd.resolve(f)), java.nio.charset.StandardCharsets.UTF_8)
         // driver bench records may hold the JSON line ESCAPED inside
-        // a "tail" field (\"q1\":1.23) — accept both quote forms
-        val m = """\\?"([a-z0-9_]+)\\?":([0-9]+\.?[0-9eE+-]*)""".r
+        // a "tail" field (\"q1\":1.23) and pretty-print the top-level
+        // keys with a space after the colon ("sf": 0.1) — accept
+        // both quote forms and optional whitespace
+        val m = """\\?"([a-z0-9_]+)\\?":\s*([0-9]+\.?[0-9eE+-]*)""".r
         m.findAllMatchIn(body).flatMap { mm =>
           mm.group(2).toDoubleOption.map(mm.group(1) -> _)
         }.toMap
