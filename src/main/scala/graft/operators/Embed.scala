@@ -74,9 +74,11 @@ object Embed {
 
   /** Batched encode over any (id, text) frame: one stub model request
     * per `batchSize` records per partition, vectors zipped back in
-    * order. Emits (vec_id, model, embedding, u_sum, u_md5) — the
-    * float vector for consumers, the exact integer signature for the
-    * gate.
+    * order. Emits (vec_id, model, embedding, u16, u_sum, u_md5) —
+    * the float vector for consumers, the int16-quantized code column
+    * (each dim's top 16 bits — the stored serving code a quantized
+    * dense retriever dots against, p3's tower) and the exact integer
+    * signature for the gate.
     */
   private[graft] def encodeFrame(df: DataFrame, idCol: String,
       textCol: String, batchSize: Int = 32, d: Int = dim): DataFrame = {
@@ -96,10 +98,25 @@ object Embed {
             md.reset()
             val hex = md.digest(sig.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
-            (id, modelVersion, emb, u.sum, hex)
+            (id, modelVersion, emb, u.map(v => (v >>> 16).toInt),
+              u.sum, hex)
           }
         }
-      }.toDF("vec_id", "model", "embedding", "u_sum", "u_md5")
+      }.toDF("vec_id", "model", "embedding", "u16", "u_sum", "u_md5")
+  }
+
+  /** The query-side int16 code for a text — the SAME top-16-bit
+    * derivation [[encodeFrame]] stores per dim, computed driver-side
+    * for the one query string (a model constant, like a probe
+    * vector).
+    */
+  private[graft] def u16Of(text: String, d: Int = dim): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map { j =>
+      md.reset()
+      val h = md.digest(s"$text:$j".getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+    }
   }
 
   /** The `(vec_id, embedding)` table the s-family serves from — the

@@ -326,6 +326,86 @@ object Pipeline {
     rows.reduce(_ unionByName _).orderBy("ord")
   }
 
+  /** p3: RAG SERVING OVER THE BUILT INDEX — the reference's actual
+    * user entry (`search_tools.py:7-17` answers a query from the
+    * index `prepare→chunk→index` built) run against p2's STAGED
+    * towers: the query string encodes through e1's own stub client
+    * (the query-side encode every dense retriever pays), the sparse
+    * tower answers r8's BM25 top-`kList`, the dense tower answers an
+    * INT16-QUANTIZED dot-product top-`kList` — each stored dim's top
+    * 16 bits dotted against the query's code, the production
+    * quantized-retrieval serving shape (int8/int16 codes beat floats
+    * on memory bandwidth; exact integer arithmetic here means the
+    * ranking is ALSO engine-exact, so the oracle replays it with
+    * zero float risk) — and r18's RRF fuses the two rankings.
+    *
+    * Scale: both towers read STAGED index tables (no re-tokenize, no
+    * re-encode); the dense side is one scan with a fused 64-term
+    * integer dot + TakeOrdered; the fusion's rank windows run on
+    * ≤ kList rows each. At 100 TB the dense scan drops behind p2's
+    * IVF assignment exactly like s3 (probe the query's nProbe lists)
+    * — the quantized dot is the in-list scorer.
+    */
+  def p3RagServe(t: Tables, kList: Int = 20, kOut: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val tbl = ragTables(t)
+    val lex = Search.searchBm25From(
+      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
+      Search.queryTerms, kList)
+    val qU16 = Embed.u16Of(Search.queryTerms.mkString(" "))
+    val dense = tbl("enc")
+      .select(col("vec_id").as("doc_id"),
+        aggregate(
+          zip_with(col("u16"), typedlit(qU16),
+            (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+      .orderBy(col("iscore").desc, col("doc_id")).limit(kList)
+      .select(col("doc_id"), col("iscore").cast("double").as("score"))
+    graft.api.Graft.rrfFuse(Seq(lex, dense), "doc_id", "score",
+        kOut, rrfK)
+      .withColumnRenamed("r_0", "r_lex")
+      .withColumnRenamed("r_1", "r_vec")
+      .select(col("doc_id").as("chunk_id"), col("rrf"),
+        col("r_lex"), col("r_vec"))
+  }
+
+  /** p3's replay: the shared build CTEs, the BM25 tower at kList=20,
+    * the int16 dense tower (codes re-derived from the chunk text by
+    * the same md5 arithmetic — first FOUR hex chars = the stored top
+    * 16 bits; the query code from the literal query string), exact
+    * integer dot ranking, and r18's RRF form.
+    */
+  private lazy val p3Sql: String =
+    s"""WITH $ragCtes,
+      |${chunkBm25Ctes(20)},
+      |lr AS (SELECT chunk_id,
+      |         row_number() OVER (ORDER BY score DESC, chunk_id) AS r_lex
+      |       FROM serve),
+      |ua AS (
+      |  SELECT chunk_id,
+      |    [CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 4))
+      |          AS BIGINT)
+      |     FOR j IN range(0, 64)] AS u
+      |  FROM ch),
+      |qa AS (
+      |  SELECT [CAST(('0x' || substr(md5('spark filter join window group:'
+      |                                   || CAST(j AS INT)), 1, 4))
+      |          AS BIGINT)
+      |     FOR j IN range(0, 64)] AS q),
+      |dn AS (
+      |  SELECT chunk_id, CAST(list_dot_product(u, q) AS BIGINT) AS iscore
+      |  FROM ua, qa
+      |  ORDER BY iscore DESC, chunk_id LIMIT 20),
+      |dr AS (SELECT chunk_id,
+      |         row_number() OVER (ORDER BY iscore DESC, chunk_id) AS r_vec
+      |       FROM dn)
+      |SELECT chunk_id,
+      |  round(COALESCE(1.0 / (60 + r_lex), 0) +
+      |        COALESCE(1.0 / (60 + r_vec), 0), 6) AS rrf,
+      |  r_lex, r_vec
+      |FROM lr FULL OUTER JOIN dr USING (chunk_id)
+      |ORDER BY rrf DESC, chunk_id LIMIT 10""".stripMargin
+
   /** Shared SQL fragments: the scored corpus (tokens + every stage
     * signal) and the five stage CTEs — the oracle replays the exact
     * expression trees the engine fuses.
@@ -378,14 +458,14 @@ object Pipeline {
       |st5 AS (SELECT * FROM st4 WHERE doc_id % 97 <> 0
       |  AND doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
 
-  /** p2's replay: classify (r1's CTEs), the three normalize routes
-    * (r2 strip / r12 notebook markdown / r16 rewrite — each the
-    * named operator's own proven oracle fragment), r4's chunk rule,
-    * chunk-granularity TF, r8's BM25 chain over it, and e1's
-    * integer-exact dim checksum — then the 7 report rows.
+  /** The shared replay of p2's BUILD: classify (r1's CTEs), the
+    * three normalize routes (r2 strip / r12 notebook markdown / r16
+    * rewrite — each the named operator's own proven oracle
+    * fragment), r4's chunk rule, and the chunk-granularity TF — the
+    * prefix both p2's report and p3's serving replay share.
     */
-  private val p2Sql: String =
-    """WITH f AS (
+  private lazy val ragCtes: String =
+    """f AS (
       |  SELECT doc_id, source, lang, n_chars, text,
       |    CASE WHEN doc_id % 17 = 0 THEN 'repo-main/' || source || '/'
       |         ELSE 'repo-main/' || source || '/' ||
@@ -461,8 +541,13 @@ object Pipeline {
       |    FROM ch) u
       |  WHERE t <> ''),
       |ctf AS (SELECT chunk_id, term, count(*) AS tf FROM ctok
-      |        GROUP BY chunk_id, term),
-      |cdl AS (SELECT chunk_id, sum(tf) AS dl FROM ctf GROUP BY chunk_id),
+      |        GROUP BY chunk_id, term)""".stripMargin
+
+  /** r8's BM25 chain replayed at chunk granularity over [[ragCtes]]'
+    * `ctf`, top-`k` cut — p2's serving row and p3's lexical tower.
+    */
+  private def chunkBm25Ctes(k: Int): String =
+    s"""cdl AS (SELECT chunk_id, sum(tf) AS dl FROM ctf GROUP BY chunk_id),
       |cstats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM cdl),
       |cd AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
       |cidf AS (SELECT term, ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf_bm
@@ -474,7 +559,11 @@ object Pipeline {
       |       FROM ctf JOIN cq USING (term) JOIN cidf USING (term)
       |            JOIN cdl USING (chunk_id), cstats),
       |serve AS (SELECT chunk_id, round(sum(contrib), 4) AS score FROM cc
-      |          GROUP BY chunk_id ORDER BY score DESC, chunk_id LIMIT 5),
+      |          GROUP BY chunk_id ORDER BY score DESC, chunk_id LIMIT $k)""".stripMargin
+
+  private lazy val p2Sql: String =
+    s"""WITH $ragCtes,
+      |${chunkBm25Ctes(5)},
       |uenc AS (
       |  SELECT chunk_id,
       |    CAST(list_sum(
@@ -504,8 +593,9 @@ object Pipeline {
       |  SELECT 6, 'serving', count(*), CAST(sum(chunk_id) AS BIGINT) FROM serve)
       |ORDER BY ord""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "p2_rag_ingest" -> p2Sql,
+    "p3_rag_serve" -> p3Sql,
     // the full funnel replayed: every stage signal from the shared
     // scored CTE, six per-stage aggregates, n_in threaded by hand
     "p1_curation_funnel" ->

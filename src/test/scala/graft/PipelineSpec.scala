@@ -277,6 +277,50 @@ class PipelineSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("p3 serves from the BUILT towers: r_lex = the sparse tower's " +
+      "own BM25 ranking, r_vec = the stored-code int16 dot ranking, " +
+      "rrf descending; stored codes = the encoder's top 16 bits") {
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val fused = run("p3_rag_serve").collect()
+    assert(fused.nonEmpty && fused.length <= 10)
+    val rrfs = fused.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)), "rrf not descending")
+    // lexical ranks reproduce the tower's own top-20
+    val lex = graft.operators.Search.searchBm25From(
+      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
+      graft.operators.Search.queryTerms, 20).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      Option(r.getAs[Any]("r_lex")).foreach(rl =>
+        assert(lex(id) == rl.asInstanceOf[Int], s"r_lex drifted for $id"))
+    }
+    // dense ranks reproduce the stored-code dot ranking
+    val qU16 = graft.operators.Embed.u16Of(
+      graft.operators.Search.queryTerms.mkString(" "))
+    val dense = tbl("enc").collect().map { r =>
+      val u = r.getAs[scala.collection.Seq[Int]]("u16")
+      r.getAs[Long]("vec_id") ->
+        u.zip(qU16).map { case (a, b) => a.toLong * b }.sum
+    }.sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      Option(r.getAs[Any]("r_vec")).foreach(rv =>
+        assert(dense(id) == rv.asInstanceOf[Int], s"r_vec drifted for $id"))
+    }
+    // the stored code IS the encoder's top 16 bits of each dim
+    val one = tbl("chunks").orderBy("chunk_id").limit(1).collect()(0)
+    val stored = tbl("enc")
+      .filter(col("vec_id") === one.getAs[Long]("chunk_id"))
+      .collect()(0).getAs[scala.collection.Seq[Int]]("u16")
+    val expect = graft.operators.Embed
+      .u16Of(one.getAs[String]("chunk")).map(_.toInt)
+    assert(stored.toSeq == expect.toSeq, "stored u16 code drifted")
+  }
+
   test("p2 dense tower: IVF assignment is total, list ids bounded " +
       "by the auto-sized codebook, and the build is deterministic") {
     val t = Tables(spark, sf)
