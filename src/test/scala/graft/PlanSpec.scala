@@ -369,4 +369,38 @@ class PlanSpec extends SparkSpec {
     assert(gate.queryExecution.executedPlan.toString
       .contains("rangepartitioning("))
   }
+
+  test("e1 embed: the encode facade is one mapPartitions pass — zero " +
+      "Exchange, no join, no aggregate (the billion-row backfill " +
+      "shape)") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val df = graft.api.Graft.embed(docs, "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("MapPartitions"), p.take(600))
+  }
+
+  test("p3 dense tower: the quantized-dot scan is one staged-index " +
+      "read with a fused integer dot + TakeOrdered — no join, no " +
+      "aggregate Exchange") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val qU16 = graft.operators.Embed.u16Of(
+      graft.operators.Search.queryTerms.mkString(" "))
+    val dense = tbl("enc")
+      .select(col("vec_id").as("doc_id"),
+        aggregate(
+          zip_with(col("u16"), typedlit(qU16),
+            (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+      .orderBy(col("iscore").desc, col("doc_id")).limit(20)
+    dense.collect()
+    val p = dense.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+  }
 }
