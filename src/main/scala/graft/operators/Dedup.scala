@@ -531,6 +531,21 @@ object Dedup {
   private[graft] val lastCcRounds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Free a localCheckpoint'd frame's storage blocks. Dataset
+    * .unpersist only touches the SQL cache — a checkpoint lives in
+    * RDD block storage, which neither Caches.fresh() nor
+    * catalog.clearCache() reclaims, so an unreleased round would pin
+    * executor storage for the session (localCheckpoint data is
+    * non-fault-tolerant by contract, so releasing a superseded
+    * round loses nothing recomputation could need).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   private[graft] def ccGroups(pairs: DataFrame,
       sorted: Boolean = true): DataFrame = {
     lastCcRounds.set(0)
@@ -584,11 +599,19 @@ object Dedup {
       prevSum = s
       // superseded rounds are freed NOW: storage stays bounded by one
       // iteration's working set instead of growing with log(diameter)
-      labels.unpersist()
+      releaseCheckpoint(labels)
       labels = next
     }
+    // the CONVERGED round's checkpoint blocks must not outlive the
+    // operator (checkpoint RDDs sit outside the SQL cache, so neither
+    // Caches.fresh() nor catalog.clearCache() would ever reclaim
+    // them): copy the label table — component-count-sized, the
+    // smallest frame in the loop — into a Caches-owned cache and
+    // release the checkpoint
+    val settled = graft.Caches.materialized(labels)
+    releaseCheckpoint(labels)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")
-    val out = labels
+    val out = settled
       .select(col("doc_id"), col("label").as("keep_doc"))
       .withColumn("group_size", count(lit(1)).over(w).cast("long"))
     if (sorted) out.orderBy("doc_id") else out

@@ -195,18 +195,18 @@ object Pipeline {
       .withColumn("filepath", Ingest.synthFilepath)
       .withColumn("ext", Ingest.extOf(col("filepath")))
       .withColumn("action", Ingest.actionOf(col("filepath")))
-    val docB = base.filter(col("action") === "doc")
-      .withColumn("fm", Ingest.r2FmInput)
-      .select(col("doc_id"), Ingest.fmBody(col("fm")).as("body"))
-    val nbB = base.filter(col("action") === "code" && col("ext") === "ipynb")
-      .withColumn("nb", Ingest.r12NbJson)
-      .select(col("doc_id"),
-        Ingest.r12MdBody(Ingest.r12Cells(col("nb"))).as("body"))
-    val codeB = Ingest.rewriteFrame(
-      base.filter(col("action") === "code" && col("ext") =!= "ipynb")
-        .select("doc_id", "lang", "text"), batchSize)
-      .select(col("doc_id"), col("body"))
-    docB.unionByName(nbB).unionByName(codeB)
+    // synthesize the per-route inputs INTO the text column (the test
+    // corpus carries no real frontmatter/notebook JSON — r2/r12's own
+    // synthesis, keyed to the classification), then route through the
+    // ONE public normalizer — the facade and p2's build share a
+    // single routing contract by construction
+    val synth = base.withColumn("text",
+      when(col("action") === "doc", Ingest.r2FmInput)
+        .when(col("action") === "code" && col("ext") === "ipynb",
+          Ingest.r12NbJson)
+        .otherwise(col("text")))
+    graft.api.Graft.ragNormalize(synth, "doc_id", "filepath", "lang",
+      "text", batchSize)
   }
 
   /** BUILD-ONCE staging of the p2 artifacts per corpus (the

@@ -1076,7 +1076,13 @@ object Io {
     // (schemaAt resolves the NEWEST line at-or-below a version, so
     // without this line the restored head would keep the post-ALTER
     // schema). Both reads are metadata-bounded (schemaAt's
-    // checkpoint-floored scan).
+    // checkpoint-floored scan). BOUNDARY (declared contract, drilled
+    // in TableLogSpec): rollback applies between DECLARED eras — a
+    // target that PREDATES the first schema declaration has nothing
+    // to re-declare (the line format has no "clear" marker, and that
+    // era's readers always supplied schemas externally), so the
+    // head's declaration stays in force; Delta has no analogue
+    // because its tables carry metadata from v0.
     val tgtSchema = log.schemaAt(toV)
     val schemaDelta = tgtSchema.filter(s => !log.schemaAt(head).contains(s))
     val curPaths = cur.map(_.path).toSet

@@ -1091,6 +1091,13 @@ object Streams {
       prev.map(f => graft.sources.TableLog.Remove(f.path)) ++
         newDirs.flatMap(genEntries).map(graft.sources.TableLog.Add),
       tag)
+    // checkpoint EVERY rewrite commit: each one supersedes the whole
+    // prior snapshot (Remove-all + Add-all), so an uncheckpointed log
+    // makes snapshot() replay O(versions · files) — a follower
+    // resolving its mirror per applied version would pay a quadratic
+    // driver-side replay. With the checkpoint, resolution reads one
+    // live file list + zero commits.
+    log.checkpoint()
     log.vacuum(retain = 1)
     sweepStateGenerations(root, tables, resolveStateDirs(root, tables))
     v
@@ -1786,8 +1793,7 @@ object Streams {
     if (rewrites.nonEmpty) {
       commitStateRewrite(st.root, St13State.tables,
         rewrites.map(_._2), tag = s"compact-$gen:nb=$nb")
-      st.dirsRef.set(st.dirsRef.get() ++ rewrites.toMap
-        .map { case (t, d) => t -> d })
+      st.dirsRef.set(st.dirsRef.get() ++ rewrites.toMap)
     }
     st.nBucketsRef.set(nb)
     // every committed batch's rows are untagged now — collapse its
@@ -3316,7 +3322,11 @@ object Streams {
     */
   private[graft] def st22Root(t: Tables, qualityMin: Double = 0.35,
       k: Int = 5, benchMod: Long = 97): String =
-    graft.Staging.dir(s"${t.dir}:st22", "st22") { d =>
+    // the staging key carries EVERY pinned threshold (ragRoot's
+    // contract): a call under different parameters must build its
+    // own run, never silently reuse another configuration's funnel
+    graft.Staging.dir(s"${t.dir}:st22:$qualityMin:$k:$benchMod",
+      "st22") { d =>
       val spark = t.spark
       val path = s"${t.dir}/documents.parquet"
       val schema = spark.read.parquet(path).schema

@@ -212,7 +212,7 @@ class PipelineSpec extends SparkSpec {
     assert(stream == batch, "stream funnel diverged from batch p1")
     // every batch committed one version to EVERY destination
     val roots = graft.streaming.Streams.St22Roots(
-      graft.Staging.lookup(s"${t.dir}:st22").get)
+      graft.Staging.lookup(s"${t.dir}:st22:0.35:5:97").get)
     val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
     assert(mainLog.versions.size >= 2, "stream ran fewer than 2 batches")
     assert(Seq(statsLog, md5Log, fpLog)

@@ -181,6 +181,24 @@ class TableLogSpec extends SparkSpec {
     val fwd = graft.sources.Io.restorePass(log, 2L)
     assert(fwd.contains(4L))
     assert(log.schemaAt(4L).get.fieldNames.length == 4)
+    // BOUNDARY contract: a target that PREDATES the first schema
+    // declaration keeps the head's declaration in force (no "clear"
+    // marker exists; that era's readers supplied schemas externally)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_restore_predecl_drill_").toString
+    val log2 = TableLog.open(root2)
+    val preFiles = src.snapshot(0L)
+    log2.commit(preFiles.map(TableLog.Add), tag = "pre")
+    // the declaring commit also rewrites the files, so the restore
+    // below has a real file delta to commit
+    log2.commit(preFiles.map(f => TableLog.Remove(f.path)) ++
+      gen2Only.map(TableLog.Add), tag = "declare", schema = Some(g2))
+    assert(graft.sources.Io.restorePass(log2, 0L).contains(2L))
+    assert(log2.snapshot(2L).map(_.path).toSet ==
+      preFiles.map(_.path).toSet)
+    assert(log2.schemaAt(2L).contains(g2),
+      "pre-declaration restore should keep the head's declaration")
+    graft.Staging.deleteTree(java.nio.file.Paths.get(root2))
     // the private log references the SHARED staged data files by
     // path — delete only our log dir, never their bytes
     graft.Staging.deleteTree(java.nio.file.Paths.get(root))
