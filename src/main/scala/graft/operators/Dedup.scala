@@ -605,11 +605,16 @@ object Dedup {
     // the CONVERGED round's checkpoint blocks must not outlive the
     // operator (checkpoint RDDs sit outside the SQL cache, so neither
     // Caches.fresh() nor catalog.clearCache() would ever reclaim
-    // them): copy the label table — component-count-sized, the
-    // smallest frame in the loop — into a Caches-owned cache and
-    // release the checkpoint
-    val settled = graft.Caches.materialized(labels)
+    // them). A cached copy is NOT enough — a consumer re-planning
+    // after Caches.fresh() would recompute into the released blocks
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — so the label table
+    // (component-count-sized, the smallest frame in the loop) lands
+    // in scratch parquet and the result re-plans from THAT scan,
+    // fully decoupled from every checkpoint
+    val settledDir = graft.Staging.scratch("cc_labels")
+    labels.write.mode("overwrite").parquet(settledDir)
     releaseCheckpoint(labels)
+    val settled = pairs.sparkSession.read.parquet(settledDir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("keep_doc")
     val out = settled
       .select(col("doc_id"), col("label").as("keep_doc"))
