@@ -231,26 +231,35 @@ object Ann {
     * 200k/447 — §5). A coarse quantizer's cell boundaries stop moving
     * beyond ~dozens of training points per centroid, so training runs
     * on a DETERMINISTIC hash sample of ~`perCentroid`·nLists vectors:
-    * `pmod(hash(vec_id), m) = 0` with m = ⌈n/target⌉ — one pushdown-
-    * friendly scan, no sort, no RNG, reproducible across sessions
-    * (the versioned-model contract needs the same inputs to train the
-    * same model). `n` is the MEASURED corpus count the caller already
-    * holds (the ivfConfigFor contract). Corpora at-or-under the
-    * target train on everything — sandbox-scale behavior (and every
-    * pinned-oracle path) is unchanged.
+    * the top 32 md5 bits of the id mod m = 0, with m = ⌈n/target⌉ —
+    * one pushdown-friendly scan, no sort, no RNG, reproducible across
+    * sessions (the versioned-model contract needs the same inputs to
+    * train the same model). md5 rather than Spark's murmur3 `hash` so
+    * the sample is ENGINE-PORTABLE: a DuckDB oracle replays the same
+    * membership as `('0x'||substr(md5(id),1,8))::UBIGINT % m` (p3's
+    * dense-tower replay depends on this). `n` is the MEASURED corpus
+    * count the caller already holds (the ivfConfigFor contract).
+    * Corpora at-or-under the target train on everything (m = 1) —
+    * sandbox-scale behavior (and every pinned-oracle path) is
+    * unchanged.
     */
   private[graft] def trainCodebookSampled(vecs: DataFrame, nLists: Int,
       n: Long, dim: Int = 64, iters: Int = 3,
       perCentroid: Int = 64): graft.expressions.PlaneMatrix = {
     val target = perCentroid.toLong * nLists
-    if (n <= target) trainCodebook(vecs, nLists, dim, iters)
-    else {
-      val m = math.ceil(n.toDouble / target).toLong
-      trainCodebook(
-        vecs.filter(pmod(hash(col("vec_id")), lit(m)) === 0),
-        nLists, dim, iters)
-    }
+    val m = math.ceil(n.toDouble / math.max(1L, target)).toLong
+    if (m <= 1L) trainCodebook(vecs, nLists, dim, iters)
+    else trainCodebook(vecs.filter(sampleGate(col("vec_id"), m)),
+      nLists, dim, iters)
   }
+
+  /** The portable sampling predicate [[trainCodebookSampled]] gates
+    * on: top 32 md5 bits of the id's decimal string, mod `m` — exact
+    * integers in both engines.
+    */
+  private[graft] def sampleGate(id: Column, m: Long): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % m === 0
 
   /** AUTO-SIZED IVF coarse-list count for a corpus of `n` vectors —
     * the √n guidance documented at s3/d9 bought as a library function
@@ -1729,15 +1738,15 @@ object Ann {
     * update, keeping the previous centroid for empty clusters
     * (trainCodebook's `cents.clone()` semantics).
     */
-  private def kmeansIterSql(i: Int): String =
+  private def kmeansIterSql(i: Int, tv: String = "vv"): String =
     s"""a$i AS (
        |  SELECT vec_id, v, cid FROM (
-       |    SELECT vv.vec_id, vv.v, cc.cid,
-       |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-       |        list_dot_product(vv.v, cc.cv) /
-       |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |    SELECT $tv.vec_id, $tv.v, cc.cid,
+       |      row_number() OVER (PARTITION BY $tv.vec_id ORDER BY
+       |        list_dot_product($tv.v, cc.cv) /
+       |        (sqrt(list_dot_product($tv.v, $tv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
        |        cc.cid) AS rn
-       |    FROM vv, (SELECT cid, v AS cv FROM c${i - 1}) cc) t
+       |    FROM $tv, (SELECT cid, v AS cv FROM c${i - 1}) cc) t
        |  WHERE rn = 1),
        |u$i AS (
        |  SELECT cid, i,
@@ -1750,28 +1759,41 @@ object Ann {
        |    (SELECT cid, list(x ORDER BY i) AS uv FROM u$i GROUP BY cid) u
        |    USING (cid))""".stripMargin
 
+  /** [[trainCodebook]]'s full SQL replay over any (vec_id, v) CTE
+    * pair: seed = first `nlSql` vectors of the TRAINING set `tv` by
+    * id, three decimal-exact Lloyd's iterations over `tv`, final
+    * assignment `af(vec_id, v, cid)` over the FULL corpus `vv`
+    * (trainCodebookSampled's shape: train on the sample, assign
+    * everything). `nlSql` may be a literal or a scalar subquery —
+    * p3's replay derives it from the live chunk count exactly like
+    * [[ivfConfigFor]].
+    */
+  private[graft] def kmeansReplayCteOver(vv: String, tv: String,
+      nlSql: String): String = {
+    val iters = (1 to 3).map(kmeansIterSql(_, tv)).mkString(",\n")
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       |  FROM (SELECT vec_id, v FROM $tv ORDER BY vec_id LIMIT $nlSql) s),
+       |$iters,
+       |af AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT $vv.vec_id, $vv.v, cc.cid,
+       |      row_number() OVER (PARTITION BY $vv.vec_id ORDER BY
+       |        list_dot_product($vv.v, cc.cv) /
+       |        (sqrt(list_dot_product($vv.v, $vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+       |        cc.cid) AS rn
+       |    FROM $vv, (SELECT cid, v AS cv FROM c3) cc) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** Shared SQL replay of the trained-codebook assignment: seeded
     * codebook (first 16 vectors by id), three decimal-exact Lloyd's
     * iterations, and the final assignment `af(vec_id, v, cid)` —
     * the prefix of the s3 oracle, reused by d9's semantic dedup.
     */
-  private[graft] lazy val kmeansReplayCte: String = {
-    val iters = (1 to 3).map(kmeansIterSql).mkString(",\n")
+  private[graft] lazy val kmeansReplayCte: String =
     s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-       |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 16) s),
-       |$iters,
-       |af AS (
-       |  SELECT vec_id, v, cid FROM (
-       |    SELECT vv.vec_id, vv.v, cc.cid,
-       |      row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-       |        list_dot_product(vv.v, cc.cv) /
-       |        (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
-       |        cc.cid) AS rn
-       |    FROM vv, (SELECT cid, v AS cv FROM c3) cc) t
-       |  WHERE rn = 1)""".stripMargin
-  }
+       |${kmeansReplayCteOver("vv", "vv", "16")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // per-subspace L2 k-means replay (seed + 2 Lloyd's rounds + argmin

@@ -236,22 +236,47 @@ object Pipeline {
         .write.mode("overwrite").parquet(s"$d/tf")
       val enc = Embed.encodeFrame(ch, "chunk_id", "chunk")
       enc.write.mode("overwrite").parquet(s"$d/enc")
+      // The dense tower lives in the STORED-CODE space: IVF trains
+      // and assigns on the exact u16 integer code vectors (cast to
+      // double — every value exactly representable), so the whole
+      // tower — stored codes, coarse codebook, query code, list
+      // choice — derives from md5-exact integers the DuckDB oracle
+      // re-derives bit-for-bit (s3's float replay risk removed).
       val vecs = t.spark.read.parquet(s"$d/enc")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          transform(col("u16"), x => x.cast("double")).as("v"))
       val n = vecs.count()
-      val cb = Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n,
-        dim = Embed.dim)
-      vecs.select(col("vec_id"),
-          element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
-            .as("cid"))
-        .write.mode("overwrite").parquet(s"$d/dense")
+      val nLists = Ann.ivfConfigFor(n)
+      val cb = Ann.trainCodebookSampled(vecs, nLists, n, dim = Embed.dim)
+      graft.streaming.Streams.saveCodebook(d, cb)
+      // serving layout: every stored code filed under its coarse
+      // list, PARTITIONED BY cid — p3's probe reads ~nProbe/nLists
+      // of the index via partition pruning (at 100 TB: nProbe dirs
+      // of a √n-dir lake table). Only the SERVING columns land
+      // (vec_id + the u16 code — the float embedding stays in `enc`;
+      // a quantized serving tier never pays float bytes), and rows
+      // co-locate by cid before the write so each list is one file,
+      // not one-per-writing-task.
+      t.spark.read.parquet(s"$d/enc")
+        .withColumn("cid",
+          element_at(graft.functions.Vectors.centroidRanks(
+            transform(col("u16"), x => x.cast("double")), cb), 1))
+        .select("vec_id", "u16", "cid")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$d/enc_ivf")
     }
 
-  /** The staged p2 tables, for serving / spec access. */
+  /** The staged p2 tables, for serving / spec access. `dense` (the
+    * (vec_id, cid) assignment) is a projection of the partitioned
+    * serving layout `enc_ivf` — one physical copy of the index.
+    */
   private[graft] def ragTables(t: Tables): Map[String, DataFrame] = {
     val d = ragRoot(t)
-    Seq("routed", "chunks", "tf", "enc", "dense")
-      .map(n => n -> t.spark.read.parquet(s"$d/$n")).toMap
+    Seq("routed", "chunks", "tf", "enc", "enc_ivf")
+      .map(n => n -> t.spark.read.parquet(s"$d/$n")).toMap +
+      ("dense" -> t.spark.read.parquet(s"$d/enc_ivf")
+        .select("vec_id", "cid"))
   }
 
   /** p2: THE REFERENCE'S RAG INGEST PIPELINE END-TO-END — prepare
@@ -335,25 +360,47 @@ object Pipeline {
     * INT16-QUANTIZED dot-product top-`kList` — each stored dim's top
     * 16 bits dotted against the query's code, the production
     * quantized-retrieval serving shape (int8/int16 codes beat floats
-    * on memory bandwidth; exact integer arithmetic here means the
-    * ranking is ALSO engine-exact, so the oracle replays it with
-    * zero float risk) — and r18's RRF fuses the two rankings.
+    * on memory bandwidth; exact integer arithmetic means the IN-LIST
+    * ranking is engine-exact) — and r18's RRF fuses the two rankings.
+    *
+    * The dense tower serves PRUNED: the query's code vector ranks
+    * p2's coarse codebook (the one trained on the stored-code space
+    * at build time), and only the `nProbe` nearest lists are read —
+    * a partition-pruned scan of the cid-partitioned `enc_ivf` layout
+    * (PlanSpec-locked: the cid filter reaches the scan's
+    * PartitionFilters). The oracle replays the WHOLE chain — the
+    * portable md5 training sample, three decimal-exact Lloyd's
+    * rounds, list assignment, query-side list choice, and the pruned
+    * integer-dot ranking (s3's replay pattern, but integer-sourced:
+    * the vectors themselves are exact u16 ints in both engines).
     *
     * Scale: both towers read STAGED index tables (no re-tokenize, no
-    * re-encode); the dense side is one scan with a fused 64-term
-    * integer dot + TakeOrdered; the fusion's rank windows run on
-    * ≤ kList rows each. At 100 TB the dense scan drops behind p2's
-    * IVF assignment exactly like s3 (probe the query's nProbe lists)
-    * — the quantized dot is the in-list scorer.
+    * re-encode); the dense side reads ~nProbe/nLists of the index
+    * (√n lists — at 100 TB a probe touches nProbe directories of
+    * the lake-partitioned index, the s3/s19 serving shape), with the
+    * quantized dot as the in-list scorer + TakeOrdered; the fusion's
+    * rank windows run on ≤ kList rows each.
     */
   def p3RagServe(t: Tables, kList: Int = 20, kOut: Int = 10,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60, nProbe: Int = 8): DataFrame = {
+    val d = ragRoot(t)
     val tbl = ragTables(t)
     val lex = Search.searchBm25From(
       tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
       Search.queryTerms, kList)
     val qU16 = Embed.u16Of(Search.queryTerms.mkString(" "))
-    val dense = tbl("enc")
+    val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
+      sys.error(s"p3: staged RAG index at $d has no codebook.meta"))
+    // list choice: the query's code vector ranked against the coarse
+    // codebook through the SAME compiled expression the build
+    // assigned with — a one-row job returning nProbe ints (a probe
+    // constant, the s3 bounded-collect exception)
+    val probeCids: Seq[Int] = t.spark.range(1)
+      .select(slice(graft.functions.Vectors.centroidRanks(
+        typedlit(qU16.map(_.toDouble)), cb), 1, nProbe).as("pls"))
+      .collect()(0).getSeq[Int](0)
+    val dense = tbl("enc_ivf")
+      .filter(col("cid").isin(probeCids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
         aggregate(
           zip_with(col("u16"), typedlit(qU16),
@@ -370,10 +417,14 @@ object Pipeline {
   }
 
   /** p3's replay: the shared build CTEs, the BM25 tower at kList=20,
-    * the int16 dense tower (codes re-derived from the chunk text by
-    * the same md5 arithmetic — first FOUR hex chars = the stored top
-    * 16 bits; the query code from the literal query string), exact
-    * integer dot ranking, and r18's RRF form.
+    * and the PRUNED dense tower — stored codes re-derived from the
+    * chunk text by the same md5 arithmetic (first FOUR hex chars =
+    * the stored top 16 bits), the IVF training replayed end-to-end
+    * (auto-sized list count from the live chunk count, the portable
+    * md5 sample gate, three decimal-exact Lloyd's rounds —
+    * [[Ann.kmeansReplayCteOver]]), the query's nProbe=8 list choice,
+    * the exact integer dot ranked ONLY inside the probed lists, and
+    * r18's RRF form.
     */
   private lazy val p3Sql: String =
     s"""WITH $ragCtes,
@@ -381,20 +432,40 @@ object Pipeline {
       |lr AS (SELECT chunk_id,
       |         row_number() OVER (ORDER BY score DESC, chunk_id) AS r_lex
       |       FROM serve),
-      |ua AS (
-      |  SELECT chunk_id,
-      |    [CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 4))
-      |          AS BIGINT)
-      |     FOR j IN range(0, 64)] AS u
+      |pvv AS (
+      |  SELECT chunk_id AS vec_id,
+      |    [CAST(CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 4))
+      |          AS BIGINT) AS DOUBLE)
+      |     FOR j IN range(0, 64)] AS v
       |  FROM ch),
-      |qa AS (
-      |  SELECT [CAST(('0x' || substr(md5('spark filter join window group:'
-      |                                   || CAST(j AS INT)), 1, 4))
-      |          AS BIGINT)
-      |     FOR j IN range(0, 64)] AS q),
+      |pnl AS (
+      |  SELECT greatest(16, CAST(floor(sqrt(count(*)) + 0.5) AS INT)) AS nl,
+      |    CAST(ceil(count(*) /
+      |      (64.0 * greatest(16, CAST(floor(sqrt(count(*)) + 0.5) AS INT))))
+      |      AS UBIGINT) AS m
+      |  FROM pvv),
+      |ptv AS (
+      |  SELECT vec_id, v FROM pvv, pnl
+      |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+      |             AS UBIGINT) % m = 0),
+      |${Ann.kmeansReplayCteOver("pvv", "ptv", "(SELECT nl FROM pnl)")},
+      |pq AS (
+      |  SELECT [CAST(CAST(('0x' || substr(md5('spark filter join window group:'
+      |                                        || CAST(j AS INT)), 1, 4))
+      |          AS BIGINT) AS DOUBLE)
+      |     FOR j IN range(0, 64)] AS v),
+      |ppr AS (
+      |  SELECT cid FROM (
+      |    SELECT cc.cid, row_number() OVER (ORDER BY
+      |      list_dot_product(p.v, cc.cv) /
+      |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+      |      cc.cid) AS rn
+      |    FROM pq p, (SELECT cid, v AS cv FROM c3) cc) t
+      |  WHERE rn <= 8),
       |dn AS (
-      |  SELECT chunk_id, CAST(list_dot_product(u, q) AS BIGINT) AS iscore
-      |  FROM ua, qa
+      |  SELECT af.vec_id AS chunk_id,
+      |    CAST(list_dot_product(af.v, q.v) AS BIGINT) AS iscore
+      |  FROM af JOIN ppr USING (cid), pq q
       |  ORDER BY iscore DESC, chunk_id LIMIT 20),
       |dr AS (SELECT chunk_id,
       |         row_number() OVER (ORDER BY iscore DESC, chunk_id) AS r_vec

@@ -382,15 +382,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p.take(600))
   }
 
-  test("p3 dense tower: the quantized-dot scan is one staged-index " +
-      "read with a fused integer dot + TakeOrdered — no join, no " +
-      "aggregate Exchange") {
+  test("p3 dense tower: the quantized-dot scan is PRUNED to the " +
+      "query's probe lists — the cid filter lands in the scan's " +
+      "PartitionFilters; fused integer dot + TakeOrdered, no join, " +
+      "no aggregate Exchange") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf)
+    val d = graft.operators.Pipeline.ragRoot(t)
     val tbl = graft.operators.Pipeline.ragTables(t)
     val qU16 = graft.operators.Embed.u16Of(
       graft.operators.Search.queryTerms.mkString(" "))
-    val dense = tbl("enc")
+    val cb = graft.streaming.Streams.loadCodebook(d).get
+    val probeCids = spark.range(1)
+      .select(slice(graft.functions.Vectors.centroidRanks(
+        typedlit(qU16.map(_.toDouble)), cb), 1, 8).as("pls"))
+      .collect()(0).getSeq[Int](0)
+    val dense = tbl("enc_ivf")
+      .filter(col("cid").isin(probeCids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
         aggregate(
           zip_with(col("u16"), typedlit(qU16),
@@ -402,5 +410,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
     assert(!p.contains("Join"), p.take(600))
     assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    // the pruning claim itself: cid IN (...) rides the scan's
+    // PARTITION filters — non-probe list directories are never read
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n${p.take(1200)}"))
+    assert(pf.contains("cid") && pf.contains(" IN ("), pf)
   }
 }
