@@ -53,6 +53,7 @@ object SparkEntry {
     "r4_chunk_sliding"   -> q(Ingest.r4ChunkSliding(_)),
     "r12_notebook_cells" -> q(Ingest.r12NotebookCells),
     "r16_llm_rewrite"    -> q(Ingest.r16LlmRewrite(_)),
+    "r21_zip_ingest"     -> q(Ingest.r21ZipIngest),
     "r5_tokenize_tf"     -> q(Search.r5TokenizeTf),
     "r6_doc_freq"        -> q(Search.r6DocFreq),
     "r7_tfidf_search"    -> q(Search.r7TfidfSearch),

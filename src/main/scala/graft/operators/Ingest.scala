@@ -266,11 +266,186 @@ object Ingest {
         length(col("body")).as("out_len"), md5(col("body")).as("out_md5"))
       .orderBy("doc_id")
 
+  /** The unique-per-entry archive member name r21 stages: the
+    * synthFilepath shape with the doc_id folded into the DIRECTORY
+    * case too (a zip cannot hold duplicate entry names; synthFilepath
+    * maps every `doc_id % 17 == 0` to the same `repo-main/<source>/`).
+    */
+  private[graft] def zipEntryName: Column = {
+    val exts = array(Seq("md", "mdx", "py", "sql", "java", "ipynb",
+      "txt", "png").map(lit): _*)
+    val ext0 = element_at(exts, (col("doc_id") % 8 + 1).cast("int"))
+    when(col("doc_id") % 17 === 0,
+      concat(lit("repo-main/"), col("source"), lit("/d"), col("doc_id"),
+        lit("/")))
+      .otherwise(concat(lit("repo-main/"), col("source"), lit("/"),
+        when(col("doc_id") % 13 === 0, lit(".")).otherwise(lit("")),
+        lit("file_"), col("doc_id"), lit("."), ext0))
+  }
+
+  /** The reference's skip rule (prepare_data.py:71-88
+    * `_should_skip_file`) as the walker's decode gate — a plain-Scala
+    * port, used ONLY to decide whether an entry's bytes are read
+    * (the reference never reads skipped bytes); the CLASSIFICATION
+    * that reaches the answer is r1's [[actionOf]] expression tree
+    * over the same names, so a drift between the two surfaces as a
+    * null body under a kept action and fails the checksum gate.
+    */
+  private def readableEntry(name: String): Boolean = {
+    val lower = name.toLowerCase
+    if (lower.endsWith("/")) false
+    else {
+      val fname = lower.substring(lower.lastIndexOf('/') + 1)
+      if (fname.startsWith(".")) false
+      else {
+        val i = fname.lastIndexOf('.')
+        val ext = if (i >= 0) fname.substring(i + 1) else ""
+        (docExts ++ codeExts).contains(ext)
+      }
+    }
+  }
+
+  /** Staged archive fleet for r21: one deterministic zip per
+    * partition of `documents` (entry = [[zipEntryName]], bytes = the
+    * UTF-8 text; directory entries carry no bytes) — the object-store
+    * layout a real crawl drop arrives in (many archives, each the
+    * unit of read parallelism). Staged once per corpus.
+    */
+  private[graft] def zipRoot(t: Tables, parts: Int = 8): String =
+    graft.Staging.dir(s"${t.dir}:zip_ingest:$parts", "zip_ingest") { d =>
+      t.documents.select(col("doc_id"), zipEntryName.as("filepath"),
+          col("text"))
+        .repartition(parts, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val p = java.nio.file.Paths.get(d, f"part_$pid%05d.zip")
+            val zos = new java.util.zip.ZipOutputStream(
+              java.nio.file.Files.newOutputStream(p))
+            try it.foreach { r =>
+              val name = r.getString(1)
+              zos.putNextEntry(new java.util.zip.ZipEntry(name))
+              if (!name.endsWith("/"))
+                zos.write(r.getString(2)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              zos.closeEntry()
+            } finally zos.close()
+          }
+        }
+    }
+
+  /** The REAL archive walk: every staged zip read whole through
+    * Spark's binaryFile source, entries expanded by a ZipInputStream
+    * walk inside the partition (reference: prepare_data.py:50-69
+    * `_extract_files` — skip BEFORE read, decode UTF-8). Emits
+    * (filepath, is_dir, body) with body null for skipped entries.
+    */
+  private[graft] def zipEntries(t: Tables): DataFrame = {
+    val d = zipRoot(t)
+    val spark = t.spark
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$d/*.zip")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ListBuffer
+          .empty[(String, Boolean, String)]
+        var e = zis.getNextEntry
+        while (e != null) {
+          val name = e.getName
+          val body =
+            if (readableEntry(name))
+              new String(zis.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+            else null
+          out += ((name, e.isDirectory, body))
+          e = zis.getNextEntry
+        }
+        zis.close()
+        out.toList
+      }.toDF("filepath", "is_dir", "body")
+  }
+
+  /** r21: REAL-BYTES ARCHIVE INGEST — the one reference step that
+    * walks actual archive bytes (prepare_data.py:39-69: fetch zip →
+    * ZipFile → walk infolist, skip dirs/hidden/unsupported BEFORE
+    * reading, decode kept entries), until now only mirrored over
+    * synthesized columns. A deterministic zip fleet stages from
+    * `documents` ([[zipRoot]]), reads back through the binaryFile
+    * source, expands to entries ([[zipEntries]]), and the REAL entry
+    * names classify through r1's own expression trees. The gated
+    * answer is the per-class walk report: entry count, decoded
+    * chars, and an order-independent integer checksum binding every
+    * entry name to its body's md5 — one flipped byte anywhere in any
+    * archive moves it.
+    *
+    * Scale: archives are the unit of parallelism (binaryFile: one
+    * split per file); the walk is one flatMap projection — no
+    * shuffle before the 5-row class aggregate; skipped entries never
+    * decode.
+    */
+  def r21ZipIngest(t: Tables): DataFrame =
+    zipEntries(t)
+      .withColumn("action", actionOf(col("filepath")))
+      .withColumn("norm_path",
+        when(col("action").isin("doc", "code"),
+          regexp_replace(col("filepath"), "^[^/]*/", "")))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_entries"),
+        sum(coalesce(length(col("body")), lit(0))).cast("long")
+          .as("n_chars"),
+        sum(conv(substring(md5(concat(
+            coalesce(col("norm_path"), col("filepath")), lit(":"),
+            coalesce(md5(col("body")), lit("")))), 1, 8), 16, 10)
+          .cast("long")).as("chk"))
+      .orderBy("action")
+
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then
     * mirrors each parse expression (RE2 ≡ Java for every pattern used;
     * `\z` end-of-text anchors, `(?s)` inline flags).
     */
   val oracle: Map[String, String] = Map(
+    // the archive walk replayed relationally: the same unique entry
+    // names, the same skip/classify rule, body = the text the zip
+    // entry carries for kept classes — counts, decoded chars, and
+    // the name:body-md5 integer checksum per class
+    "r21_zip_ingest" ->
+      """WITH z AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'repo-main/' || source || '/d' || doc_id || '/'
+        |         ELSE 'repo-main/' || source || '/' ||
+        |              CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END ||
+        |              'file_' || doc_id || '.' ||
+        |              (['md','mdx','py','sql','java','ipynb','txt','png'])[CAST(doc_id % 8 AS INT) + 1]
+        |    END AS filepath
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, str_split(lower(filepath), '/')[-1] AS fname,
+        |    regexp_extract(str_split(lower(filepath), '/')[-1],
+        |                   '\.([^.]*)$', 1) AS ext
+        |  FROM z),
+        |a AS (
+        |  SELECT filepath, text,
+        |    CASE WHEN filepath LIKE '%/' THEN 'skip_dir'
+        |         WHEN fname LIKE '.%' THEN 'skip_hidden'
+        |         WHEN ext NOT IN ('md','mdx','py','sql','java','ipynb') THEN 'skip_ext'
+        |         WHEN ext IN ('md','mdx') THEN 'doc'
+        |         ELSE 'code' END AS action
+        |  FROM c),
+        |e AS (
+        |  SELECT action, filepath,
+        |    CASE WHEN action IN ('doc','code')
+        |         THEN regexp_replace(filepath, '^[^/]*/', '') END AS norm_path,
+        |    CASE WHEN action IN ('doc','code') THEN text END AS body
+        |  FROM a)
+        |SELECT action, count(*) AS n_entries,
+        |  CAST(sum(coalesce(length(body), 0)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(('0x' || substr(md5(coalesce(norm_path, filepath)
+        |    || ':' || coalesce(md5(body), '')), 1, 8)) AS UBIGINT))
+        |    AS BIGINT) AS chk
+        |FROM e GROUP BY action ORDER BY action""".stripMargin,
     // replays the stub completion (fence wrap + strip compose to the
     // body, so a broken strip diverges); tk[1:12] = take(12)
     "r16_llm_rewrite" ->

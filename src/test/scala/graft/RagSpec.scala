@@ -350,4 +350,47 @@ class RagSpec extends SparkSpec {
       assert(partSum == n, s"user $u part kinds don't partition")
     }
   }
+
+  test("r21 zip ingest: a REAL multi-archive walk — every entry of " +
+      "every staged zip surfaces exactly once, skipped entries never " +
+      "decode, dir flag agrees with the classification, kept bodies " +
+      "round-trip the document text") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    // the staged fleet is really multiple archives (the unit of read
+    // parallelism at scale), not one driver-built blob
+    val root = graft.operators.Ingest.zipRoot(t)
+    val zips = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .toArray.map(_.toString).filter(_.endsWith(".zip"))
+    assert(zips.length > 1, s"expected a zip fleet, got ${zips.length}")
+    val ent = graft.operators.Ingest.zipEntries(t)
+      .withColumn("action",
+        graft.operators.Ingest.actionOf(col("filepath")))
+      .collect()
+    // exactly one entry per document, names unique
+    assert(ent.length == t.documents.count())
+    assert(ent.map(_.getAs[String]("filepath")).distinct.length == ent.length)
+    ent.foreach { r =>
+      val action = r.getAs[String]("action")
+      val body = r.getAs[String]("body")
+      if (action == "doc" || action == "code")
+        assert(body != null, s"kept entry lost its bytes: $r")
+      else assert(body == null, s"skipped entry was decoded: $r")
+      assert(r.getAs[Boolean]("is_dir") == (action == "skip_dir"))
+    }
+    // kept bodies are the document text, byte-for-byte (UTF-8 round
+    // trip through the archive)
+    val spark2 = spark
+    import spark2.implicits._
+    // total extraction (nullif guards the ANSI cast: Catalyst may
+    // evaluate the derived join-key constraint before the body
+    // filter, and dir entries don't match the pattern)
+    val got = graft.operators.Ingest.zipEntries(t)
+      .filter(col("body").isNotNull)
+      .select(nullif(regexp_extract(col("filepath"), "file_(\\d+)\\.", 1),
+        lit("")).cast("long").as("doc_id"), col("body"))
+    val diff = got.join(t.documents.select("doc_id", "text"), "doc_id")
+      .filter(col("body") =!= col("text")).count()
+    assert(diff == 0, "an archive body diverged from its source text")
+  }
 }
