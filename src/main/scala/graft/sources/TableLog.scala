@@ -112,6 +112,12 @@ final class TableLog(val root: String) {
     } finally s.close()
   }
 
+  /** The txn-shaped tag class ([[tagVersion]]'s watermark): a
+    * writer/app name and its monotone batch number — Delta's
+    * SetTransaction (appId, version) pair spelled as one tag.
+    */
+  private val TxnTag = "^([A-Za-z0-9_.-]+)@([0-9]+)$".r
+
   /** All committed versions, ascending. */
   def versions: Seq[Long] = numberedFiles(".commit")
 
@@ -224,14 +230,33 @@ final class TableLog(val root: String) {
       // maintenance cadence the checkpoint exists to remove)
       val prev = checkpoints.filter(_ < v).lastOption
       val carried = prev.map(checkpointTags).getOrElse(Map.empty)
+      val carriedTxns = prev.map(checkpointTxns).getOrElse(Map.empty)
       val fresh = versions
         .filter(cv => cv <= v && prev.forall(cv > _))
         .flatMap { cv =>
           val t = parse(cv)._1
           if (t.nonEmpty) Some(t -> cv) else None
         }
-      val tagLines = (carried ++ fresh).toSeq.sortBy(_._2)
-        .map { case (t, cv) => s"tag\t$cv\t$t" }
+      // txn-shaped tags (app@n) FOLD into one watermark row per app —
+      // Delta's SetTransaction: the index stays O(apps), not O(every
+      // batch ever committed (st22 lands four tags per batch));
+      // everything else keeps the exact line-per-tag index
+      val (txnFresh, plainFresh) = fresh.partition {
+        case (t, _) => TxnTag.matches(t)
+      }
+      val txns = txnFresh.foldLeft(carriedTxns) { case (acc, (t, cv)) =>
+        val TxnTag(app, nStr) = t
+        val n = nStr.toLong
+        acc.get(app) match {
+          case Some((nMax, _)) if nMax >= n => acc
+          case _ => acc + (app -> (n, cv))
+        }
+      }
+      val txnLines = txns.toSeq.sortBy(_._1)
+        .map { case (app, (n, cv)) => s"txn\t$cv\t$app\t$n" }
+      val tagLines = txnLines ++
+        (carried ++ plainFresh).toSeq.sortBy(_._2)
+          .map { case (t, cv) => s"tag\t$cv\t$t" }
       // the schema in effect at the checkpoint carries too (like the
       // tag index): schemaAt's scan stops at the checkpoint floor, so
       // a collapsed schema-carrying commit must not make the table's
@@ -266,13 +291,14 @@ final class TableLog(val root: String) {
           case Array("add", p, mn, mx, n) =>
             Some(FileEntry(p, mn.toLong, mx.toLong, n.toLong))
           case Array("tag", _, _) => None // the tag index, not a file
+          case Array("txn", _, _, _) => None // the txn watermark
           case other =>
             sys.error(s"corrupt checkpoint v$v line: ${other.toSeq}")
         }
       }
 
-  /** The tag index a checkpoint carries: tag → version, for every
-    * tagged commit at or below the checkpoint.
+  /** The plain-tag index a checkpoint carries: tag → version, for
+    * every non-txn tagged commit at or below the checkpoint.
     */
   private def checkpointTags(v: Long): Map[String, Long] =
     new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
@@ -280,6 +306,20 @@ final class TableLog(val root: String) {
       .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
         l.split("\t") match {
           case Array("tag", cv, t) => Some(t -> cv.toLong)
+          case _ => None
+        }
+      }.toMap
+
+  /** The txn watermarks a checkpoint carries: app → (highest batch
+    * number committed at or below the checkpoint, that commit's
+    * version) — [[tagVersion]]'s SetTransaction contract.
+    */
+  private def checkpointTxns(v: Long): Map[String, (Long, Long)] =
+    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+        l.split("\t") match {
+          case Array("txn", cv, app, n) => Some(app -> (n.toLong, cv.toLong))
           case _ => None
         }
       }.toMap
@@ -335,18 +375,43 @@ final class TableLog(val root: String) {
   /** The version a writer committed under `tag`, if any — the
     * redelivery check for tagged (streaming) commits. Scans commits
     * NEWEST FIRST down to the latest checkpoint, then consults the
-    * TAG INDEX the checkpoint carries for everything below it — so
+    * indexes the checkpoint carries for everything below it — so
     * the per-batch cost is O(commits since the last checkpoint + one
     * checkpoint read), not O(history), and a tag is NEVER read as
     * absent just because its commit was collapsed (a re-land of an
     * overwrite-keyed batch would otherwise delete the files its own
     * earlier commit references).
+    *
+    * TXN-SHAPED tags (`<app>@<n>`, n a non-negative integer — the
+    * per-batch streaming-sink shape) are WATERMARKED below the
+    * checkpoint, Delta's SetTransaction: the checkpoint keeps ONE
+    * (app, nMax, version-of-nMax) row per app instead of a line per
+    * batch ever committed, so checkpoint size is O(apps + plain
+    * tags), not O(batch history). Contract: below the checkpoint the
+    * answer for `app@n` is presence-by-watermark (`n ≤ nMax` ⇒
+    * committed — valid because a serialized sink only ever re-asks
+    * about its NEWEST batch; Spark's foreachBatch never redelivers
+    * batch n-2 after n committed) and the returned VERSION is exact
+    * only for n = nMax (older batches answer the watermark's
+    * version). An as-of-before read (`tagVersion(tag).map(_ - 1)`)
+    * must therefore only target the app's newest tag — which is the
+    * only tag a torn retry can hold. Non-txn tags keep the exact
+    * line-per-tag index.
     */
   def tagVersion(tag: String): Option[Long] = {
     val floor = checkpoints.lastOption
     versions.filter(v => floor.forall(v >= _)).sortBy(-_)
       .find(v => parse(v)._1 == tag)
       .orElse(floor.flatMap(cv => checkpointTags(cv).get(tag)))
+      .orElse(floor.flatMap { cv =>
+        tag match {
+          case TxnTag(app, n) =>
+            checkpointTxns(cv).get(app)
+              .filter { case (nMax, _) => n.toLong <= nMax }
+              .map(_._2)
+          case _ => None
+        }
+      })
   }
 
   /** Commit `v`'s own actions — the exact file DELTA that version

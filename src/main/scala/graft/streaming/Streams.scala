@@ -1047,20 +1047,24 @@ object Streams {
   /** Resolve the CURRENT dir of each state table under `root`: the
     * generation the log's head snapshot serves, or the plain
     * `root/<table>` dir for a root that predates any rewrite commit
-    * (initial appends land there).
+    * (initial appends land there). The generation marker is ANCHORED
+    * to the known root — `<root>/<table>.g<digits>` matched from the
+    * path's start — so a root whose own path happens to contain a
+    * `.g<digits>` segment (e.g. `/data/labels.g1/state`) can never
+    * mis-resolve a table dir to a prefix of the root.
     */
   private[graft] def resolveStateDirs(root: String,
       tables: Seq[String]): Map[String, String] = {
     val log = stateLog(root)
     val snap = log.latestVersion.map(log.snapshot).getOrElse(Nil)
       .map(_.path)
+    val rootNorm = root.stripSuffix("/")
     tables.map { t =>
-      val marker = s"/$t.g"
-      val hit = snap.find(_.contains(marker)).map { p =>
-        val i = p.indexOf(marker) + marker.length
-        p.substring(0, i + p.substring(i).takeWhile(_.isDigit).length)
+      val prefix = s"$rootNorm/$t.g"
+      val hit = snap.find(_.startsWith(prefix)).map { p =>
+        prefix + p.substring(prefix.length).takeWhile(_.isDigit)
       }
-      t -> hit.getOrElse(s"$root/$t")
+      t -> hit.getOrElse(s"$rootNorm/$t")
     }.toMap
   }
 
@@ -2224,7 +2228,7 @@ object Streams {
       batch: DataFrame, bid: Long, maxFiles: Int = 6): Unit = {
     val log = graft.sources.TableLog.open(tableRoot)
     val vOpt = landClusteredCommit(spark, log, tableRoot, batch,
-      s"b$bid", s"b$bid")
+      s"b$bid", s"b@$bid")
     // redelivery: the tag is already committed ⇒ the whole step is a
     // no-op (never re-land, never double-commit)
     if (vOpt.isEmpty) return
@@ -2235,7 +2239,7 @@ object Streams {
     // collapse applied to the metadata layer itself)
     if ((v + 1) % 8 == 0) log.checkpoint()
     sinkMaintain(spark, log, tableRoot, s"$tableRoot/m$bid",
-      "event_id", graft.sources.Io.io10Schema, s"maintain-b$bid",
+      "event_id", graft.sources.Io.io10Schema, s"maintain@$bid",
       maxFiles, nMin = 4)
   }
 
@@ -2530,7 +2534,7 @@ object Streams {
       batch: DataFrame, bid: Long, maxFiles: Int = 6): Unit = {
     val mainLog = graft.sources.TableLog.open(s"$root/main")
     val qLog = graft.sources.TableLog.open(s"$root/quarantine")
-    val tag = s"b$bid"
+    val tag = s"b@$bid"
     val mainDone = mainLog.tagVersion(tag).isDefined
     val qDone = qLog.tagVersion(tag).isDefined
     if (mainDone && qDone) return
@@ -2563,7 +2567,7 @@ object Streams {
     Seq(mainLog -> "main", qLog -> "quarantine").foreach {
       case (log, sub) =>
         sinkMaintain(spark, log, root, s"$root/$sub/m$bid", "event_id",
-          st19Schema, s"maintain-b$bid", maxFiles)
+          st19Schema, s"maintain@$bid", maxFiles)
     }
   }
 
@@ -2697,7 +2701,7 @@ object Streams {
     val upserts = changes.filter(col("n").isNotNull).select(col("n.*"))
     val changedKeys = changes.select(col("k").as(keyCol))
     val mLog = stateLog(root)
-    val tag = s"mirror-v$v"
+    val tag = s"mirror@$v"
     // a crash between a prior try's commit and its cursor persist:
     // the merge is already served — heal the cursor, never re-merge
     if (mLog.tagVersion(tag).isEmpty) {
@@ -3220,12 +3224,23 @@ object Streams {
       qualityMin: Double = 0.35, k: Int = 5,
       benchMod: Long = 97): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val tag = s"b$bid"
+    val tag = s"b@$bid"
     val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
     if (Seq(mainLog, statsLog, md5Log, fpLog)
         .forall(_.tagVersion(tag).isDefined)) return
     val scored = graft.operators.Pipeline
       .scoredProjection(batch, k).persist()
+    // ASCENDING-ARRIVAL GUARD: the cross-batch keep-min-id contract
+    // (registry keys always belong to smaller ids than any arrival)
+    // is a DELIVERY assumption — Spark's file source orders batches
+    // by modification time then path, which is observed, not
+    // contractual. So every step PROVES it before committing: the
+    // batch's min doc_id must exceed the high-water id of everything
+    // previously registered, else fail loudly (the silent
+    // alternative keeps a non-min group member). The mark rides a
+    // meta file keyed by batch tag so a torn RETRY of batch `bid`
+    // re-checks against the PRE-batch mark it recorded, not the one
+    // it advanced.
     // a registry is probed AS OF BEFORE this batch: a torn retry
     // whose registry side already committed (tag present) must not
     // see its OWN keys, or the recomputed stages read as fully
@@ -3236,6 +3251,24 @@ object Streams {
         log.tagVersion(tag).map(_ - 1)
           .orElse(log.latestVersion).getOrElse(-1L))
     try {
+      val bounds = scored
+        .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      if (!bounds.isNullAt(0)) {
+        val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+        val (hwTag, hwBefore, hwAfter) = loadMeta(roots.root, "hw.meta")
+          .map { s =>
+            val Array(t, b, a) = s.split(":", 3)
+            (t, b.toLong, a.toLong)
+          }.getOrElse(("", Long.MinValue, Long.MinValue))
+        val floor = if (hwTag == tag) hwBefore else hwAfter
+        require(mn > floor,
+          s"st22: non-ascending arrival (batch $tag min doc_id $mn <= " +
+            s"registered high-water $floor) violates the keep-min-id " +
+            "registry contract — deliver batches in ascending doc_id " +
+            "order (re-stage the source ordered)")
+        saveMeta(roots.root, "hw.meta",
+          s"$tag:$floor:${math.max(floor, mx)}")
+      }
       val s1 = scored.filter(
         graft.operators.Pipeline.qualityPass(qualityMin))
       val s2 = s1.filter(graft.operators.Pipeline.langPass)

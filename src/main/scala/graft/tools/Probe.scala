@@ -792,16 +792,81 @@ object Probe {
       // them it is O(history). Driver-side metadata only — no Spark
       // job; `copies` scales the history (10 → 640 commits, 100 →
       // 6,400).
+      // the p2 staged RAG build + p3 pruned serving: build wall by
+      // stage (classify/normalize/chunk/TF/encode/IVF — the one-time
+      // corpus cost), the 7-row report, and the serving probe with a
+      // bytes-read witness (serve must stay ~flat as the corpus
+      // grows: the probe reads nProbe of ~√n lists)
+      case "p2" =>
+        def runRag(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val dir = graft.Staging.scratch(s"probe_p2_$tag")
+          d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val t = graft.Tables(spark, dir)
+          val t0 = System.nanoTime
+          val root = graft.operators.Pipeline.ragRoot(t)
+          val sBuild = (System.nanoTime - t0) / 1e9
+          val t1 = System.nanoTime
+          graft.operators.Pipeline.p2RagIngest(t).collect()
+          val sRep = (System.nanoTime - t1) / 1e9
+          val ((nH, sServe), recs, bytes) = measured {
+            val tS = System.nanoTime
+            val n = graft.operators.Pipeline.p3RagServe(t).count()
+            (n, (System.nanoTime - tS) / 1e9)
+          }
+          val nChunks = spark.read.parquet(s"$root/enc").count()
+          val nProbed = spark.read.parquet(s"$root/enc_ivf").count()
+          println(f"PROBE p2 [$tag] build $sBuild%.1f s " +
+            f"($nChunks chunks, $nProbed indexed); report $sRep%.1f s; " +
+            f"p3 serve $sServe%.2f s ($nH rows, $recs recs, " +
+            f"${bytes / 1024}%d KiB read)")
+        }
+        runRag("base", full)
+        runRag(s"${copies}x", replicatedFull(copies))
+      // p2's normalize-routing under CLASS SKEW: a corpus that is
+      // ~100% ipynb (doc_id ≡ 21 mod 1768 → ext ipynb, never hidden,
+      // never a dir) — every row pays r12's from_json and the other
+      // two routes scan-and-drop. Compares the skewed build against
+      // the balanced mix at the SAME row count: if routing re-scans
+      // per class, the skewed build pays ~3× the scan it uses.
+      case "p2skew" =>
+        def corpus(skew: Boolean, n: Int) = {
+          val base = full.limit(n)
+          if (!skew) base
+          else base.select(
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("doc_id")).cast("long") * 1768L + 21L)
+              .as("doc_id"),
+            col("source"), col("lang"), col("text"))
+        }
+        def build(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val dir = graft.Staging.scratch(s"probe_p2skew_$tag")
+          d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val t = graft.Tables(spark, dir)
+          val ((root, sBuild), recs, bytes) = measured {
+            val t0 = System.nanoTime
+            val r = graft.operators.Pipeline.ragRoot(t)
+            (r, (System.nanoTime - t0) / 1e9)
+          }
+          val routed = spark.read.parquet(s"$root/routed").count()
+          println(f"PROBE p2skew [$tag] build $sBuild%.1f s " +
+            f"($routed routed, $recs recs read, ${bytes / 1024}%d KiB)")
+        }
+        val n = 500 * copies
+        build("balanced", corpus(skew = false, n))
+        build("ipynb-skew", corpus(skew = true, n))
       case "tlog" =>
         import graft.sources.TableLog
         def fe(i: Int) = TableLog.FileEntry(
           s"f$i", i * 100L, i * 100L + 99L, 100L)
         val nC = copies * 64
-        def build(ckpt: Boolean): TableLog = {
+        def build(ckpt: Boolean, txn: Boolean = true): TableLog = {
           val log = TableLog.open(
-            graft.Staging.scratch(s"probe_tlog_$ckpt"))
+            graft.Staging.scratch(s"probe_tlog_${ckpt}_$txn"))
           (0 until nC).foreach { i =>
-            val v = log.commit(Seq(TableLog.Add(fe(i))), tag = s"b$i")
+            val v = log.commit(Seq(TableLog.Add(fe(i))),
+              tag = if (txn) s"b@$i" else s"b$i")
             if (ckpt && (v + 1) % 8 == 0) log.checkpoint()
           }
           log
@@ -812,6 +877,13 @@ object Probe {
           val n = log.prunedFiles(v, nC * 50L, nC * 50L + 999L).length
           ((System.nanoTime - t0) / 1e6, n)
         }
+        def ckBytes(log: TableLog): Long = {
+          val d = java.nio.file.Paths.get(log.root, "_log")
+          java.nio.file.Files.list(d).toArray.map(_.toString)
+            .filter(_.endsWith(".checkpoint")).sorted.lastOption
+            .map(p => java.nio.file.Files.size(
+              java.nio.file.Paths.get(p))).getOrElse(0L)
+        }
         val t0 = System.nanoTime
         val withCk = build(ckpt = true)
         val commitS = (System.nanoTime - t0) / 1e9
@@ -821,6 +893,26 @@ object Probe {
         println(f"PROBE tlog: $nC%d commits (write+ckpt $commitS%.1f s); " +
           f"pruned-plan with checkpoints $msCk%.1f ms ($nCk files), " +
           f"replay-from-v0 $msNo%.1f ms ($nNo files)")
+        // the TAG-INDEX law (st22 lands four tagged destinations per
+        // batch — four logs of this shape per sink): with txn-shaped
+        // tags (b@i) the checkpoint carries ONE watermark row however
+        // many batches ran; with plain tags (bi) it carries a line
+        // per batch ever committed — the O(history) the watermark
+        // deletes. Measured at the same commit count, plus the
+        // redelivery lookup cost against the head checkpoint.
+        val plain = build(ckpt = true, txn = false)
+        def lookupMs(log: TableLog, tag: Int => String): Double = {
+          val t1 = System.nanoTime
+          (0 until nC by math.max(1, nC / 64)).foreach(i =>
+            require(log.tagVersion(tag(i)).isDefined))
+          (System.nanoTime - t1) / 1e6
+        }
+        val msTxn = lookupMs(withCk, i => s"b@$i")
+        val msPlain = lookupMs(plain, i => s"b$i")
+        println(f"PROBE tlog tags: checkpoint ${ckBytes(withCk)}%d B " +
+          f"(txn watermark) vs ${ckBytes(plain)}%d B (plain line-per-" +
+          f"batch) at $nC%d tagged commits; 64 redelivery lookups " +
+          f"$msTxn%.1f ms (txn) vs $msPlain%.1f ms (plain)")
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

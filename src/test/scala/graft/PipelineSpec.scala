@@ -256,7 +256,7 @@ class PipelineSpec extends SparkSpec {
         s"${roots.stats}/_log/v000000000000.commit"))
       graft.streaming.Streams.st22Step(spark, roots, bench, docs, 0L)
       val statsLog2 = graft.sources.TableLog.open(roots.stats)
-      assert(statsLog2.tagVersion("b0").isDefined, "torn side not healed")
+      assert(statsLog2.tagVersion("b@0").isDefined, "torn side not healed")
       assert(statsLog2.read(spark,
           graft.streaming.Streams.st22StatsSchema, 0L)
         .collect().map(_.toSeq).toSet == statsOnce)
@@ -274,6 +274,35 @@ class PipelineSpec extends SparkSpec {
         .map(r => (r.getAs[Int]("ord").toLong, r.getAs[String]("stage"),
           r.getAs[Long]("n_out"))).toSeq
       assert(rep == p1)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("st22 refuses a non-ascending arrival: a batch whose min " +
+      "doc_id does not exceed the registered high-water fails " +
+      "loudly instead of silently keeping a non-min group member; " +
+      "a torn RETRY of the same batch still passes") {
+    val t = Tables(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st22_hw_").toString
+    try {
+      val docs = t.documents.select("doc_id", "text")
+      val bench = graft.operators.Pipeline.scoredProjection(docs, 5)
+        .filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("s5")).distinct()
+      val roots = graft.streaming.Streams.St22Roots(tmp)
+      val lo = docs.filter(col("doc_id") < 100)
+      val hi = docs.filter(col("doc_id") >= 100)
+      graft.streaming.Streams.st22Step(spark, roots, bench, lo, 0L)
+      // a RETRY of batch 0 (torn or redelivered) re-checks against
+      // the PRE-batch mark — it must not trip over its own advance
+      graft.streaming.Streams.st22Step(spark, roots, bench, lo, 0L)
+      // batch 1 arriving BELOW the high-water = contract violation
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.st22Step(spark, roots, bench, lo, 1L)
+      }
+      assert(e.getMessage.contains("non-ascending"))
+      // ascending continuation is clean
+      graft.streaming.Streams.st22Step(spark, roots, bench, hi, 1L)
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
@@ -297,15 +326,32 @@ class PipelineSpec extends SparkSpec {
       Option(r.getAs[Any]("r_lex")).foreach(rl =>
         assert(lex(id) == rl.asInstanceOf[Int], s"r_lex drifted for $id"))
     }
-    // dense ranks reproduce the stored-code dot ranking
+    // dense ranks reproduce the stored-code dot ranking over the
+    // query's PROBED lists (the pruned serving contract): rank only
+    // codes filed under the nProbe nearest coarse lists
     val qU16 = graft.operators.Embed.u16Of(
       graft.operators.Search.queryTerms.mkString(" "))
-    val dense = tbl("enc").collect().map { r =>
+    val root = graft.operators.Pipeline.ragRoot(t)
+    val cb = graft.streaming.Streams.loadCodebook(root).get
+    val probeCids = spark.range(1)
+      .select(slice(graft.functions.Vectors.centroidRanks(
+        typedlit(qU16.map(_.toDouble)), cb), 1, 8).as("pls"))
+      .collect()(0).getSeq[Int](0).toSet
+    val dense = tbl("enc_ivf").collect().filter(r =>
+      probeCids.contains(r.getAs[Int]("cid"))).map { r =>
       val u = r.getAs[scala.collection.Seq[Int]]("u16")
       r.getAs[Long]("vec_id") ->
         u.zip(qU16).map { case (a, b) => a.toLong * b }.sum
     }.sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
       .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // and the prune is REAL: the probed lists hold a strict subset
+    // of the index (the in-list read fraction a 100 TB probe pays)
+    val nAll = tbl("enc_ivf").count()
+    val nProbed = tbl("enc_ivf")
+      .filter(col("cid").isin(probeCids.toSeq.map(c => c: Any): _*))
+      .count()
+    assert(nProbed > 0 && nProbed < nAll,
+      s"prune not real: $nProbed of $nAll")
     fused.foreach { r =>
       val id = r.getLong(0)
       Option(r.getAs[Any]("r_vec")).foreach(rv =>
@@ -331,9 +377,10 @@ class PipelineSpec extends SparkSpec {
     val nLists = graft.operators.Ann.ivfConfigFor(nVec)
     val bad = dense.filter(col("cid") < 0 || col("cid") >= nLists).count()
     assert(bad == 0, s"cid outside [0, $nLists)")
-    // retrain from the staged encodes → bit-identical assignment
+    // retrain from the staged encodes (the stored-code space the
+    // tower lives in) → bit-identical assignment
     val vecs = tbl("enc").select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+      transform(col("u16"), x => x.cast("double")).as("v"))
     val cb = graft.operators.Ann.trainCodebookSampled(vecs, nLists, nVec,
       dim = graft.operators.Embed.dim)
     val re = vecs.select(col("vec_id"),

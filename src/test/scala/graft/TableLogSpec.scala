@@ -664,4 +664,59 @@ class TableLogSpec extends SparkSpec {
     assert(log.tagVersion("b2").contains(2L))
     assert(log.tagVersion("b3").isEmpty)
   }
+
+  test("txn-shaped tags (app@n) fold to ONE watermark row per app " +
+      "in the checkpoint: presence survives the collapse, the " +
+      "newest batch keeps its exact version, uncommitted future " +
+      "batches miss, and checkpoint size stays O(apps)") {
+    val root = graft.Staging.scratch("tablelog_txn")
+    val log = TableLog.open(root)
+    (0 until 20).foreach { i =>
+      log.commit(Nil, tag = s"sink@$i")
+      log.commit(Nil, tag = s"maintain@$i")
+    }
+    log.commit(Nil, tag = "clone") // a plain tag rides along exactly
+    log.checkpoint()
+    log.commit(Nil, tag = "sink@20")
+    // presence below the checkpoint: every committed batch answers
+    (0 until 20).foreach { i =>
+      assert(log.tagVersion(s"sink@$i").isDefined, s"sink@$i lost")
+      assert(log.tagVersion(s"maintain@$i").isDefined)
+    }
+    // the app's newest folded batch answers its EXACT version (the
+    // as-of-before contract: a torn retry only ever asks about the
+    // newest tag) — sink@19 committed at version 38
+    assert(log.tagVersion("sink@19").contains(38L))
+    assert(log.tagVersion("maintain@19").contains(39L))
+    // above the checkpoint: exact from the commit scan
+    assert(log.tagVersion("sink@20").contains(41L))
+    // never-committed batches miss, per app
+    assert(log.tagVersion("sink@21").isEmpty)
+    assert(log.tagVersion("maintain@20").isEmpty)
+    assert(log.tagVersion("other@0").isEmpty)
+    // plain tags keep the exact index
+    assert(log.tagVersion("clone").contains(40L))
+    // the fold is real: the checkpoint carries 2 txn rows + 1 plain
+    // tag line, not 41 tag lines
+    val ck = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_log")).toArray
+      .map(_.toString).filter(_.endsWith(".checkpoint"))
+    assert(ck.length == 1)
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ck.head))).split("\n")
+    assert(lines.count(_.startsWith("txn\t")) == 2,
+      lines.filter(_.startsWith("txn\t")).mkString("|"))
+    assert(lines.count(_.startsWith("tag\t")) == 1)
+    // a SECOND checkpoint carries the watermark forward and folds
+    // the new head batch into it
+    log.checkpoint()
+    val ck2 = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_log")).toArray
+      .map(_.toString).filter(_.endsWith(".checkpoint")).sorted.last
+    val lines2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ck2))).split("\n")
+    assert(lines2.count(_.startsWith("txn\t")) == 2)
+    assert(log.tagVersion("sink@20").contains(41L))
+    assert(log.tagVersion("sink@5").isDefined)
+  }
 }
