@@ -736,7 +736,7 @@ object Graft {
   final class AnnIndexMaintenance private[api] (
       spark: org.apache.spark.sql.SparkSession, trainVecs: DataFrame,
       idCol: String, vecCol: String, nLists: Int,
-      stateRoot: Option[String]) {
+      stateRoot: Option[String], dim: Int = 64) {
     private val vecs = trainVecs.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     // a RESUMED durable root serves under ITS persisted model: the
@@ -781,7 +781,7 @@ object Graft {
             "original model file or start a fresh root")
       }
       val trained = graft.operators.Ann.trainCodebookSampled(
-        vecs, listCount, n)
+        vecs, listCount, n, dim = dim)
       stateRoot.foreach(r =>
         graft.streaming.Streams.saveCodebook(r, trained))
       trained
@@ -804,14 +804,17 @@ object Graft {
     * scratch. `nLists ≤ 0` (the default) auto-sizes the coarse-list
     * count from the measured training-corpus size (≈√n —
     * [[graft.operators.Ann.ivfConfigFor]]); pass a positive value to
-    * pin a shape.
+    * pin a shape. `dim` is the encoder's output dimensionality (the
+    * m6 facade-parameter pattern: [[embed]]'s `dim` threads straight
+    * through — a non-64 encoder drops in end-to-end).
     */
   def annIndexMaintenance(spark: org.apache.spark.sql.SparkSession,
       trainVecs: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 0,
-      stateRoot: Option[String] = None): AnnIndexMaintenance =
+      stateRoot: Option[String] = None,
+      dim: Int = 64): AnnIndexMaintenance =
     new AnnIndexMaintenance(spark, trainVecs, idCol, vecCol, nLists,
-      stateRoot)
+      stateRoot, dim)
 
   /** PUBLISH the serving pointer of a migration parent: names which
     * subroot under `parentRoot` currently serves (st20's
@@ -835,13 +838,15 @@ object Graft {
     */
   def annIndexMigrate(spark: org.apache.spark.sql.SparkSession,
       parentRoot: String, toSub: String, trainVecs: DataFrame,
-      idCol: String, vecCol: String, nLists: Int = 0): Unit = {
+      idCol: String, vecCol: String, nLists: Int = 0,
+      dim: Int = 64): Unit = {
     val vecs = trainVecs.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val n = vecs.count()
     val lists =
       if (nLists > 0) nLists else graft.operators.Ann.ivfConfigFor(n)
-    val cbNew = graft.operators.Ann.trainCodebookSampled(vecs, lists, n)
+    val cbNew = graft.operators.Ann.trainCodebookSampled(vecs, lists, n,
+      dim = dim)
     graft.streaming.Streams.st20Migrate(spark, parentRoot, toSub,
       cbNew, lists)
   }
@@ -1155,6 +1160,19 @@ object Graft {
     * [[chunk]] → [[embed]] / BM25 indexing for the reference's full
     * prepare→chunk→index flow. Pure projections + one mapPartitions
     * inference pass; no shuffle.
+    *
+    * DELIBERATE DIVERGENCE from the reference's notebook route: the
+    * reference additionally LLM-rewrites the exported notebook
+    * markdown before indexing (prepare_data.py:193-224 pipes
+    * process_notebooks' export through the same rewrite the code
+    * files get). This engine indexes the r12 export DIRECTLY: its
+    * rewrite stand-in (r16's stub, no model runtime in this
+    * environment) is deterministic but DESTRUCTIVE — it keeps a
+    * 12-token summary — so piping notebooks through it would erase
+    * the very markdown content the index exists to serve. With a
+    * real content-preserving rewriter, route `ipynb` exports through
+    * [[graft.operators.Ingest.rewriteFrame]] after r12 to restore
+    * the reference's exact flow.
     */
   def ragNormalize(df: DataFrame, idCol: String, pathCol: String,
       langCol: String, textCol: String, batchSize: Int = 32): DataFrame = {

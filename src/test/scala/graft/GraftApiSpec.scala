@@ -949,6 +949,57 @@ class GraftApiSpec extends SparkSpec {
       hits.map(_.getAs[Double]("cos")).toSeq)
   }
 
+  test("embed-dim knob end-to-end: a d=16 encoder drops into the " +
+      "ANN maintenance session and the s18 prefix contract holds at " +
+      "the new dim") {
+    val spark = SparkSpec.spark
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val vecs = Graft.embed(docs, "doc_id", "text", dim = 16)
+    val em = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // the encoder really produced unit-norm 16-dim vectors
+    val norms = em.select(sqrt(aggregate(col("v"), lit(0.0),
+      (a, x) => a + x * x)).as("n")).collect().map(_.getDouble(0))
+    assert(norms.length == 100 &&
+      norms.forall(n => math.abs(n - 1.0) < 1e-6))
+    assert(em.select(size(col("v"))).collect()
+      .forall(_.getInt(0) == 16))
+    // the maintenance session trains/serves at d=16 (the dim knob
+    // threads through trainCodebookSampled — a 64-dim default would
+    // zero-pad centroids and mis-rank)
+    val im = Graft.annIndexMaintenance(spark, em, "vec_id", "v",
+      nLists = 8, dim = 16)
+    im.step(em)
+    val qv = em.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Double](1)
+    val got = im.search(qv, k = 5, nProbe = 2).collect()
+    assert(got.nonEmpty && got.head.getAs[Long]("vec_id") == 0L &&
+      got.head.getAs[Double]("cos") == 1.0)
+    // s18's prefix contract re-checked at the new dim: prefix
+    // shortlist over the first 4 of 16 dims, exact rerank full-dim,
+    // rank-1 is the query vector itself and pcos recomputes from the
+    // prefix alone
+    val hits = Graft.mrlSearch(em, "vec_id", "v", qv, prefixDim = 4,
+      shortlist = 20, k = 5).collect()
+    assert(hits.head.getAs[Long]("vec_id") == 0L &&
+      hits.head.getAs[Double]("cos") == 1.0)
+    val byId = em.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cosP(a: Seq[Double], b: Seq[Double], d: Int): Double = {
+      val (ap, bp) = (a.take(d), b.take(d))
+      val dot = ap.zip(bp).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ap.map(x => x * x).sum) *
+        math.sqrt(bp.map(x => x * x).sum))
+    }
+    hits.foreach { h =>
+      val want = math.floor(
+        cosP(byId(h.getAs[Long]("vec_id")), qv, 4) * 1e4 + 0.5) / 1e4
+      assert(math.abs(h.getAs[Double]("pcos") - want) < 1e-9,
+        s"pcos drifted for ${h.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
