@@ -214,11 +214,16 @@ object Pipeline {
     * query from it; at 100 TB each table below is a lake write):
     * `routed` (the normalized bodies), `chunks` (r4's sliding
     * window, chunk_id = doc_id·10⁶ + start), `tf` (the sparse tower:
-    * r5's per-(chunk,term) frequencies), `dense` (the dense tower:
-    * e1's encode per chunk + IVF list assignment under an auto-sized
-    * [[Ann.ivfConfigFor]] codebook trained by [[Ann]]'s sampled
-    * Lloyd's). Chunking/TF/encode are all map-side over the staged
-    * scan; the ONE shuffle in the build is the TF groupBy.
+    * r5's per-(chunk,term) frequencies) plus its SERVING form
+    * (`stats`/`idf`/`tf_b` — precomputed corpus stats, per-term idf,
+    * and term-bucket-partitioned postings with dl denormalized in),
+    * and the dense tower (e1's encode per chunk + IVF list
+    * assignment under an auto-sized [[Ann.ivfConfigFor]] codebook
+    * trained by [[Ann]]'s sampled Lloyd's, staged cid-partitioned as
+    * `enc_ivf`). Chunking/TF/encode are all map-side over the staged
+    * scan; the build's shuffles are the TF/df/dl groupBys and the
+    * two layout repartitions — all build-once costs the serving path
+    * never re-pays.
     */
   private[graft] def ragRoot(t: Tables, size: Int = 200,
       step: Int = 100): String =
@@ -234,6 +239,28 @@ object Pipeline {
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
         .write.mode("overwrite").parquet(s"$d/tf")
+      // the SERVING form of the sparse tower, staged once (the
+      // build-once/query-many contract applied to BM25's own
+      // inputs): corpus stats and per-term idf precomputed, doc
+      // length DENORMALIZED into each posting, postings PARTITIONED
+      // by a portable term bucket — a query reads only its terms'
+      // buckets (p3's cid-prune applied to the lexical side) and
+      // re-derives nothing corpus-wide per query
+      val tfD = t.spark.read.parquet(s"$d/tf")
+        .withColumnRenamed("chunk_id", "doc_id")
+      val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
+      dlD.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
+        .write.mode("overwrite").parquet(s"$d/stats")
+      tfD.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(t.spark.read.parquet(s"$d/stats")))
+        .withColumn("idf_bm",
+          log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+        .select("term", "df", "idf_bm")
+        .write.mode("overwrite").parquet(s"$d/idf")
+      tfD.join(dlD, "doc_id")
+        .withColumn("tb", Search.termBucket(col("term"), lexBuckets))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$d/tf_b")
       val enc = Embed.encodeFrame(ch, "chunk_id", "chunk")
       enc.write.mode("overwrite").parquet(s"$d/enc")
       // The dense tower lives in the STORED-CODE space: IVF trains
@@ -267,16 +294,40 @@ object Pipeline {
         .parquet(s"$d/enc_ivf")
     }
 
+  /** Term-bucket count for the partitioned postings layout. Pinned
+    * at 32 for the sandbox corpora; at lake scale it grows with the
+    * corpus like [[Ann.ivfConfigFor]] — the bucket is a build knob,
+    * not a semantic one (pruning only narrows the scan).
+    */
+  private[graft] val lexBuckets = 32
+
   /** The staged p2 tables, for serving / spec access. `dense` (the
     * (vec_id, cid) assignment) is a projection of the partitioned
     * serving layout `enc_ivf` — one physical copy of the index.
     */
   private[graft] def ragTables(t: Tables): Map[String, DataFrame] = {
     val d = ragRoot(t)
-    Seq("routed", "chunks", "tf", "enc", "enc_ivf")
+    Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
+        "enc_ivf")
       .map(n => n -> t.spark.read.parquet(s"$d/$n")).toMap +
       ("dense" -> t.spark.read.parquet(s"$d/enc_ivf")
         .select("vec_id", "cid"))
+  }
+
+  /** BM25 top-`k` from the STAGED serving towers: the query's term
+    * buckets become a literal partition filter on the postings scan
+    * (PlanSpec-locked), idf/stats enter broadcast, the corpus side
+    * is join-free (dl rides the posting). Identical ranking to
+    * [[Search.searchBm25From]] over the raw tf — PipelineSpec drills
+    * the equality.
+    */
+  private[graft] def bm25Staged(tbl: Map[String, DataFrame],
+      terms: Seq[String], k: Int): DataFrame = {
+    val buckets = terms.map(Search.termBucketOf(_, lexBuckets)).distinct
+    Search.bm25ScoresStaged(
+      tbl("tf_b").filter(col("tb").isin(buckets.map(b => b: Any): _*)),
+      tbl("idf"), tbl("stats"), terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /** p2: THE REFERENCE'S RAG INGEST PIPELINE END-TO-END — prepare
@@ -316,9 +367,7 @@ object Pipeline {
       .withColumn("filepath", Ingest.synthFilepath)
       .withColumn("kept",
         Ingest.actionOf(col("filepath")).isin("doc", "code").cast("long"))
-    val serve = Search.searchBm25From(
-      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
-      Search.queryTerms, k)
+    val serve = bm25Staged(tbl, Search.queryTerms, k)
     val rows = Seq(
       docs.agg(count(lit(1)).as("n_rows"),
         sum(length(col("text"))).cast("long").as("aux"))
@@ -356,7 +405,10 @@ object Pipeline {
     * index `prepare→chunk→index` built) run against p2's STAGED
     * towers: the query string encodes through e1's own stub client
     * (the query-side encode every dense retriever pays), the sparse
-    * tower answers r8's BM25 top-`kList`, the dense tower answers an
+    * tower answers r8's BM25 top-`kList` from the STAGED serving
+    * index (term-bucket-pruned postings scan, broadcast idf/stats,
+    * dl riding the posting — nothing corpus-wide recomputes per
+    * query), the dense tower answers an
     * INT16-QUANTIZED dot-product top-`kList` — each stored dim's top
     * 16 bits dotted against the query's code, the production
     * quantized-retrieval serving shape (int8/int16 codes beat floats
@@ -385,9 +437,7 @@ object Pipeline {
       rrfK: Int = 60, nProbe: Int = 8): DataFrame = {
     val d = ragRoot(t)
     val tbl = ragTables(t)
-    val lex = Search.searchBm25From(
-      tbl("tf").withColumnRenamed("chunk_id", "doc_id"),
-      Search.queryTerms, kList)
+    val lex = bm25Staged(tbl, Search.queryTerms, kList)
     val qU16 = Embed.u16Of(Search.queryTerms.mkString(" "))
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
       sys.error(s"p3: staged RAG index at $d has no codebook.meta"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-search index + scoring, Spark-first.
@@ -509,6 +509,47 @@ object Search {
     tf.filter(col("term").isin(terms: _*))
       .join(idf.select("term", "idf_bm", "avgdl"), "term")
       .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf_bm") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+  }
+
+  /** Deterministic term→bucket for a PARTITIONED postings layout
+    * (p2's `tf_b`): top 32 md5 bits of the term mod `nBuckets`. The
+    * Column form runs at build; the Scala form folds the same bytes
+    * driver-side for the query's literal terms, so a query's bucket
+    * set is a literal partition filter on the scan.
+    */
+  private[graft] def termBucket(term: Column, nBuckets: Int): Column =
+    conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets
+
+  private[graft] def termBucketOf(term: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(term.getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (u % nBuckets).toInt
+  }
+
+  /** BM25 over STAGED towers (build-once/query-many serving — p3's
+    * lexical side and p2's serving row): `postings` carries (doc_id,
+    * term, tf, dl) with the doc length DENORMALIZED into the posting
+    * at build (the classic inverted-index shape: the corpus side of
+    * serving is join-free); `idf` carries the per-term precomputed
+    * (term, idf_bm); `stats` the one-row (avgdl, nd). The contrib
+    * expression is [[bm25Scores]]' own tree over the same values, so
+    * staged and inline scoring agree (scores round to 4 decimals
+    * before the cut, as everywhere in the family).
+    */
+  private[graft] def bm25ScoresStaged(postings: DataFrame,
+      idf: DataFrame, stats: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(idf.filter(col("term").isin(terms: _*))
+        .select("term", "idf_bm")), "term")
+      .crossJoin(broadcast(stats.select("avgdl")))
       .withColumn("contrib",
         col("idf_bm") * col("tf") * (k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))

@@ -801,7 +801,8 @@ object Probe {
         def runRag(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
           graft.Caches.fresh()
           val dir = graft.Staging.scratch(s"probe_p2_$tag")
-          d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          d.withColumn("n_chars", length(col("text")))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
           val t = graft.Tables(spark, dir)
           val t0 = System.nanoTime
           val root = graft.operators.Pipeline.ragRoot(t)
@@ -842,7 +843,8 @@ object Probe {
         def build(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
           graft.Caches.fresh()
           val dir = graft.Staging.scratch(s"probe_p2skew_$tag")
-          d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          d.withColumn("n_chars", length(col("text")))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
           val t = graft.Tables(spark, dir)
           val ((root, sBuild), recs, bytes) = measured {
             val t0 = System.nanoTime

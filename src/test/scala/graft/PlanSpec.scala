@@ -416,4 +416,21 @@ class PlanSpec extends SparkSpec {
       .getOrElse(fail(s"no PartitionFilters line in:\n${p.take(1200)}"))
     assert(pf.contains("cid") && pf.contains(" IN ("), pf)
   }
+
+  test("p3 lexical tower: the staged BM25 serve is a term-bucket-" +
+      "PRUNED postings scan (tb IN (...) in PartitionFilters) with " +
+      "broadcast idf/stats — no corpus-side shuffle join, no " +
+      "corpus-wide stats recompute") {
+    val t = Tables(spark, sf)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val lex = graft.operators.Pipeline.bm25Staged(
+      tbl, graft.operators.Search.queryTerms, 20)
+    lex.collect()
+    val p = lex.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n${p.take(1200)}"))
+    assert(pf.contains("tb") && pf.contains(" IN ("), pf)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
