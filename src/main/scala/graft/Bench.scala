@@ -56,9 +56,14 @@ object Bench {
         // top20 [name, secs] pairs survive and carry exactly the
         // expensive queries the outlier guard most needs priors for
         // (2-decimal rounding is harmless against a 2-3× threshold);
-        // tail-precise values win where both exist
+        // tail-precise values win where both exist. Scan ONLY past
+        // the LAST "top20": key — norm_movers_top10 holds [name,
+        // RATIO] pairs in the same shape, and reading a 1.4 ratio as
+        // 1.4 prior seconds would mis-trigger reruns for a round
         val t20 = """\[\\?"([a-z0-9_]+)\\?",\s*([0-9]+\.?[0-9]*)\]""".r
-        t20.findAllMatchIn(body).flatMap { mm =>
+        val top20At = body.lastIndexOf("top20")
+        val tail20 = if (top20At >= 0) body.substring(top20At) else ""
+        t20.findAllMatchIn(tail20).flatMap { mm =>
           mm.group(2).toDoubleOption.map(mm.group(1) -> _)
         }.toMap ++ kv
       } catch { case _: Throwable => Map.empty[String, Double] }

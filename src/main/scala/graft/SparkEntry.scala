@@ -170,7 +170,8 @@ object SparkEntry {
     "st19_stream_expectations" -> q(graft.streaming.Streams.st19StreamExpectations),
     "st21_backfill_tail"  -> q(graft.streaming.Streams.st21BackfillThenTail),
     "st22_stream_curate"  -> q(graft.streaming.Streams.st22StreamCurate),
-    "st23_stream_embed"   -> q(graft.streaming.Streams.st23StreamEmbed(_))
+    "st23_stream_embed"   -> q(graft.streaming.Streams.st23StreamEmbed(_)),
+    "st24_stream_zip_ingest" -> q(graft.streaming.Streams.st24StreamZipIngest)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
@@ -185,5 +186,9 @@ object SparkEntry {
         // the streaming twins equal their batch operators under
         // exactly-once arrivals — the batch oracles gate them verbatim
         "st22_stream_curate" -> Pipeline.oracle("p1_curation_funnel"),
-        "st23_stream_embed"  -> Embed.oracle("e1_embed_batch"))
+        "st23_stream_embed"  -> Embed.oracle("e1_embed_batch"),
+        // each archive lands exactly once across micro-batches, so
+        // the accumulated walk report equals the batch walk — r21's
+        // oracle verbatim
+        "st24_stream_zip_ingest" -> Ingest.oracle("r21_zip_ingest"))
 }

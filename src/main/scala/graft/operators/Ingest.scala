@@ -334,18 +334,18 @@ object Ingest {
         }
     }
 
-  /** The REAL archive walk: every staged zip read whole through
-    * Spark's binaryFile source, entries expanded by a ZipInputStream
-    * walk inside the partition (reference: prepare_data.py:50-69
+  /** The REAL archive walk over any frame carrying a binaryFile
+    * `content` column: entries expanded by a ZipInputStream walk
+    * inside the partition (reference: prepare_data.py:50-69
     * `_extract_files` — skip BEFORE read, decode UTF-8). Emits
     * (filepath, is_dir, body) with body null for skipped entries.
+    * Shared by the batch walk (r21) and the streaming micro-batch
+    * twin (st24 — foreachBatch hands it each arriving archive set).
     */
-  private[graft] def zipEntries(t: Tables): DataFrame = {
-    val d = zipRoot(t)
-    val spark = t.spark
+  private[graft] def entriesOf(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$d/*.zip")
-      .select(col("content")).as[Array[Byte]]
+    bin.select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
         val zis = new java.util.zip.ZipInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -367,6 +367,30 @@ object Ingest {
       }.toDF("filepath", "is_dir", "body")
   }
 
+  /** r21's batch walk: every staged zip read whole through Spark's
+    * binaryFile source, expanded by [[entriesOf]].
+    */
+  private[graft] def zipEntries(t: Tables): DataFrame =
+    entriesOf(t.spark.read.format("binaryFile").load(s"${zipRoot(t)}/*.zip"))
+
+  /** The classified per-entry projection r21 aggregates and st24
+    * lands per batch: (filepath, action, n_chars, chk) — r1's
+    * classification over the real names, the decoded char count, and
+    * the per-entry integer checksum term.
+    */
+  private[graft] def classifiedEntries(entries: DataFrame): DataFrame =
+    entries
+      .withColumn("action", actionOf(col("filepath")))
+      .withColumn("norm_path",
+        when(col("action").isin("doc", "code"),
+          regexp_replace(col("filepath"), "^[^/]*/", "")))
+      .select(col("filepath"), col("action"),
+        coalesce(length(col("body")), lit(0)).cast("long").as("n_chars"),
+        conv(substring(md5(concat(
+            coalesce(col("norm_path"), col("filepath")), lit(":"),
+            coalesce(md5(col("body")), lit("")))), 1, 8), 16, 10)
+          .cast("long").as("chk"))
+
   /** r21: REAL-BYTES ARCHIVE INGEST — the one reference step that
     * walks actual archive bytes (prepare_data.py:39-69: fetch zip →
     * ZipFile → walk infolist, skip dirs/hidden/unsupported BEFORE
@@ -386,19 +410,17 @@ object Ingest {
     * decode.
     */
   def r21ZipIngest(t: Tables): DataFrame =
-    zipEntries(t)
-      .withColumn("action", actionOf(col("filepath")))
-      .withColumn("norm_path",
-        when(col("action").isin("doc", "code"),
-          regexp_replace(col("filepath"), "^[^/]*/", "")))
+    classReport(classifiedEntries(zipEntries(t)))
+
+  /** The per-class walk report over classified entries — r21's gated
+    * shape, reused verbatim by st24 over its landed entry table.
+    */
+  private[graft] def classReport(classified: DataFrame): DataFrame =
+    classified
       .groupBy("action")
       .agg(count(lit(1)).as("n_entries"),
-        sum(coalesce(length(col("body")), lit(0))).cast("long")
-          .as("n_chars"),
-        sum(conv(substring(md5(concat(
-            coalesce(col("norm_path"), col("filepath")), lit(":"),
-            coalesce(md5(col("body")), lit("")))), 1, 8), 16, 10)
-          .cast("long")).as("chk"))
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("chk")).cast("long").as("chk"))
       .orderBy("action")
 
   /** DuckDB oracle SQL — constructs identical synthetic inputs, then

@@ -393,4 +393,27 @@ class RagSpec extends SparkSpec {
       .filter(col("body") =!= col("text")).count()
     assert(diff == 0, "an archive body diverged from its source text")
   }
+
+  test("st24 = batch r21 under exactly-once archive arrivals: the " +
+      "accumulated walk report matches row for row, every batch " +
+      "committed tagged, and a redelivered batch is a no-op") {
+    val t = Tables(spark, sf)
+    val stream = run("st24_stream_zip_ingest").collect().map(_.toSeq).toSeq
+    val batch = run("r21_zip_ingest").collect().map(_.toSeq).toSeq
+    assert(stream == batch, "stream walk report diverged from r21")
+    // the fleet really streamed in multiple micro-batches, each one
+    // tagged commit
+    val root = s"${graft.Staging.lookup(s"${t.dir}:st24").get}/table"
+    val log = graft.sources.TableLog.open(root)
+    assert(log.versions.size >= 2, "fleet arrived in fewer than 2 batches")
+    (0 until log.versions.size).foreach(b =>
+      assert(log.tagVersion(s"b@$b").isDefined, s"batch $b untagged"))
+    // redelivery: the committed tag makes the step structurally no-op
+    val nv = log.versions.size
+    val bin = spark.read.format("binaryFile")
+      .load(s"${graft.operators.Ingest.zipRoot(t)}/*.zip").limit(1)
+    graft.streaming.Streams.st24Step(spark, root, bin, 0L)
+    assert(graft.sources.TableLog.open(root).versions.size == nv,
+      "redelivered archive batch minted a version")
+  }
 }
