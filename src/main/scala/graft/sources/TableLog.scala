@@ -242,7 +242,12 @@ final class TableLog(val root: String) {
       // batch ever committed (st22 lands four tags per batch));
       // everything else keeps the exact line-per-tag index
       val (txnFresh, plainFresh) = fresh.partition {
-        case (t, _) => TxnTag.matches(t)
+        // a batch number wider than a Long stays on the exact-index
+        // side (shape alone is not enough — the fold needs the value)
+        case (t, _) => t match {
+          case TxnTag(_, n) => n.toLongOption.isDefined
+          case _ => false
+        }
       }
       val txns = txnFresh.foldLeft(carriedTxns) { case (acc, (t, cv)) =>
         val TxnTag(app, nStr) = t
@@ -406,9 +411,13 @@ final class TableLog(val root: String) {
       .orElse(floor.flatMap { cv =>
         tag match {
           case TxnTag(app, n) =>
-            checkpointTxns(cv).get(app)
-              .filter { case (nMax, _) => n.toLong <= nMax }
-              .map(_._2)
+            // toLongOption: a pathological batch number wider than a
+            // Long can't match any folded watermark — absent, not a
+            // parse crash (the same tag also failed the exact scan)
+            n.toLongOption.flatMap(nv =>
+              checkpointTxns(cv).get(app)
+                .filter { case (nMax, _) => nv <= nMax }
+                .map(_._2))
           case _ => None
         }
       })
