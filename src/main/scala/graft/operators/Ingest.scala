@@ -319,9 +319,16 @@ object Ingest {
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val p = java.nio.file.Paths.get(d, f"part_$pid%05d.zip")
+            // the CLUSTER filesystem, not java.nio: the archive must
+            // land where the subsequent binaryFile read will look —
+            // on a real cluster the executor writing this partition
+            // is not the machine that staged `d`
+            val p = new org.apache.hadoop.fs.Path(
+              s"$d/part_${"%05d".format(pid)}.zip")
+            val fs = p.getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
             val zos = new java.util.zip.ZipOutputStream(
-              java.nio.file.Files.newOutputStream(p))
+              fs.create(p, true))
             try it.foreach { r =>
               val name = r.getString(1)
               zos.putNextEntry(new java.util.zip.ZipEntry(name))
@@ -347,23 +354,29 @@ object Ingest {
     import spark.implicits._
     bin.select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
+        // LAZY walk: one decoded entry resident at a time (the
+        // compressed bytes are already held by the binaryFile row;
+        // buffering every decoded body too would roughly double the
+        // per-archive peak) — the iterator is consumed within the
+        // task, sequentially, so the stream stays valid
         val zis = new java.util.zip.ZipInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val out = scala.collection.mutable.ListBuffer
-          .empty[(String, Boolean, String)]
-        var e = zis.getNextEntry
-        while (e != null) {
-          val name = e.getName
-          val body =
-            if (readableEntry(name))
-              new String(zis.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8)
-            else null
-          out += ((name, e.isDirectory, body))
-          e = zis.getNextEntry
+        new scala.collection.AbstractIterator[(String, Boolean, String)] {
+          private var entry = zis.getNextEntry
+          def hasNext: Boolean = entry != null
+          def next(): (String, Boolean, String) = {
+            val e = entry
+            val name = e.getName
+            val body =
+              if (readableEntry(name))
+                new String(zis.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else null
+            entry = zis.getNextEntry
+            if (entry == null) zis.close()
+            (name, e.isDirectory, body)
+          }
         }
-        zis.close()
-        out.toList
       }.toDF("filepath", "is_dir", "body")
   }
 

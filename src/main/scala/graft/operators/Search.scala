@@ -494,12 +494,23 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** The ONE BM25 contribution tree (k1 = 1.2, b = 0.75) every
+    * scorer shares — inline ([[bm25Scores]]), staged
+    * ([[bm25ScoresStaged]]) and the eval harness (r19); expects
+    * idf_bm/tf/dl/avgdl columns in scope. One tree means the staged
+    * and inline rankings cannot drift apart under a future tuning.
+    */
+  private[graft] def bm25ContribCol: org.apache.spark.sql.Column = {
+    val k1 = 1.2; val b = 0.75
+    col("idf_bm") * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+  }
+
   /** The UNLIMITED per-doc BM25 scores (rounded) — [[searchBm25From]]
     * cuts these; r20's interpolation consumes both passes whole.
     */
   private[graft] def bm25Scores(tf: DataFrame,
       terms: Seq[String]): DataFrame = {
-    val k1 = 1.2; val b = 0.75
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -509,9 +520,7 @@ object Search {
     tf.filter(col("term").isin(terms: _*))
       .join(idf.select("term", "idf_bm", "avgdl"), "term")
       .join(dl, "doc_id")
-      .withColumn("contrib",
-        col("idf_bm") * col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", bm25ContribCol)
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
   }
 
@@ -545,14 +554,11 @@ object Search {
   private[graft] def bm25ScoresStaged(postings: DataFrame,
       idf: DataFrame, stats: DataFrame,
       terms: Seq[String]): DataFrame = {
-    val k1 = 1.2; val b = 0.75
     postings.filter(col("term").isin(terms: _*))
       .join(broadcast(idf.filter(col("term").isin(terms: _*))
         .select("term", "idf_bm")), "term")
       .crossJoin(broadcast(stats.select("avgdl")))
-      .withColumn("contrib",
-        col("idf_bm") * col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", bm25ContribCol)
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
   }
 
@@ -630,7 +636,6 @@ object Search {
     import org.apache.spark.sql.expressions.Window
     graft.Caches.fresh()
     val tf = graft.Caches.materialized(tfStaged(t))
-    val k1 = 1.2; val b = 0.75
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -645,9 +650,7 @@ object Search {
     val scores = tf.join(broadcast(qterms), "term")
       .join(idf.select("term", "idf_bm", "avgdl"), "term")
       .join(dl, "doc_id")
-      .withColumn("contrib",
-        col("idf_bm") * col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", bm25ContribCol)
       .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("score"))
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     scores

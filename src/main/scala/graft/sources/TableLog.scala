@@ -229,8 +229,9 @@ final class TableLog(val root: String) {
       // the full history here would put O(history) back into the
       // maintenance cadence the checkpoint exists to remove)
       val prev = checkpoints.filter(_ < v).lastOption
-      val carried = prev.map(checkpointTags).getOrElse(Map.empty)
-      val carriedTxns = prev.map(checkpointTxns).getOrElse(Map.empty)
+      val (carried, carriedTxns) = prev.map(checkpointIndexes)
+        .getOrElse((Map.empty[String, Long],
+          Map.empty[String, (Long, Long)]))
       val fresh = versions
         .filter(cv => cv <= v && prev.forall(cv > _))
         .flatMap { cv =>
@@ -302,32 +303,33 @@ final class TableLog(val root: String) {
         }
       }
 
-  /** The plain-tag index a checkpoint carries: tag → version, for
-    * every non-txn tagged commit at or below the checkpoint.
+  /** Both tag indexes a checkpoint carries, in ONE file read: the
+    * plain-tag map (tag → version) and the txn watermarks (app →
+    * (highest batch number, its commit version) —
+    * [[tagVersion]]'s SetTransaction contract).
     */
-  private def checkpointTags(v: Long): Map[String, Long] =
+  private def checkpointIndexes(
+      v: Long): (Map[String, Long], Map[String, (Long, Long)]) = {
+    val tags = Map.newBuilder[String, Long]
+    val txns = Map.newBuilder[String, (Long, Long)]
     new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+      .split("\n").foreach { l =>
         l.split("\t") match {
-          case Array("tag", cv, t) => Some(t -> cv.toLong)
-          case _ => None
+          case Array("tag", cv, t) => tags += (t -> cv.toLong)
+          case Array("txn", cv, app, n) =>
+            txns += (app -> (n.toLong, cv.toLong))
+          case _ => ()
         }
-      }.toMap
+      }
+    (tags.result(), txns.result())
+  }
 
-  /** The txn watermarks a checkpoint carries: app → (highest batch
-    * number committed at or below the checkpoint, that commit's
-    * version) — [[tagVersion]]'s SetTransaction contract.
-    */
+  private def checkpointTags(v: Long): Map[String, Long] =
+    checkpointIndexes(v)._1
+
   private def checkpointTxns(v: Long): Map[String, (Long, Long)] =
-    new String(java.nio.file.Files.readAllBytes(checkpointPath(v)),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
-        l.split("\t") match {
-          case Array("txn", cv, app, n) => Some(app -> (n.toLong, cv.toLong))
-          case _ => None
-        }
-      }.toMap
+    checkpointIndexes(v)._2
 
   private def parse(v: Long): (String, Seq[Action]) = {
     val lines = new String(java.nio.file.Files.readAllBytes(commitPath(v)),
@@ -407,19 +409,21 @@ final class TableLog(val root: String) {
     val floor = checkpoints.lastOption
     versions.filter(v => floor.forall(v >= _)).sortBy(-_)
       .find(v => parse(v)._1 == tag)
-      .orElse(floor.flatMap(cv => checkpointTags(cv).get(tag)))
       .orElse(floor.flatMap { cv =>
-        tag match {
+        // ONE checkpoint read serves both indexes (the fresh-batch
+        // miss path runs once per batch per destination log)
+        val (tags, txns) = checkpointIndexes(cv)
+        tags.get(tag).orElse(tag match {
           case TxnTag(app, n) =>
             // toLongOption: a pathological batch number wider than a
             // Long can't match any folded watermark — absent, not a
             // parse crash (the same tag also failed the exact scan)
             n.toLongOption.flatMap(nv =>
-              checkpointTxns(cv).get(app)
+              txns.get(app)
                 .filter { case (nMax, _) => nv <= nMax }
                 .map(_._2))
           case _ => None
-        }
+        })
       })
   }
 

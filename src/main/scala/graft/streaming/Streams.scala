@@ -3199,8 +3199,13 @@ object Streams {
     graft.operators.Ingest
       .classifiedEntries(graft.operators.Ingest.entriesOf(batch))
       .write.mode("overwrite").parquet(dir)
-    graft.sources.TableLog.commitDir(spark, log, dir, "chk",
+    val v = graft.sources.TableLog.commitDir(spark, log, dir, "chk",
       st24Schema, tag)
+    // st16's checkpoint cadence: every 8 batches the log collapses
+    // its replay AND the txn watermark folds the accumulated b@ tags
+    // to one row — without this the watermark never engages and
+    // tagVersion's per-batch probe replays O(drops) commit files
+    if ((v + 1) % 8 == 0) log.checkpoint()
     ()
   }
 
@@ -3422,6 +3427,13 @@ object Streams {
           .filter(col("key").isNotNull).select("key").distinct()
           .join(seenFp.select(col("fp").as("key")), Seq("key"),
             "left_anti"))
+      // st16's checkpoint cadence on all four destinations: every 8
+      // batches each log collapses its replay and the txn watermark
+      // folds the accumulated b@ tags to one row per log — this sink
+      // (four tagged commits per batch) is the load the watermark
+      // exists for; without the cadence it never engages
+      if ((bid + 1) % 8 == 0)
+        Seq(mainLog, statsLog, md5Log, fpLog).foreach(_.checkpoint())
     } finally { scored.unpersist(); () }
   }
 

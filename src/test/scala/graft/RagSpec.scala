@@ -416,4 +416,31 @@ class RagSpec extends SparkSpec {
     assert(graft.sources.TableLog.open(root).versions.size == nv,
       "redelivered archive batch minted a version")
   }
+
+  test("st24 checkpoint cadence ENGAGES the txn watermark: past 8 " +
+      "batches the log checkpoints and the accumulated b@ tags fold " +
+      "to one watermark row, with every old batch still answering") {
+    val t = Tables(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st24_ck_").toString
+    try {
+      val bin = spark.read.format("binaryFile")
+        .load(s"${graft.operators.Ingest.zipRoot(t)}/*.zip").limit(1)
+      (0 until 9).foreach(b =>
+        graft.streaming.Streams.st24Step(spark, tmp, bin, b.toLong))
+      val ck = java.nio.file.Files.list(
+          java.nio.file.Paths.get(tmp, "_log")).toArray
+        .map(_.toString).filter(_.endsWith(".checkpoint"))
+      assert(ck.length == 1, s"cadence did not checkpoint: $ck")
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ck.head))).split("\n")
+      assert(lines.count(_.startsWith("txn\t")) == 1,
+        "b@ tags did not fold to one watermark row")
+      assert(lines.count(_.startsWith("tag\t")) == 0)
+      val log = graft.sources.TableLog.open(tmp)
+      (0 until 9).foreach(b =>
+        assert(log.tagVersion(s"b@$b").isDefined, s"batch $b lost"))
+      assert(log.tagVersion("b@9").isEmpty)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
 }
