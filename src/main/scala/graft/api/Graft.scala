@@ -1195,6 +1195,73 @@ object Graft {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** A BUILT RAG INDEX over user content — the reference's whole
+    * prepare→chunk→index→search loop as a session object (the
+    * AnnIndexMaintenance pattern applied to the RAG surface): built
+    * once from a corpus frame by [[Graft.ragIndex]], every `search`
+    * answers from the STAGED towers (term-bucket-pruned BM25
+    * postings with precomputed idf/stats; cid-partitioned quantized
+    * dense lists under the persisted coarse codebook; RRF fusion) —
+    * nothing corpus-wide recomputes per query. Reopen a durable root
+    * with [[Graft.ragIndexOpen]].
+    */
+  final class RagIndex private[api] (
+      spark: org.apache.spark.sql.SparkSession, val root: String,
+      dim: Int) {
+    /** Top-`k` hybrid hits for a raw query string: lexical terms by
+      * the engine's own tokenizer rule, the dense code from the
+      * string itself (e1's query-side encode). Returns (chunk_id,
+      * rrf, r_lex, r_vec); chunk_id / 10⁶ is the source doc id.
+      */
+    def search(query: String, k: Int = 10, kList: Int = 20,
+        nProbe: Int = 8, rrfK: Int = 60): DataFrame =
+      graft.operators.Pipeline.serveHybrid(spark, root,
+        query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq,
+        graft.operators.Embed.u16Of(query, dim), kList, k, rrfK,
+        nProbe)
+    /** The staged index tables (chunks, towers) — inspection. */
+    def tables: Map[String, DataFrame] =
+      graft.operators.Pipeline.ragTablesAt(spark, root)
+  }
+
+  /** BUILD a RAG index from any corpus frame (the reference's
+    * prepare_data.py → load_data.py flow in one call): classify by
+    * `pathCol` and normalize per type ([[ragNormalize]] — real
+    * frontmatter/notebook/code content), chunk (`size`/`step`),
+    * stage the BM25 serving towers AND the quantized IVF dense tower
+    * ([[graft.operators.Pipeline.buildTowers]] — the exact build the
+    * gated p2 runs). `dim` threads the encoder end to end, so a
+    * non-64 model drops in. Builds under `stateRoot` when given (a
+    * durable location [[ragIndexOpen]] can reopen) or JVM scratch.
+    */
+  def ragIndex(df: DataFrame, idCol: String, pathCol: String,
+      langCol: String, textCol: String, size: Int = 200,
+      step: Int = 100, batchSize: Int = 32,
+      dim: Int = graft.operators.Embed.dim,
+      stateRoot: Option[String] = None): RagIndex = {
+    val spark = df.sparkSession
+    val root = stateRoot.getOrElse(graft.Staging.scratch("rag_index"))
+    ragNormalize(df, idCol, pathCol, langCol, textCol, batchSize)
+      .select(col(idCol).cast("long").as("doc_id"), col("body"))
+      .write.mode("overwrite").parquet(s"$root/routed")
+    graft.operators.Pipeline.buildTowers(spark, root, size, step, dim)
+    new RagIndex(spark, root, dim)
+  }
+
+  /** REOPEN a built index at a durable root (the build-once/
+    * query-many contract across processes): serves from the staged
+    * towers and the persisted codebook; `dim` must match the build's
+    * (the query-side encode derives codes at this width).
+    */
+  def ragIndexOpen(spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      dim: Int = graft.operators.Embed.dim): RagIndex = {
+    require(graft.streaming.Streams.loadCodebook(root).isDefined,
+      s"no built RAG index at $root (codebook.meta missing) — " +
+        "build one with Graft.ragIndex(..., stateRoot = Some(root))")
+    new RagIndex(spark, root, dim)
+  }
+
   /** VISION-TOKEN PATCH BUDGETING (m6's math on YOUR decode): cut
     * each image's (w, h) pixel grid into `patch`×`patch` ViT patches
     * and downscale any image whose patch count exceeds `budget` by

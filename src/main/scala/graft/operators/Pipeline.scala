@@ -229,12 +229,28 @@ object Pipeline {
       step: Int = 100): String =
     graft.Staging.dir(s"${t.dir}:ragingest:$size:$step", "rag_ingest") { d =>
       ragRouted(t).write.mode("overwrite").parquet(s"$d/routed")
-      val routed = t.spark.read.parquet(s"$d/routed")
+      buildTowers(t.spark, d, size, step)
+    }
+
+  /** The WHOLE index build from a landed `$d/routed` (doc_id, body)
+    * table: chunks, the raw TF table, the staged BM25 serving towers
+    * (stats/idf/term-bucketed postings with dl denormalized), the
+    * encode, and the cid-partitioned dense serving layout + its
+    * persisted codebook. Shared verbatim by p2's gated build (over
+    * the synthesized routing) and the `Graft.ragIndex` facade (over
+    * real user content) — one build, two front doors. `dim` threads
+    * the encoder's output dimensionality end to end (the m6
+    * facade-parameter pattern; the gated p2 pins [[Embed.dim]]).
+    */
+  private[graft] def buildTowers(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      size: Int, step: Int, dim: Int = Embed.dim): Unit = {
+      val routed = spark.read.parquet(s"$d/routed")
       graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
         .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
           col("doc_id"), col("start"), col("chunk"))
         .write.mode("overwrite").parquet(s"$d/chunks")
-      val ch = t.spark.read.parquet(s"$d/chunks")
+      val ch = spark.read.parquet(s"$d/chunks")
       ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
@@ -246,13 +262,13 @@ object Pipeline {
       // by a portable term bucket — a query reads only its terms'
       // buckets (p3's cid-prune applied to the lexical side) and
       // re-derives nothing corpus-wide per query
-      val tfD = t.spark.read.parquet(s"$d/tf")
+      val tfD = spark.read.parquet(s"$d/tf")
         .withColumnRenamed("chunk_id", "doc_id")
       val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
       dlD.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
         .write.mode("overwrite").parquet(s"$d/stats")
       tfD.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(t.spark.read.parquet(s"$d/stats")))
+        .crossJoin(broadcast(spark.read.parquet(s"$d/stats")))
         .withColumn("idf_bm",
           log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
         .select("term", "df", "idf_bm")
@@ -261,7 +277,7 @@ object Pipeline {
         .withColumn("tb", Search.termBucket(col("term"), lexBuckets))
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$d/tf_b")
-      val enc = Embed.encodeFrame(ch, "chunk_id", "chunk")
+      val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
       enc.write.mode("overwrite").parquet(s"$d/enc")
       // The dense tower lives in the STORED-CODE space: IVF trains
       // and assigns on the exact u16 integer code vectors (cast to
@@ -269,12 +285,12 @@ object Pipeline {
       // tower — stored codes, coarse codebook, query code, list
       // choice — derives from md5-exact integers the DuckDB oracle
       // re-derives bit-for-bit (s3's float replay risk removed).
-      val vecs = t.spark.read.parquet(s"$d/enc")
+      val vecs = spark.read.parquet(s"$d/enc")
         .select(col("vec_id"),
           transform(col("u16"), x => x.cast("double")).as("v"))
       val n = vecs.count()
       val nLists = Ann.ivfConfigFor(n)
-      val cb = Ann.trainCodebookSampled(vecs, nLists, n, dim = Embed.dim)
+      val cb = Ann.trainCodebookSampled(vecs, nLists, n, dim = dim)
       graft.streaming.Streams.saveCodebook(d, cb)
       // serving layout: every stored code filed under its coarse
       // list, PARTITIONED BY cid — p3's probe reads ~nProbe/nLists
@@ -284,7 +300,7 @@ object Pipeline {
       // a quantized serving tier never pays float bytes), and rows
       // co-locate by cid before the write so each list is one file,
       // not one-per-writing-task.
-      t.spark.read.parquet(s"$d/enc")
+      spark.read.parquet(s"$d/enc")
         .withColumn("cid",
           element_at(graft.functions.Vectors.centroidRanks(
             transform(col("u16"), x => x.cast("double")), cb), 1))
@@ -292,7 +308,7 @@ object Pipeline {
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$d/enc_ivf")
-    }
+  }
 
   /** Term-bucket count for the partitioned postings layout. Pinned
     * at 32 for the sandbox corpora; at lake scale it grows with the
@@ -305,14 +321,21 @@ object Pipeline {
     * (vec_id, cid) assignment) is a projection of the partitioned
     * serving layout `enc_ivf` — one physical copy of the index.
     */
-  private[graft] def ragTables(t: Tables): Map[String, DataFrame] = {
-    val d = ragRoot(t)
+  private[graft] def ragTables(t: Tables): Map[String, DataFrame] =
+    ragTablesAt(t.spark, ragRoot(t))
+
+  /** The staged tables of ANY built index root ([[buildTowers]]'
+    * layout) — p2's gated fixture and the facade's user-built
+    * indexes read through the same map.
+    */
+  private[graft] def ragTablesAt(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): Map[String, DataFrame] =
     Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
         "enc_ivf")
-      .map(n => n -> t.spark.read.parquet(s"$d/$n")).toMap +
-      ("dense" -> t.spark.read.parquet(s"$d/enc_ivf")
+      .map(n => n -> spark.read.parquet(s"$d/$n")).toMap +
+      ("dense" -> spark.read.parquet(s"$d/enc_ivf")
         .select("vec_id", "cid"))
-  }
 
   /** BM25 top-`k` from the STAGED serving towers: the query's term
     * buckets become a literal partition filter on the postings scan
@@ -434,22 +457,29 @@ object Pipeline {
     * rank windows run on ≤ kList rows each.
     */
   def p3RagServe(t: Tables, kList: Int = 20, kOut: Int = 10,
-      rrfK: Int = 60, nProbe: Int = 8): DataFrame = {
-    val d = ragRoot(t)
-    val tbl = ragTables(t)
-    val lex = bm25Staged(tbl, Search.queryTerms, kList)
-    val qU16 = Embed.u16Of(Search.queryTerms.mkString(" "))
+      rrfK: Int = 60, nProbe: Int = 8): DataFrame =
+    serveHybrid(t.spark, ragRoot(t), Search.queryTerms,
+      Embed.u16Of(Search.queryTerms.mkString(" ")), kList, kOut,
+      rrfK, nProbe)
+
+  /** The PRUNED dense top-`kList` of any built index root: the
+    * query's code vector ranks the persisted coarse codebook through
+    * the SAME compiled expression the build assigned with (a one-row
+    * job returning nProbe ints — a probe constant, the s3
+    * bounded-collect exception), then the integer dot scores ONLY
+    * the probed lists of the cid-partitioned layout.
+    */
+  private[graft] def denseTop(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      tbl: Map[String, DataFrame], qU16: Seq[Long], kList: Int,
+      nProbe: Int): DataFrame = {
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
-      sys.error(s"p3: staged RAG index at $d has no codebook.meta"))
-    // list choice: the query's code vector ranked against the coarse
-    // codebook through the SAME compiled expression the build
-    // assigned with — a one-row job returning nProbe ints (a probe
-    // constant, the s3 bounded-collect exception)
-    val probeCids: Seq[Int] = t.spark.range(1)
+      sys.error(s"staged RAG index at $d has no codebook.meta"))
+    val probeCids: Seq[Int] = spark.range(1)
       .select(slice(graft.functions.Vectors.centroidRanks(
         typedlit(qU16.map(_.toDouble)), cb), 1, nProbe).as("pls"))
       .collect()(0).getSeq[Int](0)
-    val dense = tbl("enc_ivf")
+    tbl("enc_ivf")
       .filter(col("cid").isin(probeCids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
         aggregate(
@@ -458,6 +488,19 @@ object Pipeline {
           lit(0L), (acc, x) => acc + x).as("iscore"))
       .orderBy(col("iscore").desc, col("doc_id")).limit(kList)
       .select(col("doc_id"), col("iscore").cast("double").as("score"))
+  }
+
+  /** Hybrid serving over any built index root — p3's exact chain
+    * (staged-BM25 tower + pruned quantized-dot tower, RRF-fused),
+    * shared by the gated p3 and the `Graft.ragIndex` facade.
+    */
+  private[graft] def serveHybrid(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      terms: Seq[String], qU16: Seq[Long], kList: Int, kOut: Int,
+      rrfK: Int, nProbe: Int): DataFrame = {
+    val tbl = ragTablesAt(spark, d)
+    val lex = bm25Staged(tbl, terms, kList)
+    val dense = denseTop(spark, d, tbl, qU16, kList, nProbe)
     graft.api.Graft.rrfFuse(Seq(lex, dense), "doc_id", "score",
         kOut, rrfK)
       .withColumnRenamed("r_0", "r_lex")

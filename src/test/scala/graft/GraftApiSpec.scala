@@ -1000,6 +1000,74 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("ragIndex facade: the reference's prepare->index->search loop " +
+      "over REAL content in two calls — routed per type, skips " +
+      "dropped, staged towers serve, durable root reopens, and a " +
+      "d=16 encoder drops in") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val nb = """{"cells":[{"cell_type":"markdown","source":"# spark join tutorial"},""" +
+      """{"cell_type":"code","source":"df.join(other)"},""" +
+      """{"cell_type":"raw","source":"no-export"}]}"""
+    val docs = Seq(
+      (1L, "repo/docs/intro.md", "en",
+        "---\ntitle: intro\n---\nspark filter join window group " +
+          "basics explained with zanzibar examples"),
+      (2L, "repo/nb/demo.ipynb", "en", nb),
+      (3L, "repo/src/job.py", "python",
+        "def run(): spark filter job"),
+      (4L, "repo/img/logo.png", "en", "not-indexable"),
+      (5L, "repo/src/.hidden.py", "en", "skip me"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ragidx_").toString
+    try {
+      val idx = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      val hits = idx.search("Spark FILTER join; window?", k = 5)
+        .collect()
+      assert(hits.nonEmpty)
+      val rrfs = hits.map(_.getAs[Double]("rrf"))
+      assert(rrfs.sameElements(rrfs.sortBy(-_)))
+      // only kept routes were indexed: png/hidden never chunked
+      val srcDocs = hits.map(_.getAs[Long]("chunk_id") / 1000000L).toSet
+      assert(!srcDocs.contains(4L) && !srcDocs.contains(5L))
+      // content really flows: a term unique to the md body retrieves
+      // a chunk of doc 1, and the staged chunk text carries it
+      val zhit = idx.search("zanzibar", k = 1).collect()
+      assert(zhit.nonEmpty)
+      val zid = zhit.head.getAs[Long]("chunk_id")
+      assert(zid / 1000000L == 1L)
+      val ztext = idx.tables("chunks")
+        .filter(col("chunk_id") === zid).collect()(0)
+        .getAs[String]("chunk")
+      assert(ztext.contains("zanzibar"))
+      // the lexical ranks are the staged BM25 tower's own: recompute
+      // from the RAW staged tf through the inline scorer
+      val lexWant = graft.operators.Search.searchBm25From(
+          idx.tables("tf").withColumnRenamed("chunk_id", "doc_id"),
+          Seq("spark", "filter", "join", "window"), 20)
+        .collect().map(_.getLong(0)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+      hits.foreach { r =>
+        Option(r.getAs[Any]("r_lex")).foreach(rl =>
+          assert(lexWant(r.getAs[Long]("chunk_id")) ==
+            rl.asInstanceOf[Int]))
+      }
+      // the durable root REOPENS in a fresh handle with identical
+      // answers (build-once/query-many across sessions)
+      val again = Graft.ragIndexOpen(spark, tmp)
+        .search("Spark FILTER join; window?", k = 5).collect()
+      assert(again.map(_.toSeq).toSeq == hits.map(_.toSeq).toSeq)
+      // a non-64 encoder drops in end to end
+      val idx16 = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+        "text", dim = 16)
+      assert(idx16.tables("enc").select(size(col("u16"))).collect()
+        .forall(_.getInt(0) == 16))
+      assert(idx16.search("spark join").collect().nonEmpty)
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
