@@ -138,8 +138,16 @@ object Bench {
     val (prior, canaryRef) = priorTimesFor(sfDir)
     var reran = List.empty[String]
     var rerunDetail = List.empty[(String, Double, Double)]
+    var rerunStagedSkip = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val stagedBefore = graft.Staging.stagedKeys
       var elapsed = timeOne(name, fn)
+      // a run that landed NEW memoized staging (Staging.dir) would
+      // re-run warm — its second timing reads the staged tree instead
+      // of building it, so best-of-2 would compare different work and
+      // publish a warm-cache minimum as the query's cost (round-14
+      // verdict: p2's 49.3 s build benched as a 1.51 s re-read)
+      val stagedDuring = graft.Staging.stagedKeys != stagedBefore
       spark.catalog.clearCache()
       // transient-outlier guard: a query far above its prior-round
       // record is far more often a GC/compilation/env transient than
@@ -152,8 +160,13 @@ object Bench {
       // published in rerun_detail so the best-of-2 bias is auditable,
       // never silent.
       val guard = if (name.startsWith("st")) 2.0 else 3.0
-      if (!failed.contains(name) && prior.get(name).exists(p =>
-          p > 0.05 && elapsed > guard * p)) {
+      val outlier = prior.get(name).exists(p =>
+        p > 0.05 && elapsed > guard * p)
+      if (outlier && stagedDuring && !failed.contains(name)) {
+        // publish the FIRST (cold, like-prior-work) run and record
+        // the exclusion so the skip is auditable, never silent
+        rerunStagedSkip ::= name
+      } else if (!failed.contains(name) && outlier) {
         // the re-run is best-effort: the FIRST (mandatory) run
         // already succeeded, so a transient failure here must not
         // convert a valid measurement into a failed bench
@@ -179,6 +192,8 @@ object Bench {
     val rdj = rerunDetail.sortBy(_._1).map { case (n, a, b) =>
       s"""["$n",${math.round(a * 100) / 100.0},${math.round(b * 100) / 100.0}]"""
     }.mkString("[", ",", "]")
+    val rssj = rerunStagedSkip.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // CANARY-NORMALIZED cross-round report: divide this session's
     // machine-speed regime out of the totals and per-query ratios so
@@ -221,7 +236,7 @@ object Bench {
     val top = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
       .map { case (k, v) => s"""["$k",${math.round(v * 100) / 100.0}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"n_queries":${results.size},"failed":$fj,"reran":$rj,"rerun_detail":$rdj$norm,"top20":$top}""")
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"n_queries":${results.size},"failed":$fj,"reran":$rj,"rerun_detail":$rdj,"rerun_staged_skip":$rssj$norm,"top20":$top}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

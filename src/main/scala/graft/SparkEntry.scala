@@ -128,6 +128,7 @@ object SparkEntry {
     "p1_curation_funnel"  -> q(Pipeline.p1CurationFunnel(_)),
     "p2_rag_ingest"       -> q(Pipeline.p2RagIngest(_)),
     "p3_rag_serve"        -> q(Pipeline.p3RagServe(_)),
+    "r19_staged_eval"     -> q(Pipeline.r19StagedEval(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),

@@ -17,6 +17,15 @@ object Staging {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // bumped once per NEW memoized dir() key — bench snapshots it
+  // around each timed run to detect staging-backed queries (their
+  // second run would read the memoized tree: different work, so
+  // best-of-2 must not compare them)
+  private val landed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of memoized dir() keys this JVM has landed so far. */
+  def stagedKeys: Long = landed.get
+
   // registered at object init — any dir() call initializes the object
   // first, so the hook always exists before a tree does
   private val cleanup: Thread = {
@@ -51,7 +60,7 @@ object Staging {
         throw e
     }
     val prior = staged.putIfAbsent(key, d)
-    if (prior == null) d
+    if (prior == null) { landed.incrementAndGet(); d }
     else {
       try deleteTree(java.nio.file.Paths.get(d))
       catch { case _: Exception => }

@@ -1222,6 +1222,17 @@ object Graft {
     /** The staged index tables (chunks, towers) — inspection. */
     def tables: Map[String, DataFrame] =
       graft.operators.Pipeline.ragTablesAt(spark, root)
+    /** Self-retrieval quality of THIS index (r19_staged's
+      * measurement): each of the first `nQueries` docs' first chunk
+      * asks its own top-`topT` terms against the STAGED serving
+      * tower; reports the source chunk's rank / reciprocal rank /
+      * hit@`k` per query. The scoring scan is pruned to the union of
+      * the eval set's term buckets — one plan over the query set.
+      */
+    def evalSelfRetrieval(nQueries: Int = 16, topT: Int = 3,
+        k: Int = 5): DataFrame =
+      graft.operators.Pipeline.stagedSelfEval(spark, root, nQueries,
+        topT, k)
   }
 
   /** BUILD a RAG index from any corpus frame (the reference's
@@ -1250,16 +1261,21 @@ object Graft {
 
   /** REOPEN a built index at a durable root (the build-once/
     * query-many contract across processes): serves from the staged
-    * towers and the persisted codebook; `dim` must match the build's
-    * (the query-side encode derives codes at this width).
+    * towers and the persisted codebook. The encode width is DERIVED
+    * from the persisted codebook (PlaneMatrix carries its dim) — the
+    * build's `dim` is authoritative, so a non-default-width index
+    * reopens correctly without the caller repeating it. (A trusted
+    * caller-supplied dim would mis-serve silently: a 64-wide query
+    * zipped against 16-wide stored codes nulls the int score, and
+    * centroidRanks would rank against the wrong-width planes.)
     */
   def ragIndexOpen(spark: org.apache.spark.sql.SparkSession,
-      root: String,
-      dim: Int = graft.operators.Embed.dim): RagIndex = {
-    require(graft.streaming.Streams.loadCodebook(root).isDefined,
+      root: String): RagIndex = {
+    val cb = graft.streaming.Streams.loadCodebook(root)
+    require(cb.isDefined,
       s"no built RAG index at $root (codebook.meta missing) — " +
         "build one with Graft.ragIndex(..., stateRoot = Some(root))")
-    new RagIndex(spark, root, dim)
+    new RagIndex(spark, root, cb.get.dim)
   }
 
   /** VISION-TOKEN PATCH BUDGETING (m6's math on YOUR decode): cut

@@ -462,6 +462,77 @@ object Pipeline {
       Embed.u16Of(Search.queryTerms.mkString(" ")), kList, kOut,
       rrfK, nProbe)
 
+  /** r19_staged: SEARCH-QUALITY EVAL SERVED FROM THE STAGED TOWERS —
+    * r19's self-retrieval measurement (each eval query's source must
+    * come back; reference: eval/calculate_metrics.py over
+    * generate_questions.py's doc-derived question set) re-pointed at
+    * the index p2 actually SHIPS: the eval set derives from the
+    * first chunk of each of the first `nQueries` routed docs (its
+    * own top-`topT` terms — deterministic, so the whole measurement
+    * replays in SQL), and the scoring pass runs through the STAGED
+    * serving tower — precomputed idf/stats enter broadcast, dl rides
+    * the posting, and the postings scan is pruned to the UNION of
+    * the eval set's term buckets in ONE plan over the whole query
+    * set (PlanSpec-locked: tb IN (...) in PartitionFilters — never a
+    * full scan per query). Production evaluates retrieval against
+    * the index it serves, not a parallel inline recompute; the
+    * PipelineSpec drill pins staged ranks ≡ the inline r19 chain
+    * over the same chunk corpus.
+    *
+    * Scale: the eval-set derivation is ONE offline job over the raw
+    * tf table (collected as nQueries·topT strings — the r20
+    * bounded-model-collect contract); serving reads |union term
+    * buckets|/32 of the postings, the per-query rank windows are
+    * qid-partitioned, and nothing corpus-wide recomputes per query.
+    */
+  def r19StagedEval(t: Tables, nQueries: Int = 16, topT: Int = 3,
+      k: Int = 5): DataFrame =
+    stagedSelfEval(t.spark, ragRoot(t), nQueries, topT, k)
+
+  /** The staged self-retrieval eval of ANY built index root — shared
+    * by the gated r19_staged and the `Graft.RagIndex.evalSelfRetrieval`
+    * facade (a user evaluates the index they built).
+    */
+  private[graft] def stagedSelfEval(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      nQueries: Int, topT: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tbl = ragTablesAt(spark, d)
+    // offline derivation (generate_questions.py's role): top terms of
+    // each eval chunk, tie-broken (tf desc, term) — a bounded collect
+    val wq = Window.partitionBy("qid").orderBy(col("tf").desc, col("term"))
+    val qrows = tbl("tf")
+      .filter(col("chunk_id") % lit(1000000L) === 0 &&
+        col("chunk_id") < lit(nQueries.toLong * 1000000L))
+      .select(col("chunk_id").as("qid"), col("term"), col("tf"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= topT)
+      .select("qid", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val terms = qrows.map(_._2).distinct
+    val buckets = terms.map(Search.termBucketOf(_, lexBuckets)).distinct
+    val scores = tbl("tf_b")
+      .filter(col("tb").isin(buckets.map(b => b: Any): _*))
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qrows.toDF("qid", "term")), "term")
+      .join(broadcast(tbl("idf").filter(col("term").isin(terms: _*))
+        .select("term", "idf_bm")), "term")
+      .crossJoin(broadcast(tbl("stats").select("avgdl")))
+      .withColumn("contrib", Search.bm25ContribCol)
+      .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("score"))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("n_cand", count(lit(1)).over(
+        Window.partitionBy("qid")).cast("long"))
+      .filter(col("doc_id") === col("qid"))
+      .select(col("qid").as("query_chunk"), col("n_cand"), col("rank"),
+        (floor(lit(1.0) / col("rank") * 10000 + 0.5) / 10000.0).as("rr"),
+        (col("rank") <= k).cast("int").as(s"hit$k"))
+      .orderBy("query_chunk")
+  }
+
   /** The PRUNED dense top-`kList` of any built index root: the
     * query's code vector ranks the persisted coarse codebook through
     * the SAME compiled expression the build assigned with (a one-row
@@ -757,9 +828,45 @@ object Pipeline {
       |  SELECT 6, 'serving', count(*), CAST(sum(chunk_id) AS BIGINT) FROM serve)
       |ORDER BY ord""".stripMargin
 
+  /** r19_staged's replay: the shared build CTEs + the staged-BM25
+    * stats/idf fragments ([[chunkBm25Ctes]] — its cq/cc/serve tail
+    * is unused here), the deterministic eval-set derivation, the
+    * scoring join, and the per-query rank/reciprocal-rank report.
+    */
+  private lazy val r19StagedSql: String =
+    s"""WITH $ragCtes,
+      |${chunkBm25Ctes(5)},
+      |qt AS (
+      |  SELECT qid, term FROM (
+      |    SELECT chunk_id AS qid, term,
+      |      row_number() OVER (PARTITION BY chunk_id
+      |                         ORDER BY tf DESC, term) AS rn
+      |    FROM ctf
+      |    WHERE chunk_id % 1000000 = 0 AND chunk_id < 16000000) z
+      |  WHERE rn <= 3),
+      |esc AS (
+      |  SELECT qt.qid, ctf.chunk_id AS doc_id,
+      |    round(sum(cidf.idf_bm * ctf.tf * 2.2 /
+      |      (ctf.tf + 1.2 * (0.25 + 0.75 * cdl.dl / cstats.avgdl))), 4)
+      |      AS score
+      |  FROM ctf JOIN qt USING (term) JOIN cidf USING (term)
+      |       JOIN cdl USING (chunk_id), cstats
+      |  GROUP BY qt.qid, ctf.chunk_id),
+      |erk AS (
+      |  SELECT qid, doc_id,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY score DESC, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY qid) AS n_cand
+      |  FROM esc)
+      |SELECT qid AS query_chunk, n_cand, rank,
+      |  floor(1.0 / rank * 10000 + 0.5) / 10000.0 AS rr,
+      |  CAST(rank <= 5 AS INT) AS hit5
+      |FROM erk WHERE doc_id = qid ORDER BY query_chunk""".stripMargin
+
   lazy val oracle: Map[String, String] = Map(
     "p2_rag_ingest" -> p2Sql,
     "p3_rag_serve" -> p3Sql,
+    "r19_staged_eval" -> r19StagedSql,
     // the full funnel replayed: every stage signal from the shared
     // scored CTE, six per-stage aggregates, n_in threaded by hand
     "p1_curation_funnel" ->

@@ -96,10 +96,15 @@ object Search {
     * corpus coverage — the curve that decides the vocab-size cutoff.
     *
     * Scale: one groupBy(term) with map-side partial aggregation over
-    * the corpus; the rank/coverage window then runs on the AGGREGATED
-    * vocabulary (|V| ≪ corpus — the only unpartitioned window here is
-    * over vocab-sized data, never corpus rows; at 100 TB the vocab
-    * table is MBs).
+    * the corpus, then a DISTRIBUTED top-K cut — `orderBy(...).limit(
+    * topK)` plans as TakeOrderedAndProject (per-partition bounded
+    * heaps, one K-row merge), NEVER a full-vocabulary sort or
+    * single-partition window: a web corpus's distinct-term table runs
+    * 10⁸–10⁹ rows (typos, numbers, hashes), so anything that funnels
+    * the WHOLE vocab through one task is a scale-killer. The rank /
+    * cumulative-coverage window then runs on the K survivors only
+    * (≤ topK rows by construction), with the corpus total riding as a
+    * 1-row broadcast. Plan shape spec-locked in PlanSpec.
     */
   def r15VocabBuild(t: Tables, topK: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -107,12 +112,16 @@ object Search {
       .groupBy("term")
       .agg(sum("tf").as("n_occ"), count(lit(1)).as("df"))
     val total = counts.agg(sum("n_occ").as("total"))
+    // TakeOrdered BEFORE any window: the ordering (n_occ desc, term) is
+    // total (term is unique after the groupBy), so the K-row cut is
+    // deterministic and rank over the survivors reproduces the old
+    // full-vocab row_number exactly.
+    val top = counts.orderBy(col("n_occ").desc, col("term")).limit(topK)
     val w = Window.orderBy(col("n_occ").desc, col("term"))
-    counts.crossJoin(broadcast(total))
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
       .withColumn("cum", sum("n_occ")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("term"), col("n_occ"), col("df"),
         (floor(col("cum") / col("total") * 10000 + 0.5) / 10000.0)
           .as("coverage"))

@@ -311,10 +311,12 @@ object TextAnalysis {
     * counts + md5 of the comma-joined id sequence (the ids column
     * itself at production; hashed here to keep the dump small).
     *
-    * Scale: vocab build is one map-side-partial groupBy(term); the
-    * ENCODE is a BROADCAST join (vocab ≪ corpus — MBs at 100 TB), so
-    * the corpus pays no shuffle until the per-doc rollup. The rank
-    * window runs on the aggregated vocab only.
+    * Scale: vocab build is one map-side-partial groupBy(term) +
+    * a DISTRIBUTED top-K cut (r15's TakeOrderedAndProject shape — the
+    * full distinct-term table NEVER sorts through one task; id =
+    * row_number runs on the ≤ vocabSize survivors only); the ENCODE
+    * is then a BROADCAST join (vocab ≪ corpus — MBs at 100 TB), so
+    * the corpus pays no shuffle until the per-doc rollup.
     */
   def t11TokenizerEncode(t: Tables, vocabSize: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -322,10 +324,13 @@ object TextAnalysis {
     val toks = graft.Caches.cached(t.documents
       .select(col("doc_id"),
         posexplode(Text.tokenize(col("text"))).as(Seq("pos", "term"))))
+    // Same ranking rule as before ((n_occ desc, term) is a total order,
+    // term unique post-groupBy), but cut with TakeOrdered FIRST so the
+    // id window sees vocabSize rows, not the corpus vocabulary.
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term")).limit(vocabSize)
       .withColumn("id", row_number().over(
         Window.orderBy(col("n_occ").desc, col("term"))))
-      .filter(col("id") <= vocabSize)
       .select("term", "id")
     toks.join(broadcast(vocab), Seq("term"), "left")
       .withColumn("tid", coalesce(col("id"), lit(0)))

@@ -1059,12 +1059,27 @@ class GraftApiSpec extends SparkSpec {
       val again = Graft.ragIndexOpen(spark, tmp)
         .search("Spark FILTER join; window?", k = 5).collect()
       assert(again.map(_.toSeq).toSeq == hits.map(_.toSeq).toSeq)
-      // a non-64 encoder drops in end to end
-      val idx16 = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
-        "text", dim = 16)
-      assert(idx16.tables("enc").select(size(col("u16"))).collect()
-        .forall(_.getInt(0) == 16))
-      assert(idx16.search("spark join").collect().nonEmpty)
+      // a non-64 encoder drops in end to end — built DURABLE so the
+      // reopen path proves dim derives from the persisted codebook
+      // (a reopen that trusted the default 64 would null the dense
+      // scores against the 16-wide stored codes)
+      val tmp16 = java.nio.file.Files
+        .createTempDirectory("graft_ragidx16_").toString
+      try {
+        val idx16 = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+          "text", dim = 16, stateRoot = Some(tmp16))
+        assert(idx16.tables("enc").select(size(col("u16"))).collect()
+          .forall(_.getInt(0) == 16))
+        val h16 = idx16.search("spark join").collect()
+        assert(h16.nonEmpty)
+        val re16 = Graft.ragIndexOpen(spark, tmp16)
+          .search("spark join").collect()
+        assert(re16.map(_.toSeq).toSeq == h16.map(_.toSeq).toSeq)
+        // dense tower really participated through the reopen: at
+        // least one hit carries a non-null vector rank
+        assert(re16.exists(r => Option(r.getAs[Any]("r_vec")).nonEmpty))
+      } finally graft.Staging.deleteTree(
+        java.nio.file.Paths.get(tmp16))
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 

@@ -390,4 +390,37 @@ class PipelineSpec extends SparkSpec {
       .filter(col("cid") =!= col("cid2")).count() == 0,
       "IVF assignment not deterministic")
   }
+
+  test("r19_staged_eval: staged ranks equal the inline BM25 chain " +
+      "over the same chunk corpus (per query: rank AND candidate set)") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sf)
+    val staged = graft.operators.Pipeline.r19StagedEval(t).collect()
+    assert(staged.nonEmpty)
+    val tbl = graft.operators.Pipeline.ragTables(t)
+    val tf = tbl("tf").withColumnRenamed("chunk_id", "doc_id")
+    // the same deterministic eval-set derivation
+    val wq = Window.partitionBy("qid").orderBy(col("tf").desc, col("term"))
+    val byQ = tbl("tf")
+      .filter(col("chunk_id") % 1000000L === 0 &&
+        col("chunk_id") < 16000000L)
+      .select(col("chunk_id").as("qid"), col("term"), col("tf"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+      .select("qid", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(staged.length == byQ.size,
+      "a query's source chunk fell out of its own candidate set")
+    staged.foreach { row =>
+      val qid = row.getAs[Long]("query_chunk")
+      val inline = graft.operators.Search.bm25Scores(tf, byQ(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }
+      val rank = inline.indexWhere(_._1 == qid) + 1
+      assert(rank > 0 && rank.toLong == row.getAs[Long]("rank"),
+        s"qid $qid: staged rank ${row.getAs[Long]("rank")} != inline $rank")
+      assert(inline.length.toLong == row.getAs[Long]("n_cand"),
+        s"qid $qid candidate count drifted")
+    }
+  }
 }

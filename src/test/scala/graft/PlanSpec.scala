@@ -94,6 +94,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("r15/t11: vocab cut is a distributed TakeOrdered — every window " +
+      "sits ABOVE the K-row limit, never over the full vocabulary") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    for (name <- Seq("r15_vocab_build", "t11_tokenizer_encode")) {
+      val df = run(name)
+      df.collect()
+      val all = flatten(df.queryExecution.executedPlan)
+      val wins = all.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected the K-row rank window")
+      // a WindowExec with no TakeOrdered beneath it would be the old
+      // full-vocab single-partition sort — the 100 TB scale-killer
+      wins.foreach { w =>
+        assert(flatten(w).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+          s"$name: WindowExec input is not bounded by a TakeOrdered cut\n" +
+            w.toString.take(800))
+      }
+    }
+  }
+
   test("s5: PQ encode path has no join and no corpus-keyed Exchange") {
     val p = plan("s5_pq_encode")
     assert(!p.contains("Join"), p.take(600))
@@ -415,6 +446,41 @@ class PlanSpec extends SparkSpec {
     val pf = p.linesIterator.find(_.contains("PartitionFilters:"))
       .getOrElse(fail(s"no PartitionFilters line in:\n${p.take(1200)}"))
     assert(pf.contains("cid") && pf.contains(" IN ("), pf)
+  }
+
+  test("r19_staged_eval: ONE postings scan pruned to the UNION of " +
+      "the eval set's term buckets — never a full scan per query") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("r19_staged_eval")
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    // the postings (tf_b) read: exactly ONE scan carrying a tb
+    // partition filter — the whole eval set scores in one plan
+    val pruned = all.collect {
+      case s: FileSourceScanExec
+          if s.partitionFilters.exists(_.references.exists(
+            _.name == "tb")) => s
+    }
+    assert(pruned.size == 1,
+      s"expected exactly ONE tb-pruned postings scan, got " +
+        s"${pruned.size}:\n${all.map(_.nodeName).mkString("\n")}")
+    assert(pruned.head.partitionFilters.mkString(",").contains("IN"),
+      pruned.head.partitionFilters.mkString(","))
+    // broadcast joins only — no per-query corpus shuffle join
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      all.map(_.nodeName).filter(_.contains("Join")).mkString("\n"))
   }
 
   test("p3 lexical tower: the staged BM25 serve is a term-bucket-" +
