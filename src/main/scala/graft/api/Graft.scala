@@ -1222,6 +1222,37 @@ object Graft {
     /** The staged index tables (chunks, towers) — inspection. */
     def tables: Map[String, DataFrame] =
       graft.operators.Pipeline.ragTablesAt(spark, root)
+    /** GROW the index: classify + normalize `df` through the SAME
+      * routing tree the build used ([[Graft.ragNormalize]]), then
+      * append to every staged tower — arrivals-sized appends for
+      * chunks/postings/codes (the dense side assigns under the
+      * build's PINNED codebook — st15's contract), an exact-integer
+      * stats rollup, and a vocab-sized idf merge, all bit-equal to a
+      * full rebuild on the union corpus (spec-drilled). Chunking and
+      * encode reuse the persisted build knobs (towers.meta).
+      * Already-indexed doc ids are dropped (re-adding is a no-op).
+      * Single-writer; a torn add repairs via [[rebuild]]. Returns
+      * the number of NEW docs indexed.
+      */
+    def add(df: DataFrame, idCol: String, pathCol: String,
+        langCol: String, textCol: String, batchSize: Int = 32): Long =
+      graft.operators.Pipeline.addToTowers(spark, root,
+        Graft.ragNormalize(df, idCol, pathCol, langCol, textCol,
+          batchSize)
+          .select(col(idCol).cast("long").as("doc_id"), col("body")))
+    /** Re-derive every tower from the landed `routed` table under
+      * the build's pinned codebook — the repair for a torn [[add]]
+      * (every tower is a deterministic function of routed + the
+      * codebook), and the compaction that folds accumulated append
+      * files back into one-file-per-partition layouts.
+      */
+    def rebuild(): Unit = {
+      val (size, step, d0) = graft.operators.Pipeline
+        .loadTowersMeta(root).getOrElse(sys.error(
+          s"no towers.meta at $root — not a built index root"))
+      graft.operators.Pipeline.buildTowers(spark, root, size, step,
+        d0, graft.streaming.Streams.loadCodebook(root))
+    }
     /** Self-retrieval quality of THIS index (r19_staged's
       * measurement): each of the first `nQueries` docs' first chunk
       * asks its own top-`topT` terms against the STAGED serving

@@ -244,7 +244,9 @@ object Pipeline {
     */
   private[graft] def buildTowers(
       spark: org.apache.spark.sql.SparkSession, d: String,
-      size: Int, step: Int, dim: Int = Embed.dim): Unit = {
+      size: Int, step: Int, dim: Int = Embed.dim,
+      pinned: Option[graft.expressions.PlaneMatrix] = None): Unit = {
+      saveTowersMeta(d, size, step, dim)
       val routed = spark.read.parquet(s"$d/routed")
       graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
         .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
@@ -265,7 +267,14 @@ object Pipeline {
       val tfD = spark.read.parquet(s"$d/tf")
         .withColumnRenamed("chunk_id", "doc_id")
       val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
-      dlD.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
+      // stats carry the EXACT integer (nd, len_sum) alongside the
+      // derived avgdl, so an incremental add updates them with long
+      // arithmetic and re-derives avgdl bit-equal to a full rebuild
+      // (len_sum/nd == avg(dl): integer-valued doubles below 2^53
+      // sum exactly in either order)
+      dlD.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
+        .select((col("len_sum").cast("double") / col("nd"))
+          .as("avgdl"), col("nd"), col("len_sum"))
         .write.mode("overwrite").parquet(s"$d/stats")
       tfD.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(spark.read.parquet(s"$d/stats")))
@@ -288,9 +297,14 @@ object Pipeline {
       val vecs = spark.read.parquet(s"$d/enc")
         .select(col("vec_id"),
           transform(col("u16"), x => x.cast("double")).as("v"))
-      val n = vecs.count()
-      val nLists = Ann.ivfConfigFor(n)
-      val cb = Ann.trainCodebookSampled(vecs, nLists, n, dim = dim)
+      // `pinned` rebuilds under an EXISTING model (st15's pinned-
+      // codebook contract — the incremental-add equality drill and
+      // torn-add repair both need assignment to stay stable); the
+      // default trains fresh on this corpus
+      val cb = pinned.getOrElse {
+        val n = vecs.count()
+        Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n, dim = dim)
+      }
       graft.streaming.Streams.saveCodebook(d, cb)
       // serving layout: every stored code filed under its coarse
       // list, PARTITIONED BY cid — p3's probe reads ~nProbe/nLists
@@ -316,6 +330,164 @@ object Pipeline {
     * not a semantic one (pruning only narrows the scan).
     */
   private[graft] val lexBuckets = 32
+
+  /** Persisted build knobs — a grow/reopen on a durable root must
+    * chunk (`size`/`step`) and encode (`dim`) with the BUILD's
+    * parameters, never the caller's defaults (the codebook-dim
+    * lesson applied to the whole knob set). Same tmp + atomic-move
+    * write as the codebook's.
+    */
+  private[graft] def saveTowersMeta(d: String, size: Int, step: Int,
+      dim: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    val tmp = java.nio.file.Paths.get(d, "towers.meta.tmp")
+    java.nio.file.Files.write(tmp, s"$size\n$step\n$dim\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(d, "towers.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def loadTowersMeta(d: String): Option[(Int, Int, Int)] = {
+    val p = java.nio.file.Paths.get(d, "towers.meta")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val l = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      Some((l(0).toInt, l(1).toInt, l(2).toInt))
+    }
+  }
+
+  /** Swap a staged table for its recomputed next version: stage into
+    * `<name>.next`, then delete + rename through the session's
+    * Hadoop filesystem (works on any scheme the deployment serves
+    * the index from). The swap window is the single-writer facade's
+    * to own — concurrent adds are out of contract ([[addToTowers]]).
+    */
+  private def replaceDir(spark: org.apache.spark.sql.SparkSession,
+      d: String, name: String, next: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(d, s"$name.next")
+    val dst = new org.apache.hadoop.fs.Path(d, name)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst)) sys.error(s"rename $tmp -> $dst failed")
+  }
+
+  /** GROW a built index in place (the build → serve → GROW loop):
+    * append `routedNew` (doc_id, body) rows to every tower of the
+    * [[buildTowers]] layout — chunks/tf/enc/tf_b/enc_ivf appends are
+    * all ARRIVALS-SIZED (st14/st15's maintain-step shape: tokenize +
+    * bucket-partitioned append; encode + PINNED-codebook assignment +
+    * cid-partitioned append — a retrained model would re-list the
+    * whole index, so growth serves under the build's codebook until
+    * an explicit rebuild), while the two corpus-rollup tables
+    * recompute exactly: `stats` from the persisted exact-integer
+    * (nd, len_sum) plus the arrivals' (one row), `idf` as a
+    * VOCAB-sized merge of the stored df with the arrivals' df under
+    * the new nd — bit-equal to a full rebuild on the union corpus
+    * (the GraftApiSpec equality drill), because every input is long
+    * arithmetic and the idf expression is the build's own.
+    *
+    * Already-indexed doc_ids are dropped by an anti-join against
+    * `routed` (the registry read — one slim column of the doc table;
+    * the bucket-pruned version of this guard lives in st14), so a
+    * re-added batch is a no-op, not a duplicate.
+    *
+    * CONTRACT: single-writer, not crash-atomic — `routed` lands
+    * FIRST, so a torn add (crash between appends) is repaired by
+    * [[buildTowers]] over the surviving `routed` with the pinned
+    * codebook (`RagIndex.rebuild`): every tower re-derives
+    * deterministically from `routed`. Continuous/exactly-once growth
+    * is the streaming maintainers' domain (st14/st15's tagged
+    * commits), not this facade's.
+    *
+    * Returns the number of NEW docs actually indexed.
+    */
+  private[graft] def addToTowers(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      routedNew: DataFrame): Long = {
+    val (size, step, dim) = loadTowersMeta(d).getOrElse(sys.error(
+      s"no towers.meta at $d — not a buildTowers root (rebuild once " +
+        "with Graft.ragIndex to mint it)"))
+    val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
+      sys.error(s"no codebook.meta at $d"))
+    graft.Caches.fresh()
+    // the admitted arrivals DECOUPLE through scratch parquet before
+    // the routed append: a cached anti-join against $d/routed would
+    // be invalidated BY that append (CacheManager recache-by-path)
+    // and re-evaluate empty against its own output
+    val scratch = graft.Staging.scratch("rag_add")
+    routedNew
+      .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+      .join(spark.read.parquet(s"$d/routed").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$scratch/arr")
+    val arr = spark.read.parquet(s"$scratch/arr")
+    val nNew = arr.count()
+    if (nNew == 0L) return 0L
+    arr.write.mode("append").parquet(s"$d/routed")
+    val chNew = graft.Caches.materialized(
+      graft.api.Graft.chunk(arr, "doc_id", "body", size, step)
+        .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
+          col("doc_id"), col("start"), col("chunk")))
+    chNew.write.mode("append").parquet(s"$d/chunks")
+    val tfNew = graft.Caches.materialized(chNew
+      .select(col("chunk_id"),
+        explode(Text.tokenize(col("chunk"))).as("term"))
+      .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf")))
+    tfNew.write.mode("append").parquet(s"$d/tf")
+    val tfD = tfNew.withColumnRenamed("chunk_id", "doc_id")
+    val dlNew = graft.Caches.materialized(
+      tfD.groupBy("doc_id").agg(sum("tf").as("dl")))
+    tfD.join(dlNew, "doc_id")
+      .withColumn("tb", Search.termBucket(col("term"), lexBuckets))
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb").parquet(s"$d/tf_b")
+    // stats: exact-integer rollup — one stored row + one arrival row
+    val old = spark.read.parquet(s"$d/stats")
+      .select("nd", "len_sum").collect()(0)
+    val inc = dlNew.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
+      .collect()(0)
+    val nd2 = old.getLong(0) + inc.getLong(0)
+    val ls2 = old.getLong(1) + inc.getLong(1)
+    import spark.implicits._
+    replaceDir(spark, d, "stats",
+      Seq((ls2.toDouble / nd2, nd2, ls2))
+        .toDF("avgdl", "nd", "len_sum").coalesce(1))
+    // idf: vocab-sized df merge, idf_bm re-derived under the new nd
+    // with the build's own expression
+    val dfNew = tfD.groupBy("term").agg(count(lit(1)).as("df_new"))
+    replaceDir(spark, d, "idf",
+      spark.read.parquet(s"$d/idf").select("term", "df")
+        .join(dfNew, Seq("term"), "full")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_new"), lit(0L))).as("df"))
+        .withColumn("idf_bm",
+          log(lit(1.0) + (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
+        .select("term", "df", "idf_bm"))
+    // dense tower: encode arrivals, assign under the PINNED codebook,
+    // append cid-partitioned (st15MaintainStep's shape)
+    val encNew = graft.Caches.materialized(
+      Embed.encodeFrame(chNew, "chunk_id", "chunk", d = dim))
+    encNew.write.mode("append").parquet(s"$d/enc")
+    encNew
+      .withColumn("cid",
+        element_at(graft.functions.Vectors.centroidRanks(
+          transform(col("u16"), x => x.cast("double")), cb), 1))
+      .select("vec_id", "u16", "cid")
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$d/enc_ivf")
+    Seq(chNew, tfNew, dlNew, encNew).foreach(graft.Caches.drop)
+    graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+    nNew
+  }
 
   /** The staged p2 tables, for serving / spec access. `dense` (the
     * (vec_id, cid) assignment) is a projection of the partitioned

@@ -1083,6 +1083,74 @@ class GraftApiSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("RagIndex.add grows every tower bit-equal to a pinned-codebook " +
+      "rebuild on the union corpus; re-add is a no-op; reopen serves " +
+      "the grown index") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val docsA = Seq(
+      (1L, "repo/docs/a.md", "en",
+        "spark joins and windows explained with zanzibar examples"),
+      (2L, "repo/src/a.py", "python", "def run(): spark filter job"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val docsB = Seq(
+      (3L, "repo/docs/b.md", "en",
+        "quokka quokka aggregation guide for spark windows"),
+      (4L, "repo/img/x.png", "en", "never indexed"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ragadd_").toString
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_ragadd_full_").toString
+    try {
+      val idx = Graft.ragIndex(docsA, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      assert(idx.add(docsB, "doc_id", "filepath", "lang", "text") == 1L)
+      // idempotent growth: the registry guard drops a re-added batch
+      assert(idx.add(docsB, "doc_id", "filepath", "lang", "text") == 0L)
+      // the reference rebuild: the UNION corpus through the same
+      // build under the grown root's PINNED codebook
+      val cb = graft.streaming.Streams.loadCodebook(tmp).get
+      Graft.ragNormalize(docsA.unionByName(docsB), "doc_id",
+          "filepath", "lang", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .write.mode("overwrite").parquet(s"$tmp2/routed")
+      Pipeline.buildTowers(spark, tmp2, 200, 100,
+        graft.operators.Embed.dim, Some(cb))
+      // every serving tower is bit-equal, table for table
+      def dump(root: String, name: String, keys: String*) =
+        Pipeline.ragTablesAt(spark, root)(name)
+          .orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+      for ((tbl, keys) <- Seq(
+          "tf_b" -> Seq("doc_id", "term"),
+          "idf" -> Seq("term"),
+          "stats" -> Seq("nd"),
+          "chunks" -> Seq("chunk_id"),
+          "enc_ivf" -> Seq("vec_id")))
+        assert(dump(tmp, tbl, keys: _*) == dump(tmp2, tbl, keys: _*),
+          s"$tbl drifted from the pinned full rebuild")
+      // serving agrees end to end, and the ADDED content retrieves:
+      // 'quokka' exists only in docsB
+      val grown = idx.search("quokka windows", k = 5).collect()
+      val full = Graft.ragIndexOpen(spark, tmp2)
+        .search("quokka windows", k = 5).collect()
+      assert(grown.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+      assert(grown.exists(_.getAs[Long]("chunk_id") / 1000000L == 3L))
+      // ...and a fresh handle on the grown root serves identically
+      val reopened = Graft.ragIndexOpen(spark, tmp)
+        .search("quokka windows", k = 5).collect()
+      assert(reopened.map(_.toSeq).toSeq == grown.map(_.toSeq).toSeq)
+      // rebuild() (the torn-add repair) is a no-op on content
+      idx.rebuild()
+      val rebuilt = idx.search("quokka windows", k = 5).collect()
+      assert(rebuilt.map(_.toSeq).toSeq == grown.map(_.toSeq).toSeq)
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
+    }
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
