@@ -129,6 +129,9 @@ object SparkEntry {
     "p2_rag_ingest"       -> q(Pipeline.p2RagIngest(_)),
     "p3_rag_serve"        -> q(Pipeline.p3RagServe(_)),
     "r19_staged_eval"     -> q(Pipeline.r19StagedEval(_)),
+    "p3_dense_sq8"        -> q(Pipeline.p3DenseSq8(_)),
+    "p3_dense_pq"         -> q(Pipeline.p3DensePq(_)),
+    "p3_dense_rerank"     -> q(Pipeline.p3DenseRerank(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),

@@ -1212,13 +1212,20 @@ object Graft {
       * the engine's own tokenizer rule, the dense code from the
       * string itself (e1's query-side encode). Returns (chunk_id,
       * rrf, r_lex, r_vec); chunk_id / 10⁶ is the source doc id.
+      *
+      * `tier` picks the dense tower's quantization: `int16` (the
+      * stored codes, 2 B/dim), `sq8` (1 B/dim), `pq` (1 B/subspace),
+      * or `sq8_rerank` (sq8 shortlist at `overFetch`·kList + exact
+      * int16 rerank — sq8 bytes, int16 ranking). Tier layouts mint
+      * once per root on first use and invalidate on [[add]].
       */
     def search(query: String, k: Int = 10, kList: Int = 20,
-        nProbe: Int = 8, rrfK: Int = 60): DataFrame =
+        nProbe: Int = 8, rrfK: Int = 60, tier: String = "int16",
+        overFetch: Int = 4): DataFrame =
       graft.operators.Pipeline.serveHybrid(spark, root,
         query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq,
         graft.operators.Embed.u16Of(query, dim), kList, k, rrfK,
-        nProbe)
+        nProbe, tier, overFetch)
     /** The staged index tables (chunks, towers) — inspection. */
     def tables: Map[String, DataFrame] =
       graft.operators.Pipeline.ragTablesAt(spark, root)

@@ -567,7 +567,7 @@ object Ann {
     * (`d\$mi`) and argmin codes (`code\$mi`) — the encode projection
     * s5 emits and s6 looks distances up against.
     */
-  private def pqCoded(vecs: DataFrame, books: Array[Array[Array[Double]]],
+  private[graft] def pqCoded(vecs: DataFrame, books: Array[Array[Array[Double]]],
       sub: Int): DataFrame = {
     val withD = books.indices.foldLeft(vecs) { case (df, mi) =>
       df.withColumn(s"d$mi",
@@ -618,7 +618,7 @@ object Ann {
     * full-corpus scan and s9's pruned-list scan — a change to either
     * formula cannot leave the two operators silently divergent.
     */
-  private def adcTables(pv: Array[Double],
+  private[graft] def adcTables(pv: Array[Double],
       books: Array[Array[Array[Double]]], m: Int,
       sub: Int): Array[Array[Double]] = {
     def sdot(a: Array[Double], b: Array[Double]): Double = {
@@ -634,7 +634,7 @@ object Ann {
   /** The ADC lookup-sum ranking over a coded frame: Σ dt[mi][code],
     * rounded then (d_est, vec_id) top-`k`.
     */
-  private def adcRank(coded: DataFrame, dt: Array[Array[Double]],
+  private[graft] def adcRank(coded: DataFrame, dt: Array[Array[Double]],
       m: Int, k: Int = 10): DataFrame =
     coded
       .select(col("vec_id"),
@@ -1619,7 +1619,7 @@ object Ann {
     * codeword (clone semantics) — [[trainCodebook]] specialized to a
     * slice with Euclidean geometry (PQ's metric).
     */
-  private def trainPqSub(vecs: DataFrame, off: Int, sub: Int, k: Int,
+  private[graft] def trainPqSub(vecs: DataFrame, off: Int, sub: Int, k: Int,
       iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
       .select("v").collect()
@@ -1648,11 +1648,11 @@ object Ann {
     * Lloyd's rounds, final argmin encode — the kmeansReplayCte
     * pattern with L2 in place of cosine, generated per subspace.
     */
-  private def pqDistSql(svT: String, cvT: String): String =
+  private[graft] def pqDistSql(svT: String, cvT: String): String =
     s"list_dot_product($svT, $svT) - 2*list_dot_product($svT, $cvT)" +
       s" + list_dot_product($cvT, $cvT)"
 
-  private def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int,
+  private[graft] def pqSubspaceCte(mi: Int, sub: Int, k: Int, iters: Int,
       src: String = "vv"): String = {
     val off = mi * sub
     def dist(svT: String, cvT: String) = pqDistSql(svT, cvT)

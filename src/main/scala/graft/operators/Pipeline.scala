@@ -486,8 +486,234 @@ object Pipeline {
       .write.mode("append").partitionBy("cid").parquet(s"$d/enc_ivf")
     Seq(chNew, tfNew, dlNew, encNew).foreach(graft.Caches.drop)
     graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+    // quantization-tier layouts are DERIVED caches of enc_ivf — a
+    // grown index invalidates them (next tier serve re-mints from
+    // the current corpus; their models are corpus statistics)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq("enc_ivf_sq8", "enc_ivf_pq", "sq.meta", "pq.meta"))
+      fs.delete(new org.apache.hadoop.fs.Path(d, n), true)
     nNew
   }
+
+  // ------------------------------------------------------------------
+  // Quantization tiers over the staged dense layout: the int16 tower
+  // (denseTop) is the default; sq8 (1 B/dim) and pq (1 B/subspace)
+  // trade bytes-read for recall, with an s11-style exact-rerank knob
+  // to buy the recall back. All tiers serve cid-PRUNED from their own
+  // partitioned layout; models persist next to the codebook.
+  // ------------------------------------------------------------------
+
+  /** PQ tier shape: 4 subspaces × 4 codewords, 2 Lloyd's rounds —
+    * s5's published defaults, replayable in SQL.
+    */
+  private[graft] val pqM = 4
+  private[graft] val pqK = 4
+  private[graft] val pqIters = 2
+
+  private def saveDoublesMeta(d: String, name: String,
+      header: Seq[Int], values: Array[Double]): Unit = {
+    val sb = new StringBuilder
+    sb.append(header.mkString(" ")).append('\n')
+    values.foreach(v =>
+      sb.append(java.lang.Double.doubleToLongBits(v)).append('\n'))
+    val tmp = java.nio.file.Paths.get(d, s"$name.tmp")
+    java.nio.file.Files.write(tmp,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(d, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def loadDoublesMeta(d: String,
+      name: String): Option[(Seq[Int], Array[Double])] = {
+    val p = java.nio.file.Paths.get(d, name)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      Some((lines.head.split(" ").toSeq.map(_.toInt),
+        lines.tail.map(l =>
+          java.lang.Double.longBitsToDouble(l.toLong)).toArray))
+    }
+  }
+
+  /** Mint-once SQ8 tier of a built root: per-dim (min, scale) over
+    * the STORED u16 code space (one 1-row aggregate), codes staged
+    * cid-partitioned as `enc_ivf_sq8` (1 B/dim — half the int16
+    * tower's bytes). Returns the persisted (mins, scales) model.
+    */
+  private[graft] def ensureSqTier(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Double], Array[Double]) =
+    loadDoublesMeta(d, "sq.meta") match {
+      case Some((Seq(dim), v)) => (v.take(dim), v.drop(dim))
+      case _ =>
+        val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+        val vecs = spark.read.parquet(s"$d/enc_ivf")
+          .select(col("vec_id"), col("cid"),
+            transform(col("u16"), x => x.cast("double")).as("v"))
+        val (mins, scales) = Ann.sqModelFrom(vecs, dim)
+        vecs
+          .withColumn("codes", Ann.sqCodes(col("v"), mins, scales))
+          .select("vec_id", "codes", "cid")
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$d/enc_ivf_sq8")
+        saveDoublesMeta(d, "sq.meta", Seq(dim), mins ++ scales)
+        (mins, scales)
+    }
+
+  /** Mint-once PQ tier of a built root: [[pqM]] sub-codebooks
+    * trained on the stored-code space (s5's deterministic seed +
+    * Lloyd's), codes staged cid-partitioned as `enc_ivf_pq`
+    * (1 B/subspace — 16× under the int16 tower at dim 64/m 4).
+    */
+  private[graft] def ensurePqTier(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Array[Double]]] = {
+    val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+    val sub = dim / pqM
+    loadDoublesMeta(d, "pq.meta") match {
+      case Some((Seq(m, k, s), v)) =>
+        Array.tabulate(m)(mi => Array.tabulate(k)(ki =>
+          v.slice((mi * k + ki) * s, (mi * k + ki) * s + s)))
+      case _ =>
+        val vecs = spark.read.parquet(s"$d/enc_ivf")
+          .select(col("vec_id"), col("cid"),
+            transform(col("u16"), x => x.cast("double")).as("v"))
+        val books = Array.tabulate(pqM)(mi =>
+          Ann.trainPqSub(vecs.select("vec_id", "v"), mi * sub, sub,
+            pqK, pqIters))
+        Ann.pqCoded(vecs, books, sub)
+          .select((col("vec_id") +:
+            (0 until pqM).map(mi => col(s"code$mi"))) :+ col("cid"): _*)
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$d/enc_ivf_pq")
+        saveDoublesMeta(d, "pq.meta", Seq(pqM, pqK, sub),
+          books.flatten.flatten)
+        books
+    }
+  }
+
+  /** SQ8 dense serving: ASYMMETRIC INNER PRODUCT — the query's exact
+    * code vector dotted against each stored code's bucket-center
+    * reconstruction (s13's asymmetric shape under the tower's OWN
+    * metric: this tower ranks by dot product, so its compressed tier
+    * must estimate the dot product — an L2 estimate would shortlist
+    * for the wrong ranking and no over-fetch could fix it) — scanned
+    * ONLY in the query's probed lists from the staged `enc_ivf_sq8`
+    * layout. (ip_est, vec_id) top-`k` descending.
+    */
+  private[graft] def denseTopSq8(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      qU16: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val (mins, scales) = ensureSqTier(spark, d)
+    val cids = probeCidsOf(spark, d, qU16, nProbe)
+    spark.read.parquet(s"$d/enc_ivf_sq8")
+      .filter(col("cid").isin(cids.map(c => c: Any): _*))
+      .select(col("vec_id").as("doc_id"),
+        (floor(aggregate(
+          zip_with(typedlit(qU16.map(_.toDouble)),
+            Ann.sqReconstruct(col("codes"), mins, scales),
+            (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e) * 10000 + 0.5) / 10000.0)
+          .as("ip_est"))
+      .orderBy(col("ip_est").desc, col("doc_id")).limit(k)
+  }
+
+  /** PQ dense serving: the query's per-subspace DOT lookup tables
+    * (model-sized driver constants; the inner-product ADC — the
+    * tower's own metric, see [[denseTopSq8]]) summed over each
+    * stored code tuple, scanned ONLY in the probed lists from the
+    * staged `enc_ivf_pq` layout (s9's composition under
+    * METRIC_INNER_PRODUCT). (ip_est, vec_id) top-`k` descending.
+    */
+  private[graft] def denseTopPq(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      qU16: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val books = ensurePqTier(spark, d)
+    val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+    val sub = dim / pqM
+    val cids = probeCidsOf(spark, d, qU16, nProbe)
+    val q = qU16.map(_.toDouble).toArray
+    // dt(mi)(j) = q_sv · codeword_j — ascending-index fold, the same
+    // sequential sum DuckDB's list_dot_product computes
+    val dt = Array.tabulate(pqM) { mi =>
+      val qsv = q.slice(mi * sub, mi * sub + sub)
+      books(mi).map { cw =>
+        var s = 0.0; var i = 0
+        while (i < qsv.length) { s += qsv(i) * cw(i); i += 1 }; s
+      }
+    }
+    spark.read.parquet(s"$d/enc_ivf_pq")
+      .filter(col("cid").isin(cids.map(c => c: Any): _*))
+      .select(col("vec_id").as("doc_id"),
+        (floor((0 until pqM).map(mi =>
+            element_at(typedLit(dt(mi).toSeq), col(s"code$mi") + 1))
+          .reduce(_ + _) * 10000 + 0.5) / 10000.0).as("ip_est"))
+      .orderBy(col("ip_est").desc, col("doc_id")).limit(k)
+  }
+
+  /** s11's exact-refinement stage over the staged tiers: the SQ8
+    * tier shortlists `overFetch`·k candidates from the probed lists
+    * (compressed bytes only), then ONLY the shortlist pays the exact
+    * int16 dot — a broadcast semi-join point-read of the pruned
+    * `enc_ivf` partitions, re-ranked top-`k` by (iscore desc, id).
+    * Buys the int16 tower's ranking back at sq8 scan bytes (the
+    * recall contract is spec-pinned).
+    */
+  private[graft] def denseTopRerank(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      qU16: Seq[Long], k: Int, nProbe: Int,
+      overFetch: Int = 4): DataFrame = {
+    val short = denseTopSq8(spark, d, qU16, k * overFetch, nProbe)
+      .select("doc_id")
+    val cids = probeCidsOf(spark, d, qU16, nProbe)
+    spark.read.parquet(s"$d/enc_ivf")
+      .filter(col("cid").isin(cids.map(c => c: Any): _*))
+      .join(broadcast(short), col("vec_id") === col("doc_id"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("u16"), typedlit(qU16),
+            (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+      .orderBy(col("iscore").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("iscore").cast("double").as("score"))
+  }
+
+  /** p3's dense tower at the SQ8 tier, gated: the standard query's
+    * code against the staged corpus — (chunk_id, ip_est) top-10 from
+    * the probed lists. The oracle replays model fit + codes +
+    * asymmetric inner-product scoring from the same exact integers.
+    */
+  def p3DenseSq8(t: Tables, k: Int = 10, nProbe: Int = 8): DataFrame =
+    denseTopSq8(t.spark, ragRoot(t),
+      Embed.u16Of(Search.queryTerms.mkString(" ")), k, nProbe)
+      .withColumnRenamed("doc_id", "chunk_id")
+
+  /** p3's dense tower at the PQ tier, gated — (chunk_id, ip_est)
+    * top-10; the oracle replays the per-subspace Lloyd's training,
+    * the dot ADC tables, and the pruned lookup-sum ranking.
+    */
+  def p3DensePq(t: Tables, k: Int = 10, nProbe: Int = 8): DataFrame =
+    denseTopPq(t.spark, ragRoot(t),
+      Embed.u16Of(Search.queryTerms.mkString(" ")), k, nProbe)
+      .withColumnRenamed("doc_id", "chunk_id")
+
+  /** p3's dense tower with SQ8 shortlist + exact rerank, gated —
+    * (chunk_id, score) top-10 by the exact integer dot over a 4×
+    * over-fetched compressed shortlist.
+    */
+  def p3DenseRerank(t: Tables, k: Int = 10, nProbe: Int = 8,
+      overFetch: Int = 4): DataFrame =
+    denseTopRerank(t.spark, ragRoot(t),
+      Embed.u16Of(Search.queryTerms.mkString(" ")), k, nProbe,
+      overFetch)
+      .withColumnRenamed("doc_id", "chunk_id")
 
   /** The staged p2 tables, for serving / spec access. `dense` (the
     * (vec_id, cid) assignment) is a projection of the partitioned
@@ -712,16 +938,27 @@ object Pipeline {
     * bounded-collect exception), then the integer dot scores ONLY
     * the probed lists of the cid-partitioned layout.
     */
+  /** The query's `nProbe` coarse-list choice under the root's pinned
+    * codebook — a one-row job returning nProbe ints (a probe
+    * constant, the s3 bounded-collect exception), shared by every
+    * dense tier's pruned scan.
+    */
+  private[graft] def probeCidsOf(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      qU16: Seq[Long], nProbe: Int): Seq[Int] = {
+    val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
+      sys.error(s"staged RAG index at $d has no codebook.meta"))
+    spark.range(1)
+      .select(slice(graft.functions.Vectors.centroidRanks(
+        typedlit(qU16.map(_.toDouble)), cb), 1, nProbe).as("pls"))
+      .collect()(0).getSeq[Int](0)
+  }
+
   private[graft] def denseTop(
       spark: org.apache.spark.sql.SparkSession, d: String,
       tbl: Map[String, DataFrame], qU16: Seq[Long], kList: Int,
       nProbe: Int): DataFrame = {
-    val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
-      sys.error(s"staged RAG index at $d has no codebook.meta"))
-    val probeCids: Seq[Int] = spark.range(1)
-      .select(slice(graft.functions.Vectors.centroidRanks(
-        typedlit(qU16.map(_.toDouble)), cb), 1, nProbe).as("pls"))
-      .collect()(0).getSeq[Int](0)
+    val probeCids = probeCidsOf(spark, d, qU16, nProbe)
     tbl("enc_ivf")
       .filter(col("cid").isin(probeCids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
@@ -740,10 +977,24 @@ object Pipeline {
   private[graft] def serveHybrid(
       spark: org.apache.spark.sql.SparkSession, d: String,
       terms: Seq[String], qU16: Seq[Long], kList: Int, kOut: Int,
-      rrfK: Int, nProbe: Int): DataFrame = {
+      rrfK: Int, nProbe: Int, tier: String = "int16",
+      overFetch: Int = 4): DataFrame = {
     val tbl = ragTablesAt(spark, d)
     val lex = bm25Staged(tbl, terms, kList)
-    val dense = denseTop(spark, d, tbl, qU16, kList, nProbe)
+    // the dense tower's quantization tier: every tier emits a
+    // (doc_id, score)-ranked frame under the tower's inner-product
+    // metric (rank order is all RRF consumes)
+    val dense = tier match {
+      case "int16" => denseTop(spark, d, tbl, qU16, kList, nProbe)
+      case "sq8" => denseTopSq8(spark, d, qU16, kList, nProbe)
+        .withColumnRenamed("ip_est", "score")
+      case "pq" => denseTopPq(spark, d, qU16, kList, nProbe)
+        .withColumnRenamed("ip_est", "score")
+      case "sq8_rerank" =>
+        denseTopRerank(spark, d, qU16, kList, nProbe, overFetch)
+      case other => sys.error(s"unknown dense tier '$other' " +
+        "(int16 | sq8 | pq | sq8_rerank)")
+    }
     graft.api.Graft.rrfFuse(Seq(lex, dense), "doc_id", "score",
         kOut, rrfK)
       .withColumnRenamed("r_0", "r_lex")
@@ -762,13 +1013,14 @@ object Pipeline {
     * the exact integer dot ranked ONLY inside the probed lists, and
     * r18's RRF form.
     */
-  private lazy val p3Sql: String =
-    s"""WITH $ragCtes,
-      |${chunkBm25Ctes(20)},
-      |lr AS (SELECT chunk_id,
-      |         row_number() OVER (ORDER BY score DESC, chunk_id) AS r_lex
-      |       FROM serve),
-      |pvv AS (
+  /** The dense tower's shared replay: stored-code vectors (pvv), the
+    * auto-sized list count + portable training sample, the coarse
+    * k-means replay, the query's code (pq) and its nProbe=8 list
+    * choice (ppr) — the prefix every staged-dense-tier oracle (p3,
+    * p3_dense_sq8/pq/rerank) composes on.
+    */
+  private lazy val denseTowerCtes: String =
+    s"""pvv AS (
       |  SELECT chunk_id AS vec_id,
       |    [CAST(CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 4))
       |          AS BIGINT) AS DOUBLE)
@@ -786,8 +1038,8 @@ object Pipeline {
       |             AS UBIGINT) % m = 0),
       |${Ann.kmeansReplayCteOver("pvv", "ptv", "(SELECT nl FROM pnl)")},
       |pq AS (
-      |  SELECT [CAST(CAST(('0x' || substr(md5('spark filter join window group:'
-      |                                        || CAST(j AS INT)), 1, 4))
+      |  SELECT [CAST(CAST(('0x' || substr(md5('spark filter join window group:' ||
+      |            CAST(j AS INT)), 1, 4))
       |          AS BIGINT) AS DOUBLE)
       |     FOR j IN range(0, 64)] AS v),
       |ppr AS (
@@ -797,7 +1049,15 @@ object Pipeline {
       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
       |      cc.cid) AS rn
       |    FROM pq p, (SELECT cid, v AS cv FROM c3) cc) t
-      |  WHERE rn <= 8),
+      |  WHERE rn <= 8)""".stripMargin
+
+  private lazy val p3Sql: String =
+    s"""WITH $ragCtes,
+      |${chunkBm25Ctes(20)},
+      |lr AS (SELECT chunk_id,
+      |         row_number() OVER (ORDER BY score DESC, chunk_id) AS r_lex
+      |       FROM serve),
+      |$denseTowerCtes,
       |dn AS (
       |  SELECT af.vec_id AS chunk_id,
       |    CAST(list_dot_product(af.v, q.v) AS BIGINT) AS iscore
@@ -1035,10 +1295,93 @@ object Pipeline {
       |  CAST(rank <= 5 AS INT) AS hit5
       |FROM erk WHERE doc_id = qid ORDER BY query_chunk""".stripMargin
 
+  /** SQ8 tier replay over the stored-code space: s13's model-fit /
+    * code / asymmetric-score fragments re-sourced from pvv, pruned
+    * to the query's probed lists (cand8). Shared by the sq8 and
+    * rerank oracles.
+    */
+  private lazy val sq8Ctes: String =
+    s"""mm8 AS (
+      |  SELECT i, min(v[CAST(i AS INT)]) AS mn, max(v[CAST(i AS INT)]) AS mx
+      |  FROM pvv, (SELECT unnest(range(1, 65)) AS i) ii
+      |  GROUP BY i),
+      |c8 AS (
+      |  SELECT vec_id, i, mn, (mx - mn) / 256 AS sc,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(LEAST(255.0, GREATEST(0.0,
+      |           floor((v[CAST(i AS INT)] - mn) / ((mx - mn) / 256)))) AS INT)
+      |    END AS code
+      |  FROM pvv CROSS JOIN mm8),
+      |q8 AS (SELECT CAST(i AS INT) AS i, p.v[CAST(i AS INT)] AS qx
+      |       FROM pq p, (SELECT unnest(range(1, 65)) AS i) ii),
+      |cand8 AS (SELECT af.vec_id FROM af JOIN ppr USING (cid)),
+      |d8 AS (
+      |  SELECT c8.vec_id, floor(list_sum(list(
+      |    q8.qx * (c8.mn + (c8.code + 0.5) * c8.sc) ORDER BY c8.i))
+      |    * 10000 + 0.5) / 10000.0 AS ip_est
+      |  FROM c8 JOIN cand8 USING (vec_id) JOIN q8 USING (i)
+      |  GROUP BY c8.vec_id)""".stripMargin
+
+  private lazy val p3Sq8Sql: String =
+    s"""WITH $ragCtes,
+      |$denseTowerCtes,
+      |$sq8Ctes
+      |SELECT vec_id AS chunk_id, ip_est FROM d8
+      |ORDER BY ip_est DESC, chunk_id LIMIT 10""".stripMargin
+
+  private lazy val p3RerankSql: String =
+    s"""WITH $ragCtes,
+      |$denseTowerCtes,
+      |$sq8Ctes,
+      |sh AS (SELECT vec_id FROM d8 ORDER BY ip_est DESC, vec_id LIMIT 40),
+      |rr AS (SELECT pvv.vec_id,
+      |         CAST(list_dot_product(pvv.v, p.v) AS BIGINT) AS iscore
+      |       FROM pvv JOIN sh USING (vec_id), pq p)
+      |SELECT vec_id AS chunk_id, CAST(iscore AS DOUBLE) AS score
+      |FROM rr ORDER BY iscore DESC, chunk_id LIMIT 10""".stripMargin
+
+  /** PQ tier replay: s5's per-subspace Lloyd's (seed + 2 rounds)
+    * trained on pvv, the query's ADC tables derived from the trained
+    * codebooks, the lookup-sum estimate over the probed lists —
+    * s9's oracle pattern restricted to the staged layout.
+    */
+  private lazy val p3PqSql: String = {
+    val sub = 16
+    val subs = (0 until pqM)
+      .map(mi => Ann.pqSubspaceCte(mi, sub, pqK, pqIters, src = "pvv"))
+      .mkString(",\n")
+    val dts = (0 until pqM).map { mi =>
+      val off = mi * sub
+      s"""qdt$mi AS (
+         |  SELECT c.cid, list_dot_product(p.sv, c.cv) AS dd
+         |  FROM (SELECT v[${off + 1}:${off + sub}] AS sv FROM pq) p,
+         |       c${mi}_$pqIters c)""".stripMargin
+    }.mkString(",\n")
+    val eJoins = (1 until pqM)
+      .map(mi => s"JOIN e$mi USING (vec_id)").mkString(" ")
+    val tJoins = (0 until pqM)
+      .map(mi => s"JOIN qdt$mi t$mi ON t$mi.cid = e$mi.code$mi")
+      .mkString(" ")
+    val estSum = (0 until pqM).map(mi => s"t$mi.dd").mkString(" + ")
+    s"""WITH $ragCtes,
+       |$denseTowerCtes,
+       |$subs,
+       |$dts
+       |SELECT e0.vec_id AS chunk_id,
+       |  floor(($estSum) * 10000 + 0.5) / 10000.0 AS ip_est
+       |FROM e0 $eJoins $tJoins
+       |JOIN af ON af.vec_id = e0.vec_id
+       |JOIN ppr ON ppr.cid = af.cid
+       |ORDER BY ip_est DESC, chunk_id LIMIT 10""".stripMargin
+  }
+
   lazy val oracle: Map[String, String] = Map(
     "p2_rag_ingest" -> p2Sql,
     "p3_rag_serve" -> p3Sql,
     "r19_staged_eval" -> r19StagedSql,
+    "p3_dense_sq8" -> p3Sq8Sql,
+    "p3_dense_pq" -> p3PqSql,
+    "p3_dense_rerank" -> p3RerankSql,
     // the full funnel replayed: every stage signal from the shared
     // scored CTE, six per-stage aggregates, n_in threaded by hand
     "p1_curation_funnel" ->

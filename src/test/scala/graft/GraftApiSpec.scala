@@ -1083,6 +1083,52 @@ class GraftApiSpec extends SparkSpec {
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("RagIndex tiers: sq8/pq/sq8_rerank serve from minted tier " +
+      "layouts; rerank tier reproduces int16's hybrid answer; add() " +
+      "invalidates tier layouts and the re-mint covers new content") {
+    val spark = this.spark
+    import spark.implicits._
+    val docsA = Seq(
+      (1L, "repo/docs/a.md", "en",
+        "spark joins and windows explained with examples"),
+      (2L, "repo/docs/c.md", "en",
+        "filter pushdown and partition pruning for spark scans"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val docsB = Seq(
+      (3L, "repo/docs/b.md", "en",
+        "xylophone xylophone tuning guide for spark windows"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ragtier_").toString
+    try {
+      val idx = Graft.ragIndex(docsA, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      val q = "spark windows filter"
+      val h16 = idx.search(q, k = 5).collect()
+      assert(h16.nonEmpty)
+      assert(idx.search(q, k = 5, tier = "sq8").collect().nonEmpty)
+      assert(idx.search(q, k = 5, tier = "pq").collect().nonEmpty)
+      // the tier layouts minted next to the towers
+      for (n <- Seq("enc_ivf_sq8", "sq.meta", "enc_ivf_pq", "pq.meta"))
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, n)), s"$n not minted")
+      // sq8_rerank's over-fetched exact rerank reproduces the int16
+      // dense ranking on a corpus the shortlist covers → identical
+      // hybrid answer
+      val hrr = idx.search(q, k = 5, tier = "sq8_rerank").collect()
+      assert(hrr.map(_.toSeq).toSeq == h16.map(_.toSeq).toSeq)
+      // growth invalidates the derived tier layouts...
+      assert(idx.add(docsB, "doc_id", "filepath", "lang", "text") == 1L)
+      for (n <- Seq("sq.meta", "pq.meta"))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, n)), s"$n survived add()")
+      // ...and the re-minted tier serves the grown corpus ('xylophone'
+      // exists only in the added doc)
+      val zx = idx.search("xylophone", k = 3, tier = "sq8").collect()
+      assert(zx.exists(_.getAs[Long]("chunk_id") / 1000000L == 3L))
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("RagIndex.add grows every tower bit-equal to a pinned-codebook " +
       "rebuild on the union corpus; re-add is a no-op; reopen serves " +
       "the grown index") {

@@ -391,6 +391,40 @@ class PipelineSpec extends SparkSpec {
       "IVF assignment not deterministic")
   }
 
+  test("dense tiers: sq8-shortlist + exact rerank RESTORES the int16 " +
+      "pruned ranking at 4x over-fetch; per-tier recall@10 vs the " +
+      "flat exact tower is measured, rerank never below sq8") {
+    val t = Tables(spark, sf)
+    val d = graft.operators.Pipeline.ragRoot(t)
+    val tbl = graft.operators.Pipeline.ragTablesAt(spark, d)
+    val qU16 = graft.operators.Embed.u16Of(
+      graft.operators.Search.queryTerms.mkString(" "))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    // the flat exact tower: int dot over ALL lists (s8's ground truth)
+    val flat = ids(tbl("enc_ivf").select(col("vec_id"),
+        aggregate(zip_with(col("u16"), typedlit(qU16),
+          (a, b) => a.cast("long") * b), lit(0L), (acc, x) => acc + x)
+          .as("iscore"))
+      .orderBy(col("iscore").desc, col("vec_id")).limit(10))
+    val pruned = ids(graft.operators.Pipeline
+      .denseTop(spark, d, tbl, qU16, 10, 8))
+    val sq8 = ids(graft.operators.Pipeline
+      .denseTopSq8(spark, d, qU16, 10, 8))
+    val rerank = ids(graft.operators.Pipeline
+      .denseTopRerank(spark, d, qU16, 10, 8, 4))
+    // s11's promise, pinned: the exact rerank of the 4x compressed
+    // shortlist IS the int16 pruned ranking, element for element
+    assert(rerank == pruned,
+      s"rerank $rerank did not restore the int16 ranking $pruned")
+    def recall(a: Seq[Long]) =
+      a.toSet.intersect(flat.toSet).size / flat.size.toDouble
+    assert(recall(rerank) >= recall(sq8),
+      s"rerank recall ${recall(rerank)} below sq8's ${recall(sq8)}")
+    info(f"recall@10 vs flat: int16=${recall(pruned)}%.2f " +
+      f"sq8=${recall(sq8)}%.2f rerank=${recall(rerank)}%.2f")
+  }
+
   test("r19_staged_eval: staged ranks equal the inline BM25 chain " +
       "over the same chunk corpus (per query: rank AND candidate set)") {
     import org.apache.spark.sql.expressions.Window

@@ -483,6 +483,48 @@ class PlanSpec extends SparkSpec {
       all.map(_.nodeName).filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("dense tiers (sq8/pq): serving is a cid-PRUNED scan of the " +
+      "tier's own code layout — no join, TakeOrdered top-k") {
+    for (name <- Seq("p3_dense_sq8", "p3_dense_pq")) {
+      val df = run(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val pf = p.linesIterator.find(_.contains("PartitionFilters:"))
+        .getOrElse(fail(s"$name: no PartitionFilters in\n${p.take(1200)}"))
+      assert(pf.contains("cid") && pf.contains(" IN ("), s"$name: $pf")
+      assert(p.contains("TakeOrderedAndProject"), s"$name: ${p.take(400)}")
+      assert(!p.contains("Join"), s"$name has a join:\n${p.take(800)}")
+    }
+  }
+
+  test("p3_dense_rerank: BOTH scans (sq8 shortlist + exact refetch) " +
+      "are cid-pruned; the shortlist joins broadcast") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("p3_dense_rerank")
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val scans = all.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "cid")),
+        s"unpruned scan in rerank plan: ${s.toString.take(300)}")
+    }
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "rerank's shortlist join must broadcast, not shuffle")
+  }
+
   test("p3 lexical tower: the staged BM25 serve is a term-bucket-" +
       "PRUNED postings scan (tb IN (...) in PartitionFilters) with " +
       "broadcast idf/stats — no corpus-side shuffle join, no " +
