@@ -886,14 +886,17 @@ object Dedup {
     * first-occurrence logic is what the gate tests). Output per doc:
     * line counts, kept fraction, md5 of the reassembled text.
     *
-    * Scale design: ONE shuffle keyed by line content for the
-    * first-occurrence window — global state is the line→first-owner
-    * map, expressed as a window, never a driver-side set — then one
-    * shuffle back by doc for reassembly. Line keys are
-    * content-hash-uniform, so the window shuffle has no planned skew
-    * (a pathological hot line — empty/boilerplate — is AQE's skew
-    * split; at 100 TB the window runs on md5(line), 16 bytes/row,
-    * not the text).
+    * Scale design: the global line→first-owner map is a MAP-SIDE-
+    * COMBINABLE min-struct aggregate (one shuffle of partial minima,
+    * one buffer per distinct line per map task), joined back to the
+    * occurrences by an equi-join — never a row_number window: a
+    * window has no partial aggregation and no AQE help, so a
+    * pathological hot line (empty/boilerplate — the d8skew probe
+    * plants one at 20% of the corpus) would funnel through ONE task;
+    * the aggregate collapses the hot key on the map side and the
+    * verdict join is exactly the shape AQE's skew-split handles.
+    * Then one shuffle back by doc for reassembly. At 100 TB the
+    * aggregate/join run on md5(line), 16 bytes/row, not the text.
     */
   def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame =
     lineDedupFrom(t.documents.select("doc_id", "text"), lineTokens)
@@ -947,10 +950,19 @@ object Dedup {
     */
   private[graft] def lineDedupFrom(docsIn: DataFrame,
       lineTokens: Int, sorted: Boolean = true): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("line").orderBy("doc_id", "line_no")
-    lineRollup(lineExplode(spread(docsIn), lineTokens)
-      .withColumn("kept", (row_number().over(w) === 1).cast("int")), sorted)
+    val lines = lineExplode(spread(docsIn), lineTokens)
+    // first occurrence in (doc_id, line_no) order — min over the
+    // struct IS that order, and the aggregate partial-combines where
+    // a window could not (see the scale-design note above)
+    val first = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+    lineRollup(
+      lines.join(first, "line")
+        .withColumn("kept",
+          (struct(col("doc_id"), col("line_no")) === col("first"))
+            .cast("int"))
+        .drop("first"),
+      sorted)
   }
 
   /** d9: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the

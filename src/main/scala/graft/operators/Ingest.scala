@@ -313,6 +313,12 @@ object Ingest {
     */
   private[graft] def zipRoot(t: Tables, parts: Int = 8): String =
     graft.Staging.dir(s"${t.dir}:zip_ingest:$parts", "zip_ingest") { d =>
+      // the SESSION's Hadoop configuration rides to the executors —
+      // a fresh `new Configuration()` there would drop runtime fs
+      // settings/credentials (s3a keys, custom schemes): exactly the
+      // cluster case this staging path exists for
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        t.spark.sparkContext.hadoopConfiguration)
       t.documents.select(col("doc_id"), zipEntryName.as("filepath"),
           col("text"))
         .repartition(parts, col("doc_id"))
@@ -325,8 +331,7 @@ object Ingest {
             // is not the machine that staged `d`
             val p = new org.apache.hadoop.fs.Path(
               s"$d/part_${"%05d".format(pid)}.zip")
-            val fs = p.getFileSystem(
-              new org.apache.hadoop.conf.Configuration())
+            val fs = p.getFileSystem(hconf.value)
             val zos = new java.util.zip.ZipOutputStream(
               fs.create(p, true))
             try it.foreach { r =>

@@ -500,7 +500,7 @@ object Io {
   private[graft] def optimizeZorderPass(spark: SparkSession,
       log: TableLog, outDir: String, schema: StructType, nFiles: Int,
       tag: String = "zorder"): Unit = {
-    if (log.tagVersion(tag).nonEmpty) return
+    if (log.committed(tag)) return
     clusteredRewriteCommit(spark, log, outDir, schema, "zval", nFiles,
       tag)
   }
@@ -959,8 +959,8 @@ object Io {
       mainLog: TableLog, qLog: TableLog, outDir: String,
       schema: StructType, keyCol: String,
       correctedReason: org.apache.spark.sql.Column, tag: String): Unit = {
-    val mainDone = mainLog.tagVersion(tag).isDefined
-    val qDone = qLog.tagVersion(tag).isDefined
+    val mainDone = mainLog.committed(tag)
+    val qDone = qLog.committed(tag)
     if (mainDone && qDone) return
     if (!mainDone && !qDone) {
       qLog.read(spark, schema, qLog.latestVersion.getOrElse(-1L))
@@ -1154,7 +1154,7 @@ object Io {
   private[graft] def optimizePass(spark: SparkSession, log: TableLog,
       outDir: String, schema: StructType, keyCol: String,
       targetBytes: Long, tag: String = "optimize"): Unit = {
-    if (log.tagVersion(tag).nonEmpty) return
+    if (log.committed(tag)) return
     val snap = log.snapshot(log.latestVersion.get)
     def bytes(p: String) = java.nio.file.Files.size(java.nio.file.Paths
       .get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p))

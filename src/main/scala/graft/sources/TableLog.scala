@@ -394,18 +394,30 @@ final class TableLog(val root: String) {
     * checkpoint, Delta's SetTransaction: the checkpoint keeps ONE
     * (app, nMax, version-of-nMax) row per app instead of a line per
     * batch ever committed, so checkpoint size is O(apps + plain
-    * tags), not O(batch history). Contract: below the checkpoint the
-    * answer for `app@n` is presence-by-watermark (`n ≤ nMax` ⇒
-    * committed — valid because a serialized sink only ever re-asks
-    * about its NEWEST batch; Spark's foreachBatch never redelivers
-    * batch n-2 after n committed) and the returned VERSION is exact
-    * only for n = nMax (older batches answer the watermark's
-    * version). An as-of-before read (`tagVersion(tag).map(_ - 1)`)
-    * must therefore only target the app's newest tag — which is the
-    * only tag a torn retry can hold. Non-txn tags keep the exact
-    * line-per-tag index.
+    * tags), not O(batch history). Contract: below the checkpoint,
+    * [[committed]] answers presence for every `n ≤ nMax` (valid
+    * because a serialized sink only ever re-asks about its NEWEST
+    * batch; Spark's foreachBatch never redelivers batch n-2 after n
+    * committed), while THIS method returns a version ONLY where one
+    * is exact — n = nMax under the watermark (older folded batches
+    * answer None here, never the watermark's version: an as-of-
+    * before read `tagVersion(tag).map(_ - 1)` against a non-newest
+    * batch would silently target the wrong snapshot, so inexactness
+    * is now unrepresentable rather than merely documented).
+    * Redelivery GUARDS must ask [[committed]], not this. Non-txn
+    * tags keep the exact line-per-tag index in both.
     */
-  def tagVersion(tag: String): Option[Long] = {
+  def tagVersion(tag: String): Option[Long] = tagHit(tag, exactOnly = true)
+
+  /** Whether ANY version committed under `tag` — the redelivery
+    * guard's question. Txn-shaped tags answer presence for every
+    * batch at or below the checkpoint watermark (no version implied;
+    * [[tagVersion]] carries the exactness contract).
+    */
+  def committed(tag: String): Boolean =
+    tagHit(tag, exactOnly = false).isDefined
+
+  private def tagHit(tag: String, exactOnly: Boolean): Option[Long] = {
     val floor = checkpoints.lastOption
     versions.filter(v => floor.forall(v >= _)).sortBy(-_)
       .find(v => parse(v)._1 == tag)
@@ -420,7 +432,8 @@ final class TableLog(val root: String) {
             // parse crash (the same tag also failed the exact scan)
             n.toLongOption.flatMap(nv =>
               txns.get(app)
-                .filter { case (nMax, _) => nv <= nMax }
+                .filter { case (nMax, _) =>
+                  if (exactOnly) nv == nMax else nv <= nMax }
                 .map(_._2))
           case _ => None
         })

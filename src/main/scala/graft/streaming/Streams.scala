@@ -2250,11 +2250,25 @@ object Streams {
     * committed (redelivery / re-run ⇒ structural no-op: never
     * re-land, never double-commit).
     */
+  /** Committed-tag probe for the streaming sinks, with the
+    * pre-round-14 legacy-shape fallback ("b@7" also answers a log
+    * whose writer tagged "b7"): the txn watermark renamed the
+    * per-batch tags, and a restarted stream on an old-format root
+    * must still see its redelivered batch as committed, or it
+    * re-lands data that is already in the table. The legacy probe
+    * only runs when the current shape misses, so fresh-format roots
+    * pay nothing extra.
+    */
+  private[graft] def tagCommitted(log: graft.sources.TableLog,
+      tag: String): Boolean =
+    log.committed(tag) ||
+      (tag.contains("@") && log.committed(tag.replace("@", "")))
+
   private[graft] def landClusteredCommit(
       spark: org.apache.spark.sql.SparkSession,
       log: graft.sources.TableLog, tableRoot: String, batch: DataFrame,
       dirName: String, tag: String, nParts: Int = 4): Option[Long] = {
-    if (log.tagVersion(tag).isDefined) return None
+    if (tagCommitted(log, tag)) return None
     val bDir = s"$tableRoot/$dirName"
     batch.repartitionByRange(nParts, col("event_id"))
       .sortWithinPartitions("event_id")
@@ -2296,7 +2310,7 @@ object Streams {
       targetBytes: Long = 8L << 20, retain: Int = 1): Unit = {
     val head = log.latestVersion.getOrElse(-1L)
     if (head < 0L || log.snapshot(head).length <= maxFiles) return
-    if (log.tagVersion(tag).isEmpty) {
+    if (!tagCommitted(log, tag)) {
       def bytes(p: String) = java.nio.file.Files.size(java.nio.file.Paths
         .get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
       val n = math.max(nMin.toLong,
@@ -2535,8 +2549,8 @@ object Streams {
     val mainLog = graft.sources.TableLog.open(s"$root/main")
     val qLog = graft.sources.TableLog.open(s"$root/quarantine")
     val tag = s"b@$bid"
-    val mainDone = mainLog.tagVersion(tag).isDefined
-    val qDone = qLog.tagVersion(tag).isDefined
+    val mainDone = tagCommitted(mainLog, tag)
+    val qDone = tagCommitted(qLog, tag)
     if (mainDone && qDone) return
     val bDir = s"$root/b$bid"
     if (!mainDone && !qDone) {
@@ -2704,7 +2718,7 @@ object Streams {
     val tag = s"mirror@$v"
     // a crash between a prior try's commit and its cursor persist:
     // the merge is already served — heal the cursor, never re-merge
-    if (mLog.tagVersion(tag).isEmpty) {
+    if (!tagCommitted(mLog, tag)) {
       val gen = mLog.latestVersion.getOrElse(-1L) + 1L
       val out = s"$root/mirror.g$gen"
       st18Mirror(spark, root, schema)
@@ -3194,7 +3208,7 @@ object Streams {
       batch: DataFrame, bid: Long): Unit = {
     val log = graft.sources.TableLog.open(tableRoot)
     val tag = s"b@$bid"
-    if (log.tagVersion(tag).isDefined) return
+    if (tagCommitted(log, tag)) return
     val dir = s"$tableRoot/b$bid"
     graft.operators.Ingest
       .classifiedEntries(graft.operators.Ingest.entriesOf(batch))
@@ -3310,7 +3324,7 @@ object Streams {
     val tag = s"b@$bid"
     val Seq(mainLog, statsLog, md5Log, fpLog) = roots.logs
     if (Seq(mainLog, statsLog, md5Log, fpLog)
-        .forall(_.tagVersion(tag).isDefined)) return
+        .forall(tagCommitted(_, tag))) return
     val scored = graft.operators.Pipeline
       .scoredProjection(batch, k).persist()
     // ASCENDING-ARRIVAL GUARD: the cross-batch keep-min-id contract
@@ -3332,6 +3346,9 @@ object Streams {
     def stateBefore(log: graft.sources.TableLog): DataFrame =
       log.read(spark, st22KeySchema,
         log.tagVersion(tag).map(_ - 1)
+          // legacy-shape torn retry: the registry side committed
+          // under the pre-round-14 tag — still read as-of-before it
+          .orElse(log.tagVersion(tag.replace("@", "")).map(_ - 1))
           .orElse(log.latestVersion).getOrElse(-1L))
     try {
       val bounds = scored
@@ -3386,21 +3403,21 @@ object Streams {
       // land all four destinations, each tag-idempotent
       def landKeys(log: graft.sources.TableLog, dir: String,
           keys: DataFrame): Unit =
-        if (log.tagVersion(tag).isEmpty) {
+        if (!tagCommitted(log, tag)) {
           keys.select(xxhash64(col("key")).as("k"), col("key"))
             .write.mode("overwrite").parquet(dir)
           graft.sources.TableLog.commitDir(spark, log, dir, "k",
             st22KeySchema, tag)
           ()
         }
-      if (mainLog.tagVersion(tag).isEmpty) {
+      if (!tagCommitted(mainLog, tag)) {
         val dir = s"${roots.main}/$tag"
         s5.select(col("doc_id"), col("n_bpe"), col("q_score"))
           .write.mode("overwrite").parquet(dir)
         graft.sources.TableLog.commitDir(spark, mainLog, dir, "doc_id",
           st22MainSchema, tag)
       }
-      if (statsLog.tagVersion(tag).isEmpty) {
+      if (!tagCommitted(statsLog, tag)) {
         val stageFrames = Seq("input" -> scored, "quality" -> s1,
           "language" -> s2, "exact_dedup" -> s3, "near_dedup" -> s4,
           "decontaminate" -> s5)

@@ -27,6 +27,22 @@ object Probe {
           regexp_replace(col("text"), "([a-z0-9]+)", s"$$1x$c").as("text"))
       }.reduce(_ unionAll _)
 
+    // marker-preserving variant for the CURATION probes: the t1/t2
+    // language/quality signals are marker-word ratios, so the per-copy
+    // vocabulary suffix must NOT touch marker words or every copy
+    // fails the quality cut and the funnel measures an empty stream.
+    // Cross-copy dup leakage needs 5 consecutive markers — reported
+    // as rows if it ever happens, structurally ~zero here.
+    def replicatedKeepMarkers(copies: Int) = {
+      val keep = graft.operators.TextAnalysis.profiles
+        .flatMap(_._2).distinct.mkString("|")
+      (0 until copies).map { c =>
+        docs.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"),
+            s"\\b(?!(?:$keep)\\b)([a-z0-9]+)\\b", s"$$1x$c").as("text"))
+      }.reduce(_ unionAll _)
+    }
+
     // full-schema variant: sources suffixed per copy (10× as many
     // shards of the same size — the way a real corpus grows), langs
     // kept (group count constant, per-group data 10× — the way a
@@ -187,6 +203,49 @@ object Probe {
       case "q22" => timed("q22",
         graft.operators.Relational.cmsFreqFrom(full, 4, 1024).count(),
         graft.operators.Relational.cmsFreqFrom(replicatedFull(copies), 4, 1024).count())
+      // the documented d8 hot-line hazard, planted: every doc is
+      // prefixed with `hotK` copies of one boilerplate 8-token line,
+      // so ~20-25% of ALL corpus lines are ONE key. The min-struct
+      // aggregate partial-combines the hot key on the map side and
+      // the verdict join is AQE-skew-splittable — the probe reports
+      // wall at base and ×copies plus whether AQE actually split
+      // (the "skewed" marker in the final plan's AQEShuffleRead).
+      case "d8skew" =>
+        val hotK = args.lift(2).map(_.toInt).getOrElse(4)
+        val hotPrefix = (1 to hotK * 8).map(_ => "hot").mkString(" ")
+        def runSkew(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          val skewed = d.select(col("doc_id"),
+            concat(lit(hotPrefix + " "), col("text")).as("text"))
+          val t = System.nanoTime
+          val out = graft.operators.Dedup
+            .lineDedupFrom(skewed, 8, sorted = false)
+          val n = out.count()
+          val s = (System.nanoTime - t) / 1e9
+          val plan = out.queryExecution.executedPlan.toString
+          val aqeSkew = plan.contains("skewed")
+          val hotFrac = out.agg(
+            sum(col("n_lines")).cast("double")).collect()(0).getDouble(0)
+          println(f"PROBE d8skew [$tag] $s%.1f s ($n docs, " +
+            f"${hotK / (hotFrac / n)}%.2f hot-line fraction est, " +
+            s"aqe-skew-split=$aqeSkew)")
+          n
+        }
+        runSkew("base", docs)
+        runSkew(s"${copies}x", replicated(copies))
+        // the mechanism itself, captured: production skew is absolute
+        // (a hot partition past 256 MB), which probe-scale data can't
+        // reach — lower the AQE thresholds to probe-scale bytes and
+        // confirm the verdict join DOES split the hot partition when
+        // it crosses them (the knob production relies on)
+        val conf = spark.conf
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        try runSkew(s"${copies}x-lowthresh", replicated(copies))
+        finally {
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        }
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
         graft.operators.Dedup.lineDedupFrom(replicated(copies), 8).count())
@@ -406,6 +465,132 @@ object Probe {
         }
         timed("st15", runAnn("base", vecsBase),
           runAnn(s"${copies}x", replicatedVecs(copies)))
+      // the dense-tier recall-vs-bytes table (SURVEY §5): serve the
+      // standard query through each quantization tier of the sf0.1
+      // staged index, measuring wall, records/bytes actually read,
+      // and recall@10 against the flat exact tower. Run AFTER the
+      // towers staged (first call stages them; tier mints reported).
+      case "p3tiers" =>
+        val t = graft.Tables(spark, "/root/testdata/sf0.1")
+        val d = graft.operators.Pipeline.ragRoot(t)
+        val tbl = graft.operators.Pipeline.ragTablesAt(spark, d)
+        val qU16 = graft.operators.Embed.u16Of(
+          graft.operators.Search.queryTerms.mkString(" "))
+        def ids(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.getLong(0)).toSeq
+        val flat = ids(tbl("enc_ivf").select(col("vec_id"),
+            aggregate(zip_with(col("u16"), typedLit(qU16),
+              (a, b) => a.cast("long") * b), lit(0L),
+              (acc, x) => acc + x).as("iscore"))
+          .orderBy(col("iscore").desc, col("vec_id")).limit(10))
+        // mint the tier layouts outside the measured serves
+        val tM0 = System.nanoTime
+        graft.operators.Pipeline.ensureSqTier(spark, d)
+        val sMintSq = (System.nanoTime - tM0) / 1e9
+        val tM1 = System.nanoTime
+        graft.operators.Pipeline.ensurePqTier(spark, d)
+        val sMintPq = (System.nanoTime - tM1) / 1e9
+        def tierRow(name: String,
+            body: => org.apache.spark.sql.DataFrame): Unit = {
+          val ((got, s), recs, bytes) = measured {
+            val t0 = System.nanoTime
+            val r = ids(body)
+            (r, (System.nanoTime - t0) / 1e9)
+          }
+          val rec = got.toSet.intersect(flat.toSet).size / 10.0
+          println(f"PROBE p3tiers $name: $s%.2f s, $recs recs, " +
+            f"${bytes / 1024}%d KiB read, recall@10 $rec%.2f")
+        }
+        tierRow("int16 ", graft.operators.Pipeline
+          .denseTop(spark, d, tbl, qU16, 10, 8))
+        tierRow("sq8   ", graft.operators.Pipeline
+          .denseTopSq8(spark, d, qU16, 10, 8))
+        tierRow("pq    ", graft.operators.Pipeline
+          .denseTopPq(spark, d, qU16, 10, 8))
+        tierRow("rerank", graft.operators.Pipeline
+          .denseTopRerank(spark, d, qU16, 10, 8, 4))
+        println(f"PROBE p3tiers mint: sq8 $sMintSq%.1f s, " +
+          f"pq $sMintPq%.1f s")
+      // streaming curation: 4 doc_id-ascending waves through st22's
+      // four-destination sink (quality→lang→dedup→decontaminate +
+      // registries + stats, all tag-committed), then a REDELIVERED
+      // step — a pure four-log tag probe + no-op. Per-wave walls
+      // measure the arrivals-only claim; the redelivery wall measures
+      // the tag-index cost the txn watermark bounds.
+      case "st22" =>
+        def runCur(tag: String,
+            d: org.apache.spark.sql.DataFrame): Long = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch("probe_st22")
+          val roots = graft.streaming.Streams.St22Roots(root)
+          val bench = graft.Caches.materialized(
+            graft.operators.Pipeline.scoredProjection(d, 5)
+              .filter(col("doc_id") % 97 === 0)
+              .select(explode(col("sh")).as("s5")).distinct())
+          val mm = d.agg(min("doc_id"), max("doc_id")).collect()(0)
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val width = (hi - lo) / 4 + 1
+          val waves = (0 until 4).map { w =>
+            val t = System.nanoTime
+            graft.streaming.Streams.st22Step(spark, roots, bench,
+              d.filter(col("doc_id") >= lo + w * width &&
+                col("doc_id") < lo + (w + 1) * width), w.toLong)
+            (System.nanoTime - t) / 1e9
+          }
+          val tR = System.nanoTime
+          graft.streaming.Streams.st22Step(spark, roots, bench,
+            d.limit(0), 3L)
+          val sR = (System.nanoTime - tR) / 1e9
+          val mainLog = graft.sources.TableLog.open(roots.main)
+          val n = mainLog.read(spark,
+            graft.streaming.Streams.st22MainSchema,
+            mainLog.latestVersion.getOrElse(-1L)).count()
+          println(f"PROBE st22 [$tag] per-wave s: " +
+            waves.map(s => f"$s%.1f").mkString(" ") +
+            f"; redelivered no-op $sR%.2f s; $n survivors")
+          n
+        }
+        timed("st22", runCur("base", docs),
+          runCur(s"${copies}x", replicatedKeepMarkers(copies)))
+      // the DEEP-commit shape: many tiny batches through the same
+      // sink, measuring per-wave wall by quartile (corpus-coupled
+      // growth would show as a rising curve), the checkpoint count
+      // the every-8 cadence lands, and the redelivered tag probe at
+      // full depth (the txn watermark keeps it O(apps), not
+      // O(batches ever))
+      case "st22deep" =>
+        val nWaves = args.lift(1).map(_.toInt).getOrElse(32)
+        graft.Caches.fresh()
+        val root = graft.Staging.scratch("probe_st22deep")
+        val roots = graft.streaming.Streams.St22Roots(root)
+        val bench = graft.Caches.materialized(
+          graft.operators.Pipeline.scoredProjection(docs, 5)
+            .filter(col("doc_id") % 97 === 0)
+            .select(explode(col("sh")).as("s5")).distinct())
+        val mm = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val width = (hi - lo) / nWaves + 1
+        val waves = (0 until nWaves).map { w =>
+          val t = System.nanoTime
+          graft.streaming.Streams.st22Step(spark, roots, bench,
+            docs.filter(col("doc_id") >= lo + w * width &&
+              col("doc_id") < lo + (w + 1) * width), w.toLong)
+          (System.nanoTime - t) / 1e9
+        }
+        val q = waves.grouped(math.max(1, nWaves / 4)).toSeq
+          .map(g => g.sum / g.size)
+        val tR = System.nanoTime
+        graft.streaming.Streams.st22Step(spark, roots, bench,
+          docs.limit(0), (nWaves - 1).toLong)
+        val sR = (System.nanoTime - tR) / 1e9
+        val ckpts = Seq(roots.main, roots.stats, roots.md5s, roots.fps)
+          .map(r => java.nio.file.Files.list(
+              java.nio.file.Paths.get(r, "_log")).toArray
+            .map(_.toString).count(_.endsWith(".checkpoint")))
+        println(f"PROBE st22deep: $nWaves waves, quartile-mean s: " +
+          q.map(s => f"$s%.2f").mkString(" ") +
+          f"; redelivered no-op at depth $sR%.2f s; " +
+          s"checkpoints per log ${ckpts.mkString("/")}")
       // s4 k-NN join off the shared banded index (fixed 16-bit bands —
       // the chance-collision-quadratic regime; compare s4x)
       case "s4" => timed("s4",

@@ -593,8 +593,8 @@ class AnnStreamSpec extends SparkSpec {
     val table = s"${graft.Staging.lookup(s"${t.dir}:st21").get}/table"
     val log = graft.sources.TableLog.open(table)
     // both phases committed under their own tags
-    assert(log.tagVersion("backfill").isDefined)
-    assert(log.tagVersion("b@0").isDefined && log.tagVersion("b@1").isDefined)
+    assert(log.committed("backfill"))
+    assert(log.committed("b@0") && log.committed("b@1"))
     // exactly once across the handoff: the live table's id multiset
     // is the full corpus's (count + distinct count pin it)
     val head = log.latestVersion.get
@@ -621,8 +621,8 @@ class AnnStreamSpec extends SparkSpec {
     val qLog = graft.sources.TableLog.open(s"$root/quarantine")
     assert(mainLog.versions.size >= 2 &&
       mainLog.versions.size == qLog.versions.size)
-    assert(mainLog.tagVersion("b@0").isDefined &&
-      qLog.tagVersion("b@0").isDefined)
+    assert(mainLog.committed("b@0") &&
+      qLog.committed("b@0"))
     // drills on a throwaway root
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_st19_drill_").toString
@@ -651,7 +651,7 @@ class AnnStreamSpec extends SparkSpec {
       assert(m2.snapshot(m2.latestVersion.get).map(_.path).toSet == mFiles,
         "half-committed retry re-landed over committed files")
       assert(graft.sources.TableLog.open(s"$tmp/quarantine")
-        .tagVersion("b@0").isDefined)
+        .committed("b@0"))
       assert(graft.streaming.Streams.st19Serve(spark, tmp)
         .collect().map(_.toSeq).toSeq == once)
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
@@ -692,7 +692,7 @@ class AnnStreamSpec extends SparkSpec {
         s"${dirs.length} batch dirs survive — dead dirs not reclaimed")
       // every batch's tag still answers redelivery across rewrites…
       assert((0 until 20).forall(b =>
-        log.tagVersion(s"b@$b").isDefined),
+        log.committed(s"b@$b")),
         "a batch tag was lost across maintenance")
       // …so a redelivered old batch is a no-op (no version minted)
       val vBefore = log.latestVersion
@@ -734,8 +734,8 @@ class AnnStreamSpec extends SparkSpec {
       val q = graft.sources.TableLog.open(s"$root19/quarantine")
       assert(m.snapshot(m.latestVersion.get).length <= budget + 1)
       assert(q.snapshot(q.latestVersion.get).length <= budget + 1)
-      assert((0 until 20).forall(b => m.tagVersion(s"b@$b").isDefined &&
-        q.tagVersion(s"b@$b").isDefined))
+      assert((0 until 20).forall(b => m.committed(s"b@$b") &&
+        q.committed(s"b@$b")))
       val dirs19 = {
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(root19))
         try {

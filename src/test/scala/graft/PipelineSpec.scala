@@ -256,7 +256,7 @@ class PipelineSpec extends SparkSpec {
         s"${roots.stats}/_log/v000000000000.commit"))
       graft.streaming.Streams.st22Step(spark, roots, bench, docs, 0L)
       val statsLog2 = graft.sources.TableLog.open(roots.stats)
-      assert(statsLog2.tagVersion("b@0").isDefined, "torn side not healed")
+      assert(statsLog2.committed("b@0"), "torn side not healed")
       assert(statsLog2.read(spark,
           graft.streaming.Streams.st22StatsSchema, 0L)
         .collect().map(_.toSeq).toSet == statsOnce)

@@ -317,10 +317,13 @@ class PlanSpec extends SparkSpec {
     assert(!joinLine.contains("Broadcast"), joinLine)
   }
 
-  test("d8: exactly the designed shuffles — spread, line window, doc agg") {
+  test("d8: exactly the designed shuffles — spread, line agg + " +
+      "verdict join (partial-combined, skew-splittable; NO window), " +
+      "doc agg") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -332,15 +335,20 @@ class PlanSpec extends SparkSpec {
     }
     val df = run("d8_line_dedup")
     df.collect()
-    val ex = flatten(df.queryExecution.executedPlan)
-      .collect { case e: ShuffleExchangeLike => e }
-    // spread round-robin + hashpartitioning(line) window +
+    val all = flatten(df.queryExecution.executedPlan)
+    // the skew-prone shape must be GONE: first-occurrence is a
+    // map-side-combinable min-struct aggregate + equi-join, never a
+    // row_number window (no partial agg, no AQE skew help)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "d8 grew a window back — the hot-line skew hazard returns")
+    val ex = all.collect { case e: ShuffleExchangeLike => e }
+    // spread round-robin + line-agg partials + line join +
     // hashpartitioning(doc_id) agg + the final orderBy range — a new
-    // exchange here means the operator grew an unplanned shuffle
-    assert(ex.size <= 4, ex.map(_.toString.linesIterator.next()).mkString("\n"))
+    // exchange beyond these means an unplanned shuffle
+    assert(ex.size <= 5, ex.map(_.toString.linesIterator.next()).mkString("\n"))
     val keys = ex.map(_.toString.linesIterator.next())
     assert(keys.exists(_.contains("hashpartitioning(line")),
-      "line-window shuffle missing — first-occurrence no longer global")
+      "line shuffle missing — first-occurrence no longer global")
   }
 
   test("io3: the operator's own partitioned read is partition-pruned") {

@@ -407,7 +407,7 @@ class RagSpec extends SparkSpec {
     val log = graft.sources.TableLog.open(root)
     assert(log.versions.size >= 2, "fleet arrived in fewer than 2 batches")
     (0 until log.versions.size).foreach(b =>
-      assert(log.tagVersion(s"b@$b").isDefined, s"batch $b untagged"))
+      assert(log.committed(s"b@$b"), s"batch $b untagged"))
     // redelivery: the committed tag makes the step structurally no-op
     val nv = log.versions.size
     val bin = spark.read.format("binaryFile")
@@ -439,8 +439,8 @@ class RagSpec extends SparkSpec {
       assert(lines.count(_.startsWith("tag\t")) == 0)
       val log = graft.sources.TableLog.open(tmp)
       (0 until 9).foreach(b =>
-        assert(log.tagVersion(s"b@$b").isDefined, s"batch $b lost"))
-      assert(log.tagVersion("b@9").isEmpty)
+        assert(log.committed(s"b@$b"), s"batch $b lost"))
+      assert(!log.committed("b@9"))
     } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
   }
 }

@@ -680,9 +680,14 @@ class TableLogSpec extends SparkSpec {
     log.commit(Nil, tag = "sink@20")
     // presence below the checkpoint: every committed batch answers
     (0 until 20).foreach { i =>
-      assert(log.tagVersion(s"sink@$i").isDefined, s"sink@$i lost")
-      assert(log.tagVersion(s"maintain@$i").isDefined)
+      assert(log.committed(s"sink@$i"), s"sink@$i lost")
+      assert(log.committed(s"maintain@$i"))
     }
+    // the narrowed version contract: below the watermark only the
+    // NEWEST batch has an exact version — older folded batches are
+    // committed but answer NO version (an as-of-before read against
+    // them can no longer silently target the wrong snapshot)
+    assert(log.tagVersion("sink@5").isEmpty && log.committed("sink@5"))
     // the app's newest folded batch answers its EXACT version (the
     // as-of-before contract: a torn retry only ever asks about the
     // newest tag) — sink@19 committed at version 38
@@ -691,9 +696,9 @@ class TableLogSpec extends SparkSpec {
     // above the checkpoint: exact from the commit scan
     assert(log.tagVersion("sink@20").contains(41L))
     // never-committed batches miss, per app
-    assert(log.tagVersion("sink@21").isEmpty)
-    assert(log.tagVersion("maintain@20").isEmpty)
-    assert(log.tagVersion("other@0").isEmpty)
+    assert(!log.committed("sink@21"))
+    assert(!log.committed("maintain@20"))
+    assert(!log.committed("other@0"))
     // plain tags keep the exact index
     assert(log.tagVersion("clone").contains(40L))
     // the fold is real: the checkpoint carries 2 txn rows + 1 plain
@@ -717,6 +722,6 @@ class TableLogSpec extends SparkSpec {
       java.nio.file.Paths.get(ck2))).split("\n")
     assert(lines2.count(_.startsWith("txn\t")) == 2)
     assert(log.tagVersion("sink@20").contains(41L))
-    assert(log.tagVersion("sink@5").isDefined)
+    assert(log.committed("sink@5"))
   }
 }
