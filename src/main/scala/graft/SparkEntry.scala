@@ -132,6 +132,8 @@ object SparkEntry {
     "p3_dense_sq8"        -> q(Pipeline.p3DenseSq8(_)),
     "p3_dense_pq"         -> q(Pipeline.p3DensePq(_)),
     "p3_dense_rerank"     -> q(Pipeline.p3DenseRerank(_)),
+    "p5_index_remove"     -> q(Pipeline.p5IndexRemove(_)),
+    "p4_context_pack"     -> q(Pipeline.p4ContextPack(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),
     "m1_binary_meta"      -> q(Multimodal.m1BinaryMeta),
     "m2_feature_stub"     -> q(Multimodal.m2FeatureStub(_)),
@@ -175,7 +177,8 @@ object SparkEntry {
     "st21_backfill_tail"  -> q(graft.streaming.Streams.st21BackfillThenTail),
     "st22_stream_curate"  -> q(graft.streaming.Streams.st22StreamCurate),
     "st23_stream_embed"   -> q(graft.streaming.Streams.st23StreamEmbed(_)),
-    "st24_stream_zip_ingest" -> q(graft.streaming.Streams.st24StreamZipIngest)
+    "st24_stream_zip_ingest" -> q(graft.streaming.Streams.st24StreamZipIngest),
+    "st25_index_forget"   -> q(graft.streaming.Streams.st25IndexForget)
   )
 
   /** DuckDB-equivalent SQL per query key (same aliases, same float
@@ -194,5 +197,9 @@ object SparkEntry {
         // each archive lands exactly once across micro-batches, so
         // the accumulated walk report equals the batch walk — r21's
         // oracle verbatim
-        "st24_stream_zip_ingest" -> Ingest.oracle("r21_zip_ingest"))
+        "st24_stream_zip_ingest" -> Ingest.oracle("r21_zip_ingest"),
+        // the forget stream's final towers equal a rebuild that never
+        // saw the victims (set difference commutes; re-removal
+        // no-ops), so the reduced-corpus serve gates it exactly
+        "st25_index_forget" -> Pipeline.st25Sql)
 }

@@ -1247,6 +1247,23 @@ object Graft {
         Graft.ragNormalize(df, idCol, pathCol, langCol, textCol,
           batchSize)
           .select(col(idCol).cast("long").as("doc_id"), col("body")))
+    /** DELETE docs from the index (the right-to-be-forgotten path):
+      * drop every trace of `ids`' doc_ids from every staged tower.
+      * The serving towers rewrite only their AFFECTED partitions
+      * (the victims' term buckets / coarse lists); `stats` decrements
+      * its exact integers and `idf` merges the victims' df down —
+      * bit-equal to a pinned-codebook rebuild on the surviving corpus
+      * (spec-drilled). Unknown ids are ignored; quantization-tier
+      * layouts invalidate (same as [[add]]). Single-writer; a torn
+      * remove repairs via [[rebuild]]. Returns the docs removed.
+      */
+    def remove(ids: DataFrame): Long =
+      graft.operators.Pipeline.removeFromTowers(spark, root, ids)
+    /** Convenience overload: remove by literal id list. */
+    def remove(ids: Seq[Long]): Long = {
+      import spark.implicits._
+      remove(ids.toDF("doc_id"))
+    }
     /** Re-derive every tower from the landed `routed` table under
       * the build's pinned codebook — the repair for a torn [[add]]
       * (every tower is a deterministic function of routed + the
@@ -1271,6 +1288,18 @@ object Graft {
         k: Int = 5): DataFrame =
       graft.operators.Pipeline.stagedSelfEval(spark, root, nQueries,
         topT, k)
+    /** TOKEN-BUDGET CONTEXT ASSEMBLY (the prompt-building step): the
+      * self-derived query set's top-`kCand` staged-BM25 chunks, at
+      * most `maxPerDoc` per source doc, greedily packed in score
+      * order while the running dl total fits `budget`. One
+      * bucket-pruned scoring plan for the whole set; token costs are
+      * the index's own dl integers (no re-tokenize).
+      */
+    def packContext(nQueries: Int = 16, topT: Int = 3,
+        kCand: Int = 8, maxPerDoc: Int = 2,
+        budget: Int = 120): DataFrame =
+      graft.operators.Pipeline.contextPack(spark, root, nQueries,
+        topT, kCand, maxPerDoc, budget)
   }
 
   /** BUILD a RAG index from any corpus frame (the reference's

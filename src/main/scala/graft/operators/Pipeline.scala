@@ -496,6 +496,198 @@ object Pipeline {
     nNew
   }
 
+  /** DELETE docs from a built index in place (the right-to-be-
+    * forgotten path — build → serve → grow → REMOVE): drop every
+    * trace of `idsDf`'s doc_ids from the [[buildTowers]] layout.
+    *
+    * The SERVING towers rewrite only their AFFECTED partitions — the
+    * victims' term buckets of `tf_b` (≤ [[lexBuckets]] dirs) and the
+    * victims' coarse lists of `enc_ivf` (≤ nProbe-scale of √n dirs)
+    * are re-staged minus the victim rows; untouched partitions keep
+    * their files byte-for-byte (at 100 TB: a delete touches the few
+    * list/bucket dirs the victims live in, not the lake). The flat
+    * BUILD artifacts (`routed`/`chunks`/`tf`/`enc`) pay an anti-join
+    * rewrite — parquet is immutable, so deletion is a rewrite of the
+    * files that contain victims; a lake deployment would partition
+    * these by doc bucket exactly like the serving towers (or defer
+    * to merge-on-read tombstones + io11-style vacuum), which is a
+    * layout knob, not a semantic one.
+    *
+    * The corpus rollups recompute EXACTLY: `stats` decrements the
+    * persisted integer (nd, len_sum) by the victims' (one 1-row
+    * aggregate over the victim postings), `idf` merges the victims'
+    * per-term df DOWN (terms whose df reaches 0 leave the vocab) and
+    * re-derives idf_bm under the new nd — bit-equal to a pinned-
+    * codebook rebuild on the surviving corpus (the GraftApiSpec
+    * equality drill). The coarse codebook stays PINNED (st15's
+    * contract — retraining would re-list the whole index); the
+    * quantization-tier layouts are derived caches and invalidate.
+    *
+    * CONTRACT: single-writer, not crash-atomic — `routed` shrinks
+    * FIRST, so a torn remove is repaired by [[buildTowers]] over the
+    * surviving `routed` with the pinned codebook (`RagIndex.rebuild`),
+    * same as a torn add. Unknown doc_ids are ignored (removing an
+    * absent doc is a no-op). Returns the number of docs removed.
+    */
+  private[graft] def removeFromTowers(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      idsDf: DataFrame): Long = {
+    graft.Caches.fresh()
+    // victims DECOUPLE through scratch parquet before any rewrite
+    // (the addToTowers lineage lesson: a frame derived from a dir we
+    // are about to replace would re-evaluate against its own output)
+    val scratch = graft.Staging.scratch("rag_remove")
+    idsDf.select(col(idsDf.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .join(spark.read.parquet(s"$d/routed").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$scratch/victims")
+    val victims = spark.read.parquet(s"$scratch/victims")
+    val nVict = victims.count()
+    if (nVict == 0L) return 0L
+    // victim chunk ids + the exact decrements, all read BEFORE any
+    // tower is touched (chunk_id encodes doc_id, so the victim chunk
+    // set is a semi-join of the chunks table, not a re-chunk)
+    spark.read.parquet(s"$d/chunks")
+      .join(victims, Seq("doc_id"), "left_semi")
+      .select("chunk_id")
+      .write.mode("overwrite").parquet(s"$scratch/vchunks")
+    val vchunks = spark.read.parquet(s"$scratch/vchunks")
+    // per-term df decrement + (nd, len_sum) decrement from the victim
+    // postings — one scan of tf's victim slice
+    spark.read.parquet(s"$d/tf")
+      .join(vchunks, Seq("chunk_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df_dec"),
+        sum("tf").as("tf_sum"))
+      .write.mode("overwrite").parquet(s"$scratch/vdf")
+    val vdf = spark.read.parquet(s"$scratch/vdf")
+    val dec = vdf.agg(sum("tf_sum").as("len_dec")).collect()(0)
+    val lenDec = if (dec.isNullAt(0)) 0L else dec.getLong(0)
+    // nd counts chunks WITH postings (dl derives from tf — a
+    // token-less chunk never entered stats), so the decrement counts
+    // the victim chunks that appear in tf, not every victim chunk
+    val ndDec = spark.read.parquet(s"$d/tf")
+      .join(vchunks, Seq("chunk_id"), "left_semi")
+      .select("chunk_id").distinct().count()
+    // affected serving partitions (bounded lists of partition values)
+    val vBuckets = vdf
+      .select(Search.termBucket(col("term"), lexBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq
+    val vCids = spark.read.parquet(s"$d/enc_ivf")
+      .join(vchunks.withColumnRenamed("chunk_id", "vec_id"),
+        Seq("vec_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    // a left_anti join hoists its key to the front — re-select the
+    // source's own column order so the rewritten table is bit-equal
+    // to a rebuild's, schema included
+    def antiInOrder(src: DataFrame, key: String,
+        victimsOf: DataFrame): DataFrame =
+      src.join(victimsOf, Seq(key), "left_anti")
+        .select(src.columns.map(col).toSeq: _*)
+    // routed shrinks FIRST (the torn-remove repair anchor)
+    replaceDir(spark, d, "routed",
+      antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id", victims))
+    replaceDir(spark, d, "chunks",
+      antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id", victims))
+    replaceDir(spark, d, "tf",
+      antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id", vchunks))
+    replaceDir(spark, d, "enc",
+      antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
+        vchunks.withColumnRenamed("chunk_id", "vec_id")))
+    // serving towers: rewrite ONLY the affected partitions — stage
+    // the survivors of those partitions, drop the partition dirs,
+    // land the survivors back (a fully-emptied partition stays gone)
+    replacePartitions(spark, d, "tf_b", "tb", vBuckets,
+      antiInOrder(spark.read.parquet(s"$d/tf_b")
+        .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
+        "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id")),
+      scratch)
+    replacePartitions(spark, d, "enc_ivf", "cid", vCids,
+      antiInOrder(spark.read.parquet(s"$d/enc_ivf")
+        .filter(col("cid").isin(vCids.map(c => c: Any): _*)),
+        "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id")),
+      scratch)
+    // stats: exact-integer decrement (len_sum/nd stays bit-equal to
+    // a rebuild's avg(dl) — integer-valued doubles below 2^53)
+    val old = spark.read.parquet(s"$d/stats")
+      .select("nd", "len_sum").collect()(0)
+    val nd2 = old.getLong(0) - ndDec
+    val ls2 = old.getLong(1) - lenDec
+    import spark.implicits._
+    replaceDir(spark, d, "stats",
+      Seq((if (nd2 == 0L) 0.0 else ls2.toDouble / nd2, nd2, ls2))
+        .toDF("avgdl", "nd", "len_sum").coalesce(1))
+    // idf: vocab-sized df merge-down under the new nd; a term whose
+    // last posting left leaves the vocabulary
+    replaceDir(spark, d, "idf",
+      spark.read.parquet(s"$d/idf").select("term", "df")
+        .join(vdf.select("term", "df_dec"), Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_dec"), lit(0L))).as("df"))
+        .filter(col("df") > 0L)
+        .withColumn("idf_bm",
+          log(lit(1.0) + (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
+        .select("term", "df", "idf_bm"))
+    graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq("enc_ivf_sq8", "enc_ivf_pq", "sq.meta", "pq.meta"))
+      fs.delete(new org.apache.hadoop.fs.Path(d, n), true)
+    nVict
+  }
+
+  /** Physical copy of a built index root into `dd` (gate plumbing
+    * for the mutation gates — p5's batch delete and st25's forget
+    * stream each work on their OWN clone so the shared memoized
+    * fixture is never mutated). Copies through the session's Hadoop
+    * filesystem, so any scheme the root lives on works.
+    */
+  private[graft] def cloneRoot(
+      spark: org.apache.spark.sql.SparkSession, d0: String,
+      dd: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(d0)
+    val fs = srcP.getFileSystem(conf)
+    fs.listStatus(srcP).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dd), st.getPath.getName),
+        false, conf)
+    }
+  }
+
+  /** Partition-pruned rewrite of a partitioned staged table: stage
+    * `survivors` (the affected partitions' rows minus the victims)
+    * to scratch, DELETE the affected `part=<v>` dirs, land the
+    * survivors back with an append-partitionBy write. Untouched
+    * partitions keep their files; an emptied partition's dir stays
+    * deleted (dynamic partition overwrite would silently leave it).
+    */
+  private def replacePartitions(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      name: String, partCol: String, parts: Seq[Int],
+      survivors: DataFrame, scratch: String): Unit = {
+    val stage = s"$scratch/${name}_next"
+    survivors.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, s"$name/$partCol=$v"),
+        true)
+    }
+    // the staged survivors are already one-file-per-partition from
+    // the pre-delete repartition write; land them without reshuffling.
+    // A fully-emptied partition set stages no files at all (the dirs
+    // stay deleted — the correct end state), and an empty parquet dir
+    // can't even be read, so probe before landing.
+    val staged = fs.globStatus(
+      new org.apache.hadoop.fs.Path(stage, s"$partCol=*"))
+    if (staged != null && staged.nonEmpty)
+      spark.read.parquet(stage)
+        .write.mode("append").partitionBy(partCol).parquet(s"$d/$name")
+  }
+
   // ------------------------------------------------------------------
   // Quantization tiers over the staged dense layout: the int16 tower
   // (denseTop) is the default; sq8 (1 B/dim) and pq (1 B/subspace)
@@ -715,6 +907,76 @@ object Pipeline {
       overFetch)
       .withColumnRenamed("doc_id", "chunk_id")
 
+  /** p5: DELETE FROM A BUILT INDEX, END TO END (the right-to-be-
+    * forgotten drill [[removeFromTowers]] gated on the full chain):
+    * clone p2's staged root, remove every routed doc with
+    * doc_id % `mod` = `res`, then report one exact-integer row per
+    * surviving tower — routed/chunks/tf/enc row counts with content
+    * checksums (Σ body chars, Σ chunk chars, distinct terms, Σ u_sum
+    * — p2's stage-report shape pointed at the post-remove state),
+    * the persisted integer stats, the merged-down vocabulary
+    * (Σ df), and the standard query served from the post-remove
+    * towers (Σ hit chunk_ids).
+    *
+    * The ORACLE is the operator's contract made executable:
+    * remove ≡ rebuild-on-survivors, so the oracle replays the WHOLE
+    * build chain over `documents` WHERE doc_id % mod ≠ res and must
+    * land on identical integers — any victim row surviving any
+    * tower, any over-deleted posting, any drifted df/len_sum breaks
+    * the hash.
+    *
+    * Scale: the clone is a one-time fs copy of the staged fixture
+    * (gate plumbing, not the operator); the remove itself rewrites
+    * only the victims' term-bucket/coarse-list partitions of the
+    * serving towers plus the flat build artifacts ([[removeFromTowers]]).
+    */
+  def p5IndexRemove(t: Tables, mod: Int = 7, res: Int = 3,
+      k: Int = 5): DataFrame = {
+    val spark = t.spark
+    val d0 = ragRoot(t)
+    val d = graft.Staging.dir(s"${t.dir}:ragremove:$mod:$res",
+      "rag_removed") { dd =>
+      cloneRoot(spark, d0, dd)
+      val nRemoved = removeFromTowers(spark, dd,
+        spark.read.parquet(s"$dd/routed")
+          .filter(col("doc_id") % mod === res).select("doc_id"))
+      require(nRemoved > 0L,
+        s"p5 gate expects victims at $mod/$res — got none")
+      ()
+    }
+    val tbl = ragTablesAt(spark, d)
+    val serve = bm25Staged(tbl, Search.queryTerms, k)
+    val rows = Seq(
+      tbl("routed").agg(count(lit(1)).as("n_rows"),
+        sum(length(col("body"))).cast("long").as("aux"))
+        .select(lit(0).as("ord"), lit("routed").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("chunks").agg(count(lit(1)).as("n_rows"),
+        sum(length(col("chunk"))).cast("long").as("aux"))
+        .select(lit(1).as("ord"), lit("chunks").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("tf").agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("term")).cast("long").as("aux"))
+        .select(lit(2).as("ord"), lit("tf_index").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("enc").agg(count(lit(1)).as("n_rows"),
+        sum(col("u_sum")).cast("long").as("aux"))
+        .select(lit(3).as("ord"), lit("dense_index").as("stage"),
+          col("n_rows"), col("aux")),
+      tbl("stats")
+        .select(lit(4).as("ord"), lit("stats").as("stage"),
+          col("nd").as("n_rows"), col("len_sum").as("aux")),
+      tbl("idf").agg(count(lit(1)).as("n_rows"),
+        sum(col("df")).cast("long").as("aux"))
+        .select(lit(5).as("ord"), lit("vocab").as("stage"),
+          col("n_rows"), col("aux")),
+      serve.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("aux"))
+        .select(lit(6).as("ord"), lit("serving").as("stage"),
+          col("n_rows"), col("aux")))
+    rows.reduce(_ unionByName _).orderBy("ord")
+  }
+
   /** The staged p2 tables, for serving / spec access. `dense` (the
     * (vec_id, cid) assignment) is a projection of the partitioned
     * serving layout `enc_ivf` — one physical copy of the index.
@@ -750,6 +1012,16 @@ object Pipeline {
       tbl("idf"), tbl("stats"), terms)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** The standard query served from any built root's staged BM25
+    * tower, (chunk_id, score) — the mutation gates' shared answer
+    * shape (p5's serving row, st25's whole answer).
+    */
+  private[graft] def serveStandard(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): DataFrame =
+    bm25Staged(ragTablesAt(spark, d), Search.queryTerms, k)
+      .withColumnRenamed("doc_id", "chunk_id")
 
   /** p2: THE REFERENCE'S RAG INGEST PIPELINE END-TO-END — prepare
     * (classify → frontmatter/notebook/rewrite normalize) → chunk →
@@ -891,25 +1163,42 @@ object Pipeline {
     * by the gated r19_staged and the `Graft.RagIndex.evalSelfRetrieval`
     * facade (a user evaluates the index they built).
     */
-  private[graft] def stagedSelfEval(
-      spark: org.apache.spark.sql.SparkSession, d: String,
-      nQueries: Int, topT: Int, k: Int): DataFrame = {
+  /** The deterministic self-derived query set of a built root
+    * (generate_questions.py's role): each of the first `nQueries`
+    * docs' FIRST chunk asks its own top-`topT` terms, tie-broken
+    * (tf desc, term) — a bounded nQueries·topT collect (the r20
+    * model-collect contract). Shared by the staged self-eval and the
+    * context-pack gate.
+    */
+  private[graft] def selfQuerySet(tbl: Map[String, DataFrame],
+      nQueries: Int, topT: Int): Seq[(Long, String)] = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val tbl = ragTablesAt(spark, d)
-    // offline derivation (generate_questions.py's role): top terms of
-    // each eval chunk, tie-broken (tf desc, term) — a bounded collect
     val wq = Window.partitionBy("qid").orderBy(col("tf").desc, col("term"))
-    val qrows = tbl("tf")
+    tbl("tf")
       .filter(col("chunk_id") % lit(1000000L) === 0 &&
         col("chunk_id") < lit(nQueries.toLong * 1000000L))
       .select(col("chunk_id").as("qid"), col("term"), col("tf"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= topT)
       .select("qid", "term")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  /** Per-(query, chunk) staged-BM25 scores of the query set in ONE
+    * bucket-pruned plan (`tb IN (union of the set's term buckets)` —
+    * PlanSpec-locked via its callers), with the candidate chunk's
+    * token count (dl, riding the posting) carried when `withDl`.
+    */
+  private def selfQueryScores(tbl: Map[String, DataFrame],
+      qrows: Seq[(Long, String)], withDl: Boolean): DataFrame = {
+    val spark = tbl("tf").sparkSession
+    import spark.implicits._
     val terms = qrows.map(_._2).distinct
     val buckets = terms.map(Search.termBucketOf(_, lexBuckets)).distinct
-    val scores = tbl("tf_b")
+    val aggs =
+      if (withDl) Seq(round(sum("contrib"), 4).as("score"),
+        max("dl").as("n_tokens"))
+      else Seq(round(sum("contrib"), 4).as("score"))
+    tbl("tf_b")
       .filter(col("tb").isin(buckets.map(b => b: Any): _*))
       .filter(col("term").isin(terms: _*))
       .join(broadcast(qrows.toDF("qid", "term")), "term")
@@ -917,7 +1206,16 @@ object Pipeline {
         .select("term", "idf_bm")), "term")
       .crossJoin(broadcast(tbl("stats").select("avgdl")))
       .withColumn("contrib", Search.bm25ContribCol)
-      .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .groupBy("qid", "doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[graft] def stagedSelfEval(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      nQueries: Int, topT: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tbl = ragTablesAt(spark, d)
+    val qrows = selfQuerySet(tbl, nQueries, topT)
+    val scores = selfQueryScores(tbl, qrows, withDl = false)
     val wr = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc_id"))
     scores
@@ -929,6 +1227,67 @@ object Pipeline {
         (floor(lit(1.0) / col("rank") * 10000 + 0.5) / 10000.0).as("rr"),
         (col("rank") <= k).cast("int").as(s"hit$k"))
       .orderBy("query_chunk")
+  }
+
+  /** p4: TOKEN-BUDGET CONTEXT ASSEMBLY from the staged towers (the
+    * reference agent's prompt-building step — search hits become the
+    * LLM's context block, bounded by a token budget; reference:
+    * zc_agent/main.py's answer loop assembling search_tool results
+    * into the prompt): for each query of the self-derived set, take
+    * the top-`kCand` staged-BM25 chunks, keep at most `maxPerDoc`
+    * chunks per source doc (context diversity — a prompt of five
+    * near-identical chunks from one doc wastes its budget), then
+    * pack in (score desc, chunk_id) order while the running token
+    * total fits `budget`. Emits the packed rows: (qid, rank,
+    * chunk_id, src_doc, n_tokens, cum_tokens, score).
+    *
+    * Token counts are EXACT engine integers: a chunk's cost is its
+    * dl (the tokenizer's own token count, already denormalized into
+    * every posting), so the budget math replays in SQL without
+    * re-tokenizing.
+    *
+    * Scale: scoring is the staged one-plan pass ([[selfQueryScores]]
+    * — postings scan pruned to the union of the query set's term
+    * buckets); every window after it is qid-partitioned over ≤kCand
+    * rows per query (bounded — never a corpus-wide window). The
+    * greedy prefix rule (stop at the first overflow) is the
+    * SQL-replayable packing discipline; skip-and-continue packing is
+    * a driver-side loop over k rows if a deployment wants it.
+    */
+  def p4ContextPack(t: Tables, nQueries: Int = 16, topT: Int = 3,
+      kCand: Int = 8, maxPerDoc: Int = 2, budget: Int = 120): DataFrame =
+    contextPack(t.spark, ragRoot(t), nQueries, topT, kCand, maxPerDoc,
+      budget)
+
+  /** [[p4ContextPack]]'s core over any built root — also the
+    * `RagIndex.packContext` facade's engine.
+    */
+  private[graft] def contextPack(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      nQueries: Int, topT: Int, kCand: Int, maxPerDoc: Int,
+      budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tbl = ragTablesAt(spark, d)
+    val qrows = selfQuerySet(tbl, nQueries, topT)
+    val scores = selfQueryScores(tbl, qrows, withDl = true)
+    val byScore = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id"))
+    val byDoc = Window.partitionBy("qid", "src_doc")
+      .orderBy(col("score").desc, col("doc_id"))
+    scores
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= kCand)
+      .withColumn("src_doc", floor(col("doc_id") / lit(1000000L)))
+      .withColumn("rd", row_number().over(byDoc))
+      .filter(col("rd") <= maxPerDoc)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("qid"), col("rank"), col("doc_id").as("chunk_id"),
+        col("src_doc").cast("long").as("src_doc"), col("n_tokens"),
+        col("cum_tokens"), col("score"))
+      .orderBy("qid", "rank")
   }
 
   /** The PRUNED dense top-`kList` of any built index root: the
@@ -1131,7 +1490,14 @@ object Pipeline {
     * fragment), r4's chunk rule, and the chunk-granularity TF — the
     * prefix both p2's report and p3's serving replay share.
     */
-  private lazy val ragCtes: String =
+  private lazy val ragCtes: String = ragCtesWhere("")
+
+  /** [[ragCtes]] with a doc-level predicate applied at the source —
+    * p5's oracle replays the whole build chain over the SURVIVING
+    * corpus (remove ≡ rebuild-on-survivors is the operator's
+    * contract, so the oracle IS the rebuild).
+    */
+  private def ragCtesWhere(where: String): String =
     """f AS (
       |  SELECT doc_id, source, lang, n_chars, text,
       |    CASE WHEN doc_id % 17 = 0 THEN 'repo-main/' || source || '/'
@@ -1140,7 +1506,7 @@ object Pipeline {
       |              'file_' || doc_id || '.' ||
       |              (['md','mdx','py','sql','java','ipynb','txt','png'])[CAST(doc_id % 8 AS INT) + 1]
       |    END AS filepath
-      |  FROM documents),
+      |  FROM documents """.stripMargin + where + """),
       |cl AS (
       |  SELECT *, regexp_extract(str_split(lower(filepath), '/')[-1],
       |                           '\.([^.]*)$', 1) AS ext,
@@ -1260,6 +1626,53 @@ object Pipeline {
       |  SELECT 6, 'serving', count(*), CAST(sum(chunk_id) AS BIGINT) FROM serve)
       |ORDER BY ord""".stripMargin
 
+  /** p5's replay: the whole build chain over the SURVIVING corpus
+    * (`documents WHERE doc_id % 7 <> 3`) — the oracle IS the
+    * remove ≡ rebuild-on-survivors contract. Same fragments as
+    * [[p2Sql]]; only the source predicate differs.
+    */
+  private lazy val p5Sql: String =
+    s"""WITH ${ragCtesWhere("WHERE doc_id % 7 <> 3")},
+      |${chunkBm25Ctes(5)},
+      |uenc AS (
+      |  SELECT chunk_id,
+      |    CAST(list_sum(
+      |      [CAST(('0x' || substr(md5(chunk || ':' || CAST(j AS INT)), 1, 8))
+      |            AS UBIGINT)
+      |       FOR j IN range(0, 64)]) AS BIGINT) AS u_sum
+      |  FROM ch)
+      |SELECT * FROM (
+      |  SELECT 0 AS ord, 'routed' AS stage, count(*) AS n_rows,
+      |    CAST(sum(length(body)) AS BIGINT) AS aux FROM routed
+      |  UNION ALL
+      |  SELECT 1, 'chunks', count(*), CAST(sum(length(chunk)) AS BIGINT)
+      |  FROM ch
+      |  UNION ALL
+      |  SELECT 2, 'tf_index', count(*),
+      |    CAST(count(DISTINCT term) AS BIGINT) FROM ctf
+      |  UNION ALL
+      |  SELECT 3, 'dense_index', count(*), CAST(sum(u_sum) AS BIGINT)
+      |  FROM uenc
+      |  UNION ALL
+      |  SELECT 4, 'stats', (SELECT count(*) FROM cdl),
+      |    (SELECT CAST(sum(dl) AS BIGINT) FROM cdl)
+      |  UNION ALL
+      |  SELECT 5, 'vocab', count(*), CAST(sum(df) AS BIGINT) FROM cd
+      |  UNION ALL
+      |  SELECT 6, 'serving', count(*), CAST(sum(chunk_id) AS BIGINT)
+      |  FROM serve)
+      |ORDER BY ord""".stripMargin
+
+  /** st25's replay: the forget stream's final state ≡ the build
+    * chain over the never-forgotten docs (the remove contract under
+    * continuous arrivals — waves of deletes commute to one set
+    * difference); the gate serves the standard query from it.
+    */
+  private[graft] lazy val st25Sql: String =
+    s"""WITH ${ragCtesWhere("WHERE doc_id % 5 <> 1")},
+      |${chunkBm25Ctes(5)}
+      |SELECT chunk_id, score FROM serve""".stripMargin
+
   /** r19_staged's replay: the shared build CTEs + the staged-BM25
     * stats/idf fragments ([[chunkBm25Ctes]] — its cq/cc/serve tail
     * is unused here), the deterministic eval-set derivation, the
@@ -1294,6 +1707,57 @@ object Pipeline {
       |  floor(1.0 / rank * 10000 + 0.5) / 10000.0 AS rr,
       |  CAST(rank <= 5 AS INT) AS hit5
       |FROM erk WHERE doc_id = qid ORDER BY query_chunk""".stripMargin
+
+  /** p4's replay: r19_staged's eval-set + scoring fragments with the
+    * chunk's dl carried through, then the pack discipline — top-kCand
+    * cut, per-doc diversity cap, greedy budget prefix — as three
+    * window stages (exactly the Spark plan's shape).
+    */
+  private lazy val p4Sql: String =
+    s"""WITH $ragCtes,
+      |${chunkBm25Ctes(5)},
+      |qt AS (
+      |  SELECT qid, term FROM (
+      |    SELECT chunk_id AS qid, term,
+      |      row_number() OVER (PARTITION BY chunk_id
+      |                         ORDER BY tf DESC, term) AS rn
+      |    FROM ctf
+      |    WHERE chunk_id % 1000000 = 0 AND chunk_id < 16000000) z
+      |  WHERE rn <= 3),
+      |esc AS (
+      |  SELECT qt.qid, ctf.chunk_id AS doc_id,
+      |    round(sum(cidf.idf_bm * ctf.tf * 2.2 /
+      |      (ctf.tf + 1.2 * (0.25 + 0.75 * cdl.dl / cstats.avgdl))), 4)
+      |      AS score,
+      |    max(cdl.dl) AS n_tokens
+      |  FROM ctf JOIN qt USING (term) JOIN cidf USING (term)
+      |       JOIN cdl USING (chunk_id), cstats
+      |  GROUP BY qt.qid, ctf.chunk_id),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id) AS rn FROM esc) z
+      |  WHERE rn <= 8),
+      |div AS (
+      |  SELECT * FROM (
+      |    SELECT *, doc_id // 1000000 AS src_doc,
+      |      row_number() OVER (PARTITION BY qid, doc_id // 1000000
+      |        ORDER BY score DESC, doc_id) AS rd FROM cand) z
+      |  WHERE rd <= 2),
+      |pack AS (
+      |  SELECT qid, doc_id, src_doc, n_tokens, score,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id) AS rank,
+      |    sum(n_tokens) OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS cum_tokens
+      |  FROM div)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id AS chunk_id,
+      |  CAST(src_doc AS BIGINT) AS src_doc,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens, score
+      |FROM pack WHERE cum_tokens <= 120
+      |ORDER BY qid, rank""".stripMargin
 
   /** SQ8 tier replay over the stored-code space: s13's model-fit /
     * code / asymmetric-score fragments re-sourced from pvv, pruned
@@ -1378,6 +1842,8 @@ object Pipeline {
   lazy val oracle: Map[String, String] = Map(
     "p2_rag_ingest" -> p2Sql,
     "p3_rag_serve" -> p3Sql,
+    "p5_index_remove" -> p5Sql,
+    "p4_context_pack" -> p4Sql,
     "r19_staged_eval" -> r19StagedSql,
     "p3_dense_sq8" -> p3Sq8Sql,
     "p3_dense_pq" -> p3PqSql,

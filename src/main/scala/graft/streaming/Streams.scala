@@ -3270,6 +3270,93 @@ object Streams {
   }
 
   // ------------------------------------------------------------------
+  // st25: CONTINUOUS FORGETTING — p5's delete path at the sink
+  // ------------------------------------------------------------------
+
+  /** st25's staged run: clone the built fixture root (the shared
+    * memoized index is never mutated), stage the forget requests as
+    * one parquet file per wave with ascending mtimes (the file
+    * source replays them oldest first — st24's crawl-drop delivery,
+    * here carrying deletion requests), and stream each wave through
+    * [[graft.operators.Pipeline.removeFromTowers]].
+    */
+  private[graft] def st25Root(t: Tables): String =
+    graft.Staging.dir(s"${t.dir}:st25forget", "st25") { d =>
+      val spark = t.spark
+      val idx = s"$d/index"
+      graft.operators.Pipeline.cloneRoot(spark,
+        graft.operators.Pipeline.ragRoot(t), idx)
+      val victims = spark.read.parquet(s"$idx/routed")
+        .filter(col("doc_id") % 5 === 1).select("doc_id")
+      val mm = victims.agg(min("doc_id"), max("doc_id")).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / 3 + 1
+      val reqDir = java.nio.file.Paths.get(s"$d/requests")
+      java.nio.file.Files.createDirectories(reqDir)
+      (0 until 3).foreach { w =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_st25_out_")
+        victims.filter(col("doc_id") >= lo + w * width &&
+            col("doc_id") < lo + (w + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(out.toString)
+        val part = java.nio.file.Files.list(out).iterator()
+        var moved = false
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet") && !moved) {
+            val dest = reqDir.resolve(s"${w}_forget.parquet")
+            java.nio.file.Files.move(p, dest)
+            dest.toFile.setLastModified(
+              System.currentTimeMillis() - 60000L * (3 - w))
+            moved = true
+          }
+        }
+      }
+      val q = spark.readStream
+        .schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(reqDir.toString)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          graft.operators.Pipeline
+            .removeFromTowers(spark, idx, batch.toDF())
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+  /** st25: CONTINUOUS FORGETTING — the index-delete path
+    * ([[graft.operators.Pipeline.removeFromTowers]], p5's operator)
+    * driven by a STREAM of deletion requests (the GDPR/right-to-be-
+    * forgotten delivery: erasure arrives continuously, the serving
+    * index must converge to the never-deleted corpus). Each
+    * micro-batch's ids drop from every staged tower — partition-
+    * pruned rewrites of the serving layouts, exact-integer stats/idf
+    * decrements under the pinned codebook — and the gated answer
+    * serves the standard query from the final towers.
+    *
+    * Exactly-once is STRUCTURAL here: set difference commutes and
+    * re-removing an absent id is a no-op (the anti-join semantics),
+    * so redelivered or reordered request waves converge to the same
+    * towers — no tag machinery needed, unlike the append-side sinks
+    * (st16/st22/st24) where redelivery would duplicate rows. The
+    * ORACLE replays the whole build over `documents` minus the
+    * victims: the stream's final state must equal a rebuild that
+    * never saw them.
+    *
+    * Scale: each wave's cost is (affected partitions + flat-artifact
+    * rewrite), not corpus; a deployment batches erasure requests into
+    * waves exactly like this (deletes are rare relative to serving,
+    * so the wave cadence — not per-request rewrites — is the knob).
+    */
+  def st25IndexForget(t: Tables): DataFrame = {
+    val spark = t.spark
+    val idx = s"${st25Root(t)}/index"
+    graft.operators.Pipeline.serveStandard(spark, idx, 5)
+  }
+
+  // ------------------------------------------------------------------
   // st22: STREAMING CURATION — p1's funnel at the sink
   // ------------------------------------------------------------------
 

@@ -491,6 +491,47 @@ class PlanSpec extends SparkSpec {
       all.map(_.nodeName).filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("p4_context_pack: ONE bucket-pruned postings scan for the " +
+      "whole query set; every window is qid-partitioned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = run("p4_context_pack")
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val pruned = all.collect {
+      case s: FileSourceScanExec
+          if s.partitionFilters.exists(_.references.exists(
+            _.name == "tb")) => s
+    }
+    assert(pruned.size == 1,
+      s"expected exactly ONE tb-pruned postings scan, got " +
+        s"${pruned.size}:\n${all.map(_.nodeName).mkString("\n")}")
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      all.map(_.nodeName).filter(_.contains("Join")).mkString("\n"))
+    // the pack windows (candidate cut, diversity cap, rank, running
+    // token sum) all partition by qid — a corpus-wide single-partition
+    // window can never enter this plan
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window stages in the pack plan")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.references.exists(_.name == "qid")),
+        s"unpartitioned/non-qid window in p4 plan: $w")
+    }
+  }
+
   test("dense tiers (sq8/pq): serving is a cid-PRUNED scan of the " +
       "tier's own code layout — no join, TakeOrdered top-k") {
     for (name <- Seq("p3_dense_sq8", "p3_dense_pq")) {
