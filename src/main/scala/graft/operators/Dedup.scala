@@ -892,11 +892,14 @@ object Dedup {
     * occurrences by an equi-join — never a row_number window: a
     * window has no partial aggregation and no AQE help, so a
     * pathological hot line (empty/boilerplate — the d8skew probe
-    * plants one at 20% of the corpus) would funnel through ONE task;
-    * the aggregate collapses the hot key on the map side and the
-    * verdict join is exactly the shape AQE's skew-split handles.
-    * Then one shuffle back by doc for reassembly. At 100 TB the
-    * aggregate/join run on md5(line), 16 bytes/row, not the text.
+    * plants one at 36% of the corpus) would funnel through ONE task;
+    * the aggregate collapses the hot key on the map side, and the
+    * verdict join pre-splits its hot keys itself (broadcast-tagged
+    * salt — see [[lineDedupFrom]]; the probe measured AQE's
+    * skew-split declining this join because its exchange is reused
+    * by the aggregate). Then one shuffle back by doc for reassembly.
+    * At 100 TB the aggregate/join run on md5(line), 16 bytes/row,
+    * not the text.
     */
   def d8LineDedup(t: Tables, lineTokens: Int = 8): DataFrame =
     lineDedupFrom(t.documents.select("doc_id", "text"), lineTokens)
@@ -949,19 +952,47 @@ object Dedup {
     * pay a full range-partition sort for presentation order).
     */
   private[graft] def lineDedupFrom(docsIn: DataFrame,
-      lineTokens: Int, sorted: Boolean = true): DataFrame = {
+      lineTokens: Int, sorted: Boolean = true,
+      hotOcc: Int = 1 << 12, salts: Int = 16): DataFrame = {
     val lines = lineExplode(spread(docsIn), lineTokens)
     // first occurrence in (doc_id, line_no) order — min over the
     // struct IS that order, and the aggregate partial-combines where
     // a window could not (see the scale-design note above)
     val first = lines.groupBy("line")
-      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"),
+        count(lit(1)).as("n_occ"))
+    // the verdict join pre-splits its HOT keys (the d8skew probe
+    // measured AQE's skew-split NEVER engaging on this join — the
+    // exchange feeding it is reused by the aggregate, and
+    // OptimizeSkewedJoin declines reused exchanges even under
+    // forceOptimizeSkewedJoin — so the split is structural instead):
+    // occurrence counts already fall out of the first-occurrence
+    // aggregate; lines past `hotOcc` occurrences get a `salts`-way
+    // salt on the probe side and `salts` replicated verdict rows on
+    // the build side, so a boilerplate line at 36% of the corpus
+    // spreads over `salts` tasks instead of one. The hot KEY set is
+    // bounded by corpus/hotOcc (broadcast-sized by construction);
+    // cold keys pay zero replication. Output is bit-equal for any
+    // (hotOcc, salts) — pure execution split.
+    val hotKeys = broadcast(first.filter(col("n_occ") >= hotOcc)
+      .select(col("line"), lit(true).as("is_hot")))
+    val probe = lines.join(hotKeys, Seq("line"), "left")
+      .withColumn("salt",
+        when(col("is_hot"),
+          pmod(hash(col("doc_id"), col("line_no")), lit(salts)))
+          .otherwise(lit(0)))
+      .drop("is_hot")
+    val build = first
+      .withColumn("salt", explode(
+        when(col("n_occ") >= hotOcc, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .select("line", "salt", "first")
     lineRollup(
-      lines.join(first, "line")
+      probe.join(build, Seq("line", "salt"))
         .withColumn("kept",
           (struct(col("doc_id"), col("line_no")) === col("first"))
             .cast("int"))
-        .drop("first"),
+        .drop("first", "salt"),
       sorted)
   }
 

@@ -223,7 +223,12 @@ object Probe {
           val n = out.count()
           val s = (System.nanoTime - t) / 1e9
           val plan = out.queryExecution.executedPlan.toString
-          val aqeSkew = plan.contains("skewed")
+          val aqeSkew = plan.toLowerCase.contains("skew=true") ||
+            plan.toLowerCase.contains("isskewjoin=true") ||
+            plan.contains("skewed")
+          plan.linesIterator.filter(l => l.contains("Join") ||
+              l.toLowerCase.contains("skew"))
+            .take(6).foreach(l => println(s"  [plan] ${l.trim.take(110)}"))
           val hotFrac = out.agg(
             sum(col("n_lines")).cast("double")).collect()(0).getDouble(0)
           println(f"PROBE d8skew [$tag] $s%.1f s ($n docs, " +
@@ -233,16 +238,29 @@ object Probe {
         }
         runSkew("base", docs)
         runSkew(s"${copies}x", replicated(copies))
-        // the mechanism itself, captured: production skew is absolute
-        // (a hot partition past 256 MB), which probe-scale data can't
-        // reach — lower the AQE thresholds to probe-scale bytes and
-        // confirm the verdict join DOES split the hot partition when
-        // it crosses them (the knob production relies on)
+        // the mechanism itself, captured: at probe scale the verdict
+        // side (distinct lines) BROADCASTS, so the hot key never even
+        // shuffles — the skew hazard is structurally gone here. The
+        // lake-scale regime (distinct lines past broadcast ⇒ SMJ with
+        // one hot partition) is forced by disabling broadcast and
+        // lowering the AQE thresholds to probe-scale bytes: the
+        // verdict join must then SPLIT the hot partition (the knob
+        // production relies on)
         val conf = spark.conf
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-        try runSkew(s"${copies}x-lowthresh", replicated(copies))
+        try runSkew(s"${copies}x-smj-lowthresh", replicated(copies))
+        finally ()
+        // d8's verdict join feeds a doc-keyed reassembly shuffle, so
+        // the default OptimizeSkewedJoin can decline (it avoids
+        // introducing extra exchanges); force-mode shows the split
+        // the isolated-join regime gets for free
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        try runSkew(s"${copies}x-smj-forced", replicated(copies))
         finally {
+          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+          conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
           conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
           conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
         }
@@ -490,7 +508,7 @@ object Probe {
         val tM1 = System.nanoTime
         graft.operators.Pipeline.ensurePqTier(spark, d)
         val sMintPq = (System.nanoTime - tM1) / 1e9
-        def tierRow(name: String,
+        def tierRow(name: String, nProbe: Int,
             body: => org.apache.spark.sql.DataFrame): Unit = {
           val ((got, s), recs, bytes) = measured {
             val t0 = System.nanoTime
@@ -498,17 +516,22 @@ object Probe {
             (r, (System.nanoTime - t0) / 1e9)
           }
           val rec = got.toSet.intersect(flat.toSet).size / 10.0
-          println(f"PROBE p3tiers $name: $s%.2f s, $recs recs, " +
-            f"${bytes / 1024}%d KiB read, recall@10 $rec%.2f")
+          println(f"PROBE p3tiers $name nProbe=$nProbe%-3d: $s%.2f s, " +
+            f"$recs recs, ${bytes / 1024}%d KiB read, recall@10 $rec%.2f")
         }
-        tierRow("int16 ", graft.operators.Pipeline
-          .denseTop(spark, d, tbl, qU16, 10, 8))
-        tierRow("sq8   ", graft.operators.Pipeline
-          .denseTopSq8(spark, d, qU16, 10, 8))
-        tierRow("pq    ", graft.operators.Pipeline
-          .denseTopPq(spark, d, qU16, 10, 8))
-        tierRow("rerank", graft.operators.Pipeline
-          .denseTopRerank(spark, d, qU16, 10, 8, 4))
+        // recall here is vs the FLAT (unpruned) exact ranking, so the
+        // sweep separates the two losses: nProbe (coarse-list recall,
+        // shared by every tier) and the tier's in-list code fidelity
+        for (nP <- Seq(8, 32, 96)) {
+          tierRow("int16 ", nP, graft.operators.Pipeline
+            .denseTop(spark, d, tbl, qU16, 10, nP))
+          tierRow("sq8   ", nP, graft.operators.Pipeline
+            .denseTopSq8(spark, d, qU16, 10, nP))
+          tierRow("pq    ", nP, graft.operators.Pipeline
+            .denseTopPq(spark, d, qU16, 10, nP))
+          tierRow("rerank", nP, graft.operators.Pipeline
+            .denseTopRerank(spark, d, qU16, 10, nP, 4))
+        }
         println(f"PROBE p3tiers mint: sq8 $sMintSq%.1f s, " +
           f"pq $sMintPq%.1f s")
       // streaming curation: 4 doc_id-ascending waves through st22's
