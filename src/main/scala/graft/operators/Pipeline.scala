@@ -698,6 +698,20 @@ object Pipeline {
 
   /** PQ tier shape: 4 subspaces × 4 codewords, 2 Lloyd's rounds —
     * s5's published defaults, replayable in SQL.
+    *
+    * Measured limit (SURVEY §5 round-15 p3tiers sweep): the PQ tier
+    * ranks at recall 0.00 within probed lists at EVERY nProbe, and
+    * raising k to 16 (65,536 score profiles) was measured to change
+    * NOTHING — the binding constraint is the corpus, not the
+    * codebook. The stub encoder's stored codes are md5-uniform in
+    * [0,2¹⁶)⁶⁴: no low-intrinsic-dimension structure exists for
+    * subspace centroids to exploit (16-dim uniform subvectors keep
+    * ~all their variance as quantization error at any small k), so
+    * ADC dot estimates are noise — exactly the regime where per-dim
+    * SQ (256 levels/dim, ~exact dots → recall ≡ int16) wins and PQ
+    * needs its rerank stage. Real embedding corpora have low
+    * intrinsic dimension; on THIS corpus the production tiers are
+    * sq8 / sq8_rerank, and the PQ tier is gated for mechanics.
     */
   private[graft] val pqM = 4
   private[graft] val pqK = 4
@@ -1810,7 +1824,7 @@ object Pipeline {
     * s9's oracle pattern restricted to the staged layout.
     */
   private lazy val p3PqSql: String = {
-    val sub = 16
+    val sub = graft.operators.Embed.dim / pqM
     val subs = (0 until pqM)
       .map(mi => Ann.pqSubspaceCte(mi, sub, pqK, pqIters, src = "pvv"))
       .mkString(",\n")

@@ -3290,10 +3290,15 @@ object Streams {
         .filter(col("doc_id") % 5 === 1).select("doc_id")
       val mm = victims.agg(min("doc_id"), max("doc_id")).collect()(0)
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val width = (hi - lo) / 3 + 1
+      // two waves: the continuous shape (multi-batch, ascending)
+      // at half the gate cost — each wave's rewrite is corpus-sized
+      // here because the victims span every bucket/list (a 20%
+      // random delete affects all partitions; pruning pays off when
+      // deletes are few), so wave count is the gate's cost knob
+      val width = (hi - lo) / 2 + 1
       val reqDir = java.nio.file.Paths.get(s"$d/requests")
       java.nio.file.Files.createDirectories(reqDir)
-      (0 until 3).foreach { w =>
+      (0 until 2).foreach { w =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_st25_out_")
         victims.filter(col("doc_id") >= lo + w * width &&
@@ -3307,7 +3312,7 @@ object Streams {
             val dest = reqDir.resolve(s"${w}_forget.parquet")
             java.nio.file.Files.move(p, dest)
             dest.toFile.setLastModified(
-              System.currentTimeMillis() - 60000L * (3 - w))
+              System.currentTimeMillis() - 60000L * (2 - w))
             moved = true
           }
         }
