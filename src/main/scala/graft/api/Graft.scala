@@ -1300,6 +1300,15 @@ object Graft {
         budget: Int = 120): DataFrame =
       graft.operators.Pipeline.contextPack(spark, root, nQueries,
         topT, kCand, maxPerDoc, budget)
+    /** [[packContext]] for YOUR queries (qid = position in
+      * `queries`, tokenized by the engine's own rule): one
+      * bucket-pruned scoring plan for the whole list, then the same
+      * per-query pack discipline.
+      */
+    def packContextFor(queries: Seq[String], kCand: Int = 8,
+        maxPerDoc: Int = 2, budget: Int = 120): DataFrame =
+      graft.operators.Pipeline.contextPackFor(spark, root, queries,
+        kCand, maxPerDoc, budget)
   }
 
   /** BUILD a RAG index from any corpus frame (the reference's

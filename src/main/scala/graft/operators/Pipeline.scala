@@ -1280,10 +1280,38 @@ object Pipeline {
       spark: org.apache.spark.sql.SparkSession, d: String,
       nQueries: Int, topT: Int, kCand: Int, maxPerDoc: Int,
       budget: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tbl = ragTablesAt(spark, d)
-    val qrows = selfQuerySet(tbl, nQueries, topT)
-    val scores = selfQueryScores(tbl, qrows, withDl = true)
+    packFromScores(
+      selfQueryScores(tbl, selfQuerySet(tbl, nQueries, topT),
+        withDl = true),
+      kCand, maxPerDoc, budget)
+  }
+
+  /** Context packing for CALLER-supplied raw queries (qid = the
+    * query's position in `queries`): the same one-plan bucket-pruned
+    * scoring pass and the same pack discipline as the gated p4, the
+    * engine's own tokenizer rule on each query string.
+    */
+  private[graft] def contextPackFor(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      queries: Seq[String], kCand: Int, maxPerDoc: Int,
+      budget: Int): DataFrame = {
+    val tbl = ragTablesAt(spark, d)
+    val qrows = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        .map(term => (i.toLong, term))
+    }
+    packFromScores(selfQueryScores(tbl, qrows, withDl = true),
+      kCand, maxPerDoc, budget)
+  }
+
+  /** The pack discipline over a per-(qid, chunk) scores frame:
+    * top-kCand cut, ≤maxPerDoc per source doc, greedy budget prefix
+    * — three qid-partitioned window stages.
+    */
+  private def packFromScores(scores: DataFrame, kCand: Int,
+      maxPerDoc: Int, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc_id"))
     val byDoc = Window.partitionBy("qid", "src_doc")

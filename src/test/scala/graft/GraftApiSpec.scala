@@ -1340,6 +1340,69 @@ class GraftApiSpec extends SparkSpec {
     assert(byQ.values.exists(_.length >= 2))
   }
 
+  test("RagIndex lifecycle: grow then shrink converges to a pinned-" +
+      "codebook build on the net corpus; packContextFor serves " +
+      "caller queries through the same pack discipline") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val docsA = Seq(
+      (1L, "repo/docs/a.md", "en",
+        "spark joins and windows explained with zanzibar examples"),
+      (2L, "repo/src/a.py", "python", "def run(): spark filter job"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val docsB = Seq(
+      (3L, "repo/docs/b.md", "en",
+        "quokka quokka aggregation guide for spark windows"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_raglife_").toString
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_raglife_ref_").toString
+    try {
+      // build on A, GROW by B, SHRINK by doc 1: net corpus = {2, 3}
+      val idx = Graft.ragIndex(docsA, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      assert(idx.add(docsB, "doc_id", "filepath", "lang", "text") == 1L)
+      assert(idx.remove(Seq(1L)) == 1L)
+      val cb = graft.streaming.Streams.loadCodebook(tmp).get
+      Graft.ragNormalize(
+          docsA.filter(col("doc_id") =!= 1L).unionByName(docsB),
+          "doc_id", "filepath", "lang", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .write.mode("overwrite").parquet(s"$tmp2/routed")
+      Pipeline.buildTowers(spark, tmp2, 200, 100,
+        graft.operators.Embed.dim, Some(cb))
+      def dump(root: String, name: String, keys: String*) =
+        Pipeline.ragTablesAt(spark, root)(name)
+          .orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+      for ((tbl, keys) <- Seq(
+          "tf_b" -> Seq("doc_id", "term"),
+          "idf" -> Seq("term"),
+          "stats" -> Seq("nd"),
+          "enc_ivf" -> Seq("vec_id")))
+        assert(dump(tmp, tbl, keys: _*) == dump(tmp2, tbl, keys: _*),
+          s"$tbl drifted after grow+shrink vs the net-corpus rebuild")
+      // caller-query packing over the surviving corpus
+      val rows = idx.packContextFor(
+        Seq("quokka windows", "spark filter"), budget = 60).collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Long]("qid")).distinct.sorted.toSeq
+        .forall(Seq(0L, 1L).contains))
+      rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+        val sorted = rs.sortBy(_.getAs[Long]("rank"))
+        assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+          (1L to sorted.length.toLong))
+        assert(sorted.last.getAs[Long]("cum_tokens") <= 60L)
+      }
+      // the removed doc's chunks never enter any packed context
+      assert(!rows.exists(_.getAs[Long]("src_doc") == 1L))
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
+    }
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
