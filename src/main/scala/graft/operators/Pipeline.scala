@@ -553,22 +553,21 @@ object Pipeline {
       .select("chunk_id")
       .write.mode("overwrite").parquet(s"$scratch/vchunks")
     val vchunks = spark.read.parquet(s"$scratch/vchunks")
-    // per-term df decrement + (nd, len_sum) decrement from the victim
-    // postings — one scan of tf's victim slice
+    // tf's victim slice lands in scratch ONCE; the per-term df
+    // decrement, the (nd, len_sum) decrement, and the affected-bucket
+    // set all derive from it without re-scanning tf
     spark.read.parquet(s"$d/tf")
       .join(vchunks, Seq("chunk_id"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("df_dec"),
-        sum("tf").as("tf_sum"))
-      .write.mode("overwrite").parquet(s"$scratch/vdf")
-    val vdf = spark.read.parquet(s"$scratch/vdf")
+      .write.mode("overwrite").parquet(s"$scratch/vtf")
+    val vtf = spark.read.parquet(s"$scratch/vtf")
+    val vdf = vtf.groupBy("term").agg(count(lit(1)).as("df_dec"),
+      sum("tf").as("tf_sum"))
     val dec = vdf.agg(sum("tf_sum").as("len_dec")).collect()(0)
     val lenDec = if (dec.isNullAt(0)) 0L else dec.getLong(0)
     // nd counts chunks WITH postings (dl derives from tf — a
     // token-less chunk never entered stats), so the decrement counts
     // the victim chunks that appear in tf, not every victim chunk
-    val ndDec = spark.read.parquet(s"$d/tf")
-      .join(vchunks, Seq("chunk_id"), "left_semi")
-      .select("chunk_id").distinct().count()
+    val ndDec = vtf.select("chunk_id").distinct().count()
     // affected serving partitions (bounded lists of partition values)
     val vBuckets = vdf
       .select(Search.termBucket(col("term"), lexBuckets).as("tb"))

@@ -1340,6 +1340,62 @@ class GraftApiSpec extends SparkSpec {
     assert(byQ.values.exists(_.length >= 2))
   }
 
+  test("removeFromTowers property: seeded random victim subsets each " +
+      "converge bit-equal to the pinned rebuild on their survivors") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val words = Seq("spark", "join", "window", "filter", "group",
+      "quokka", "zanzibar", "berry", "meadow", "harbor", "lantern")
+    val docs = (1L to 8L).map { i =>
+      val ext = Seq("md", "py", "ipynb")((i % 3).toInt)
+      val txt = (0 until 12).map(j =>
+        words(((i * 7 + j * 3) % words.length).toInt)).mkString(" ")
+      (i, s"repo/docs/f$i.$ext", "en", txt)
+    }.toDF("doc_id", "filepath", "lang", "text")
+    val tmp0 = java.nio.file.Files
+      .createTempDirectory("graft_rmprop_base_").toString
+    Graft.ragIndex(docs, "doc_id", "filepath", "lang", "text",
+      stateRoot = Some(tmp0))
+    val cb = graft.streaming.Streams.loadCodebook(tmp0).get
+    def dump(root: String, name: String, keys: String*) =
+      Pipeline.ragTablesAt(spark, root)(name)
+        .orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val victims = rnd.shuffle((1L to 8L).toList)
+        .take(1 + rnd.nextInt(6)).sorted
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft_rmprop_w$trial").toString
+      val ref = java.nio.file.Files
+        .createTempDirectory(s"graft_rmprop_r$trial").toString
+      try {
+        Pipeline.cloneRoot(spark, tmp0, work)
+        Pipeline.removeFromTowers(spark, work, victims.toDF("doc_id"))
+        Graft.ragNormalize(
+            docs.filter(!col("doc_id").isin(victims: _*)),
+            "doc_id", "filepath", "lang", "text")
+          .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+          .write.mode("overwrite").parquet(s"$ref/routed")
+        Pipeline.buildTowers(spark, ref, 200, 100,
+          graft.operators.Embed.dim, Some(cb))
+        for ((tbl, keys) <- Seq(
+            "routed" -> Seq("doc_id"),
+            "tf_b" -> Seq("doc_id", "term"),
+            "idf" -> Seq("term"),
+            "stats" -> Seq("nd"),
+            "chunks" -> Seq("chunk_id"),
+            "enc_ivf" -> Seq("vec_id")))
+          assert(dump(work, tbl, keys: _*) == dump(ref, tbl, keys: _*),
+            s"trial $trial victims=$victims: $tbl drifted")
+      } finally {
+        graft.Staging.deleteTree(java.nio.file.Paths.get(work))
+        graft.Staging.deleteTree(java.nio.file.Paths.get(ref))
+      }
+    }
+    graft.Staging.deleteTree(java.nio.file.Paths.get(tmp0))
+  }
+
   test("RagIndex lifecycle: grow then shrink converges to a pinned-" +
       "codebook build on the net corpus; packContextFor serves " +
       "caller queries through the same pack discipline") {
