@@ -247,6 +247,12 @@ object Pipeline {
       size: Int, step: Int, dim: Int = Embed.dim,
       pinned: Option[graft.expressions.PlaneMatrix] = None): Unit = {
       saveTowersMeta(d, size, step, dim)
+      // derived tier layouts invalidate on ANY rebuild, not only on
+      // add/remove — rebuild() is the documented repair for a TORN
+      // mutation, and a torn remove's whole rewrite window precedes
+      // its own tier-delete step: without this, a repaired root would
+      // keep serving the forgotten doc from enc_ivf_sq8/enc_ivf_pq
+      dropTierLayouts(spark, d)
       val routed = spark.read.parquet(s"$d/routed")
       graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
         .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
@@ -425,6 +431,12 @@ object Pipeline {
     val scratch = graft.Staging.scratch("rag_add")
     routedNew
       .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+      // in-batch duplicates dedup too (deterministic min-body pick):
+      // the registry anti-join only guards against ALREADY-indexed
+      // docs, and a doubled arrival row would land twice in every
+      // tower — doubled tf, duplicate vec_ids, drifted nd/len_sum —
+      // with rebuild() reproducing the corruption from routed
+      .groupBy("doc_id").agg(min(col("body")).as("body"))
       .join(spark.read.parquet(s"$d/routed").select("doc_id"),
         Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$scratch/arr")
@@ -489,10 +501,7 @@ object Pipeline {
     // quantization-tier layouts are DERIVED caches of enc_ivf — a
     // grown index invalidates them (next tier serve re-mints from
     // the current corpus; their models are corpus statistics)
-    val fs = new org.apache.hadoop.fs.Path(d)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (n <- Seq("enc_ivf_sq8", "enc_ivf_pq", "sq.meta", "pq.meta"))
-      fs.delete(new org.apache.hadoop.fs.Path(d, n), true)
+    dropTierLayouts(spark, d)
     nNew
   }
 
@@ -628,11 +637,35 @@ object Pipeline {
           log(lit(1.0) + (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
         .select("term", "df", "idf_bm"))
     graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+    dropTierLayouts(spark, d)
+    nVict
+  }
+
+  /** The encode width of a built root: towers.meta when present,
+    * else the persisted codebook's own dim (always present on a
+    * built root — pre-towers.meta roots exist). NEVER the session
+    * default: a trusted wrong width silently mis-serves (the
+    * ragIndexOpen lesson applied to the tier minting path — a
+    * dim-16 root reopened through a 64-wide SQ fit would null every
+    * ip_est).
+    */
+  private[graft] def towersDim(d: String): Int =
+    loadTowersMeta(d).map(_._3).getOrElse(
+      graft.streaming.Streams.loadCodebook(d).map(_.dim).getOrElse(
+        sys.error(s"no towers.meta or codebook.meta at $d — not a " +
+          "built index root")))
+
+  /** Delete the derived quantization-tier layouts + models of a root
+    * — every mutation of the towers (build/rebuild/add/remove) must
+    * call this, because the tiers are corpus-statistics caches of
+    * `enc_ivf` and would otherwise serve the pre-mutation corpus.
+    */
+  private[graft] def dropTierLayouts(
+      spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (n <- Seq("enc_ivf_sq8", "enc_ivf_pq", "sq.meta", "pq.meta"))
       fs.delete(new org.apache.hadoop.fs.Path(d, n), true)
-    nVict
   }
 
   /** Physical copy of a built index root into `dd` (gate plumbing
@@ -756,7 +789,7 @@ object Pipeline {
     loadDoublesMeta(d, "sq.meta") match {
       case Some((Seq(dim), v)) => (v.take(dim), v.drop(dim))
       case _ =>
-        val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+        val dim = towersDim(d)
         val vecs = spark.read.parquet(s"$d/enc_ivf")
           .select(col("vec_id"), col("cid"),
             transform(col("u16"), x => x.cast("double")).as("v"))
@@ -779,7 +812,7 @@ object Pipeline {
   private[graft] def ensurePqTier(
       spark: org.apache.spark.sql.SparkSession,
       d: String): Array[Array[Array[Double]]] = {
-    val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+    val dim = towersDim(d)
     val sub = dim / pqM
     loadDoublesMeta(d, "pq.meta") match {
       case Some((Seq(m, k, s), v)) =>
@@ -815,9 +848,10 @@ object Pipeline {
     */
   private[graft] def denseTopSq8(
       spark: org.apache.spark.sql.SparkSession, d: String,
-      qU16: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+      qU16: Seq[Long], k: Int, nProbe: Int,
+      probeCids: Option[Seq[Int]] = None): DataFrame = {
     val (mins, scales) = ensureSqTier(spark, d)
-    val cids = probeCidsOf(spark, d, qU16, nProbe)
+    val cids = probeCids.getOrElse(probeCidsOf(spark, d, qU16, nProbe))
     spark.read.parquet(s"$d/enc_ivf_sq8")
       .filter(col("cid").isin(cids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
@@ -841,7 +875,7 @@ object Pipeline {
       spark: org.apache.spark.sql.SparkSession, d: String,
       qU16: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val books = ensurePqTier(spark, d)
-    val dim = loadTowersMeta(d).map(_._3).getOrElse(Embed.dim)
+    val dim = towersDim(d)
     val sub = dim / pqM
     val cids = probeCidsOf(spark, d, qU16, nProbe)
     val q = qU16.map(_.toDouble).toArray
@@ -875,9 +909,11 @@ object Pipeline {
       spark: org.apache.spark.sql.SparkSession, d: String,
       qU16: Seq[Long], k: Int, nProbe: Int,
       overFetch: Int = 4): DataFrame = {
-    val short = denseTopSq8(spark, d, qU16, k * overFetch, nProbe)
-      .select("doc_id")
+    // ONE centroid-ranking job serves both stages — the shortlist's
+    // pruned sq8 scan and the exact refetch probe the same lists
     val cids = probeCidsOf(spark, d, qU16, nProbe)
+    val short = denseTopSq8(spark, d, qU16, k * overFetch, nProbe,
+      Some(cids)).select("doc_id")
     spark.read.parquet(s"$d/enc_ivf")
       .filter(col("cid").isin(cids.map(c => c: Any): _*))
       .join(broadcast(short), col("vec_id") === col("doc_id"))

@@ -3299,23 +3299,29 @@ object Streams {
       val reqDir = java.nio.file.Paths.get(s"$d/requests")
       java.nio.file.Files.createDirectories(reqDir)
       (0 until 2).foreach { w =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_st25_out_")
+        // Staging.scratch registers the wave dir with the shutdown
+        // cleanup hook (leftover part files reclaimed); the listing
+        // stream closes deterministically
+        val out = java.nio.file.Paths
+          .get(graft.Staging.scratch(s"st25_wave$w"))
         victims.filter(col("doc_id") >= lo + w * width &&
             col("doc_id") < lo + (w + 1) * width)
           .coalesce(1).write.mode("overwrite").parquet(out.toString)
-        val part = java.nio.file.Files.list(out).iterator()
-        var moved = false
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.toString.endsWith(".parquet") && !moved) {
-            val dest = reqDir.resolve(s"${w}_forget.parquet")
-            java.nio.file.Files.move(p, dest)
-            dest.toFile.setLastModified(
-              System.currentTimeMillis() - 60000L * (2 - w))
-            moved = true
+        val listing = java.nio.file.Files.list(out)
+        try {
+          val part = listing.iterator()
+          var moved = false
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.toString.endsWith(".parquet") && !moved) {
+              val dest = reqDir.resolve(s"${w}_forget.parquet")
+              java.nio.file.Files.move(p, dest)
+              dest.toFile.setLastModified(
+                System.currentTimeMillis() - 60000L * (2 - w))
+              moved = true
+            }
           }
-        }
+        } finally listing.close()
       }
       val q = spark.readStream
         .schema("doc_id BIGINT")

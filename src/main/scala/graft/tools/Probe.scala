@@ -246,23 +246,33 @@ object Probe {
         // lowering the AQE thresholds to probe-scale bytes: the
         // verdict join must then SPLIT the hot partition (the knob
         // production relies on)
+        // capture the SESSION'S prior values and restore them in one
+        // finally around both forced legs — a throw mid-leg must not
+        // leak probe-scale thresholds (or disabled broadcast) into
+        // the rest of the JVM
         val conf = spark.conf
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-        try runSkew(s"${copies}x-smj-lowthresh", replicated(copies))
-        finally ()
-        // d8's verdict join feeds a doc-keyed reassembly shuffle, so
-        // the default OptimizeSkewedJoin can decline (it avoids
-        // introducing extra exchanges); force-mode shows the split
-        // the isolated-join regime gets for free
-        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-        try runSkew(s"${copies}x-smj-forced", replicated(copies))
-        finally {
-          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
-          conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
-          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin")
+        val prior = keys.map(k => k -> conf.getOption(k)).toMap
+        try {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+          runSkew(s"${copies}x-smj-lowthresh", replicated(copies))
+          // d8's verdict join feeds a doc-keyed reassembly shuffle,
+          // so the default OptimizeSkewedJoin can decline (it avoids
+          // introducing extra exchanges); force-mode shows whether
+          // the isolated-join regime would split
+          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          runSkew(s"${copies}x-smj-forced", replicated(copies))
+        } finally keys.foreach { k =>
+          prior(k) match {
+            case Some(v) => conf.set(k, v)
+            case None    => conf.unset(k)
+          }
         }
       case "d8" => timed("d8",
         graft.operators.Dedup.lineDedupFrom(docs, 8).count(),
@@ -1111,10 +1121,14 @@ object Probe {
         // deletes. Measured at the same commit count, plus the
         // redelivery lookup cost against the head checkpoint.
         val plain = build(ckpt = true, txn = false)
+        // the presence question — committed(), not tagVersion():
+        // the exact-only tagVersion contract answers a version only
+        // for the newest folded batch, so probing historical tags
+        // through it would die below the watermark by design
         def lookupMs(log: TableLog, tag: Int => String): Double = {
           val t1 = System.nanoTime
           (0 until nC by math.max(1, nC / 64)).foreach(i =>
-            require(log.tagVersion(tag(i)).isDefined))
+            require(log.committed(tag(i))))
           (System.nanoTime - t1) / 1e6
         }
         val msTxn = lookupMs(withCk, i => s"b@$i")

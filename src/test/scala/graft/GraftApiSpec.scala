@@ -1292,8 +1292,18 @@ class GraftApiSpec extends SparkSpec {
       val ref = Graft.ragIndexOpen(spark, tmp2)
         .search("quokka windows", k = 5).collect()
       assert(afterRm.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
-      // rebuild() (the torn-remove repair) is a no-op on content
+      // rebuild() (the torn-remove repair) is a no-op on content AND
+      // clears stale tier layouts: a torn remove dies before its own
+      // tier-delete step, so the repair must not leave enc_ivf_sq8
+      // serving the forgotten doc
+      assert(idx.search("spark", k = 3, tier = "sq8").collect()
+        .nonEmpty) // re-mint a tier on the post-remove corpus
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "sq.meta")))
       idx.rebuild()
+      for (n <- Seq("enc_ivf_sq8", "sq.meta"))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, n)), s"$n survived rebuild()")
       val rebuilt = idx.search("quokka windows", k = 5).collect()
       assert(rebuilt.map(_.toSeq).toSeq == afterRm.map(_.toSeq).toSeq)
     } finally {
@@ -1416,10 +1426,14 @@ class GraftApiSpec extends SparkSpec {
     val tmp2 = java.nio.file.Files
       .createTempDirectory("graft_raglife_ref_").toString
     try {
-      // build on A, GROW by B, SHRINK by doc 1: net corpus = {2, 3}
+      // build on A, GROW by B, SHRINK by doc 1: net corpus = {2, 3}.
+      // The grow batch carries doc 3 TWICE — in-batch duplicates must
+      // land once (the downstream bit-equality against the net-corpus
+      // rebuild proves no tower doubled a row)
       val idx = Graft.ragIndex(docsA, "doc_id", "filepath", "lang",
         "text", stateRoot = Some(tmp))
-      assert(idx.add(docsB, "doc_id", "filepath", "lang", "text") == 1L)
+      assert(idx.add(docsB.unionByName(docsB), "doc_id", "filepath",
+        "lang", "text") == 1L)
       assert(idx.remove(Seq(1L)) == 1L)
       val cb = graft.streaming.Streams.loadCodebook(tmp).get
       Graft.ragNormalize(

@@ -7,6 +7,24 @@ package graft
   */
 class PlanSpec extends SparkSpec {
 
+  /** Flatten an executed plan through the AQE wrappers (adaptive
+    * root, query stages, reused exchanges) — one definition for
+    * every plan-shape test: a new wrapper exec gets added HERE or
+    * every shape assertion silently stops seeing subtrees.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
   private def plan(name: String): String = {
     val df = run(name)
     df.collect() // AQE: codegen/join shape only visible in the FINAL plan
@@ -56,15 +74,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("q11_scalar_subquery")
     df.collect()
     val all = flatten(df.queryExecution.executedPlan)
@@ -100,15 +109,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     for (name <- Seq("r15_vocab_build", "t11_tokenizer_encode")) {
       val df = run(name)
       df.collect()
@@ -254,15 +254,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("q25_grouping_sets")
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
@@ -324,15 +315,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("d8_line_dedup")
     df.collect()
     val all = flatten(df.queryExecution.executedPlan)
@@ -462,15 +444,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("r19_staged_eval")
     df.collect()
     val all = flatten(df.queryExecution.executedPlan)
@@ -498,15 +471,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("p4_context_pack")
     df.collect()
     val all = flatten(df.queryExecution.executedPlan)
@@ -552,15 +516,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val df = run("p3_dense_rerank")
     df.collect()
     val all = flatten(df.queryExecution.executedPlan)
