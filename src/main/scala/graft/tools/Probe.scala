@@ -1042,6 +1042,50 @@ object Probe {
         }
         runRag("base", full)
         runRag(s"${copies}x", replicatedFull(copies))
+      // the DELETE path at scale: build a root, then remove (a) a
+      // FEW docs (the GDPR-request shape — pruning should bound the
+      // serving-tower rewrite to the victims' buckets/lists) and (b)
+      // a 10% mass (every bucket/list affected). Reports wall + the
+      // affected-partition counts, splitting the cost question the
+      // scaladoc raises: pruned serving towers vs corpus-sized flat
+      // artifacts.
+      case "rm" =>
+        def runRm(tag: String, d: org.apache.spark.sql.DataFrame,
+            victimPick: org.apache.spark.sql.Column): Unit = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch(s"probe_rm_$tag")
+          d.select(col("doc_id"), col("text").as("body"))
+            .write.mode("overwrite").parquet(s"$root/routed")
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100)
+          val victims = spark.read.parquet(s"$root/routed")
+            .filter(victimPick).select("doc_id")
+          val nV = victims.count()
+          val vch = spark.read.parquet(s"$root/chunks")
+            .join(victims, Seq("doc_id"), "left_semi").select("chunk_id")
+          val nB = spark.read.parquet(s"$root/tf")
+            .join(vch, Seq("chunk_id"), "left_semi")
+            .select(graft.operators.Search.termBucket(col("term"), 32)
+              .as("tb")).distinct().count()
+          val nC = spark.read.parquet(s"$root/enc_ivf")
+            .join(vch.withColumnRenamed("chunk_id", "vec_id"),
+              Seq("vec_id"), "left_semi")
+            .select("cid").distinct().count()
+          val nLists = spark.read.parquet(s"$root/enc_ivf")
+            .select("cid").distinct().count()
+          val t0 = System.nanoTime
+          val n = graft.operators.Pipeline
+            .removeFromTowers(spark, root, victims)
+          val s = (System.nanoTime - t0) / 1e9
+          println(f"PROBE rm [$tag] removed $n of ${nV} picked in " +
+            f"$s%.1f s; affected $nB/32 term buckets, " +
+            f"$nC/$nLists ivf lists")
+        }
+        runRm("base-few", docs, col("doc_id") % 497 === 0)
+        runRm("base-mass", docs, col("doc_id") % 10 === 0)
+        runRm(s"${copies}x-few", replicated(copies),
+          col("doc_id") % 4993 === 0)
+        runRm(s"${copies}x-mass", replicated(copies),
+          col("doc_id") % 10 === 0)
       // p2's normalize-routing under CLASS SKEW: a corpus that is
       // ~100% ipynb (doc_id ≡ 21 mod 1768 → ext ipynb, never hidden,
       // never a dir) — every row pays r12's from_json and the other
