@@ -592,50 +592,69 @@ object Pipeline {
         victimsOf: DataFrame): DataFrame =
       src.join(victimsOf, Seq(key), "left_anti")
         .select(src.columns.map(col).toSeq: _*)
-    // routed shrinks FIRST (the torn-remove repair anchor)
-    replaceDir(spark, d, "routed",
-      antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id", victims))
-    replaceDir(spark, d, "chunks",
-      antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id", victims))
-    replaceDir(spark, d, "tf",
-      antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id", vchunks))
-    replaceDir(spark, d, "enc",
-      antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
-        vchunks.withColumnRenamed("chunk_id", "vec_id")))
-    // serving towers: rewrite ONLY the affected partitions — stage
-    // the survivors of those partitions, drop the partition dirs,
-    // land the survivors back (a fully-emptied partition stays gone)
-    replacePartitions(spark, d, "tf_b", "tb", vBuckets,
-      antiInOrder(spark.read.parquet(s"$d/tf_b")
-        .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
-        "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id")),
-      scratch)
-    replacePartitions(spark, d, "enc_ivf", "cid", vCids,
-      antiInOrder(spark.read.parquet(s"$d/enc_ivf")
-        .filter(col("cid").isin(vCids.map(c => c: Any): _*)),
-        "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id")),
-      scratch)
-    // stats: exact-integer decrement (len_sum/nd stays bit-equal to
-    // a rebuild's avg(dl) — integer-valued doubles below 2^53)
+    // stats decrement inputs read BEFORE any rewrite (exact-integer:
+    // len_sum/nd stays bit-equal to a rebuild's avg(dl) —
+    // integer-valued doubles below 2^53)
     val old = spark.read.parquet(s"$d/stats")
       .select("nd", "len_sum").collect()(0)
     val nd2 = old.getLong(0) - ndDec
     val ls2 = old.getLong(1) - lenDec
     import spark.implicits._
-    replaceDir(spark, d, "stats",
-      Seq((if (nd2 == 0L) 0.0 else ls2.toDouble / nd2, nd2, ls2))
-        .toDF("avgdl", "nd", "len_sum").coalesce(1))
-    // idf: vocab-sized df merge-down under the new nd; a term whose
-    // last posting left leaves the vocabulary
-    replaceDir(spark, d, "idf",
-      spark.read.parquet(s"$d/idf").select("term", "df")
-        .join(vdf.select("term", "df_dec"), Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("df_dec"), lit(0L))).as("df"))
-        .filter(col("df") > 0L)
-        .withColumn("idf_bm",
-          log(lit(1.0) + (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
-        .select("term", "df", "idf_bm"))
+    // routed shrinks FIRST and ALONE (the torn-remove repair anchor:
+    // if anything after this dies, rebuild() re-derives every tower
+    // from the already-shrunk routed)
+    replaceDir(spark, d, "routed",
+      antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id", victims))
+    // the remaining six rewrites touch DISJOINT tables whose inputs
+    // are all pre-staged (scratch victims/vtf + their own dirs), so
+    // they submit as CONCURRENT Spark jobs — a delete wave's latency
+    // is the longest single rewrite, not their sum (Spark job
+    // submission is thread-safe; each job's stages share the same
+    // executor pool)
+    val rewrites: Seq[() => Unit] = Seq(
+      () => replaceDir(spark, d, "chunks",
+        antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id",
+          victims)),
+      () => replaceDir(spark, d, "tf",
+        antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id", vchunks)),
+      () => replaceDir(spark, d, "enc",
+        antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
+          vchunks.withColumnRenamed("chunk_id", "vec_id"))),
+      // serving towers: rewrite ONLY the affected partitions — stage
+      // the survivors, drop the partition dirs, land the survivors
+      // back (a fully-emptied partition stays gone)
+      () => replacePartitions(spark, d, "tf_b", "tb", vBuckets,
+        antiInOrder(spark.read.parquet(s"$d/tf_b")
+          .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
+          "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id")),
+        scratch),
+      () => replacePartitions(spark, d, "enc_ivf", "cid", vCids,
+        antiInOrder(spark.read.parquet(s"$d/enc_ivf")
+          .filter(col("cid").isin(vCids.map(c => c: Any): _*)),
+          "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id")),
+        scratch),
+      () => {
+        replaceDir(spark, d, "stats",
+          Seq((if (nd2 == 0L) 0.0 else ls2.toDouble / nd2, nd2, ls2))
+            .toDF("avgdl", "nd", "len_sum").coalesce(1))
+        // idf: vocab-sized df merge-down under the new nd; a term
+        // whose last posting left leaves the vocabulary
+        replaceDir(spark, d, "idf",
+          spark.read.parquet(s"$d/idf").select("term", "df")
+            .join(vdf.select("term", "df_dec"), Seq("term"), "left")
+            .select(col("term"),
+              (col("df") - coalesce(col("df_dec"), lit(0L))).as("df"))
+            .filter(col("df") > 0L)
+            .withColumn("idf_bm",
+              log(lit(1.0) +
+                (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
+            .select("term", "df", "idf_bm"))
+      })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(rewrites.map(f => Future(f()))),
+      Duration.Inf)
     graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
     dropTierLayouts(spark, d)
     nVict
