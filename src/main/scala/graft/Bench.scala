@@ -141,13 +141,19 @@ object Bench {
     var rerunStagedSkip = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val stagedBefore = graft.Staging.stagedKeys
+      val genBefore = graft.Registries.gen
       var elapsed = timeOne(name, fn)
-      // a run that landed NEW memoized staging (Staging.dir) would
-      // re-run warm — its second timing reads the staged tree instead
-      // of building it, so best-of-2 would compare different work and
-      // publish a warm-cache minimum as the query's cost (round-14
-      // verdict: p2's 49.3 s build benched as a 1.51 s re-read)
-      val stagedDuring = graft.Staging.stagedKeys != stagedBefore
+      // a run that landed NEW memoized staging (Staging.dir) OR any
+      // first-touch model-registry work (Registries.gen — Ann's
+      // codebook/PQ/SQ/BQ maps, stream-source splits, tier mints)
+      // would re-run warm — its second timing reads the memoized
+      // artifact instead of building it, so best-of-2 would compare
+      // different work and publish a warm-cache minimum as the
+      // query's cost (round-14: p2's 49.3 s build benched as a
+      // 1.51 s re-read; round-15: s10's 19.6 s residual-PQ training
+      // benched as a 0.3 s warm-registry re-encode)
+      val stagedDuring = graft.Staging.stagedKeys != stagedBefore ||
+        graft.Registries.gen != genBefore
       spark.catalog.clearCache()
       // transient-outlier guard: a query far above its prior-round
       // record is far more often a GC/compilation/env transient than

@@ -1223,7 +1223,7 @@ object Graft {
         nProbe: Int = 8, rrfK: Int = 60, tier: String = "int16",
         overFetch: Int = 4): DataFrame =
       graft.operators.Pipeline.serveHybrid(spark, root,
-        query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq,
+        Graft.tokenizeQuery(query),
         graft.operators.Embed.u16Of(query, dim), kList, k, rrfK,
         nProbe, tier, overFetch)
     /** The staged index tables (chunks, towers) — inspection. */

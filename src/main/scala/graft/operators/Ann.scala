@@ -221,7 +221,8 @@ object Ann {
   private val corpusCounts = scala.collection.mutable.Map[String, Long]()
 
   private def embeddingCount(t: Tables): Long = corpusCounts.synchronized {
-    corpusCounts.getOrElseUpdate(t.dir, t.embeddings.count())
+    corpusCounts.getOrElseUpdate(t.dir,
+      { graft.Registries.bump(); t.embeddings.count() })
   }
 
   /** HASH-SAMPLED codebook training — the offline-model cost bought
@@ -287,7 +288,8 @@ object Ann {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cb = codebooks.synchronized {
       codebooks.getOrElseUpdate((t.dir, nLists, dim, iters),
-        trainCodebook(vecs, nLists, dim, iters))
+        { graft.Registries.bump()
+          trainCodebook(vecs, nLists, dim, iters) })
     }
     (vecs.select(col("vec_id"), col("v"),
       element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid")), cb)
@@ -534,7 +536,9 @@ object Ann {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     pqBooks.synchronized {
       pqBooks.getOrElseUpdate((t.dir, m, k, iters, dim),
-        Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters)))
+        { graft.Registries.bump()
+          Array.tabulate(m)(mi =>
+            trainPqSub(vecs, mi * sub, sub, k, iters)) })
     }
   }
 
@@ -870,6 +874,7 @@ object Ann {
     var resid = residualFrame(assigned, cb, dim)
     val books = residBooks.synchronized {
       residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim), {
+        graft.Registries.bump()
         resid = graft.Caches.materialized(resid)
         Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters))
       })
@@ -906,9 +911,11 @@ object Ann {
   private[graft] def sqModel(t: Tables,
       dim: Int = 64): (Array[Double], Array[Double]) =
     sqModels.synchronized {
-      sqModels.getOrElseUpdate((t.dir, dim),
+      sqModels.getOrElseUpdate((t.dir, dim), {
+        graft.Registries.bump()
         sqModelFrom(t.embeddings
-          .select(col("embedding").cast("array<double>").as("v")), dim))
+          .select(col("embedding").cast("array<double>").as("v")), dim)
+      })
     }
 
   /** The SQ8 model over an arbitrary (…, v) frame — no memoization
@@ -1172,6 +1179,7 @@ object Ann {
       dim: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) =
     sqPerListModels.synchronized {
       sqPerListModels.getOrElseUpdate((t.dir, nLists, dim), {
+        graft.Registries.bump()
         val (assigned, cb) = assignedVecs(t, nLists)
         val cents = centroidRows(cb, nLists, dim)
         val resid = graft.Caches.materialized(
@@ -1274,9 +1282,11 @@ object Ann {
 
   private[graft] def bqModel(t: Tables, dim: Int = 64): Array[Double] =
     bqModels.synchronized {
-      bqModels.getOrElseUpdate((t.dir, dim),
+      bqModels.getOrElseUpdate((t.dir, dim), {
+        graft.Registries.bump()
         bqModelFrom(t.embeddings
-          .select(col("embedding").cast("array<double>").as("v")), dim))
+          .select(col("embedding").cast("array<double>").as("v")), dim)
+      })
     }
 
   /** The BQ model over an arbitrary (…, v) frame: per-dim mean as ONE

@@ -81,6 +81,7 @@ object Streams {
     // file on a different column must never silently reuse the other
     // column's split
     staged.computeIfAbsent(s"$file#$splitCol", { _ =>
+      graft.Registries.bump()
       val f = file
       val spark = t.spark
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -3289,6 +3290,11 @@ object Streams {
       val victims = spark.read.parquet(s"$idx/routed")
         .filter(col("doc_id") % 5 === 1).select("doc_id")
       val mm = victims.agg(min("doc_id"), max("doc_id")).collect()(0)
+      // explicit gate precondition (p5's require, not an opaque NPE
+      // from getLong on the null min/max of an empty victim set)
+      require(!mm.isNullAt(0),
+        "st25 gate expects doc_id % 5 == 1 victims in the cloned " +
+          "fixture — got none")
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       // two waves: the continuous shape (multi-batch, ascending)
       // at half the gate cost — each wave's rewrite is corpus-sized
