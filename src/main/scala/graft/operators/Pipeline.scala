@@ -246,23 +246,50 @@ object Pipeline {
       spark: org.apache.spark.sql.SparkSession, d: String,
       size: Int, step: Int, dim: Int = Embed.dim,
       pinned: Option[graft.expressions.PlaneMatrix] = None): Unit = {
-      saveTowersMeta(d, size, step, dim)
+      // LAYOUT KNOBS from MEASURED bytes (the st13 stateBucketsFor
+      // law, the round-15 verdict's ask): doc-hash buckets for the
+      // flat artifacts so a delete wave rewrites victim buckets, not
+      // the corpus; term buckets for the postings sized by the same
+      // law (32 floor — at lake scale a query's bucket read stays
+      // ~targetBucketBytes instead of vocab/32). Both persist in
+      // towers.meta so every later mutation/serve derives the same
+      // partitioning.
+      val routedBytes = tableBytes(d, "routed")
+      val nDb = docBucketsFor(routedBytes)
+      val nLex = lexBucketsFor(routedBytes)
+      saveTowersMeta(d, size, step, dim, nDb, nLex)
       // derived tier layouts invalidate on ANY rebuild, not only on
       // add/remove — rebuild() is the documented repair for a TORN
       // mutation, and a torn remove's whole rewrite window precedes
       // its own tier-delete step: without this, a repaired root would
       // keep serving the forgotten doc from enc_ivf_sq8/enc_ivf_pq
       dropTierLayouts(spark, d)
-      val routed = spark.read.parquet(s"$d/routed")
+      // routed itself re-stages doc-bucketed (build-once cost; a
+      // rebuild over an already-bucketed routed re-derives db after
+      // the drop, so the layout is idempotent under rebuild())
+      val routed0 = spark.read.parquet(s"$d/routed")
+      replaceDir(spark, d, "routed",
+        (if (routed0.columns.contains("db")) routed0.drop("db")
+         else routed0)
+          .withColumn("db", docBucket(col("doc_id"), nDb)), Seq("db"))
+      val routed = spark.read.parquet(s"$d/routed").drop("db")
+      // each flat artifact pays ONE build-once exchange on db for a
+      // file-per-bucket layout (delete waves and bucket-pruned reads
+      // then touch whole small files, never row-slices of big ones)
       graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
         .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
           col("doc_id"), col("start"), col("chunk"))
-        .write.mode("overwrite").parquet(s"$d/chunks")
-      val ch = spark.read.parquet(s"$d/chunks")
+        .withColumn("db", docBucket(col("doc_id"), nDb))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$d/chunks")
+      val ch = spark.read.parquet(s"$d/chunks").drop("db")
       ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(s"$d/tf")
+        .withColumn("db",
+          docBucket(floor(col("chunk_id") / lit(1000000L)), nDb))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$d/tf")
       // the SERVING form of the sparse tower, staged once (the
       // build-once/query-many contract applied to BM25's own
       // inputs): corpus stats and per-term idf precomputed, doc
@@ -270,7 +297,7 @@ object Pipeline {
       // by a portable term bucket — a query reads only its terms'
       // buckets (p3's cid-prune applied to the lexical side) and
       // re-derives nothing corpus-wide per query
-      val tfD = spark.read.parquet(s"$d/tf")
+      val tfD = spark.read.parquet(s"$d/tf").drop("db")
         .withColumnRenamed("chunk_id", "doc_id")
       val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
       // stats carry the EXACT integer (nd, len_sum) alongside the
@@ -288,12 +315,23 @@ object Pipeline {
           log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
         .select("term", "df", "idf_bm")
         .write.mode("overwrite").parquet(s"$d/idf")
+      // tf_b is TWO-LEVEL partitioned (tb outer for the query-side
+      // term-bucket pruning literal, db inner for the delete-side
+      // victim-bucket pruning): a query reads its terms' tb dirs, a
+      // delete wave swaps only the (victim tb x victim db) cells
       tfD.join(dlD, "doc_id")
-        .withColumn("tb", Search.termBucket(col("term"), lexBuckets))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$d/tf_b")
+        .withColumn("tb", Search.termBucket(col("term"), nLex))
+        .withColumn("db",
+          docBucket(floor(col("doc_id") / lit(1000000L)), nDb))
+        .repartition(col("tb"), col("db"))
+        .write.mode("overwrite").partitionBy("tb", "db")
+        .parquet(s"$d/tf_b")
       val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
-      enc.write.mode("overwrite").parquet(s"$d/enc")
+      enc
+        .withColumn("db",
+          docBucket(floor(col("vec_id") / lit(1000000L)), nDb))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$d/enc")
       // The dense tower lives in the STORED-CODE space: IVF trains
       // and assigns on the exact u16 integer code vectors (cast to
       // double — every value exactly representable), so the whole
@@ -330,12 +368,65 @@ object Pipeline {
         .parquet(s"$d/enc_ivf")
   }
 
-  /** Term-bucket count for the partitioned postings layout. Pinned
-    * at 32 for the sandbox corpora; at lake scale it grows with the
-    * corpus like [[Ann.ivfConfigFor]] — the bucket is a build knob,
-    * not a semantic one (pruning only narrows the scan).
+  /** Term-bucket FLOOR for the partitioned postings layout (and the
+    * bucket count of every legacy root built before the layout knobs
+    * were persisted). [[lexBucketsFor]] grows it with measured bytes;
+    * the bucket is a build knob, not a semantic one (pruning only
+    * narrows the scan).
     */
   private[graft] val lexBuckets = 32
+
+  /** Doc-hash bucket of the flat build artifacts: xxhash64 of the
+    * doc id mod `nDb` — uniform regardless of id clustering (a
+    * contiguous tenant's ids spread evenly), deterministic across
+    * sessions, and cheaply re-derivable for any victim set at delete
+    * time. Never enters an oracle: readers drop it.
+    */
+  private[graft] def docBucket(docId: Column, nDb: Int): Column =
+    pmod(xxhash64(docId.cast("long")), lit(nDb.toLong))
+
+  /** Doc-bucket count from measured routed bytes: the st13
+    * [[graft.streaming.Streams.stateBucketsFor]] law (pow2, 64 MB
+    * target), floored at 16 and capped at 4096 — past the cap the
+    * per-bucket parquet row-group stats take over (the st13 posture),
+    * and the tf_b cell count (nLex x nDb dirs) stays listable.
+    */
+  private[graft] def docBucketsFor(routedBytes: Long): Int =
+    math.min(4096,
+      graft.streaming.Streams.stateBucketsFor(routedBytes, floor = 16))
+
+  /** Term-bucket count from the same measured bytes (postings bytes
+    * track body bytes within a small factor): floored at the legacy
+    * [[lexBuckets]], capped at 2048 so a query's per-term read stays
+    * ~target-bucket-sized as the vocabulary grows with the corpus.
+    */
+  private[graft] def lexBucketsFor(routedBytes: Long): Int =
+    math.min(2048,
+      graft.streaming.Streams.stateBucketsFor(routedBytes,
+        floor = lexBuckets))
+
+  /** Measured parquet bytes under a staged table dir — a driver-side
+    * file listing, never a data scan.
+    */
+  private def tableBytes(d: String, name: String): Long =
+    graft.streaming.Streams.stateDirBytes(s"$d/$name")
+
+  /** The persisted layout knobs (docBuckets, lexBuckets) of a built
+    * root; a legacy 3-line towers.meta (or none) reads as (0,
+    * [[lexBuckets]]) — flat artifacts, 32 term buckets — and every
+    * mutation path keeps serving that layout until a rebuild mints
+    * the bucketed one.
+    */
+  private[graft] def layoutOf(d: String): (Int, Int) = {
+    val p = java.nio.file.Paths.get(d, "towers.meta")
+    if (!java.nio.file.Files.exists(p)) (0, lexBuckets)
+    else {
+      val l = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      if (l.length >= 5) (l(3).toInt, l(4).toInt) else (0, lexBuckets)
+    }
+  }
 
   /** Persisted build knobs — a grow/reopen on a durable root must
     * chunk (`size`/`step`) and encode (`dim`) with the BUILD's
@@ -344,10 +435,11 @@ object Pipeline {
     * write as the codebook's.
     */
   private[graft] def saveTowersMeta(d: String, size: Int, step: Int,
-      dim: Int): Unit = {
+      dim: Int, nDb: Int, nLex: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
     val tmp = java.nio.file.Paths.get(d, "towers.meta.tmp")
-    java.nio.file.Files.write(tmp, s"$size\n$step\n$dim\n"
+    java.nio.file.Files.write(tmp,
+      s"$size\n$step\n$dim\n$nDb\n$nLex\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(d, "towers.meta"),
@@ -374,13 +466,19 @@ object Pipeline {
     * to own — concurrent adds are out of contract ([[addToTowers]]).
     */
   private def replaceDir(spark: org.apache.spark.sql.SparkSession,
-      d: String, name: String, next: DataFrame): Unit = {
+      d: String, name: String, next: DataFrame,
+      partCols: Seq[String] = Nil): Unit = {
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(d, s"$name.next")
     val dst = new org.apache.hadoop.fs.Path(d, name)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
+    if (partCols.isEmpty)
+      next.write.mode("overwrite").parquet(tmp.toString)
+    else
+      next.repartition(partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(tmp.toString)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) sys.error(s"rename $tmp -> $dst failed")
   }
@@ -421,6 +519,14 @@ object Pipeline {
     val (size, step, dim) = loadTowersMeta(d).getOrElse(sys.error(
       s"no towers.meta at $d — not a buildTowers root (rebuild once " +
         "with Graft.ragIndex to mint it)"))
+    val (nDb, nLex) = layoutOf(d)
+    // append `df` to a flat build artifact in the ROOT'S OWN layout:
+    // doc-bucketed when the root carries layout knobs, flat for a
+    // legacy root (a mixed layout would break partition discovery)
+    def appendFlat(name: String, df: DataFrame, docId: Column): Unit =
+      if (nDb == 0) df.write.mode("append").parquet(s"$d/$name")
+      else df.withColumn("db", docBucket(docId, nDb))
+        .write.mode("append").partitionBy("db").parquet(s"$d/$name")
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
       sys.error(s"no codebook.meta at $d"))
     graft.Caches.fresh()
@@ -443,24 +549,32 @@ object Pipeline {
     val arr = spark.read.parquet(s"$scratch/arr")
     val nNew = arr.count()
     if (nNew == 0L) return 0L
-    arr.write.mode("append").parquet(s"$d/routed")
+    appendFlat("routed", arr, col("doc_id"))
     val chNew = graft.Caches.materialized(
       graft.api.Graft.chunk(arr, "doc_id", "body", size, step)
         .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
           col("doc_id"), col("start"), col("chunk")))
-    chNew.write.mode("append").parquet(s"$d/chunks")
+    appendFlat("chunks", chNew, col("doc_id"))
     val tfNew = graft.Caches.materialized(chNew
       .select(col("chunk_id"),
         explode(Text.tokenize(col("chunk"))).as("term"))
       .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf")))
-    tfNew.write.mode("append").parquet(s"$d/tf")
+    appendFlat("tf", tfNew, floor(col("chunk_id") / lit(1000000L)))
     val tfD = tfNew.withColumnRenamed("chunk_id", "doc_id")
     val dlNew = graft.Caches.materialized(
       tfD.groupBy("doc_id").agg(sum("tf").as("dl")))
-    tfD.join(dlNew, "doc_id")
-      .withColumn("tb", Search.termBucket(col("term"), lexBuckets))
-      .repartition(col("tb"))
-      .write.mode("append").partitionBy("tb").parquet(s"$d/tf_b")
+    val tfbNew = tfD.join(dlNew, "doc_id")
+      .withColumn("tb", Search.termBucket(col("term"), nLex))
+    if (nDb == 0)
+      tfbNew.repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$d/tf_b")
+    else
+      tfbNew
+        .withColumn("db",
+          docBucket(floor(col("doc_id") / lit(1000000L)), nDb))
+        .repartition(col("tb"), col("db"))
+        .write.mode("append").partitionBy("tb", "db")
+        .parquet(s"$d/tf_b")
     // stats: exact-integer rollup — one stored row + one arrival row
     val old = spark.read.parquet(s"$d/stats")
       .select("nd", "len_sum").collect()(0)
@@ -488,7 +602,7 @@ object Pipeline {
     // append cid-partitioned (st15MaintainStep's shape)
     val encNew = graft.Caches.materialized(
       Embed.encodeFrame(chNew, "chunk_id", "chunk", d = dim))
-    encNew.write.mode("append").parquet(s"$d/enc")
+    appendFlat("enc", encNew, floor(col("vec_id") / lit(1000000L)))
     encNew
       .withColumn("cid",
         element_at(graft.functions.Vectors.centroidRanks(
@@ -509,18 +623,18 @@ object Pipeline {
     * forgotten path — build → serve → grow → REMOVE): drop every
     * trace of `idsDf`'s doc_ids from the [[buildTowers]] layout.
     *
-    * The SERVING towers rewrite only their AFFECTED partitions — the
-    * victims' term buckets of `tf_b` (≤ [[lexBuckets]] dirs) and the
-    * victims' coarse lists of `enc_ivf` (≤ nProbe-scale of √n dirs)
-    * are re-staged minus the victim rows; untouched partitions keep
-    * their files byte-for-byte (at 100 TB: a delete touches the few
-    * list/bucket dirs the victims live in, not the lake). The flat
-    * BUILD artifacts (`routed`/`chunks`/`tf`/`enc`) pay an anti-join
-    * rewrite — parquet is immutable, so deletion is a rewrite of the
-    * files that contain victims; a lake deployment would partition
-    * these by doc bucket exactly like the serving towers (or defer
-    * to merge-on-read tombstones + io11-style vacuum), which is a
-    * layout knob, not a semantic one.
+    * EVERY table rewrites only its AFFECTED partitions on a
+    * bucketed-layout root: the victims' doc buckets of the flat
+    * artifacts (`routed`/`chunks`/`tf`/`enc` — ≤ min(victims,
+    * docBuckets) dirs each), the (victim term bucket x victim doc
+    * bucket) cells of `tf_b`, and the victims' coarse lists of
+    * `enc_ivf` (≤ nProbe-scale of √n dirs); untouched partitions
+    * keep their files byte-for-byte, so at 100 TB a delete wave's
+    * cost is VICTIMS-coupled, never corpus-coupled (the round-15
+    * scale-killer: the four flat artifacts used to pay a full
+    * corpus-sized anti-join rewrite per wave). Legacy roots without
+    * persisted layout knobs (3-line towers.meta) keep the flat
+    * anti-join path until a rebuild mints the bucketed layout.
     *
     * The corpus rollups recompute EXACTLY: `stats` decrements the
     * persisted integer (nd, len_sum) by the victims' (one 1-row
@@ -577,14 +691,31 @@ object Pipeline {
     // token-less chunk never entered stats), so the decrement counts
     // the victim chunks that appear in tf, not every victim chunk
     val ndDec = vtf.select("chunk_id").distinct().count()
-    // affected serving partitions (bounded lists of partition values)
+    // affected partitions (bounded lists of partition values): the
+    // victims' term buckets, coarse lists, and — on a bucketed-layout
+    // root — their doc buckets, which prune every FLAT artifact's
+    // rewrite to the victim buckets (the round-15 scale-killer:
+    // these four tables used to pay a corpus-sized anti-join rewrite
+    // per wave)
+    val (nDb, nLex) = layoutOf(d)
     val vBuckets = vdf
-      .select(Search.termBucket(col("term"), lexBuckets).as("tb"))
+      .select(Search.termBucket(col("term"), nLex).as("tb"))
       .distinct().collect().map(_.getLong(0).toInt).toSeq
     val vCids = spark.read.parquet(s"$d/enc_ivf")
       .join(vchunks.withColumnRenamed("chunk_id", "vec_id"),
         Seq("vec_id"), "left_semi")
       .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val vDbs: Seq[Any] =
+      if (nDb == 0) Nil
+      else victims.select(docBucket(col("doc_id"), nDb).as("db"))
+        .distinct().collect().map(_.getLong(0): Any).toSeq
+    // a delete wave must leave a non-empty index: a dir-less
+    // partitioned table can't even be read back, and "forget the
+    // whole corpus" is an explicit teardown, not an erasure wave
+    if (nDb > 0)
+      require(nVict < spark.read.parquet(s"$d/routed").count(),
+        "removeFromTowers would delete every routed doc — tear the " +
+          "root down (or rebuild empty) instead of erasing in place")
     // a left_anti join hoists its key to the front — re-select the
     // source's own column order so the rewritten table is bit-equal
     // to a rebuild's, schema included
@@ -602,37 +733,68 @@ object Pipeline {
     import spark.implicits._
     // routed shrinks FIRST and ALONE (the torn-remove repair anchor:
     // if anything after this dies, rebuild() re-derives every tower
-    // from the already-shrunk routed)
-    replaceDir(spark, d, "routed",
-      antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id", victims))
+    // from the already-shrunk routed). On a bucketed root only the
+    // victim doc buckets swap; untouched buckets keep their files.
+    if (nDb == 0)
+      replaceDir(spark, d, "routed",
+        antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id",
+          victims))
+    else
+      replacePartitions(spark, d, "routed", Seq("db"),
+        vDbs.map(Seq(_)),
+        antiInOrder(spark.read.parquet(s"$d/routed")
+          .filter(col("db").isin(vDbs: _*)), "doc_id", victims))
     // the remaining six rewrites touch DISJOINT tables whose inputs
     // are all pre-staged (scratch victims/vtf + their own dirs), so
     // they submit as CONCURRENT Spark jobs — a delete wave's latency
     // is the longest single rewrite, not their sum (Spark job
     // submission is thread-safe; each job's stages share the same
     // executor pool)
-    val rewrites: Seq[() => Unit] = Seq(
-      () => replaceDir(spark, d, "chunks",
-        antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id",
-          victims)),
-      () => replaceDir(spark, d, "tf",
-        antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id", vchunks)),
-      () => replaceDir(spark, d, "enc",
-        antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
-          vchunks.withColumnRenamed("chunk_id", "vec_id"))),
-      // serving towers: rewrite ONLY the affected partitions — stage
-      // the survivors, drop the partition dirs, land the survivors
-      // back (a fully-emptied partition stays gone)
-      () => replacePartitions(spark, d, "tf_b", "tb", vBuckets,
-        antiInOrder(spark.read.parquet(s"$d/tf_b")
-          .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
-          "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id")),
-        scratch),
-      () => replacePartitions(spark, d, "enc_ivf", "cid", vCids,
+    val flatRewrites: Seq[() => Unit] =
+      if (nDb == 0) Seq( // legacy flat roots: corpus-sized anti-joins
+        () => replaceDir(spark, d, "chunks",
+          antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id",
+            victims)),
+        () => replaceDir(spark, d, "tf",
+          antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id",
+            vchunks)),
+        () => replaceDir(spark, d, "enc",
+          antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
+            vchunks.withColumnRenamed("chunk_id", "vec_id"))),
+        () => replacePartitions(spark, d, "tf_b", Seq("tb"),
+          vBuckets.map(Seq(_)),
+          antiInOrder(spark.read.parquet(s"$d/tf_b")
+            .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
+            "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
+      else Seq( // bucketed roots: every flat rewrite is VICTIMS-SIZED
+        () => replacePartitions(spark, d, "chunks", Seq("db"),
+          vDbs.map(Seq(_)),
+          antiInOrder(spark.read.parquet(s"$d/chunks")
+            .filter(col("db").isin(vDbs: _*)), "doc_id", victims)),
+        () => replacePartitions(spark, d, "tf", Seq("db"),
+          vDbs.map(Seq(_)),
+          antiInOrder(spark.read.parquet(s"$d/tf")
+            .filter(col("db").isin(vDbs: _*)), "chunk_id", vchunks)),
+        () => replacePartitions(spark, d, "enc", Seq("db"),
+          vDbs.map(Seq(_)),
+          antiInOrder(spark.read.parquet(s"$d/enc")
+            .filter(col("db").isin(vDbs: _*)), "vec_id",
+            vchunks.withColumnRenamed("chunk_id", "vec_id"))),
+        // the postings swap only the (victim tb x victim db) cells —
+        // the cross product is a bounded superset of the victim
+        // cells (a non-victim cell in it rewrites to itself)
+        () => replacePartitions(spark, d, "tf_b", Seq("tb", "db"),
+          for (tb <- vBuckets; db <- vDbs) yield Seq(tb, db),
+          antiInOrder(spark.read.parquet(s"$d/tf_b")
+            .filter(col("tb").isin(vBuckets.map(b => b: Any): _*) &&
+              col("db").isin(vDbs: _*)),
+            "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
+    val rewrites: Seq[() => Unit] = flatRewrites ++ Seq(
+      () => replacePartitions(spark, d, "enc_ivf", Seq("cid"),
+        vCids.map(Seq(_)),
         antiInOrder(spark.read.parquet(s"$d/enc_ivf")
           .filter(col("cid").isin(vCids.map(c => c: Any): _*)),
-          "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id")),
-        scratch),
+          "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id"))),
       () => {
         replaceDir(spark, d, "stats",
           Seq((if (nd2 == 0L) 0.0 else ls2.toDouble / nd2, nd2, ls2))
@@ -653,10 +815,20 @@ object Pipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(rewrites.map(f => Future(f()))),
+    // SETTLE every rewrite before propagating a failure: rethrowing
+    // while sibling futures are mid-swap would let a zombie thread
+    // swap a stale dir back in AFTER the documented repair
+    // (rebuild()) rewrote it. Scratch cleanup and the tier-layout
+    // invalidation run on BOTH paths — a torn remove must not leave
+    // enc_ivf_sq8/enc_ivf_pq serving the forgotten doc.
+    val settled = Await.result(
+      Future.sequence(rewrites.map(f => Future(scala.util.Try(f())))),
       Duration.Inf)
-    graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
-    dropTierLayouts(spark, d)
+    try settled.foreach(_.get)
+    finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+      dropTierLayouts(spark, d)
+    }
     nVict
   }
 
@@ -709,34 +881,41 @@ object Pipeline {
 
   /** Partition-pruned rewrite of a partitioned staged table: stage
     * `survivors` (the affected partitions' rows minus the victims)
-    * to scratch, DELETE the affected `part=<v>` dirs, land the
-    * survivors back with an append-partitionBy write. Untouched
-    * partitions keep their files; an emptied partition's dir stays
-    * deleted (dynamic partition overwrite would silently leave it).
+    * one-file-per-partition into `<name>.next`, then SWAP each
+    * affected partition dir — delete + rename, never an append job —
+    * so untouched partitions keep their files byte-for-byte, a
+    * fully-emptied partition's dir stays deleted (its cell stages no
+    * files; dynamic partition overwrite would silently leave it),
+    * and a torn swap loses at most one partition with its complete
+    * replacement sitting in `<name>.next` for manual repair (the
+    * [[replaceDir]] guarantee, per-partition). `parts` are the
+    * affected partition-value tuples, one per `partCols` level.
     */
   private def replacePartitions(
       spark: org.apache.spark.sql.SparkSession, d: String,
-      name: String, partCol: String, parts: Seq[Int],
-      survivors: DataFrame, scratch: String): Unit = {
-    val stage = s"$scratch/${name}_next"
-    survivors.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      name: String, partCols: Seq[String], parts: Seq[Seq[Any]],
+      survivors: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    parts.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(d, s"$name/$partCol=$v"),
-        true)
+    val stage = new org.apache.hadoop.fs.Path(d, s"$name.next")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    survivors.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(stage.toString)
+    parts.foreach { vs =>
+      val rel = partCols.zip(vs).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+      val dst = new org.apache.hadoop.fs.Path(d, s"$name/$rel")
+      fs.delete(dst, true)
+      val src = new org.apache.hadoop.fs.Path(stage, rel)
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          sys.error(s"rename $src -> $dst failed")
+      }
     }
-    // the staged survivors are already one-file-per-partition from
-    // the pre-delete repartition write; land them without reshuffling.
-    // A fully-emptied partition set stages no files at all (the dirs
-    // stay deleted — the correct end state), and an empty parquet dir
-    // can't even be read, so probe before landing.
-    val staged = fs.globStatus(
-      new org.apache.hadoop.fs.Path(stage, s"$partCol=*"))
-    if (staged != null && staged.nonEmpty)
-      spark.read.parquet(stage)
-        .write.mode("append").partitionBy(partCol).parquet(s"$d/$name")
+    fs.delete(stage, true)
+    ()
   }
 
   // ------------------------------------------------------------------
@@ -808,6 +987,7 @@ object Pipeline {
     loadDoublesMeta(d, "sq.meta") match {
       case Some((Seq(dim), v)) => (v.take(dim), v.drop(dim))
       case _ =>
+        graft.Registries.bump() // mint-once tier work (bench-visible)
         val dim = towersDim(d)
         val vecs = spark.read.parquet(s"$d/enc_ivf")
           .select(col("vec_id"), col("cid"),
@@ -838,6 +1018,7 @@ object Pipeline {
         Array.tabulate(m)(mi => Array.tabulate(k)(ki =>
           v.slice((mi * k + ki) * s, (mi * k + ki) * s + s)))
       case _ =>
+        graft.Registries.bump() // mint-once tier work (bench-visible)
         val vecs = spark.read.parquet(s"$d/enc_ivf")
           .select(col("vec_id"), col("cid"),
             transform(col("u16"), x => x.cast("double")).as("v"))
@@ -892,11 +1073,12 @@ object Pipeline {
     */
   private[graft] def denseTopPq(
       spark: org.apache.spark.sql.SparkSession, d: String,
-      qU16: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+      qU16: Seq[Long], k: Int, nProbe: Int,
+      probeCids: Option[Seq[Int]] = None): DataFrame = {
     val books = ensurePqTier(spark, d)
     val dim = towersDim(d)
     val sub = dim / pqM
-    val cids = probeCidsOf(spark, d, qU16, nProbe)
+    val cids = probeCids.getOrElse(probeCidsOf(spark, d, qU16, nProbe))
     val q = qU16.map(_.toDouble).toArray
     // dt(mi)(j) = q_sv · codeword_j — ascending-index fold, the same
     // sequential sum DuckDB's list_dot_product computes
@@ -927,12 +1109,21 @@ object Pipeline {
   private[graft] def denseTopRerank(
       spark: org.apache.spark.sql.SparkSession, d: String,
       qU16: Seq[Long], k: Int, nProbe: Int,
-      overFetch: Int = 4): DataFrame = {
+      overFetch: Int = 4, shortTier: String = "sq8"): DataFrame = {
     // ONE centroid-ranking job serves both stages — the shortlist's
-    // pruned sq8 scan and the exact refetch probe the same lists
+    // pruned compressed scan and the exact refetch probe the same
+    // lists. `shortTier` picks the shortlist's code layout: sq8
+    // (~exact dots on this corpus) or pq (FAISS's IVFPQ+refine
+    // posture — the refine stage makes the PQ tier's ordering exact
+    // over whatever its ADC shortlist surfaced)
     val cids = probeCidsOf(spark, d, qU16, nProbe)
-    val short = denseTopSq8(spark, d, qU16, k * overFetch, nProbe,
-      Some(cids)).select("doc_id")
+    val short = (shortTier match {
+      case "sq8" => denseTopSq8(spark, d, qU16, k * overFetch, nProbe,
+        Some(cids))
+      case "pq" => denseTopPq(spark, d, qU16, k * overFetch, nProbe,
+        Some(cids))
+      case other => sys.error(s"unknown rerank shortlist tier '$other'")
+    }).select("doc_id")
     spark.read.parquet(s"$d/enc_ivf")
       .filter(col("cid").isin(cids.map(c => c: Any): _*))
       .join(broadcast(short), col("vec_id") === col("doc_id"))
@@ -975,6 +1166,21 @@ object Pipeline {
       overFetch)
       .withColumnRenamed("doc_id", "chunk_id")
 
+  /** p3's dense tower with PQ shortlist + exact rerank, gated —
+    * (chunk_id, score) top-10 by the exact integer dot over a 4x
+    * over-fetched ADC shortlist (FAISS's IVFPQ+refine). Makes the PQ
+    * tier's ORDERING exact; its recall stays bounded by what the ADC
+    * shortlist surfaces (honest on this md5-uniform corpus: the
+    * round-15 null experiment pinned PQ recall at ~0 here — real
+    * embedding corpora have the low intrinsic dimension PQ needs).
+    */
+  def p3DensePqRerank(t: Tables, k: Int = 10, nProbe: Int = 8,
+      overFetch: Int = 4): DataFrame =
+    denseTopRerank(t.spark, ragRoot(t),
+      Embed.u16Of(Search.queryTerms.mkString(" ")), k, nProbe,
+      overFetch, "pq")
+      .withColumnRenamed("doc_id", "chunk_id")
+
   /** p5: DELETE FROM A BUILT INDEX, END TO END (the right-to-be-
     * forgotten drill [[removeFromTowers]] gated on the full chain):
     * clone p2's staged root, remove every routed doc with
@@ -995,8 +1201,10 @@ object Pipeline {
     *
     * Scale: the clone is a one-time fs copy of the staged fixture
     * (gate plumbing, not the operator); the remove itself rewrites
-    * only the victims' term-bucket/coarse-list partitions of the
-    * serving towers plus the flat build artifacts ([[removeFromTowers]]).
+    * only the victims' doc-bucket partitions of the flat artifacts
+    * and the victims' term-bucket/coarse-list partitions of the
+    * serving towers ([[removeFromTowers]] — victims-coupled bytes,
+    * never corpus-coupled).
     */
   def p5IndexRemove(t: Tables, mod: Int = 7, res: Int = 3,
       k: Int = 5): DataFrame = {
@@ -1013,7 +1221,7 @@ object Pipeline {
       ()
     }
     val tbl = ragTablesAt(spark, d)
-    val serve = bm25Staged(tbl, Search.queryTerms, k)
+    val serve = bm25Staged(tbl, Search.queryTerms, k, layoutOf(d)._2)
     val rows = Seq(
       tbl("routed").agg(count(lit(1)).as("n_rows"),
         sum(length(col("body"))).cast("long").as("aux"))
@@ -1061,7 +1269,13 @@ object Pipeline {
       d: String): Map[String, DataFrame] =
     Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
         "enc_ivf")
-      .map(n => n -> spark.read.parquet(s"$d/$n")).toMap +
+      .map { n =>
+        // the doc-bucket layout column is partitioning, not data —
+        // readers (and the oracle/equality dumps) see the logical
+        // schema on bucketed and legacy roots alike
+        val df = spark.read.parquet(s"$d/$n")
+        n -> (if (df.columns.contains("db")) df.drop("db") else df)
+      }.toMap +
       ("dense" -> spark.read.parquet(s"$d/enc_ivf")
         .select("vec_id", "cid"))
 
@@ -1073,8 +1287,8 @@ object Pipeline {
     * the equality.
     */
   private[graft] def bm25Staged(tbl: Map[String, DataFrame],
-      terms: Seq[String], k: Int): DataFrame = {
-    val buckets = terms.map(Search.termBucketOf(_, lexBuckets)).distinct
+      terms: Seq[String], k: Int, nLex: Int): DataFrame = {
+    val buckets = terms.map(Search.termBucketOf(_, nLex)).distinct
     Search.bm25ScoresStaged(
       tbl("tf_b").filter(col("tb").isin(buckets.map(b => b: Any): _*)),
       tbl("idf"), tbl("stats"), terms)
@@ -1088,7 +1302,8 @@ object Pipeline {
   private[graft] def serveStandard(
       spark: org.apache.spark.sql.SparkSession, d: String,
       k: Int): DataFrame =
-    bm25Staged(ragTablesAt(spark, d), Search.queryTerms, k)
+    bm25Staged(ragTablesAt(spark, d), Search.queryTerms, k,
+        layoutOf(d)._2)
       .withColumnRenamed("doc_id", "chunk_id")
 
   /** p2: THE REFERENCE'S RAG INGEST PIPELINE END-TO-END — prepare
@@ -1122,13 +1337,14 @@ object Pipeline {
     * staged TF tower only.
     */
   def p2RagIngest(t: Tables, k: Int = 5): DataFrame = {
-    val tbl = ragTables(t)
+    val d = ragRoot(t)
+    val tbl = ragTablesAt(t.spark, d)
     val docs = t.documents
     val cls = docs.select(col("doc_id"), col("source"))
       .withColumn("filepath", Ingest.synthFilepath)
       .withColumn("kept",
         Ingest.actionOf(col("filepath")).isin("doc", "code").cast("long"))
-    val serve = bm25Staged(tbl, Search.queryTerms, k)
+    val serve = bm25Staged(tbl, Search.queryTerms, k, layoutOf(d)._2)
     val rows = Seq(
       docs.agg(count(lit(1)).as("n_rows"),
         sum(length(col("text"))).cast("long").as("aux"))
@@ -1256,12 +1472,13 @@ object Pipeline {
     * PlanSpec-locked via its callers), with the candidate chunk's
     * token count (dl, riding the posting) carried when `withDl`.
     */
-  private def selfQueryScores(tbl: Map[String, DataFrame],
-      qrows: Seq[(Long, String)], withDl: Boolean): DataFrame = {
+  private[graft] def selfQueryScores(tbl: Map[String, DataFrame],
+      qrows: Seq[(Long, String)], withDl: Boolean,
+      nLex: Int): DataFrame = {
     val spark = tbl("tf").sparkSession
     import spark.implicits._
     val terms = qrows.map(_._2).distinct
-    val buckets = terms.map(Search.termBucketOf(_, lexBuckets)).distinct
+    val buckets = terms.map(Search.termBucketOf(_, nLex)).distinct
     val aggs =
       if (withDl) Seq(round(sum("contrib"), 4).as("score"),
         max("dl").as("n_tokens"))
@@ -1283,7 +1500,8 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val tbl = ragTablesAt(spark, d)
     val qrows = selfQuerySet(tbl, nQueries, topT)
-    val scores = selfQueryScores(tbl, qrows, withDl = false)
+    val scores = selfQueryScores(tbl, qrows, withDl = false,
+      nLex = layoutOf(d)._2)
     val wr = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc_id"))
     scores
@@ -1337,7 +1555,7 @@ object Pipeline {
     val tbl = ragTablesAt(spark, d)
     packFromScores(
       selfQueryScores(tbl, selfQuerySet(tbl, nQueries, topT),
-        withDl = true),
+        withDl = true, nLex = layoutOf(d)._2),
       kCand, maxPerDoc, budget)
   }
 
@@ -1351,11 +1569,17 @@ object Pipeline {
       queries: Seq[String], kCand: Int, maxPerDoc: Int,
       budget: Int): DataFrame = {
     val tbl = ragTablesAt(spark, d)
+    // ONE query-tokenization rule engine-wide (Graft.tokenizeQuery,
+    // Locale.ROOT): a default-locale toLowerCase would tokenize 'I'
+    // differently on a tr-locale JVM and silently miss the postings
+    // the engine's Spark-side lower() indexed
     val qrows = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+      graft.api.Graft.tokenizeQuery(q).distinct
         .map(term => (i.toLong, term))
     }
-    packFromScores(selfQueryScores(tbl, qrows, withDl = true),
+    packFromScores(
+      selfQueryScores(tbl, qrows, withDl = true,
+        nLex = layoutOf(d)._2),
       kCand, maxPerDoc, budget)
   }
 
@@ -1363,7 +1587,7 @@ object Pipeline {
     * top-kCand cut, ≤maxPerDoc per source doc, greedy budget prefix
     * — three qid-partitioned window stages.
     */
-  private def packFromScores(scores: DataFrame, kCand: Int,
+  private[graft] def packFromScores(scores: DataFrame, kCand: Int,
       maxPerDoc: Int, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("qid")
@@ -1435,7 +1659,7 @@ object Pipeline {
       rrfK: Int, nProbe: Int, tier: String = "int16",
       overFetch: Int = 4): DataFrame = {
     val tbl = ragTablesAt(spark, d)
-    val lex = bm25Staged(tbl, terms, kList)
+    val lex = bm25Staged(tbl, terms, kList, layoutOf(d)._2)
     // the dense tower's quantization tier: every tier emits a
     // (doc_id, score)-ranked frame under the tower's inner-product
     // metric (rank order is all RRF consumes)
@@ -1447,8 +1671,10 @@ object Pipeline {
         .withColumnRenamed("ip_est", "score")
       case "sq8_rerank" =>
         denseTopRerank(spark, d, qU16, kList, nProbe, overFetch)
+      case "pq_rerank" =>
+        denseTopRerank(spark, d, qU16, kList, nProbe, overFetch, "pq")
       case other => sys.error(s"unknown dense tier '$other' " +
-        "(int16 | sq8 | pq | sq8_rerank)")
+        "(int16 | sq8 | pq | sq8_rerank | pq_rerank)")
     }
     graft.api.Graft.rrfFuse(Seq(lex, dense), "doc_id", "score",
         kOut, rrfK)
@@ -1905,7 +2131,12 @@ object Pipeline {
     * codebooks, the lookup-sum estimate over the probed lists —
     * s9's oracle pattern restricted to the staged layout.
     */
-  private lazy val p3PqSql: String = {
+  /** The PQ tier's shared replay fragment: s5's per-subspace Lloyd's
+    * trained on pvv, the query's ADC tables, and a `pqest` CTE of
+    * (vec_id, ip_est) over the probed lists — composed by the pq and
+    * pq_rerank oracles.
+    */
+  private lazy val pqEstCtes: String = {
     val sub = graft.operators.Embed.dim / pqM
     val subs = (0 until pqM)
       .map(mi => Ann.pqSubspaceCte(mi, sub, pqK, pqIters, src = "pvv"))
@@ -1923,17 +2154,38 @@ object Pipeline {
       .map(mi => s"JOIN qdt$mi t$mi ON t$mi.cid = e$mi.code$mi")
       .mkString(" ")
     val estSum = (0 until pqM).map(mi => s"t$mi.dd").mkString(" + ")
+    s"""$subs,
+       |$dts,
+       |pqest AS (
+       |  SELECT e0.vec_id,
+       |    floor(($estSum) * 10000 + 0.5) / 10000.0 AS ip_est
+       |  FROM e0 $eJoins $tJoins
+       |  JOIN af ON af.vec_id = e0.vec_id
+       |  JOIN ppr ON ppr.cid = af.cid)""".stripMargin
+  }
+
+  private lazy val p3PqSql: String =
     s"""WITH $ragCtes,
        |$denseTowerCtes,
-       |$subs,
-       |$dts
-       |SELECT e0.vec_id AS chunk_id,
-       |  floor(($estSum) * 10000 + 0.5) / 10000.0 AS ip_est
-       |FROM e0 $eJoins $tJoins
-       |JOIN af ON af.vec_id = e0.vec_id
-       |JOIN ppr ON ppr.cid = af.cid
+       |$pqEstCtes
+       |SELECT vec_id AS chunk_id, ip_est FROM pqest
        |ORDER BY ip_est DESC, chunk_id LIMIT 10""".stripMargin
-  }
+
+  /** pq_rerank's replay: the ADC estimate shortlists 4x10 by
+    * (ip_est desc, vec_id), then ONLY the shortlist pays the exact
+    * integer dot — p3RerankSql's refine stage over the PQ tier.
+    */
+  private lazy val p3PqRerankSql: String =
+    s"""WITH $ragCtes,
+       |$denseTowerCtes,
+       |$pqEstCtes,
+       |shp AS (SELECT vec_id FROM pqest
+       |        ORDER BY ip_est DESC, vec_id LIMIT 40),
+       |rrp AS (SELECT pvv.vec_id,
+       |          CAST(list_dot_product(pvv.v, p.v) AS BIGINT) AS iscore
+       |        FROM pvv JOIN shp USING (vec_id), pq p)
+       |SELECT vec_id AS chunk_id, CAST(iscore AS DOUBLE) AS score
+       |FROM rrp ORDER BY iscore DESC, chunk_id LIMIT 10""".stripMargin
 
   lazy val oracle: Map[String, String] = Map(
     "p2_rag_ingest" -> p2Sql,
@@ -1944,6 +2196,7 @@ object Pipeline {
     "p3_dense_sq8" -> p3Sq8Sql,
     "p3_dense_pq" -> p3PqSql,
     "p3_dense_rerank" -> p3RerankSql,
+    "p3_dense_pq_rerank" -> p3PqRerankSql,
     // the full funnel replayed: every stage signal from the shared
     // scored CTE, six per-stage aggregates, n_in threaded by hand
     "p1_curation_funnel" ->

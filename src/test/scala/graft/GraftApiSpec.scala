@@ -1239,25 +1239,42 @@ class GraftApiSpec extends SparkSpec {
       }
       val snapTfb = fileSnap("tf_b")
       val snapIvf = fileSnap("enc_ivf")
+      val flatTables = Seq("routed", "chunks", "tf", "enc")
+      val snapFlat = flatTables.map(n => n -> fileSnap(n)).toMap
+      val (nDb, nLex) = graft.operators.Pipeline.layoutOf(tmp)
+      assert(nDb > 0, "fresh build must mint the bucketed layout")
       val vTerms = spark.read.parquet(s"$tmp/tf")
         .filter(col("chunk_id") / 1000000L === 3L)
         .select("term").distinct().collect().map(_.getString(0))
       val vBuckets = vTerms.map(tm => graft.operators.Search
-        .termBucketOf(tm, 32)).toSet
+        .termBucketOf(tm, nLex)).toSet
       val vCids = spark.read.parquet(s"$tmp/enc_ivf")
         .filter(col("vec_id") / 1000000L === 3L)
         .select("cid").distinct().collect().map(_.getInt(0)).toSet
+      val vDbs = spark.range(1).select(graft.operators.Pipeline
+          .docBucket(lit(3L), nDb).as("db"))
+        .collect().map(_.getLong(0).toInt).toSet
       assert(idx.remove(Seq(3L, 999L)) == 1L) // unknown id ignored
       def partOf(rel: String): Option[Int] =
         "=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+      def dbOf(rel: String): Option[Int] =
+        "db=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
       for ((rel, sig) <- fileSnap("tf_b")
-           if partOf(rel).exists(b => !vBuckets.contains(b)))
+           if partOf(rel).exists(b => !vBuckets.contains(b)) ||
+             dbOf(rel).exists(b => !vDbs.contains(b)))
         assert(snapTfb.get(rel).contains(sig),
           s"untouched tf_b partition file rewrote: $rel")
       for ((rel, sig) <- fileSnap("enc_ivf")
            if partOf(rel).exists(c => !vCids.contains(c)))
         assert(snapIvf.get(rel).contains(sig),
           s"untouched enc_ivf partition file rewrote: $rel")
+      // the round-16 claim: the FLAT artifacts prune too — only the
+      // victims' doc buckets rewrite; every other bucket's files
+      // stay byte-identical (path, size, mtime)
+      for (n <- flatTables; (rel, sig) <- fileSnap(n)
+           if dbOf(rel).exists(b => !vDbs.contains(b)))
+        assert(snapFlat(n).get(rel).contains(sig),
+          s"untouched $n doc-bucket file rewrote: $rel")
       assert(idx.remove(Seq(3L)) == 0L)       // re-remove no-ops
       // derived tier layouts invalidated by the delete
       for (n <- Seq("enc_ivf_sq8", "sq.meta"))
@@ -1432,9 +1449,28 @@ class GraftApiSpec extends SparkSpec {
       // rebuild proves no tower doubled a row)
       val idx = Graft.ragIndex(docsA, "doc_id", "filepath", "lang",
         "text", stateRoot = Some(tmp))
+      // INTERLEAVED serving + tier re-mint at every lifecycle step —
+      // the stale-tier bug class (a mutation leaving a derived code
+      // layout serving the pre-mutation corpus) only shows up when
+      // searches run BETWEEN mutations, not after the dust settles
+      def tierIds(i: Graft.RagIndex): Seq[Long] =
+        i.search("spark windows", k = 5, tier = "sq8").collect()
+          .map(_.getAs[Long]("chunk_id")).toSeq
+      val served0 = tierIds(idx) // mints the sq8 tier on corpus A
+      assert(served0.nonEmpty)
       assert(idx.add(docsB.unionByName(docsB), "doc_id", "filepath",
         "lang", "text") == 1L)
+      // the add invalidated the tier; this re-mint serves A+B — the
+      // grown doc 3 must retrieve through the re-minted tier
+      val served1 = idx.search("quokka", k = 5, tier = "sq8")
+        .collect().map(_.getAs[Long]("chunk_id")).toSeq
+      assert(served1.exists(_ / 1000000L == 3L),
+        s"grown doc missing from the re-minted sq8 tier: $served1")
       assert(idx.remove(Seq(1L)) == 1L)
+      // the remove invalidated it again; the re-mint serves {2, 3}
+      val served2 = tierIds(idx)
+      assert(!served2.exists(_ / 1000000L == 1L),
+        s"removed doc served from the re-minted sq8 tier: $served2")
       val cb = graft.streaming.Streams.loadCodebook(tmp).get
       Graft.ragNormalize(
           docsA.filter(col("doc_id") =!= 1L).unionByName(docsB),
@@ -1453,6 +1489,28 @@ class GraftApiSpec extends SparkSpec {
           "enc_ivf" -> Seq("vec_id")))
         assert(dump(tmp, tbl, keys: _*) == dump(tmp2, tbl, keys: _*),
           s"$tbl drifted after grow+shrink vs the net-corpus rebuild")
+      // tier serving after the interleaved grow+shrink equals the
+      // net-corpus rebuild's tier serving (same corpus + same pinned
+      // codebook => same SQ model => bit-equal answers), and the
+      // default hybrid serve agrees too
+      val net = Graft.ragIndexOpen(spark, tmp2)
+      assert(tierIds(idx) == tierIds(net),
+        "sq8 tier drifted from the net-corpus rebuild's")
+      assert(idx.search("spark windows", k = 5).collect()
+          .map(_.toSeq).toSeq ==
+        net.search("spark windows", k = 5).collect()
+          .map(_.toSeq).toSeq,
+        "hybrid serve drifted from the net-corpus rebuild's")
+      // rebuild() (compaction/repair) changes NO answer and re-mints
+      // the tier cleanly: sq.meta exists now, is dropped by the
+      // rebuild, and the post-rebuild re-mint serves identically
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "sq.meta")))
+      idx.rebuild()
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "sq.meta")), "stale sq.meta")
+      assert(tierIds(idx) == tierIds(net),
+        "post-rebuild sq8 tier drifted")
       // caller-query packing over the surviving corpus
       val rows = idx.packContextFor(
         Seq("quokka windows", "spark filter"), budget = 60).collect()

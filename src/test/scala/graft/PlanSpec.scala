@@ -534,9 +534,11 @@ class PlanSpec extends SparkSpec {
       "broadcast idf/stats — no corpus-side shuffle join, no " +
       "corpus-wide stats recompute") {
     val t = Tables(spark, sf)
-    val tbl = graft.operators.Pipeline.ragTables(t)
+    val d = graft.operators.Pipeline.ragRoot(t)
+    val tbl = graft.operators.Pipeline.ragTablesAt(spark, d)
     val lex = graft.operators.Pipeline.bm25Staged(
-      tbl, graft.operators.Search.queryTerms, 20)
+      tbl, graft.operators.Search.queryTerms, 20,
+      graft.operators.Pipeline.layoutOf(d)._2)
     lex.collect()
     val p = lex.queryExecution.executedPlan.toString
     val pf = p.linesIterator.find(_.contains("PartitionFilters:"))
