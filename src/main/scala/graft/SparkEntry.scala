@@ -132,6 +132,7 @@ object SparkEntry {
     "p3_dense_sq8"        -> q(Pipeline.p3DenseSq8(_)),
     "p3_dense_pq"         -> q(Pipeline.p3DensePq(_)),
     "p3_dense_rerank"     -> q(Pipeline.p3DenseRerank(_)),
+    "p3_dense_pq_rerank"  -> q(Pipeline.p3DensePqRerank(_)),
     "p5_index_remove"     -> q(Pipeline.p5IndexRemove(_)),
     "p4_context_pack"     -> q(Pipeline.p4ContextPack(_)),
     "m6_patch_budget"     -> q(Multimodal.m6PatchBudget(_)),

@@ -1215,9 +1215,12 @@ object Graft {
       *
       * `tier` picks the dense tower's quantization: `int16` (the
       * stored codes, 2 B/dim), `sq8` (1 B/dim), `pq` (1 B/subspace),
-      * or `sq8_rerank` (sq8 shortlist at `overFetch`·kList + exact
-      * int16 rerank — sq8 bytes, int16 ranking). Tier layouts mint
-      * once per root on first use and invalidate on [[add]].
+      * `sq8_rerank` (sq8 shortlist at `overFetch`·kList + exact
+      * int16 rerank — sq8 bytes, int16 ranking), or `pq_rerank`
+      * (the same refine stage over the PQ shortlist — FAISS's
+      * IVFPQ+refine; ordering exact, recall bounded by what the ADC
+      * shortlist surfaces). Tier layouts mint once per root on first
+      * use and invalidate on [[add]].
       */
     def search(query: String, k: Int = 10, kList: Int = 20,
         nProbe: Int = 8, rrfK: Int = 60, tier: String = "int16",

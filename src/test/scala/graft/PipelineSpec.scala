@@ -421,8 +421,31 @@ class PipelineSpec extends SparkSpec {
       a.toSet.intersect(flat.toSet).size / flat.size.toDouble
     assert(recall(rerank) >= recall(sq8),
       s"rerank recall ${recall(rerank)} below sq8's ${recall(sq8)}")
+    // pq_rerank (FAISS's IVFPQ+refine): the exact refine stage is
+    // MECHANICALLY pinned — its top-10 must equal the exact integer
+    // re-scoring of the PQ tier's own 40-candidate ADC shortlist —
+    // and never ranks below the raw pq tier (refine only reorders)
+    val pq = ids(graft.operators.Pipeline
+      .denseTopPq(spark, d, qU16, 10, 8))
+    val pqRerank = ids(graft.operators.Pipeline
+      .denseTopRerank(spark, d, qU16, 10, 8, 4, "pq"))
+    val pqShort = ids(graft.operators.Pipeline
+      .denseTopPq(spark, d, qU16, 40, 8))
+    val exactOfShort = ids(tbl("enc_ivf")
+      .filter(col("vec_id").isin(pqShort.map(v => v: Any): _*))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("u16"), typedlit(qU16),
+          (a, b) => a.cast("long") * b), lit(0L), (acc, x) => acc + x)
+          .as("iscore"))
+      .orderBy(col("iscore").desc, col("vec_id")).limit(10))
+    assert(pqRerank == exactOfShort,
+      s"pq_rerank $pqRerank != exact reorder of the ADC shortlist " +
+        s"$exactOfShort")
+    assert(recall(pqRerank) >= recall(pq),
+      s"pq_rerank recall ${recall(pqRerank)} below pq's ${recall(pq)}")
     info(f"recall@10 vs flat: int16=${recall(pruned)}%.2f " +
-      f"sq8=${recall(sq8)}%.2f rerank=${recall(rerank)}%.2f")
+      f"sq8=${recall(sq8)}%.2f rerank=${recall(rerank)}%.2f " +
+      f"pq=${recall(pq)}%.2f pq_rerank=${recall(pqRerank)}%.2f")
   }
 
   test("r19_staged_eval: staged ranks equal the inline BM25 chain " +
