@@ -322,7 +322,8 @@ object Pipeline {
       tfD.join(dlD, "doc_id")
         .withColumn("tb", Search.termBucket(col("term"), nLex))
         .withColumn("db",
-          docBucket(floor(col("doc_id") / lit(1000000L)), nDb))
+          docBucket(floor(col("doc_id") / lit(1000000L)),
+            tfbDocBuckets(nDb)))
         .repartition(col("tb"), col("db"))
         .write.mode("overwrite").partitionBy("tb", "db")
         .parquet(s"$d/tf_b")
@@ -386,14 +387,27 @@ object Pipeline {
     pmod(xxhash64(docId.cast("long")), lit(nDb.toLong))
 
   /** Doc-bucket count from measured routed bytes: the st13
-    * [[graft.streaming.Streams.stateBucketsFor]] law (pow2, 64 MB
-    * target), floored at 16 and capped at 4096 — past the cap the
-    * per-bucket parquet row-group stats take over (the st13 posture),
-    * and the tf_b cell count (nLex x nDb dirs) stays listable.
+    * [[graft.streaming.Streams.stateBucketsFor]] law (pow2), at a
+    * 256 KB-of-ROUTED-bytes target — the derived artifacts multiply
+    * each bucket ~15x (u16 codes + postings + chunk text per body
+    * byte at dim 64), so a bucket carries a few MB of total artifact
+    * bytes and a delete wave's rewrite is victims x a CONSTANT, not
+    * victims x corpus/floor. Floored at 16, capped at 2^16 (st13's
+    * cap: past it — ≳16 GB of routed per table — dir listings stay
+    * tractable and per-bucket bytes grow with the corpus again,
+    * which is where erasure batching, not bucket count, is the knob).
     */
   private[graft] def docBucketsFor(routedBytes: Long): Int =
-    math.min(4096,
-      graft.streaming.Streams.stateBucketsFor(routedBytes, floor = 16))
+    graft.streaming.Streams.stateBucketsFor(routedBytes,
+      targetBucketBytes = 256L << 10, floor = 16)
+
+  /** tf_b's INNER db level, derived from the persisted nDb: capped
+    * at 64 so the postings table's cell count (nLex x this) stays
+    * listable at every scale — a term bucket splits into at most 64
+    * doc sub-dirs, which already bounds a few-victim wave's postings
+    * rewrite to ~|vDbs|/64 of the affected term buckets.
+    */
+  private[graft] def tfbDocBuckets(nDb: Int): Int = math.min(nDb, 64)
 
   /** Term-bucket count from the same measured bytes (postings bytes
     * track body bytes within a small factor): floored at the legacy
@@ -571,7 +585,8 @@ object Pipeline {
     else
       tfbNew
         .withColumn("db",
-          docBucket(floor(col("doc_id") / lit(1000000L)), nDb))
+          docBucket(floor(col("doc_id") / lit(1000000L)),
+            tfbDocBuckets(nDb)))
         .repartition(col("tb"), col("db"))
         .write.mode("append").partitionBy("tb", "db")
         .parquet(s"$d/tf_b")
@@ -709,6 +724,11 @@ object Pipeline {
       if (nDb == 0) Nil
       else victims.select(docBucket(col("doc_id"), nDb).as("db"))
         .distinct().collect().map(_.getLong(0): Any).toSeq
+    val vDbsLex: Seq[Any] =
+      if (nDb == 0) Nil
+      else victims.select(docBucket(col("doc_id"),
+          tfbDocBuckets(nDb)).as("db"))
+        .distinct().collect().map(_.getLong(0): Any).toSeq
     // a delete wave must leave a non-empty index: a dir-less
     // partitioned table can't even be read back, and "forget the
     // whole corpus" is an explicit teardown, not an erasure wave
@@ -784,10 +804,10 @@ object Pipeline {
         // the cross product is a bounded superset of the victim
         // cells (a non-victim cell in it rewrites to itself)
         () => replacePartitions(spark, d, "tf_b", Seq("tb", "db"),
-          for (tb <- vBuckets; db <- vDbs) yield Seq(tb, db),
+          for (tb <- vBuckets; db <- vDbsLex) yield Seq(tb, db),
           antiInOrder(spark.read.parquet(s"$d/tf_b")
             .filter(col("tb").isin(vBuckets.map(b => b: Any): _*) &&
-              col("db").isin(vDbs: _*)),
+              col("db").isin(vDbsLex: _*)),
             "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
     val rewrites: Seq[() => Unit] = flatRewrites ++ Seq(
       () => replacePartitions(spark, d, "enc_ivf", Seq("cid"),

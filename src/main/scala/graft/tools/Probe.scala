@@ -1050,6 +1050,26 @@ object Probe {
       // scaladoc raises: pruned serving towers vs corpus-sized flat
       // artifacts.
       case "rm" =>
+        // per-table (path -> (size, mtime)) snapshot: after the
+        // delete, a file whose signature changed (or is new) counts
+        // as REWRITTEN bytes — the witness that the wave's cost is
+        // victims-coupled, not corpus-coupled
+        def snapT(root: String, n: String): Map[String, (Long, Long)] = {
+          val base = java.nio.file.Paths.get(root, n)
+          if (!java.nio.file.Files.exists(base)) Map.empty
+          else {
+            val st = java.nio.file.Files.walk(base)
+            try st.filter(java.nio.file.Files.isRegularFile(_))
+              .toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .map(p => base.relativize(p).toString ->
+                (java.nio.file.Files.size(p),
+                  java.nio.file.Files.getLastModifiedTime(p).toMillis))
+              .toMap
+            finally st.close()
+          }
+        }
+        val rmTables =
+          Seq("routed", "chunks", "tf", "enc", "tf_b", "enc_ivf")
         def runRm(tag: String, d: org.apache.spark.sql.DataFrame,
             victimPick: org.apache.spark.sql.Column): Unit = {
           graft.Caches.fresh()
@@ -1062,23 +1082,37 @@ object Probe {
           val nV = victims.count()
           val vch = spark.read.parquet(s"$root/chunks")
             .join(victims, Seq("doc_id"), "left_semi").select("chunk_id")
+          val (nDb, lexB) = graft.operators.Pipeline.layoutOf(root)
           val nB = spark.read.parquet(s"$root/tf")
             .join(vch, Seq("chunk_id"), "left_semi")
-            .select(graft.operators.Search.termBucket(col("term"), 32)
+            .select(graft.operators.Search.termBucket(col("term"), lexB)
               .as("tb")).distinct().count()
+          val nDbV = victims.select(graft.operators.Pipeline
+              .docBucket(col("doc_id"), nDb).as("db"))
+            .distinct().count()
           val nC = spark.read.parquet(s"$root/enc_ivf")
             .join(vch.withColumnRenamed("chunk_id", "vec_id"),
               Seq("vec_id"), "left_semi")
             .select("cid").distinct().count()
           val nLists = spark.read.parquet(s"$root/enc_ivf")
             .select("cid").distinct().count()
+          val before = rmTables.map(n => n -> snapT(root, n)).toMap
           val t0 = System.nanoTime
           val n = graft.operators.Pipeline
             .removeFromTowers(spark, root, victims)
           val s = (System.nanoTime - t0) / 1e9
+          val byTable = rmTables.map { tn =>
+            val after = snapT(root, tn)
+            val total = after.values.map(_._1).sum / 1e6
+            val rew = after.filter { case (p, sig) =>
+              !before(tn).get(p).contains(sig) }.values.map(_._1)
+              .sum / 1e6
+            f"$tn $rew%.1f/$total%.1f"
+          }.mkString(" ")
           println(f"PROBE rm [$tag] removed $n of ${nV} picked in " +
-            f"$s%.1f s; affected $nB/32 term buckets, " +
-            f"$nC/$nLists ivf lists")
+            f"$s%.1f s; affected $nB/$lexB term buckets, " +
+            f"$nDbV/$nDb doc buckets, $nC/$nLists ivf lists; " +
+            s"rewritten/total MB: $byTable")
         }
         runRm("base-few", docs, col("doc_id") % 497 === 0)
         runRm("base-mass", docs, col("doc_id") % 10 === 0)
@@ -1086,6 +1120,97 @@ object Probe {
           col("doc_id") % 4993 === 0)
         runRm(s"${copies}x-mass", replicated(copies),
           col("doc_id") % 10 === 0)
+
+      // st25's production regime: FEW victims per wave, many waves —
+      // per-wave seconds and rewritten bytes must stay flat in wave
+      // count and corpus size (victims-coupled), post the bucketed
+      // flat-artifact layout
+      case "rmwave" =>
+        def snapAll(root: String): Map[String, (Long, Long)] = {
+          val base = java.nio.file.Paths.get(root)
+          val st = java.nio.file.Files.walk(base)
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet"))
+            .map(p => base.relativize(p).toString ->
+              (java.nio.file.Files.size(p),
+                java.nio.file.Files.getLastModifiedTime(p).toMillis))
+            .toMap
+          finally st.close()
+        }
+        def runWaves(tag: String,
+            d: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch(s"probe_rmwave_$tag")
+          d.select(col("doc_id"), col("text").as("body"))
+            .write.mode("overwrite").parquet(s"$root/routed")
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100)
+          import spark.implicits._
+          (0 until 4).foreach { w =>
+            val ids = Seq(0L, 1L, 2L).map(i => w * 101L + 3L + i * 37L)
+            val before = snapAll(root)
+            val t0 = System.nanoTime
+            val n = graft.operators.Pipeline
+              .removeFromTowers(spark, root, ids.toDF("doc_id"))
+            val sec = (System.nanoTime - t0) / 1e9
+            val after = snapAll(root)
+            val rew = after.filter { case (p, sig) =>
+              !before.get(p).contains(sig) }.values.map(_._1).sum / 1e6
+            val total = after.values.map(_._1).sum / 1e6
+            println(f"PROBE rmwave [$tag] wave $w: removed $n in " +
+              f"$sec%.1f s, rewrote $rew%.1f of $total%.1f MB")
+          }
+        }
+        runWaves("base", docs)
+        runWaves(s"${copies}x", replicated(copies))
+
+      // p4/r19_staged one-plan scoring at scale: postings bytes READ
+      // vs query-set size and corpus scale (the '|union buckets|/nLex
+      // of the postings' claim, measured) — the query-set derivation
+      // (one offline tf scan) is excluded, the scoring+pack plan is
+      // what serving re-pays per eval/pack run
+      case "p4scale" =>
+        def runP4(tag: String,
+            d: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch(s"probe_p4_$tag")
+          d.select(col("doc_id"), col("text").as("body"))
+            .write.mode("overwrite").parquet(s"$root/routed")
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100)
+          val tbl = graft.operators.Pipeline.ragTablesAt(spark, root)
+          val (_, nLex) = graft.operators.Pipeline.layoutOf(root)
+          val tfbMB = graft.streaming.Streams
+            .stateDirBytes(s"$root/tf_b") / 1e6
+          for (nq <- Seq(4, 16, 64)) {
+            val qrows = graft.operators.Pipeline
+              .selfQuerySet(tbl, nq, 3)
+            val buckets = qrows.map(_._2).distinct
+              .map(graft.operators.Search.termBucketOf(_, nLex))
+              .distinct.size
+            val t0 = System.nanoTime
+            val (rows, recs, bytes) = measured {
+              graft.operators.Pipeline.packFromScores(
+                graft.operators.Pipeline.selfQueryScores(tbl, qrows,
+                  withDl = true, nLex), 8, 2, 120).count()
+            }
+            val sec = (System.nanoTime - t0) / 1e9
+            // the eval twin reuses the same one-plan scoring pass;
+            // timed apart so the pack bytes above stay a clean
+            // postings-scan witness (eval re-derives the query set —
+            // a deliberate offline tf scan)
+            val t1 = System.nanoTime
+            val evalRows = graft.operators.Pipeline
+              .stagedSelfEval(spark, root, nq, 3, 5).count()
+            val secE = (System.nanoTime - t1) / 1e9
+            println(f"PROBE p4scale [$tag] nq=$nq: $buckets/$nLex " +
+              f"buckets, read ${bytes / 1e6}%.1f MB " +
+              f"($recs recs) vs tf_b $tfbMB%.1f MB total; " +
+              f"pack $rows rows $sec%.1f s; " +
+              f"eval $evalRows rows $secE%.1f s")
+          }
+        }
+        runP4("base", docs)
+        runP4(s"${copies}x", replicated(copies))
       // p2's normalize-routing under CLASS SKEW: a corpus that is
       // ~100% ipynb (doc_id ≡ 21 mod 1768 → ext ipynb, never hidden,
       // never a dir) — every row pays r12's from_json and the other

@@ -1254,6 +1254,10 @@ class GraftApiSpec extends SparkSpec {
       val vDbs = spark.range(1).select(graft.operators.Pipeline
           .docBucket(lit(3L), nDb).as("db"))
         .collect().map(_.getLong(0).toInt).toSet
+      val vDbsLex = spark.range(1).select(graft.operators.Pipeline
+          .docBucket(lit(3L),
+            graft.operators.Pipeline.tfbDocBuckets(nDb)).as("db"))
+        .collect().map(_.getLong(0).toInt).toSet
       assert(idx.remove(Seq(3L, 999L)) == 1L) // unknown id ignored
       def partOf(rel: String): Option[Int] =
         "=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
@@ -1261,7 +1265,7 @@ class GraftApiSpec extends SparkSpec {
         "db=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
       for ((rel, sig) <- fileSnap("tf_b")
            if partOf(rel).exists(b => !vBuckets.contains(b)) ||
-             dbOf(rel).exists(b => !vDbs.contains(b)))
+             dbOf(rel).exists(b => !vDbsLex.contains(b)))
         assert(snapTfb.get(rel).contains(sig),
           s"untouched tf_b partition file rewrote: $rel")
       for ((rel, sig) <- fileSnap("enc_ivf")
