@@ -286,8 +286,7 @@ object Pipeline {
       ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("db",
-          docBucket(floor(col("chunk_id") / lit(1000000L)), nDb))
+        .withColumn("db", docBucketOfChunk(col("chunk_id"), nDb))
         .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db").parquet(s"$d/tf")
       // the SERVING form of the sparse tower, staged once (the
@@ -322,15 +321,13 @@ object Pipeline {
       tfD.join(dlD, "doc_id")
         .withColumn("tb", Search.termBucket(col("term"), nLex))
         .withColumn("db",
-          docBucket(floor(col("doc_id") / lit(1000000L)),
-            tfbDocBuckets(nDb)))
+          docBucketOfChunk(col("doc_id"), tfbDocBuckets(nDb)))
         .repartition(col("tb"), col("db"))
         .write.mode("overwrite").partitionBy("tb", "db")
         .parquet(s"$d/tf_b")
       val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
       enc
-        .withColumn("db",
-          docBucket(floor(col("vec_id") / lit(1000000L)), nDb))
+        .withColumn("db", docBucketOfChunk(col("vec_id"), nDb))
         .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db").parquet(s"$d/enc")
       // The dense tower lives in the STORED-CODE space: IVF trains
@@ -377,14 +374,29 @@ object Pipeline {
     */
   private[graft] val lexBuckets = 32
 
-  /** Doc-hash bucket of the flat build artifacts: xxhash64 of the
-    * doc id mod `nDb` — uniform regardless of id clustering (a
+  /** Doc-hash bucket of the flat build artifacts: xxhash64 of
+    * doc_id·10⁶ mod `nDb` — uniform regardless of id clustering (a
     * contiguous tenant's ids spread evenly), deterministic across
     * sessions, and cheaply re-derivable for any victim set at delete
-    * time. Never enters an oracle: readers drop it.
+    * time. The hash input is doc_id·10⁶ (not doc_id) so chunk-keyed
+    * rows derive the SAME bucket by pure long arithmetic —
+    * chunk_id − (chunk_id mod 10⁶) — with no division anywhere: a
+    * floor(chunk_id / 10⁶) would round through double past 2^53 and
+    * silently file a big-id doc's postings under a neighbor's
+    * bucket, surviving its own deletion. Never enters an oracle:
+    * readers drop it.
     */
   private[graft] def docBucket(docId: Column, nDb: Int): Column =
-    pmod(xxhash64(docId.cast("long")), lit(nDb.toLong))
+    pmod(xxhash64(docId.cast("long") * lit(1000000L)), lit(nDb.toLong))
+
+  /** [[docBucket]] derived from a chunk/vector id (= doc_id·10⁶ +
+    * start): exact long arithmetic, division-free.
+    */
+  private[graft] def docBucketOfChunk(chunkId: Column,
+      nDb: Int): Column = {
+    val c = chunkId.cast("long")
+    pmod(xxhash64(c - pmod(c, lit(1000000L))), lit(nDb.toLong))
+  }
 
   /** Doc-bucket count from measured routed bytes: the st13
     * [[graft.streaming.Streams.stateBucketsFor]] law (pow2), at a
@@ -541,6 +553,11 @@ object Pipeline {
       if (nDb == 0) df.write.mode("append").parquet(s"$d/$name")
       else df.withColumn("db", docBucket(docId, nDb))
         .write.mode("append").partitionBy("db").parquet(s"$d/$name")
+    def appendFlatChunkKeyed(name: String, df: DataFrame,
+        chunkId: Column): Unit =
+      if (nDb == 0) df.write.mode("append").parquet(s"$d/$name")
+      else df.withColumn("db", docBucketOfChunk(chunkId, nDb))
+        .write.mode("append").partitionBy("db").parquet(s"$d/$name")
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
       sys.error(s"no codebook.meta at $d"))
     graft.Caches.fresh()
@@ -573,7 +590,7 @@ object Pipeline {
       .select(col("chunk_id"),
         explode(Text.tokenize(col("chunk"))).as("term"))
       .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf")))
-    appendFlat("tf", tfNew, floor(col("chunk_id") / lit(1000000L)))
+    appendFlatChunkKeyed("tf", tfNew, col("chunk_id"))
     val tfD = tfNew.withColumnRenamed("chunk_id", "doc_id")
     val dlNew = graft.Caches.materialized(
       tfD.groupBy("doc_id").agg(sum("tf").as("dl")))
@@ -585,8 +602,7 @@ object Pipeline {
     else
       tfbNew
         .withColumn("db",
-          docBucket(floor(col("doc_id") / lit(1000000L)),
-            tfbDocBuckets(nDb)))
+          docBucketOfChunk(col("doc_id"), tfbDocBuckets(nDb)))
         .repartition(col("tb"), col("db"))
         .write.mode("append").partitionBy("tb", "db")
         .parquet(s"$d/tf_b")
@@ -617,7 +633,7 @@ object Pipeline {
     // append cid-partitioned (st15MaintainStep's shape)
     val encNew = graft.Caches.materialized(
       Embed.encodeFrame(chNew, "chunk_id", "chunk", d = dim))
-    appendFlat("enc", encNew, floor(col("vec_id") / lit(1000000L)))
+    appendFlatChunkKeyed("enc", encNew, col("vec_id"))
     encNew
       .withColumn("cid",
         element_at(graft.functions.Vectors.centroidRanks(
@@ -724,16 +740,29 @@ object Pipeline {
       if (nDb == 0) Nil
       else victims.select(docBucket(col("doc_id"), nDb).as("db"))
         .distinct().collect().map(_.getLong(0): Any).toSeq
-    val vDbsLex: Seq[Any] =
+    // the EXACT victim (tb, db) cells of the postings layout, derived
+    // from the pre-staged victim postings (never the vBuckets x vDbs
+    // cross product — a wave whose terms span 20 buckets and docs
+    // span 10 would otherwise rewrite 200 cells where ~30 hold
+    // victims, each a staged file + delete + rename of itself)
+    val vCells: Seq[Seq[Any]] =
       if (nDb == 0) Nil
-      else victims.select(docBucket(col("doc_id"),
-          tfbDocBuckets(nDb)).as("db"))
-        .distinct().collect().map(_.getLong(0): Any).toSeq
+      else vtf.select(
+          Search.termBucket(col("term"), nLex).as("tb"),
+          docBucketOfChunk(col("chunk_id"), tfbDocBuckets(nDb))
+            .as("db"))
+        .distinct().collect()
+        .map(r => Seq(r.getLong(0).toInt: Any, r.getLong(1): Any))
+        .toSeq
     // a delete wave must leave a non-empty index: a dir-less
     // partitioned table can't even be read back, and "forget the
-    // whole corpus" is an explicit teardown, not an erasure wave
-    if (nDb > 0)
-      require(nVict < spark.read.parquet(s"$d/routed").count(),
+    // whole corpus" is an explicit teardown, not an erasure wave.
+    // A wave that leaves any doc bucket untouched trivially leaves
+    // survivors — only an all-bucket (mass) wave pays a count, and
+    // only over rows it is about to rewrite anyway.
+    if (nDb > 0 && vDbs.size == nDb)
+      require(nVict < spark.read.parquet(s"$d/routed")
+          .filter(col("db").isin(vDbs: _*)).count(),
         "removeFromTowers would delete every routed doc — tear the " +
           "root down (or rebuild empty) instead of erasing in place")
     // a left_anti join hoists its key to the front — re-select the
@@ -800,14 +829,14 @@ object Pipeline {
           antiInOrder(spark.read.parquet(s"$d/enc")
             .filter(col("db").isin(vDbs: _*)), "vec_id",
             vchunks.withColumnRenamed("chunk_id", "vec_id"))),
-        // the postings swap only the (victim tb x victim db) cells —
-        // the cross product is a bounded superset of the victim
-        // cells (a non-victim cell in it rewrites to itself)
+        // the postings swap EXACTLY the victim (tb, db) cells; the
+        // cell-key filter references only partition columns, so the
+        // survivor scan partition-prunes to those dirs
         () => replacePartitions(spark, d, "tf_b", Seq("tb", "db"),
-          for (tb <- vBuckets; db <- vDbsLex) yield Seq(tb, db),
+          vCells,
           antiInOrder(spark.read.parquet(s"$d/tf_b")
-            .filter(col("tb").isin(vBuckets.map(b => b: Any): _*) &&
-              col("db").isin(vDbsLex: _*)),
+            .filter(concat_ws("/", col("tb"), col("db")).isin(
+              vCells.map(c => s"${c(0)}/${c(1)}"): _*)),
             "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
     val rewrites: Seq[() => Unit] = flatRewrites ++ Seq(
       () => replacePartitions(spark, d, "enc_ivf", Seq("cid"),

@@ -146,6 +146,23 @@ object Probe {
       } finally spark.sparkContext.removeSparkListener(lst)
     }
 
+    // (path -> (size, mtime)) snapshot of every parquet file under a
+    // dir — the rewritten-bytes witness both delete probes share (one
+    // rule: _SUCCESS/.crc excluded from rewritten/total alike)
+    def snapFiles(base: java.nio.file.Path): Map[String, (Long, Long)] =
+      if (!java.nio.file.Files.exists(base)) Map.empty
+      else {
+        val st = java.nio.file.Files.walk(base)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+        finally st.close()
+      }
+
     def timed(tag: String, small: => Long, big: => Long): Unit = {
       val t0 = System.nanoTime
       val nS = small
@@ -1050,24 +1067,12 @@ object Probe {
       // scaladoc raises: pruned serving towers vs corpus-sized flat
       // artifacts.
       case "rm" =>
-        // per-table (path -> (size, mtime)) snapshot: after the
-        // delete, a file whose signature changed (or is new) counts
-        // as REWRITTEN bytes — the witness that the wave's cost is
+        // per-table snapshot via snapFiles: after the delete, a file
+        // whose signature changed (or is new) counts as REWRITTEN
+        // bytes — the witness that the wave's cost is
         // victims-coupled, not corpus-coupled
-        def snapT(root: String, n: String): Map[String, (Long, Long)] = {
-          val base = java.nio.file.Paths.get(root, n)
-          if (!java.nio.file.Files.exists(base)) Map.empty
-          else {
-            val st = java.nio.file.Files.walk(base)
-            try st.filter(java.nio.file.Files.isRegularFile(_))
-              .toArray.map(_.asInstanceOf[java.nio.file.Path])
-              .map(p => base.relativize(p).toString ->
-                (java.nio.file.Files.size(p),
-                  java.nio.file.Files.getLastModifiedTime(p).toMillis))
-              .toMap
-            finally st.close()
-          }
-        }
+        def snapT(root: String, n: String): Map[String, (Long, Long)] =
+          snapFiles(java.nio.file.Paths.get(root, n))
         val rmTables =
           Seq("routed", "chunks", "tf", "enc", "tf_b", "enc_ivf")
         def runRm(tag: String, d: org.apache.spark.sql.DataFrame,
@@ -1126,18 +1131,8 @@ object Probe {
       // count and corpus size (victims-coupled), post the bucketed
       // flat-artifact layout
       case "rmwave" =>
-        def snapAll(root: String): Map[String, (Long, Long)] = {
-          val base = java.nio.file.Paths.get(root)
-          val st = java.nio.file.Files.walk(base)
-          try st.filter(java.nio.file.Files.isRegularFile(_))
-            .toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet"))
-            .map(p => base.relativize(p).toString ->
-              (java.nio.file.Files.size(p),
-                java.nio.file.Files.getLastModifiedTime(p).toMillis))
-            .toMap
-          finally st.close()
-        }
+        def snapAll(root: String): Map[String, (Long, Long)] =
+          snapFiles(java.nio.file.Paths.get(root))
         def runWaves(tag: String,
             d: org.apache.spark.sql.DataFrame): Unit = {
           graft.Caches.fresh()
