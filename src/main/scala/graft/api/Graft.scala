@@ -1331,10 +1331,14 @@ object Graft {
       stateRoot: Option[String] = None): RagIndex = {
     val spark = df.sparkSession
     val root = stateRoot.getOrElse(graft.Staging.scratch("rag_index"))
-    ragNormalize(df, idCol, pathCol, langCol, textCol, batchSize)
-      .select(col(idCol).cast("long").as("doc_id"), col("body"))
-      .write.mode("overwrite").parquet(s"$root/routed")
-    graft.operators.Pipeline.buildTowers(spark, root, size, step, dim)
+    // one write of routed per build: a file-backed corpus lands
+    // db-partitioned directly (nDb from the input's measured file
+    // bytes) and the build skips its re-stage; an in-memory frame
+    // lands flat and pays it (toy scale by construction)
+    graft.operators.Pipeline.landRoutedAndBuild(spark, root,
+      ragNormalize(df, idCol, pathCol, langCol, textCol, batchSize)
+        .select(col(idCol).cast("long").as("doc_id"), col("body")),
+      size, step, dim)
     new RagIndex(spark, root, dim)
   }
 

@@ -228,9 +228,52 @@ object Pipeline {
   private[graft] def ragRoot(t: Tables, size: Int = 200,
       step: Int = 100): String =
     graft.Staging.dir(s"${t.dir}:ragingest:$size:$step", "rag_ingest") { d =>
-      ragRouted(t).write.mode("overwrite").parquet(s"$d/routed")
-      buildTowers(t.spark, d, size, step)
+      landRoutedAndBuild(t.spark, d, ragRouted(t), size, step)
     }
+
+  /** Measured bytes of the FILES feeding a frame (the routing pass's
+    * own input): a driver-side status call per distinct input file,
+    * never a scan; 0 when the frame has no file-backed source (an
+    * in-memory test corpus) — callers then land flat and pay the
+    * build's re-stage, which is toy-scale by construction.
+    */
+  private[graft] def inputBytesOf(df: DataFrame): Long =
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      df.inputFiles.distinct.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** Land a routing pass's output as `$d/routed` and build every
+    * tower — ONE write of routed when the corpus is file-backed: nDb
+    * derives from the input's measured file bytes and routed lands
+    * db-partitioned directly, so [[buildTowers]] skips its re-stage
+    * (round 16 wrote the whole routed table twice per build — landed
+    * flat by the routing pass, then re-staged to attach db; at
+    * 100 TB that second write is a full-corpus pass). buildTowers
+    * still re-derives the target count from the LANDED bytes and
+    * re-stages if the input-bytes estimate drifted past 4× — the
+    * self-correcting fallback costs exactly what every build used to
+    * pay.
+    */
+  private[graft] def landRoutedAndBuild(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      routedDf: DataFrame, size: Int, step: Int,
+      dim: Int = Embed.dim): Unit = {
+    val inBytes = inputBytesOf(routedDf)
+    if (inBytes > 0) {
+      val nDb = docBucketsFor(inBytes)
+      routedDf.withColumn("db", docBucket(col("doc_id"), nDb))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$d/routed")
+      buildTowers(spark, d, size, step, dim, nDbPre = Some(nDb))
+    } else {
+      routedDf.write.mode("overwrite").parquet(s"$d/routed")
+      buildTowers(spark, d, size, step, dim)
+    }
+  }
 
   /** The WHOLE index build from a landed `$d/routed` (doc_id, body)
     * table: chunks, the raw TF table, the staged BM25 serving towers
@@ -245,7 +288,8 @@ object Pipeline {
   private[graft] def buildTowers(
       spark: org.apache.spark.sql.SparkSession, d: String,
       size: Int, step: Int, dim: Int = Embed.dim,
-      pinned: Option[graft.expressions.PlaneMatrix] = None): Unit = {
+      pinned: Option[graft.expressions.PlaneMatrix] = None,
+      nDbPre: Option[Int] = None): Unit = {
       // LAYOUT KNOBS from MEASURED bytes (the st13 stateBucketsFor
       // law, the round-15 verdict's ask): doc-hash buckets for the
       // flat artifacts so a delete wave rewrites victim buckets, not
@@ -255,23 +299,50 @@ object Pipeline {
       // towers.meta so every later mutation/serve derives the same
       // partitioning.
       val routedBytes = tableBytes(d, "routed")
-      val nDb = docBucketsFor(routedBytes)
+      val nDbTarget = docBucketsFor(routedBytes)
       val nLex = lexBucketsFor(routedBytes)
-      saveTowersMeta(d, size, step, dim, nDb, nLex)
+      // a routing pass that LANDED routed already db-partitioned
+      // (ragRoot/ragIndex over a file-backed corpus — nDbPre carries
+      // the bucket count it used) skips the re-stage below: one write
+      // of routed per build, not two (at 100 TB the second write is a
+      // full-corpus pass). The pre-landed count came from the routing
+      // INPUT's measured file bytes, so accept it only within 4× of
+      // the target the landed bytes derive — outside that window the
+      // estimate was wrong enough to matter and the re-stage
+      // self-corrects it (same write a round-16 build always paid).
+      val preOk = nDbPre.exists(n => n >= math.max(16, nDbTarget / 4)
+        && n <= nDbTarget * 4
+        && spark.read.parquet(s"$d/routed").columns.contains("db"))
+      val nDb = if (preOk) nDbPre.get else nDbTarget
+      // tf_b's INNER doc level from the same measured bytes: per-term-
+      // bucket postings ≈ routedBytes/nLex; subdivide by doc hash only
+      // once a cell would still carry ~targetBucketBytes (a toy root
+      // collapses to 1 — the mass-delete small-file overhead was ~620
+      // KB-sized cells at 20 ms of commit time each; a lake root's
+      // term buckets are GB-sized and split to the 64 cap)
+      val nTfbDb = math.min(tfbDocBuckets(nDb),
+        graft.streaming.Streams.stateBucketsFor(
+          routedBytes / math.max(1, nLex),
+          targetBucketBytes = 256L << 10, floor = 1))
+      saveTowersMeta(d, size, step, dim, nDb, nLex, nTfbDb)
       // derived tier layouts invalidate on ANY rebuild, not only on
       // add/remove — rebuild() is the documented repair for a TORN
       // mutation, and a torn remove's whole rewrite window precedes
       // its own tier-delete step: without this, a repaired root would
       // keep serving the forgotten doc from enc_ivf_sq8/enc_ivf_pq
       dropTierLayouts(spark, d)
-      // routed itself re-stages doc-bucketed (build-once cost; a
-      // rebuild over an already-bucketed routed re-derives db after
-      // the drop, so the layout is idempotent under rebuild())
-      val routed0 = spark.read.parquet(s"$d/routed")
-      replaceDir(spark, d, "routed",
-        (if (routed0.columns.contains("db")) routed0.drop("db")
-         else routed0)
-          .withColumn("db", docBucket(col("doc_id"), nDb)), Seq("db"))
+      // routed re-stages doc-bucketed unless it already landed that
+      // way (build-once cost; a rebuild over an already-bucketed
+      // routed re-derives db after the drop — layout-count migration
+      // and append-file compaction in one — so the layout stays
+      // idempotent under rebuild())
+      if (!preOk) {
+        val routed0 = spark.read.parquet(s"$d/routed")
+        replaceDir(spark, d, "routed",
+          (if (routed0.columns.contains("db")) routed0.drop("db")
+           else routed0)
+            .withColumn("db", docBucket(col("doc_id"), nDb)), Seq("db"))
+      }
       val routed = spark.read.parquet(s"$d/routed").drop("db")
       // each flat artifact pays ONE build-once exchange on db for a
       // file-per-bucket layout (delete waves and bucket-pruned reads
@@ -320,8 +391,7 @@ object Pipeline {
       // delete wave swaps only the (victim tb x victim db) cells
       tfD.join(dlD, "doc_id")
         .withColumn("tb", Search.termBucket(col("term"), nLex))
-        .withColumn("db",
-          docBucketOfChunk(col("doc_id"), tfbDocBuckets(nDb)))
+        .withColumn("db", docBucketOfChunk(col("doc_id"), nTfbDb))
         .repartition(col("tb"), col("db"))
         .write.mode("overwrite").partitionBy("tb", "db")
         .parquet(s"$d/tf_b")
@@ -413,11 +483,13 @@ object Pipeline {
     graft.streaming.Streams.stateBucketsFor(routedBytes,
       targetBucketBytes = 256L << 10, floor = 16)
 
-  /** tf_b's INNER db level, derived from the persisted nDb: capped
-    * at 64 so the postings table's cell count (nLex x this) stays
-    * listable at every scale — a term bucket splits into at most 64
-    * doc sub-dirs, which already bounds a few-victim wave's postings
-    * rewrite to ~|vDbs|/64 of the affected term buckets.
+  /** tf_b's INNER db level for a round-16 (5-line-meta) root — the
+    * law those roots were WRITTEN under, kept so they keep reading
+    * and deleting correctly. Current builds derive the level from
+    * measured bytes instead (collapsing to 1 on toy roots — see
+    * [[buildTowers]]) and persist it as towers.meta line 6; this cap
+    * (64) still bounds both laws so the postings table's cell count
+    * (nLex × this) stays listable at every scale.
     */
   private[graft] def tfbDocBuckets(nDb: Int): Int = math.min(nDb, 64)
 
@@ -437,22 +509,50 @@ object Pipeline {
   private def tableBytes(d: String, name: String): Long =
     graft.streaming.Streams.stateDirBytes(s"$d/$name")
 
-  /** The persisted layout knobs (docBuckets, lexBuckets) of a built
-    * root; a legacy 3-line towers.meta (or none) reads as (0,
-    * [[lexBuckets]]) — flat artifacts, 32 term buckets — and every
-    * mutation path keeps serving that layout until a rebuild mints
-    * the bucketed one.
+  /** The full persisted build + layout record of a towers root — the
+    * ONE towers.meta parser (build knobs and layout knobs used to
+    * parse the same file twice; a truncated meta then read as a
+    * silently-legacy layout instead of failing loudly). `nDb == 0`
+    * means a legacy flat-artifact root (pre-bucketed-layout build):
+    * the mutation paths rebuild it once to mint the layout.
     */
-  private[graft] def layoutOf(d: String): (Int, Int) = {
+  private[graft] final case class TowersMeta(size: Int, step: Int,
+      dim: Int, nDb: Int, nLex: Int, nTfbDb: Int)
+
+  /** Parse towers.meta exactly once per caller: 3 lines = legacy
+    * flat root, 5 = round-16 bucketed (tf_b's inner level derived as
+    * [[tfbDocBuckets]], the law those roots were written under), 6 =
+    * current (the inner level persisted explicitly). Anything else
+    * is a corrupt root and fails loudly — a hand-edited or truncated
+    * meta must never silently serve as a different layout.
+    */
+  private[graft] def towersMetaOf(d: String): Option[TowersMeta] = {
     val p = java.nio.file.Paths.get(d, "towers.meta")
-    if (!java.nio.file.Files.exists(p)) (0, lexBuckets)
+    if (!java.nio.file.Files.exists(p)) None
     else {
       val l = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-      if (l.length >= 5) (l(3).toInt, l(4).toInt) else (0, lexBuckets)
+      l.length match {
+        case 3 => Some(TowersMeta(l(0).toInt, l(1).toInt, l(2).toInt,
+          0, lexBuckets, 0))
+        case 5 => Some(TowersMeta(l(0).toInt, l(1).toInt, l(2).toInt,
+          l(3).toInt, l(4).toInt, tfbDocBuckets(l(3).toInt)))
+        case 6 => Some(TowersMeta(l(0).toInt, l(1).toInt, l(2).toInt,
+          l(3).toInt, l(4).toInt, l(5).toInt))
+        case n => sys.error(s"malformed towers.meta at $d: $n " +
+          "non-empty lines (expected 3, 5, or 6) — refusing to " +
+          "guess a layout; restore the meta or rebuild the root")
+      }
     }
   }
+
+  /** The layout knobs (docBuckets, lexBuckets) of a built root; no
+    * meta reads as (0, [[lexBuckets]]) — flat artifacts, 32 term
+    * buckets (the serving default for pre-meta roots).
+    */
+  private[graft] def layoutOf(d: String): (Int, Int) =
+    towersMetaOf(d).map(m => (m.nDb, m.nLex)).getOrElse((0, lexBuckets))
 
   /** Persisted build knobs — a grow/reopen on a durable root must
     * chunk (`size`/`step`) and encode (`dim`) with the BUILD's
@@ -461,11 +561,11 @@ object Pipeline {
     * write as the codebook's.
     */
   private[graft] def saveTowersMeta(d: String, size: Int, step: Int,
-      dim: Int, nDb: Int, nLex: Int): Unit = {
+      dim: Int, nDb: Int, nLex: Int, nTfbDb: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
     val tmp = java.nio.file.Paths.get(d, "towers.meta.tmp")
     java.nio.file.Files.write(tmp,
-      s"$size\n$step\n$dim\n$nDb\n$nLex\n"
+      s"$size\n$step\n$dim\n$nDb\n$nLex\n$nTfbDb\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(d, "towers.meta"),
@@ -474,16 +574,8 @@ object Pipeline {
     ()
   }
 
-  private[graft] def loadTowersMeta(d: String): Option[(Int, Int, Int)] = {
-    val p = java.nio.file.Paths.get(d, "towers.meta")
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val l = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-      Some((l(0).toInt, l(1).toInt, l(2).toInt))
-    }
-  }
+  private[graft] def loadTowersMeta(d: String): Option[(Int, Int, Int)] =
+    towersMetaOf(d).map(m => (m.size, m.step, m.dim))
 
   /** Swap a staged table for its recomputed next version: stage into
     * `<name>.next`, then delete + rename through the session's
@@ -542,21 +634,29 @@ object Pipeline {
   private[graft] def addToTowers(
       spark: org.apache.spark.sql.SparkSession, d: String,
       routedNew: DataFrame): Long = {
-    val (size, step, dim) = loadTowersMeta(d).getOrElse(sys.error(
+    val meta0 = towersMetaOf(d).getOrElse(sys.error(
       s"no towers.meta at $d — not a buildTowers root (rebuild once " +
         "with Graft.ragIndex to mint it)"))
-    val (nDb, nLex) = layoutOf(d)
-    // append `df` to a flat build artifact in the ROOT'S OWN layout:
-    // doc-bucketed when the root carries layout knobs, flat for a
-    // legacy root (a mixed layout would break partition discovery)
+    // a legacy flat root mints the bucketed layout once (the same
+    // one-time rebuild the delete path pays — a mixed-layout append
+    // would break partition discovery, and keeping a flat append arm
+    // alive kept the flat DELETE arm alive with it)
+    val meta =
+      if (meta0.nDb > 0) meta0
+      else {
+        buildTowers(spark, d, meta0.size, meta0.step, meta0.dim,
+          graft.streaming.Streams.loadCodebook(d))
+        towersMetaOf(d).get
+      }
+    val (size, step, dim) = (meta.size, meta.step, meta.dim)
+    val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
+    // append `df` to a flat build artifact in the ROOT'S OWN layout
     def appendFlat(name: String, df: DataFrame, docId: Column): Unit =
-      if (nDb == 0) df.write.mode("append").parquet(s"$d/$name")
-      else df.withColumn("db", docBucket(docId, nDb))
+      df.withColumn("db", docBucket(docId, nDb))
         .write.mode("append").partitionBy("db").parquet(s"$d/$name")
     def appendFlatChunkKeyed(name: String, df: DataFrame,
         chunkId: Column): Unit =
-      if (nDb == 0) df.write.mode("append").parquet(s"$d/$name")
-      else df.withColumn("db", docBucketOfChunk(chunkId, nDb))
+      df.withColumn("db", docBucketOfChunk(chunkId, nDb))
         .write.mode("append").partitionBy("db").parquet(s"$d/$name")
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
       sys.error(s"no codebook.meta at $d"))
@@ -594,18 +694,12 @@ object Pipeline {
     val tfD = tfNew.withColumnRenamed("chunk_id", "doc_id")
     val dlNew = graft.Caches.materialized(
       tfD.groupBy("doc_id").agg(sum("tf").as("dl")))
-    val tfbNew = tfD.join(dlNew, "doc_id")
+    tfD.join(dlNew, "doc_id")
       .withColumn("tb", Search.termBucket(col("term"), nLex))
-    if (nDb == 0)
-      tfbNew.repartition(col("tb"))
-        .write.mode("append").partitionBy("tb").parquet(s"$d/tf_b")
-    else
-      tfbNew
-        .withColumn("db",
-          docBucketOfChunk(col("doc_id"), tfbDocBuckets(nDb)))
-        .repartition(col("tb"), col("db"))
-        .write.mode("append").partitionBy("tb", "db")
-        .parquet(s"$d/tf_b")
+      .withColumn("db", docBucketOfChunk(col("doc_id"), nTfbDb))
+      .repartition(col("tb"), col("db"))
+      .write.mode("append").partitionBy("tb", "db")
+      .parquet(s"$d/tf_b")
     // stats: exact-integer rollup — one stored row + one arrival row
     val old = spark.read.parquet(s"$d/stats")
       .select("nd", "len_sum").collect()(0)
@@ -660,12 +754,17 @@ object Pipeline {
     * docBuckets) dirs each), the (victim term bucket x victim doc
     * bucket) cells of `tf_b`, and the victims' coarse lists of
     * `enc_ivf` (≤ nProbe-scale of √n dirs); untouched partitions
-    * keep their files byte-for-byte, so at 100 TB a delete wave's
-    * cost is VICTIMS-coupled, never corpus-coupled (the round-15
-    * scale-killer: the four flat artifacts used to pay a full
-    * corpus-sized anti-join rewrite per wave). Legacy roots without
-    * persisted layout knobs (3-line towers.meta) keep the flat
-    * anti-join path until a rebuild mints the bucketed layout.
+    * keep their files byte-for-byte. The READS prune the same way:
+    * the victim doc buckets derive by pure hash from the ids, every
+    * victim-derivation scan (chunks, tf) carries that db partition
+    * filter, and the victims' coarse lists re-derive from the
+    * db-pruned `enc` under the pinned codebook instead of scanning
+    * every `enc_ivf` list — so at 100 TB a delete wave's cost, read
+    * AND rewrite, is VICTIMS-coupled, never corpus-coupled (the
+    * round-15/16 scale-killers: corpus-sized anti-join rewrites,
+    * then corpus-sized derivation scans). A legacy root without
+    * layout knobs (3-line towers.meta) rebuilds ONCE here to mint
+    * the layout, then deletes like any other root.
     *
     * The corpus rollups recompute EXACTLY: `stats` decrements the
     * persisted integer (nd, len_sum) by the victims' (one 1-row
@@ -687,31 +786,75 @@ object Pipeline {
       spark: org.apache.spark.sql.SparkSession, d: String,
       idsDf: DataFrame): Long = {
     graft.Caches.fresh()
+    // a LEGACY flat root (pre-bucketed-layout build) rebuilds ONCE
+    // under its own pinned codebook to mint the layout, then deletes
+    // victims-coupled like every other root — the alternative kept a
+    // corpus-sized anti-join rewrite path alive forever, exercised
+    // only by roots no current build produces (and with no
+    // delete-everything guard). One corpus pass here buys every
+    // later wave out of corpus-coupling.
+    val meta0 = towersMetaOf(d).getOrElse(sys.error(
+      s"no towers.meta at $d — not a buildTowers root (rebuild once " +
+        "with Graft.ragIndex to mint it)"))
+    val meta =
+      if (meta0.nDb > 0) meta0
+      else {
+        buildTowers(spark, d, meta0.size, meta0.step, meta0.dim,
+          graft.streaming.Streams.loadCodebook(d))
+        towersMetaOf(d).get
+      }
+    val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
     // victims DECOUPLE through scratch parquet before any rewrite
     // (the addToTowers lineage lesson: a frame derived from a dir we
     // are about to replace would re-evaluate against its own output)
     val scratch = graft.Staging.scratch("rag_remove")
     idsDf.select(col(idsDf.columns.head).cast("long").as("doc_id"))
       .distinct()
-      .join(spark.read.parquet(s"$d/routed").select("doc_id"),
+      .write.mode("overwrite").parquet(s"$scratch/ids")
+    val ids = spark.read.parquet(s"$scratch/ids")
+    // doc buckets derive by PURE HASH from the ids (docBucket), no
+    // table read — so even the membership check (is each id actually
+    // indexed?) reads only the requested ids' routed buckets, and
+    // every victim-DERIVATION scan below carries a db partition
+    // filter: the wave's READ side is victims-coupled like its
+    // rewrite side (round-16 pruned the rewrites but still paid
+    // corpus-wide derivation scans — chunks, tf, and every enc_ivf
+    // list — per wave; at 100 TB a 3-victim GDPR wave would have
+    // scanned the chunk, posting, and code tables end-to-end before
+    // rewriting 1.2%)
+    val rawDbs: Seq[Any] = ids
+      .select(docBucket(col("doc_id"), nDb).as("db"))
+      .distinct().collect().map(_.getLong(0): Any).toSeq
+    ids.join(spark.read.parquet(s"$d/routed")
+        .filter(col("db").isin(rawDbs: _*)).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$scratch/victims")
     val victims = spark.read.parquet(s"$scratch/victims")
     val nVict = victims.count()
     if (nVict == 0L) return 0L
+    // re-derived from the CONFIRMED victims (⊆ rawDbs — unknown ids'
+    // buckets drop out, tightening every downstream prune)
+    val vDbs: Seq[Any] = victims
+      .select(docBucket(col("doc_id"), nDb).as("db"))
+      .distinct().collect().map(_.getLong(0): Any).toSeq
     // victim chunk ids + the exact decrements, all read BEFORE any
     // tower is touched (chunk_id encodes doc_id, so the victim chunk
-    // set is a semi-join of the chunks table, not a re-chunk)
+    // set is a db-pruned semi-join of the chunks table, not a
+    // re-chunk)
     spark.read.parquet(s"$d/chunks")
+      .filter(col("db").isin(vDbs: _*))
       .join(victims, Seq("doc_id"), "left_semi")
       .select("chunk_id")
       .write.mode("overwrite").parquet(s"$scratch/vchunks")
     val vchunks = spark.read.parquet(s"$scratch/vchunks")
-    // tf's victim slice lands in scratch ONCE; the per-term df
-    // decrement, the (nd, len_sum) decrement, and the affected-bucket
-    // set all derive from it without re-scanning tf
+    // tf's victim slice lands in scratch ONCE (db-pruned — tf is
+    // bucketed by the chunk's doc hash, the same modulus); the
+    // per-term df decrement, the (nd, len_sum) decrement, and the
+    // affected-cell set all derive from it without re-scanning tf
     spark.read.parquet(s"$d/tf")
+      .filter(col("db").isin(vDbs: _*))
       .join(vchunks, Seq("chunk_id"), "left_semi")
+      .drop("db")
       .write.mode("overwrite").parquet(s"$scratch/vtf")
     val vtf = spark.read.parquet(s"$scratch/vtf")
     val vdf = vtf.groupBy("term").agg(count(lit(1)).as("df_dec"),
@@ -722,45 +865,51 @@ object Pipeline {
     // token-less chunk never entered stats), so the decrement counts
     // the victim chunks that appear in tf, not every victim chunk
     val ndDec = vtf.select("chunk_id").distinct().count()
-    // affected partitions (bounded lists of partition values): the
-    // victims' term buckets, coarse lists, and — on a bucketed-layout
-    // root — their doc buckets, which prune every FLAT artifact's
-    // rewrite to the victim buckets (the round-15 scale-killer:
-    // these four tables used to pay a corpus-sized anti-join rewrite
-    // per wave)
-    val (nDb, nLex) = layoutOf(d)
     val vBuckets = vdf
       .select(Search.termBucket(col("term"), nLex).as("tb"))
       .distinct().collect().map(_.getLong(0).toInt).toSeq
-    val vCids = spark.read.parquet(s"$d/enc_ivf")
+    // the victims' coarse lists re-derive from the db-PRUNED enc and
+    // the pinned codebook — the st15 assignment contract: enc_ivf's
+    // cid was minted as exactly this centroidRanks projection at
+    // build/add time, so the projection over the victim codes IS the
+    // victim list set, and the corpus-wide enc_ivf semi-join (a full
+    // scan of every list per wave) never runs
+    val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
+      sys.error(s"no codebook.meta at $d — not a built index root"))
+    val vCids = spark.read.parquet(s"$d/enc")
+      .filter(col("db").isin(vDbs: _*))
       .join(vchunks.withColumnRenamed("chunk_id", "vec_id"),
         Seq("vec_id"), "left_semi")
-      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    val vDbs: Seq[Any] =
-      if (nDb == 0) Nil
-      else victims.select(docBucket(col("doc_id"), nDb).as("db"))
-        .distinct().collect().map(_.getLong(0): Any).toSeq
+      .select(element_at(graft.functions.Vectors.centroidRanks(
+        transform(col("u16"), x => x.cast("double")), cb), 1).as("cid"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     // the EXACT victim (tb, db) cells of the postings layout, derived
     // from the pre-staged victim postings (never the vBuckets x vDbs
     // cross product — a wave whose terms span 20 buckets and docs
     // span 10 would otherwise rewrite 200 cells where ~30 hold
     // victims, each a staged file + delete + rename of itself)
-    val vCells: Seq[Seq[Any]] =
-      if (nDb == 0) Nil
-      else vtf.select(
-          Search.termBucket(col("term"), nLex).as("tb"),
-          docBucketOfChunk(col("chunk_id"), tfbDocBuckets(nDb))
-            .as("db"))
-        .distinct().collect()
-        .map(r => Seq(r.getLong(0).toInt: Any, r.getLong(1): Any))
-        .toSeq
+    val vCells: Seq[Seq[Any]] = vtf.select(
+        Search.termBucket(col("term"), nLex).as("tb"),
+        docBucketOfChunk(col("chunk_id"), nTfbDb).as("db"))
+      .distinct().collect()
+      .map(r => Seq(r.getLong(0).toInt: Any, r.getLong(1): Any))
+      .toSeq
     // a delete wave must leave a non-empty index: a dir-less
     // partitioned table can't even be read back, and "forget the
     // whole corpus" is an explicit teardown, not an erasure wave.
-    // A wave that leaves any doc bucket untouched trivially leaves
-    // survivors — only an all-bucket (mass) wave pays a count, and
-    // only over rows it is about to rewrite anyway.
-    if (nDb > 0 && vDbs.size == nDb)
+    // The survivor check arms when the victims' buckets cover every
+    // OCCUPIED db dir of routed (a driver-side listing — comparing
+    // against nDb would let a small corpus occupying fewer than nDb
+    // buckets be fully erased without ever covering all of them),
+    // and counts only rows the wave is about to rewrite anyway.
+    val occupied = {
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(d, "routed"))
+        .map(_.getPath.getName).filter(_.startsWith("db="))
+        .map(_.stripPrefix("db=").toLong).toSet
+    }
+    if (occupied.subsetOf(vDbs.map(_.asInstanceOf[Long]).toSet))
       require(nVict < spark.read.parquet(s"$d/routed")
           .filter(col("db").isin(vDbs: _*)).count(),
         "removeFromTowers would delete every routed doc — tear the " +
@@ -782,40 +931,19 @@ object Pipeline {
     import spark.implicits._
     // routed shrinks FIRST and ALONE (the torn-remove repair anchor:
     // if anything after this dies, rebuild() re-derives every tower
-    // from the already-shrunk routed). On a bucketed root only the
-    // victim doc buckets swap; untouched buckets keep their files.
-    if (nDb == 0)
-      replaceDir(spark, d, "routed",
-        antiInOrder(spark.read.parquet(s"$d/routed"), "doc_id",
-          victims))
-    else
-      replacePartitions(spark, d, "routed", Seq("db"),
-        vDbs.map(Seq(_)),
-        antiInOrder(spark.read.parquet(s"$d/routed")
-          .filter(col("db").isin(vDbs: _*)), "doc_id", victims))
+    // from the already-shrunk routed). Only the victim doc buckets
+    // swap; untouched buckets keep their files.
+    replacePartitions(spark, d, "routed", Seq("db"),
+      vDbs.map(Seq(_)),
+      antiInOrder(spark.read.parquet(s"$d/routed")
+        .filter(col("db").isin(vDbs: _*)), "doc_id", victims))
     // the remaining six rewrites touch DISJOINT tables whose inputs
     // are all pre-staged (scratch victims/vtf + their own dirs), so
     // they submit as CONCURRENT Spark jobs — a delete wave's latency
     // is the longest single rewrite, not their sum (Spark job
     // submission is thread-safe; each job's stages share the same
-    // executor pool)
-    val flatRewrites: Seq[() => Unit] =
-      if (nDb == 0) Seq( // legacy flat roots: corpus-sized anti-joins
-        () => replaceDir(spark, d, "chunks",
-          antiInOrder(spark.read.parquet(s"$d/chunks"), "doc_id",
-            victims)),
-        () => replaceDir(spark, d, "tf",
-          antiInOrder(spark.read.parquet(s"$d/tf"), "chunk_id",
-            vchunks)),
-        () => replaceDir(spark, d, "enc",
-          antiInOrder(spark.read.parquet(s"$d/enc"), "vec_id",
-            vchunks.withColumnRenamed("chunk_id", "vec_id"))),
-        () => replacePartitions(spark, d, "tf_b", Seq("tb"),
-          vBuckets.map(Seq(_)),
-          antiInOrder(spark.read.parquet(s"$d/tf_b")
-            .filter(col("tb").isin(vBuckets.map(b => b: Any): _*)),
-            "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
-      else Seq( // bucketed roots: every flat rewrite is VICTIMS-SIZED
+    // executor pool). Every flat rewrite is VICTIMS-SIZED.
+    val flatRewrites: Seq[() => Unit] = Seq(
         () => replacePartitions(spark, d, "chunks", Seq("db"),
           vDbs.map(Seq(_)),
           antiInOrder(spark.read.parquet(s"$d/chunks")
@@ -931,14 +1059,20 @@ object Pipeline {
   /** Partition-pruned rewrite of a partitioned staged table: stage
     * `survivors` (the affected partitions' rows minus the victims)
     * one-file-per-partition into `<name>.next`, then SWAP each
-    * affected partition dir — delete + rename, never an append job —
-    * so untouched partitions keep their files byte-for-byte, a
-    * fully-emptied partition's dir stays deleted (its cell stages no
-    * files; dynamic partition overwrite would silently leave it),
-    * and a torn swap loses at most one partition with its complete
-    * replacement sitting in `<name>.next` for manual repair (the
-    * [[replaceDir]] guarantee, per-partition). `parts` are the
-    * affected partition-value tuples, one per `partCols` level.
+    * affected partition dir — rename-aside + rename-in, never an
+    * append job — so untouched partitions keep their files
+    * byte-for-byte and a fully-emptied partition's dir stays gone
+    * (its cell stages no files; dynamic partition overwrite would
+    * silently leave it). The old dir renames ASIDE into
+    * `<name>.prev` before its replacement renames in, so a crash
+    * mid-swap never strands a partition invisibly: the torn
+    * partition's old content sits in `<name>.prev/<part>` and its
+    * complete replacement in `<name>.next/<part>` — a repair can
+    * restore either, and a rebuild() over routed is only safe AFTER
+    * restoring one of them (a routed missing a bucket of SURVIVORS
+    * would re-derive every tower without them). Both side dirs
+    * delete only after every swap landed. `parts` are the affected
+    * partition-value tuples, one per `partCols` level.
     */
   private def replacePartitions(
       spark: org.apache.spark.sql.SparkSession, d: String,
@@ -947,7 +1081,9 @@ object Pipeline {
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(d, s"$name.next")
+    val aside = new org.apache.hadoop.fs.Path(d, s"$name.prev")
     if (fs.exists(stage)) fs.delete(stage, true)
+    if (fs.exists(aside)) fs.delete(aside, true)
     survivors.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(stage.toString)
@@ -955,7 +1091,12 @@ object Pipeline {
       val rel = partCols.zip(vs).map { case (c, v) => s"$c=$v" }
         .mkString("/")
       val dst = new org.apache.hadoop.fs.Path(d, s"$name/$rel")
-      fs.delete(dst, true)
+      if (fs.exists(dst)) {
+        val old = new org.apache.hadoop.fs.Path(aside, rel)
+        fs.mkdirs(old.getParent)
+        if (!fs.rename(dst, old))
+          sys.error(s"rename $dst -> $old failed")
+      }
       val src = new org.apache.hadoop.fs.Path(stage, rel)
       if (fs.exists(src)) {
         fs.mkdirs(dst.getParent)
@@ -964,6 +1105,7 @@ object Pipeline {
       }
     }
     fs.delete(stage, true)
+    fs.delete(aside, true)
     ()
   }
 

@@ -1145,19 +1145,75 @@ object Probe {
             val ids = Seq(0L, 1L, 2L).map(i => w * 101L + 3L + i * 37L)
             val before = snapAll(root)
             val t0 = System.nanoTime
-            val n = graft.operators.Pipeline
-              .removeFromTowers(spark, root, ids.toDF("doc_id"))
+            // bytes READ ride the task input metrics (the round-16
+            // fix pruned the REWRITES to the victims' partitions but
+            // left three corpus-wide victim-derivation scans; the
+            // rewritten-MB witness below cannot see bytes read, so
+            // the read side gets its own victims-coupling witness)
+            val (n, _, rdBytes) = measured {
+              graft.operators.Pipeline
+                .removeFromTowers(spark, root, ids.toDF("doc_id"))
+            }
             val sec = (System.nanoTime - t0) / 1e9
             val after = snapAll(root)
             val rew = after.filter { case (p, sig) =>
               !before.get(p).contains(sig) }.values.map(_._1).sum / 1e6
             val total = after.values.map(_._1).sum / 1e6
             println(f"PROBE rmwave [$tag] wave $w: removed $n in " +
-              f"$sec%.1f s, rewrote $rew%.1f of $total%.1f MB")
+              f"$sec%.1f s, rewrote $rew%.1f of $total%.1f MB, " +
+              f"read ${rdBytes / 1e6}%.1f MB")
           }
         }
         runWaves("base", docs)
         runWaves(s"${copies}x", replicated(copies))
+
+      // the GROW side of the bucketed layout: addToTowers appends
+      // per-bucket files, so a long add cadence fragments every
+      // bucket (the st14 compaction concern applied to the flat
+      // artifacts). Measures parquet file count + serve wall every
+      // few waves over ~20 add waves, and the rebuild() compaction
+      // folding the files back down at the end.
+      case "addwave" =>
+        def pqCount(root: String): Int =
+          snapFiles(java.nio.file.Paths.get(root)).size
+        def runAdds(tag: String,
+            d: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch(s"probe_addwave_$tag")
+          val all = d.select(col("doc_id"), col("text").as("body"))
+          // build on the first ~half, grow by 20 waves of the rest
+          all.filter(col("doc_id") % 2 === 0)
+            .write.mode("overwrite").parquet(s"$root/routed")
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100)
+          val waves = 20
+          (0 until waves).foreach { w =>
+            val batch = all.filter(col("doc_id") % 2 === 1)
+              .filter(col("doc_id") % (2L * waves) === (2L * w + 1L))
+            val t0 = System.nanoTime
+            val n = graft.operators.Pipeline
+              .addToTowers(spark, root, batch)
+            val sec = (System.nanoTime - t0) / 1e9
+            if (w % 5 == 4 || w == 0) {
+              val t1 = System.nanoTime
+              val served = graft.operators.Pipeline
+                .serveStandard(spark, root, 5).count()
+              val secQ = (System.nanoTime - t1) / 1e9
+              println(f"PROBE addwave [$tag] wave $w: added $n in " +
+                f"$sec%.1f s; files ${pqCount(root)}, " +
+                f"serve($served) $secQ%.1f s")
+            }
+          }
+          // rebuild() is the documented compaction: files fold back
+          val cb = graft.streaming.Streams.loadCodebook(root)
+          val t2 = System.nanoTime
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100,
+            graft.operators.Embed.dim, cb)
+          val secR = (System.nanoTime - t2) / 1e9
+          println(f"PROBE addwave [$tag] rebuild: files " +
+            f"${pqCount(root)} in $secR%.1f s")
+        }
+        runAdds("base", docs)
+        runAdds(s"${copies}x", replicated(copies))
 
       // p4/r19_staged one-plan scoring at scale: postings bytes READ
       // vs query-set size and corpus scale (the '|union buckets|/nLex

@@ -1256,7 +1256,8 @@ class GraftApiSpec extends SparkSpec {
         .collect().map(_.getLong(0).toInt).toSet
       val vDbsLex = spark.range(1).select(graft.operators.Pipeline
           .docBucket(lit(3L),
-            graft.operators.Pipeline.tfbDocBuckets(nDb)).as("db"))
+            graft.operators.Pipeline.towersMetaOf(tmp).get.nTfbDb)
+          .as("db"))
         .collect().map(_.getLong(0).toInt).toSet
       assert(idx.remove(Seq(3L, 999L)) == 1L) // unknown id ignored
       def partOf(rel: String): Option[Int] =
@@ -1529,6 +1530,95 @@ class GraftApiSpec extends SparkSpec {
       }
       // the removed doc's chunks never enter any packed context
       assert(!rows.exists(_.getAs[Long]("src_doc") == 1L))
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
+    }
+  }
+
+  test("legacy flat root: first mutation mints the bucketed layout " +
+      "(one rebuild), then deletes bit-equal to the pinned rebuild " +
+      "on the survivors; a malformed towers.meta fails loudly") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "repo/docs/a.md", "en",
+        "spark joins and windows explained with zanzibar examples"),
+      (2L, "repo/src/a.py", "python", "def run(): spark filter job"),
+      (3L, "repo/docs/b.md", "en",
+        "quokka quokka aggregation guide for spark windows"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_legacy_").toString
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_legacy_ref_").toString
+    try {
+      Graft.ragIndex(docs, "doc_id", "filepath", "lang", "text",
+        stateRoot = Some(tmp))
+      val cb = graft.streaming.Streams.loadCodebook(tmp).get
+      // DOWNGRADE the root to the pre-round-16 legacy layout: flat
+      // (un-bucketed) artifacts, tb-only postings, 3-line meta — the
+      // shape a durable root built before the layout knobs existed
+      // still has on disk
+      def rewriteFlat(n: String, partCols: Seq[String]): Unit = {
+        val df = spark.read.parquet(s"$tmp/$n").drop("db")
+        val t = s"$tmp/${n}__legacy"
+        if (partCols.isEmpty) df.write.mode("overwrite").parquet(t)
+        else df.repartition(partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(t)
+        graft.Staging.deleteTree(java.nio.file.Paths.get(tmp, n))
+        java.nio.file.Files.move(java.nio.file.Paths.get(t),
+          java.nio.file.Paths.get(tmp, n))
+      }
+      for (n <- Seq("routed", "chunks", "tf", "enc")) rewriteFlat(n, Nil)
+      rewriteFlat("tf_b", Seq("tb"))
+      val metaP = java.nio.file.Paths.get(tmp, "towers.meta")
+      val lines = new String(java.nio.file.Files.readAllBytes(metaP),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      java.nio.file.Files.write(metaP,
+        (lines.take(3).mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(Pipeline.towersMetaOf(tmp).get.nDb == 0,
+        "downgrade failed to produce a legacy meta")
+      // a 4-line meta is CORRUPT (neither legacy nor bucketed) and
+      // must fail loudly, never silently serve as a legacy layout
+      java.nio.file.Files.write(metaP,
+        (lines.take(4).mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assertThrows[RuntimeException](Pipeline.towersMetaOf(tmp))
+      java.nio.file.Files.write(metaP,
+        (lines.take(3).mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first mutation on the legacy root: the delete auto-rebuilds
+      // under the root's own pinned codebook (minting the layout),
+      // then erases victims-coupled like any bucketed root
+      assert(Pipeline.removeFromTowers(spark, tmp,
+        Seq(1L).toDF("doc_id")) == 1L)
+      val minted = Pipeline.towersMetaOf(tmp).get
+      assert(minted.nDb > 0,
+        "first mutation must mint the bucketed layout")
+      // the reference: survivors through the same build under the
+      // SAME pinned codebook
+      Graft.ragNormalize(docs.filter(col("doc_id") =!= 1L), "doc_id",
+          "filepath", "lang", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .write.mode("overwrite").parquet(s"$tmp2/routed")
+      Pipeline.buildTowers(spark, tmp2, 200, 100,
+        graft.operators.Embed.dim, Some(cb))
+      def dump(root: String, name: String, keys: String*) =
+        Pipeline.ragTablesAt(spark, root)(name)
+          .orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+      for ((tbl, keys) <- Seq(
+          "routed" -> Seq("doc_id"),
+          "tf_b" -> Seq("doc_id", "term"),
+          "idf" -> Seq("term"),
+          "stats" -> Seq("nd"),
+          "chunks" -> Seq("chunk_id"),
+          "enc_ivf" -> Seq("vec_id")))
+        assert(dump(tmp, tbl, keys: _*) == dump(tmp2, tbl, keys: _*),
+          s"$tbl drifted from the pinned survivors rebuild")
     } finally {
       graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
       graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
