@@ -741,7 +741,63 @@ object Pipeline {
     // grown index invalidates them (next tier serve re-mints from
     // the current corpus; their models are corpus statistics)
     dropTierLayouts(spark, d)
+    // a long add cadence fragments every touched partition dir (one
+    // appended file per dir per wave): Probe addwave measured 20
+    // waves growing a 10× root to ~18k files with the serve wall
+    // +70% — fold back only the dirs the cadence overgrew
+    compactTowers(spark, d)
     nNew
+  }
+
+  /** Fold multi-file partition dirs of the staged towers back to
+    * one file each — the io5/io12 compaction discipline applied to
+    * the index's own layout. Only dirs holding more than
+    * `maxFilesPerDir` parquet files rewrite (a driver-side listing
+    * finds them; [[replacePartitions]] swaps them one-file-per-dir),
+    * so a compaction pass costs fragmented-buckets only: at a steady
+    * add cadence each bucket folds once per ~maxFilesPerDir waves —
+    * amortized bucketBytes/maxFilesPerDir per wave, never the
+    * corpus. [[addToTowers]] runs it after every append; the full
+    * fold remains rebuild().
+    */
+  private[graft] def compactTowers(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      maxFilesPerDir: Int = 8): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tables = Seq(
+      "routed" -> Seq("db"), "chunks" -> Seq("db"),
+      "tf" -> Seq("db"), "enc" -> Seq("db"),
+      "tf_b" -> Seq("tb", "db"), "enc_ivf" -> Seq("cid"))
+    for ((name, cols) <- tables) {
+      val root = new org.apache.hadoop.fs.Path(d, name)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        // walk the partition levels carrying each dir's value (the
+        // k=v name IS the value — no path re-parsing; non-partition
+        // residue like _temporary is skipped)
+        def leaves(p: org.apache.hadoop.fs.Path, depth: Int,
+            vals: Seq[Any])
+            : Seq[(org.apache.hadoop.fs.Path, Seq[Any])] =
+          if (depth == 0) Seq((p, vals))
+          else fs.listStatus(p).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+            .flatMap(s => leaves(s.getPath, depth - 1,
+              vals :+ (s.getPath.getName.split("=", 2)(1): Any)))
+        val over = leaves(root, cols.size, Nil).filter { case (p, _) =>
+          fs.listStatus(p)
+            .count(_.getPath.getName.endsWith(".parquet")) >
+            maxFilesPerDir
+        }
+        if (over.nonEmpty) {
+          val parts: Seq[Seq[Any]] = over.map(_._2)
+          val keys = parts.map(_.mkString("/")).toSet
+          replacePartitions(spark, d, name, cols, parts,
+            spark.read.parquet(s"$d/$name")
+              .filter(concat_ws("/", cols.map(col): _*)
+                .isin(keys.toSeq: _*)))
+        }
+      }
+    }
   }
 
   /** DELETE docs from a built index in place (the right-to-be-
