@@ -177,7 +177,6 @@ object Bench {
       }
     }
     val (priorC, canaryRef) = priorsWithCanary(sfDir)
-    val prior = priorC.map { case (k, (s, _)) => k -> s }
     var reran = List.empty[String]
     var rerunDetail = List.empty[(String, Double, Double)]
     var rerunStagedSkip = List.empty[String]
@@ -258,6 +257,14 @@ object Bench {
     // the headline canary_s stays the run-END sample (the quantity
     // every prior round published); the series carries the regime
     val canaryS = canarySeries.last._2
+    // re-assign each query's local canary from the COMPLETE series —
+    // inside the loop only past samples exist (the guard can't see
+    // the future), but the published ratios and the prior sidecar
+    // should use the genuinely nearest sample on both sides: a
+    // contention ramp starting just after a sample would otherwise
+    // still corrupt the ~19 queries before the next one
+    for (((name, _), qi) <- selected.toSeq.sortBy(_._1).zipWithIndex)
+      localCanaryOf(name) = localCanary(qi)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -322,9 +329,11 @@ object Bench {
     println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"n_queries":${results.size},"failed":$fj,"reran":$rj,"rerun_detail":$rdj,"rerun_staged_skip":$rssj$norm,"canary_series":$serie,"top20":$top}""")
     // the SELF-SUFFICIENT prior sidecar: the FULL per-query map with
     // each query's local canary, written to cwd for the next round's
-    // guard and norm to read (only a full-suite run writes it — a
-    // subset run would shadow most queries' priors with absence)
-    if (args.isEmpty && results.nonEmpty) try {
+    // guard and norm to read. Only a CLEAN full-suite run writes it —
+    // a subset run would shadow most queries' priors with absence,
+    // and a run with failures would persist failure wall-times as
+    // priors (and clobber the last good sidecar)
+    if (args.isEmpty && results.nonEmpty && failed.isEmpty) try {
       val qp = results.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""$k":[$v,${localCanaryOf.getOrElse(k, canaryS)}]"""
       }.mkString("{", ",", "}")

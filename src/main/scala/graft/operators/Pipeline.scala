@@ -290,6 +290,11 @@ object Pipeline {
       size: Int, step: Int, dim: Int = Embed.dim,
       pinned: Option[graft.expressions.PlaneMatrix] = None,
       nDbPre: Option[Int] = None): Unit = {
+      // heal any torn partition swap FIRST — this build may be the
+      // documented repair for a torn mutation, and re-deriving every
+      // tower from a routed missing a bucket of survivors (stranded
+      // in routed.prev by a crash mid-swap) would drop committed docs
+      healTowers(spark, d)
       // LAYOUT KNOBS from MEASURED bytes (the st13 stateBucketsFor
       // law, the round-15 verdict's ask): doc-hash buckets for the
       // flat artifacts so a delete wave rewrites victim buckets, not
@@ -650,6 +655,9 @@ object Pipeline {
       }
     val (size, step, dim) = (meta.size, meta.step, meta.dim)
     val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
+    // heal any torn swap before the registry anti-join reads routed
+    // (a routed missing a bucket would re-admit its docs as "new")
+    healTowers(spark, d)
     // append `df` to a flat build artifact in the ROOT'S OWN layout
     def appendFlat(name: String, df: DataFrame, docId: Column): Unit =
       df.withColumn("db", docBucket(docId, nDb))
@@ -735,6 +743,23 @@ object Pipeline {
       .select("vec_id", "u16", "cid")
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$d/enc_ivf")
+    // the partitions THIS wave appended to — arrivals-sized distinct
+    // collects over the still-cached arrival frames, handed to the
+    // compaction pass so its fragmentation check stats only these
+    // dirs (an unscoped pass would list every partition dir of six
+    // tables per wave — corpus-dir-coupled at lake scale)
+    val dbsNew: Seq[Any] = arr
+      .select(docBucket(col("doc_id"), nDb).as("db"))
+      .distinct().collect().map(_.getLong(0): Any).toSeq
+    val cellsNew: Seq[Seq[Any]] = tfD.select(
+        Search.termBucket(col("term"), nLex).as("tb"),
+        docBucketOfChunk(col("doc_id"), nTfbDb).as("db"))
+      .distinct().collect()
+      .map(r => Seq(r.getLong(0): Any, r.getLong(1): Any)).toSeq
+    val cidsNew: Seq[Any] = encNew
+      .select(element_at(graft.functions.Vectors.centroidRanks(
+        transform(col("u16"), x => x.cast("double")), cb), 1).as("cid"))
+      .distinct().collect().map(_.getInt(0): Any).toSeq
     Seq(chNew, tfNew, dlNew, encNew).foreach(graft.Caches.drop)
     graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
     // quantization-tier layouts are DERIVED caches of enc_ivf — a
@@ -745,7 +770,13 @@ object Pipeline {
     // appended file per dir per wave): Probe addwave measured 20
     // waves growing a 10× root to ~18k files with the serve wall
     // +70% — fold back only the dirs the cadence overgrew
-    compactTowers(spark, d)
+    compactTowers(spark, d, scope = Some(Map(
+      "routed" -> dbsNew.map(Seq(_)),
+      "chunks" -> dbsNew.map(Seq(_)),
+      "tf" -> dbsNew.map(Seq(_)),
+      "enc" -> dbsNew.map(Seq(_)),
+      "tf_b" -> cellsNew,
+      "enc_ivf" -> cidsNew.map(Seq(_)))))
     nNew
   }
 
@@ -757,12 +788,17 @@ object Pipeline {
     * so a compaction pass costs fragmented-buckets only: at a steady
     * add cadence each bucket folds once per ~maxFilesPerDir waves —
     * amortized bucketBytes/maxFilesPerDir per wave, never the
-    * corpus. [[addToTowers]] runs it after every append; the full
-    * fold remains rebuild().
+    * corpus. `scope` bounds the LISTING the same way: when given
+    * (per table, the partition-value tuples this wave appended to —
+    * [[addToTowers]] knows them exactly), only those dirs are even
+    * stat'ed, so the check is arrivals-coupled; an unscoped call
+    * (the manual full pass) walks every partition dir once. The
+    * full fold remains rebuild().
     */
   private[graft] def compactTowers(
       spark: org.apache.spark.sql.SparkSession, d: String,
-      maxFilesPerDir: Int = 8): Unit = {
+      maxFilesPerDir: Int = 8,
+      scope: Option[Map[String, Seq[Seq[Any]]]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tables = Seq(
       "routed" -> Seq("db"), "chunks" -> Seq("db"),
@@ -772,18 +808,28 @@ object Pipeline {
       val root = new org.apache.hadoop.fs.Path(d, name)
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) {
-        // walk the partition levels carrying each dir's value (the
-        // k=v name IS the value — no path re-parsing; non-partition
-        // residue like _temporary is skipped)
-        def leaves(p: org.apache.hadoop.fs.Path, depth: Int,
+        // candidate dirs: the scoped tuples, else a walk of the
+        // partition levels carrying each dir's value (the k=v name
+        // IS the value — no path re-parsing; non-partition residue
+        // like _temporary is skipped)
+        def walk(p: org.apache.hadoop.fs.Path, depth: Int,
             vals: Seq[Any])
             : Seq[(org.apache.hadoop.fs.Path, Seq[Any])] =
           if (depth == 0) Seq((p, vals))
           else fs.listStatus(p).toSeq
             .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-            .flatMap(s => leaves(s.getPath, depth - 1,
+            .flatMap(s => walk(s.getPath, depth - 1,
               vals :+ (s.getPath.getName.split("=", 2)(1): Any)))
-        val over = leaves(root, cols.size, Nil).filter { case (p, _) =>
+        val cand: Seq[(org.apache.hadoop.fs.Path, Seq[Any])] =
+          scope match {
+            case Some(m) => m.getOrElse(name, Nil).map { vs =>
+              val rel = cols.zip(vs)
+                .map { case (c, v) => s"$c=$v" }.mkString("/")
+              (new org.apache.hadoop.fs.Path(root, rel), vs)
+            }.filter { case (p, _) => fs.exists(p) }
+            case None => walk(root, cols.size, Nil)
+          }
+        val over = cand.filter { case (p, _) =>
           fs.listStatus(p)
             .count(_.getPath.getName.endsWith(".parquet")) >
             maxFilesPerDir
@@ -860,6 +906,8 @@ object Pipeline {
         towersMetaOf(d).get
       }
     val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
+    // heal any torn swap before deriving victims from the tables
+    healTowers(spark, d)
     // victims DECOUPLE through scratch parquet before any rewrite
     // (the addToTowers lineage lesson: a frame derived from a dir we
     // are about to replace would re-evaluate against its own output)
@@ -887,7 +935,13 @@ object Pipeline {
       .write.mode("overwrite").parquet(s"$scratch/victims")
     val victims = spark.read.parquet(s"$scratch/victims")
     val nVict = victims.count()
-    if (nVict == 0L) return 0L
+    if (nVict == 0L) {
+      // the no-op path (unknown ids, st25's redelivered waves) must
+      // not leak its scratch — it holds the requested ids, which on
+      // the forget stream is erasure-request data
+      graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
+      return 0L
+    }
     // re-derived from the CONFIRMED victims (⊆ rawDbs — unknown ids'
     // buckets drop out, tightening every downstream prune)
     val vDbs: Seq[Any] = victims
@@ -1138,6 +1192,10 @@ object Pipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(d, s"$name.next")
     val aside = new org.apache.hadoop.fs.Path(d, s"$name.prev")
+    // a leftover .prev is torn-swap evidence — HEAL before touching
+    // anything (deleting it here would destroy the only copy of a
+    // partition the crash removed from the live table)
+    healTornSwap(fs, d, name)
     if (fs.exists(stage)) fs.delete(stage, true)
     if (fs.exists(aside)) fs.delete(aside, true)
     survivors.repartition(partCols.map(col): _*)
@@ -1163,6 +1221,62 @@ object Pipeline {
     fs.delete(stage, true)
     fs.delete(aside, true)
     ()
+  }
+
+  /** MECHANICAL repair of a torn [[replacePartitions]] swap: for
+    * every partition dir stranded in `<name>.prev`, if the live
+    * table is missing it, rename the staged replacement in when
+    * `<name>.next` still holds one (the swap completes) or the old
+    * dir back otherwise (the swap rolls back) — either way the live
+    * table has NO missing partitions afterwards, which is the
+    * property everything downstream leans on (rebuild() re-derives
+    * every tower from routed; a routed missing a bucket of SURVIVORS
+    * would silently drop committed docs). Runs at every mutation
+    * entry ([[healTowers]]) and before each new swap; a no-op
+    * (one exists-check) when the previous swap finished.
+    */
+  private def healTornSwap(fs: org.apache.hadoop.fs.FileSystem,
+      d: String, name: String): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(d, s"$name.prev")
+    if (!fs.exists(aside)) return
+    val stage = new org.apache.hadoop.fs.Path(d, s"$name.next")
+    // leaf partition dirs under .prev (a dir with no k=v child dirs)
+    def leafRels(p: org.apache.hadoop.fs.Path,
+        rel: String): Seq[String] = {
+      val kids = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(rel)
+      else kids.flatMap(s => leafRels(s.getPath,
+        if (rel.isEmpty) s.getPath.getName
+        else s"$rel/${s.getPath.getName}"))
+    }
+    for (rel <- leafRels(aside, "")) {
+      val dst = new org.apache.hadoop.fs.Path(d, s"$name/$rel")
+      if (!fs.exists(dst)) {
+        val src = new org.apache.hadoop.fs.Path(stage, rel)
+        val old = new org.apache.hadoop.fs.Path(aside, rel)
+        fs.mkdirs(dst.getParent)
+        val take = if (fs.exists(src)) src else old
+        if (!fs.rename(take, dst))
+          sys.error(s"heal rename $take -> $dst failed")
+      }
+    }
+    fs.delete(aside, true)
+    if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
+  /** [[healTornSwap]] over every staged tower — runs at each
+    * mutation entry (add/remove/rebuild) so a crash inside any
+    * partition swap (a delete wave, a compaction fold) is repaired
+    * before the next operation reads or rewrites the tables. Six
+    * exists-checks when the root is clean.
+    */
+  private[graft] def healTowers(
+      spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq("routed", "chunks", "tf", "enc", "tf_b", "enc_ivf"))
+      healTornSwap(fs, d, n)
   }
 
   // ------------------------------------------------------------------

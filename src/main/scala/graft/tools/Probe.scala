@@ -1144,17 +1144,20 @@ object Probe {
           (0 until 4).foreach { w =>
             val ids = Seq(0L, 1L, 2L).map(i => w * 101L + 3L + i * 37L)
             val before = snapAll(root)
-            val t0 = System.nanoTime
             // bytes READ ride the task input metrics (the round-16
             // fix pruned the REWRITES to the victims' partitions but
             // left three corpus-wide victim-derivation scans; the
             // rewritten-MB witness below cannot see bytes read, so
-            // the read side gets its own victims-coupling witness)
-            val (n, _, rdBytes) = measured {
-              graft.operators.Pipeline
+            // the read side gets its own victims-coupling witness).
+            // The wall clock brackets ONLY the remove — measured()'s
+            // listener-drain sleep must not inflate the published
+            // per-wave seconds
+            val ((n, sec), _, rdBytes) = measured {
+              val t0 = System.nanoTime
+              val r = graft.operators.Pipeline
                 .removeFromTowers(spark, root, ids.toDF("doc_id"))
+              (r, (System.nanoTime - t0) / 1e9)
             }
-            val sec = (System.nanoTime - t0) / 1e9
             val after = snapAll(root)
             val rew = after.filter { case (p, sig) =>
               !before.get(p).contains(sig) }.values.map(_._1).sum / 1e6
