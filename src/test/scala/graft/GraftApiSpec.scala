@@ -1625,6 +1625,106 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("healTornSwap: a crash mid-swap heals forward from .next, a " +
+      "swap with no staged replacement rolls back from .prev, and " +
+      "the add-path compaction bounds per-dir file counts without " +
+      "changing content") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "repo/docs/a.md", "en",
+        "spark joins and windows explained with zanzibar examples"),
+      (2L, "repo/src/a.py", "python", "def run(): spark filter job"),
+      (3L, "repo/docs/b.md", "en",
+        "quokka quokka aggregation guide for spark windows"))
+      .toDF("doc_id", "filepath", "lang", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_heal_").toString
+    try {
+      val idx = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      val before = idx.search("spark windows", k = 5).collect()
+        .map(_.toSeq).toSeq
+      def listFiles(p: java.nio.file.Path): Set[String] = {
+        val st = java.nio.file.Files.list(p)
+        try st.toArray.map(_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString).toSet
+        finally st.close()
+      }
+      val routedDir = java.nio.file.Paths.get(tmp, "routed")
+      val dbDir = {
+        val st = java.nio.file.Files.list(routedDir)
+        try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith("db="))
+          .maxBy(p => listFiles(p).size)
+        finally st.close()
+      }
+      val rel = dbDir.getFileName.toString
+      val origFiles = listFiles(dbDir)
+      def copyTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(b)
+        val st = java.nio.file.Files.list(a)
+        try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .foreach(f => java.nio.file.Files.copy(f, b.resolve(
+            f.getFileName.toString)))
+        finally st.close()
+      }
+      // FORWARD: the replacement survives in .next, the old dir sits
+      // in .prev MISSING one file (so taking the wrong side is
+      // detectable), the live dir is gone — the exact crash window
+      // between replacePartitions' aside-rename and its swap-in
+      val nextRel = java.nio.file.Paths.get(tmp, "routed.next", rel)
+      val prevRel = java.nio.file.Paths.get(tmp, "routed.prev", rel)
+      copyTree(dbDir, nextRel)
+      java.nio.file.Files.createDirectories(prevRel.getParent)
+      java.nio.file.Files.move(dbDir, prevRel)
+      val dropped = listFiles(prevRel)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.delete(prevRel.resolve(dropped))
+      Pipeline.healTowers(spark, tmp)
+      assert(listFiles(dbDir) == origFiles,
+        "heal must complete the swap from .next (full file set)")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "routed.prev")) &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, "routed.next")),
+        "heal must clean both side dirs")
+      // ROLLBACK: no staged replacement — the old dir must come back
+      java.nio.file.Files.createDirectories(prevRel.getParent)
+      java.nio.file.Files.move(dbDir, prevRel)
+      Pipeline.healTowers(spark, tmp)
+      assert(listFiles(dbDir) == origFiles,
+        "heal must roll the old dir back when no replacement exists")
+      // content unharmed end to end — and a mutation entry heals too
+      // (removeFromTowers ran healTowers before reading; a no-op
+      // remove exercises that path)
+      assert(idx.remove(Seq(999L)) == 0L)
+      assert(idx.search("spark windows", k = 5).collect()
+        .map(_.toSeq).toSeq == before, "serving drifted after heals")
+      // COMPACTION BOUND: 12 single-doc add waves all hash into few
+      // buckets; the threshold fold keeps every routed db dir at
+      // most 8+1 files while the registry count tracks every add
+      for (i <- 10L to 21L)
+        assert(idx.add(
+          Seq((i, s"repo/docs/n$i.md", "en",
+            s"meadow harbor lantern note $i"))
+            .toDF("doc_id", "filepath", "lang", "text"),
+          "doc_id", "filepath", "lang", "text") == 1L)
+      val st2 = java.nio.file.Files.list(routedDir)
+      val maxFiles =
+        try st2.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith("db="))
+          .map(p => listFiles(p).count(_.endsWith(".parquet"))).max
+        finally st2.close()
+      assert(maxFiles <= 9,
+        s"add-cadence fragmentation unbounded: $maxFiles files in a dir")
+      assert(spark.read.parquet(s"$tmp/routed").count() == 15L)
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("dedupKeepBest on an ad-hoc corpus: quality argmax wins, " +
       "singletons survive, cover is exact") {
     // two near-identical docs (high shingle Jaccard: 87 shared
