@@ -20,6 +20,72 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed IO canary: 24 MiB written through a FileChannel with
+    * `force(true)` (a real device sync — the write cannot complete
+    * against the page cache alone), read fully back, deleted. The
+    * CPU canary cannot see the IO-contention regime (round 17: p2
+    * ran 21x slow while the CPU canary read 1.15x — four consecutive
+    * rounds of hand-adjudicating IO-bound inflation); a plain
+    * parquet re-read cannot either, because a re-read of a
+    * just-written file is page-cache-hot regardless of device load.
+    * The synced write is the instrument that actually stalls when
+    * the host's disk is contended. ~0.1-0.3 s on a quiet device.
+    *
+    * The probe file lives in the WORKING directory (next to
+    * bench_prior.json), not java.io.tmpdir — /tmp is commonly tmpfs,
+    * and a force() against RAM reads flat while the data volume is
+    * fully contended, blinding the instrument to exactly the regime
+    * it exists to see.
+    */
+  private def ioCanary(): Double = try {
+    val p =
+      try java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(".").toAbsolutePath,
+        "graft_io_canary", ".bin")
+      catch { case _: Throwable =>
+        // unwritable cwd: fall back to tmpdir — a possibly
+        // page-cache-blind sample beats crashing the bench
+        java.nio.file.Files.createTempFile("graft_io_canary", ".bin")
+      }
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      while (buf.hasRemaining) buf.put((buf.position() & 0xff).toByte)
+      val t0 = System.nanoTime()
+      val w = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 24) { buf.rewind(); w.write(buf); i += 1 }
+        w.force(true)
+      } finally w.close()
+      val r = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        buf.clear()
+        while (r.read(buf) > 0) buf.clear()
+      } finally r.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      try java.nio.file.Files.deleteIfExists(p)
+      catch { case _: Throwable => () }
+    }
+  } catch { case _: Throwable =>
+    // no writable filesystem at all: publish 0 — readers treat a
+    // zero IO canary as "absent" (the v1-entry semantics), so the
+    // guard and merge fall back to the CPU canary instead of
+    // normalizing by garbage
+    0.0
+  }
+
+  /** IO-dominant query classification — shared with the sidecar's
+    * merge comparator ([[BenchPrior.ioHeavy]]): the guard, the norm
+    * ratios, and the prior merge must all pick the same canary
+    * family, or a CPU-contended run could ratchet a prior the
+    * IO-normalized guard then trusts.
+    */
+  private def ioHeavy(name: String): Boolean = BenchPrior.ioHeavy(name)
+
   /** Prior-round per-query seconds, if a BENCH_r*.json sits in the
     * working directory — the reference for the outlier re-run rule.
     * Parsing is a permissive regex over the `"queries":{...}` map;
@@ -92,42 +158,27 @@ object Bench {
 
   /** Full-fidelity priors from `bench_prior.json` (this Bench's own
     * sidecar, committed alongside the round records): every query's
-    * (seconds, local canary) pair — the committed driver record
-    * truncates its per-query map to a bounded tail, which in round 16
-    * silently DISARMED the outlier guard for ~130 queries (no prior →
-    * no guard → single contended timings published unchallenged).
-    * Falls back to the parsed BENCH_r record (record-level canary for
-    * every query) when the sidecar is missing or another scale's.
+    * (seconds, local CPU canary, local IO canary) — the committed
+    * driver record truncates its per-query map to a bounded tail,
+    * which in round 16 silently DISARMED the outlier guard for ~130
+    * queries (no prior → no guard → single contended timings
+    * published unchallenged). The sidecar is per-scale JSONL
+    * ([[BenchPrior]]) — only THIS run's scale line is read. Falls
+    * back to the parsed BENCH_r record (record-level canary for
+    * every query, io canary 0) when the sidecar is missing or has no
+    * line for this scale.
     */
   private def priorsWithCanary(sfDir: String)
-      : (Map[String, (Double, Double)], Option[Double]) = {
-    val own =
-      try {
-        val p = java.nio.file.Paths.get("bench_prior.json")
-        if (!java.nio.file.Files.exists(p)) None
-        else {
-          val body = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val sfOk = """"sf_dir":"([^"]+)"""".r
-            .findFirstMatchIn(body)
-            .exists(m => sfDir.endsWith(m.group(1)))
-          if (!sfOk) None
-          else {
-            val q = """"([a-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
-            val m = q.findAllMatchIn(body).flatMap { mm =>
-              for (s <- mm.group(2).toDoubleOption;
-                   c <- mm.group(3).toDoubleOption)
-                yield mm.group(1) -> (s, c)
-            }.toMap
-            val ref = """"canary_s":([0-9.eE+-]+)""".r
-              .findFirstMatchIn(body).flatMap(_.group(1).toDoubleOption)
-            if (m.nonEmpty) Some((m, ref)) else None
-          }
-        }
-      } catch { case _: Throwable => None }
+      : (Map[String, BenchPrior.Entry], Option[Double]) = {
+    val own = BenchPrior
+      .readAll(java.nio.file.Paths.get("bench_prior.json"))
+      .find(r => sfDir.endsWith(r.sfTail))
+      .map(r => (r.queries,
+        Some(r.canaryS).filter(_ > 0)))
     own.getOrElse {
       val (p, ref) = priorTimesFor(sfDir)
-      (p.map { case (k, v) => k -> (v, ref.getOrElse(0.0)) }, ref)
+      (p.map { case (k, v) =>
+        k -> BenchPrior.Entry(v, ref.getOrElse(0.0), 0.0) }, ref)
     }
   }
 
@@ -187,15 +238,27 @@ object Bench {
     // record and each query normalizes against the machine regime it
     // actually ran under, not the run's endpoint.
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // the IO canary samples in the SAME interleaved series — a
+    // contended window shows BOTH which queries inflated and which
+    // resource did it (CPU series flat + IO series spiking = the
+    // round-17 regime the CPU canary could not see)
+    val ioSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     canarySeries += ((0, math.round(canary() * 1000) / 1000.0))
+    ioSeries += ((0, math.round(ioCanary() * 1000) / 1000.0))
     def localCanary(i: Int): Double =
       canarySeries.minBy { case (at, _) => math.abs(at - i) }._2
+    def localIo(i: Int): Double =
+      ioSeries.minBy { case (at, _) => math.abs(at - i) }._2
     val localCanaryOf = scala.collection.mutable.Map.empty[String, Double]
+    val localIoOf = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), qi) =>
-      if (qi > 0 && qi % 20 == 0)
+      if (qi > 0 && qi % 20 == 0) {
         canarySeries += ((qi, math.round(canary() * 1000) / 1000.0))
+        ioSeries += ((qi, math.round(ioCanary() * 1000) / 1000.0))
+      }
       localCanaryOf(name) = localCanary(qi)
+      localIoOf(name) = localIo(qi)
       val stagedBefore = graft.Staging.stagedKeys
       val genBefore = graft.Registries.gen
       var elapsed = timeOne(name, fn)
@@ -224,13 +287,16 @@ object Bench {
       val guard = if (name.startsWith("st")) 2.0 else 3.0
       // the guard compares CANARY-NORMALIZED seconds: a prior taken
       // on a 2× faster machine regime must not read as a 2× outlier
-      // (nor mask a real one on a faster run)
-      val outlier = priorC.get(name).exists { case (p, refC) =>
-        val scale =
-          if (refC > 0 && localCanaryOf(name) > 0)
-            refC / localCanaryOf(name)
-          else 1.0
-        p > 0.05 && elapsed * scale > guard * p
+      // (nor mask a real one on a faster run). IO-heavy queries
+      // normalize by the IO canary when both runs carry one — their
+      // contended inflation tracks device stalls, not CPU drift.
+      val outlier = priorC.get(name).exists { e =>
+        val (refC, curC) =
+          if (ioHeavy(name) && e.ioC > 0 && localIoOf(name) > 0)
+            (e.ioC, localIoOf(name))
+          else (e.c, localCanaryOf(name))
+        val scale = if (refC > 0 && curC > 0) refC / curC else 1.0
+        e.secs > 0.05 && elapsed * scale > guard * e.secs
       }
       if (outlier && stagedDuring && !failed.contains(name)) {
         // publish the FIRST (cold, like-prior-work) run and record
@@ -254,17 +320,21 @@ object Bench {
       name -> elapsed
     }.toMap
     canarySeries += ((selected.size, math.round(canary() * 1000) / 1000.0))
+    ioSeries += ((selected.size, math.round(ioCanary() * 1000) / 1000.0))
     // the headline canary_s stays the run-END sample (the quantity
     // every prior round published); the series carries the regime
     val canaryS = canarySeries.last._2
+    val ioCanaryS = ioSeries.last._2
     // re-assign each query's local canary from the COMPLETE series —
     // inside the loop only past samples exist (the guard can't see
     // the future), but the published ratios and the prior sidecar
     // should use the genuinely nearest sample on both sides: a
     // contention ramp starting just after a sample would otherwise
     // still corrupt the ~19 queries before the next one
-    for (((name, _), qi) <- selected.toSeq.sortBy(_._1).zipWithIndex)
+    for (((name, _), qi) <- selected.toSeq.sortBy(_._1).zipWithIndex) {
       localCanaryOf(name) = localCanary(qi)
+      localIoOf(name) = localIo(qi)
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -289,12 +359,17 @@ object Bench {
         // per-query ratios use each query's LOCAL canaries (this
         // run's nearest interleaved sample vs the prior run's, when
         // the sidecar carries them) so a mid-run regime shift
-        // normalizes out per query, not per run
+        // normalizes out per query, not per run; IO-heavy queries
+        // normalize by the IO canary pair when both runs carry one
         val ratios = results.toSeq.flatMap { case (k, v) =>
-          priorC.get(k).filter(_._1 > 0.05).map { case (p, refC) =>
-            val curC = localCanaryOf.getOrElse(k, canaryS)
+          priorC.get(k).filter(_.secs > 0.05).map { e =>
+            val (refC, curC) =
+              if (ioHeavy(k) && e.ioC > 0 &&
+                  localIoOf.getOrElse(k, 0.0) > 0)
+                (e.ioC, localIoOf(k))
+              else (e.c, localCanaryOf.getOrElse(k, canaryS))
             val s = if (refC > 0 && curC > 0) refC / curC else scale
-            k -> (v / p) * s
+            k -> (v / e.secs) * s
           }
         }
         val geo =
@@ -313,7 +388,7 @@ object Bench {
     // the headline number with it. Headline fields (total_s first)
     // lead, the long sorted per-query map trails: any truncation that
     // keeps part of the line keeps the numbers that matter.
-    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"failed":$fj,"reran":$rj,"queries":$qs}""")
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"io_canary_s":$ioCanaryS,"failed":$fj,"reran":$rj,"queries":$qs}""")
     val norm = normFields(canaryS)
     // …and a SHORT trailer as the very last line: drivers have been
     // observed to keep only a bounded tail, which cut the head (and
@@ -326,23 +401,32 @@ object Bench {
       .mkString("[", ",", "]")
     val serie = canarySeries
       .map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
-    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"n_queries":${results.size},"failed":$fj,"reran":$rj,"rerun_detail":$rdj,"rerun_staged_skip":$rssj$norm,"canary_series":$serie,"top20":$top}""")
+    val ioSerie = ioSeries
+      .map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
+    println(s"""{"total_s":$total,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_s":$canaryS,"io_canary_s":$ioCanaryS,"n_queries":${results.size},"failed":$fj,"reran":$rj,"rerun_detail":$rdj,"rerun_staged_skip":$rssj$norm,"canary_series":$serie,"io_canary_series":$ioSerie,"top20":$top}""")
     // the SELF-SUFFICIENT prior sidecar: the FULL per-query map with
-    // each query's local canary, written to cwd for the next round's
-    // guard and norm to read. Only a CLEAN full-suite run writes it —
-    // a subset run would shadow most queries' priors with absence,
-    // and a run with failures would persist failure wall-times as
-    // priors (and clobber the last good sidecar)
+    // each query's local canaries, upserted per scale with the
+    // min-canary-normalized merge ([[BenchPrior]]) — a contended run
+    // can only tighten the guard, a clean faster run tightens it
+    // further, and another scale's line is never touched. Only a
+    // CLEAN full-suite run writes — a subset run would shadow most
+    // queries' priors with absence, a run with failures would
+    // persist failure wall-times. Reran (outlier-guarded) queries
+    // persist their FIRST (cold) timing, not the best-of-2 minimum —
+    // a published rerun minimum as the prior would make the guard
+    // progressively more rerun-prone.
     if (args.isEmpty && results.nonEmpty && failed.isEmpty) try {
-      val qp = results.toSeq.sortBy(_._1).map { case (k, v) =>
-        s""""$k":[$v,${localCanaryOf.getOrElse(k, canaryS)}]"""
-      }.mkString("{", ",", "}")
+      val firstOf = rerunDetail.map { case (n, a, _) => n -> a }.toMap
       val sfTail = sfDir.split('/').filter(_.nonEmpty).lastOption
         .getOrElse(sfDir)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_prior.json"),
-        s"""{"sf_dir":"$sfTail","canary_s":$canaryS,"canary_series":$serie,"queries":$qp}
-""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      BenchPrior.upsert(java.nio.file.Paths.get("bench_prior.json"),
+        BenchPrior.ScaleRecord(sfTail, canaryS, ioCanaryS, serie,
+          ioSerie,
+          results.map { case (k, v) =>
+            k -> BenchPrior.Entry(firstOf.getOrElse(k, v),
+              localCanaryOf.getOrElse(k, canaryS),
+              localIoOf.getOrElse(k, ioCanaryS))
+          }))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_prior.json write failed: $e")
     }
