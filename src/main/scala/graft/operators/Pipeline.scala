@@ -231,19 +231,45 @@ object Pipeline {
       landRoutedAndBuild(t.spark, d, ragRouted(t), size, step)
     }
 
-  /** Measured bytes of the FILES feeding a frame (the routing pass's
-    * own input): a driver-side status call per distinct input file,
-    * never a scan; 0 when the frame has no file-backed source (an
-    * in-memory test corpus) — callers then land flat and pay the
-    * build's re-stage, which is toy-scale by construction.
+  /** Measured bytes of the CORPUS source feeding a frame (the
+    * routing pass's own input): a driver-side status call per
+    * distinct input file, never a scan; 0 when the frame has no
+    * file-backed source (an in-memory test corpus) — callers then
+    * land flat and pay the build's re-stage, which is toy-scale by
+    * construction.
+    *
+    * Bytes measure by a WALK of the analyzed plan: each file scan
+    * contributes its FileIndex's bytes, Union branches SUM (a corpus
+    * assembled from several drops is all corpus — taking the max
+    * would under-bucket a 4-shard union past the 4x drift window),
+    * and Join/multi-child nodes take their LARGEST side — a routing
+    * plan that joins auxiliary file-backed tables (a language
+    * allowlist, a quality-score side table) must not inflate the
+    * corpus estimate with them: routed's size tracks the corpus
+    * scan, and an over-estimate yields a systematically
+    * over-bucketed layout that the 4x drift window then ACCEPTS
+    * (drift under 4x never re-stages). Non-file sources (catalog /
+    * V2 relations, in-memory frames) contribute 0 — worst case the
+    * build lands flat and pays the re-stage it always used to.
     */
   private[graft] def inputBytesOf(df: DataFrame): Long =
     try {
-      val conf = df.sparkSession.sparkContext.hadoopConfiguration
-      df.inputFiles.distinct.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
+      def walk(p: org.apache.spark.sql.catalyst.plans.logical
+          .LogicalPlan): Long = p match {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          lr.relation match {
+            case hfs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => hfs.location.sizeInBytes
+            case _ => 0L
+          }
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          u.children.map(walk).sum
+        case other =>
+          if (other.children.isEmpty) 0L
+          else other.children.map(walk).max
+      }
+      math.max(0L, walk(df.queryExecution.analyzed))
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Land a routing pass's output as `$d/routed` and build every
@@ -295,6 +321,10 @@ object Pipeline {
       // tower from a routed missing a bucket of survivors (stranded
       // in routed.prev by a crash mid-swap) would drop committed docs
       healTowers(spark, d)
+      // INTENT: a crash anywhere in the rebuild leaves half-derived
+      // towers next to a complete routed; the armed marker makes the
+      // next mutation entry re-run this rebuild (cleared at the end)
+      armTornMarker(spark, d, "rebuild")
       // LAYOUT KNOBS from MEASURED bytes (the st13 stateBucketsFor
       // law, the round-15 verdict's ask): doc-hash buckets for the
       // flat artifacts so a delete wave rewrites victim buckets, not
@@ -439,6 +469,11 @@ object Pipeline {
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$d/enc_ivf")
+      // a completed build IS the cross-table repair — every tower
+      // just re-derived from routed, so any healed-torn-mutation
+      // marker is discharged (cleared last: a crash anywhere above
+      // leaves the marker armed and the next entry rebuilds again)
+      clearTornMarker(spark, d)
   }
 
   /** Term-bucket FLOOR for the partitioned postings layout (and the
@@ -642,12 +677,21 @@ object Pipeline {
     val meta0 = towersMetaOf(d).getOrElse(sys.error(
       s"no towers.meta at $d — not a buildTowers root (rebuild once " +
         "with Graft.ragIndex to mint it)"))
+    // heal any torn swap before the registry anti-join reads routed
+    // (a routed missing a bucket would re-admit its docs as "new")
+    healTowers(spark, d)
     // a legacy flat root mints the bucketed layout once (the same
     // one-time rebuild the delete path pays — a mixed-layout append
     // would break partition discovery, and keeping a flat append arm
-    // alive kept the flat DELETE arm alive with it)
+    // alive kept the flat DELETE arm alive with it). A root carrying
+    // the torn-mutation marker (this entry's heal, or an earlier
+    // crashed-then-healed session) rebuilds through the SAME arm:
+    // per-table heal restored every partition, but the torn wave's
+    // OTHER tables may hold pre-mutation rows — re-deriving every
+    // tower from the healed routed is the mechanical repair, and
+    // appending on top of the inconsistency would bake it in.
     val meta =
-      if (meta0.nDb > 0) meta0
+      if (meta0.nDb > 0 && !tornMarked(spark, d)) meta0
       else {
         buildTowers(spark, d, meta0.size, meta0.step, meta0.dim,
           graft.streaming.Streams.loadCodebook(d))
@@ -655,9 +699,6 @@ object Pipeline {
       }
     val (size, step, dim) = (meta.size, meta.step, meta.dim)
     val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
-    // heal any torn swap before the registry anti-join reads routed
-    // (a routed missing a bucket would re-admit its docs as "new")
-    healTowers(spark, d)
     // append `df` to a flat build artifact in the ROOT'S OWN layout
     def appendFlat(name: String, df: DataFrame, docId: Column): Unit =
       df.withColumn("db", docBucket(docId, nDb))
@@ -688,6 +729,11 @@ object Pipeline {
     val arr = spark.read.parquet(s"$scratch/arr")
     val nNew = arr.count()
     if (nNew == 0L) return 0L
+    // INTENT: a crash between any two appends below leaves routed
+    // holding docs the derived towers never indexed (a silently
+    // incomplete index — the redelivered add no-ops on the registry
+    // anti-join); the armed marker makes the next entry rebuild
+    armTornMarker(spark, d, "add")
     appendFlat("routed", arr, col("doc_id"))
     val chNew = graft.Caches.materialized(
       graft.api.Graft.chunk(arr, "doc_id", "body", size, step)
@@ -777,6 +823,9 @@ object Pipeline {
       "enc" -> dbsNew.map(Seq(_)),
       "tf_b" -> cellsNew,
       "enc_ivf" -> cidsNew.map(Seq(_)))))
+    // every append, rollup swap, tier invalidation, and compaction
+    // fold landed — the add wave's intent is discharged
+    clearTornMarker(spark, d)
     nNew
   }
 
@@ -898,16 +947,22 @@ object Pipeline {
     val meta0 = towersMetaOf(d).getOrElse(sys.error(
       s"no towers.meta at $d — not a buildTowers root (rebuild once " +
         "with Graft.ragIndex to mint it)"))
+    // heal any torn swap before deriving victims from the tables
+    healTowers(spark, d)
+    // legacy layout mint AND the torn-mutation repair share the one
+    // rebuild arm (see addToTowers): a healed root's OTHER tables
+    // may hold rows a torn wave already removed from routed — a
+    // forget wave deriving victims from them (or no-opping on
+    // routed's shrunk membership while chunks still serve the doc)
+    // is exactly the right-to-be-forgotten hole the marker closes.
     val meta =
-      if (meta0.nDb > 0) meta0
+      if (meta0.nDb > 0 && !tornMarked(spark, d)) meta0
       else {
         buildTowers(spark, d, meta0.size, meta0.step, meta0.dim,
           graft.streaming.Streams.loadCodebook(d))
         towersMetaOf(d).get
       }
     val (nDb, nLex, nTfbDb) = (meta.nDb, meta.nLex, meta.nTfbDb)
-    // heal any torn swap before deriving victims from the tables
-    healTowers(spark, d)
     // victims DECOUPLE through scratch parquet before any rewrite
     // (the addToTowers lineage lesson: a frame derived from a dir we
     // are about to replace would re-evaluate against its own output)
@@ -1039,6 +1094,11 @@ object Pipeline {
     val nd2 = old.getLong(0) - ndDec
     val ls2 = old.getLong(1) - lenDec
     import spark.implicits._
+    // INTENT: the wave is about to mutate its first table — from
+    // here to the clear below, a crash at ANY point (not just the
+    // millisecond rename windows .prev evidence covers) leaves the
+    // marker armed and the next mutation entry rebuilds from routed
+    armTornMarker(spark, d, "remove")
     // routed shrinks FIRST and ALONE (the torn-remove repair anchor:
     // if anything after this dies, rebuild() re-derives every tower
     // from the already-shrunk routed). Only the victim doc buckets
@@ -1116,6 +1176,10 @@ object Pipeline {
       graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
       dropTierLayouts(spark, d)
     }
+    // every rewrite settled cleanly AND the tier caches dropped —
+    // only now is the wave's intent discharged (a throw above leaves
+    // the marker armed for the next entry's rebuild)
+    clearTornMarker(spark, d)
     nVict
   }
 
@@ -1239,6 +1303,18 @@ object Pipeline {
       d: String, name: String): Unit = {
     val aside = new org.apache.hadoop.fs.Path(d, s"$name.prev")
     if (!fs.exists(aside)) return
+    // a leftover .prev means the WAVE that staged it died before its
+    // deletes — even when every partition of THIS table landed, the
+    // wave's other tables may hold the pre-mutation rows (a torn
+    // remove that already shrunk routed leaves victims servable in
+    // chunks/tf/tf_b/enc/enc_ivf, and a redelivered forget wave
+    // no-ops because membership checks against routed). Mark the
+    // root loudly BEFORE healing: per-table heal restores "no
+    // missing partitions", but only a rebuild from routed restores
+    // CROSS-TABLE consistency — the next mutation entry performs it
+    // automatically ([[addToTowers]]/[[removeFromTowers]]), and
+    // [[buildTowers]] clears the marker when it completes.
+    markTorn(fs, d, name)
     val stage = new org.apache.hadoop.fs.Path(d, s"$name.next")
     // leaf partition dirs under .prev (a dir with no k=v child dirs)
     def leafRels(p: org.apache.hadoop.fs.Path,
@@ -1277,6 +1353,86 @@ object Pipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (n <- Seq("routed", "chunks", "tf", "enc", "tf_b", "enc_ivf"))
       healTornSwap(fs, d, n)
+  }
+
+  /** The torn-mutation marker — ONE file, two writers:
+    *
+    *  - **Intent** ([[armTornMarker]]): every mutation wave
+    *    (add / remove / rebuild) arms it BEFORE its first write and
+    *    clears it only when the whole wave settled. A crash anywhere
+    *    in the wave — staging survivors, between table swaps, after
+    *    the rewrites but before the tier invalidation — leaves the
+    *    marker armed even though no `.prev` evidence exists (the
+    *    rename-aside window is milliseconds of a wave that runs
+    *    seconds; evidence-only detection would miss most of the
+    *    wall-clock and leave a forgotten doc servable from the
+    *    tables the wave never reached).
+    *  - **Evidence** ([[healTornSwap]] via markTorn): a stranded
+    *    `.prev` found at heal time — covers roots torn under code
+    *    that predates the intent write, and the manual compaction
+    *    path. Content-identical compaction tears arm it too
+    *    (rebuild cost for nothing), accepted: rare, cost-only,
+    *    and conservative in the right direction.
+    *
+    * Consumed by the mutation entries — which rebuild the towers
+    * from the healed `routed` before proceeding — and cleared when a
+    * [[buildTowers]] completes (the rebuild IS the cross-table
+    * repair) or a wave settles cleanly. Between a crash and the next
+    * mutation the root SERVES (possibly pre-mutation rows in tables
+    * the wave never reached) but refuses to mutate on top of the
+    * inconsistency.
+    */
+  private[graft] val tornMarkerName = "_torn_mutation"
+
+  private def writeTornMarker(fs: org.apache.hadoop.fs.FileSystem,
+      d: String, note: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(d, tornMarkerName)
+    val out = fs.create(p, true)
+    try out.write((note + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Arm the marker as WAVE INTENT — call before a mutation wave's
+    * first write; [[clearTornMarker]] only after its last.
+    */
+  private def armTornMarker(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      wave: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeTornMarker(fs, d,
+      s"$wave wave in flight — if this file survives the process, " +
+        "the wave died mid-mutation and cross-table consistency " +
+        "requires a rebuild from routed (the next add/remove/rebuild " +
+        "performs it automatically)")
+  }
+
+  private def markTorn(fs: org.apache.hadoop.fs.FileSystem, d: String,
+      name: String): Unit = {
+    writeTornMarker(fs, d,
+      s"torn partition swap healed on '$name' — the mutation wave " +
+        "that staged it died before completing, so OTHER tables may " +
+        "hold pre-mutation rows; cross-table consistency requires a " +
+        "rebuild from routed (the next add/remove/rebuild performs " +
+        "it automatically)")
+    System.err.println(s"[graft] TORN MUTATION healed at $d " +
+      s"(table '$name') — towers will rebuild from routed at the " +
+      "next mutation entry to restore cross-table consistency")
+  }
+
+  private[graft] def tornMarked(
+      spark: org.apache.spark.sql.SparkSession, d: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(d, tornMarkerName)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def clearTornMarker(
+      spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(d, tornMarkerName)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    ()
   }
 
   // ------------------------------------------------------------------

@@ -1698,8 +1698,14 @@ class GraftApiSpec extends SparkSpec {
         "heal must roll the old dir back when no replacement exists")
       // content unharmed end to end — and a mutation entry heals too
       // (removeFromTowers ran healTowers before reading; a no-op
-      // remove exercises that path)
+      // remove exercises that path). The manual heals above armed
+      // the torn-mutation marker, so this entry ALSO pays the
+      // automatic consistency rebuild and must clear the marker.
+      assert(graft.operators.Pipeline.tornMarked(spark, tmp),
+        "heal must arm the torn-mutation marker")
       assert(idx.remove(Seq(999L)) == 0L)
+      assert(!graft.operators.Pipeline.tornMarked(spark, tmp),
+        "the mutation entry's rebuild must discharge the marker")
       assert(idx.search("spark windows", k = 5).collect()
         .map(_.toSeq).toSeq == before, "serving drifted after heals")
       // COMPACTION BOUND: 12 single-doc add waves all hash into few
@@ -1837,5 +1843,206 @@ class GraftApiSpec extends SparkSpec {
     assert(out(1L) == "guide body")
     assert(out(2L) == "# hi\n\n```python\nx = 1\n```")
     assert(out(3L) == "# en\nthe quick brown fox jumps\n(rewritten)")
+  }
+
+  // shared by the two torn-remove drills below
+  private def ragDrillDocs(ids: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"repo/docs/d$i.md", "en",
+      s"spark windows guide $i " +
+        (if (i == ids.max) "zanzibar zanzibar special content"
+         else s"meadow harbor lantern w$i"))).toDF(
+      "doc_id", "filepath", "lang", "text")
+  }
+
+  private def dumpTables(root: String): Map[String, Seq[Seq[Any]]] = {
+    import graft.operators.Pipeline
+    (for ((tbl, keys) <- Seq(
+        "routed" -> Seq("doc_id"),
+        "tf_b" -> Seq("doc_id", "term"),
+        "idf" -> Seq("term"),
+        "stats" -> Seq("nd"),
+        "chunks" -> Seq("chunk_id"),
+        "tf" -> Seq("chunk_id", "term"),
+        "enc" -> Seq("vec_id"),
+        "enc_ivf" -> Seq("vec_id")))
+      yield tbl -> Pipeline.ragTablesAt(spark, root)(tbl)
+        .orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq).toMap
+  }
+
+  test("crashed remove on a fully-emptied victim bucket: heal rolls " +
+      "back (victims resurrect), the RETRY rebuilds for consistency " +
+      "and lands all eight tables bit-equal to the pinned survivors " +
+      "rebuild") {
+    import graft.operators.Pipeline
+    val docs = ragDrillDocs(1L to 10L)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tornrm_").toString
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_tornrm_ref_").toString
+    try {
+      val idx = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      // victim = a doc ALONE in its routed bucket, so the delete wave
+      // fully empties the partition and stages NO replacement — the
+      // exact crash window the round-17 verdict flagged as drilled
+      // only piecewise
+      val byDb = spark.read.parquet(s"$tmp/routed")
+        .select("doc_id", "db").collect()
+        .groupBy(_.getAs[Number]("db").longValue)
+        .view.mapValues(_.map(_.getLong(0)))
+      val (vDb, vIds) = byDb.find(_._2.length == 1).getOrElse(
+        fail("no singleton bucket among 10 docs — widen the id range"))
+      val victim = vIds.head
+      // the reference: survivors through the same build under the
+      // root's PINNED codebook
+      val cb = graft.streaming.Streams.loadCodebook(tmp).get
+      Graft.ragNormalize(
+          docs.filter(col("doc_id") =!= victim),
+          "doc_id", "filepath", "lang", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .write.mode("overwrite").parquet(s"$tmp2/routed")
+      Pipeline.buildTowers(spark, tmp2, 200, 100,
+        graft.operators.Embed.dim, Some(cb))
+      val nBefore = spark.read.parquet(s"$tmp/routed").count()
+      // TEAR: the wave renamed the victim bucket aside and died
+      // before anything else — .next exists (the wave staged its
+      // EMPTY survivor set: no dir for the emptied partition), the
+      // live dir is gone, every other table untouched
+      val liveDir = java.nio.file.Paths.get(tmp, "routed", s"db=$vDb")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tmp, "routed.next"))
+      val prevRel =
+        java.nio.file.Paths.get(tmp, "routed.prev", s"db=$vDb")
+      java.nio.file.Files.createDirectories(prevRel.getParent)
+      java.nio.file.Files.move(liveDir, prevRel)
+      // HEAL: no staged replacement ⇒ rollback — the victims
+      // RESURRECT (correct: the wave never completed and remove()
+      // threw), and the marker arms
+      Pipeline.healTowers(spark, tmp)
+      assert(spark.read.parquet(s"$tmp/routed").count() == nBefore,
+        "rollback must resurrect the victim bucket")
+      assert(Pipeline.tornMarked(spark, tmp), "heal must arm the marker")
+      // RETRY: the entry sees the marker, rebuilds from the healed
+      // routed (cross-table consistency), then the wave removes the
+      // victims for real
+      assert(idx.remove(Seq(victim)) == 1L)
+      assert(!Pipeline.tornMarked(spark, tmp), "marker must discharge")
+      assert(!java.nio.file.Files.exists(liveDir),
+        "a fully-emptied victim bucket's dir must stay gone")
+      val got = dumpTables(tmp)
+      val ref = dumpTables(tmp2)
+      for (tbl <- got.keys)
+        assert(got(tbl) == ref(tbl),
+          s"$tbl drifted from the pinned survivors rebuild after " +
+            "the heal-retry chain")
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
+    }
+  }
+
+  test("torn remove that already shrunk routed with NO rename " +
+      "evidence (crash between table swaps): the armed intent marker " +
+      "alone makes the next mutation rebuild, scrubbing " +
+      "still-servable victims even though the wave itself no-ops") {
+    import graft.operators.Pipeline
+    // pick ids so TWO docs share a routed bucket (nDb = 16 on a toy
+    // root): the victim's bucket survives the wave non-empty, so the
+    // torn state is "routed shrunk + .prev left + five towers stale"
+    // — the ADVICE hole where a redelivered forget wave no-ops on
+    // routed membership while chunks/tf_b/enc_ivf keep serving the
+    // forgotten doc
+    val probe = spark.range(1L, 300L)
+      .select(col("id"),
+        Pipeline.docBucket(col("id"), 16).as("db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // the colliding pair with the LARGEST max id, so the global max
+    // (= ragDrillDocs' zanzibar victim) is guaranteed a bucket-mate
+    val pairIds = probe.groupBy(_._2).values
+      .filter(_.length >= 2)
+      .maxBy(_.map(_._1).max)
+      .map(_._1).sorted.takeRight(2)
+    val others = probe.map(_._1)
+      .filterNot(pairIds.contains).filter(_ < pairIds.max).take(6)
+    val docs = ragDrillDocs((pairIds ++ others).sorted)
+    val vic = pairIds.max
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tornshrunk_").toString
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_tornshrunk_ref_").toString
+    try {
+      val idx = Graft.ragIndex(docs, "doc_id", "filepath", "lang",
+        "text", stateRoot = Some(tmp))
+      val vDbRow = spark.read.parquet(s"$tmp/routed")
+        .filter(col("doc_id") === vic).select("db").collect()
+      val vDb = vDbRow.head.getAs[Number]("db").longValue
+      val bucketN = spark.read.parquet(s"$tmp/routed")
+        .filter(col("db") === vDb).count()
+      assert(bucketN >= 2L,
+        "drill setup: the victim must share its bucket")
+      // the reference: survivors under the pinned codebook
+      val cb = graft.streaming.Streams.loadCodebook(tmp).get
+      Graft.ragNormalize(docs.filter(col("doc_id") =!= vic),
+          "doc_id", "filepath", "lang", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .write.mode("overwrite").parquet(s"$tmp2/routed")
+      Pipeline.buildTowers(spark, tmp2, 200, 100,
+        graft.operators.Embed.dim, Some(cb))
+      // the victim IS servable before the tear
+      assert(idx.search("zanzibar", k = 3).collect()
+        .exists(_.getAs[Long]("chunk_id") / 1000000L == vic))
+      // TEAR: routed's swap COMPLETED (live dir already holds the
+      // shrunk survivor set, its .prev/.next fully cleaned) and the
+      // wave died BETWEEN table swaps — the window where no rename
+      // evidence exists anywhere and only the wave's armed INTENT
+      // marker records that the five derived towers still hold the
+      // victim (the review finding: .prev exists for milliseconds of
+      // a wave that runs seconds)
+      val liveDir = java.nio.file.Paths.get(tmp, "routed", s"db=$vDb")
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_shrunk_stage_")
+      spark.read.parquet(s"$tmp/routed")
+        .filter(col("db") === vDb && col("doc_id") =!= vic)
+        .drop("db").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val st = java.nio.file.Files.list(liveDir)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(java.nio.file.Files.delete)
+      finally st.close()
+      val st2 = java.nio.file.Files.list(scratch)
+      try st2.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f,
+          liveDir.resolve(f.getFileName.toString)))
+      finally st2.close()
+      // the intent the crashed wave armed before its first write
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, Pipeline.tornMarkerName),
+        "remove wave in flight (drill)\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      assert(Pipeline.tornMarked(spark, tmp))
+      // the REDELIVERED wave: membership (routed) says the victim is
+      // gone, so the wave itself returns 0 — but the entry saw the
+      // armed intent and the automatic rebuild scrubbed the victim
+      // from every tower first
+      assert(idx.remove(Seq(vic)) == 0L)
+      assert(!Pipeline.tornMarked(spark, tmp), "marker must discharge")
+      assert(!idx.search("zanzibar", k = 3).collect()
+        .exists(_.getAs[Long]("chunk_id") / 1000000L == vic),
+        "the forgotten doc stayed servable after the healed no-op " +
+          "wave — the ADVICE right-to-be-forgotten hole")
+      val got = dumpTables(tmp)
+      val ref = dumpTables(tmp2)
+      for (tbl <- got.keys)
+        assert(got(tbl) == ref(tbl),
+          s"$tbl drifted from the pinned survivors rebuild after " +
+            "the torn-shrunk heal")
+      graft.Staging.deleteTree(scratch)
+    } finally {
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+      graft.Staging.deleteTree(java.nio.file.Paths.get(tmp2))
+    }
   }
 }

@@ -480,4 +480,50 @@ class PipelineSpec extends SparkSpec {
         s"qid $qid candidate count drifted")
     }
   }
+
+  test("inputBytesOf measures the DOMINANT source table, not the " +
+      "plan-wide file sum: an auxiliary joined table must not " +
+      "inflate the corpus estimate") {
+    import graft.operators.Pipeline
+    def bytesUnder(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(p)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusBytes = Pipeline.inputBytesOf(docs)
+    assert(corpusBytes == bytesUnder(s"$sf/documents.parquet"),
+      "single-source frame must measure its own files exactly")
+    // join a second file-backed table in: the estimate must stay the
+    // corpus scan's bytes (the larger group), never the sum — a
+    // sum-inflated nDb under 4x drift is silently accepted and
+    // over-buckets the layout
+    val aux = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").as("doc_id"),
+        col("n_name").as("nation"))
+    val joined = docs.join(aux, Seq("doc_id"), "left")
+    val joinedBytes = Pipeline.inputBytesOf(joined)
+    assert(joinedBytes == corpusBytes,
+      s"auxiliary table inflated the corpus estimate: $joinedBytes " +
+        s"!= $corpusBytes")
+    // a UNIONED corpus (several drops assembled into one frame) is
+    // ALL corpus — branches must SUM, or a 4-shard union would
+    // under-bucket past the 4x drift window the estimate feeds
+    val unioned = docs.select("doc_id", "text")
+      .union(docs.select("doc_id", "text"))
+    assert(Pipeline.inputBytesOf(unioned) == 2 * corpusBytes,
+      "union branches must sum")
+    // …and a joined-then-unioned mix keeps both rules
+    assert(Pipeline.inputBytesOf(
+      joined.select("doc_id", "text")
+        .union(docs.select("doc_id", "text"))) == 2 * corpusBytes)
+    // no file-backed source at all → 0 (callers land flat)
+    val s2 = spark
+    import s2.implicits._
+    assert(Pipeline.inputBytesOf(
+      Seq((1L, "x")).toDF("doc_id", "body")) == 0L)
+  }
 }
