@@ -561,6 +561,64 @@ object Probe {
         }
         println(f"PROBE p3tiers mint: sq8 $sMintSq%.1f s, " +
           f"pq $sMintPq%.1f s")
+      // p3 SERVING LATENCY vs nProbe at scale (the knob a deployment
+      // actually turns): build a root on the replicated corpus, mint
+      // the tiers once, then serve each tier at nProbe ∈ {2,8,16}
+      // twice (cold plan + warm) with bytes-read witnesses — the
+      // claim is that latency and bytes scale ~nProbe/nLists while
+      // recall vs the root's own flat exact ranking climbs.
+      case "p3nprobe" =>
+        def runNp(tag: String,
+            d0: org.apache.spark.sql.DataFrame): Unit = {
+          graft.Caches.fresh()
+          val root = graft.Staging.scratch(s"probe_p3np_$tag")
+          d0.select(col("doc_id"), col("text").as("body"))
+            .write.mode("overwrite").parquet(s"$root/routed")
+          val tB = System.nanoTime
+          graft.operators.Pipeline.buildTowers(spark, root, 200, 100)
+          val sB = (System.nanoTime - tB) / 1e9
+          val tbl = graft.operators.Pipeline.ragTablesAt(spark, root)
+          val cb = graft.streaming.Streams.loadCodebook(root).get
+          val nLists = cb.values.length / cb.dim
+          val qU16 = graft.operators.Embed.u16Of(
+            graft.operators.Search.queryTerms.mkString(" "))
+          graft.operators.Pipeline.ensureSqTier(spark, root)
+          graft.operators.Pipeline.ensurePqTier(spark, root)
+          def ids(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(_.getLong(0)).toSeq
+          val flat = ids(tbl("enc_ivf").select(col("vec_id"),
+              aggregate(zip_with(col("u16"), typedLit(qU16),
+                (a, b) => a.cast("long") * b), lit(0L),
+                (acc, x) => acc + x).as("iscore"))
+            .orderBy(col("iscore").desc, col("vec_id")).limit(10))
+          println(f"PROBE p3nprobe [$tag] root: build $sB%.1f s, " +
+            f"nLists $nLists")
+          def row(name: String, nP: Int,
+              body: => org.apache.spark.sql.DataFrame): Unit = {
+            val ((got, sCold), _, bytes) = measured {
+              val t0 = System.nanoTime
+              val r = ids(body)
+              (r, (System.nanoTime - t0) / 1e9)
+            }
+            val t1 = System.nanoTime
+            ids(body)
+            val sWarm = (System.nanoTime - t1) / 1e9
+            val rec = got.toSet.intersect(flat.toSet).size / 10.0
+            println(f"PROBE p3nprobe [$tag] $name nProbe=$nP%-3d: " +
+              f"cold $sCold%.2f s, warm $sWarm%.2f s, " +
+              f"${bytes / 1024}%d KiB read, recall@10 $rec%.2f")
+          }
+          for (nP <- Seq(2, 8, 16)) {
+            row("int16 ", nP, graft.operators.Pipeline
+              .denseTop(spark, root, tbl, qU16, 10, nP))
+            row("sq8   ", nP, graft.operators.Pipeline
+              .denseTopSq8(spark, root, qU16, 10, nP))
+            row("pq    ", nP, graft.operators.Pipeline
+              .denseTopPq(spark, root, qU16, 10, nP))
+          }
+        }
+        runNp("base", docs)
+        runNp(s"${copies}x", replicated(copies))
       // streaming curation: 4 doc_id-ascending waves through st22's
       // four-destination sink (quality→lang→dedup→decontaminate +
       // registries + stats, all tag-committed), then a REDELIVERED
