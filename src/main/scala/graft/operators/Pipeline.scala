@@ -1554,6 +1554,37 @@ object Pipeline {
     }
   }
 
+  /** Memoized tier-layout frame: a tier serve must not pay parquet
+    * partition DISCOVERY per query — the fresh `spark.read.parquet`
+    * lists every cid dir, and at 10x (424 lists) that driver-side
+    * walk was ~0.9 s of a ~1.0 s serve wall, constant in nProbe and
+    * growing with nLists (p3nprobe, round 18; the int16 tower's
+    * 0.12 s control reuses its caller's FileIndex). Keyed by the
+    * tier's META file (mtime, size) + session: every re-mint
+    * (dropTierLayouts → ensure*) rewrites the meta AFTER the layout
+    * lands, so a stale FileIndex can never serve a re-minted tier —
+    * which is exactly why the MUTABLE towers (enc_ivf and friends,
+    * swapped in place by add/remove waves with no meta rewrite) are
+    * NOT memoized here. Bounded: evicted wholesale past 64 entries
+    * (scratch roots in specs would otherwise accumulate).
+    */
+  private val tierFrames = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long, Long), DataFrame]()
+
+  private def tierFrame(spark: org.apache.spark.sql.SparkSession,
+      d: String, name: String, meta: String): DataFrame = {
+    val mp = java.nio.file.Paths.get(d, meta)
+    val key =
+      try (System.identityHashCode(spark), s"$d/$name",
+        java.nio.file.Files.getLastModifiedTime(mp).toMillis,
+        java.nio.file.Files.size(mp))
+      catch { case scala.util.control.NonFatal(_) =>
+        (System.identityHashCode(spark), s"$d/$name", -1L, -1L) }
+    if (tierFrames.size > 64) tierFrames.clear()
+    tierFrames.computeIfAbsent(key,
+      _ => spark.read.parquet(s"$d/$name"))
+  }
+
   /** SQ8 dense serving: ASYMMETRIC INNER PRODUCT — the query's exact
     * code vector dotted against each stored code's bucket-center
     * reconstruction (s13's asymmetric shape under the tower's OWN
@@ -1569,7 +1600,7 @@ object Pipeline {
       probeCids: Option[Seq[Int]] = None): DataFrame = {
     val (mins, scales) = ensureSqTier(spark, d)
     val cids = probeCids.getOrElse(probeCidsOf(spark, d, qU16, nProbe))
-    spark.read.parquet(s"$d/enc_ivf_sq8")
+    tierFrame(spark, d, "enc_ivf_sq8", "sq.meta")
       .filter(col("cid").isin(cids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
         (floor(aggregate(
@@ -1606,7 +1637,7 @@ object Pipeline {
         while (i < qsv.length) { s += qsv(i) * cw(i); i += 1 }; s
       }
     }
-    spark.read.parquet(s"$d/enc_ivf_pq")
+    tierFrame(spark, d, "enc_ivf_pq", "pq.meta")
       .filter(col("cid").isin(cids.map(c => c: Any): _*))
       .select(col("vec_id").as("doc_id"),
         (floor((0 until pqM).map(mi =>
