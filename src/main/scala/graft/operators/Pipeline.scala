@@ -389,6 +389,63 @@ object Pipeline {
         .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db").parquet(s"$d/chunks")
       val ch = spark.read.parquet(s"$d/chunks").drop("db")
+      // the SPARSE chain (tf → stats/idf/tf_b) and the DENSE chain
+      // (encode → codebook → enc_ivf) depend only on the landed
+      // chunks from here on — they run as CONCURRENT job groups
+      // (guide §2.6: submit independent jobs from separate threads so
+      // one chain's stage tails back-fill the executors the other
+      // frees; the encode+train chain is compute-bound while the tf
+      // chain is shuffle/write-bound, so they overlap well). Both
+      // settle before the torn marker clears — a failure on either
+      // side leaves the marker armed and the other side's writes are
+      // awaited, never abandoned mid-flight (removeFromTowers'
+      // settle-before-rethrow rule).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val denseT = Future(scala.util.Try {
+        val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
+        enc
+          .withColumn("db", docBucketOfChunk(col("vec_id"), nDb))
+          .repartition(col("db"))
+          .write.mode("overwrite").partitionBy("db").parquet(s"$d/enc")
+        // The dense tower lives in the STORED-CODE space: IVF trains
+        // and assigns on the exact u16 integer code vectors (cast to
+        // double — every value exactly representable), so the whole
+        // tower — stored codes, coarse codebook, query code, list
+        // choice — derives from md5-exact integers the DuckDB oracle
+        // re-derives bit-for-bit (s3's float replay risk removed).
+        val vecs = spark.read.parquet(s"$d/enc")
+          .select(col("vec_id"),
+            transform(col("u16"), x => x.cast("double")).as("v"))
+        // `pinned` rebuilds under an EXISTING model (st15's pinned-
+        // codebook contract — the incremental-add equality drill and
+        // torn-add repair both need assignment to stay stable); the
+        // default trains fresh on this corpus
+        val cb = pinned.getOrElse {
+          val n = vecs.count()
+          Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n,
+            dim = dim)
+        }
+        graft.streaming.Streams.saveCodebook(d, cb)
+        // serving layout: every stored code filed under its coarse
+        // list, PARTITIONED BY cid — p3's probe reads ~nProbe/nLists
+        // of the index via partition pruning (at 100 TB: nProbe dirs
+        // of a √n-dir lake table). Only the SERVING columns land
+        // (vec_id + the u16 code — the float embedding stays in
+        // `enc`; a quantized serving tier never pays float bytes),
+        // and rows co-locate by cid before the write so each list is
+        // one file, not one-per-writing-task.
+        spark.read.parquet(s"$d/enc")
+          .withColumn("cid",
+            element_at(graft.functions.Vectors.centroidRanks(
+              transform(col("u16"), x => x.cast("double")), cb), 1))
+          .select("vec_id", "u16", "cid")
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$d/enc_ivf")
+      })
+      val sparseT = scala.util.Try {
       ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
@@ -405,70 +462,43 @@ object Pipeline {
       val tfD = spark.read.parquet(s"$d/tf").drop("db")
         .withColumnRenamed("chunk_id", "doc_id")
       val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
-      // stats carry the EXACT integer (nd, len_sum) alongside the
-      // derived avgdl, so an incremental add updates them with long
-      // arithmetic and re-derives avgdl bit-equal to a full rebuild
-      // (len_sum/nd == avg(dl): integer-valued doubles below 2^53
-      // sum exactly in either order)
-      dlD.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
-        .select((col("len_sum").cast("double") / col("nd"))
-          .as("avgdl"), col("nd"), col("len_sum"))
-        .write.mode("overwrite").parquet(s"$d/stats")
-      tfD.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(spark.read.parquet(s"$d/stats")))
-        .withColumn("idf_bm",
-          log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
-        .select("term", "df", "idf_bm")
-        .write.mode("overwrite").parquet(s"$d/idf")
-      // tf_b is TWO-LEVEL partitioned (tb outer for the query-side
-      // term-bucket pruning literal, db inner for the delete-side
-      // victim-bucket pruning): a query reads its terms' tb dirs, a
-      // delete wave swaps only the (victim tb x victim db) cells
-      tfD.join(dlD, "doc_id")
-        .withColumn("tb", Search.termBucket(col("term"), nLex))
-        .withColumn("db", docBucketOfChunk(col("doc_id"), nTfbDb))
-        .repartition(col("tb"), col("db"))
-        .write.mode("overwrite").partitionBy("tb", "db")
-        .parquet(s"$d/tf_b")
-      val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
-      enc
-        .withColumn("db", docBucketOfChunk(col("vec_id"), nDb))
-        .repartition(col("db"))
-        .write.mode("overwrite").partitionBy("db").parquet(s"$d/enc")
-      // The dense tower lives in the STORED-CODE space: IVF trains
-      // and assigns on the exact u16 integer code vectors (cast to
-      // double — every value exactly representable), so the whole
-      // tower — stored codes, coarse codebook, query code, list
-      // choice — derives from md5-exact integers the DuckDB oracle
-      // re-derives bit-for-bit (s3's float replay risk removed).
-      val vecs = spark.read.parquet(s"$d/enc")
-        .select(col("vec_id"),
-          transform(col("u16"), x => x.cast("double")).as("v"))
-      // `pinned` rebuilds under an EXISTING model (st15's pinned-
-      // codebook contract — the incremental-add equality drill and
-      // torn-add repair both need assignment to stay stable); the
-      // default trains fresh on this corpus
-      val cb = pinned.getOrElse {
-        val n = vecs.count()
-        Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n, dim = dim)
+      // the postings rollups fork once more: stats→idf (idf reads the
+      // landed stats) and the tf_b stage are independent given tf
+      val tfbT = Future(scala.util.Try {
+        // tf_b is TWO-LEVEL partitioned (tb outer for the query-side
+        // term-bucket pruning literal, db inner for the delete-side
+        // victim-bucket pruning): a query reads its terms' tb dirs, a
+        // delete wave swaps only the (victim tb x victim db) cells
+        tfD.join(dlD, "doc_id")
+          .withColumn("tb", Search.termBucket(col("term"), nLex))
+          .withColumn("db", docBucketOfChunk(col("doc_id"), nTfbDb))
+          .repartition(col("tb"), col("db"))
+          .write.mode("overwrite").partitionBy("tb", "db")
+          .parquet(s"$d/tf_b")
+      })
+      val statsIdfT = scala.util.Try {
+        // stats carry the EXACT integer (nd, len_sum) alongside the
+        // derived avgdl, so an incremental add updates them with long
+        // arithmetic and re-derives avgdl bit-equal to a full rebuild
+        // (len_sum/nd == avg(dl): integer-valued doubles below 2^53
+        // sum exactly in either order)
+        dlD.agg(count(lit(1)).as("nd"), sum("dl").as("len_sum"))
+          .select((col("len_sum").cast("double") / col("nd"))
+            .as("avgdl"), col("nd"), col("len_sum"))
+          .write.mode("overwrite").parquet(s"$d/stats")
+        tfD.groupBy("term").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(spark.read.parquet(s"$d/stats")))
+          .withColumn("idf_bm",
+            log(lit(1.0) +
+              (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+          .select("term", "df", "idf_bm")
+          .write.mode("overwrite").parquet(s"$d/idf")
       }
-      graft.streaming.Streams.saveCodebook(d, cb)
-      // serving layout: every stored code filed under its coarse
-      // list, PARTITIONED BY cid — p3's probe reads ~nProbe/nLists
-      // of the index via partition pruning (at 100 TB: nProbe dirs
-      // of a √n-dir lake table). Only the SERVING columns land
-      // (vec_id + the u16 code — the float embedding stays in `enc`;
-      // a quantized serving tier never pays float bytes), and rows
-      // co-locate by cid before the write so each list is one file,
-      // not one-per-writing-task.
-      spark.read.parquet(s"$d/enc")
-        .withColumn("cid",
-          element_at(graft.functions.Vectors.centroidRanks(
-            transform(col("u16"), x => x.cast("double")), cb), 1))
-        .select("vec_id", "u16", "cid")
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$d/enc_ivf")
+      val tfb = Await.result(tfbT, Duration.Inf)
+      statsIdfT.get; tfb.get
+      }
+      val dense = Await.result(denseT, Duration.Inf)
+      sparseT.get; dense.get
       // a completed build IS the cross-table repair — every tower
       // just re-derived from routed, so any healed-torn-mutation
       // marker is discharged (cleared last: a crash anywhere above
@@ -617,6 +647,52 @@ object Pipeline {
   private[graft] def loadTowersMeta(d: String): Option[(Int, Int, Int)] =
     towersMetaOf(d).map(m => (m.size, m.step, m.dim))
 
+  /** Mutation-generation stamp of a built root (`towers.gen`): every
+    * path that changes the towers' FILE SET bumps it — the two swap
+    * primitives ([[replaceDir]], [[replacePartitions]] — build
+    * rollups, delete waves, compaction folds), both torn-marker
+    * writers (arm = a wave is about to mutate; markTorn = a heal just
+    * renamed), and the marker clear (= a build/add/remove wave
+    * settled, covering the append-mode writes those waves issue
+    * directly). [[ragTablesAt]] keys its FileIndex memo on the stamp,
+    * so a serve never pays parquet partition DISCOVERY for an
+    * unchanged root twice (the p3nprobe finding: ~0.9 s of driver
+    * listing per query at a 424-dir 10× root — per-QUERY cost on a
+    * lake-scale dir tree) while ANY mutation, including a mid-wave
+    * crash window, invalidates the memo. Over-bumping is a memo miss
+    * (correct, slightly slower); the stamp content is
+    * process-unique + monotonic so no two bumps ever collide. A root
+    * with no stamp (pre-stamp build, foreign root) never memoizes —
+    * exactly the old per-call behavior.
+    */
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def bumpTowersGen(d: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    // per-call tmp name: a wave's CONCURRENT rewrites all bump at
+    // settle time (removeFromTowers' six parallel swaps) — a shared
+    // tmp would race its own atomic move
+    val tmp = java.nio.file.Paths.get(d,
+      s"towers.gen.tmp.${genCounter.incrementAndGet()}" +
+        s".${Thread.currentThread().getId}")
+    java.nio.file.Files.write(tmp,
+      (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}:" +
+        s"${System.nanoTime()}:${genCounter.incrementAndGet()}\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(d, "towers.gen"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def towersGenOf(d: String): Option[String] = {
+    val p = java.nio.file.Paths.get(d, "towers.gen")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
   /** Swap a staged table for its recomputed next version: stage into
     * `<name>.next`, then delete + rename through the session's
     * Hadoop filesystem (works on any scheme the deployment serves
@@ -639,6 +715,7 @@ object Pipeline {
         .parquet(tmp.toString)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) sys.error(s"rename $tmp -> $dst failed")
+    bumpTowersGen(d)
   }
 
   /** GROW a built index in place (the build → serve → GROW loop):
@@ -1002,37 +1079,42 @@ object Pipeline {
     val vDbs: Seq[Any] = victims
       .select(docBucket(col("doc_id"), nDb).as("db"))
       .distinct().collect().map(_.getLong(0): Any).toSeq
-    // victim chunk ids + the exact decrements, all read BEFORE any
-    // tower is touched (chunk_id encodes doc_id, so the victim chunk
-    // set is a db-pruned semi-join of the chunks table, not a
-    // re-chunk)
-    spark.read.parquet(s"$d/chunks")
-      .filter(col("db").isin(vDbs: _*))
-      .join(victims, Seq("doc_id"), "left_semi")
-      .select("chunk_id")
-      .write.mode("overwrite").parquet(s"$scratch/vchunks")
-    val vchunks = spark.read.parquet(s"$scratch/vchunks")
+    // chunk-keyed rows resolve their doc by PURE ARITHMETIC
+    // (chunk_id = doc_id·10⁶ + start ⇒ doc key = chunk_id −
+    // (chunk_id mod 10⁶), exact long math — the [[docBucketOfChunk]]
+    // identity), so the victim-CHUNK set never materializes: every
+    // chunk-keyed table (tf, enc, tf_b, enc_ivf) semi/anti-joins the
+    // victims frame directly on the derived key. That removes one
+    // scratch write + read (the old vchunks pass over the chunks
+    // table) per wave AND shrinks each join's broadcast side from
+    // victim-chunks to victims (guide §2.3: shuffle/broadcast keys,
+    // not payloads; §1.2: fewer passes).
+    val vKey = victims.select((col("doc_id") * 1000000L).as("__vdk"))
+    def docKeyOf(c: Column): Column = {
+      val l = c.cast("long"); l - pmod(l, lit(1000000L))
+    }
     // tf's victim slice lands in scratch ONCE (db-pruned — tf is
     // bucketed by the chunk's doc hash, the same modulus); the
     // per-term df decrement, the (nd, len_sum) decrement, and the
     // affected-cell set all derive from it without re-scanning tf
     spark.read.parquet(s"$d/tf")
       .filter(col("db").isin(vDbs: _*))
-      .join(vchunks, Seq("chunk_id"), "left_semi")
+      .join(vKey, docKeyOf(col("chunk_id")) === col("__vdk"),
+        "left_semi")
       .drop("db")
       .write.mode("overwrite").parquet(s"$scratch/vtf")
     val vtf = spark.read.parquet(s"$scratch/vtf")
-    val vdf = vtf.groupBy("term").agg(count(lit(1)).as("df_dec"),
-      sum("tf").as("tf_sum"))
-    val dec = vdf.agg(sum("tf_sum").as("len_dec")).collect()(0)
+    val vdf = vtf.groupBy("term").agg(count(lit(1)).as("df_dec"))
+    // ONE aggregate job carries both exact decrements (the old shape
+    // paid a separate job each for len_dec and nd_dec): len_sum drops
+    // by the victims' Σtf; nd counts chunks WITH postings (dl derives
+    // from tf — a token-less chunk never entered stats), so the
+    // decrement counts the victim chunks that appear in tf, not every
+    // victim chunk
+    val dec = vtf.agg(sum("tf").as("len_dec"),
+      countDistinct("chunk_id").as("nd_dec")).collect()(0)
     val lenDec = if (dec.isNullAt(0)) 0L else dec.getLong(0)
-    // nd counts chunks WITH postings (dl derives from tf — a
-    // token-less chunk never entered stats), so the decrement counts
-    // the victim chunks that appear in tf, not every victim chunk
-    val ndDec = vtf.select("chunk_id").distinct().count()
-    val vBuckets = vdf
-      .select(Search.termBucket(col("term"), nLex).as("tb"))
-      .distinct().collect().map(_.getLong(0).toInt).toSeq
+    val ndDec = dec.getLong(1)
     // the victims' coarse lists re-derive from the db-PRUNED enc and
     // the pinned codebook — the st15 assignment contract: enc_ivf's
     // cid was minted as exactly this centroidRanks projection at
@@ -1043,16 +1125,15 @@ object Pipeline {
       sys.error(s"no codebook.meta at $d — not a built index root"))
     val vCids = spark.read.parquet(s"$d/enc")
       .filter(col("db").isin(vDbs: _*))
-      .join(vchunks.withColumnRenamed("chunk_id", "vec_id"),
-        Seq("vec_id"), "left_semi")
+      .join(vKey, docKeyOf(col("vec_id")) === col("__vdk"), "left_semi")
       .select(element_at(graft.functions.Vectors.centroidRanks(
         transform(col("u16"), x => x.cast("double")), cb), 1).as("cid"))
       .distinct().collect().map(_.getInt(0)).toSeq
     // the EXACT victim (tb, db) cells of the postings layout, derived
-    // from the pre-staged victim postings (never the vBuckets x vDbs
-    // cross product — a wave whose terms span 20 buckets and docs
-    // span 10 would otherwise rewrite 200 cells where ~30 hold
-    // victims, each a staged file + delete + rename of itself)
+    // from the pre-staged victim postings (never a term-bucket x
+    // doc-bucket cross product — a wave whose terms span 20 buckets
+    // and docs span 10 would otherwise rewrite 200 cells where ~30
+    // hold victims, each a staged file + delete + rename of itself)
     val vCells: Seq[Seq[Any]] = vtf.select(
         Search.termBucket(col("term"), nLex).as("tb"),
         docBucketOfChunk(col("chunk_id"), nTfbDb).as("db"))
@@ -1085,6 +1166,14 @@ object Pipeline {
     def antiInOrder(src: DataFrame, key: String,
         victimsOf: DataFrame): DataFrame =
       src.join(victimsOf, Seq(key), "left_anti")
+        .select(src.columns.map(col).toSeq: _*)
+    // chunk-keyed survivors: anti-join on the ARITHMETIC doc key
+    // (same rows as the old victim-chunk anti-join — tf/enc/tf_b/
+    // enc_ivf rows all derive from chunks — with the victims frame,
+    // not the larger chunk set, as the broadcast side)
+    def antiDocInOrder(src: DataFrame, chunkKey: String): DataFrame =
+      src.join(vKey, docKeyOf(col(chunkKey)) === col("__vdk"),
+          "left_anti")
         .select(src.columns.map(col).toSeq: _*)
     // stats decrement inputs read BEFORE any rewrite (exact-integer:
     // len_sum/nd stays bit-equal to a rebuild's avg(dl) —
@@ -1120,28 +1209,27 @@ object Pipeline {
             .filter(col("db").isin(vDbs: _*)), "doc_id", victims)),
         () => replacePartitions(spark, d, "tf", Seq("db"),
           vDbs.map(Seq(_)),
-          antiInOrder(spark.read.parquet(s"$d/tf")
-            .filter(col("db").isin(vDbs: _*)), "chunk_id", vchunks)),
+          antiDocInOrder(spark.read.parquet(s"$d/tf")
+            .filter(col("db").isin(vDbs: _*)), "chunk_id")),
         () => replacePartitions(spark, d, "enc", Seq("db"),
           vDbs.map(Seq(_)),
-          antiInOrder(spark.read.parquet(s"$d/enc")
-            .filter(col("db").isin(vDbs: _*)), "vec_id",
-            vchunks.withColumnRenamed("chunk_id", "vec_id"))),
+          antiDocInOrder(spark.read.parquet(s"$d/enc")
+            .filter(col("db").isin(vDbs: _*)), "vec_id")),
         // the postings swap EXACTLY the victim (tb, db) cells; the
         // cell-key filter references only partition columns, so the
         // survivor scan partition-prunes to those dirs
         () => replacePartitions(spark, d, "tf_b", Seq("tb", "db"),
           vCells,
-          antiInOrder(spark.read.parquet(s"$d/tf_b")
+          antiDocInOrder(spark.read.parquet(s"$d/tf_b")
             .filter(concat_ws("/", col("tb"), col("db")).isin(
               vCells.map(c => s"${c(0)}/${c(1)}"): _*)),
-            "doc_id", vchunks.withColumnRenamed("chunk_id", "doc_id"))))
+            "doc_id")))
     val rewrites: Seq[() => Unit] = flatRewrites ++ Seq(
       () => replacePartitions(spark, d, "enc_ivf", Seq("cid"),
         vCids.map(Seq(_)),
-        antiInOrder(spark.read.parquet(s"$d/enc_ivf")
+        antiDocInOrder(spark.read.parquet(s"$d/enc_ivf")
           .filter(col("cid").isin(vCids.map(c => c: Any): _*)),
-          "vec_id", vchunks.withColumnRenamed("chunk_id", "vec_id"))),
+          "vec_id")),
       () => {
         replaceDir(spark, d, "stats",
           Seq((if (nd2 == 0L) 0.0 else ls2.toDouble / nd2, nd2, ls2))
@@ -1284,6 +1372,7 @@ object Pipeline {
     }
     fs.delete(stage, true)
     fs.delete(aside, true)
+    bumpTowersGen(d)
     ()
   }
 
@@ -1391,6 +1480,7 @@ object Pipeline {
     try out.write((note + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    bumpTowersGen(d)
   }
 
   /** Arm the marker as WAVE INTENT — call before a mutation wave's
@@ -1432,6 +1522,10 @@ object Pipeline {
     val p = new org.apache.hadoop.fs.Path(d, tornMarkerName)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, false)
+    // the wave that just settled may have APPENDED files the swap
+    // primitives never saw (addToTowers' append-mode writes) — the
+    // settle itself is a file-set change
+    bumpTowersGen(d)
     ()
   }
 
@@ -1811,21 +1905,45 @@ object Pipeline {
   /** The staged tables of ANY built index root ([[buildTowers]]'
     * layout) — p2's gated fixture and the facade's user-built
     * indexes read through the same map.
+    *
+    * MEMOIZED per (session, root, [[towersGenOf]] mutation stamp):
+    * a fresh `spark.read.parquet` per table per call pays parquet
+    * partition discovery (a driver-side dir walk + footer read) for
+    * all 9 tables on EVERY serve — the p3nprobe measurement put that
+    * walk at ~0.9 s/query on a 424-dir 10× root, and it grows with
+    * dir count, i.e. with the corpus (guide §6: file listing is the
+    * per-query scan-independent cost a lake-scale layout must not
+    * re-pay). Every mutation path bumps the stamp (see
+    * [[bumpTowersGen]]), so a memoized FileIndex can never serve a
+    * mutated root; a root with no stamp never memoizes. Bounded like
+    * [[tierFrames]]: wholesale eviction past 64 entries.
     */
+  private val towerTables = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), Map[String, DataFrame]]()
+
   private[graft] def ragTablesAt(
       spark: org.apache.spark.sql.SparkSession,
-      d: String): Map[String, DataFrame] =
-    Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
-        "enc_ivf")
-      .map { n =>
-        // the doc-bucket layout column is partitioning, not data —
-        // readers (and the oracle/equality dumps) see the logical
-        // schema on bucketed and legacy roots alike
-        val df = spark.read.parquet(s"$d/$n")
-        n -> (if (df.columns.contains("db")) df.drop("db") else df)
-      }.toMap +
-      ("dense" -> spark.read.parquet(s"$d/enc_ivf")
-        .select("vec_id", "cid"))
+      d: String): Map[String, DataFrame] = {
+    def fresh(): Map[String, DataFrame] =
+      Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
+          "enc_ivf")
+        .map { n =>
+          // the doc-bucket layout column is partitioning, not data —
+          // readers (and the oracle/equality dumps) see the logical
+          // schema on bucketed and legacy roots alike
+          val df = spark.read.parquet(s"$d/$n")
+          n -> (if (df.columns.contains("db")) df.drop("db") else df)
+        }.toMap +
+        ("dense" -> spark.read.parquet(s"$d/enc_ivf")
+          .select("vec_id", "cid"))
+    towersGenOf(d) match {
+      case Some(gen) =>
+        if (towerTables.size > 64) towerTables.clear()
+        towerTables.computeIfAbsent(
+          (System.identityHashCode(spark), d, gen), _ => fresh())
+      case None => fresh()
+    }
+  }
 
   /** BM25 top-`k` from the STAGED serving towers: the query's term
     * buckets become a literal partition filter on the postings scan

@@ -1428,6 +1428,51 @@ class GraftApiSpec extends SparkSpec {
     graft.Staging.deleteTree(java.nio.file.Paths.get(tmp0))
   }
 
+  test("ragTablesAt memoizes per mutation generation: an unchanged " +
+      "root reuses the resolved tables (no re-discovery), every " +
+      "mutation bumps towers.gen and re-resolves — a memoized " +
+      "FileIndex can never serve a mutated root") {
+    import graft.operators.Pipeline
+    val spark = this.spark
+    import spark.implicits._
+    val docs = ragDrillDocs(1L to 8L)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gen_").toString
+    try {
+      Graft.ragIndex(docs, "doc_id", "filepath", "lang", "text",
+        stateRoot = Some(tmp))
+      // a completed build minted the stamp
+      assert(Pipeline.towersGenOf(tmp).isDefined)
+      val g0 = Pipeline.towersGenOf(tmp).get
+      val t1 = Pipeline.ragTablesAt(spark, tmp)
+      val t2 = Pipeline.ragTablesAt(spark, tmp)
+      // same generation -> the SAME resolved map (reference equality:
+      // partition discovery ran once, not per serve)
+      assert(t1 eq t2)
+      val before = t1("routed").count()
+      assert(Pipeline.removeFromTowers(spark, tmp,
+        Seq(1L).toDF("doc_id")) == 1L)
+      // the wave bumped the stamp, so the memo re-resolves and the
+      // fresh tables see the shrunk corpus
+      assert(Pipeline.towersGenOf(tmp).get != g0)
+      val t3 = Pipeline.ragTablesAt(spark, tmp)
+      assert(!(t3 eq t1))
+      assert(t3("routed").count() == before - 1)
+      // a stamp-less root (foreign/legacy) never memoizes
+      val flat = java.nio.file.Files
+        .createTempDirectory("graft_gen_flat_").toString
+      try {
+        Pipeline.cloneRoot(spark, tmp, flat)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(flat, "towers.gen"))
+        val f1 = Pipeline.ragTablesAt(spark, flat)
+        val f2 = Pipeline.ragTablesAt(spark, flat)
+        assert(!(f1 eq f2))
+        assert(f1("routed").count() == before - 1)
+      } finally graft.Staging.deleteTree(java.nio.file.Paths.get(flat))
+    } finally graft.Staging.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("RagIndex lifecycle: grow then shrink converges to a pinned-" +
       "codebook build on the net corpus; packContextFor serves " +
       "caller queries through the same pack discipline") {
