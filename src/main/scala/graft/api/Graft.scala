@@ -450,7 +450,7 @@ object Graft {
           else graft.operators.Ann.ivfConfigFor(vecs.count())
         val cb = graft.operators.Ann.trainCodebook(vecs, lists, dim, iters)
         val assigned = vecs.select(col("vec_id"), col("v"),
-          element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+          graft.functions.Vectors.centroidTop1(col("v"), cb)
             .as("cid"))
         graft.operators.Dedup.semdedupPairsFrom(assigned, threshold, sorted)
     }

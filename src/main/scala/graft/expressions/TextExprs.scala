@@ -515,6 +515,58 @@ case class CentroidRanks(child: Expression, cents: PlaneMatrix)
     copy(child = newChild)
 }
 
+/** The FIRST element of [[CentroidRanks]] — the IVF list assignment —
+  * computed as a direct argmax instead of ranking all k centroids
+  * (`element_at(centroid_ranks(v), 1)` built k boxed (sim, id) tuples
+  * and a full sort PER ROW; assignment is the build/maintain hot path,
+  * every corpus vector pays it at index time). Same math, same tie
+  * rule (descending cosine, ties to the LOWER id — strict `>` keeps
+  * the earlier centroid), same degenerate-input order (a NaN cosine
+  * ranks last, exactly where the total-order sort put it; all-NaN
+  * returns centroid 0). Spec-locked equal to element_at(ranks, 1).
+  */
+case class CentroidTop1(child: Expression, cents: PlaneMatrix)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "centroid_top1"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTop1", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Integer) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = cents.dim
+    val k = cents.values.length / dim
+    val d = math.min(v.numElements(), dim)
+    val w = cents.values
+    var bestC = 0
+    var best = Double.NaN
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getDouble(i); val y = w(c * dim + i)
+        dot += x * y; nv += x * x; nc += y * y
+        i += 1
+      }
+      val s = dot / (math.sqrt(nv) * math.sqrt(nc))
+      // NaN never beats a real cosine (total-order sort ranked NaN
+      // last); a real cosine always beats the NaN placeholder
+      if (!s.isNaN && (best.isNaN || s > best)) { best = s; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTop1 =
+    copy(child = newChild)
+}
+
 /** Hamming distance between two equal-length bit strings. True
   * codegen for the same reason as [[CosineSim]]: it is the d4/s2
   * candidate-verify filter, running once per candidate pair.

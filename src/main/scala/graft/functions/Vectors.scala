@@ -85,6 +85,16 @@ object Vectors {
       graft.expressions.CentroidRanks(
         org.apache.spark.sql.GraftExpressionBridge.expression(v), cents))
 
+  /** Compiled IVF list ASSIGNMENT — `element_at(centroidRanks(v), 1)`
+    * as a direct argmax (no per-row rank sort); bit-equal by the
+    * CentroidTop1 spec. Use wherever only the nearest list is needed
+    * (index build/maintain assignment, victim-list derivation).
+    */
+  def centroidTop1(v: Column, cents: graft.expressions.PlaneMatrix): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.CentroidTop1(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v), cents))
+
   /** Compiled multi-probe key set: a packed band key plus its
     * Hamming-1 neighbors in the low `bits` bits.
     */

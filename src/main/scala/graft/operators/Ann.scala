@@ -163,8 +163,19 @@ object Ann {
     * At 100 TB training runs once offline and the codebook is stored;
     * serving reuses it exactly as below.
     */
-  private[graft] def trainCodebook(vecs: DataFrame, nLists: Int,
+  private[graft] def trainCodebook(vecs0: DataFrame, nLists: Int,
       dim: Int = 64, iters: Int = 3): graft.expressions.PlaneMatrix = {
+    // the training set is read by `iters + 1` sequential actions
+    // (seed collect + one aggregate per Lloyd's round) — persist it
+    // for the duration of THIS call so the rounds re-read a
+    // materialized frame instead of re-running the upstream scan +
+    // projection (sample-gate filter, u16→double transform) every
+    // round; unpersisted before returning (an in-call intermediate,
+    // not a cross-query cache). Bit-identical math — only the input's
+    // physical source changes.
+    val vecs = vecs0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // seed = the FIRST nLists vectors in id order (TakeOrdered — no
     // assumption that ids start at 0 or are dense; a filter(id <
     // nLists) would silently shrink the codebook on sparse ids)
@@ -174,7 +185,7 @@ object Ann {
     for (_ <- 1 to iters) {
       val cb = new graft.expressions.PlaneMatrix(cents, dim)
       val sums = vecs
-        .select(element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid"),
+        .select(Vectors.centroidTop1(col("v"), cb).as("cid"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
@@ -189,6 +200,7 @@ object Ann {
       cents = next
     }
     new graft.expressions.PlaneMatrix(cents, dim)
+    } finally vecs.unpersist(false)
   }
 
   /** s3: IVF-flat ANN (*rows-only oracle*; recall spec'd in tests).
@@ -292,7 +304,7 @@ object Ann {
           trainCodebook(vecs, nLists, dim, iters) })
     }
     (vecs.select(col("vec_id"), col("v"),
-      element_at(Vectors.centroidRanks(col("v"), cb), 1).as("cid")), cb)
+      Vectors.centroidTop1(col("v"), cb).as("cid")), cb)
   }
 
   def s3AnnIvf(t: Tables, probeId: Long = 0L, nLists: Int = 16,
@@ -1108,7 +1120,7 @@ object Ann {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cid",
-        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+        Vectors.centroidTop1(col("v"), cb))
     sqSearchFrame(
       vecs.filter(col("cid").isin(probeLists: _*))
         .filter(col("vec_id") =!= probeId)
@@ -1232,7 +1244,7 @@ object Ann {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cid",
-        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+        Vectors.centroidTop1(col("v"), cb))
     val cent = element_at(typedLit(cents), col("cid") + 1)
     val mn = element_at(typedLit(mins), col("cid") + 1)
     val sc = element_at(typedLit(scales), col("cid") + 1)
@@ -1504,7 +1516,7 @@ object Ann {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("cid",
-        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+        Vectors.centroidTop1(col("v"), cb))
       .filter(col("cid").isin(pls: _*) && col("label") === pLabel &&
         col("vec_id") =!= probeId)
       .select(col("vec_id"), col("label"),
@@ -1553,7 +1565,7 @@ object Ann {
     t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cid",
-        element_at(Vectors.centroidRanks(col("v"), cb), 1))
+        Vectors.centroidTop1(col("v"), cb))
       .filter(col("cid").isin(pls: _*) && col("vec_id") =!= probeId)
       .withColumn("hamming",
         Vectors.hamming(bqBits(col("v"), means), lit(pbits)))

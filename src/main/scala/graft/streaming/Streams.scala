@@ -2880,7 +2880,7 @@ object Streams {
       cb: graft.expressions.PlaneMatrix, batch: DataFrame): Unit = {
     val assigned = graft.Caches.materialized(batch
       .select(col("vec_id"), col("v"),
-        element_at(graft.functions.Vectors.centroidRanks(col("v"), cb), 1)
+        graft.functions.Vectors.centroidTop1(col("v"), cb)
           .as("cid")))
     val arrCids = assigned.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted

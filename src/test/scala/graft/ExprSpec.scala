@@ -174,4 +174,29 @@ class ExprSpec extends SparkSpec {
     rows.foreach { case (est, exact) => assert(est >= exact) }
     assert(rows.count { case (e, x) => e == x } * 2 >= rows.length)
   }
+
+  test("centroidTop1 == element_at(centroidRanks, 1) — the argmax " +
+      "fast path is bit-equal to the full rank's head, ties and " +
+      "degenerate vectors included") {
+    import SparkSpec.spark.implicits._
+    import graft.functions.Vectors
+    val dim = 8
+    val rnd = new scala.util.Random(421)
+    // a codebook with a DUPLICATED centroid (exact tie: rank order
+    // must pick the lower id) — top1 must agree with the sort
+    val c0 = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val cents = new graft.expressions.PlaneMatrix(
+      c0 ++ Array.fill(2 * dim)(rnd.nextDouble() * 2 - 1) ++ c0, dim)
+    val vecs = ((1 to 200).map(_ =>
+        Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq) :+
+      c0.toSeq :+              // exact hit on the duplicated centroid
+      Seq.fill(dim)(0.0))      // zero vector: every cosine NaN
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v")
+    val both = vecs.select(
+      element_at(Vectors.centroidRanks(col("v"), cents), 1).as("a"),
+      Vectors.centroidTop1(col("v"), cents).as("b")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"rank head ${r.getInt(0)} != top1 ${r.getInt(1)}"))
+  }
 }
