@@ -38,6 +38,35 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Mint a chunk_id and GUARD the arithmetic invariant the whole
+    * layout leans on: `chunk_id = doc_id·10⁶ + start` is only
+    * injective while `start < 10⁶` — a >1 MB document's chunk at a
+    * character offset past that would silently collide with a
+    * neighboring doc's id space, survive its own deletion
+    * (removeFromTowers resolves victims by `chunk_id − (chunk_id mod
+    * 10⁶)`), and mis-bucket. One branch per row (noise next to the
+    * tokenize/encode work) turns that silent corruption into a loud
+    * task failure at mint time.
+    */
+  private[graft] def mintChunkId(docId: Column, start: Column): Column =
+    when(start >= 1000000L || start < 0L,
+      raise_error(concat(lit("chunk start offset out of the chunk_id " +
+        "minting domain [0, 1e6) — doc_id "), docId.cast("string"),
+        lit(" start "), start.cast("string"),
+        lit("; documents past 1e6 chars must be split upstream"))))
+      .otherwise(docId * 1000000L + start)
+
+  /** Run `f` under a Spark job description (guide §1.5) — labels are
+    * thread-local, so the concurrent build/remove chains each label
+    * their own jobs correctly in profiles and the UI.
+    */
+  private[graft] def labeled[T](
+      spark: org.apache.spark.sql.SparkSession, desc: String)(
+      f: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** The staged survivor frames, funnel order, each carrying
     * (doc_id, n_bpe, ...signals). Shared by the funnel query and the
     * `Graft.curate` facade (whose answer is the LAST frame).
@@ -373,21 +402,25 @@ object Pipeline {
       // idempotent under rebuild())
       if (!preOk) {
         val routed0 = spark.read.parquet(s"$d/routed")
-        replaceDir(spark, d, "routed",
-          (if (routed0.columns.contains("db")) routed0.drop("db")
-           else routed0)
-            .withColumn("db", docBucket(col("doc_id"), nDb)), Seq("db"))
+        labeled(spark, "build: re-stage routed db-bucketed") {
+          replaceDir(spark, d, "routed",
+            (if (routed0.columns.contains("db")) routed0.drop("db")
+             else routed0)
+              .withColumn("db", docBucket(col("doc_id"), nDb)), Seq("db"))
+        }
       }
       val routed = spark.read.parquet(s"$d/routed").drop("db")
       // each flat artifact pays ONE build-once exchange on db for a
       // file-per-bucket layout (delete waves and bucket-pruned reads
       // then touch whole small files, never row-slices of big ones)
+      labeled(spark, "build: chunk + write chunks") {
       graft.api.Graft.chunk(routed, "doc_id", "body", size, step)
-        .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
+        .select(mintChunkId(col("doc_id"), col("start")).as("chunk_id"),
           col("doc_id"), col("start"), col("chunk"))
         .withColumn("db", docBucket(col("doc_id"), nDb))
         .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db").parquet(s"$d/chunks")
+      }
       val ch = spark.read.parquet(s"$d/chunks").drop("db")
       // the SPARSE chain (tf → stats/idf/tf_b) and the DENSE chain
       // (encode → codebook → enc_ivf) depend only on the landed
@@ -405,10 +438,12 @@ object Pipeline {
       import scala.concurrent.ExecutionContext.Implicits.global
       val denseT = Future(scala.util.Try {
         val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
+        labeled(spark, "build: encode + write enc") {
         enc
           .withColumn("db", docBucketOfChunk(col("vec_id"), nDb))
           .repartition(col("db"))
           .write.mode("overwrite").partitionBy("db").parquet(s"$d/enc")
+        }
         // The dense tower lives in the STORED-CODE space: IVF trains
         // and assigns on the exact u16 integer code vectors (cast to
         // double — every value exactly representable), so the whole
@@ -423,9 +458,11 @@ object Pipeline {
         // torn-add repair both need assignment to stay stable); the
         // default trains fresh on this corpus
         val cb = pinned.getOrElse {
-          val n = vecs.count()
-          Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n,
-            dim = dim)
+          labeled(spark, "build: train coarse codebook") {
+            val n = vecs.count()
+            Ann.trainCodebookSampled(vecs, Ann.ivfConfigFor(n), n,
+              dim = dim)
+          }
         }
         graft.streaming.Streams.saveCodebook(d, cb)
         // serving layout: every stored code filed under its coarse
@@ -436,22 +473,26 @@ object Pipeline {
         // `enc`; a quantized serving tier never pays float bytes),
         // and rows co-locate by cid before the write so each list is
         // one file, not one-per-writing-task.
+        labeled(spark, "build: assign + write enc_ivf") {
         spark.read.parquet(s"$d/enc")
           .withColumn("cid",
-            element_at(graft.functions.Vectors.centroidRanks(
-              transform(col("u16"), x => x.cast("double")), cb), 1))
+            graft.functions.Vectors.centroidTop1(
+              transform(col("u16"), x => x.cast("double")), cb))
           .select("vec_id", "u16", "cid")
           .repartition(col("cid"))
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$d/enc_ivf")
+        }
       })
       val sparseT = scala.util.Try {
+      labeled(spark, "build: tokenize + write tf") {
       ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("db", docBucketOfChunk(col("chunk_id"), nDb))
         .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db").parquet(s"$d/tf")
+      }
       // the SERVING form of the sparse tower, staged once (the
       // build-once/query-many contract applied to BM25's own
       // inputs): corpus stats and per-term idf precomputed, doc
@@ -469,14 +510,17 @@ object Pipeline {
         // term-bucket pruning literal, db inner for the delete-side
         // victim-bucket pruning): a query reads its terms' tb dirs, a
         // delete wave swaps only the (victim tb x victim db) cells
+        labeled(spark, "build: stage tf_b postings") {
         tfD.join(dlD, "doc_id")
           .withColumn("tb", Search.termBucket(col("term"), nLex))
           .withColumn("db", docBucketOfChunk(col("doc_id"), nTfbDb))
           .repartition(col("tb"), col("db"))
           .write.mode("overwrite").partitionBy("tb", "db")
           .parquet(s"$d/tf_b")
+        }
       })
       val statsIdfT = scala.util.Try {
+        labeled(spark, "build: stats + idf rollups") {
         // stats carry the EXACT integer (nd, len_sum) alongside the
         // derived avgdl, so an incremental add updates them with long
         // arithmetic and re-derives avgdl bit-equal to a full rebuild
@@ -493,12 +537,23 @@ object Pipeline {
               (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
           .select("term", "df", "idf_bm")
           .write.mode("overwrite").parquet(s"$d/idf")
+        }
       }
       val tfb = Await.result(tfbT, Duration.Inf)
-      statsIdfT.get; tfb.get
+      // both forks settled — surface BOTH failures (suppressed, not
+      // discarded) so a double fault keeps its root causes visible
+      (statsIdfT, tfb) match {
+        case (scala.util.Failure(a), scala.util.Failure(b)) =>
+          a.addSuppressed(b); throw a
+        case _ => statsIdfT.get; tfb.get
+      }
       }
       val dense = Await.result(denseT, Duration.Inf)
-      sparseT.get; dense.get
+      (sparseT, dense) match {
+        case (scala.util.Failure(a), scala.util.Failure(b)) =>
+          a.addSuppressed(b); throw a
+        case _ => sparseT.get; dense.get
+      }
       // a completed build IS the cross-table repair — every tower
       // just re-derived from routed, so any healed-torn-mutation
       // marker is discharged (cleared last: a crash anywhere above
@@ -667,30 +722,63 @@ object Pipeline {
     */
   private val genCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[graft] def bumpTowersGen(d: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+  private[graft] def bumpTowersGen(
+      fs: org.apache.hadoop.fs.FileSystem, d: String): Unit = {
+    // through the caller's Hadoop FileSystem, like every mutation
+    // primitive it stamps for (writeTornMarker's pattern): on an
+    // hdfs://s3a:// root the stamp must live WITH the root — a
+    // java.nio write would land in a junk local shadow dir, cloneRoot
+    // would not carry it, and another process's mutation could never
+    // bump the stamp this process reads.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(d))
     // per-call tmp name: a wave's CONCURRENT rewrites all bump at
     // settle time (removeFromTowers' six parallel swaps) — a shared
     // tmp would race its own atomic move
-    val tmp = java.nio.file.Paths.get(d,
+    val tmp = new org.apache.hadoop.fs.Path(d,
       s"towers.gen.tmp.${genCounter.incrementAndGet()}" +
         s".${Thread.currentThread().getId}")
-    java.nio.file.Files.write(tmp,
+    val out = fs.create(tmp, true)
+    try out.write(
       (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}:" +
         s"${System.nanoTime()}:${genCounter.incrementAndGet()}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(d, "towers.gen"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(d, "towers.gen")
+    // EVERY bump must land (a dropped bump could strand a memo keyed
+    // on a sibling bump's gen while this bump's mutation is the one
+    // it misses): Hadoop rename does not replace an existing dst, so
+    // delete+rename, retrying the handful of times concurrent
+    // settle-time bumps can collide. Between the delete and the
+    // rename a reader sees NO stamp — the never-memoize path, safe.
+    var renamed = false
+    var attempts = 0
+    while (!renamed && attempts < 64) {
+      fs.delete(dst, false)
+      renamed = fs.rename(tmp, dst)
+      attempts += 1
+    }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      sys.error(s"bumpTowersGen: rename $tmp -> $dst failed " +
+        s"after $attempts attempts")
+    }
   }
 
-  private[graft] def towersGenOf(d: String): Option[String] = {
-    val p = java.nio.file.Paths.get(d, "towers.gen")
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim)
+  private[graft] def towersGenOf(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(d, "towers.gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
   }
 
   /** Swap a staged table for its recomputed next version: stage into
@@ -715,7 +803,7 @@ object Pipeline {
         .parquet(tmp.toString)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) sys.error(s"rename $tmp -> $dst failed")
-    bumpTowersGen(d)
+    bumpTowersGen(fs, d)
   }
 
   /** GROW a built index in place (the build → serve → GROW loop):
@@ -814,7 +902,7 @@ object Pipeline {
     appendFlat("routed", arr, col("doc_id"))
     val chNew = graft.Caches.materialized(
       graft.api.Graft.chunk(arr, "doc_id", "body", size, step)
-        .select((col("doc_id") * 1000000L + col("start")).as("chunk_id"),
+        .select(mintChunkId(col("doc_id"), col("start")).as("chunk_id"),
           col("doc_id"), col("start"), col("chunk")))
     appendFlat("chunks", chNew, col("doc_id"))
     val tfNew = graft.Caches.materialized(chNew
@@ -861,8 +949,8 @@ object Pipeline {
     appendFlatChunkKeyed("enc", encNew, col("vec_id"))
     encNew
       .withColumn("cid",
-        element_at(graft.functions.Vectors.centroidRanks(
-          transform(col("u16"), x => x.cast("double")), cb), 1))
+        graft.functions.Vectors.centroidTop1(
+          transform(col("u16"), x => x.cast("double")), cb))
       .select("vec_id", "u16", "cid")
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$d/enc_ivf")
@@ -880,8 +968,8 @@ object Pipeline {
       .distinct().collect()
       .map(r => Seq(r.getLong(0): Any, r.getLong(1): Any)).toSeq
     val cidsNew: Seq[Any] = encNew
-      .select(element_at(graft.functions.Vectors.centroidRanks(
-        transform(col("u16"), x => x.cast("double")), cb), 1).as("cid"))
+      .select(graft.functions.Vectors.centroidTop1(
+        transform(col("u16"), x => x.cast("double")), cb).as("cid"))
       .distinct().collect().map(_.getInt(0): Any).toSeq
     Seq(chNew, tfNew, dlNew, encNew).foreach(graft.Caches.drop)
     graft.Staging.deleteTree(java.nio.file.Paths.get(scratch))
@@ -1097,24 +1185,16 @@ object Pipeline {
     // bucketed by the chunk's doc hash, the same modulus); the
     // per-term df decrement, the (nd, len_sum) decrement, and the
     // affected-cell set all derive from it without re-scanning tf
-    spark.read.parquet(s"$d/tf")
-      .filter(col("db").isin(vDbs: _*))
-      .join(vKey, docKeyOf(col("chunk_id")) === col("__vdk"),
-        "left_semi")
-      .drop("db")
-      .write.mode("overwrite").parquet(s"$scratch/vtf")
+    labeled(spark, "remove: stage victim postings (vtf)") {
+      spark.read.parquet(s"$d/tf")
+        .filter(col("db").isin(vDbs: _*))
+        .join(vKey, docKeyOf(col("chunk_id")) === col("__vdk"),
+          "left_semi")
+        .drop("db")
+        .write.mode("overwrite").parquet(s"$scratch/vtf")
+    }
     val vtf = spark.read.parquet(s"$scratch/vtf")
     val vdf = vtf.groupBy("term").agg(count(lit(1)).as("df_dec"))
-    // ONE aggregate job carries both exact decrements (the old shape
-    // paid a separate job each for len_dec and nd_dec): len_sum drops
-    // by the victims' Σtf; nd counts chunks WITH postings (dl derives
-    // from tf — a token-less chunk never entered stats), so the
-    // decrement counts the victim chunks that appear in tf, not every
-    // victim chunk
-    val dec = vtf.agg(sum("tf").as("len_dec"),
-      countDistinct("chunk_id").as("nd_dec")).collect()(0)
-    val lenDec = if (dec.isNullAt(0)) 0L else dec.getLong(0)
-    val ndDec = dec.getLong(1)
     // the victims' coarse lists re-derive from the db-PRUNED enc and
     // the pinned codebook — the st15 assignment contract: enc_ivf's
     // cid was minted as exactly this centroidRanks projection at
@@ -1123,23 +1203,71 @@ object Pipeline {
     // scan of every list per wave) never runs
     val cb = graft.streaming.Streams.loadCodebook(d).getOrElse(
       sys.error(s"no codebook.meta at $d — not a built index root"))
-    val vCids = spark.read.parquet(s"$d/enc")
-      .filter(col("db").isin(vDbs: _*))
-      .join(vKey, docKeyOf(col("vec_id")) === col("__vdk"), "left_semi")
-      .select(element_at(graft.functions.Vectors.centroidRanks(
-        transform(col("u16"), x => x.cast("double")), cb), 1).as("cid"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // The four pre-rewrite derivations are INDEPENDENT given the
+    // staged vtf: the merged stats decrement, the victim coarse-list
+    // collect, the victim (tb, db) cell collect, and the old-stats
+    // read each cost one driver round-trip — run them as CONCURRENT
+    // jobs (guide §2.6, the buildTowers overlap applied to the wave's
+    // serial driver actions) instead of four sequential ones.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // ONE aggregate job carries both exact decrements (the old shape
+    // paid a separate job each for len_dec and nd_dec): len_sum drops
+    // by the victims' Σtf; nd counts chunks WITH postings (dl derives
+    // from tf — a token-less chunk never entered stats), so the
+    // decrement counts the victim chunks that appear in tf, not every
+    // victim chunk
+    val decT = Future(scala.util.Try(
+      labeled(spark, "remove: stats decrement aggregate") {
+        vtf.agg(sum("tf").as("len_dec"),
+          countDistinct("chunk_id").as("nd_dec")).collect()(0)
+      }))
+    val vCidsT = Future(scala.util.Try(
+      labeled(spark, "remove: victim coarse lists (vCids)") {
+        spark.read.parquet(s"$d/enc")
+          .filter(col("db").isin(vDbs: _*))
+          .join(vKey, docKeyOf(col("vec_id")) === col("__vdk"),
+            "left_semi")
+          .select(graft.functions.Vectors.centroidTop1(
+            transform(col("u16"), x => x.cast("double")), cb)
+            .as("cid"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      }))
     // the EXACT victim (tb, db) cells of the postings layout, derived
     // from the pre-staged victim postings (never a term-bucket x
     // doc-bucket cross product — a wave whose terms span 20 buckets
     // and docs span 10 would otherwise rewrite 200 cells where ~30
     // hold victims, each a staged file + delete + rename of itself)
-    val vCells: Seq[Seq[Any]] = vtf.select(
-        Search.termBucket(col("term"), nLex).as("tb"),
-        docBucketOfChunk(col("chunk_id"), nTfbDb).as("db"))
-      .distinct().collect()
-      .map(r => Seq(r.getLong(0).toInt: Any, r.getLong(1): Any))
-      .toSeq
+    val vCellsT = Future(scala.util.Try(
+      labeled(spark, "remove: victim postings cells (vCells)") {
+        vtf.select(
+            Search.termBucket(col("term"), nLex).as("tb"),
+            docBucketOfChunk(col("chunk_id"), nTfbDb).as("db"))
+          .distinct().collect()
+          .map(r => Seq(r.getLong(0).toInt: Any, r.getLong(1): Any))
+          .toSeq
+      }))
+    // stats decrement inputs read BEFORE any rewrite (exact-integer:
+    // len_sum/nd stays bit-equal to a rebuild's avg(dl) —
+    // integer-valued doubles below 2^53)
+    val oldT = Future(scala.util.Try(
+      labeled(spark, "remove: read pre-wave stats") {
+        spark.read.parquet(s"$d/stats")
+          .select("nd", "len_sum").collect()(0)
+      }))
+    // settle ALL before propagating any failure (the wave's
+    // settle-before-rethrow rule: no concurrent job may still be
+    // running when the caller's repair path takes over) — each
+    // future's body is a Try, so sequence always completes
+    Await.result(Future.sequence(
+      Seq(decT, vCidsT, vCellsT, oldT).map(_.map(_ => ()))),
+      Duration.Inf)
+    val dec = Await.result(decT, Duration.Inf).get
+    val lenDec = if (dec.isNullAt(0)) 0L else dec.getLong(0)
+    val ndDec = dec.getLong(1)
+    val vCids = Await.result(vCidsT, Duration.Inf).get
+    val vCells: Seq[Seq[Any]] = Await.result(vCellsT, Duration.Inf).get
     // a delete wave must leave a non-empty index: a dir-less
     // partitioned table can't even be read back, and "forget the
     // whole corpus" is an explicit teardown, not an erasure wave.
@@ -1175,11 +1303,7 @@ object Pipeline {
       src.join(vKey, docKeyOf(col(chunkKey)) === col("__vdk"),
           "left_anti")
         .select(src.columns.map(col).toSeq: _*)
-    // stats decrement inputs read BEFORE any rewrite (exact-integer:
-    // len_sum/nd stays bit-equal to a rebuild's avg(dl) —
-    // integer-valued doubles below 2^53)
-    val old = spark.read.parquet(s"$d/stats")
-      .select("nd", "len_sum").collect()(0)
+    val old = Await.result(oldT, Duration.Inf).get
     val nd2 = old.getLong(0) - ndDec
     val ls2 = old.getLong(1) - lenDec
     import spark.implicits._
@@ -1247,9 +1371,6 @@ object Pipeline {
                 (lit(nd2) - col("df") + 0.5) / (col("df") + 0.5)))
             .select("term", "df", "idf_bm"))
       })
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // SETTLE every rewrite before propagating a failure: rethrowing
     // while sibling futures are mid-swap would let a zombie thread
     // swap a stale dir back in AFTER the documented repair
@@ -1310,12 +1431,24 @@ object Pipeline {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcP = new org.apache.hadoop.fs.Path(d0)
     val fs = srcP.getFileSystem(conf)
-    fs.listStatus(srcP).foreach { st =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-        new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(dd), st.getPath.getName),
-        false, conf)
+    // per-table copies are independent — run them on a small pool
+    // (guide §2.6 applied to driver-side fs work: the single-threaded
+    // walk serialized ~9 table trees behind one thread; gate latency
+    // drops to the largest table's copy). Failures propagate after
+    // ALL copies settle, so no copy thread outlives the call.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val copies = fs.listStatus(srcP).toSeq.map { st =>
+      Future(scala.util.Try {
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(dd), st.getPath.getName),
+          false, conf)
+        ()
+      })
     }
+    Await.result(Future.sequence(copies), Duration.Inf).foreach(_.get)
   }
 
   /** Partition-pruned rewrite of a partitioned staged table: stage
@@ -1372,7 +1505,7 @@ object Pipeline {
     }
     fs.delete(stage, true)
     fs.delete(aside, true)
-    bumpTowersGen(d)
+    bumpTowersGen(fs, d)
     ()
   }
 
@@ -1480,7 +1613,7 @@ object Pipeline {
     try out.write((note + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    bumpTowersGen(d)
+    bumpTowersGen(fs, d)
   }
 
   /** Arm the marker as WAVE INTENT — call before a mutation wave's
@@ -1520,12 +1653,12 @@ object Pipeline {
   private def clearTornMarker(
       spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(d, tornMarkerName)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, false)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
     // the wave that just settled may have APPENDED files the swap
     // primitives never saw (addToTowers' append-mode writes) — the
     // settle itself is a file-set change
-    bumpTowersGen(d)
+    bumpTowersGen(fs, d)
     ()
   }
 
@@ -1600,18 +1733,24 @@ object Pipeline {
       case _ =>
         graft.Registries.bump() // mint-once tier work (bench-visible)
         val dim = towersDim(d)
+        // two sequential actions read this frame (the min/max model
+        // aggregate, then the coded write) — materialize it once for
+        // the mint instead of re-scanning + re-transforming enc_ivf
         val vecs = spark.read.parquet(s"$d/enc_ivf")
           .select(col("vec_id"), col("cid"),
             transform(col("u16"), x => x.cast("double")).as("v"))
-        val (mins, scales) = Ann.sqModelFrom(vecs, dim)
-        vecs
-          .withColumn("codes", Ann.sqCodes(col("v"), mins, scales))
-          .select("vec_id", "codes", "cid")
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$d/enc_ivf_sq8")
-        saveDoublesMeta(d, "sq.meta", Seq(dim), mins ++ scales)
-        (mins, scales)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (mins, scales) = Ann.sqModelFrom(vecs, dim)
+          vecs
+            .withColumn("codes", Ann.sqCodes(col("v"), mins, scales))
+            .select("vec_id", "codes", "cid")
+            .repartition(col("cid"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$d/enc_ivf_sq8")
+          saveDoublesMeta(d, "sq.meta", Seq(dim), mins ++ scales)
+          (mins, scales)
+        } finally vecs.unpersist(false)
     }
 
   /** Mint-once PQ tier of a built root: [[pqM]] sub-codebooks
@@ -1630,21 +1769,42 @@ object Pipeline {
           v.slice((mi * k + ki) * s, (mi * k + ki) * s + s)))
       case _ =>
         graft.Registries.bump() // mint-once tier work (bench-visible)
+        // the mint reads this frame pqM×(1 seed + pqIters rounds) + 1
+        // coded-write = 13 sequential actions at the defaults — each
+        // was a fresh enc_ivf scan + u16→double transform. Materialize
+        // it ONCE for the mint, and train the pqM sub-codebooks
+        // CONCURRENTLY (guide §2.6 — each subspace's Lloyd's chain is
+        // independent given vecs; results are per-subspace
+        // deterministic, so concurrency cannot reorder anything).
         val vecs = spark.read.parquet(s"$d/enc_ivf")
           .select(col("vec_id"), col("cid"),
             transform(col("u16"), x => x.cast("double")).as("v"))
-        val books = Array.tabulate(pqM)(mi =>
-          Ann.trainPqSub(vecs.select("vec_id", "v"), mi * sub, sub,
-            pqK, pqIters))
-        Ann.pqCoded(vecs, books, sub)
-          .select((col("vec_id") +:
-            (0 until pqM).map(mi => col(s"code$mi"))) :+ col("cid"): _*)
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$d/enc_ivf_pq")
-        saveDoublesMeta(d, "pq.meta", Seq(pqM, pqK, sub),
-          books.flatten.flatten)
-        books
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val bookTs = (0 until pqM).map(mi => Future(scala.util.Try(
+            labeled(spark, s"pq tier: train subspace $mi") {
+              Ann.trainPqSub(vecs.select("vec_id", "v"), mi * sub, sub,
+                pqK, pqIters)
+            })))
+          // settle all before surfacing any failure (no training
+          // thread may outlive the mint)
+          Await.result(
+            Future.sequence(bookTs.map(_.map(_ => ()))), Duration.Inf)
+          val books = bookTs.map(t =>
+            Await.result(t, Duration.Inf).get).toArray
+          Ann.pqCoded(vecs, books, sub)
+            .select((col("vec_id") +:
+              (0 until pqM).map(mi => col(s"code$mi"))) :+ col("cid"): _*)
+            .repartition(col("cid"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$d/enc_ivf_pq")
+          saveDoublesMeta(d, "pq.meta", Seq(pqM, pqK, sub),
+            books.flatten.flatten)
+          books
+        } finally vecs.unpersist(false)
     }
   }
 
@@ -1663,17 +1823,23 @@ object Pipeline {
     * (scratch roots in specs would otherwise accumulate).
     */
   private val tierFrames = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long, Long), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, Long, Long),
+    DataFrame]()
 
   private def tierFrame(spark: org.apache.spark.sql.SparkSession,
       d: String, name: String, meta: String): DataFrame = {
     val mp = java.nio.file.Paths.get(d, meta)
+    // keyed on the session OBJECT (reference equality), not an
+    // identity hash — hashes can collide across sessions and would
+    // serve one session's plan-bound frame to another; the wholesale
+    // size>64 clear already bounds how long a stopped session's
+    // entries stay pinned
     val key =
-      try (System.identityHashCode(spark), s"$d/$name",
+      try ((spark, s"$d/$name",
         java.nio.file.Files.getLastModifiedTime(mp).toMillis,
-        java.nio.file.Files.size(mp))
+        java.nio.file.Files.size(mp)))
       catch { case scala.util.control.NonFatal(_) =>
-        (System.identityHashCode(spark), s"$d/$name", -1L, -1L) }
+        (spark, s"$d/$name", -1L, -1L) }
     if (tierFrames.size > 64) tierFrames.clear()
     tierFrames.computeIfAbsent(key,
       _ => spark.read.parquet(s"$d/$name"))
@@ -1919,28 +2085,34 @@ object Pipeline {
     * [[tierFrames]]: wholesale eviction past 64 entries.
     */
   private val towerTables = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), Map[String, DataFrame]]()
+    (org.apache.spark.sql.SparkSession, String, String),
+    Map[String, DataFrame]]()
 
   private[graft] def ragTablesAt(
       spark: org.apache.spark.sql.SparkSession,
       d: String): Map[String, DataFrame] = {
-    def fresh(): Map[String, DataFrame] =
-      Seq("routed", "chunks", "tf", "tf_b", "idf", "stats", "enc",
-          "enc_ivf")
-        .map { n =>
-          // the doc-bucket layout column is partitioning, not data —
-          // readers (and the oracle/equality dumps) see the logical
-          // schema on bucketed and legacy roots alike
-          val df = spark.read.parquet(s"$d/$n")
-          n -> (if (df.columns.contains("db")) df.drop("db") else df)
-        }.toMap +
-        ("dense" -> spark.read.parquet(s"$d/enc_ivf")
-          .select("vec_id", "cid"))
-    towersGenOf(d) match {
+    def fresh(): Map[String, DataFrame] = {
+      // resolve each table ONCE (parquet partition discovery is the
+      // very cost this memo exists to bound — `dense` projects the
+      // already-resolved enc_ivf instead of re-discovering the
+      // largest-dir-count table a second time per miss)
+      val raw = Seq("routed", "chunks", "tf", "tf_b", "idf", "stats",
+          "enc", "enc_ivf")
+        .map(n => n -> spark.read.parquet(s"$d/$n")).toMap
+      raw.map { case (n, df) =>
+        // the doc-bucket layout column is partitioning, not data —
+        // readers (and the oracle/equality dumps) see the logical
+        // schema on bucketed and legacy roots alike
+        n -> (if (df.columns.contains("db")) df.drop("db") else df)
+      } + ("dense" -> raw("enc_ivf").select("vec_id", "cid"))
+    }
+    towersGenOf(spark, d) match {
       case Some(gen) =>
         if (towerTables.size > 64) towerTables.clear()
-        towerTables.computeIfAbsent(
-          (System.identityHashCode(spark), d, gen), _ => fresh())
+        // keyed on the session OBJECT (reference equality) — an
+        // identity hash can collide across sessions and would hand
+        // one session's plan-bound DataFrames to another
+        towerTables.computeIfAbsent((spark, d, gen), _ => fresh())
       case None => fresh()
     }
   }

@@ -1442,8 +1442,8 @@ class GraftApiSpec extends SparkSpec {
       Graft.ragIndex(docs, "doc_id", "filepath", "lang", "text",
         stateRoot = Some(tmp))
       // a completed build minted the stamp
-      assert(Pipeline.towersGenOf(tmp).isDefined)
-      val g0 = Pipeline.towersGenOf(tmp).get
+      assert(Pipeline.towersGenOf(spark, tmp).isDefined)
+      val g0 = Pipeline.towersGenOf(spark, tmp).get
       val t1 = Pipeline.ragTablesAt(spark, tmp)
       val t2 = Pipeline.ragTablesAt(spark, tmp)
       // same generation -> the SAME resolved map (reference equality:
@@ -1454,7 +1454,7 @@ class GraftApiSpec extends SparkSpec {
         Seq(1L).toDF("doc_id")) == 1L)
       // the wave bumped the stamp, so the memo re-resolves and the
       // fresh tables see the shrunk corpus
-      assert(Pipeline.towersGenOf(tmp).get != g0)
+      assert(Pipeline.towersGenOf(spark, tmp).get != g0)
       val t3 = Pipeline.ragTablesAt(spark, tmp)
       assert(!(t3 eq t1))
       assert(t3("routed").count() == before - 1)
