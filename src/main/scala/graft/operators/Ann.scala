@@ -549,8 +549,7 @@ object Ann {
     pqBooks.synchronized {
       pqBooks.getOrElseUpdate((t.dir, m, k, iters, dim),
         { graft.Registries.bump()
-          Array.tabulate(m)(mi =>
-            trainPqSub(vecs, mi * sub, sub, k, iters)) })
+          trainPqBooks(vecs, m, sub, k, iters) })
     }
   }
 
@@ -564,7 +563,7 @@ object Ann {
       iters: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val books = Array.tabulate(m)(mi => trainPqSub(vecs, mi * sub, sub, k, iters))
+    val books = trainPqBooks(vecs, m, sub, k, iters)
     pqEncodeFrame(vecs, books, sub)
   }
 
@@ -888,7 +887,7 @@ object Ann {
       residBooks.getOrElseUpdate((t.dir, nLists, m, k, iters, dim), {
         graft.Registries.bump()
         resid = graft.Caches.materialized(resid)
-        Array.tabulate(m)(mi => trainPqSub(resid, mi * sub, sub, k, iters))
+        trainPqBooks(resid, m, sub, k, iters)
       })
     }
     pqEncodeFrame(resid, books, sub).orderBy("vec_id")
@@ -1634,6 +1633,25 @@ object Ann {
       Vectors.dot(sv, sv) - lit(2.0) * Vectors.dot(sv, typedLit(cw.toSeq)) +
         lit(cc)
     }: _*)
+
+  /** Train ALL m PQ sub-codebooks CONCURRENTLY (guide §2.6 — each
+    * subspace's Lloyd's chain is an independent seed + `iters` rounds
+    * over the same frame; sequentially they were m×(iters+1) driver
+    * round-trips). Per-subspace training is deterministic, so the
+    * books are identical to the sequential Array.tabulate form. All
+    * futures settle before any failure propagates (no training thread
+    * may outlive the call).
+    */
+  private[graft] def trainPqBooks(vecs: DataFrame, m: Int, sub: Int,
+      k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ts = (0 until m).map(mi =>
+      Future(scala.util.Try(trainPqSub(vecs, mi * sub, sub, k, iters))))
+    Await.result(Future.sequence(ts.map(_.map(_ => ()))), Duration.Inf)
+    ts.map(t => Await.result(t, Duration.Inf).get).toArray
+  }
 
   /** Per-subspace Lloyd's with L2 assignment (argmin distance, ties
     * to the lower cid — array_position's first-match rule), decimal-

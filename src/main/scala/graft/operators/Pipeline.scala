@@ -437,7 +437,19 @@ object Pipeline {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val denseT = Future(scala.util.Try {
+        // the encoded frame feeds THREE consumers (the enc write, the
+        // codebook training set, the enc_ivf assignment) — persist it
+        // for the chain instead of writing enc and re-reading the
+        // largest table twice (guide §2.4/§6: the write-read-write
+        // chain was a full extra scan of enc per consumer; an in-call
+        // intermediate, unpersisted before the chain settles). Values
+        // are identical to the landed parquet (vec_id/u16 untouched
+        // by the db-partitioned write), and every downstream consumer
+        // of enc_ivf is row-order-insensitive (the repartition(cid)
+        // shuffle never had a deterministic fetch order).
         val enc = Embed.encodeFrame(ch, "chunk_id", "chunk", d = dim)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         labeled(spark, "build: encode + write enc") {
         enc
           .withColumn("db", docBucketOfChunk(col("vec_id"), nDb))
@@ -450,7 +462,7 @@ object Pipeline {
         // tower — stored codes, coarse codebook, query code, list
         // choice — derives from md5-exact integers the DuckDB oracle
         // re-derives bit-for-bit (s3's float replay risk removed).
-        val vecs = spark.read.parquet(s"$d/enc")
+        val vecs = enc
           .select(col("vec_id"),
             transform(col("u16"), x => x.cast("double")).as("v"))
         // `pinned` rebuilds under an EXISTING model (st15's pinned-
@@ -474,7 +486,7 @@ object Pipeline {
         // and rows co-locate by cid before the write so each list is
         // one file, not one-per-writing-task.
         labeled(spark, "build: assign + write enc_ivf") {
-        spark.read.parquet(s"$d/enc")
+        enc
           .withColumn("cid",
             graft.functions.Vectors.centroidTop1(
               transform(col("u16"), x => x.cast("double")), cb))
@@ -483,16 +495,19 @@ object Pipeline {
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$d/enc_ivf")
         }
+        } finally enc.unpersist(false)
       })
       val sparseT = scala.util.Try {
-      labeled(spark, "build: tokenize + write tf") {
-      ch.select(col("chunk_id"),
+      // the tokenize+count aggregate feeds the tf write AND (renamed)
+      // the two postings-rollup forks below; the doc-length rollup
+      // feeds the tf_b join AND the stats aggregate. Persist both for
+      // the chain (guide §2.4/§5 — the landed tf was re-scanned four
+      // times and the dl shuffle ran twice; in-call intermediates,
+      // unpersisted before the chain settles).
+      val tfAgg = ch.select(col("chunk_id"),
           explode(Text.tokenize(col("chunk"))).as("term"))
         .groupBy("chunk_id", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("db", docBucketOfChunk(col("chunk_id"), nDb))
-        .repartition(col("db"))
-        .write.mode("overwrite").partitionBy("db").parquet(s"$d/tf")
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the SERVING form of the sparse tower, staged once (the
       // build-once/query-many contract applied to BM25's own
       // inputs): corpus stats and per-term idf precomputed, doc
@@ -500,9 +515,16 @@ object Pipeline {
       // by a portable term bucket — a query reads only its terms'
       // buckets (p3's cid-prune applied to the lexical side) and
       // re-derives nothing corpus-wide per query
-      val tfD = spark.read.parquet(s"$d/tf").drop("db")
-        .withColumnRenamed("chunk_id", "doc_id")
+      val tfD = tfAgg.withColumnRenamed("chunk_id", "doc_id")
       val dlD = tfD.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      labeled(spark, "build: tokenize + write tf") {
+      tfAgg
+        .withColumn("db", docBucketOfChunk(col("chunk_id"), nDb))
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$d/tf")
+      }
       // the postings rollups fork once more: stats→idf (idf reads the
       // landed stats) and the tf_b stage are independent given tf
       val tfbT = Future(scala.util.Try {
@@ -547,6 +569,7 @@ object Pipeline {
           a.addSuppressed(b); throw a
         case _ => statsIdfT.get; tfb.get
       }
+      } finally { tfAgg.unpersist(false); dlD.unpersist(false); () }
       }
       val dense = Await.result(denseT, Duration.Inf)
       (sparseT, dense) match {

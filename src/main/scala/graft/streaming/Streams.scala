@@ -1635,7 +1635,12 @@ object Streams {
       .filter(col("pb").isin(endpointPbs: _*))
       .select("doc_id", "sh")
       .unionByName(sigs.select("doc_id", "sh"))
-    val pairs = graft.Caches.materialized(cand
+    // NOT separately materialized: `compressed` below is this frame's
+    // only consumer and is itself materialized, so a pairs checkpoint
+    // was one whole extra job per batch for lineage that dies the
+    // moment compressed pins (guide §1.2 — fewer driver round-trips
+    // per batch)
+    val pairs = cand
       .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
         "doc_a")
       .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
@@ -1644,7 +1649,7 @@ object Streams {
       .withColumn("jaccard", round(col("inter") /
         (size(col("sha")) + size(col("shb")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b"))
+      .select("doc_a", "doc_b")
     // root-compress both endpoints through the adoption table —
     // lookup keys are candidate endpoints, so the same pb pruning
     // applies (anti-join included: a bucket with no endpoint pb
@@ -1701,7 +1706,7 @@ object Streams {
     // storage bounded by ONE batch's working set, not the batch
     // count (d6's per-iteration drop contract): this batch's
     // caches are dead once its appends land
-    Seq(compressed, newLabels, pairs, cand, bands, sigs, arrivals)
+    Seq(compressed, newLabels, cand, bands, sigs, arrivals)
       .foreach(graft.Caches.drop)
     // per-batch appends accumulate small files; past the file-count
     // budget the state is rewritten in place (io5's compaction
@@ -3118,8 +3123,7 @@ object Streams {
     val to = st15State(spark, Some(s"$parent/$toSub"), nLists)
     st14Read(spark, from.vectorsDir, st15WithCid(st15VecSchema))
       .select(col("vec_id"), col("v"),
-        element_at(
-          graft.functions.Vectors.centroidRanks(col("v"), cbNew), 1)
+        graft.functions.Vectors.centroidTop1(col("v"), cbNew)
           .as("cid"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(to.vectorsDir)
@@ -3514,40 +3518,65 @@ object Streams {
             st22KeySchema, tag)
           ()
         }
-      if (!tagCommitted(mainLog, tag)) {
-        val dir = s"${roots.main}/$tag"
-        s5.select(col("doc_id"), col("n_bpe"), col("q_score"))
-          .write.mode("overwrite").parquet(dir)
-        graft.sources.TableLog.commitDir(spark, mainLog, dir, "doc_id",
-          st22MainSchema, tag)
+      // the four destinations are INDEPENDENT given the persisted
+      // scored frame and the as-of-before registry reads (distinct
+      // logs, distinct dirs) — land them as CONCURRENT jobs (guide
+      // §2.6, st13's append pattern). The torn-batch heal contract is
+      // untouched: it was always subset-tolerant (each log skips only
+      // its own committed tag on redelivery), so an arbitrary commit
+      // interleaving at crash time heals exactly like the old fixed
+      // order. All four settle before any failure propagates.
+      val lands: Seq[(String, () => Unit)] = Seq(
+        "main" -> (() => if (!tagCommitted(mainLog, tag)) {
+          val dir = s"${roots.main}/$tag"
+          s5.select(col("doc_id"), col("n_bpe"), col("q_score"))
+            .write.mode("overwrite").parquet(dir)
+          graft.sources.TableLog.commitDir(spark, mainLog, dir,
+            "doc_id", st22MainSchema, tag)
+          ()
+        }),
+        "stats" -> (() => if (!tagCommitted(statsLog, tag)) {
+          val stageFrames = Seq("input" -> scored, "quality" -> s1,
+            "language" -> s2, "exact_dedup" -> s3, "near_dedup" -> s4,
+            "decontaminate" -> s5)
+          val rows = stageFrames.zipWithIndex.map { case ((n, df), i) =>
+            df.agg(count(lit(1)).as("n_out"),
+                coalesce(sum(col("n_bpe")), lit(0L)).as("toks_out"))
+              .select(lit(i.toLong).as("ord"), lit(n).as("stage"),
+                col("n_out"), col("toks_out"))
+          }.reduce(_ unionByName _)
+          val dir = s"${roots.stats}/$tag"
+          rows.write.mode("overwrite").parquet(dir)
+          graft.sources.TableLog.commitDir(spark, statsLog, dir, "ord",
+            st22StatsSchema, tag)
+          ()
+        }),
+        // registries record EVERY doc that reached their stage (the
+        // kept one is the min id — later arrivals of the key must
+        // block whichever batch they land in)
+        "md5" -> (() => landKeys(md5Log, s"${roots.md5s}/$tag",
+          s2.select(md5(col("text")).as("key")).distinct()
+            .join(seenMd5.select(col("key")), Seq("key"), "left_anti"))),
+        "fp" -> (() => landKeys(fpLog, s"${roots.fps}/$tag",
+          s3.drop("key")
+            .withColumn("key", graft.operators.Pipeline.fingerprintCol)
+            .filter(col("key").isNotNull).select("key").distinct()
+            .join(seenFp.select(col("fp").as("key")), Seq("key"),
+              "left_anti"))))
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val settled = lands.map { case (n, f) =>
+          Future(scala.util.Try(
+            graft.operators.Pipeline.labeled(spark, s"st22: land $n") {
+              f()
+            }))
+        }.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+        settled.collect { case scala.util.Failure(e) => e } match {
+          case Seq() => ()
+          case e +: rest => rest.foreach(e.addSuppressed); throw e
+        }
       }
-      if (!tagCommitted(statsLog, tag)) {
-        val stageFrames = Seq("input" -> scored, "quality" -> s1,
-          "language" -> s2, "exact_dedup" -> s3, "near_dedup" -> s4,
-          "decontaminate" -> s5)
-        val rows = stageFrames.zipWithIndex.map { case ((n, df), i) =>
-          df.agg(count(lit(1)).as("n_out"),
-              coalesce(sum(col("n_bpe")), lit(0L)).as("toks_out"))
-            .select(lit(i.toLong).as("ord"), lit(n).as("stage"),
-              col("n_out"), col("toks_out"))
-        }.reduce(_ unionByName _)
-        val dir = s"${roots.stats}/$tag"
-        rows.write.mode("overwrite").parquet(dir)
-        graft.sources.TableLog.commitDir(spark, statsLog, dir, "ord",
-          st22StatsSchema, tag)
-      }
-      // registries record EVERY doc that reached their stage (the
-      // kept one is the min id — later arrivals of the key must
-      // block whichever batch they land in)
-      landKeys(md5Log, s"${roots.md5s}/$tag",
-        s2.select(md5(col("text")).as("key")).distinct()
-          .join(seenMd5.select(col("key")), Seq("key"), "left_anti"))
-      landKeys(fpLog, s"${roots.fps}/$tag",
-        s3.drop("key")
-          .withColumn("key", graft.operators.Pipeline.fingerprintCol)
-          .filter(col("key").isNotNull).select("key").distinct()
-          .join(seenFp.select(col("fp").as("key")), Seq("key"),
-            "left_anti"))
       // st16's checkpoint cadence on all four destinations: every 8
       // batches each log collapses its replay and the txn watermark
       // folds the accumulated b@ tags to one row per log — this sink
