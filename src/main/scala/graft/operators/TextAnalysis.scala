@@ -472,6 +472,20 @@ object TextAnalysis {
     // shuffles ONCE here instead of once per consumer (the win that
     // matters in the shuffle-join regime, where lm is too big for
     // AQE to broadcast).
+    // the corpus vocabulary size (the smoothing denominator) is a
+    // SECOND full tokenize scan of the corpus, independent of the
+    // bigram chain — run it as a concurrent job while the bigram
+    // stream materializes (guide §2.6) instead of serializing the two
+    // corpus scans, and fold the one resulting number in as a literal
+    // (same value, one broadcast-join job fewer in the scoring plan)
+    val vocabT = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(scala.util.Try(docsIn
+        .select(explode(Text.tokenize(col(textCol))).as("term"))
+        .agg(countDistinct("term").as("v"))
+        .collect()(0).getLong(0)))
+    }
     val docsBg = graft.Caches.materialized(
       docsIn
         .select(col(idCol).as("doc_id"), Text.tokenize(col(textCol)).as("tk"))
@@ -492,18 +506,15 @@ object TextAnalysis {
     // broadcast-hash at runtime whenever the built side is actually
     // small, and falls back to a shuffle join when it is not
     val lm = kept.join(ctx, "w1").select("bg", "c_bi", "c_w1")
-    // corpus vocabulary size (the smoothing denominator), one row
-    val vocabN = docsIn
-      .select(explode(Text.tokenize(col(textCol))).as("term"))
-      .agg(countDistinct("term").as("v"))
+    val vocabN = scala.concurrent.Await.result(vocabT,
+      scala.concurrent.duration.Duration.Inf).get
     // doc-scale (one row per doc) but the product of the pipeline's
     // expensive join — materialized so the p75 cut and the final
     // select don't each re-run the token-scale join+rollup
     graft.Caches.materialized(docsBg
       .join(lm, "bg")
-      .crossJoin(broadcast(vocabN))
       .withColumn("nll",
-        -log((col("c_bi") + 1).cast("double") / (col("c_w1") + col("v"))))
+        -log((col("c_bi") + 1).cast("double") / (col("c_w1") + lit(vocabN))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bg"), avg("nll").as("raw"))
       .withColumn("avg_nll", roundP(col("raw")))
